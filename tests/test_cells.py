@@ -1,0 +1,66 @@
+"""Cell index unit tests: the Spark column expression must be
+bit-identical to the driver-side Python implementation, and Morton
+ranges must nest correctly."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmexpress_spark.spatial import cells
+
+
+@given(
+    lon=st.integers(min_value=cells.LON_MIN, max_value=-cells.LON_MIN),
+    lat=st.integers(min_value=cells.LAT_MIN, max_value=-cells.LAT_MIN),
+)
+@settings(max_examples=200, deadline=None)
+def test_cell_of_in_range(lon, lat):
+    c = cells.cell_of(lon, lat)
+    assert 0 <= c < (1 << 32)
+
+
+@given(
+    lon=st.integers(min_value=cells.LON_MIN, max_value=-cells.LON_MIN),
+    lat=st.integers(min_value=cells.LAT_MIN, max_value=-cells.LAT_MIN),
+    level=st.integers(min_value=0, max_value=cells.MAX_LEVEL),
+)
+@settings(max_examples=200, deadline=None)
+def test_point_inside_ancestor_rect(lon, lat, level):
+    """The ancestor range at any level contains the point's level-16 cell,
+    and the ancestor's degree-rect contains the point."""
+    c = cells.cell_of(lon, lat)
+    prefix = c >> (2 * (cells.MAX_LEVEL - level))
+    lo, hi = cells.prefix_range(prefix, level)
+    assert lo <= c < hi
+    x0, y0, x1, y1 = cells.cell_rect(prefix, level)
+    eps = 1e-7
+    assert x0 - eps <= lon / 1e7 <= x1 + eps
+    assert y0 - eps <= lat / 1e7 <= y1 + eps
+
+
+def test_merge_ranges():
+    assert cells.merge_ranges([(4, 8), (0, 4), (10, 12), (11, 14)]) == [
+        (0, 8),
+        (10, 14),
+    ]
+    assert cells.merge_ranges([]) == []
+
+
+def test_cell_col_matches_python(spark):
+    """JVM bitwise expression == Python scalar, on a deterministic sweep
+    plus extreme corners."""
+    pts = [(-1_800_000_000, -900_000_000), (1_800_000_000, 900_000_000), (0, 0)]
+    step = 123_456_789
+    for i in range(-14, 15):
+        for j in range(-7, 8):
+            pts.append((i * step % 1_800_000_000, j * step % 900_000_000))
+    df = spark.createDataFrame(pts, "lon int, lat int")
+    got = {
+        (r.lon, r.lat): r.cell
+        for r in df.withColumn(
+            "cell", cells.cell_col(df.lon, df.lat)
+        ).collect()
+    }
+    for lon, lat in pts:
+        assert got[(lon, lat)] == cells.cell_of(lon, lat), (lon, lat)
