@@ -1,0 +1,100 @@
+"""Public dataset facade — the Spark analog of the reference's Python
+embedding API (`/root/reference/python/osmx/osmx.py`: Environment /
+Transaction / Locations / Nodes / Ways / Relations / Index), SURVEY.md
+§3.3.
+
+A `Dataset` wraps a directory of parquet tables in the production
+layout (locations cell-sorted, payloads id-sorted) and exposes
+DataFrames plus the composed operators: `.extract(region)`,
+`.lookup(type, id)`, `.edges(name)`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import edges as edges_mod
+from .operators.extract import ExtractResult, extract
+from .spatial import Region
+
+CORE_TABLES = ("locations", "nodes", "ways", "relations")
+EDGE_TABLES = ("node_way", "node_relation", "way_relation", "relation_relation")
+
+
+class Dataset:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._table_path(name))
+
+    def locations(self) -> DataFrame:
+        return self.table("locations")
+
+    def nodes(self) -> DataFrame:
+        return self.table("nodes")
+
+    def ways(self) -> DataFrame:
+        return self.table("ways")
+
+    def relations(self) -> DataFrame:
+        return self.table("relations")
+
+    def tables(self) -> dict[str, DataFrame]:
+        out = {name: self.table(name) for name in CORE_TABLES}
+        for name in EDGE_TABLES:  # use materialized edges when present
+            if os.path.exists(os.path.join(self._table_path(name), "_SUCCESS")):
+                out[name] = self.table(name)
+        return out
+
+    def edges(self, name: str) -> DataFrame:
+        """Materialized reverse index if present, else derived on the fly."""
+        if os.path.exists(os.path.join(self._table_path(name), "_SUCCESS")):
+            return self.table(name)
+        derived = edges_mod.derive_all(self.ways(), self.relations())
+        return derived[name]
+
+    def materialize_edges(self) -> None:
+        """Build the four reverse indexes once (ingest-time in the
+        reference, src/expand.cpp:180,203-205). Written id-sorted on the
+        probe key so point lookups prune."""
+        for name, df in edges_mod.derive_all(self.ways(), self.relations()).items():
+            key = df.columns[0]
+            (
+                df.repartitionByRange(8, key)
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(self._table_path(name))
+            )
+
+    # --- S3 point lookup (src/cmd.cpp:44-86, osmx.py:53-98) ---
+    def lookup(self, element_type: str, element_id: int) -> DataFrame:
+        """Point lookup with the pushed id filter; the id-sorted layout
+        makes this a few-row-group read, the Spark analog of the LMDB
+        point get."""
+        if element_type == "node":
+            loc = self.locations().where(F.col("id") == element_id)
+            payload = self.nodes().where(F.col("id") == element_id)
+            return (
+                loc.join(payload, "id", "left_outer")
+                .select("id", "lon", "lat", "version", "tags", "metadata")
+            )
+        if element_type == "way":
+            return self.ways().where(F.col("id") == element_id)
+        if element_type == "relation":
+            return self.relations().where(F.col("id") == element_id)
+        raise ValueError(f"unknown element type: {element_type}")
+
+    # --- S6 stats (src/cmd.cpp:96-109) ---
+    def stats(self) -> dict[str, int]:
+        return {name: self.table(name).count() for name in CORE_TABLES}
+
+    def extract(self, region: Region, **kwargs) -> ExtractResult:
+        return extract(self.tables(), region, **kwargs)

@@ -1,0 +1,162 @@
+"""Extract pipeline golden tests: the Spark DAG must reproduce the
+reference semantics (`src/extract.cpp:149-274`) computed independently
+by a pure-Python model over the same fixture rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmexpress_spark import testing
+from osmexpress_spark.api import Dataset
+from osmexpress_spark.operators import edges as edges_mod
+from osmexpress_spark.operators.closure import transitive_closure
+from osmexpress_spark.spatial import Region, cover
+
+
+@pytest.fixture(scope="module")
+def fixture_rows():
+    return testing.generate(n_nodes=800, seed=42)
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, tmp_path_factory, fixture_rows):
+    path = str(tmp_path_factory.mktemp("osm") / "ds")
+    dfs = testing.to_dataframes(spark, fixture_rows)
+    import os
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+    return Dataset(spark, path)
+
+
+def python_model_extract(rows, region, max_level=16, max_cells=1024):
+    """Independent reimplementation of extract.cpp:149-274 over raw rows."""
+    ranges = cover(region, max_level=max_level, max_cells=max_cells)
+    node_hits = {
+        r[0] for r in rows["locations"] if any(lo <= r[4] < hi for lo, hi in ranges)
+    }
+    way_nodes = {w[0]: w[1] for w in rows["ways"]}
+    way_ids = {wid for wid, refs in way_nodes.items() if set(refs) & node_hits}
+    members = {r[0]: r[1] for r in rows["relations"]}
+    tags = {r[0]: r[2] for r in rows["relations"]}
+    rel_ids = set()
+    for rid, mems in members.items():
+        for ref, typ, _ in mems:
+            if (typ == "node" and ref in node_hits) or (typ == "way" and ref in way_ids):
+                rel_ids.add(rid)
+    # fixpoint: parents of selected relations (extract.cpp:211-237)
+    changed = True
+    while changed:
+        changed = False
+        for rid, mems in members.items():
+            if rid in rel_ids:
+                continue
+            if any(typ == "relation" and ref in rel_ids for ref, typ, _ in mems):
+                rel_ids.add(rid)
+                changed = True
+    # multipolygon completion with existence check (extract.cpp:243-260)
+    for rid in list(rel_ids):
+        if tags[rid].get("type") == "multipolygon":
+            for ref, typ, _ in members[rid]:
+                if typ == "way" and ref in way_nodes:
+                    way_ids.add(ref)
+    # way completion (extract.cpp:264-274)
+    node_ids = set(node_hits)
+    for wid in way_ids:
+        node_ids.update(way_nodes[wid])
+    return ranges, node_ids, way_ids, rel_ids
+
+
+REGIONS = [
+    Region("40.5,-74.3,41.0,-73.7", "bbox"),  # NYC hotspot
+    Region("48.85,2.35,0.6", "disc"),  # Paris hotspot disc
+    Region(
+        '{"type":"Polygon","coordinates":[[[139.2,35.2],[140.2,35.2],'
+        "[140.2,36.2],[139.2,36.2],[139.2,35.2]]]}",
+        "geojson",
+    ),  # Tokyo polygon
+    Region("-1.0,179.5,2.0,180.0", "bbox"),  # antimeridian-adjacent
+]
+
+
+@pytest.mark.parametrize("region", REGIONS, ids=["nyc", "paris", "tokyo", "antimeridian"])
+def test_extract_matches_python_model(dataset, fixture_rows, region):
+    res = dataset.extract(region)
+    ranges, exp_nodes, exp_ways, exp_rels = python_model_extract(fixture_rows, region)
+    assert res.covering == ranges
+    got_nodes = {r.id for r in res.node_ids.collect()}
+    got_ways = {r.id for r in res.way_ids.collect()}
+    got_rels = {r.id for r in res.relation_ids.collect()}
+    assert got_nodes == exp_nodes
+    assert got_ways == exp_ways
+    assert got_rels == exp_rels
+    # payload tables mirror the id-sets
+    assert {r.id for r in res.locations.select("id").collect()} == exp_nodes
+    assert {r.id for r in res.ways.select("id").collect()} == exp_ways
+    assert {r.id for r in res.relations.select("id").collect()} == exp_rels
+    # result is a superset of exact containment (covering-approximate,
+    # README.md:64) — never an under-selection
+    exact = {
+        r[0]
+        for r in fixture_rows["locations"]
+        if region.contains(r[2] / 1e7, r[1] / 1e7)
+    }
+    assert exact <= got_nodes
+
+
+def test_extract_excludes_dangling_way(dataset, fixture_rows):
+    """The dangling multipolygon member must be filtered by the existence
+    check (extract.cpp:253-255)."""
+    whole_world = Region("-90,-180,90,180", "bbox")
+    res = dataset.extract(whole_world)
+    got_ways = {r.id for r in res.way_ids.collect()}
+    assert testing.DANGLING_WAY_REF not in got_ways
+    # whole-world extract returns everything that exists
+    assert got_ways == {w[0] for w in fixture_rows["ways"]}
+    got_nodes = {r.id for r in res.node_ids.collect()}
+    assert got_nodes == {r[0] for r in fixture_rows["locations"]}
+
+
+def test_closure_depth_and_diamond(spark, dataset):
+    """Nesting chain (depth 3) and diamond converge to the full ancestor
+    set; seeds included; no duplicates."""
+    relations = dataset.relations()
+    rr = edges_mod.relation_relation(relations)
+    # seed with every relation that has a relation member's child — take
+    # the deepest chain base: relations that appear as child but have no
+    # relation members themselves
+    all_rel = {r.id for r in relations.select("id").collect()}
+    child_of = {(r.child_id, r.relation_id) for r in rr.collect()}
+    children = {c for c, _ in child_of}
+    seeds = spark.createDataFrame([(min(children),)], "id long")
+    got = {r.id for r in transitive_closure(seeds, rr, "child_id", "relation_id").collect()}
+    # python model
+    exp = {min(children)}
+    changed = True
+    while changed:
+        changed = False
+        for c, p in child_of:
+            if c in exp and p not in exp:
+                exp.add(p)
+                changed = True
+    assert got == exp
+    assert got <= all_rel
+
+
+def test_exact_refinement_subset(dataset, fixture_rows):
+    """P5: exact=True returns exactly the contained nodes plus completion
+    back-fill — regional ids shrink to true containment."""
+    region = Region("40.5,-74.3,41.0,-73.7", "bbox")
+    res = dataset.extract(region, exact=True)
+    got_nodes = {r.id for r in res.node_ids.collect()}
+    exact = {
+        r[0]
+        for r in fixture_rows["locations"]
+        if region.contains(r[2] / 1e7, r[1] / 1e7)
+    }
+    # every exactly-contained node present; any extras must come from way
+    # completion (member of a selected way)
+    assert exact <= got_nodes
+    way_nodes = {w[0]: set(w[1]) for w in fixture_rows["ways"]}
+    got_ways = {r.id for r in res.way_ids.collect()}
+    completion = set().union(*(way_nodes[w] for w in got_ways)) if got_ways else set()
+    assert got_nodes <= exact | completion
