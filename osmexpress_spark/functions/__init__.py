@@ -1,0 +1,195 @@
+"""Scalar/assembly function library (SURVEY.md §2.7) — all JVM-side
+Spark built-ins, no UDFs on any hot path.
+
+- G1 coordinate codec (`docs/MANUAL.md:140-142`, `python/osmx/
+  osmx.py:64-67`)
+- G6 WKT LineString assembly (`examples/way_wkt.cpp:34-43`,
+  `examples/bbox_wkt.cpp:82-91`)
+- G7 GeoJSON assembly (`python/examples/web_server.py:28-71`)
+- G8 tag_dict / interleaved list codec (`python/osmx/osmx.py:9-14`,
+  `include/osmx/util.h:28-40`)
+- G9 ISO8601 timestamp codec (`python/examples/augmented_diff.py:77-80`)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- G1: scaled int32 <-> degrees -----------------------------------------
+SCALE = 1e7
+
+
+def to_degrees(scaled: Column) -> Column:
+    """int32 (deg x 1e7) -> double degrees (python/osmx/osmx.py:64-67)."""
+    return scaled.cast("double") / F.lit(SCALE)
+
+
+def to_scaled(deg: Column) -> Column:
+    """double degrees -> int32 (deg x 1e7), round-half-away like the
+    reference's C cast of (deg * 1e7) after libosmium parsing."""
+    return F.round(deg * F.lit(SCALE)).cast("int")
+
+
+# --- G8: interleaved [k0,v0,k1,v1,...] <-> map ----------------------------
+def tags_to_map(tags_kv: Column) -> Column:
+    """Interleaved list -> MAP, the Spark analog of ``tag_dict``
+    (python/osmx/osmx.py:9-14). Even positions are keys, odd are values."""
+    keys = F.filter(tags_kv, lambda _, i: i % 2 == F.lit(0))
+    vals = F.filter(tags_kv, lambda _, i: i % 2 == F.lit(1))
+    return F.map_from_arrays(keys, vals)
+
+
+def map_to_tags(tags: Column) -> Column:
+    """MAP -> interleaved list (setTags, include/osmx/util.h:28-40).
+    flatten(k,v pairs) preserves map entry order for round-trips."""
+    return F.flatten(
+        F.transform(F.map_entries(tags), lambda e: F.array(e["key"], e["value"]))
+    )
+
+
+# --- G9: ISO8601 <-> timestamp --------------------------------------------
+ISO8601 = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def to_iso8601(ts: Column) -> Column:
+    return F.date_format(ts, ISO8601)
+
+
+def from_iso8601(s: Column) -> Column:
+    return F.to_timestamp(s, ISO8601)
+
+
+# --- G6: WKT assembly ------------------------------------------------------
+def _fmt_coord(scaled: Column) -> Column:
+    """Fixed 7-decimal coordinate text (way_wkt.cpp:40 prints lon/lat with
+    7 digits). Build from the exact scaled int to avoid float formatting:
+    sign + integer part + '.' + zero-padded 7-digit fraction."""
+    sign = F.when(scaled < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(scaled.cast("long"))
+    return F.concat(
+        sign,
+        (a / F.lit(10_000_000)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((a % F.lit(10_000_000)).cast("string"), 7, "0"),
+    )
+
+
+def point_wkt(lon: Column, lat: Column) -> Column:
+    return F.concat(
+        F.lit("POINT ("), _fmt_coord(lon), F.lit(" "), _fmt_coord(lat), F.lit(")")
+    )
+
+
+def way_linestrings(ways: DataFrame, locations: DataFrame) -> DataFrame:
+    """way id -> WKT LINESTRING in stored vertex order (G6).
+
+    Spark shape (SURVEY.md §2.7): posexplode the node array, equi-join
+    the narrow locations table, reassemble with collect_list +
+    array_sort on the position — the shuffle join replaces the
+    reference's per-node LMDB point reads (way_wkt.cpp:37-42). Vertex
+    order is restored exactly via the (pos, lon, lat) struct sort.
+
+    A node id with no locations row drops out of the inner join (the
+    vertex vanishes from the line). Extract output can't hit this —
+    way completion back-fills every member node (extract.cpp:264-274) —
+    but callers assembling over partial snapshots should left-join
+    validity first.
+    """
+    verts = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("nodes").alias("pos", "node_id")
+    )
+    joined = verts.join(
+        locations.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id"
+    )
+    return (
+        joined.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "lon", "lat"))
+            ).alias("pts")
+        )
+        .select(
+            F.col("way_id").alias("id"),
+            F.concat(
+                F.lit("LINESTRING ("),
+                F.array_join(
+                    F.transform(
+                        F.col("pts"),
+                        lambda p: F.concat(
+                            _fmt_coord(p["lon"]), F.lit(" "), _fmt_coord(p["lat"])
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit(")"),
+            ).alias("wkt"),
+        )
+    )
+
+
+# --- G7: GeoJSON assembly --------------------------------------------------
+def node_geojson(locations: DataFrame, nodes: DataFrame) -> DataFrame:
+    """node id -> GeoJSON Point feature with tag properties
+    (web_server.py:28-36)."""
+    df = locations.join(nodes.select("id", "tags"), "id", "left_outer")
+    geometry = F.to_json(
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(to_degrees(F.col("lon")), to_degrees(F.col("lat"))).alias(
+                "coordinates"
+            ),
+        )
+    )
+    return df.select(
+        "id",
+        F.to_json(
+            F.struct(
+                F.lit("Feature").alias("type"),
+                F.coalesce(F.col("tags"), F.map_from_arrays(F.array(), F.array())).alias(
+                    "properties"
+                ),
+            )
+        ).alias("feature_head"),
+        geometry.alias("geometry"),
+    )
+
+
+def way_geojson(ways: DataFrame, locations: DataFrame) -> DataFrame:
+    """way id -> GeoJSON LineString coordinates (web_server.py:38-50)."""
+    verts = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("nodes").alias("pos", "node_id")
+    )
+    joined = verts.join(
+        locations.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id"
+    )
+    return (
+        joined.groupBy("way_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pts"))
+        .select(
+            F.col("way_id").alias("id"),
+            F.to_json(
+                F.struct(
+                    F.lit("LineString").alias("type"),
+                    F.transform(
+                        F.col("pts"),
+                        lambda p: F.array(to_degrees(p["lon"]), to_degrees(p["lat"])),
+                    ).alias("coordinates"),
+                )
+            ).alias("geometry"),
+        )
+    )
+
+
+# --- A4: bounds over a geometry's nodes (augmented_diff.py:309-342) -------
+def way_bounds(ways: DataFrame, locations: DataFrame) -> DataFrame:
+    verts = ways.select(F.col("id").alias("way_id"), F.explode("nodes").alias("node_id"))
+    joined = verts.join(
+        locations.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id"
+    )
+    return joined.groupBy("way_id").agg(
+        F.min("lon").alias("min_lon"),
+        F.min("lat").alias("min_lat"),
+        F.max("lon").alias("max_lon"),
+        F.max("lat").alias("max_lat"),
+    )
