@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship query on /root/testdata/sf0.001
+queries()         -> {name: (spark, sf_dir) -> DataFrame} per SURVEY.md §2
+oracle_sql()      -> {name: DuckDB SQL} for every SQL-expressible query
+
+Implementations live in osmexpress_spark.queries (relational inventory)
+and osmexpress_spark.queries_data (LLM-pipeline operators); OSM-domain
+pipelines (extract/closure/WKT over the fixture dataset) are registered
+as rows-only checks — their semantics are golden-tested in tests/
+against an independent Python model instead of SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the star-join revenue rollup (Catalyst join ordering +
+    broadcast dims + decimal-exact aggregation) at sf0.001."""
+    from osmexpress_spark import queries as Q
+
+    return Q.SPARK_QUERIES["q_star_join_revenue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmexpress_spark import queries as Q
+    from osmexpress_spark import queries_data as QD
+    from osmexpress_spark import queries_osm as QO
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(Q.SPARK_QUERIES)
+    out.update(QD.SPARK_QUERIES)
+    out.update(QO.SPARK_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmexpress_spark import queries as Q
+    from osmexpress_spark import queries_data as QD
+
+    out: dict[str, str] = {}
+    out.update(Q.ORACLE_SQL)
+    out.update(QD.ORACLE_SQL)
+    return out

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full compute, all
+columns, no driver collection cost) after a warmup action that absorbs
+session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmexpress_spark import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_star_join_revenue",
+    "q_topk_per_group",
+    "q_count_distinct",
+    "q_range_scan",
+    "q_last_version_wins",
+    "q_sessionize",
+    "q_asof_join",
+    "q_window_tumbling",
+    "q_transitive_closure",
+    "q_doc_token_stats",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard",
+    "q_embedding_topk",
+    "q_embedding_ann_bucketed",
+    "osm_extract_bbox",
+]
+
+
+def main() -> None:
+    from osmexpress_spark import queries as Q
+    from osmexpress_spark import queries_data as QD
+    from osmexpress_spark import queries_osm as QO
+
+    registry = {**Q.SPARK_QUERIES, **QD.SPARK_QUERIES, **QO.SPARK_QUERIES}
+
+    spark = get_spark(
+        app_name="osmx-bench",
+        cpus=CPUS,
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: session/codegen startup + fixture materialization
+    Q.SPARK_QUERIES["q_projection"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    QO.SPARK_QUERIES["osm_stats"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name](spark, SF_DIR)
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

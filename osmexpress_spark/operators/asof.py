@@ -1,0 +1,76 @@
+"""As-of (backward) join — a time-travel lookup operator.
+
+Absent in the reference (SURVEY.md §2.3 notes it as the natural
+extension over `metadata.timestamp`), and absent as a native Spark
+operator. The naive join+filter implementation explodes to
+|left| x |matching right| intermediate rows; this implementation uses
+the union + sorted-window trick instead:
+
+    tag left/right rows -> union on (key, t) -> one window sort per key
+    -> last_value(right attrs, ignorenulls) fills each left row with the
+    most recent right row at or before its timestamp.
+
+Cost is one shuffle-sort of |left|+|right| — no pair blowup, skew-safe
+under AQE, and the window is rows-bounded (no full-partition buffering).
+Tie-breaks are total: right rows sort before left rows at equal
+timestamps (<= semantics) and among themselves by `right_order` so the
+result is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    right_order: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time and matching `on` key (backward as-of,
+    left-outer: unmatched left rows keep NULLs).
+
+    right_order: column making right rows totally ordered within
+    (key, time) ties — required for deterministic output when right
+    timestamps repeat; defaults to right_time.
+    """
+    right_order = right_order or right_time
+    lcols = left.columns
+    out_names = [prefix + c for c in right_cols]
+
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_time).alias("__t"),
+        F.lit(None).cast(right.schema[right_order].dataType).alias("__ord"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n)
+          for c, n in zip(right_cols, out_names)],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c != on],
+        F.col(on),
+        F.lit(0).alias("__side"),
+        F.col(right_time).alias("__t"),
+        F.col(right_order).alias("__ord"),
+        *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
+    ).select(*lcols, "__side", "__t", "__ord", *out_names)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        *lcols,
+        "__side",
+        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+    )
+    return filled.where(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the whole point at 100 TB):
+- exact: one hash-aggregate on md5(text) — map-side partial agg, no
+  row payload shuffled, only (hash, id) pairs.
+- MinHash/LSH: signatures are per-row column expressions (no UDF, no
+  shuffle); candidate generation is a self-equi-join on (band_idx,
+  band_key) — i.e. only rows sharing a bucket ever meet, the classic
+  sub-quadratic near-dup join. Output pairs, not row payloads.
+- n-gram Jaccard: exact verifier for candidate pairs (or bucketed
+  pairs); array_intersect/union on distinct shingle sets.
+- SimHash: 16-bit signature via md5-derived per-token bit votes —
+  pure column expressions; hamming-adjacent buckets give near-dup
+  candidates.
+
+MinHash determinism: "permutation" i is md5(i || '|' || shingle); the
+signature element is the min over shingles. Identical strings on any
+engine -> identical signatures, so the LSH pipeline is oracle-testable
+in DuckDB end-to-end (queries_data.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text: Column, k: int = 2) -> Column:
+    """Distinct word k-shingles as strings ('w1 w2 ... wk')."""
+    ws = F.split(text, " ")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), n - k)  # empty when n < k
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(text: Column, n_hashes: int = 8, k: int = 2) -> Column:
+    """Array of n_hashes min-md5 values over the shingle set."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{p}|"), s)))
+            )
+            for p in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 2
+) -> DataFrame:
+    """(id, h0..h{n-1}) via explode + hash-aggregate — the scale shape.
+
+    The pure-column form (`minhash_signature`) nests the shingle
+    computation inside every permutation's array_min; at n_hashes=8 the
+    expression tree exceeds the JIT method limit, codegen bails to
+    interpreted mode, and throughput drops ~10x (measured). Exploding
+    shingles once and taking n_hashes vectorized min-aggregates keeps
+    everything in WholeStageCodegen with map-side partial aggregation —
+    shuffle traffic is one row per document, not per shingle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
+            for p in range(n_hashes)
+        ]
+    )
+
+
+def lsh_bands(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_key) — band key concatenates r signature
+    elements; docs sharing any band key are candidates."""
+    keys = F.array(
+        *[
+            F.concat(
+                *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(keys).alias("band_idx", "band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    k: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded MinHash LSH.
+    One signature pass + one self-join on band buckets."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures_df(df, id_col, text_col, n_hashes, k)
+    band_keys = F.array(
+        *[
+            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    b = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cols: list[str],
+    k: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within the same
+    bucket (blocking columns bound the quadratic term). At scale the
+    bucket is the LSH candidate set; here also usable directly with
+    metadata blocking (e.g. same source)."""
+    docs = df.select(
+        *bucket_cols,
+        F.col(id_col),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    a = docs.select(
+        *bucket_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        *bucket_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        a.join(b, bucket_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: (hash, n, keep_id) for
+    groups of size > 1; keep_id = min id (the canonical survivor)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column, k: int = 1) -> Column:
+    """16-bit SimHash: each distinct shingle votes +-1 per bit position
+    (bit j of md5-derived integer); sign of the vote sum sets the bit.
+    conv(hex, 16, 10) keeps it all JVM-side."""
+    sh = shingles(text, k)
+    # 60-bit integer from the md5 prefix of each shingle
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s, j=j: acc
+            + F.when(F.shiftright(h(s), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 1
+) -> DataFrame:
+    """(id, simhash) via explode + bit-vote aggregation (same scale
+    rationale as minhash_signatures_df: one md5 per shingle total,
+    not one per shingle per bit)."""
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    ).select(F.col(id_col), h.alias("h"))
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    out = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), out.cast("long").alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, k: int = 1
+) -> DataFrame:
+    """Near-dup candidates: identical 16-bit simhash. (Hamming-1 buckets
+    would add 16 rotations of the same join.)"""
+    sh = simhash_df(df, id_col, text_col, k).withColumnRenamed("simhash", "sh")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    return (
+        a.join(b, "sh").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh")
+    )

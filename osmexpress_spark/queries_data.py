@@ -1,0 +1,423 @@
+"""LLM-data-pipeline driver-contract queries over documents/embeddings.
+
+Every SQL-expressible operator carries a DuckDB oracle built from the
+same deterministic primitives (md5, integer arithmetic, element-wise
+double products). Parity rules beyond queries.py:
+
+- NEVER output a rounded rational (Jaccard, ratios): Spark ROUND is
+  HALF_UP, DuckDB is HALF_EVEN, and ratios of small integers land on
+  exact midpoints. Output the integer numerator/denominator instead,
+  and express thresholds as integer inequalities.
+- similarity ranks are computed on cosine rounded to 6 decimals (fp
+  fold-order noise is ~1e-13) with id tie-breaks, and only
+  (query_id, neighbor_id, rank) is output — never the double itself.
+- row_number() is INTEGER in Spark, BIGINT in DuckDB — cast the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .queries import t
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+EMB_DIM = 64
+N_HASHES = 8
+N_BANDS = 4
+SHINGLE_K = 2
+
+
+def defq(name: str, oracle: str | None = None):
+    def wrap(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- text analysis ---------------------------------------------------------
+@defq(
+    "q_doc_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> length(w))) AS INTEGER) AS sum_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> list_contains({text.STOPWORDS!r}, w))) AS INTEGER) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    sum_len = F.aggregate(
+        F.transform(text.tokens(c), F.length), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        text.token_count(c).alias("n_tokens"),
+        sum_len.alias("sum_token_len"),
+        text.stopword_count(c).alias("n_stopwords"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = text.LANG_MARKERS[lang]
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({markers!r}, w)))"
+    )
+
+
+@defq(
+    "q_doc_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+    FROM s
+    """,
+)
+def q_doc_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", text.lang_id(F.col("text")).alias("predicted")
+    )
+
+
+@defq(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id, substr(md5(trim(lower(text))), 1, 16) AS fp, n_chars
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp"), "n_chars"
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+@defq(
+    "q_exact_dedup",
+    """
+    SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_sql_columns() -> str:
+    return ",\n             ".join(
+        f"list_min(list_transform(sh, s -> md5('{p}|' || s))) AS h{p}"
+        for p in range(N_HASHES)
+    )
+
+
+def _band_selects_sql() -> str:
+    r = N_HASHES // N_BANDS
+    parts = []
+    for b in range(N_BANDS):
+        key = " || ".join(f"h{b * r + i}" for i in range(r))
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM mh"
+        )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+@defq(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                           i -> w[i+1] || ' ' || w[i+2])) AS sh
+      FROM ws WHERE len(w) >= {SHINGLE_K}
+    ), mh AS (
+      SELECT doc_id,
+             {_minhash_sql_columns()}
+      FROM sh
+    ), bands AS (
+      {_band_selects_sql()}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_hashes=N_HASHES,
+        k=SHINGLE_K,
+        bands=N_BANDS,
+    )
+
+
+@defq(
+    "q_ngram_jaccard",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS INTEGER) AS n_union
+    FROM docs a JOIN docs b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE 20 * len(list_intersect(a.sh, b.sh))
+          >= len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact bigram-Jaccard pairs within (lang, source) blocks; the
+    threshold jaccard >= 1/20 is the integer inequality 20*|I| >= |U|
+    (no rounded rationals — see module docstring)."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.where(F.size(F.split("text", " ")) >= SHINGLE_K).select(
+        "lang",
+        "source",
+        "doc_id",
+        dedup.shingles(F.col("text"), SHINGLE_K).alias("sh"),
+    )
+    a = docs.select("lang", "source", F.col("doc_id").alias("id_a"),
+                    F.col("sh").alias("sh_a"))
+    b = docs.select("lang", "source", F.col("doc_id").alias("id_b"),
+                    F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", inter.alias("n_inter"), union.alias("n_union")
+        )
+        .where(20 * F.col("n_inter") >= F.col("n_union"))
+    )
+
+
+@defq("q_simhash_candidates")  # rows-only: no portable hex->int in DuckDB SQL
+def q_simhash_candidates(spark, sf_dir):
+    return dedup.simhash_candidates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=1
+    )
+
+
+# --- embedding similarity --------------------------------------------------
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range({EMB_DIM}), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    )
+
+
+@defq(
+    "q_embedding_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_dot_sql('qv', 'cv')} /
+                   (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})),
+                   6) AS sim
+      FROM q, c WHERE neighbor_id != query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5
+    """,
+)
+def q_embedding_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_bruteforce(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for k in range(similarity.N_PLANES):
+        weights = [float(similarity.plane_weight(i, k)) for i in range(EMB_DIM)]
+        proj = (
+            f"round(list_sum(list_transform(range({EMB_DIM}), "
+            f"i -> CAST({vec}[i+1] AS DOUBLE) * ({weights!r}::DOUBLE[])[i+1])), 6)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@defq(
+    "q_embedding_ann_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_dot_sql('qv', 'cv')} /
+                   (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})),
+                   6) AS sim
+      FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q_embedding_ann_bucketed(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_bucketed(
+        emb.where(F.col("vec_id") < 10), emb, dim=EMB_DIM, k=3
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
+
+
+@defq(
+    "q_embedding_dedup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_dot_sql('a.embedding', 'c.embedding')} /
+                (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+                 sqrt({_dot_sql('c.embedding', 'c.embedding')})), 6) >= 0.99
+    """,
+)
+def q_embedding_dedup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_dedup_pairs(
+        emb, dim=EMB_DIM, threshold=0.99
+    ).select("id_a", "id_b")
+
+
+# --- multimodal ------------------------------------------------------------
+@defq(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id AS item_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           substr(md5(text), 1, 8) AS content_hash
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("item_id"),
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        F.substring(F.md5("text"), 1, 8).alias("content_hash"),
+    )
+
+
+@defq("q_multimodal_features")  # rows-only: Arrow-batched stub decoder
+def q_multimodal_features(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.attach_binary(d, "text", "doc_id")
+    return multimodal.extract_features(blobs).select(
+        "item_id", "n_bytes", "modality", "decode_ok"
+    )
+
+
+# --- streaming (executed via Structured Streaming, oracled as batch SQL) ---
+@defq(
+    "q_stream_windowed",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed(spark, sf_dir):
+    """Same tumbling-window aggregation as q_window_tumbling but executed
+    through Structured Streaming (file source -> windowed agg -> memory
+    sink, drained synchronously). U5's windowed-agg surface."""
+    import uuid
+
+    # raw file schema (ts as nanos-long under the legacy conf), not the
+    # converted batch schema — the stream reader must match the file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(sf_dir + "/events.parquet").schema
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .load(sf_dir)
+    )
+    if "ts" not in dict(stream.dtypes) or dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,65 @@
+"""Replicates the driver's t2 gate locally: every registered query runs
+on Spark AND its DuckDB oracle over the same parquet; row-sets must
+match exactly (order-insensitive, column names sorted)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+from osmexpress_spark import queries as Q
+from osmexpress_spark import queries_data as QD
+
+ALL_QUERIES = {**Q.SPARK_QUERIES, **QD.SPARK_QUERIES}
+ALL_ORACLES = {**Q.ORACLE_SQL, **QD.ORACLE_SQL}
+
+SF_DIR = os.environ.get("OSMX_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_DIR}/{tbl}.parquet'"
+        )
+    return con
+
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return f"{v:.9g}" if not math.isnan(v) else "nan"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(repr(norm(r[i])) for i in idx) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ALL_ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    assert rowset(scols, srows) == rowset(dcols, drows), f"{name}: values differ"
