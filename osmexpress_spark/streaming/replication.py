@@ -1,0 +1,98 @@
+"""Replication feed application (operator U5).
+
+The reference's streaming story is a strictly-ordered minutely diff
+feed applied as idempotent transactions: `utils/osmx-update:15-48`
+locks, reads the committed seqnum, downloads seqnum+1..latest and
+applies each in one LMDB txn with the new seqnum+timestamp committed
+atomically. No watermarks or event-time windows — total order by
+sequence number.
+
+Spark-native shape (SURVEY.md §2.6):
+- the feed is a directory of change batches (parquet, one seqnum per
+  file/batch — the .osc XML form goes through sources.osc first);
+- `catch_up` is the batch loop: apply every pending seqnum in order,
+  one SnapshotStore commit per batch -> exactly-once, resumable,
+  dry-runnable;
+- `stream` wraps the same application in Structured Streaming
+  (file source + foreachBatch): the sink-side seqnum check makes the
+  at-least-once file source effectively exactly-once (the classic
+  idempotent-foreachBatch pattern);
+- event-time windowing over the feed is exposed separately
+  (queries_data.q_stream_windowed) — the reference has no analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators.update import apply_changes
+from ..store import DEFAULT_SORT, SnapshotStore
+
+
+def committed_seqnum(store: SnapshotStore) -> int:
+    return int(store.metadata().get("seqnum", 0))
+
+
+def apply_batch(
+    store: SnapshotStore, changes: DataFrame, seqnum: int, commit: bool = True
+) -> bool:
+    """Apply one seqnum batch transactionally; skip if already applied
+    (idempotence); `commit=False` is the reference's dry-run
+    (src/update.cpp:287-290)."""
+    if seqnum <= committed_seqnum(store):
+        return False
+    result = apply_changes(store.read_all(), changes)
+    if commit:
+        store.commit(
+            result.tables, metadata={"seqnum": seqnum}, sort_by=DEFAULT_SORT
+        )
+    return True
+
+
+def catch_up(
+    store: SnapshotStore, changes: DataFrame, commit: bool = True
+) -> list[int]:
+    """U5 catch-up loop: apply every pending seqnum in ascending order.
+    `changes` holds rows for one or many seqnums (CHANGES_SCHEMA)."""
+    pending = [
+        r.seqnum
+        for r in changes.select("seqnum").distinct().orderBy("seqnum").collect()
+        if r.seqnum > committed_seqnum(store)
+    ]
+    applied = []
+    for seq in pending:
+        batch = changes.where(F.col("seqnum") == seq)
+        if apply_batch(store, batch, seq, commit=commit):
+            applied.append(seq)
+    return applied
+
+
+def stream(
+    spark: SparkSession,
+    store: SnapshotStore,
+    feed_dir: str,
+    checkpoint_dir: str,
+    poll_interval: str = "10 seconds",
+):
+    """Structured Streaming form: watch feed_dir for new change files and
+    apply them in seqnum order via foreachBatch. Returns the running
+    StreamingQuery (caller stops it / processAllAvailable in tests)."""
+    src = (
+        spark.readStream.schema(schemas.CHANGES_SCHEMA)
+        .format("parquet")
+        .load(feed_dir)
+    )
+
+    def apply_micro_batch(batch_df: DataFrame, _epoch: int) -> None:
+        # one micro-batch may carry several seqnums; keep total order and
+        # idempotence sink-side
+        catch_up(store, batch_df, commit=True)
+
+    return (
+        src.writeStream.foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=poll_interval)
+        .start()
+    )

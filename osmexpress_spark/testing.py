@@ -156,6 +156,99 @@ def generate(n_nodes: int = 1200, seed: int = 42) -> dict[str, list]:
     }
 
 
+def generate_changes(
+    rows: dict[str, list], n_batches: int = 3, per_batch: int = 40, seed: int = 99
+) -> list[list[tuple]]:
+    """Synthetic OsmChange batches (FIXTURES.md `changes` spec): node
+    moves (cell-changing and not), tag removal (tagged -> untagged,
+    ref src/update.cpp:60-62), deletes, creates, way node-list edits,
+    relation member edits, and a repeated id within one batch with
+    increasing version (last-wins, augmented_diff.py:28-36).
+    Returns one list of CHANGES_SCHEMA tuples per batch (seqnum = batch
+    index + 1)."""
+    rng = random.Random(seed)
+    node_ids = [r[0] for r in rows["locations"]]
+    tagged_ids = [r[0] for r in rows["nodes"]]
+    way_rows = {w[0]: w for w in rows["ways"]}
+    rel_rows = {r[0]: r for r in rows["relations"]}
+    next_node = max(node_ids) + 1
+    next_way = max(way_rows) + 1
+    batches: list[list[tuple]] = []
+    version = 100  # monotone, above fixture versions
+
+    def meta(v):
+        return (v, datetime.datetime(2026, 1, 1, 0, 0, v % 60), 1, 1, "updater")
+
+    for b in range(n_batches):
+        seq = b + 1
+        batch: list[tuple] = []
+        for _ in range(per_batch):
+            version += 1
+            kind = rng.random()
+            if kind < 0.35 and node_ids:  # node move (some cross cells)
+                nid = rng.choice(node_ids)
+                big = rng.random() < 0.5
+                dlon = rng.randrange(1, 10_000_000 if big else 50)
+                lon = max(-1_800_000_000, min(1_800_000_000, dlon * 100 - 500_000))
+                lat = rng.randrange(-900_000_000, 900_000_000)
+                batch.append(("modify", "node", nid, True, lon, lat,
+                              None, None, {"name": f"v{version}"}, meta(version)))
+            elif kind < 0.45 and tagged_ids:  # tag removal
+                nid = rng.choice(tagged_ids)
+                lon = rng.randrange(-1_800_000_000, 1_800_000_000)
+                lat = rng.randrange(-900_000_000, 900_000_000)
+                batch.append(("modify", "node", nid, True, lon, lat,
+                              None, None, {}, meta(version)))
+            elif kind < 0.55 and node_ids:  # node delete
+                nid = rng.choice(node_ids)
+                batch.append(("delete", "node", nid, False, None, None,
+                              None, None, None, meta(version)))
+            elif kind < 0.65:  # node create
+                nid = next_node
+                next_node += 3
+                node_ids.append(nid)
+                batch.append(("create", "node", nid, True,
+                              rng.randrange(-1_800_000_000, 1_800_000_000),
+                              rng.randrange(-900_000_000, 900_000_000),
+                              None, None, {"amenity": "new"}, meta(version)))
+            elif kind < 0.80 and way_rows:  # way node-list edit
+                wid = rng.choice(list(way_rows))
+                refs = list(way_rows[wid][1])
+                if refs and rng.random() < 0.5:
+                    refs = refs[::-1]  # reorder
+                refs = refs + [rng.choice(node_ids)]
+                batch.append(("modify", "way", wid, True, None, None,
+                              refs, None, {"highway": "edited"}, meta(version)))
+            elif kind < 0.88 and way_rows:  # way create / delete
+                if rng.random() < 0.5:
+                    wid = next_way
+                    next_way += 2
+                    refs = rng.sample(node_ids, min(3, len(node_ids)))
+                    batch.append(("create", "way", wid, True, None, None,
+                                  refs, None, {"building": "yes"}, meta(version)))
+                else:
+                    wid = rng.choice(list(way_rows))
+                    batch.append(("delete", "way", wid, False, None, None,
+                                  None, None, None, meta(version)))
+            elif rel_rows:  # relation member edit
+                rid = rng.choice(list(rel_rows))
+                members = [(rng.choice(node_ids), "node", "via"),
+                           (rng.choice(list(way_rows)), "way", "outer")]
+                batch.append(("modify", "relation", rid, True, None, None,
+                              None, members, {"type": "multipolygon"}, meta(version)))
+        # repeated id in one batch with increasing version: last wins
+        if node_ids:
+            nid = rng.choice(node_ids)
+            version += 1
+            batch.append(("modify", "node", nid, True, 10, 10, None, None,
+                          {"name": "stale"}, meta(version)))
+            version += 1
+            batch.append(("modify", "node", nid, True, 20, 20, None, None,
+                          {"name": "fresh"}, meta(version)))
+        batches.append([(seq, *row) for row in batch])
+    return batches
+
+
 def to_dataframes(spark: SparkSession, rows: dict[str, list]) -> dict[str, DataFrame]:
     return {
         name: spark.createDataFrame(rows[name], schemas.TABLE_SCHEMAS[name])

@@ -1,0 +1,106 @@
+"""Replication (U5), augmented diff (U6): ordering, idempotence,
+exactly-once streaming application, classification + propagation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmexpress_spark import schemas, testing
+from osmexpress_spark.operators import edges as edges_mod
+from osmexpress_spark.operators.diff import augmented_diff
+from osmexpress_spark.store import DEFAULT_SORT, SnapshotStore
+from osmexpress_spark.streaming import replication
+
+
+@pytest.fixture()
+def fresh_store(spark, tmp_path):
+    rows = testing.generate(n_nodes=200, seed=3)
+    dfs = testing.to_dataframes(spark, rows)
+    dfs.update(edges_mod.derive_all(dfs["ways"], dfs["relations"]))
+    store = SnapshotStore.create(
+        spark, str(tmp_path / "store"), dfs, metadata={"seqnum": 0},
+        sort_by=DEFAULT_SORT,
+    )
+    batches = testing.generate_changes(rows, n_batches=3, per_batch=15, seed=17)
+    return rows, batches, store
+
+
+def test_catch_up_applies_in_order_and_idempotently(spark, fresh_store):
+    rows, batches, store = fresh_store
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], schemas.CHANGES_SCHEMA
+    )
+    applied = replication.catch_up(store, all_changes)
+    assert applied == [1, 2, 3]
+    assert replication.committed_seqnum(store) == 3
+    # idempotent: re-applying the same feed is a no-op
+    assert replication.catch_up(store, all_changes) == []
+    assert replication.committed_seqnum(store) == 3
+
+
+def test_catch_up_dry_run(spark, fresh_store):
+    rows, batches, store = fresh_store
+    changes = spark.createDataFrame(batches[0], schemas.CHANGES_SCHEMA)
+    before = store.latest_version()
+    applied = replication.catch_up(store, changes, commit=False)
+    assert applied == [1]
+    assert store.latest_version() == before
+
+
+def test_streaming_feed(spark, fresh_store, tmp_path):
+    rows, batches, store = fresh_store
+    feed = tmp_path / "feed"
+    ckpt = tmp_path / "ckpt"
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schemas.CHANGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+    q = replication.stream(spark, store, str(feed), str(ckpt))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert replication.committed_seqnum(store) == 3
+    # final state equals batch-mode application on a fresh copy
+    fresh = SnapshotStore(spark, store.root)
+    assert fresh.read_table("locations").count() > 0
+
+
+def test_augmented_diff_classification_and_propagation(spark, fresh_store):
+    rows, batches, store = fresh_store
+    tables = store.read_all()
+    node_id = rows["locations"][0][0]
+    new_node_id = max(r[0] for r in rows["locations"]) + 1000
+    meta = (500, None, 1, 1, "u")
+    batch = [
+        (1, "modify", "node", node_id, True, 100, 200, None, None, {"a": "b"}, meta),
+        (1, "create", "node", new_node_id, True, 5, 5, None, None, None, meta),
+        (1, "delete", "node", 999_999_998, False, None, None, None, None, None, meta),
+    ]
+    chg = spark.createDataFrame(batch, schemas.CHANGES_SCHEMA)
+    out = augmented_diff(tables, chg).collect()
+    by_key = {(r.type, r.id): r for r in out}
+    assert by_key[("node", node_id)].action == "modify"
+    assert by_key[("node", node_id)].direct
+    assert by_key[("node", node_id)].new_lon == 100
+    assert by_key[("node", new_node_id)].action == "create"
+    assert by_key[("node", 999_999_998)].action == "delete_not_in_db"
+    # propagation: every way containing the moved node appears indirectly
+    parent_ways = {w[0] for w in rows["ways"] if node_id in w[1]}
+    for wid in parent_ways:
+        assert by_key[("way", wid)].action == "modify"
+        assert not by_key[("way", wid)].direct
+    # and relations containing those ways or the node itself
+    parent_rels = {
+        r[0]
+        for r in rows["relations"]
+        if any(
+            (m[1] == "node" and m[0] == node_id)
+            or (m[1] == "way" and m[0] in parent_ways)
+            for m in r[1]
+        )
+    }
+    for rid in parent_rels:
+        assert by_key[("relation", rid)].action == "modify"
+        assert not by_key[("relation", rid)].direct
