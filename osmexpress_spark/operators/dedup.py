@@ -138,26 +138,62 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs within the same
     bucket (blocking columns bound the quadratic term). At scale the
     bucket is the LSH candidate set; here also usable directly with
-    metadata blocking (e.g. same source)."""
-    docs = df.select(
+    metadata blocking (e.g. same source).
+
+    Plan shape: inverted index, not array intersection. Exploding
+    distinct shingles and self-joining on (bucket, shingle) computes
+    |A∩B| as a pair count in pure hash joins/aggregates; |A∪B| =
+    |A|+|B|-|A∩B| from per-doc sizes. The naive bucketed cross-join
+    with array_intersect re-walks two ~100-element arrays per pair
+    (measured 2x slower at sf0.1 and quadratic in bucket size); the
+    inverted index only materializes pairs that share a shingle and is
+    the standard 100 TB shape (add shingle-frequency capping for
+    stop-shingles when buckets are huge)."""
+    docs = df.where(F.size(F.split(F.col(text_col), " ")) >= k).select(
         *bucket_cols,
         F.col(id_col),
         shingles(F.col(text_col), k).alias("sh"),
     )
-    a = docs.select(
-        *bucket_cols, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    sizes = docs.select(*bucket_cols, F.col(id_col), F.size("sh").alias("n_sh"))
+    # join on the 64-bit shingle hash: 8-byte shuffle keys instead of
+    # variable-length strings (collision odds ~n^2/2^64, immaterial)
+    inv = docs.select(
+        *bucket_cols, F.col(id_col), F.explode("sh").alias("s")
+    ).select(*bucket_cols, F.col(id_col), F.xxhash64("s").alias("s"))
+    # AQE sees a tiny shuffle (8-byte keys) and coalesces the join to one
+    # task, but the join OUTPUT is the expanded pair list — pin the
+    # partitioning on the join key so the expansion stays parallel.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    b = docs.select(
-        *bucket_cols, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.round(inter.cast("double") / union, 4)
-    return (
-        a.join(b, bucket_cols)
+    inv = inv.repartition(n_part, *bucket_cols, "s")
+    a = inv.select(*bucket_cols, F.col(id_col).alias("id_a"), "s")
+    b = inv.select(*bucket_cols, F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, [*bucket_cols, "s"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("sz_b"))
+    with_union = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    # integer threshold: jaccard >= threshold without float rounding
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    return with_union.where(
+        F.col("n_inter") * F.lit(den) >= F.col("n_union") * F.lit(num)
     )
 
 

@@ -205,29 +205,19 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact bigram-Jaccard pairs within (lang, source) blocks; the
-    threshold jaccard >= 1/20 is the integer inequality 20*|I| >= |U|
-    (no rounded rationals — see module docstring)."""
+    """Exact bigram-Jaccard pairs within (lang, source) blocks via the
+    inverted-index operator; the threshold jaccard >= 1/20 is the
+    integer inequality 20*|I| >= |U| (no rounded rationals — see module
+    docstring). The oracle computes the same sets with array ops; the
+    Spark plan uses the shingle join (same result, linear shape)."""
     d = t(spark, sf_dir, "documents")
-    docs = d.where(F.size(F.split("text", " ")) >= SHINGLE_K).select(
-        "lang",
-        "source",
-        "doc_id",
-        dedup.shingles(F.col("text"), SHINGLE_K).alias("sh"),
-    )
-    a = docs.select("lang", "source", F.col("doc_id").alias("id_a"),
-                    F.col("sh").alias("sh_a"))
-    b = docs.select("lang", "source", F.col("doc_id").alias("id_b"),
-                    F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", inter.alias("n_inter"), union.alias("n_union")
-        )
-        .where(20 * F.col("n_inter") >= F.col("n_union"))
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], k=SHINGLE_K, threshold=0.05
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("int").alias("n_inter"),
+        F.col("n_union").cast("int").alias("n_union"),
     )
 
 
