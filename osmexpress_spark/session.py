@@ -31,6 +31,14 @@ def get_spark(
     """Build (or reuse) a SparkSession with engine defaults."""
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Python workers must be able to import this package regardless of
+    # the driver's cwd (RDD/UDF closures reference our modules). Local
+    # mode: extend the workers' PYTHONPATH; a real cluster additionally
+    # ships the package via --py-files / spark.submit.pyFiles.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in worker_pp.split(os.pathsep):
+        worker_pp = f"{pkg_root}{os.pathsep}{worker_pp}" if worker_pp else pkg_root
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -45,6 +53,7 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,18 +1,19 @@
-"""PBF source/sink scaffolding (operators S1/S5) — import-gated.
+"""PBF source (operator S1) — a real, working PySpark Python DataSource.
 
-The reference's native format is `.osm.pbf` read/written through
-libosmium (`/root/reference/src/expand.cpp:273-295`,
-`src/extract.cpp:280-426`). PBF is a length-prefixed sequence of
-independently-compressed Blobs (~8k elements each), which makes it
-block-splittable: the natural Spark mapping is one input partition per
-blob range.
+The reference's native format is `.osm.pbf` read through libosmium
+(`/root/reference/src/expand.cpp:273-295`). PBF is a length-prefixed
+sequence of independently-compressed Blobs (~8k elements each), which
+makes it block-splittable: the natural Spark mapping is ONE INPUT
+PARTITION PER BLOB — a planet file (~47 GB, ~5k blobs) fans out across
+the cluster with no coordination, each task seeking straight to its
+offset. Decode is the pure-stdlib wire codec in pbf_codec.py (no
+protobuf/osmium dependency).
 
-Neither protobuf nor osmium is installed in this environment, so the
-decode step is STUBBED: `scan_blob_index` (pure stdlib: the BlobHeader
-length framing is just big-endian int32 + protobuf varint fields we
-can skip without a schema) is real and gives the partition plan;
-`decode_blob` raises unless a codec is importable. The DataSource
-registers and plans; reading raises NotImplementedError with guidance.
+Shape: `spark.dataSource.register(OsmPbfDataSource)` then
+`spark.read.format("osmpbf").option("element", "way").load(path)`.
+Output schemas are identical to sources/osm_xml.py, so the XML and PBF
+flavors are drop-in interchangeable. The write side (operator S5) is
+`sources.sink.write_pbf` — distributed encode, ordered driver append.
 """
 
 from __future__ import annotations
@@ -21,14 +22,7 @@ import os
 import struct
 from dataclasses import dataclass
 
-
-def _codec():
-    try:
-        import osmium  # noqa: F401
-
-        return "osmium"
-    except ImportError:
-        return None
+from . import pbf_codec
 
 
 @dataclass
@@ -44,9 +38,8 @@ class BlobRef:
 
 def scan_blob_index(path: str) -> list[BlobRef]:
     """Walk the BlobHeader framing (big-endian int32 header length, then
-    a tiny BlobHeader message) without a protobuf runtime. We only need
-    two fields of BlobHeader: type (field 1, length-delimited) and
-    datasize (field 3, varint) — hand-decoded below.
+    a tiny BlobHeader message: type field 1, datasize field 3). This is
+    the driver-side partition plan — O(#blobs) tiny reads, no decode.
     """
     blobs: list[BlobRef] = []
     size = os.path.getsize(path)
@@ -72,56 +65,40 @@ def scan_blob_index(path: str) -> list[BlobRef]:
 
 
 def _parse_blob_header(buf: bytes) -> tuple[str, int]:
-    """Minimal protobuf wire-format walk of BlobHeader
-    (type: field 1 string, indexdata: field 2 bytes, datasize: field 3
-    varint)."""
-    i = 0
+    r = pbf_codec._Reader(buf)
     btype, datasize = "", 0
-
-    def varint():
-        nonlocal i
-        out = shift = 0
-        while True:
-            b = buf[i]
-            i += 1
-            out |= (b & 0x7F) << shift
-            if not b & 0x80:
-                return out
-            shift += 7
-
-    while i < len(buf):
-        key = varint()
-        field, wire = key >> 3, key & 7
-        if wire == 2:  # length-delimited
-            ln = varint()
-            if field == 1:
-                btype = buf[i : i + ln].decode()
-            i += ln
-        elif wire == 0:
-            v = varint()
-            if field == 3:
-                datasize = v
-        else:  # pragma: no cover - not used by BlobHeader
-            raise ValueError(f"unexpected wire type {wire}")
+    for field, wire, val in r.fields():
+        if field == 1 and wire == 2:
+            btype = r.span_bytes(val).decode()
+        elif field == 3 and wire == 0:
+            datasize = val
     return btype, datasize
 
 
-def decode_blob(ref: BlobRef) -> list[tuple]:
-    """Blob -> element rows. Requires an OSM codec; stubbed here."""
-    codec = _codec()
-    if codec is None:
-        raise NotImplementedError(
-            "PBF blob decode needs the 'osmium' (pyosmium) package, which "
-            "is not installed in this environment. The partition planning "
-            "(scan_blob_index) is functional; install pyosmium or convert "
-            "via 'osmium cat file.osm.pbf -o file.osm' and use the osmxml "
-            "source / parquet layout instead."
-        )
-    raise NotImplementedError("codec wiring pending")  # pragma: no cover
+def decode_blob(ref: BlobRef) -> dict[str, list[tuple]]:
+    """One blob -> {'node': rows, 'way': rows, 'relation': rows}."""
+    with open(ref.path, "rb") as f:
+        f.seek(ref.data_offset)
+        raw = f.read(ref.data_size)
+    payload = pbf_codec.decode_blob(raw)
+    return pbf_codec.decode_primitive_block(payload)
+
+
+def read_header(path: str) -> dict:
+    """The OSMHeader blob (bbox, features, writingprogram)."""
+    for ref in scan_blob_index(path):
+        if ref.blob_type == "OSMHeader":
+            with open(path, "rb") as f:
+                f.seek(ref.data_offset)
+                raw = f.read(ref.data_size)
+            return pbf_codec.decode_header_block(pbf_codec.decode_blob(raw))
+    return {"bbox": None, "required_features": [], "optional_features": []}
 
 
 try:
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    from .osm_xml import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
 
     class _BlobPartition(InputPartition):
         def __init__(self, ref: BlobRef):
@@ -129,31 +106,35 @@ try:
 
     class OsmPbfReader(DataSourceReader):
         def __init__(self, options):
-            self.path = options["path"]
+            self.paths = options["path"].split(",")
+            self.element = options.get("element", "node")
 
         def partitions(self):
             # real partition plan: one task per ~8k-element blob
             return [
                 _BlobPartition(r)
-                for r in scan_blob_index(self.path)
+                for p in self.paths
+                for r in scan_blob_index(p)
                 if r.blob_type == "OSMData"
             ]
 
         def read(self, partition):
-            yield from decode_blob(partition.ref)
+            yield from decode_blob(partition.ref)[self.element]
 
     class OsmPbfDataSource(DataSource):
-        """spark.read.format("osmpbf").load(path) — registers and plans;
-        decode is import-gated (see module docstring)."""
+        """spark.read.format("osmpbf").option("element", "way").load(f)"""
 
         @classmethod
         def name(cls):
             return "osmpbf"
 
         def schema(self):
-            from .osm_xml import NODE_SCHEMA
-
-            return NODE_SCHEMA
+            element = self.options.get("element", "node")
+            return {
+                "node": NODE_SCHEMA,
+                "way": WAY_SCHEMA,
+                "relation": RELATION_SCHEMA,
+            }[element]
 
         def reader(self, schema):
             return OsmPbfReader(self.options)

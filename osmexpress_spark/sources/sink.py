@@ -15,7 +15,13 @@ Three sinks, cheapest first:
   collecting, exactly the reference's three-pass write. Fine for
   region-sized extracts (the reference's use case); planet-sized
   exports should use write_dataset.
-- PBF encode: needs a protobuf codec — import-gated like sources/pbf.
+- `write_pbf`: single ordered `.osm.pbf`. The expensive part — blob
+  encoding (string tables, delta/zigzag packing, zlib) — runs
+  DISTRIBUTED via mapPartitions after a range-partition sort; the
+  driver only concatenates pre-framed byte blocks in partition order
+  (toLocalIterator preserves it), so driver work is O(bytes copied),
+  not O(elements encoded). That is the scalable shape of an
+  order-sensitive single-file sink.
 """
 
 from __future__ import annotations
@@ -96,6 +102,85 @@ def write_xml(result: ExtractResult, path: str) -> None:
             f.write("\n".join(_tag_lines(row["tags"])))
             f.write("\n  </relation>\n" if row["tags"] else "  </relation>\n")
         f.write("</osm>\n")
+
+
+_ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _flat_nodes(result: ExtractResult):
+    """locations ⟕ tagged payload -> XML/PBF-shaped node rows. The
+    untagged majority (ref docs/MANUAL.md:118) joins to NULL payload."""
+    payload = result.nodes.select(
+        "id",
+        F.col("tags").alias("p_tags"),
+        F.col("metadata").alias("m"),
+    )
+    return result.locations.join(payload, "id", "left").select(
+        "id",
+        "lon",
+        "lat",
+        F.coalesce(F.col("m.version"), F.col("version")).alias("version"),
+        F.coalesce(F.col("p_tags"), F.create_map().cast("map<string,string>"))
+        .alias("tags"),
+        F.date_format("m.timestamp", _ISO_FMT).alias("timestamp"),
+        F.coalesce(F.col("m.changeset"), F.lit(0)).alias("changeset"),
+        F.coalesce(F.col("m.uid"), F.lit(0)).alias("uid"),
+        F.coalesce(F.col("m.user"), F.lit("")).alias("user"),
+    )
+
+
+def _flat_elements(df, list_col: str):
+    return df.select(
+        "id",
+        list_col,
+        F.coalesce(F.col("metadata.version"), F.lit(1)).alias("version"),
+        "tags",
+        F.date_format("metadata.timestamp", _ISO_FMT).alias("timestamp"),
+        F.coalesce(F.col("metadata.changeset"), F.lit(0)).alias("changeset"),
+        F.coalesce(F.col("metadata.uid"), F.lit(0)).alias("uid"),
+        F.coalesce(F.col("metadata.user"), F.lit("")).alias("user"),
+    )
+
+
+def write_pbf(
+    result: ExtractResult,
+    path: str,
+    block_size: int = 8000,
+    partitions: int = 8,
+) -> None:
+    """Ordered single-file .osm.pbf (extract.cpp:280-426's three passes:
+    nodes, ways, relations, ids ascending). Encode is distributed; the
+    driver streams framed blobs to the file in order."""
+    from . import pbf_codec
+
+    def frames(kind):
+        def fn(it):
+            rows = (tuple(r) for r in it)
+            yield from pbf_codec.iter_blob_frames(kind, rows, block_size)
+
+        return fn
+
+    passes = [
+        ("node", _flat_nodes(result)),
+        ("way", _flat_elements(result.ways, "nodes")),
+        ("relation", _flat_elements(result.relations, "members")),
+    ]
+    bbox = result.locations.agg(
+        F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")
+    ).collect()[0]
+    with open(path, "wb") as f:
+        header = pbf_codec.encode_header_block(
+            bbox=(bbox[0], bbox[1], bbox[2], bbox[3])
+            if bbox[0] is not None
+            else None
+        )
+        f.write(pbf_codec.frame_blob("OSMHeader", header))
+        for kind, df in passes:
+            ordered = df.repartitionByRange(
+                max(1, partitions), "id"
+            ).sortWithinPartitions("id")
+            for frame in ordered.rdd.mapPartitions(frames(kind)).toLocalIterator():
+                f.write(frame)
 
 
 def header_bbox(result: ExtractResult) -> tuple[float, float, float, float]:
