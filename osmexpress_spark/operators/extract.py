@@ -74,6 +74,7 @@ def extract(
     exact: bool = False,
     max_level: int = cells_mod.MAX_LEVEL,
     max_cells: int = 1024,
+    cache_ids: bool = False,
 ) -> ExtractResult:
     """tables: {locations, nodes, ways, relations} DataFrames
     (schemas.TABLE_SCHEMAS). Edge tables are derived on the fly unless
@@ -150,6 +151,15 @@ def extract(
         .select(F.col("node_id").alias("id"))
     )
     node_ids = region_node_ids.union(way_node_ids).distinct()
+
+    # The id sets are consumed 2-4 times each (payload semi-joins +
+    # caller unions); optionally cache them — the Spark analog of the
+    # reference holding its Roaring64Map id bitmaps in RAM for the
+    # whole extract (extract.cpp:149-151).
+    if cache_ids:
+        node_ids = node_ids.cache()
+        way_ids = way_ids.cache()
+        relation_ids = relation_ids.cache()
 
     # 8: payload materialization (the sink orders it; O3)
     return ExtractResult(

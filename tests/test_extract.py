@@ -140,6 +140,15 @@ def test_closure_depth_and_diamond(spark, dataset):
                 changed = True
     assert got == exp
     assert got <= all_rel
+    # the distributed-loop fallback (100 TB path) must agree with the
+    # driver fast path
+    got_loop = {
+        r.id
+        for r in transitive_closure(
+            seeds, rr, "child_id", "relation_id", driver_max_edges=0
+        ).collect()
+    }
+    assert got_loop == exp
 
 
 def test_exact_refinement_subset(dataset, fixture_rows):
