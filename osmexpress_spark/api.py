@@ -29,6 +29,21 @@ class Dataset:
         self.spark = spark
         self.path = path
 
+    @classmethod
+    def expand(
+        cls,
+        spark: SparkSession,
+        source_path: str,
+        dest: str,
+        **kwargs,
+    ) -> "Dataset":
+        """Bulk-load a .osm.pbf / .osm file into a new dataset dir
+        (`osmx expand` parity — operators/expand.py)."""
+        from .operators.expand import expand as _expand
+
+        _expand(spark, source_path, dest, **kwargs)
+        return cls(spark, dest)
+
     def _table_path(self, name: str) -> str:
         return os.path.join(self.path, name)
 

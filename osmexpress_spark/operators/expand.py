@@ -1,0 +1,171 @@
+"""Expand: bulk-load a source file into the engine's table layout
+(the reference's flagship ingest, `osmx expand` —
+`/root/reference/src/expand.cpp:128-296`).
+
+Reference pipeline: libosmium streams the PBF; a handler writes
+locations + tagged-node payloads + ways + relations, derives the S2
+cell per node (`src/expand.cpp:151-153`), and bulk-builds the four
+reverse indexes with an external sort + k-way merge + ordered append
+(`src/expand.cpp:40-121`). Our Spark mapping (SURVEY.md §2.1 S1, §2.5
+O1/O2):
+
+- source scan: the osmpbf/osmxml Python DataSource — one input
+  partition per PBF blob, so a planet file fans out over the cluster.
+- cell derivation: `cell_col`, a pure column expression (JVM-side,
+  whole-stage codegen; the reference pays a C++ S2 call per node).
+- the external sort + merge + ordered append is EXACTLY Spark's
+  sort-shuffle: `repartitionByRange(key).sortWithinPartitions(key)`
+  then a parquet write — zero custom code, spills managed by Tungsten.
+- reverse indexes: explode + the same range-sorted write
+  (operators/edges.py).
+
+Sizing: `partitions` should scale with input bytes (a planet-scale run
+wants thousands); the default suits the fixtures. All downstream
+pruning (extract's covering ranges, point lookups) depends on this
+layout — locations sorted by cell, payloads and edges by id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spatial import cells
+from . import edges as edges_mod
+
+_SOURCE_FORMATS = {".pbf": "osmpbf", ".osm": "osmxml", ".xml": "osmxml"}
+
+
+def _fmt_for(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        return _SOURCE_FORMATS[ext]
+    except KeyError:
+        raise ValueError(
+            f"cannot infer source format from {path!r}; pass fmt="
+        ) from None
+
+
+def _register(spark: SparkSession, fmt: str) -> None:
+    if fmt == "osmpbf":
+        from ..sources import pbf
+
+        pbf.register(spark)
+    elif fmt == "osmxml":
+        from ..sources import osm_xml
+
+        osm_xml.register(spark)
+    else:
+        raise ValueError(f"unknown source format {fmt!r}")
+
+
+def _metadata_struct():
+    return F.struct(
+        F.col("version").cast("int").alias("version"),
+        F.to_timestamp(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "timestamp"
+        ),
+        F.col("changeset").cast("long").alias("changeset"),
+        F.col("uid").cast("long").alias("uid"),
+        F.col("user").alias("user"),
+    ).alias("metadata")
+
+
+def _tags_kv():
+    # interleaved [k0,v0,k1,v1,...] — kept for byte-level round trips
+    # (include/osmx/util.h:28-40); map_entries preserves source order.
+    return F.flatten(
+        F.transform(
+            F.map_entries("tags"), lambda e: F.array(e["key"], e["value"])
+        )
+    ).alias("tags_kv")
+
+
+def expand_tables(
+    spark: SparkSession, source_path: str, fmt: str | None = None
+) -> dict[str, DataFrame]:
+    """Source file -> the four logical tables (lazy; no write)."""
+    fmt = fmt or _fmt_for(source_path)
+    _register(spark, fmt)
+
+    def load(element: str) -> DataFrame:
+        return (
+            spark.read.format(fmt).option("element", element).load(source_path)
+        )
+
+    nodes_src = load("node")
+    ways_src = load("way")
+    relations_src = load("relation")
+
+    # locations: EVERY node, cell-derived (expand.cpp:151-169)
+    locations = nodes_src.select(
+        "id",
+        "lon",
+        "lat",
+        F.col("version").cast("int").alias("version"),
+        cells.cell_col(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    # nodes: tagged payloads only (expand.cpp:156; the P1 projection)
+    nodes = nodes_src.where(F.size("tags") > 0).select(
+        "id", "tags", _tags_kv(), _metadata_struct()
+    )
+    ways = ways_src.select("id", "nodes", "tags", _tags_kv(), _metadata_struct())
+    relations = relations_src.select(
+        "id",
+        F.col("members").cast(
+            "array<struct<ref:long,type:string,role:string>>"
+        ).alias("members"),
+        "tags",
+        _tags_kv(),
+        _metadata_struct(),
+    )
+    return {
+        "locations": locations,
+        "nodes": nodes,
+        "ways": ways,
+        "relations": relations,
+    }
+
+
+def expand(
+    spark: SparkSession,
+    source_path: str,
+    dest: str,
+    fmt: str | None = None,
+    partitions: int = 8,
+    materialize_edges: bool = True,
+) -> None:
+    """Full `osmx expand`: source file -> dataset directory in the
+    production pruning layout (locations cell-sorted, payloads and
+    reverse indexes id-sorted)."""
+    tables = expand_tables(spark, source_path, fmt)
+    (
+        tables["locations"]
+        .repartitionByRange(partitions, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dest, "locations"))
+    )
+    for name in ("nodes", "ways", "relations"):
+        (
+            tables[name]
+            .repartitionByRange(partitions, "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(dest, name))
+        )
+    if materialize_edges:
+        # re-read the written payloads so edge derivation scans parquet
+        # instead of re-parsing the source file
+        ways = spark.read.parquet(os.path.join(dest, "ways"))
+        relations = spark.read.parquet(os.path.join(dest, "relations"))
+        for name, df in edges_mod.derive_all(ways, relations).items():
+            key = df.columns[0]
+            (
+                df.repartitionByRange(partitions, key)
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(os.path.join(dest, name))
+            )

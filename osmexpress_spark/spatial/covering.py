@@ -28,12 +28,40 @@ from .region import Region
 
 MAX_CELLS = 1024  # parity: src/extract.cpp:133
 
+# Cap on the number of MERGED ranges handed to the filter expression.
+# Each range is a BETWEEN term in the pushed predicate; a filter with
+# hundreds of terms costs ~1s of whole-stage-codegen JIT per subplan it
+# appears in (measured: 431 ranges -> 1.4s first use vs 0.14s at 64)
+# and bloats the parquet pushdown. Capping merges the smallest gaps
+# first — purely additive over-selection, which coverings are allowed
+# to do by design (README.md:64).
+MAX_RANGES = 64
+
+
+def _cap_ranges(
+    ranges: list[tuple[int, int]], max_ranges: int
+) -> list[tuple[int, int]]:
+    if len(ranges) <= max_ranges:
+        return ranges
+    gaps = sorted(
+        range(1, len(ranges)), key=lambda i: ranges[i][0] - ranges[i - 1][1]
+    )
+    kill = set(gaps[: len(ranges) - max_ranges])
+    out: list[tuple[int, int]] = []
+    for i, r in enumerate(ranges):
+        if i in kill:
+            out[-1] = (out[-1][0], r[1])
+        else:
+            out.append(r)
+    return out
+
 
 def covering(
     region: Region,
     max_level: int = cells.MAX_LEVEL,
     max_cells: int = MAX_CELLS,
     expand_cells: int = 0,
+    max_ranges: int = MAX_RANGES,
 ) -> list[tuple[int, int]]:
     """Compute merged level-16 Morton ranges covering the region.
 
@@ -46,7 +74,7 @@ def covering(
         if ranges is not None:
             ranges = cells.merge_ranges(ranges)
             if len(ranges) <= max_cells:
-                return ranges
+                return _cap_ranges(ranges, max_ranges)
     # level 0 always fits: the whole world as one range
     return [cells.prefix_range(0, 0)]
 

@@ -64,3 +64,21 @@ def test_cell_col_matches_python(spark):
     }
     for lon, lat in pts:
         assert got[(lon, lat)] == cells.cell_of(lon, lat), (lon, lat)
+
+
+def test_cap_ranges_superset_and_order():
+    """Capping merges smallest gaps first and only ever ADDS coverage
+    (approximate-by-design, README.md:64 semantics)."""
+    from osmexpress_spark.spatial.covering import _cap_ranges
+
+    rs = [(0, 10), (12, 20), (100, 110), (112, 120), (500, 510)]
+    capped = _cap_ranges(rs, 3)
+    assert capped == [(0, 20), (100, 120), (500, 510)]
+
+    def covered(x, rr):
+        return any(lo <= x < hi for lo, hi in rr)
+
+    for lo, hi in rs:
+        assert covered(lo, capped) and covered(hi - 1, capped)
+    # no-op when under the cap
+    assert _cap_ranges(rs, 10) == rs
