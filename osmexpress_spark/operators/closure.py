@@ -18,14 +18,15 @@ the edge table — AQE broadcasts it automatically. `max_iterations`
 bounds pathological/cyclic inputs (cycles terminate naturally because
 the anti-join empties the frontier, but the bound keeps us honest).
 
-Fast path: when the edge table fits on the driver (bounded probe via
-`limit(n+1).collect()` — one job), the full ancestor expansion is
-computed in Python and applied as ONE lazy broadcast join. This is the
-exact analog of the reference's in-RAM Roaring bitmap walk
-(`src/extract.cpp:222-236` holds the whole relation graph in memory),
-and it removes every eager job from the common case: planet-scale OSM
-has ~7M relations and far fewer relation_relation edges, so the
-distributed loop is the 100 TB fallback, not the default."""
+Fast path: when the seed set AND the edge table both fit on the driver
+(bounded probes via `limit(n+1).collect()` — two jobs), the closure is
+a plain Python BFS from the seeds and the result ships back as one
+small createDataFrame. This is the exact analog of the reference's
+in-RAM Roaring bitmap walk (`src/extract.cpp:222-236` holds the whole
+relation graph in memory), and it replaces the eager per-iteration
+jobs of the loop: planet-scale OSM has ~7M relations and far fewer
+relation_relation edges, so the distributed loop is the 100 TB
+fallback, not the default."""
 
 from __future__ import annotations
 
@@ -34,35 +35,22 @@ from collections import defaultdict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DRIVER_CLOSURE_MAX_EDGES = 2_000_000
+DRIVER_CLOSURE_MAX_EDGES = 1_000_000
+DRIVER_CLOSURE_MAX_SEEDS = 100_000
 
 
-def _driver_closure(
-    seen: DataFrame, pairs: list, id_col: str
-) -> DataFrame:
-    """Expand child -> ALL transitive ancestors in driver memory, then
-    apply as a single broadcast join. `pairs` is [(src, dst), ...]."""
+def _bfs(seed_ids: set, pairs: list) -> set:
     adj: dict[int, list[int]] = defaultdict(list)
     for src, dst in pairs:
         adj[src].append(dst)
-    rows: list[tuple[int, int]] = []
-    for child in adj:
-        stack = [child]
-        visited = {child}
-        while stack:
-            for parent in adj.get(stack.pop(), ()):
-                if parent not in visited:  # cycle-safe
-                    visited.add(parent)
-                    rows.append((child, parent))
-                    stack.append(parent)
-    if not rows:
-        return seen
-    spark = seen.sparkSession
-    anc = spark.createDataFrame(rows, f"{id_col} long, __anc long")
-    ups = seen.join(F.broadcast(anc), id_col).select(
-        F.col("__anc").alias(id_col)
-    )
-    return seen.union(ups).distinct()
+    result = set(seed_ids)
+    stack = list(seed_ids)
+    while stack:
+        for parent in adj.get(stack.pop(), ()):
+            if parent not in result:  # cycle-safe
+                result.add(parent)
+                stack.append(parent)
+    return result
 
 
 def transitive_closure(
@@ -74,6 +62,7 @@ def transitive_closure(
     max_iterations: int = 50,
     checkpoint: bool = True,
     driver_max_edges: int | None = None,
+    driver_max_seeds: int = DRIVER_CLOSURE_MAX_SEEDS,
 ) -> DataFrame:
     """All ids reachable from `seeds` by repeatedly following
     src_col -> dst_col edges; result includes the seeds.
@@ -85,13 +74,22 @@ def transitive_closure(
     if driver_max_edges is None:
         driver_max_edges = DRIVER_CLOSURE_MAX_EDGES
     if driver_max_edges:
-        probe = (
-            edges.select(src_col, dst_col)
-            .limit(driver_max_edges + 1)
-            .collect()
-        )
-        if len(probe) <= driver_max_edges:
-            return _driver_closure(seen, [tuple(r) for r in probe], id_col)
+        seed_probe = seen.limit(driver_max_seeds + 1).collect()
+        if len(seed_probe) <= driver_max_seeds:
+            edge_probe = (
+                edges.select(src_col, dst_col)
+                .limit(driver_max_edges + 1)
+                .collect()
+            )
+            if len(edge_probe) <= driver_max_edges:
+                result = _bfs(
+                    {r[0] for r in seed_probe},
+                    [tuple(r) for r in edge_probe],
+                )
+                spark = seeds.sparkSession
+                return spark.createDataFrame(
+                    [(i,) for i in sorted(result)], f"{id_col} long"
+                )
     frontier = seen
     for _ in range(max_iterations):
         discovered = (
