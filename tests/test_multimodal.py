@@ -1,0 +1,62 @@
+"""Multimodal column plumbing: binary payload + metadata schema, Arrow
+mapInPandas feature extraction, stub-decoder failure path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import multimodal
+
+
+def _blobs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 500)], "doc_id long, text string"
+    )
+    return multimodal.attach_binary(df, "text", "doc_id")
+
+
+def test_attach_binary_schema(spark):
+    b = _blobs(spark)
+    assert dict(b.dtypes) == {
+        "item_id": "bigint",
+        "payload": "binary",
+        "meta": "struct<mime:string,n_bytes:int>",
+    }
+    rows = {r.item_id: r for r in b.collect()}
+    assert bytes(rows[1].payload) == b"hello world"
+    assert rows[3].meta.n_bytes == 500
+
+
+def test_extract_features_deterministic(spark):
+    feats = multimodal.extract_features(_blobs(spark))
+    rows = {r.item_id: r for r in feats.collect()}
+    assert all(r.decode_ok for r in rows.values())
+    assert rows[1].n_bytes == 11
+    assert rows[2].feat == [0.0, 0.0, 0.0, 0.0]  # empty payload
+    assert rows[3].feat[0] == 500.0
+    # deterministic across runs
+    again = {r.item_id: r for r in multimodal.extract_features(_blobs(spark)).collect()}
+    assert {k: list(v.feat) for k, v in rows.items()} == {
+        k: list(v.feat) for k, v in again.items()
+    }
+
+
+def test_extract_features_strict_stub(spark):
+    """A NotImplementedError decoder (the strict stub for absent codec
+    libs) marks rows decode_ok=false instead of failing the job."""
+
+    def strict(payload: bytes) -> list:
+        raise NotImplementedError("no codec in this container")
+
+    feats = multimodal.extract_features(_blobs(spark), decoder=strict)
+    rows = feats.collect()
+    assert len(rows) == 3
+    assert all(not r.decode_ok for r in rows)
+    assert all(r.feat is None for r in rows)
+
+
+def test_extract_features_no_shuffle(spark):
+    """Feature extraction must be map-only — no Exchange in the plan."""
+    feats = multimodal.extract_features(_blobs(spark))
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
