@@ -312,6 +312,21 @@ def q_embedding_ann_bucketed(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
 
 
+@defq("q_embedding_ann_ivf")  # rows-only: iterative k-means training
+def q_embedding_ann_ivf(spark, sf_dir):
+    """IVF ANN (the 100 TB similarity path): coarse k-means quantizer,
+    probe nprobe inverted lists. Training is iterative (driver Lloyd
+    loop, distributed assignment), so not single-statement SQL; golden
+    coverage lives in tests/test_similarity.py (recall vs brute force +
+    cluster invariants)."""
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_ivf(
+        emb.where(F.col("vec_id") < 10), emb, dim=EMB_DIM, k=3,
+        n_centroids=16, nprobe=4,
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
+
+
 @defq(
     "q_embedding_dedup",
     f"""

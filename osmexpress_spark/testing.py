@@ -273,8 +273,18 @@ def write_fixture_dataset(
 
 
 def ensure_fixture_dataset(
-    spark: SparkSession, path: str, n_nodes: int = 1200, seed: int = 42
+    spark: SparkSession,
+    path: str,
+    n_nodes: int = 1200,
+    seed: int = 42,
+    materialize_edges: bool = True,
 ) -> str:
     if not os.path.exists(os.path.join(path, "relations", "_SUCCESS")):
         write_fixture_dataset(spark, path, n_nodes=n_nodes, seed=seed)
+    if materialize_edges and not os.path.exists(
+        os.path.join(path, "node_way", "_SUCCESS")
+    ):
+        from .api import Dataset
+
+        Dataset(spark, path).materialize_edges()
     return path
