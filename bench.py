@@ -77,6 +77,57 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # --- pipeline throughput anchors (BASELINE.md: expand wall time,
+    # single-file extract export, minutely update batch latency) -------
+    import shutil
+    import tempfile
+
+    from osmexpress_spark import testing
+    from osmexpress_spark.api import Dataset
+    from osmexpress_spark.sources import sink as sink_mod
+    from osmexpress_spark.spatial import Region
+    from osmexpress_spark.store import DEFAULT_SORT, SnapshotStore
+    from osmexpress_spark.streaming import replication
+
+    tmp = tempfile.mkdtemp(prefix="osmx_bench_")
+    try:
+        fx_rows = testing.generate(n_nodes=QO.FIXTURE_NODES, seed=42)
+        fx = Dataset(
+            spark,
+            testing.ensure_fixture_dataset(
+                spark, QO.FIXTURE_DIR, n_nodes=QO.FIXTURE_NODES, seed=42
+            ),
+        )
+        world = fx.extract(Region("-90,-180,90,180", "bbox"))
+
+        t0 = time.monotonic()
+        pbf_path = os.path.join(tmp, "world.osm.pbf")
+        sink_mod.write_pbf(world, pbf_path)
+        timings["osm_pbf_sink"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        Dataset.expand(spark, pbf_path, os.path.join(tmp, "expanded"))
+        timings["osm_expand"] = round(time.monotonic() - t0, 3)
+
+        store = SnapshotStore.create(
+            spark,
+            os.path.join(tmp, "store"),
+            testing.to_dataframes(spark, fx_rows),
+            metadata={"seqnum": 0},
+            sort_by=DEFAULT_SORT,
+        )
+        batches = testing.generate_changes(fx_rows, n_batches=2, per_batch=40)
+        changes = spark.createDataFrame(
+            [row for b in batches for row in b],
+            testing.schemas.CHANGES_SCHEMA,
+        )
+        t0 = time.monotonic()
+        applied = replication.catch_up(store, changes)
+        timings["osm_update_batches"] = round(time.monotonic() - t0, 3)
+        assert applied == [1, 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)

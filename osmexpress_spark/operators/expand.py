@@ -83,21 +83,22 @@ def _tags_kv():
     ).alias("tags_kv")
 
 
-def expand_tables(
+def unified_source(
     spark: SparkSession, source_path: str, fmt: str | None = None
-) -> dict[str, DataFrame]:
-    """Source file -> the four logical tables (lazy; no write)."""
+) -> DataFrame:
+    """One scan over the source with every element type (ALL_SCHEMA) —
+    the bulk-ingest read: the Python-side decode of each PBF blob runs
+    ONCE, not once per element type."""
     fmt = fmt or _fmt_for(source_path)
     _register(spark, fmt)
+    return spark.read.format(fmt).option("element", "all").load(source_path)
 
-    def load(element: str) -> DataFrame:
-        return (
-            spark.read.format(fmt).option("element", element).load(source_path)
-        )
 
-    nodes_src = load("node")
-    ways_src = load("way")
-    relations_src = load("relation")
+def tables_from_unified(all_df: DataFrame) -> dict[str, DataFrame]:
+    """ALL_SCHEMA rows -> the four logical tables (lazy)."""
+    nodes_src = all_df.where(F.col("type") == "node")
+    ways_src = all_df.where(F.col("type") == "way")
+    relations_src = all_df.where(F.col("type") == "relation")
 
     # locations: EVERY node, cell-derived (expand.cpp:151-169)
     locations = nodes_src.select(
@@ -129,6 +130,13 @@ def expand_tables(
     }
 
 
+def expand_tables(
+    spark: SparkSession, source_path: str, fmt: str | None = None
+) -> dict[str, DataFrame]:
+    """Source file -> the four logical tables (lazy; no write)."""
+    return tables_from_unified(unified_source(spark, source_path, fmt))
+
+
 def expand(
     spark: SparkSession,
     source_path: str,
@@ -139,8 +147,11 @@ def expand(
 ) -> None:
     """Full `osmx expand`: source file -> dataset directory in the
     production pruning layout (locations cell-sorted, payloads and
-    reverse indexes id-sorted)."""
-    tables = expand_tables(spark, source_path, fmt)
+    reverse indexes id-sorted). The source is decoded once and
+    persisted across the four table writes (at planet scale this spills
+    to local disk per executor — cheaper than 3 redundant PBF decodes)."""
+    all_df = unified_source(spark, source_path, fmt).persist()
+    tables = tables_from_unified(all_df)
     (
         tables["locations"]
         .repartitionByRange(partitions, "cell")
@@ -156,6 +167,7 @@ def expand(
             .write.mode("overwrite")
             .parquet(os.path.join(dest, name))
         )
+    all_df.unpersist()
     if materialize_edges:
         # re-read the written payloads so edge derivation scans parquet
         # instead of re-parsing the source file

@@ -47,6 +47,25 @@ RELATION_SCHEMA = (
     "tags map<string,string>, timestamp string, changeset long, uid long, "
     "user string"
 )
+# element="all": every element type in one scan (single source decode —
+# the bulk-ingest path; per-type columns are NULL where inapplicable)
+ALL_SCHEMA = (
+    "type string, id long, lon int, lat int, nodes array<long>, "
+    "members array<struct<ref:long,type:string,role:string>>, version int, "
+    "tags map<string,string>, timestamp string, changeset long, uid long, "
+    "user string"
+)
+
+
+def to_unified(kind: str, row: tuple) -> tuple:
+    """Per-element row tuple -> ALL_SCHEMA tuple."""
+    if kind == "node":
+        eid, lon, lat, *rest = row
+        return (kind, eid, lon, lat, None, None, *rest)
+    eid, payload, *rest = row
+    if kind == "way":
+        return (kind, eid, None, None, payload, None, *rest)
+    return (kind, eid, None, None, None, payload, *rest)
 
 
 def _common(el) -> tuple:
@@ -60,34 +79,42 @@ def _common(el) -> tuple:
     )
 
 
+def _row(el, element: str) -> tuple:
+    if element == "node":
+        return (
+            int(el.get("id")),
+            int(round(float(el.get("lon", "0")) * 1e7)),
+            int(round(float(el.get("lat", "0")) * 1e7)),
+            *_common(el),
+        )
+    if element == "way":
+        return (
+            int(el.get("id")),
+            [int(nd.get("ref")) for nd in el.findall("nd")],
+            *_common(el),
+        )
+    return (
+        int(el.get("id")),
+        [
+            (int(m.get("ref")), m.get("type"), m.get("role", ""))
+            for m in el.findall("member")
+        ],
+        *_common(el),
+    )
+
+
 def iter_elements(path: str, element: str) -> Iterator[tuple]:
     """Stream one element type from an .osm XML file (scaled-int coords,
-    docs/MANUAL.md:140-142)."""
+    docs/MANUAL.md:140-142). element="all" yields unified ALL_SCHEMA
+    rows for every type in ONE parse — the bulk-ingest path."""
+    wanted = (
+        {"node", "way", "relation"} if element == "all" else {element}
+    )
     for _, el in ET.iterparse(path):
-        if el.tag != element:
+        if el.tag not in wanted:
             continue
-        if element == "node":
-            yield (
-                int(el.get("id")),
-                int(round(float(el.get("lon", "0")) * 1e7)),
-                int(round(float(el.get("lat", "0")) * 1e7)),
-                *_common(el),
-            )
-        elif element == "way":
-            yield (
-                int(el.get("id")),
-                [int(nd.get("ref")) for nd in el.findall("nd")],
-                *_common(el),
-            )
-        elif element == "relation":
-            yield (
-                int(el.get("id")),
-                [
-                    (int(m.get("ref")), m.get("type"), m.get("role", ""))
-                    for m in el.findall("member")
-                ],
-                *_common(el),
-            )
+        row = _row(el, el.tag)
+        yield to_unified(el.tag, row) if element == "all" else row
         el.clear()  # constant-memory streaming
 
 
@@ -121,6 +148,7 @@ if HAVE_DATASOURCE_API:
                 "node": NODE_SCHEMA,
                 "way": WAY_SCHEMA,
                 "relation": RELATION_SCHEMA,
+                "all": ALL_SCHEMA,
             }[element]
 
         def reader(self, schema):

@@ -98,7 +98,13 @@ def read_header(path: str) -> dict:
 try:
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-    from .osm_xml import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+    from .osm_xml import (
+        ALL_SCHEMA,
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+        to_unified,
+    )
 
     class _BlobPartition(InputPartition):
         def __init__(self, ref: BlobRef):
@@ -119,7 +125,15 @@ try:
             ]
 
         def read(self, partition):
-            yield from decode_blob(partition.ref)[self.element]
+            decoded = decode_blob(partition.ref)
+            if self.element == "all":
+                # single-decode bulk-ingest path: every element type
+                # from one pass over the blobs
+                for kind in ("node", "way", "relation"):
+                    for row in decoded[kind]:
+                        yield to_unified(kind, row)
+            else:
+                yield from decoded[self.element]
 
     class OsmPbfDataSource(DataSource):
         """spark.read.format("osmpbf").option("element", "way").load(f)"""
@@ -134,6 +148,7 @@ try:
                 "node": NODE_SCHEMA,
                 "way": WAY_SCHEMA,
                 "relation": RELATION_SCHEMA,
+                "all": ALL_SCHEMA,
             }[element]
 
         def reader(self, schema):

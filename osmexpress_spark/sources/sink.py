@@ -147,10 +147,18 @@ def write_pbf(
     path: str,
     block_size: int = 8000,
     partitions: int = 8,
+    stream: bool = False,
 ) -> None:
     """Ordered single-file .osm.pbf (extract.cpp:280-426's three passes:
     nodes, ways, relations, ids ascending). Encode is distributed; the
-    driver streams framed blobs to the file in order."""
+    driver writes pre-framed blobs in partition order.
+
+    stream=False collects each pass's frames in one job — driver memory
+    is bounded by the COMPRESSED output size, fine for region extracts
+    (the reference's use case; planet-sized exports should use
+    write_dataset). stream=True swaps in toLocalIterator: one partition
+    of frames in driver memory at a time, at the cost of a job per
+    partition."""
     from . import pbf_codec
 
     def frames(kind):
@@ -176,10 +184,17 @@ def write_pbf(
         )
         f.write(pbf_codec.frame_blob("OSMHeader", header))
         for kind, df in passes:
-            ordered = df.repartitionByRange(
-                max(1, partitions), "id"
-            ).sortWithinPartitions("id")
-            for frame in ordered.rdd.mapPartitions(frames(kind)).toLocalIterator():
+            encoded = (
+                df.repartitionByRange(max(1, partitions), "id")
+                .sortWithinPartitions("id")
+                .rdd.mapPartitions(frames(kind))
+            )
+            it = (
+                encoded.toLocalIterator(prefetchPartitions=True)
+                if stream
+                else encoded.collect()
+            )
+            for frame in it:
                 f.write(frame)
 
 
