@@ -154,3 +154,112 @@ def test_pbf_header_bbox(spark, tmp_path):
         "min(lon)", "min(lat)", "max(lon)", "max(lat)"
     ).collect()[0]
     assert hdr["bbox"] == (lo[0], lo[1], lo[2], lo[3])
+
+
+# --- property-based codec round trip (hypothesis) -------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tag_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+)
+_ts = st.one_of(
+    st.none(),
+    # epoch 0 excluded: wire value 0 means "unset" (protobuf default —
+    # DenseInfo's packed arrays have no per-row presence)
+    st.integers(min_value=1, max_value=4_000_000_000).map(
+        lambda s: __import__("datetime")
+        .datetime.fromtimestamp(s, tz=__import__("datetime").timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    ),
+)
+_meta = st.tuples(
+    st.integers(min_value=1, max_value=1 << 30),  # version
+    _ts,
+    st.integers(min_value=0, max_value=1 << 40),  # changeset
+    st.integers(min_value=0, max_value=1 << 31),  # uid
+    _tag_text,  # user
+)
+_tags = st.dictionaries(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1, max_size=20,
+    ),
+    _tag_text,
+    max_size=5,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(1 << 62), max_value=1 << 62),
+            st.integers(min_value=-1_800_000_000, max_value=1_800_000_000),
+            st.integers(min_value=-900_000_000, max_value=900_000_000),
+            _tags,
+            _meta,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_codec_node_property_roundtrip(raw):
+    rows = [
+        (nid, lon, lat, m[0], tags, m[1], m[2], m[3], m[4])
+        for nid, lon, lat, tags, m in raw
+    ]
+    assert _roundtrip("node", rows) == rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 62),
+            st.lists(
+                st.integers(min_value=-(1 << 62), max_value=1 << 62),
+                max_size=10,
+            ),
+            _tags,
+            _meta,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_codec_way_property_roundtrip(raw):
+    rows = [
+        (wid, refs, m[0], tags, m[1], m[2], m[3], m[4])
+        for wid, refs, tags, m in raw
+    ]
+    assert _roundtrip("way", rows) == rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 62),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-(1 << 62), max_value=1 << 62),
+                    st.sampled_from(["node", "way", "relation"]),
+                    _tag_text,
+                ),
+                max_size=6,
+            ),
+            _tags,
+            _meta,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_codec_relation_property_roundtrip(raw):
+    rows = [
+        (rid, members, m[0], tags, m[1], m[2], m[3], m[4])
+        for rid, members, tags, m in raw
+    ]
+    assert _roundtrip("relation", rows) == rows
