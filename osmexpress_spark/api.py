@@ -113,3 +113,28 @@ class Dataset:
 
     def extract(self, region: Region, **kwargs) -> ExtractResult:
         return extract(self.tables(), region, **kwargs)
+
+    # --- SQL surface --------------------------------------------------------
+    def create_views(self, prefix: str = "osm_") -> list[str]:
+        """Register every table as a temp view so the whole dataset is
+        queryable through spark.sql() — the generic relational surface
+        the reference lacks (SURVEY.md §2.4 'free builtins')."""
+        names = []
+        for name, df in self.tables().items():
+            df.createOrReplaceTempView(prefix + name)
+            names.append(prefix + name)
+        return names
+
+    def region_predicate(self, region: Region, **cover_kwargs):
+        """The covering as a Column predicate on `cell` — the API-level
+        rewrite of `region_contains(...)` into pushable range filters
+        (SURVEY.md §4). Compose with SQL views:
+
+            ds.create_views()
+            spark.sql("SELECT * FROM osm_locations").where(
+                ds.region_predicate(region))
+        """
+        from .spatial import cells, cover
+
+        ranges = cover(region, **cover_kwargs)
+        return cells.ranges_filter(F.col("cell"), ranges)

@@ -70,6 +70,29 @@ def q_doc_token_stats(spark, sf_dir):
     )
 
 
+@defq(
+    "q_doc_quality",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({text.STOPWORDS!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.5 * least(n / 100.0, 1.0)
+                 + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n), 4) AS quality
+    FROM s
+    """,
+)
+def q_doc_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = text.LANG_MARKERS[lang]
     return (

@@ -169,3 +169,24 @@ def test_exact_refinement_subset(dataset, fixture_rows):
     got_ways = {r.id for r in res.way_ids.collect()}
     completion = set().union(*(way_nodes[w] for w in got_ways)) if got_ways else set()
     assert got_nodes <= exact | completion
+
+
+def test_sql_surface_region_predicate(spark, dataset, fixture_rows):
+    """create_views + region_predicate: the SQL path returns the same
+    region node set as the extract pipeline's first stage."""
+    views = dataset.create_views()
+    assert "osm_locations" in views
+    region = Region("40.5,-74.3,41.0,-73.7", "bbox")
+    got = {
+        r.id
+        for r in spark.sql("SELECT id, cell FROM osm_locations")
+        .where(dataset.region_predicate(region))
+        .collect()
+    }
+    ranges = cover(region)
+    want = {
+        r[0]
+        for r in fixture_rows["locations"]
+        if any(lo <= r[4] < hi for lo, hi in ranges)
+    }
+    assert got == want
