@@ -85,3 +85,28 @@ def lang_id(text: Column) -> Column:
 def fingerprint(text: Column, length: int = 16) -> Column:
     """Content fingerprint: md5 prefix of the normalized text."""
     return F.substring(F.md5(F.trim(F.lower(text))), 1, length)
+
+
+def regex_tokens(text: Column) -> Column:
+    """BPE-ish tokenization for raw corpora: word runs, digit runs, and
+    single punctuation marks each become tokens (the pre-tokenizer
+    split most BPE vocabularies assume). Pure column expressions."""
+    marked = F.regexp_replace(
+        text, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])", "$1\x01"
+    )
+    return F.filter(
+        F.transform(F.split(marked, "\x01"), F.trim), lambda tk: tk != ""
+    )
+
+
+def rolling_fingerprint(text: Column, k: int = 8) -> Column:
+    """Sliding-window document fingerprint: the minimum hash over all
+    character k-gram windows (winnowing-style; md5 stands in for the
+    rolling polynomial so the oracle can reproduce it bit-for-bit).
+    NULL when the text is shorter than k."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))),
+            lambda i: F.md5(F.substr(text, i, F.lit(k))),
+        )
+    )

@@ -71,6 +71,50 @@ def q_doc_token_stats(spark, sf_dir):
 
 
 @defq(
+    "q_doc_regex_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(
+               list_transform(
+                   string_split_regex(
+                       regexp_replace(text,
+                           '([A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]])',
+                           '\1' || chr(1), 'g'),
+                       chr(1)),
+                   tk -> trim(tk)),
+               tk -> tk != '')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_doc_regex_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (word runs / digit runs / single
+    punctuation), the raw-corpus complement to whitespace tokens()."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(text.regex_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
+@defq(
+    "q_doc_rolling_fp",
+    """
+    SELECT doc_id,
+           list_min(list_transform(
+               range(1, greatest(length(text) - 8 + 1, 1) + 1),
+               i -> md5(substr(text, CAST(i AS INTEGER), 8)))) AS rfp
+    FROM documents
+    """,
+)
+def q_doc_rolling_fp(spark, sf_dir):
+    """Winnowing-style sliding-window fingerprint (min hash over char
+    8-gram windows)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.rolling_fingerprint(F.col("text"), 8).alias("rfp")
+    )
+
+
+@defq(
     "q_doc_quality",
     f"""
     WITH s AS (
