@@ -35,18 +35,45 @@ def committed_seqnum(store: SnapshotStore) -> int:
     return int(store.metadata().get("seqnum", 0))
 
 
+# element type -> tables its changes can touch (mirrors the reference's
+# per-type update handlers: src/update.cpp:33-75 nodes, :78-126 ways,
+# :129-213 relations)
+_AFFECTED = {
+    "node": {"locations", "nodes"},
+    "way": {"ways", "node_way"},
+    "relation": {
+        "relations",
+        "node_relation",
+        "way_relation",
+        "relation_relation",
+    },
+}
+
+
 def apply_batch(
     store: SnapshotStore, changes: DataFrame, seqnum: int, commit: bool = True
 ) -> bool:
     """Apply one seqnum batch transactionally; skip if already applied
     (idempotence); `commit=False` is the reference's dry-run
-    (src/update.cpp:287-290)."""
+    (src/update.cpp:287-290).
+
+    Only tables affected by the batch's element types are rewritten —
+    the manifest keeps unchanged tables pointing at their prior
+    version's files (the copy-on-write analog of LMDB touching only
+    dirtied pages; Delta MERGE file-skipping at production scale)."""
     if seqnum <= committed_seqnum(store):
         return False
     result = apply_changes(store.read_all(), changes)
     if commit:
+        types = {
+            r[0] for r in changes.select("type").distinct().collect()
+        }
+        affected = set().union(*(_AFFECTED[t] for t in types)) if types else set()
+        changed = {
+            name: df for name, df in result.tables.items() if name in affected
+        }
         store.commit(
-            result.tables, metadata={"seqnum": seqnum}, sort_by=DEFAULT_SORT
+            changed, metadata={"seqnum": seqnum}, sort_by=DEFAULT_SORT
         )
     return True
 
