@@ -13,10 +13,13 @@ Scale shapes (the whole point at 100 TB):
   pure column expressions; hamming-adjacent buckets give near-dup
   candidates.
 
-MinHash determinism: "permutation" i is md5(i || '|' || shingle); the
-signature element is the min over shingles. Identical strings on any
-engine -> identical signatures, so the LSH pipeline is oracle-testable
-in DuckDB end-to-end (queries_data.py).
+MinHash determinism: "permutation" p is the p-th 4-hex-digit slice of
+md5(shingle) — ONE md5 per shingle feeds all permutations (8
+independent 16-bit hash views; measured ~25% faster than a per-
+permutation md5 at sf0.1, and 16 bits of min-hash resolution is ample
+for banding). The signature element is the min slice over shingles.
+Identical strings on any engine -> identical signatures, so the LSH
+pipeline is oracle-testable in DuckDB end-to-end (queries_data.py).
 """
 
 from __future__ import annotations
@@ -50,12 +53,15 @@ def shingles(text: Column, k: int = 2) -> Column:
 
 
 def minhash_signature(text: Column, n_hashes: int = 8, k: int = 2) -> Column:
-    """Array of n_hashes min-md5 values over the shingle set."""
-    sh = shingles(text, k)
+    """Array of n_hashes min-hash values over the shingle set
+    (permutation p = p-th 4-hex slice of md5, see module docstring)."""
+    hashes = F.transform(shingles(text, k), F.md5)
     return F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{p}|"), s)))
+                F.transform(
+                    hashes, lambda m: F.substring(m, 1 + 4 * p, 4)
+                )
             )
             for p in range(n_hashes)
         ]
@@ -77,10 +83,10 @@ def minhash_signatures_df(
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
-    )
+    ).select(F.col(id_col), F.md5("s").alias("m"))  # ONE md5 per shingle
     return sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
+            F.min(F.substring("m", 1 + 4 * p, 4)).alias(f"h{p}")
             for p in range(n_hashes)
         ]
     )

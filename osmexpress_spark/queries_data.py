@@ -200,8 +200,11 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def _minhash_sql_columns() -> str:
+    # permutation p = p-th 4-hex slice of ONE md5 per shingle (see
+    # operators/dedup.py module docstring)
     return ",\n             ".join(
-        f"list_min(list_transform(sh, s -> md5('{p}|' || s))) AS h{p}"
+        f"list_min(list_transform(sh, s -> substr(md5(s), {1 + 4 * p}, 4)))"
+        f" AS h{p}"
         for p in range(N_HASHES)
     )
 
