@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, text
 from .queries import t
+from .streaming import stateful
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -447,6 +448,81 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # --- streaming (executed via Structured Streaming, oracled as batch SQL) ---
+STREAM_GAP_US = 30 * 60 * 1_000_000
+
+
+@defq(
+    "q_stream_sessions",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts)
+                  > {STREAM_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), g AS (
+      SELECT user_id, sid,
+             min(epoch_us(ts)) AS session_start,
+             max(epoch_us(ts)) AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM g
+    WHERE sid < (SELECT max(sid) FROM g AS h WHERE h.user_id = g.user_id)
+    """,
+)
+def q_stream_sessions(spark, sf_dir):
+    """Gap sessionization through the CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState; streaming/stateful.py). One static batch =>
+    every session except each user's still-open last one closes via the
+    data-driven gap split — deterministic, so the oracle is the batch
+    window sessionization minus each user's final session.
+    close_on_timeout=False pins emissions to the data alone (watermark
+    timing never changes the result)."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(sf_dir + "/events.parquet").schema
+    name = "sessions_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    sessions = stateful.sessionize_stream(
+        stream,
+        gap_seconds=STREAM_GAP_US // 1_000_000,
+        close_on_timeout=False,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start"),
+        F.unix_micros("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
 @defq(
     "q_stream_windowed",
     """

@@ -39,6 +39,12 @@ DEFAULT_BLOCK = 8000  # elements per PrimitiveBlock, matches osmium convention
 # ---------------------------------------------------------------------------
 
 
+def _wrap64(v: int) -> int:
+    """Wrap into signed int64 — deltas of values spanning > 2^63 must
+    overflow exactly like the reference's int64 arithmetic does."""
+    return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
 def _zz_enc(v: int) -> int:
     return (v << 1) ^ (v >> 63)
 
@@ -80,7 +86,7 @@ def _packed(values, signed: bool = False, delta: bool = False) -> bytes:
     prev = 0
     for v in values:
         if delta:
-            v, prev = v - prev, v
+            v, prev = _wrap64(v - prev), v
         _varint(out, _zz_enc(v) if signed else v)
     return bytes(out)
 
@@ -147,7 +153,7 @@ def _unpack(buf: bytes, span, signed: bool = False, delta: bool = False) -> list
         if signed:
             v = _zz_dec(v)
         if delta:
-            prev += v
+            prev = _wrap64(prev + v)
             out.append(prev)
         else:
             out.append(v)
@@ -374,7 +380,7 @@ def _delta_signed(raw: list[int]) -> list[int]:
     out = []
     prev = 0
     for v in raw:
-        prev += _zz_dec(v)
+        prev = _wrap64(prev + _zz_dec(v))
         out.append(prev)
     return out
 

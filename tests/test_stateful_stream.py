@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator: sessions close when the
+event-time watermark passes their gap; state is bounded per key."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark.streaming import stateful
+
+
+def _write_batch(spark, feed, rows, n):
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.mode("append").parquet(feed)
+    return n + len(rows)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2026, 1, 1, 10, minute, second)
+
+
+def test_sessionize_stream_closes_on_watermark(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    name = "sessions_" + uuid.uuid4().hex[:8]
+
+    # batch 1: two users, tight event clusters
+    _write_batch(
+        spark,
+        feed,
+        [
+            (1, _ts(0)), (1, _ts(1)), (1, _ts(2)),
+            (2, _ts(0, 30)), (2, _ts(4)),
+        ],
+        0,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .format("parquet")
+        .load(feed)
+    )
+    sessions = stateful.sessionize_stream(
+        stream, gap_seconds=300, watermark="1 minutes"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: watermark hasn't passed end + gap
+        assert spark.table(name).count() == 0
+
+        # batch 2: much later events advance the watermark far past both
+        # users' (end + gap) -> their first sessions close and emit
+        _write_batch(spark, feed, [(1, _ts(30)), (3, _ts(31))], 5)
+        q.processAllAvailable()
+        # one more batch so the new watermark triggers the timeouts
+        _write_batch(spark, feed, [(3, _ts(32))], 7)
+        q.processAllAvailable()
+
+        got = {
+            r.user_id: r
+            for r in spark.table(name).collect()
+        }
+        assert 1 in got and 2 in got
+        s1 = got[1]
+        assert s1.session_start == _ts(0)
+        assert s1.session_end == _ts(2)
+        assert s1.n_events == 3
+        s2 = got[2]
+        assert s2.session_start == _ts(0, 30)
+        assert s2.session_end == _ts(4)
+        assert s2.n_events == 2
+    finally:
+        q.stop()
