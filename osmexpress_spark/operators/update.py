@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..spatial import cells
+from ..store import MergeSpec
 from . import edges as edges_mod
 
 
@@ -71,6 +72,10 @@ def _merge(
 class UpdateResult:
     tables: dict[str, DataFrame]
     counts: dict[str, int]
+    # per-table (upserts, changed keys) — the same merge expressed as
+    # batch-sized deltas for SnapshotStore.merge_commit (O(|batch|)
+    # write path); `tables` above is the eagerly-folded equivalent.
+    merge_specs: dict[str, MergeSpec] | None = None
 
 
 def apply_changes(
@@ -153,17 +158,27 @@ def apply_changes(
         "relations": new_relations,
     }
 
+    specs = {
+        "locations": MergeSpec(loc_upserts, node_ids, "id"),
+        "nodes": MergeSpec(tagged_upserts, node_ids, "id"),
+        "ways": MergeSpec(way_upserts, way_ids, "id"),
+        "relations": MergeSpec(rel_upserts, rel_ids, "id"),
+    }
+
     # --- reverse-index maintenance (U2/U3): recompute changed ids only -----
     # (a USING join moves the key column first, so re-select the canonical
     # column order after the anti-join.)
     if with_edges and "node_way" in tables:
         changed_ways = new_ways.join(way_ids, "id", "left_semi")
+        nw_upserts = edges_mod.node_way(changed_ways)
+        way_keys = way_ids.withColumnRenamed("id", "way_id")
         out["node_way"] = (
             tables["node_way"]
-            .join(way_ids.withColumnRenamed("id", "way_id"), "way_id", "left_anti")
+            .join(way_keys, "way_id", "left_anti")
             .select("node_id", "way_id")
-            .unionByName(edges_mod.node_way(changed_ways))
+            .unionByName(nw_upserts)
         )
+        specs["node_way"] = MergeSpec(nw_upserts, way_keys, "way_id")
         changed_rels = new_relations.join(rel_ids, "id", "left_semi")
         rel_anti = rel_ids.withColumnRenamed("id", "relation_id")
         for name, fn, key in (
@@ -171,15 +186,17 @@ def apply_changes(
             ("way_relation", edges_mod.way_relation, "way_id"),
             ("relation_relation", edges_mod.relation_relation, "child_id"),
         ):
+            upserts = fn(changed_rels)
             out[name] = (
                 tables[name]
                 .join(rel_anti, "relation_id", "left_anti")
                 .select(key, "relation_id")
-                .unionByName(fn(changed_rels))
+                .unionByName(upserts)
             )
+            specs[name] = MergeSpec(upserts, rel_anti, "relation_id")
 
     counts = {
         row["action"]: row["n"]
         for row in chg.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    return UpdateResult(tables=out, counts=counts)
+    return UpdateResult(tables=out, counts=counts, merge_specs=specs)

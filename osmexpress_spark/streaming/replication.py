@@ -57,10 +57,12 @@ def apply_batch(
     (idempotence); `commit=False` is the reference's dry-run
     (src/update.cpp:287-290).
 
-    Only tables affected by the batch's element types are rewritten —
-    the manifest keeps unchanged tables pointing at their prior
-    version's files (the copy-on-write analog of LMDB touching only
-    dirtied pages; Delta MERGE file-skipping at production scale)."""
+    Commits go through `merge_commit`: each affected table gains one
+    batch-sized delta layer — upsert rows + changed-key set — while
+    base files stay untouched (write cost O(|batch|), the analog of
+    the reference dirtying only touched LMDB pages per minutely diff).
+    Unaffected tables keep pointing at their prior files; layer
+    build-up compacts automatically past `max_layers`."""
     if seqnum <= committed_seqnum(store):
         return False
     result = apply_changes(store.read_all(), changes)
@@ -69,11 +71,13 @@ def apply_batch(
             r[0] for r in changes.select("type").distinct().collect()
         }
         affected = set().union(*(_AFFECTED[t] for t in types)) if types else set()
-        changed = {
-            name: df for name, df in result.tables.items() if name in affected
+        merges = {
+            name: spec
+            for name, spec in (result.merge_specs or {}).items()
+            if name in affected and name in store.tables()
         }
-        store.commit(
-            changed, metadata={"seqnum": seqnum}, sort_by=DEFAULT_SORT
+        store.merge_commit(
+            merges, metadata={"seqnum": seqnum}, sort_by=DEFAULT_SORT
         )
     return True
 
