@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, similarity, skew, text
 from .queries import t
 from .streaming import stateful
 
@@ -445,6 +445,69 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(blobs).select(
         "item_id", "n_bytes", "modality", "decode_ok"
     )
+
+
+# --- skew mitigation (operators/skew.py) -----------------------------------
+@defq(
+    "q_salted_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over the (few, hot) event types —
+    identical result to a plain GROUP BY, but each hot key fans out
+    over 16 reducers first. floor(value*100) integerizes the measure so
+    the sum is order-independent (exact oracle equality); min/max are
+    order-independent already."""
+    events = t(spark, sf_dir, "events")
+    return skew.salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "sum_cents": (
+                "sum",
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ),
+            "min_v": ("min", F.col("value")),
+            "max_v": ("max", F.col("value")),
+        },
+        salt_on="event_id",
+    )
+
+
+@defq(
+    "q_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    WHERE e.user_id < 50
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Salted replicated join: the fact side is salted 16 ways on a
+    deterministic row id, the dim side exploded across every salt —
+    each hot event_type spreads over 16 reducers instead of one. Same
+    rows as the plain join."""
+    events = t(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    joined = skew.salted_join(
+        events.where(F.col("user_id") < 50),
+        dim,
+        on=["event_type"],
+        salt_on="event_id",
+    )
+    return joined.select("event_id", "event_type", "type_total")
 
 
 # --- streaming (executed via Structured Streaming, oracled as batch SQL) ---
