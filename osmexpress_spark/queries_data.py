@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, skew, text
 from .queries import t
-from .streaming import stateful
+from .streaming import stateful, watermark_ops
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -514,6 +514,39 @@ def q_salted_join(spark, sf_dir):
 STREAM_GAP_US = 30 * 60 * 1_000_000
 
 
+def _events_stream(spark, sf_dir):
+    """events.parquet as a file-source stream with a proper timestamp
+    `ts`. The raw file stores ts as nanos — read it as long (legacy
+    conf) and convert, so the stream reader schema matches the file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(sf_dir + "/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    return stream
+
+
+def _drain(df, mode):
+    """Run a streaming DataFrame to completion against a memory sink
+    and return the sink table (static)."""
+    import uuid
+
+    name = "stream_" + uuid.uuid4().hex[:8]
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
 @defq(
     "q_stream_sessions",
     f"""
@@ -548,37 +581,12 @@ def q_stream_sessions(spark, sf_dir):
     window sessionization minus each user's final session.
     close_on_timeout=False pins emissions to the data alone (watermark
     timing never changes the result)."""
-    import uuid
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(sf_dir + "/events.parquet").schema
-    name = "sessions_" + uuid.uuid4().hex[:8]
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-        )
     sessions = stateful.sessionize_stream(
-        stream,
+        _events_stream(spark, sf_dir),
         gap_seconds=STREAM_GAP_US // 1_000_000,
         close_on_timeout=False,
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return _drain(sessions, "append").select(
         "user_id",
         F.unix_micros("session_start").alias("session_start"),
         F.unix_micros("session_end").alias("session_end"),
@@ -598,23 +606,7 @@ def q_stream_windowed(spark, sf_dir):
     """Same tumbling-window aggregation as q_window_tumbling but executed
     through Structured Streaming (file source -> windowed agg -> memory
     sink, drained synchronously). U5's windowed-agg surface."""
-    import uuid
-
-    # raw file schema (ts as nanos-long under the legacy conf), not the
-    # converted batch schema — the stream reader must match the file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(sf_dir + "/events.parquet").schema
-    name = "stream_out_" + uuid.uuid4().hex[:8]
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
-        .load(sf_dir)
-    )
-    if "ts" not in dict(stream.dtypes) or dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-        )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -624,14 +616,76 @@ def q_stream_windowed(spark, sf_dir):
             "n",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _drain(agg, "complete")
+
+
+@defq(
+    "q_stream_dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """At-least-once -> exactly-once: the stream is unioned with itself
+    (simulating source replay), then dropDuplicatesWithinWatermark on
+    event_id restores exactly-once (streaming/watermark_ops.py). The
+    replayed copies are byte-identical, so any-winner semantics are
+    deterministic and the oracle is simply the events table."""
+    stream = _events_stream(spark, sf_dir)
+    replayed = stream.unionAll(stream)
+    deduped = watermark_ops.dedup_stream(
+        replayed, keys=["event_id"], delay="1 minute"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return _drain(out, "append")
+
+
+@defq(
+    "q_stream_interval_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: each view matched to
+    the same user's purchases within the following hour. The time-range
+    condition bounds both sides' join state to the interval + watermark
+    horizon (streaming/watermark_ops.py); a static drain emits every
+    match, so the batch range-join oracle is exact."""
+    stream = _events_stream(spark, sf_dir)
+    views = stream.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    joined = watermark_ops.interval_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 1 HOUR",
+        watermark="1 minute",
+    )
+    out = joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    return _drain(out, "append")

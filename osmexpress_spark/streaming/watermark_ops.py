@@ -1,0 +1,76 @@
+"""Watermark-bounded streaming operators: exactly-once dedup and
+stream-stream interval joins.
+
+The reference needs neither: its replication feed is totally ordered
+by sequence number and applied transactionally (utils/osmx-update:39-48),
+so replays are excluded by construction. A distributed ingest pipeline
+has no such total order — at-least-once sources (Kafka, file drops,
+replication retries) deliver duplicates, and correlating two live
+streams (e.g. a view stream against a purchase stream) needs a bounded
+buffer, not an unbounded one. Watermarks are Spark's native bound for
+both; these wrappers pin the idioms used by the contract queries.
+
+Scale notes: both operators keep state ONLY within the watermark
+horizon — dedup state is one entry per key seen in the last
+`delay`, join state is each side's rows in the interval window. State
+is partitioned by key across executors; memory is bounded by
+(event rate x horizon), independent of total stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once -> exactly-once: drop rows whose `keys` were
+    already seen within the event-time watermark horizon. Uses
+    dropDuplicatesWithinWatermark, so state for a key is freed once
+    the watermark passes it (plain dropDuplicates on a stream holds
+    every key forever). Works on batch DataFrames too (falls back to
+    dropDuplicates — batch has no watermark state to bound)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 1 HOUR",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows with equal `on` keys where right_ts lands in
+    [left_ts + lower, left_ts + upper]. For streaming inputs both
+    sides get a watermark and the time-range condition bounds the join
+    state (Spark evicts buffered rows once the other side's watermark
+    clears the interval); for batch inputs it's a plain range join.
+    Column names on the two sides must be disjoint apart from `on`
+    (alias/prefix before calling)."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    # alias-qualified references: both sides may derive from the same
+    # source (self-join), where df["col"] resolution is ambiguous
+    lhs, rhs = left.alias("__wl"), right.alias("__wr")
+    col = lambda side, c: F.col(f"{side}.{c}")
+    cond = (
+        (col("__wl", on) == col("__wr", on))
+        & (col("__wr", right_ts) >= col("__wl", left_ts) + F.expr(lower))
+        & (col("__wr", right_ts) <= col("__wl", left_ts) + F.expr(upper))
+    )
+    return lhs.join(rhs, cond, how).drop(col("__wr", on))

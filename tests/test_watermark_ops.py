@@ -1,0 +1,84 @@
+"""watermark_ops must behave identically on batch DataFrames (where
+they degrade to dropDuplicates / plain range join) and bound state on
+streams — the streaming paths are exercised end-to-end by the contract
+queries q_stream_dedup / q_stream_interval_join in oracle parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark.streaming import watermark_ops
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_dedup_batch_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(1)), (2, _ts(2))], "k long, ts timestamp"
+    )
+    got = watermark_ops.dedup_stream(df, keys=["k"])
+    assert got.count() == 2
+    assert sorted(r.k for r in got.select("k").collect()) == [1, 2]
+
+
+def test_interval_join_batch_matches_sql(spark):
+    left = spark.createDataFrame(
+        [(10, 1, _ts(0)), (11, 1, _ts(30)), (12, 2, _ts(0))],
+        "lid long, user_id long, v_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(20, 1, _ts(5)), (21, 1, _ts(90)), (22, 3, _ts(5))],
+        "rid long, user_id long, p_ts timestamp",
+    )
+    got = watermark_ops.interval_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        upper="INTERVAL 1 HOUR",
+    )
+    # (10,20): +5min in range; (11,21): +60min boundary inclusive;
+    # (10,21): +90min out; (12,*): user 2 has no right rows
+    assert sorted((r.lid, r.rid) for r in got.collect()) == [(10, 20), (11, 21)]
+    assert "user_id" in got.columns and got.columns.count("user_id") == 1
+
+
+def test_interval_join_self_source(spark):
+    # both sides projected from the SAME DataFrame — the ambiguous
+    # self-join regime the alias qualification exists for
+    base = spark.createDataFrame(
+        [(1, 1, "a", _ts(0)), (2, 1, "b", _ts(10)), (3, 1, "b", _ts(200))],
+        "id long, user_id long, kind string, ts timestamp",
+    )
+    a = base.where(F.col("kind") == "a").select(
+        F.col("id").alias("aid"), "user_id", F.col("ts").alias("a_ts")
+    )
+    b = base.where(F.col("kind") == "b").select(
+        F.col("id").alias("bid"), "user_id", F.col("ts").alias("b_ts")
+    )
+    got = watermark_ops.interval_join(
+        a, b, on="user_id", left_ts="a_ts", right_ts="b_ts",
+        upper="INTERVAL 1 HOUR",
+    )
+    assert [(r.aid, r.bid) for r in got.collect()] == [(1, 2)]
+
+
+def test_interval_join_left_outer(spark):
+    left = spark.createDataFrame(
+        [(10, 1, _ts(0)), (12, 2, _ts(0))], "lid long, user_id long, v_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(20, 1, _ts(5))], "rid long, user_id long, p_ts timestamp"
+    )
+    got = watermark_ops.interval_join(
+        left, right, on="user_id", left_ts="v_ts", right_ts="p_ts", how="left"
+    )
+    rows = sorted((r.lid, r.rid) for r in got.collect())
+    assert rows == [(10, 20), (12, None)]
