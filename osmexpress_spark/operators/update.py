@@ -71,11 +71,25 @@ def _merge(
 @dataclass
 class UpdateResult:
     tables: dict[str, DataFrame]
-    counts: dict[str, int]
     # per-table (upserts, changed keys) — the same merge expressed as
     # batch-sized deltas for SnapshotStore.merge_commit (O(|batch|)
     # write path); `tables` above is the eagerly-folded equivalent.
     merge_specs: dict[str, MergeSpec] | None = None
+    _chg: DataFrame | None = None
+    _counts: dict[str, int] | None = None
+
+    @property
+    def counts(self) -> dict[str, int]:
+        """Per-action row counts — computed on first access (a commit
+        path that never looks at them pays no job for them)."""
+        if self._counts is None:
+            self._counts = {
+                row["action"]: row["n"]
+                for row in self._chg.groupBy("action")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        return self._counts
 
 
 def apply_changes(
@@ -166,27 +180,31 @@ def apply_changes(
     }
 
     # --- reverse-index maintenance (U2/U3): recompute changed ids only -----
-    # (a USING join moves the key column first, so re-select the canonical
-    # column order after the anti-join.)
-    if with_edges and "node_way" in tables:
-        changed_ways = new_ways.join(way_ids, "id", "left_semi")
-        nw_upserts = edges_mod.node_way(changed_ways)
-        way_keys = way_ids.withColumnRenamed("id", "way_id")
-        out["node_way"] = (
-            tables["node_way"]
-            .join(way_keys, "way_id", "left_anti")
-            .select("node_id", "way_id")
-            .unionByName(nw_upserts)
-        )
-        specs["node_way"] = MergeSpec(nw_upserts, way_keys, "way_id")
-        changed_rels = new_relations.join(rel_ids, "id", "left_semi")
+    # New edge rows derive from the batch's upsert images alone
+    # (new_table ⋉ changed_ids == upserts by construction of _merge), so
+    # the edge-upsert plans never touch the base tables — O(|batch|).
+    # (A USING join moves the key column first, so re-select the
+    # canonical column order after the anti-join.)
+    if with_edges:
+        if "node_way" in tables:
+            nw_upserts = edges_mod.node_way(way_upserts)
+            way_keys = way_ids.withColumnRenamed("id", "way_id")
+            out["node_way"] = (
+                tables["node_way"]
+                .join(way_keys, "way_id", "left_anti")
+                .select("node_id", "way_id")
+                .unionByName(nw_upserts)
+            )
+            specs["node_way"] = MergeSpec(nw_upserts, way_keys, "way_id")
         rel_anti = rel_ids.withColumnRenamed("id", "relation_id")
         for name, fn, key in (
             ("node_relation", edges_mod.node_relation, "node_id"),
             ("way_relation", edges_mod.way_relation, "way_id"),
             ("relation_relation", edges_mod.relation_relation, "child_id"),
         ):
-            upserts = fn(changed_rels)
+            if name not in tables:
+                continue
+            upserts = fn(rel_upserts)
             out[name] = (
                 tables[name]
                 .join(rel_anti, "relation_id", "left_anti")
@@ -195,8 +213,4 @@ def apply_changes(
             )
             specs[name] = MergeSpec(upserts, rel_anti, "relation_id")
 
-    counts = {
-        row["action"]: row["n"]
-        for row in chg.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    return UpdateResult(tables=out, counts=counts, merge_specs=specs)
+    return UpdateResult(tables=out, merge_specs=specs, _chg=chg)

@@ -206,14 +206,21 @@ class SnapshotStore:
         its folded state is rewritten as a fresh sorted base (read
         amplification stays bounded; pruning layout restored). All
         tables + metadata publish in ONE manifest rename, preserving
-        the reference's whole-txn atomicity."""
+        the reference's whole-txn atomicity.
+
+        Per-table writes run on a thread pool: each write is a small
+        independent Spark job (layers are batch-sized), so submitting
+        them concurrently overlaps their fixed job-scheduling cost —
+        the batch latency driver when a minutely diff touches all 8
+        tables. Nothing is visible until the single manifest rename, so
+        concurrency never weakens atomicity."""
         prev = self.latest_version()
         if prev is None:
             raise ValueError("merge_commit on empty store — bootstrap with commit()")
         new_version = prev + 1
         table_entries = dict(self._manifest(prev)["tables"])
 
-        for name, spec in merges.items():
+        def write_one(name: str, spec: MergeSpec):
             entry = table_entries.get(name)
             if isinstance(entry, str):
                 entry = {"base": entry, "key": spec.key, "layers": []}
@@ -236,8 +243,7 @@ class SnapshotStore:
                         partitions, sort_key
                     ).sortWithinPartitions(sort_key)
                 folded.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-                table_entries[name] = {"base": rel, "key": spec.key, "layers": []}
-                continue
+                return name, {"base": rel, "key": spec.key, "layers": []}
             ldir = os.path.join("data", name, f"v{new_version}_layer")
             ups_rel = os.path.join(ldir, "upserts")
             chg_rel = os.path.join(ldir, "changed")
@@ -250,11 +256,20 @@ class SnapshotStore:
                 os.path.join(self.root, chg_rel)
             )
             layers.append({"upserts": ups_rel, "changed": chg_rel})
-            table_entries[name] = {
+            return name, {
                 "base": entry["base"],
                 "key": spec.key,
                 "layers": layers,
             }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(merges) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(merges))) as pool:
+                results = list(pool.map(lambda kv: write_one(*kv), merges.items()))
+        else:
+            results = [write_one(name, spec) for name, spec in merges.items()]
+        table_entries.update(dict(results))
 
         manifest = {
             "version": new_version,

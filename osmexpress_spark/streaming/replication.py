@@ -51,7 +51,11 @@ _AFFECTED = {
 
 
 def apply_batch(
-    store: SnapshotStore, changes: DataFrame, seqnum: int, commit: bool = True
+    store: SnapshotStore,
+    changes: DataFrame,
+    seqnum: int,
+    commit: bool = True,
+    types: set[str] | None = None,
 ) -> bool:
     """Apply one seqnum batch transactionally; skip if already applied
     (idempotence); `commit=False` is the reference's dry-run
@@ -67,9 +71,10 @@ def apply_batch(
         return False
     result = apply_changes(store.read_all(), changes)
     if commit:
-        types = {
-            r[0] for r in changes.select("type").distinct().collect()
-        }
+        if types is None:
+            types = {
+                r[0] for r in changes.select("type").distinct().collect()
+            }
         affected = set().union(*(_AFFECTED[t] for t in types)) if types else set()
         merges = {
             name: spec
@@ -86,16 +91,19 @@ def catch_up(
     store: SnapshotStore, changes: DataFrame, commit: bool = True
 ) -> list[int]:
     """U5 catch-up loop: apply every pending seqnum in ascending order.
-    `changes` holds rows for one or many seqnums (CHANGES_SCHEMA)."""
-    pending = [
-        r.seqnum
-        for r in changes.select("seqnum").distinct().orderBy("seqnum").collect()
-        if r.seqnum > committed_seqnum(store)
-    ]
+    `changes` holds rows for one or many seqnums (CHANGES_SCHEMA).
+    One driver job discovers (seqnum, type) pairs for the whole feed so
+    each batch application skips its own discovery pass."""
+    committed = committed_seqnum(store)
+    pairs = changes.select("seqnum", "type").distinct().collect()
+    types_by_seq: dict[int, set[str]] = {}
+    for r in pairs:
+        if r.seqnum > committed:
+            types_by_seq.setdefault(r.seqnum, set()).add(r.type)
     applied = []
-    for seq in pending:
+    for seq in sorted(types_by_seq):
         batch = changes.where(F.col("seqnum") == seq)
-        if apply_batch(store, batch, seq, commit=commit):
+        if apply_batch(store, batch, seq, commit=commit, types=types_by_seq[seq]):
             applied.append(seq)
     return applied
 

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the properties that make the contract
+queries scale (filter pushdown to the parquet scan, column pruning,
+broadcast of small sides, JVM-only hot paths) must hold structurally,
+not just produce correct rows — a correct plan that full-scans at
+sf0.001 full-scans at 100 TB too."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmexpress_spark import queries as Q
+from osmexpress_spark import queries_data as QD
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    # run first so AQE settles on the final physical plan
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_scan_pushes_or_of_ranges(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_range_scan"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # the OR-of-BETWEEN covering filter reaches the scan, not a
+    # post-scan Filter only
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_orderkey" in pushed and pushed.strip()
+
+
+def test_point_lookup_pushes_key_equality(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_point_lookup"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "EqualTo(o_orderkey" in pushed
+
+
+def test_projection_prunes_columns(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_projection"](spark, SF_DIR))
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "c_custkey" in schema and "c_name" in schema
+    # untouched wide columns never reach the scan
+    assert "c_address" not in schema and "c_comment" not in schema
+
+
+def test_star_join_broadcasts_small_dims(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_star_join_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_reverse_membership_broadcasts_filtered_dim(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_reverse_membership"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the brand filter is pushed into the part scan feeding the build side
+    assert "EqualTo(p_brand,Brand#1)" in plan
+
+
+def test_text_queries_stay_jvm_side(spark):
+    # language-ID / quality / token stats are built-in-function
+    # pipelines — no Python eval operator may appear in the hot path
+    for name in ("q_doc_token_stats", "q_doc_lang_id", "q_doc_quality"):
+        plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_salted_agg_two_phase(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_salted_agg"](spark, SF_DIR))
+    # phase 1 groups by (key, salt), phase 2 by key: >= 2 shuffle-side
+    # HashAggregate pairs and no Python operators
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_tag_filter_whole_stage_codegen(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_tag_filter"](spark, SF_DIR))
+    # "*(N)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan
