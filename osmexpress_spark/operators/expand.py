@@ -149,23 +149,37 @@ def expand(
     production pruning layout (locations cell-sorted, payloads and
     reverse indexes id-sorted). The source is decoded once and
     persisted across the four table writes (at planet scale this spills
-    to local disk per executor — cheaper than 3 redundant PBF decodes)."""
+    to local disk per executor — cheaper than 3 redundant PBF decodes).
+
+    The four core writes run concurrently (thread pool), as do the four
+    edge writes after them: each write is an independent job whose
+    sample/shuffle/commit phases leave the cluster partly idle, so
+    overlapping them raises utilization without changing any output.
+    The two waves are ordered because edge derivation re-reads the
+    written payload parquet instead of re-parsing the source."""
+    from concurrent.futures import ThreadPoolExecutor
+
     all_df = unified_source(spark, source_path, fmt).persist()
+    # materialize the persist once, before concurrent writes fan out,
+    # so the decode of each blob runs exactly once
+    all_df.count()
     tables = tables_from_unified(all_df)
-    (
-        tables["locations"]
-        .repartitionByRange(partitions, "cell")
-        .sortWithinPartitions("cell")
-        .write.mode("overwrite")
-        .parquet(os.path.join(dest, "locations"))
-    )
-    for name in ("nodes", "ways", "relations"):
+    sort_key = {"locations": "cell", "nodes": "id", "ways": "id", "relations": "id"}
+
+    def write_sorted(name: str, df: DataFrame, key: str) -> None:
         (
-            tables[name]
-            .repartitionByRange(partitions, "id")
-            .sortWithinPartitions("id")
+            df.repartitionByRange(partitions, key)
+            .sortWithinPartitions(key)
             .write.mode("overwrite")
             .parquet(os.path.join(dest, name))
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(
+            pool.map(
+                lambda name: write_sorted(name, tables[name], sort_key[name]),
+                sort_key,
+            )
         )
     all_df.unpersist()
     if materialize_edges:
@@ -173,11 +187,11 @@ def expand(
         # instead of re-parsing the source file
         ways = spark.read.parquet(os.path.join(dest, "ways"))
         relations = spark.read.parquet(os.path.join(dest, "relations"))
-        for name, df in edges_mod.derive_all(ways, relations).items():
-            key = df.columns[0]
-            (
-                df.repartitionByRange(partitions, key)
-                .sortWithinPartitions(key)
-                .write.mode("overwrite")
-                .parquet(os.path.join(dest, name))
+        edge_tables = edges_mod.derive_all(ways, relations)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    lambda kv: write_sorted(kv[0], kv[1], kv[1].columns[0]),
+                    edge_tables.items(),
+                )
             )

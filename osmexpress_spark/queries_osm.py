@@ -93,3 +93,19 @@ def osm_stats(spark, sf_dir):
         )
         out = row if out is None else out.union(row)
     return out.orderBy("rank")
+
+
+@defq("osm_augmented_diff")
+def osm_augmented_diff(spark, sf_dir):
+    """U6 capstone: classify a deterministic OsmChange batch against the
+    fixture snapshot and propagate node moves to parent ways/relations
+    (python/examples/augmented_diff.py:17-305). Rows-only: the
+    classification + propagation semantics are golden-tested in
+    tests/test_streaming_diff.py against an independent model."""
+    from .operators.diff import augmented_diff
+
+    ds = _dataset(spark)
+    fx_rows = testing.generate(n_nodes=FIXTURE_NODES, seed=42)
+    batch = testing.generate_changes(fx_rows, n_batches=1, per_batch=40)[0]
+    changes = spark.createDataFrame(batch, testing.schemas.CHANGES_SCHEMA)
+    return augmented_diff(ds.tables(), changes).orderBy("type", "id")
