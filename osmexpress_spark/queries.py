@@ -8,7 +8,13 @@ every future query):
 - alias every computed column identically in Spark and SQL;
 - money math goes through DECIMAL(18,2) casts *per row* so sums are
   exact and order-independent (raw double sums differ between engines
-  in the last bits);
+  in the last bits) — but the FINAL output column must be cast to
+  DOUBLE on both sides: the driver canonicalizes through pandas, where
+  Spark decimals stay `Decimal('48.00')` but DuckDB's .df() converts
+  to float64 `48.0`, so any trailing-zero decimal value hash-fails
+  (this was 6/6 of the round-1 hash mismatches);
+- raw parquet doubles pass through untouched (identical bits on both
+  engines); never re-cast them to decimal in the output;
 - averages stay double but are rounded to 4 decimals (fp error there
   is ~1e-7, margin 5e-5);
 - duckdb SUM(INTEGER) returns INT128 — always CAST to BIGINT;
@@ -89,9 +95,9 @@ def money(col):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -107,10 +113,10 @@ def q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -125,7 +131,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q_point_lookup",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+           o_totalprice AS total_price
     FROM orders
     WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
     """,
@@ -135,7 +141,7 @@ def q_point_lookup(spark, sf_dir):
     min_key = o.agg(F.min("o_orderkey")).collect()[0][0]
     return o.where(F.col("o_orderkey") == min_key).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        money("o_totalprice").alias("total_price"),
+        F.col("o_totalprice").alias("total_price"),
     )
 
 
@@ -144,7 +150,7 @@ def q_point_lookup(spark, sf_dir):
     "q_range_scan",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DECIMAL(18,2)) AS quantity
+           l_quantity AS quantity
     FROM lineitem
     WHERE (l_orderkey BETWEEN 100 AND 160)
        OR (l_orderkey BETWEEN 700 AND 760)
@@ -156,7 +162,7 @@ def q_range_scan(spark, sf_dir):
     k = F.col("l_orderkey")
     return li.where(
         k.between(100, 160) | k.between(700, 760) | k.between(1300, 1360)
-    ).select("l_orderkey", "l_linenumber", money("l_quantity").alias("quantity"))
+    ).select("l_orderkey", "l_linenumber", F.col("l_quantity").alias("quantity"))
 
 
 # P2 — tag/map predicate (src/extract.cpp:249-250 analog over JSON props).
@@ -356,7 +362,7 @@ def q_transitive_closure(spark, sf_dir):
     """
     SELECT n_name, c_mktsegment,
            COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP(n_name, c_mktsegment)
     """,
@@ -369,7 +375,7 @@ def q_rollup(spark, sf_dir):
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.sum(money("c_acctbal")).cast("decimal(18,2)").alias("sum_bal"),
+            F.sum(money("c_acctbal")).cast("double").alias("sum_bal"),
         )
     )
 
@@ -379,8 +385,8 @@ def q_rollup(spark, sf_dir):
     "q_bounds_agg",
     """
     SELECT n_name,
-           CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS min_bal,
-           CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS max_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
            COUNT(*) AS n
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
@@ -393,8 +399,8 @@ def q_bounds_agg(spark, sf_dir):
         c.join(n, c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.min("c_acctbal").cast("decimal(18,2)").alias("min_bal"),
-            F.max("c_acctbal").cast("decimal(18,2)").alias("max_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -428,7 +434,7 @@ def q_last_version_wins(spark, sf_dir):
 @defq(
     "q_topk_per_group",
     """
-    SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    SELECT c_mktsegment, c_custkey, c_acctbal AS acctbal
     FROM (
       SELECT c_mktsegment, c_custkey, c_acctbal,
              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
@@ -445,7 +451,7 @@ def q_topk_per_group(spark, sf_dir):
     return (
         c.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("c_mktsegment", "c_custkey", money("c_acctbal").alias("acctbal"))
+        .select("c_mktsegment", "c_custkey", F.col("c_acctbal").alias("acctbal"))
     )
 
 
@@ -487,7 +493,7 @@ def q_typed_counts(spark, sf_dir):
     """
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -515,7 +521,7 @@ def q_star_join_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -571,7 +577,7 @@ def q_pivot_event_types(spark, sf_dir):
     """
     SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -581,7 +587,7 @@ def q_window_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("win_start"),

