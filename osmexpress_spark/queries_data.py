@@ -292,8 +292,44 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-@defq("q_simhash_candidates")  # rows-only: no portable hex->int in DuckDB SQL
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_SIG_SQL = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j in range(dedup.SIMHASH_BITS)
+)
+
+
+@defq(
+    "q_simhash_candidates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, {_SIMHASH_VOTES_SQL}
+      FROM hashed GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, ({_SIMHASH_SIG_SQL}) AS sh FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def q_simhash_candidates(spark, sf_dir):
+    """Simhash near-dup pairs (hamming <= 3 over the 60-bit signature).
+    The Spark plan is the sub-quadratic Manku block-probe join
+    (operators/dedup.py); the oracle brute-forces all pairs — provably
+    the same result set because the 20 probe tables cover every
+    hamming<=3 pair (pigeonhole over 6 blocks) and the exact
+    bit_count(xor) filter drops false positives on both sides."""
     return dedup.simhash_candidates(
         t(spark, sf_dir, "documents"), "doc_id", "text", k=1
     )
@@ -438,12 +474,49 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-@defq("q_multimodal_features")  # rows-only: Arrow-batched stub decoder
+@defq(
+    "q_multimodal_features",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+             hex(CAST(text AS BLOB)) AS h
+      FROM documents
+    )
+    SELECT doc_id AS item_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           'demo' AS modality,
+           TRUE AS decode_ok,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST('0x' || substring(h, 1, 2) AS INTEGER) / 255.0
+           END AS f_head,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST('0x' || substring(h, 2 * n - 1, 2) AS INTEGER) / 255.0
+           END AS f_tail,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE list_sum(list_transform(range(1, least(n, 64) + 1),
+                       i -> CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER)))
+                     / (255.0 * least(n, 64))
+           END AS f_sum64
+    FROM b
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over opaque binary
+    payloads. The stub decoder's byte-statistics features are exact
+    integer/255.0 divisions, so the DuckDB oracle recomputes them from
+    hex(blob) slices bit-for-bit (IEEE division of the same ints) —
+    validating the full plumbing: utf8->binary cast, batching, the
+    decoder contract, and the feature values themselves."""
     d = t(spark, sf_dir, "documents")
     blobs = multimodal.attach_binary(d, "text", "doc_id")
     return multimodal.extract_features(blobs).select(
-        "item_id", "n_bytes", "modality", "decode_ok"
+        "item_id",
+        "n_bytes",
+        "modality",
+        "decode_ok",
+        F.col("feat")[1].alias("f_head"),
+        F.col("feat")[2].alias("f_tail"),
+        F.col("feat")[3].alias("f_sum64"),
     )
 
 
