@@ -134,7 +134,7 @@ def augmented_diff(
         "id", F.col("lon").alias("new_lon"), F.col("lat").alias("new_lat")
     )
     out = direct.unionByName(indirect)
-    return (
+    out = (
         out.join(old_pos, "id", "left_outer")
         .join(new_pos, "id", "left_outer")
         .select(
@@ -145,3 +145,82 @@ def augmented_diff(
             ],
         )
     )
+
+    # --- per-way old/new bboxes over member nodes (:309-342, the 5th
+    # pass: every emitted way gets a <bounds> from its nd coordinates —
+    # old geometry from the snapshot, new geometry from the post-batch
+    # node positions). All joins are semi-pruned to the touched-way set
+    # before touching the (planet-sized) locations table, and the bbox
+    # is a plain min/max aggregate — no geometry collected.
+    bbox_cols = [
+        "old_minlon", "old_minlat", "old_maxlon", "old_maxlat",
+        "new_minlon", "new_minlat", "new_maxlon", "new_maxlat",
+    ]
+    way_rows = out.where(F.col("type") == "way")
+    touched_way_ids = way_rows.select("id")
+
+    def bbox(edges: DataFrame, pos: DataFrame, prefix: str) -> DataFrame:
+        e = edges.join(touched_way_ids, edges["way_id"] == touched_way_ids["id"],
+                       "left_semi")
+        return (
+            e.join(pos, e["node_id"] == pos["id"])
+            .groupBy("way_id")
+            .agg(
+                F.min("lon").alias(f"{prefix}_minlon"),
+                F.min("lat").alias(f"{prefix}_minlat"),
+                F.max("lon").alias(f"{prefix}_maxlon"),
+                F.max("lat").alias(f"{prefix}_maxlat"),
+            )
+        )
+
+    old_bbox = bbox(node_way, tables["locations"].select("id", "lon", "lat"),
+                    "old")
+
+    # post-batch node positions: snapshot minus touched nodes, plus the
+    # batch's visible node versions
+    chg_nodes = chg.where(F.col("type") == "node")
+    new_loc = (
+        tables["locations"].select("id", "lon", "lat")
+        .join(chg_nodes.select("id"), "id", "left_anti")
+        .unionByName(
+            chg_nodes.where(F.col("visible")).select("id", "lon", "lat")
+        )
+    )
+    # post-batch membership: a directly-modified way's new member list
+    # comes from the batch (when it carries one); everything else keeps
+    # the snapshot edges
+    chg_ways = chg.where((F.col("type") == "way") & F.col("visible"))
+    ways_with_refs = chg_ways.where(F.col("nodes").isNotNull())
+    new_edges = (
+        ways_with_refs.select(
+            F.col("id").alias("way_id"), F.explode("nodes").alias("node_id")
+        )
+        .unionByName(
+            node_way.join(
+                ways_with_refs.select(F.col("id").alias("way_id")),
+                "way_id", "left_anti",
+            ).select("way_id", "node_id")
+        )
+    )
+    new_bbox = bbox(new_edges, new_loc, "new")
+
+    way_rows = (
+        way_rows.join(old_bbox, way_rows["id"] == old_bbox["way_id"], "left_outer")
+        .drop("way_id")
+        .join(new_bbox, way_rows["id"] == new_bbox["way_id"], "left_outer")
+        .drop("way_id")
+    )
+    # a deleted way has no new geometry (the reference's new element
+    # carries no nds, hence no bounds)
+    way_rows = way_rows.select(
+        *[c for c in way_rows.columns if not c.startswith("new_m")],
+        *[
+            F.when(~F.col("action").startswith("delete"), F.col(c)).alias(c)
+            for c in bbox_cols
+            if c.startswith("new_")
+        ],
+    )
+    others = out.where(F.col("type") != "way").select(
+        "*", *[F.lit(None).cast("int").alias(c) for c in bbox_cols]
+    )
+    return way_rows.select(others.columns).unionByName(others)

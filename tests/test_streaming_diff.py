@@ -104,3 +104,21 @@ def test_augmented_diff_classification_and_propagation(spark, fresh_store):
     for rid in parent_rels:
         assert by_key[("relation", rid)].action == "modify"
         assert not by_key[("relation", rid)].direct
+    # per-way old/new bounds (reference augmented_diff.py 5th pass):
+    # old bbox over snapshot member positions, new bbox with the moved
+    # node at its post-batch position
+    loc = {r[0]: (r[1], r[2]) for r in rows["locations"]}
+    new_loc = dict(loc)
+    new_loc[node_id] = (100, 200)
+    for wid in parent_ways:
+        refs = next(w[1] for w in rows["ways"] if w[0] == wid)
+        row = by_key[("way", wid)]
+        for (pos, pre) in ((loc, "old"), (new_loc, "new")):
+            xs = [pos[r][0] for r in refs]
+            ys = [pos[r][1] for r in refs]
+            assert (
+                getattr(row, f"{pre}_minlon"), getattr(row, f"{pre}_minlat"),
+                getattr(row, f"{pre}_maxlon"), getattr(row, f"{pre}_maxlat"),
+            ) == (min(xs), min(ys), max(xs), max(ys))
+    # node rows carry no way bbox
+    assert by_key[("node", node_id)].old_minlon is None
