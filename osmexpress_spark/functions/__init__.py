@@ -193,3 +193,140 @@ def way_bounds(ways: DataFrame, locations: DataFrame) -> DataFrame:
         F.max("lon").alias("max_lon"),
         F.max("lat").alias("max_lat"),
     )
+
+
+# --- G7b: relation GeometryCollection with recursive member descent -------
+def relation_geojson(
+    relations: DataFrame,
+    ways: DataFrame,
+    locations: DataFrame,
+    roots: DataFrame | None = None,
+    max_depth: int = 32,
+) -> DataFrame:
+    """Relation id -> GeoJSON Feature whose geometry is a
+    GeometryCollection assembled by depth-first descent into member
+    nodes, ways, and sub-relations (web_server.py:52-71's
+    ``add_relation_geoms`` recursion, distributed).
+
+    Geometries appear in the reference's DFS order: each leaf carries
+    its member-index path from the root and the final sort is
+    lexicographic on that path. Deviations from the reference, both
+    deliberate:
+    - node members emit (lon, lat) like every other coordinate here;
+      web_server.py:61 appends the raw (lat, lon) location tuple for
+      node members only — an order inconsistent with its own way
+      coordinates (:34), i.e. an upstream bug we do not replicate;
+    - a (root, relation) pair is descended at most once, so member
+      cycles terminate; the reference recurses forever on cycles.
+
+    Scale shape: the per-level descent is the J1 reverse-membership
+    join bounded by `max_depth` levels (planet nesting is ~10); leaf
+    sets are pruned with semi-joins BEFORE touching the planet-sized
+    ways/locations tables; per-root assembly is one groupBy over the
+    leaves. No driver-side geometry, no UDFs.
+    """
+    rels = relations.select("id", "members", "tags")
+    if roots is None:
+        roots = rels.select("id")
+    frontier = roots.select(
+        F.col("id").alias("root"),
+        F.col("id").alias("rel_id"),
+        F.array().cast("array<int>").alias("path"),
+    )
+    seen = frontier.select("root", "rel_id")
+    leaves = None
+    for _ in range(max_depth):
+        mem = (
+            frontier.join(rels, frontier["rel_id"] == rels["id"])
+            .select(
+                "root",
+                "path",
+                F.posexplode("members").alias("pos", "m"),
+            )
+            .select(
+                "root",
+                F.concat("path", F.array("pos")).alias("path"),
+                F.col("m.type").alias("mtype"),
+                F.col("m.ref").alias("ref"),
+            )
+        )
+        level_leaves = mem.where(F.col("mtype") != "relation")
+        leaves = (
+            level_leaves if leaves is None else leaves.unionByName(level_leaves)
+        )
+        nxt = (
+            mem.where(F.col("mtype") == "relation")
+            .select("root", F.col("ref").alias("rel_id"), "path")
+            .join(seen, ["root", "rel_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt.select("root", "rel_id")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+
+    node_leaves = leaves.where(F.col("mtype") == "node")
+    way_leaves = leaves.where(F.col("mtype") == "way")
+
+    node_geoms = node_leaves.join(
+        locations.select(F.col("id").alias("ref"), "lon", "lat"), "ref"
+    ).select(
+        "root",
+        "path",
+        F.to_json(
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(to_degrees(F.col("lon")), to_degrees(F.col("lat"))).alias(
+                    "coordinates"
+                ),
+            )
+        ).alias("geometry"),
+    )
+    needed_ways = ways.join(
+        way_leaves.select(F.col("ref").alias("id")).distinct(), "id", "left_semi"
+    )
+    way_geoms = way_leaves.join(
+        way_geojson(needed_ways, locations).withColumnRenamed("id", "ref"), "ref"
+    ).select("root", "path", "geometry")
+
+    assembled = (
+        node_geoms.unionByName(way_geoms)
+        .groupBy("root")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("path", "geometry"))).alias("g")
+        )
+        .select(
+            F.col("root").alias("id"),
+            F.concat(
+                F.lit('{"type":"GeometryCollection","geometries":['),
+                F.array_join(F.transform("g", lambda x: x["geometry"]), ","),
+                F.lit("]}"),
+            ).alias("geometry"),
+        )
+    )
+    props = rels.select(
+        "id",
+        F.coalesce(F.col("tags"), F.map_from_arrays(F.array(), F.array())).alias(
+            "tags"
+        ),
+    )
+    return (
+        roots.select("id")
+        .join(props, "id", "left_outer")
+        .join(assembled, "id", "left_outer")
+        .select(
+            "id",
+            F.concat(
+                F.lit('{"type":"Feature","properties":'),
+                F.coalesce(F.to_json("tags"), F.lit("{}")),
+                F.lit(',"geometry":'),
+                F.coalesce(
+                    F.col("geometry"),
+                    F.lit('{"type":"GeometryCollection","geometries":[]}'),
+                ),
+                F.lit("}"),
+            ).alias("feature"),
+        )
+    )

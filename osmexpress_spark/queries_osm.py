@@ -109,3 +109,16 @@ def osm_augmented_diff(spark, sf_dir):
     batch = testing.generate_changes(fx_rows, n_batches=1, per_batch=40)[0]
     changes = spark.createDataFrame(batch, testing.schemas.CHANGES_SCHEMA)
     return augmented_diff(ds.tables(), changes).orderBy("type", "id")
+
+
+@defq("osm_relation_geojson")
+def osm_relation_geojson(spark, sf_dir):
+    """G7: relation -> GeoJSON GeometryCollection with recursive member
+    descent (python/examples/web_server.py:52-71), distributed as a
+    bounded-depth reverse-membership fixpoint. Rows-only: the DFS
+    ordering + recursion semantics are golden-tested in
+    tests/test_functions.py against an independent Python model."""
+    ds = _dataset(spark)
+    return fn.relation_geojson(
+        ds.relations(), ds.ways(), ds.table("locations")
+    ).orderBy("id")

@@ -97,3 +97,72 @@ def test_way_bounds(dfs):
         xs = [coords[n][0] for n in refs]
         ys = [coords[n][1] for n in refs]
         assert got[wid] == (min(xs), min(ys), max(xs), max(ys))
+
+
+def test_relation_geojson_matches_python_model(spark):
+    """relation_geojson vs an independent Python recursion replicating
+    web_server.py:52-71 (DFS member order, level-synchronized cycle
+    guard, (lon,lat) coordinate order)."""
+    import json
+
+    from osmexpress_spark import testing
+    from osmexpress_spark.functions import relation_geojson
+
+    rows = testing.generate(n_nodes=300, seed=7)
+    dfs = testing.to_dataframes(spark, rows)
+    out = {
+        r["id"]: json.loads(r["feature"])
+        for r in relation_geojson(
+            dfs["relations"], dfs["ways"], dfs["locations"]
+        ).collect()
+    }
+
+    locs = {r[0]: (r[1], r[2]) for r in rows["locations"]}
+    way_refs = {w[0]: w[1] for w in rows["ways"]}
+    rels = {r[0]: r for r in rows["relations"]}
+
+    def leaves_of(root):
+        leaves, seen, frontier = [], {root}, [(root, [])]
+        while frontier:
+            mem = []
+            for rel_id, path in frontier:
+                if rel_id not in rels:  # dangling ref: inner join drops it
+                    continue
+                for pos, (ref, typ, _role) in enumerate(rels[rel_id][1]):
+                    mem.append((path + [pos], typ, ref))
+            leaves += [
+                (p, t, r)
+                for p, t, r in mem
+                if t != "relation"
+                and (r in locs if t == "node" else r in way_refs)
+            ]
+            nxt = [
+                (r, p) for p, t, r in mem if t == "relation" and r not in seen
+            ]
+            seen |= {r for r, _ in nxt}
+            frontier = nxt
+        return sorted(leaves, key=lambda x: x[0])
+
+    def geom(typ, ref):
+        if typ == "node":
+            lon, lat = locs[ref]
+            return {"type": "Point", "coordinates": [lon / 1e7, lat / 1e7]}
+        return {
+            "type": "LineString",
+            "coordinates": [
+                [locs[n][0] / 1e7, locs[n][1] / 1e7] for n in way_refs[ref]
+            ],
+        }
+
+    assert set(out) == set(rels)
+    checked_nested = 0
+    for rid, rel in rels.items():
+        expected = [geom(t, r) for _p, t, r in leaves_of(rid)]
+        feat = out[rid]
+        assert feat["type"] == "Feature"
+        assert feat["properties"] == (rel[2] or {})
+        assert feat["geometry"]["type"] == "GeometryCollection"
+        assert feat["geometry"]["geometries"] == expected, f"relation {rid}"
+        if any(m[1] == "relation" for m in rel[1]):
+            checked_nested += 1
+    assert checked_nested >= 3  # fixture guarantees nesting chains + diamond
