@@ -32,7 +32,27 @@ from ..operators.extract import ExtractResult
 from ..store import DEFAULT_SORT
 
 
-def write_dataset(result: ExtractResult, path: str, partitions: int = 8) -> None:
+def _strip_user_data(df):
+    """GDPR projection (the reference's --noUserData, src/extract.cpp:73,
+    111): null out changeset/uid/user inside the metadata struct, keeping
+    the table schema stable."""
+    if "metadata" not in df.columns:
+        return df
+    return df.withColumn(
+        "metadata",
+        F.struct(
+            F.col("metadata.version").alias("version"),
+            F.col("metadata.timestamp").alias("timestamp"),
+            F.lit(None).cast("long").alias("changeset"),
+            F.lit(None).cast("long").alias("uid"),
+            F.lit(None).cast("string").alias("user"),
+        ),
+    )
+
+
+def write_dataset(
+    result: ExtractResult, path: str, partitions: int = 8, user_data: bool = True
+) -> None:
     import os
 
     tables = {
@@ -42,6 +62,8 @@ def write_dataset(result: ExtractResult, path: str, partitions: int = 8) -> None
         "relations": result.relations,
     }
     for name, df in tables.items():
+        if not user_data:
+            df = _strip_user_data(df)
         key = DEFAULT_SORT[name]
         (
             df.repartitionByRange(partitions, key)
@@ -68,21 +90,23 @@ def _tag_lines(tags) -> list[str]:
 def write_xml(result: ExtractResult, path: str) -> None:
     """Ordered single-file .osm XML: three sorted passes streamed via
     toLocalIterator (one partition in driver memory at a time —
-    extract.cpp:304-421's ordering without its single-process scan)."""
-    tagged = {r["id"]: r for r in result.nodes.collect()}  # payload side is small
+    extract.cpp:304-421's ordering without its single-process scan).
+    Node tags are joined into the locations stream distributedly (the
+    same left join write_pbf uses), so driver memory stays O(one
+    partition) even for planet-scale tag-heavy extracts — round 1
+    collected the whole tagged payload into a driver dict."""
     with open(path, "w") as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
         f.write('<osm version="0.6" generator="osmexpress_spark">\n')
-        for row in result.locations.orderBy("id").toLocalIterator():
-            payload = tagged.get(row["id"])
+        for row in _flat_nodes(result).orderBy("id").toLocalIterator():
             lon, lat = row["lon"] / 1e7, row["lat"] / 1e7
             head = (
                 f'  <node id="{row["id"]}" lon="{lon:.7f}" lat="{lat:.7f}" '
                 f'version="{row["version"]}"'
             )
-            if payload and payload["tags"]:
+            if row["tags"]:
                 f.write(head + ">\n")
-                f.write("\n".join(_tag_lines(payload["tags"])) + "\n")
+                f.write("\n".join(_tag_lines(row["tags"])) + "\n")
                 f.write("  </node>\n")
             else:
                 f.write(head + "/>\n")
@@ -147,18 +171,24 @@ def write_pbf(
     path: str,
     block_size: int = 8000,
     partitions: int = 8,
-    stream: bool = False,
+    stream: bool = True,
+    user_data: bool = True,
 ) -> None:
     """Ordered single-file .osm.pbf (extract.cpp:280-426's three passes:
     nodes, ways, relations, ids ascending). Encode is distributed; the
     driver writes pre-framed blobs in partition order.
 
-    stream=False collects each pass's frames in one job — driver memory
-    is bounded by the COMPRESSED output size, fine for region extracts
-    (the reference's use case; planet-sized exports should use
-    write_dataset). stream=True swaps in toLocalIterator: one partition
-    of frames in driver memory at a time, at the cost of a job per
-    partition."""
+    stream=True (the default — safe at any extract size) iterates
+    partitions of pre-framed blobs via toLocalIterator with prefetch:
+    one partition of compressed frames in driver memory at a time, at
+    the cost of a job per partition. stream=False collects each pass's
+    frames in one job — a small-extract optimization whose driver
+    memory is bounded by the COMPRESSED output size; opt in only when
+    the extract is known-small.
+
+    user_data=False is the reference's --noUserData GDPR switch
+    (src/extract.cpp:73,111): changeset/uid/user are zeroed at the
+    projection, before anything is shuffled or encoded."""
     from . import pbf_codec
 
     def frames(kind):
@@ -168,10 +198,17 @@ def write_pbf(
 
         return fn
 
+    def gdpr(df):
+        if user_data:
+            return df
+        return df.withColumn("changeset", F.lit(0).cast("long")).withColumn(
+            "uid", F.lit(0).cast("long")
+        ).withColumn("user", F.lit(""))
+
     passes = [
-        ("node", _flat_nodes(result)),
-        ("way", _flat_elements(result.ways, "nodes")),
-        ("relation", _flat_elements(result.relations, "members")),
+        ("node", gdpr(_flat_nodes(result))),
+        ("way", gdpr(_flat_elements(result.ways, "nodes"))),
+        ("relation", gdpr(_flat_elements(result.relations, "members"))),
     ]
     bbox = result.locations.agg(
         F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")

@@ -263,3 +263,28 @@ def test_codec_relation_property_roundtrip(raw):
         for rid, members, tags, m in raw
     ]
     assert _roundtrip("relation", rows) == rows
+
+
+def test_pbf_sink_user_data_false_drops_gdpr_fields(spark, tmp_path):
+    """--noUserData parity (src/extract.cpp:73,111): changeset/uid/user
+    are zeroed at the projection before encode; everything else
+    round-trips unchanged."""
+    ds_path = str(tmp_path / "ds")
+    testing.write_fixture_dataset(spark, ds_path, n_nodes=200, seed=11)
+    ds = Dataset(spark, ds_path)
+    res = ds.extract(Region("-90,-180,90,180", "bbox"))
+    out = str(tmp_path / "gdpr.osm.pbf")
+    sink.write_pbf(res, out, block_size=64, partitions=2, user_data=False)
+    pbf.register(spark)
+    for element in ("node", "way", "relation"):
+        rows = (
+            spark.read.format("osmpbf").option("element", element).load(out)
+        ).collect()
+        assert rows
+        for r in rows:
+            if "changeset" in r.__fields__:
+                assert (r.changeset or 0) == 0 and (r.uid or 0) == 0
+                assert (r.user or "") == ""
+    # ids/coords unaffected
+    nodes = spark.read.format("osmpbf").option("element", "node").load(out)
+    assert nodes.count() == res.locations.count()
