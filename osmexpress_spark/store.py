@@ -187,8 +187,28 @@ class SnapshotStore:
         )
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(new_version))  # the commit point
+        try:
+            # link (not rename): publishing a version that already exists
+            # fails loudly with FileExistsError instead of silently
+            # clobbering a racing writer's commit
+            os.link(tmp, self._manifest_path(new_version))  # the commit point
+        finally:
+            os.unlink(tmp)
         return new_version
+
+    def set_metadata(self, metadata: dict) -> int:
+        """Metadata-only commit: republish the current table entries
+        under a new version with the given metadata — e.g. recording
+        the post-expand `timestamp` that the replication bootstrap
+        (streaming/feedstate.py) later resolves to a seqnum."""
+        prev = self.latest_version()
+        if prev is None:
+            raise ValueError("set_metadata on empty store")
+        manifest = {
+            "tables": self._manifest(prev)["tables"],
+            "metadata": {**metadata, "committed_at": time.time()},
+        }
+        return self._publish(manifest, prev + 1)
 
     def merge_commit(
         self,

@@ -88,13 +88,28 @@ def apply_batch(
 
 
 def catch_up(
-    store: SnapshotStore, changes: DataFrame, commit: bool = True
+    store: SnapshotStore,
+    changes: DataFrame,
+    commit: bool = True,
+    state_source=None,
 ) -> list[int]:
     """U5 catch-up loop: apply every pending seqnum in ascending order.
     `changes` holds rows for one or many seqnums (CHANGES_SCHEMA).
     One driver job discovers (seqnum, type) pairs for the whole feed so
-    each batch application skips its own discovery pass."""
+    each batch application skips its own discovery pass.
+
+    `state_source` enables the osmx-update bootstrap (utils/
+    osmx-update:15-33): a store that has never committed a seqnum but
+    carries a `timestamp` in its metadata (fresh expand) resolves its
+    starting sequence by binary search over the feed's state files
+    (feedstate.timestamp_to_seqnum) instead of replaying from 0."""
     committed = committed_seqnum(store)
+    if committed == 0 and state_source is not None:
+        from .feedstate import bootstrap_seqnum
+
+        boot = bootstrap_seqnum(store, state_source)
+        if boot is not None:
+            committed = boot
     pairs = changes.select("seqnum", "type").distinct().collect()
     types_by_seq: dict[int, set[str]] = {}
     for r in pairs:

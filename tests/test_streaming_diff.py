@@ -122,3 +122,86 @@ def test_augmented_diff_classification_and_propagation(spark, fresh_store):
             ) == (min(xs), min(ys), max(xs), max(ys))
     # node rows carry no way bbox
     assert by_key[("node", node_id)].old_minlon is None
+
+
+# --- timestamp -> seqnum bootstrap (utils/server.py:27-107) ---------------
+def _write_state(dirpath, seq, ts, nested=True, latest=False):
+    import os
+
+    from osmexpress_spark.streaming import feedstate
+
+    rel = "state.txt" if latest else feedstate.seq_path(seq)
+    if not nested and not latest:
+        rel = f"{seq}.state.txt"
+    p = os.path.join(dirpath, rel)
+    os.makedirs(os.path.dirname(p) or dirpath, exist_ok=True)
+    iso = ts.strftime("%Y-%m-%dT%H\\:%M\\:%SZ")
+    with open(p, "w") as f:
+        f.write(f"#comment line\nsequenceNumber={seq}\ntimestamp={iso}\n")
+
+
+def test_timestamp_to_seqnum_binary_search(tmp_path):
+    from datetime import datetime, timedelta, timezone
+
+    from osmexpress_spark.streaming import feedstate
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    feed = str(tmp_path / "feed")
+    # irregular feed: minutely-ish with jitter, some states missing
+    # (garbage-collected), sequences 10..60
+    states = {}
+    for seq in range(10, 61):
+        if seq in (17, 18, 33, 50):
+            continue
+        states[seq] = base + timedelta(minutes=2 * seq + (seq % 3))
+        _write_state(feed, seq, states[seq], nested=(seq % 2 == 0))
+    latest_seq = max(states)
+    _write_state(feed, latest_seq, states[latest_seq], latest=True)
+    src = feedstate.DirStateSource(feed)
+
+    assert src.latest().sequence == latest_seq
+    assert src.state(17) is None
+    # contract: greatest available seq whose timestamp < requested
+    for target_seq in (12, 23, 34, 48, 59):
+        ts = states[target_seq]
+        expected = max(s for s, t in states.items() if t < ts)
+        got = feedstate.timestamp_to_seqnum(src, ts)
+        assert got == expected, (target_seq, got, expected)
+    # newer than the whole feed -> newest
+    assert (
+        feedstate.timestamp_to_seqnum(src, states[latest_seq] + timedelta(hours=1))
+        == latest_seq
+    )
+    # older than the whole feed -> oldest available
+    assert feedstate.timestamp_to_seqnum(src, base) == 10
+
+
+def test_catch_up_bootstraps_from_timestamp(spark, tmp_path, fresh_store):
+    """A store with only a post-expand timestamp resumes mid-feed: the
+    bootstrap resolves its seqnum from the state files, so earlier
+    batches are skipped and later ones applied (osmx-update:15-48)."""
+    from datetime import datetime, timedelta, timezone
+
+    from osmexpress_spark.streaming import feedstate
+
+    rows, batches, store = fresh_store
+    base = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    feed = str(tmp_path / "feed_state")
+    for seq in (1, 2, 3):
+        _write_state(feed, seq, base + timedelta(minutes=seq))
+    _write_state(feed, 3, base + timedelta(minutes=3), latest=True)
+    # expand timestamp sits just after batch 2's state
+    meta = dict(store.metadata())
+    meta.pop("seqnum", None)
+    meta["timestamp"] = (base + timedelta(minutes=2, seconds=30)).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    store.set_metadata(meta)
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], schemas.CHANGES_SCHEMA
+    )
+    applied = replication.catch_up(
+        store, all_changes, state_source=feedstate.DirStateSource(feed)
+    )
+    assert applied == [3]
+    assert replication.committed_seqnum(store) == 3
