@@ -38,6 +38,23 @@ from pyspark.sql import functions as F
 DRIVER_CLOSURE_MAX_EDGES = 1_000_000
 DRIVER_CLOSURE_MAX_SEEDS = 100_000
 
+# edge-probe cache: repeated extracts against the same dataset re-probe
+# the SAME edge plan every call (round 1 pulled up to 1M edges via
+# toPandas per extract). Keyed by DataFrame.semanticHash() — stable
+# across re-derived but logically identical plans — holding the
+# materialized (src,dst) pairs, or None for "too big, use the
+# distributed loop". Bounded LRU-ish: oldest entry evicted past 4.
+_EDGE_PROBE_CACHE: dict[tuple[int, str, str], list | None] = {}
+_EDGE_PROBE_CACHE_MAX = 4
+_edge_probe_jobs = 0  # test hook: counts actual probe jobs run
+
+
+def clear_probe_cache() -> None:
+    """Drop cached edge probes. Needed only when a caller rewrites the
+    SAME parquet path in place (identical plan, new data) — store
+    commits publish new paths per version, so they never alias."""
+    _EDGE_PROBE_CACHE.clear()
+
 
 def _bfs(seed_ids: set, pairs) -> set:
     adj: dict[int, list[int]] = defaultdict(list)
@@ -69,6 +86,12 @@ def transitive_closure(
 
     seeds: DataFrame with a single column `id_col`.
     edges: DataFrame with columns (src_col, dst_col).
+
+    The driver fast path caches materialized edge probes keyed by the
+    edge plan's semanticHash, so repeated extracts over one dataset run
+    ONE probe job, not one per call. In-place rewrites of the same
+    parquet path must call `clear_probe_cache()` (store versions never
+    alias paths, so the normal commit flow is safe).
     """
     seen = seeds.select(F.col(id_col).cast("long").alias(id_col)).distinct()
     if driver_max_edges is None:
@@ -79,19 +102,32 @@ def transitive_closure(
         # the default bounds).
         seed_probe = seen.limit(driver_max_seeds + 1).toPandas()
         if len(seed_probe) <= driver_max_seeds:
-            edge_probe = (
-                edges.select(src_col, dst_col)
-                .limit(driver_max_edges + 1)
-                .toPandas()
-            )
-            if len(edge_probe) <= driver_max_edges:
-                result = _bfs(
-                    set(seed_probe[id_col].tolist()),
-                    zip(
-                        edge_probe[src_col].tolist(),
-                        edge_probe[dst_col].tolist(),
-                    ),
+            cache_key = (edges.semanticHash(), src_col, dst_col, driver_max_edges)
+            if cache_key in _EDGE_PROBE_CACHE:
+                pairs = _EDGE_PROBE_CACHE[cache_key]
+            else:
+                global _edge_probe_jobs
+                _edge_probe_jobs += 1
+                edge_probe = (
+                    edges.select(src_col, dst_col)
+                    .limit(driver_max_edges + 1)
+                    .toPandas()
                 )
+                pairs = (
+                    list(
+                        zip(
+                            edge_probe[src_col].tolist(),
+                            edge_probe[dst_col].tolist(),
+                        )
+                    )
+                    if len(edge_probe) <= driver_max_edges
+                    else None  # too big: remember that, skip re-probing
+                )
+                while len(_EDGE_PROBE_CACHE) >= _EDGE_PROBE_CACHE_MAX:
+                    _EDGE_PROBE_CACHE.pop(next(iter(_EDGE_PROBE_CACHE)))
+                _EDGE_PROBE_CACHE[cache_key] = pairs
+            if pairs is not None:
+                result = _bfs(set(seed_probe[id_col].tolist()), pairs)
                 spark = seeds.sparkSession
                 return spark.createDataFrame(
                     [(i,) for i in sorted(result)], f"{id_col} long"

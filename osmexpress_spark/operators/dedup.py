@@ -56,9 +56,15 @@ def shingles(text: Column, k: int = 2) -> Column:
 
 def minhash_signature(text: Column, n_hashes: int = 8, k: int = 2) -> Column:
     """Array of n_hashes min-hash values over the shingle set
-    (permutation p = p-th 4-hex slice of md5, see module docstring)."""
+    (permutation p = p-th 4-hex slice of md5, see module docstring).
+
+    Empty-shingle contract (shared with minhash_signatures_df): a doc
+    with fewer than k words has NO signature — NULL here, absent from
+    the df form's output. Round 1 returned an array of NULLs here
+    while the df form dropped the doc; the two advertised-equivalent
+    forms now agree."""
     hashes = F.transform(shingles(text, k), F.md5)
-    return F.array(
+    sig = F.array(
         *[
             F.array_min(
                 F.transform(
@@ -68,6 +74,7 @@ def minhash_signature(text: Column, n_hashes: int = 8, k: int = 2) -> Column:
             for p in range(n_hashes)
         ]
     )
+    return F.when(F.size(hashes) > 0, sig)
 
 
 def minhash_signatures_df(
@@ -82,6 +89,10 @@ def minhash_signatures_df(
     shingles once and taking n_hashes vectorized min-aggregates keeps
     everything in WholeStageCodegen with map-side partial aggregation —
     shuffle traffic is one row per document, not per shingle.
+
+    Empty-shingle contract: docs with fewer than k words produce no
+    exploded rows and are ABSENT from the output — matching
+    minhash_signature's NULL (see its docstring).
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
@@ -150,6 +161,7 @@ def jaccard_pairs(
     bucket_cols: list[str],
     k: int = 2,
     threshold: float = 0.05,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs within the same
     bucket (blocking columns bound the quadratic term). At scale the
@@ -163,8 +175,18 @@ def jaccard_pairs(
     with array_intersect re-walks two ~100-element arrays per pair
     (measured 2x slower at sf0.1 and quadratic in bucket size); the
     inverted index only materializes pairs that share a shingle and is
-    the standard 100 TB shape (add shingle-frequency capping for
-    stop-shingles when buckets are huge)."""
+    the standard 100 TB shape.
+
+    `max_shingle_freq` is the stop-shingle cap: a shingle appearing in
+    more than this many docs of one bucket is dropped from the
+    inverted index BEFORE the pair expansion, bounding any single
+    shingle's contribution to max_freq^2/2 pairs instead of bucket^2/2
+    (one ubiquitous boilerplate shingle otherwise quadratically
+    explodes its bucket). The capped result is an approximation that
+    biases similarity DOWN: capped shingles still count in |A| and |B|
+    but can no longer witness an intersection — near-dup pairs sharing
+    rarer shingles still surface. Default None keeps exact semantics
+    (the oracle-checked configuration)."""
     docs = df.where(F.size(F.split(F.col(text_col), " ")) >= k).select(
         *bucket_cols,
         F.col(id_col),
@@ -176,6 +198,15 @@ def jaccard_pairs(
     inv = docs.select(
         *bucket_cols, F.col(id_col), F.explode("sh").alias("s")
     ).select(*bucket_cols, F.col(id_col), F.xxhash64("s").alias("s"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy(*bucket_cols, "s").agg(
+            F.count(F.lit(1)).alias("__freq")
+        )
+        inv = (
+            inv.join(freq, [*bucket_cols, "s"])
+            .where(F.col("__freq") <= max_shingle_freq)
+            .drop("__freq")
+        )
     # AQE sees a tiny shuffle (8-byte keys) and coalesces the join to one
     # task, but the join OUTPUT is the expanded pair list — pin the
     # partitioning on the join key so the expansion stays parallel.

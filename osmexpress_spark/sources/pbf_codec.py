@@ -193,11 +193,17 @@ def decode_header_block(buf: bytes) -> dict:
             for f2, w2, v2 in br.fields():
                 if w2 == 0:
                     bb[f2] = _zz_dec(v2 + (1 << 64) if v2 < 0 else v2)
+            # round-to-nearest like _BlockCtx.coord: third-party PBFs
+            # whose bbox nanodegrees aren't multiples of 100 must not
+            # bias toward -inf (floor) while node coords round
+            def nano7(v: int) -> int:
+                return v // 100 if v % 100 == 0 else round(v / 100)
+
             out["bbox"] = (
-                bb.get(1, 0) // 100,  # left
-                bb.get(4, 0) // 100,  # bottom
-                bb.get(2, 0) // 100,  # right
-                bb.get(3, 0) // 100,  # top
+                nano7(bb.get(1, 0)),  # left
+                nano7(bb.get(4, 0)),  # bottom
+                nano7(bb.get(2, 0)),  # right
+                nano7(bb.get(3, 0)),  # top
             )
         elif field == 4 and wire == 2:
             out["required_features"].append(r.span_bytes(val).decode())

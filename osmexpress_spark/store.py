@@ -217,6 +217,7 @@ class SnapshotStore:
         sort_by: dict[str, str] | None = None,
         max_layers: int = 16,
         partitions: int = 8,
+        layer_files: int | None = None,
     ) -> int:
         """Publish one batch of per-table merges as delta layers — the
         O(|batch|)-write path (see module docstring). Every touched
@@ -267,12 +268,16 @@ class SnapshotStore:
             ldir = os.path.join("data", name, f"v{new_version}_layer")
             ups_rel = os.path.join(ldir, "upserts")
             chg_rel = os.path.join(ldir, "changed")
-            spec.upserts.coalesce(1).write.mode("overwrite").parquet(
+            # minutely diffs are tiny -> one file per layer keeps the
+            # merge-on-read fold cheap; a large backfill batch keeps
+            # its write parallel instead of serializing into one task
+            lf = layer_files if layer_files is not None else 1
+            spec.upserts.coalesce(lf).write.mode("overwrite").parquet(
                 os.path.join(self.root, ups_rel)
             )
             spec.changed_keys.select(
                 F.col(spec.key).alias("key")
-            ).distinct().coalesce(1).write.mode("overwrite").parquet(
+            ).distinct().coalesce(lf).write.mode("overwrite").parquet(
                 os.path.join(self.root, chg_rel)
             )
             layers.append({"upserts": ups_rel, "changed": chg_rel})

@@ -1,0 +1,92 @@
+"""Dedup operator contracts: minhash empty-doc consistency, jaccard
+stop-shingle capping, simhash block probing, closure probe caching."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import closure, dedup
+
+
+def test_minhash_forms_agree_on_empty_docs(spark):
+    """Column form gives NULL, df form omits the doc — the two
+    advertised-equivalent forms agree that a doc with < k words has no
+    signature (ADVICE round 1)."""
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two words here"), (3, "a b")],
+        "id long, text string",
+    )
+    col_form = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", dedup.minhash_signature(F.col("text"), 4, k=2).alias("sig")
+        ).collect()
+    }
+    assert col_form[1] is None
+    assert col_form[2] is not None and None not in col_form[2]
+    df_form = dedup.minhash_signatures_df(df, "id", "text", 4, k=2)
+    assert {r["id"] for r in df_form.collect()} == {2, 3}
+    # and the values agree between forms
+    for r in df_form.collect():
+        assert col_form[r["id"]] == [r[f"h{p}"] for p in range(4)]
+
+
+def test_jaccard_stop_shingle_cap_bounds_pairs(spark):
+    """An adversarial ubiquitous shingle must not quadratically explode
+    the bucket: with the cap, only pairs sharing RARE shingles
+    survive the inverted index."""
+    n = 60
+    # every doc shares the boilerplate bigram 'common footer'; docs 2i
+    # and 2i+1 additionally share a rare bigram
+    rows = [
+        (i, f"common footer rare{i // 2} token{i // 2}", "b")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, bucket string")
+    uncapped = dedup.jaccard_pairs(
+        df, "doc_id", "text", ["bucket"], k=2, threshold=0.01
+    )
+    # boilerplate alone creates O(n^2) candidate pairs
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = dedup.jaccard_pairs(
+        df, "doc_id", "text", ["bucket"], k=2, threshold=0.01,
+        max_shingle_freq=5,
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(n // 2)}
+
+
+def test_simhash_candidates_finds_near_dups_only(spark):
+    # simhash with k=1 hashes the DISTINCT token set: reordering and
+    # duplicating words is the near-dup class it catches exactly
+    # (hamming 0); a disjoint vocabulary lands far beyond hamming 3
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "near the river the lazy dog the quick brown fox jumps over over"),
+        (3, "completely different content about spark physical plans today"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_candidates(df, "doc_id", "text", k=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_closure_edge_probe_cached_per_dataset(spark, tmp_path):
+    """Repeated closures over the same edge table run ONE probe job
+    (round 1 re-pulled up to 1M edges per call)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    path = str(tmp_path / "edges")
+    edges.write.parquet(path)
+    closure.clear_probe_cache()
+    before = closure._edge_probe_jobs
+    for _ in range(3):
+        e = spark.read.parquet(path)  # same plan -> same semanticHash
+        seeds = spark.createDataFrame([(0,)], "id long")
+        out = closure.transitive_closure(seeds, e, "src", "dst")
+        assert out.count() == 101
+    assert closure._edge_probe_jobs == before + 1
