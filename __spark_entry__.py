@@ -34,19 +34,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from osmexpress_spark import queries as Q
     from osmexpress_spark import queries_data as QD
     from osmexpress_spark import queries_osm as QO
+    from osmexpress_spark import queries_update as QU
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(Q.SPARK_QUERIES)
     out.update(QD.SPARK_QUERIES)
     out.update(QO.SPARK_QUERIES)
+    out.update(QU.SPARK_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from osmexpress_spark import queries as Q
     from osmexpress_spark import queries_data as QD
+    from osmexpress_spark import queries_update as QU
 
     out: dict[str, str] = {}
     out.update(Q.ORACLE_SQL)
     out.update(QD.ORACLE_SQL)
+    out.update(QU.ORACLE_SQL)
     return out

@@ -40,6 +40,7 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_embedding_topk",
     "q_embedding_ann_bucketed",
+    "q_augmented_diff_analog",
     "osm_extract_bbox",
 ]
 
@@ -48,8 +49,14 @@ def main() -> None:
     from osmexpress_spark import queries as Q
     from osmexpress_spark import queries_data as QD
     from osmexpress_spark import queries_osm as QO
+    from osmexpress_spark import queries_update as QU
 
-    registry = {**Q.SPARK_QUERIES, **QD.SPARK_QUERIES, **QO.SPARK_QUERIES}
+    registry = {
+        **Q.SPARK_QUERIES,
+        **QD.SPARK_QUERIES,
+        **QO.SPARK_QUERIES,
+        **QU.SPARK_QUERIES,
+    }
 
     spark = get_spark(
         app_name="osmx-bench",
