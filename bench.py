@@ -105,7 +105,9 @@ def main() -> None:
                 spark, QO.FIXTURE_DIR, n_nodes=QO.FIXTURE_NODES, seed=42
             ),
         )
-        world = fx.extract(Region("-90,-180,90,180", "bbox"))
+        # cache_ids: the export consumes the extract 4x (header bbox +
+        # three passes); without it each pass re-runs the id-set DAG
+        world = fx.extract(Region("-90,-180,90,180", "bbox"), cache_ids=True)
 
         t0 = time.monotonic()
         pbf_path = os.path.join(tmp, "world.osm.pbf")

@@ -33,7 +33,12 @@ TYPE_RANK = {"node": 1, "way": 2, "relation": 3}
 def augmented_diff(
     tables: dict[str, DataFrame], changes: DataFrame
 ) -> DataFrame:
-    chg = last_wins(changes)
+    # The deduped batch feeds ~10 plan branches (3 classifies, id sets,
+    # old/new positions, new edges). Without a cut, each branch re-runs
+    # the union+window dedup — and the whole diff is one plan, so JIT
+    # compiles every copy. Materializing is safe at scale: a change
+    # batch is minutely-diff-sized, same bound update.py relies on.
+    chg = last_wins(changes).localCheckpoint(eager=True)
 
     # --- classify against the snapshot (J4; augmented_diff.py:48-55) ------
     def classify(typ: str, old: DataFrame) -> DataFrame:

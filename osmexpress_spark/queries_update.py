@@ -426,11 +426,20 @@ def q_augmented_diff_analog(spark, sf_dir):
     (J1), old/new node positions, per-way old/new member bboxes (A4)
     — augmented_diff.py:48-342 re-expressed on driver-checkable data
     (operators/diff.py:33)."""
+    # Materialize the synthetic snapshot once: in real usage these are
+    # parquet-backed store tables, not inline groupBy derivations — the
+    # diff references ways/node_way in several branches, and without a
+    # cut each branch would re-run the lineitem aggregation (and JIT a
+    # copy of it).
+    from .operators import edges as edges_mod
+
+    ways = _base_ways(spark, sf_dir).localCheckpoint(eager=True)
     tables = {
-        "locations": _base_locations(spark, sf_dir),
+        "locations": _base_locations(spark, sf_dir).localCheckpoint(eager=True),
         "nodes": _empty(spark, schemas.NODES_SCHEMA),
-        "ways": _base_ways(spark, sf_dir),
+        "ways": ways,
         "relations": _empty(spark, schemas.RELATIONS_SCHEMA),
+        "node_way": edges_mod.node_way(ways).localCheckpoint(eager=True),
     }
     changes = _node_changes(spark, sf_dir).unionByName(
         _way_changes(spark, sf_dir)
