@@ -302,3 +302,113 @@ def topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# On-disk inverted-file layout — the 100 TB probe path. topk_ivf above
+# assigns cids inline, so every search re-scans and re-quantizes the
+# whole corpus. The indexed form does that ONCE at build time and makes
+# nprobe pruning physical: the lists live in parquet PARTITIONED BY
+# cid, so a probe reads nprobe/n_centroids of the files (static
+# partition pruning — visible as PartitionFilters in the scan), not
+# just nprobe/n_centroids of the rows.
+
+
+def ivf_build_index(
+    candidates: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """One corpus-sized assignment scan writes the inverted lists
+    (parquet, partitionBy cid) plus a centroids.json sidecar. Returns
+    the centroids. Rebuild cadence is the caller's policy — the coarse
+    quantizer tolerates stale centroids (recall degrades gradually;
+    assignments stay consistent because probes use the SAVED centroids,
+    never retrained ones)."""
+    import json
+    import os
+
+    cents = ivf_train(candidates, dim, n_centroids, iters, id_col, vec_col)
+    (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _argmax(_centroid_scores(F.col(vec_col), cents)).alias("cid"),
+        )
+        .write.partitionBy("cid")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "lists"))
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump({"dim": dim, "n_centroids": n_centroids, "centroids": cents}, f)
+    return cents
+
+
+def topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built index: the query set's probe cids are collected
+    (|Q| x nprobe ints — queries are broadcast-sized by assumption, the
+    same bound topk_ivf already relies on) and pushed as a LITERAL cid
+    filter, so Catalyst prunes non-probed list partitions at planning
+    time; no corpus re-quantization, no full scan. Output matches
+    topk_ivf given the same build parameters."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+
+    scores = _centroid_scores(F.col(vec_col), cents)
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.arrays_zip(
+                    scores.alias("s"),
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(ranked, lambda x: x["i"])).alias("cid"),
+    ).localCheckpoint(eager=True)  # probed twice: cid collect + join
+
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    lists = spark.read.parquet(os.path.join(path, "lists")).where(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        lists.join(F.broadcast(q), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

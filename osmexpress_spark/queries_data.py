@@ -434,6 +434,29 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
 
 
+@defq("q_embedding_ann_ivf_indexed")  # rows-only: iterative training + index IO
+def q_embedding_ann_ivf_indexed(spark, sf_dir):
+    """The on-disk inverted-file probe path: lists parquet partitioned
+    by cid (built once, cached under .fixtures keyed by sf), probe
+    pushes a literal cid IN-filter so the scan partition-prunes.
+    Equivalence to the inline form is golden-tested
+    (tests/test_similarity.py); same no-oracle reason as
+    q_embedding_ann_ivf."""
+    import os
+
+    from . import queries_osm as QO
+
+    emb = t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(os.path.dirname(QO.FIXTURE_DIR), f"ivf_idx_{sf_tag}")
+    if not os.path.exists(os.path.join(idx, "centroids.json")):
+        similarity.ivf_build_index(emb, idx, EMB_DIM, n_centroids=16)
+    res = similarity.topk_ivf_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 10), k=3, nprobe=4
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
+
+
 @defq(
     "q_embedding_dedup",
     f"""

