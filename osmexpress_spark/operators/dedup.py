@@ -255,6 +255,47 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_common: int = 1,
+    bench_id_name: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, benchmark doc, number of
+    shared word-k-grams) for every cross pair sharing >= ``min_common``
+    shingles — the eval-overlap filter every training-data pipeline
+    runs before a corpus ships.
+
+    Plan shape: both sides become inverted indexes on the 64-bit
+    shingle hash; the benchmark side (an eval suite — KB..MB, tiny by
+    definition) is BROADCAST against the corpus index, so the 100 TB
+    corpus is scanned once and never shuffled for the join. The
+    per-pair shared-shingle count then aggregates map-side first.
+    Self-pairs (a doc that IS a benchmark row, same id) are excluded.
+    """
+    sh = shingles(F.col(text_col), k)
+    corp_inv = (
+        corpus.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(F.col(id_col), F.explode(sh).alias("s"))
+        .select(F.col(id_col), F.xxhash64("s").alias("s"))
+    )
+    bench_inv = (
+        bench.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(F.col(id_col).alias(bench_id_name), F.explode(sh).alias("s"))
+        .select(F.col(bench_id_name), F.xxhash64("s").alias("s"))
+    )
+    return (
+        corp_inv.join(F.broadcast(bench_inv), "s")
+        .where(F.col(id_col) != F.col(bench_id_name))
+        .groupBy(id_col, bench_id_name)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> one conv() per shingle, fits BIGINT
 SIMHASH_BLOCKS = 6  # Manku-style blocks (10 bits each)
 

@@ -1,0 +1,167 @@
+"""Deterministic sampling & mixture operators for training-data curation.
+
+Sampling a 100 TB corpus has two hard requirements the naive
+``df.sample()`` path fails:
+
+- **Reproducibility**: ``rand()`` is seeded per-partition, so the kept
+  set changes whenever the partitioning does (AQE, repartition, retry
+  of a lost task recomputing a partition). Every operator here keys off
+  a deterministic per-row function of the id instead — same rows kept
+  on every run, every engine, every partition layout.
+- **Scan-side evaluation**: rate-based sampling must be a pure column
+  predicate so it executes inside the parquet scan with zero shuffle
+  and composes with pushdown (a 1% sample of 100 TB should cost ~a
+  scan, never a shuffle).
+
+Two deterministic keys are used:
+
+- ``hash_bucket``: Knuth multiplicative hash ``(id * 2654435761) %
+  denom``. One multiply per row, stays in whole-stage codegen, and is
+  expressible identically in ANSI SQL — the oracle-parity choice.
+  (Production variant: ``xxhash64``; kept out of the contract queries
+  only because DuckDB lacks it.)
+- ``md5(id)`` string order: rank-based operators (reservoir, global
+  shuffle) need a total order that is uniform-ish and engine-identical;
+  md5-hex string comparison is both.
+
+Scale shapes:
+- ``stratified_sample`` / rate mixing — scan-side filter, zero shuffle.
+- ``reservoir_per_key`` / ``domain_mix_quota`` — one hash-partition
+  window per key; per-key state is the k-row heap. A dominant key
+  skews the window — pre-aggregate with operators/skew.py salting if a
+  stratum exceeds an executor.
+- ``global_shuffle`` — the one intrinsically all-data sort in a
+  training pipeline (the final example-order materialization). Runs as
+  a range-partitioned sort on the md5 key (uniform by construction, so
+  range partitions balance); do it exactly once, at the last write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative
+
+
+def hash_bucket(id_col: Column, denom: int = 10_000) -> Column:
+    """Deterministic bucket in [0, denom) from a non-negative id.
+
+    Stays exact in int64 for ids < 2^31 (id * KNUTH < 2^63); the
+    driver tables' keys are far below that.
+    """
+    return (id_col.cast("long") * F.lit(KNUTH)) % F.lit(denom)
+
+
+def hash_bucket_sql(id_expr: str, denom: int = 10_000) -> str:
+    """The identical bucket in ANSI SQL (oracle side)."""
+    return f"(CAST({id_expr} AS BIGINT) * {KNUTH}) % {denom}"
+
+
+def sample_order(id_col: Column) -> Column:
+    """Engine-portable pseudo-random total order key: md5 of the
+    decimal id string."""
+    return F.md5(id_col.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    denom: int = 10_000,
+) -> DataFrame:
+    """Keep each row of stratum s with probability ``rates[s]``,
+    deterministically: bucket(id) < rate * denom. Unlisted strata are
+    dropped (rate 0).
+
+    Pure scan-side predicate — no shuffle, no RNG state, and the CASE
+    over strata is a broadcast-free literal expression (strata sets are
+    small by definition; a huge strata map would become a broadcast
+    join against a rates dim instead).
+    """
+    bucket = hash_bucket(F.col(id_col), denom)
+    thresh = None
+    for s, r in sorted(rates.items()):
+        cut = int(round(r * denom))
+        thresh = (
+            F.when(F.col(strata_col) == s, F.lit(cut))
+            if thresh is None
+            else thresh.when(F.col(strata_col) == s, F.lit(cut))
+        )
+    if thresh is None:
+        return df.where(F.lit(False))
+    return df.where(bucket < thresh.otherwise(F.lit(0)))
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    rank_name: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic k-row "reservoir" per key: rank rows within each
+    key by the md5 order and keep the first k. Equivalent in
+    distribution to reservoir sampling but reproducible and engine-
+    portable. One window (= one hash shuffle on key); state per key is
+    k rows.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        sample_order(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .where(F.col(rank_name) <= k)
+    )
+
+
+def global_shuffle(df: DataFrame, id_col: str, pos_name: str = "pos") -> DataFrame:
+    """Assign the deterministic global training-order position: rows
+    sorted by md5(id). The md5 key is uniform, so the range-partitioned
+    sort balances; at 100 TB this is the single intentional full
+    shuffle of the pipeline (run it once, at the final materialization;
+    upstream ops must not depend on this order).
+
+    Note row_number here is a single-partition window over the sort —
+    fine for the contract fixture; the scale path writes the sorted
+    frame with ``df.sort(key).write`` (positions implicit in file
+    order) or zips monotonically within range partitions.
+    """
+    w = Window.orderBy(sample_order(F.col(id_col)), F.col(id_col))
+    return df.select(
+        F.row_number().over(w).alias(pos_name), "*"
+    )
+
+
+def domain_mix_quota(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: Mapping[str, int],
+    rank_name: str = "mix_rank",
+) -> DataFrame:
+    """Fill an exact per-domain quota (the "data mixture" step of a
+    training pipeline): rank rows within each stratum by the md5 order
+    and keep ``quotas[s]`` of them. Domains absent from the map
+    contribute nothing. Same single-window shape as reservoir_per_key;
+    the quota map is a literal CASE.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_order(F.col(id_col)), F.col(id_col)
+    )
+    quota = None
+    for s, q in sorted(quotas.items()):
+        quota = (
+            F.when(F.col(strata_col) == s, F.lit(int(q)))
+            if quota is None
+            else quota.when(F.col(strata_col) == s, F.lit(int(q)))
+        )
+    if quota is None:
+        return df.withColumn(rank_name, F.lit(1)).where(F.lit(False))
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .where(F.col(rank_name) <= quota.otherwise(F.lit(0)))
+    )

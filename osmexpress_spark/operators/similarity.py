@@ -22,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,8 +52,6 @@ def topk_bruteforce(
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): exact top-k by cosine, queries
     broadcast across the candidate scan."""
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -110,8 +108,6 @@ def topk_bucketed(
     """ANN top-k restricted to the query's LSH bucket — the candidate
     set shrinks ~2^n_planes-fold; recall is traded for a bucket-equi
     join that scales linearly."""
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -259,8 +255,6 @@ def topk_ivf(
     Scan cost ~ nprobe/n_centroids of brute force; at real scale the
     candidate side is written bucketed by cid so the probe join is
     shuffle-free on the big side."""
-    from pyspark.sql import Window
-
     cents = ivf_train(candidates, dim, n_centroids, iters, id_col, vec_col)
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -366,8 +360,6 @@ def topk_ivf_indexed(
     import json
     import os
 
-    from pyspark.sql import Window
-
     with open(os.path.join(path, "centroids.json")) as f:
         meta = json.load(f)
     cents = meta["centroids"]
@@ -411,4 +403,129 @@ def topk_ivf_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --- scalar quantization (int8 compression for 100 TB vector stores) -------
+def quantize(vec: Column, bits: int = 8) -> Column:
+    """Per-vector symmetric scalar quantization: q_i = round_half_up(
+    x_i / scale) with scale = max|x| / (2^(bits-1) - 1), as int codes.
+
+    Pure column expression (transform + array_max), no Python. The
+    round is floor(x/scale + 0.5) — identical semantics in Spark and
+    ANSI SQL (ROUND differs: Spark HALF_UP vs DuckDB HALF_EVEN).
+    All arithmetic in float64 from exact float32 casts, so codes are
+    engine-identical. An all-zero vector quantizes to zeros via the
+    1e-30 scale floor (no CASE needed)."""
+    scale = quantize_scale(vec, bits)
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+
+
+def quantize_scale(vec: Column, bits: int = 8) -> Column:
+    qmax = (1 << (bits - 1)) - 1
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.greatest(amax, F.lit(1e-30)) / F.lit(float(qmax))
+
+
+def topk_quantized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Top-k by approximate inner product over int8 codes:
+    sim ≈ scale_q * scale_c * (q_codes · c_codes).
+
+    This is the memory-tier ANN path: at 100 TB the float32 corpus is
+    4 bytes/dim; int8 codes are 1 — the candidate scan reads 1/4 the
+    bytes and the dot product is integer SIMD. The integer dot is
+    EXACT cross-engine; only the final scale product is float (rounded
+    to 6 decimals before ranking, the same absorb-the-fold-noise rule
+    as cosine). Queries broadcast across the candidate scan, ranks
+    tie-break on id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col), bits).alias("qq"),
+        quantize_scale(F.col(vec_col), bits).alias("qs"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col), bits).alias("cq"),
+        quantize_scale(F.col(vec_col), bits).alias("cs"),
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("qs") * F.col("cs") * idot.cast("double"), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def kmeans_assign_step(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """One Lloyd ASSIGNMENT step with deterministic seeds (the k
+    smallest ids): (id, cluster) by nearest squared-L2 centroid.
+
+    The distributed-clustering building block stated declaratively:
+    seeds broadcast against the corpus scan, distance is a zip_with
+    fold (no Python), argmin via one per-id window. ivf_train composes
+    the full iterative loop (numpy mean update on the driver over a
+    bounded sample); this single step is the part that runs at corpus
+    scale every iteration, and is exactly SQL-expressible for the
+    oracle. Distances round to `decimals` before the argmin (absorbs
+    float fold-order noise); ties break on centroid id."""
+    cent = (
+        df.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col("cid"),
+        F.round(d2, decimals).alias("d2"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2"), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cluster"), F.col("d2"))
     )

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, skew, text
+from .operators import dedup, multimodal, sample, similarity, skew, text
 from .queries import t
 from .streaming import stateful, watermark_ops
 
@@ -785,3 +785,244 @@ def q_stream_interval_join(spark, sf_dir):
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
     return _drain(out, "append")
+
+
+# --- sampling & mixture (training-data curation) ---------------------------
+_SAMPLE_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+_MIX_QUOTAS = {"src0": 10, "src1": 5, "src3": 7}
+
+
+@defq(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {sample.hash_bucket_sql('doc_id')} <
+          CASE source WHEN 'src0' THEN 5000
+                      WHEN 'src1' THEN 2500
+                      WHEN 'src2' THEN 1000
+                      ELSE 0 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source rate sampling (operators/sample.py):
+    a pure scan-side predicate — reproducible across runs/partitionings
+    (unlike rand()) and zero-shuffle at any scale."""
+    d = t(spark, sf_dir, "documents")
+    return sample.stratified_sample(
+        d, "doc_id", "source", _SAMPLE_RATES
+    ).select("doc_id", "source")
+
+
+@defq(
+    "q_reservoir_per_key",
+    """
+    SELECT user_id, event_id, CAST(rn AS INTEGER) AS sample_rank
+    FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """,
+)
+def q_reservoir_per_key(spark, sf_dir):
+    """Deterministic k-per-key "reservoir": first 20 events per user in
+    md5 order — one window, per-key state bounded at k rows."""
+    e = t(spark, sf_dir, "events")
+    return sample.reservoir_per_key(e, "user_id", "event_id", k=20).select(
+        "user_id", "event_id", "sample_rank"
+    )
+
+
+@defq(
+    "q_global_shuffle",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pos,
+           doc_id
+    FROM documents
+    """,
+)
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training order (the pipeline's one
+    intentional full sort; see operators/sample.py for the at-scale
+    materialization note)."""
+    d = t(spark, sf_dir, "documents")
+    return sample.global_shuffle(d, "doc_id").select("pos", "doc_id")
+
+
+@defq(
+    "q_domain_mix",
+    """
+    SELECT source, doc_id, CAST(rn AS INTEGER) AS mix_rank
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= CASE source WHEN 'src0' THEN 10
+                            WHEN 'src1' THEN 5
+                            WHEN 'src3' THEN 7
+                            ELSE 0 END
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Exact per-domain quota fill (the data-mixture step): rank within
+    each source by the deterministic md5 order, keep quota[source]."""
+    d = t(spark, sf_dir, "documents")
+    return sample.domain_mix_quota(d, "source", "doc_id", _MIX_QUOTAS).select(
+        "source", "doc_id", "mix_rank"
+    )
+
+
+_CONTAM_K = 3
+
+
+@defq(
+    "q_contamination",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(w) - {_CONTAM_K - 1}),
+                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      FROM ws WHERE len(w) >= {_CONTAM_K}
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), bi AS (
+      SELECT doc_id AS bench_id, s FROM inv WHERE doc_id % 97 = 0
+    )
+    SELECT i.doc_id, b.bench_id, COUNT(*) AS n_common
+    FROM inv i JOIN bi b USING (s)
+    WHERE i.doc_id <> b.bench_id
+    GROUP BY i.doc_id, b.bench_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 2 word
+    3-grams with any "benchmark" doc (doc_id % 97 == 0 stands in for
+    the eval suite). The bench inverted index is broadcast — the
+    corpus never shuffles (operators/dedup.py:contamination_pairs)."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_pairs(
+        d, bench, "doc_id", "text", k=_CONTAM_K, min_common=2
+    ).select("doc_id", "bench_id", "n_common")
+
+
+_QUANT_SQL = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                      AS INTEGER)) AS qv
+      FROM s
+    )
+"""
+
+
+@defq(
+    "q_embedding_quantize",
+    _QUANT_SQL
+    + """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           md5(array_to_string(qv, ',')) AS q_digest
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (similarity.py:
+    quantize): the 4x-smaller memory tier for 100 TB vector stores.
+    Codes are engine-exact (floor half-up from float64); the contract
+    emits an L1 norm + code digest rather than the raw array (array
+    cells don't survive the driver's pandas stringification)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = similarity.quantize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(qv, lambda x: F.abs(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_l1"),
+        F.md5(F.array_join(F.transform(qv, lambda x: x.cast("string")), ","))
+        .alias("q_digest"),
+    )
+
+
+@defq(
+    "q_quantized_ann",
+    _QUANT_SQL
+    + f"""
+    , qq AS (SELECT vec_id AS query_id, qv AS qqv, scale AS qs
+             FROM q WHERE vec_id < 10),
+    cc AS (SELECT vec_id AS neighbor_id, qv AS cqv, scale AS cs FROM q),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(qs * cs * CAST(list_sum(list_transform(range({EMB_DIM}),
+                 i -> CAST(qqv[i+1] AS BIGINT) * CAST(cqv[i+1] AS BIGINT)))
+                 AS DOUBLE), 6) AS sim
+      FROM qq, cc WHERE neighbor_id != query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS knn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5
+    """,
+)
+def q_quantized_ann(spark, sf_dir):
+    """Approximate inner-product top-k over int8 codes (similarity.py:
+    topk_quantized): integer-SIMD dot on 1/4 the bytes; the integer dot
+    is cross-engine exact, only the scale product is rounded float."""
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_quantized(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
+
+
+@defq(
+    "q_kmeans_assign",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_sum(list_transform(range({EMB_DIM}),
+                 i -> (CAST(e.embedding[i+1] AS DOUBLE)
+                       - CAST(c.cv[i+1] AS DOUBLE))
+                    * (CAST(e.embedding[i+1] AS DOUBLE)
+                       - CAST(c.cv[i+1] AS DOUBLE)))), 6) AS d2
+      FROM embeddings e, c
+    ), r AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cid) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark, sf_dir):
+    """One distributed Lloyd assignment step (similarity.py:
+    kmeans_assign_step): the per-iteration corpus-scale work of
+    clustering, stated declaratively — broadcast centroids, zip_with
+    distance fold, one window argmin. The full iterative loop lives in
+    ivf_train (golden-tested); this step is the SQL-oracled core."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign_step(emb, k=8).select("vec_id", "cluster")

@@ -490,3 +490,59 @@ def q_point_to_cell(spark, sf_dir):
         _lat("c_custkey").alias("lat"),
         cells.cell_col(_lon("c_custkey"), _lat("c_custkey")).alias("cell"),
     )
+
+
+# --------------------------------------------------------------------------
+# G6 — WKT LineString assembly, hash-checked (was rows-only via the OSM
+# fixture). The oracle re-implements the exact fixed-7-decimal
+# coordinate text from the scaled int (functions/__init__.py:_fmt_coord;
+# ref examples/way_wkt.cpp:40) and the vertex-order-preserving
+# reassembly as an ordered string_agg.
+def _fmt_coord_sql(col: str) -> str:
+    return (
+        f"(CASE WHEN {col} < 0 THEN '-' ELSE '' END"
+        f" || CAST(abs(CAST({col} AS BIGINT)) // 10000000 AS VARCHAR)"
+        f" || '.'"
+        f" || lpad(CAST(abs(CAST({col} AS BIGINT)) % 10000000 AS VARCHAR),"
+        f" 7, '0'))"
+    )
+
+
+@defq(
+    "q_way_wkt_analog",
+    f"""
+    WITH v AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS way_id, l_linenumber AS pos,
+             l_partkey AS node_id
+      FROM lineitem WHERE l_orderkey % 10 = 1
+    ), loc AS (
+      SELECT p_partkey AS node_id,
+             {_LON_EXPR.format(k="p_partkey")} AS lon,
+             {_LAT_EXPR.format(k="p_partkey")} AS lat
+      FROM part
+    ), pts AS (
+      SELECT v.way_id, v.pos, v.node_id, loc.lon, loc.lat
+      FROM v JOIN loc USING (node_id)
+    )
+    SELECT way_id AS id,
+           'LINESTRING (' || string_agg(
+               {_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')},
+               ', ' ORDER BY pos, node_id) || ')' AS wkt
+    FROM pts GROUP BY way_id
+    """,
+)
+def q_way_wkt_analog(spark, sf_dir):
+    """G6 through the real assembly operator (functions/
+    way_linestrings: posexplode -> narrow locations join -> ordered
+    reassembly) on derived frames where every member node resolves —
+    the WKT strings, including the exact coordinate formatting, are
+    value-checked against SQL."""
+    from . import functions as fns
+
+    ways = _base_ways(spark, sf_dir)
+    locs = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        _lon("p_partkey").alias("lon"),
+        _lat("p_partkey").alias("lat"),
+    )
+    return fns.way_linestrings(ways, locs).select("id", "wkt")

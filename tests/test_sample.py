@@ -1,0 +1,121 @@
+"""Sampling/mixture operators: semantic invariants beyond the oracle
+gate (determinism across partitionings, rate accuracy, quota
+exactness) and the plan properties that make them scale (scan-side
+predicate for rate sampling, broadcast contamination join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import dedup, sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_stratified_sample_rate_and_determinism(spark):
+    d = _docs(spark)
+    rates = {"src0": 0.5, "src1": 0.2}
+    s1 = sample.stratified_sample(d, "doc_id", "source", rates)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    # repartitioning must not change the kept set (the rand() failure)
+    s2 = sample.stratified_sample(
+        d.repartition(7, "source"), "doc_id", "source", rates
+    )
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and ids1
+    # unlisted strata contribute nothing
+    kept_sources = {r.source for r in s1.select("source").distinct().collect()}
+    assert kept_sources <= {"src0", "src1"}
+    # rate is approximately honored per stratum (25 docs/stratum at
+    # sf0.001 -> loose bounds)
+    n0 = s1.where(F.col("source") == "src0").count()
+    assert 0 < n0 < 25
+
+
+def test_stratified_sample_is_scan_side(spark):
+    d = _docs(spark)
+    s = sample.stratified_sample(d, "doc_id", "source", {"src0": 0.5})
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle at any scale
+
+
+def test_reservoir_per_key_exact_k(spark):
+    from osmexpress_spark.queries import t
+
+    e = t(spark, SF_DIR, "events")
+    r = sample.reservoir_per_key(e, "user_id", "event_id", k=5)
+    per_key = r.groupBy("user_id").count().collect()
+    assert per_key and all(row["count"] <= 5 for row in per_key)
+    # deterministic under repartitioning
+    r2 = sample.reservoir_per_key(
+        e.repartition(13), "user_id", "event_id", k=5
+    )
+    assert {tuple(x) for x in r.select("user_id", "event_id").collect()} == {
+        tuple(x) for x in r2.select("user_id", "event_id").collect()
+    }
+
+
+def test_global_shuffle_is_permutation(spark):
+    d = _docs(spark)
+    g = sample.global_shuffle(d, "doc_id").select("pos", "doc_id")
+    rows = g.collect()
+    n = d.count()
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n
+    # not the identity order (it actually shuffles)
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.pos)] != sorted(
+        r.doc_id for r in rows
+    )
+
+
+def test_domain_mix_quota_exact(spark):
+    d = _docs(spark)
+    quotas = {"src0": 7, "src1": 3}
+    m = sample.domain_mix_quota(d, "source", "doc_id", quotas)
+    got = dict(
+        (r.source, r["count"])
+        for r in m.groupBy("source").count().collect()
+    )
+    assert got == {"src0": 7, "src1": 3}
+
+
+def test_contamination_self_join_matches_bruteforce(spark):
+    d = _docs(spark).limit(60).cache()
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    got = {
+        (r.doc_id, r.bench_id, r.n_common)
+        for r in dedup.contamination_pairs(
+            d, bench, "doc_id", "text", k=3, min_common=2
+        ).collect()
+    }
+    # independent model: python shingle sets
+    rows = [(r.doc_id, r.text) for r in d.collect()]
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    bench_rows = [(i, sh(t)) for i, t in rows if i % 7 == 0]
+    want = set()
+    for i, t in rows:
+        s = sh(t)
+        for bi, bs in bench_rows:
+            if bi == i:
+                continue
+            n = len(s & bs)
+            if n >= 2:
+                want.add((i, bi, n))
+    assert got == want
+    d.unpersist()
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    d = _docs(spark)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    res = dedup.contamination_pairs(d, bench, "doc_id", "text", k=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus never shuffles for the join

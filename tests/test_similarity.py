@@ -124,3 +124,65 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*IN \(([^)]*)\)", plan)
     assert m, "no literal cid IN-list pushed to the scan"
     assert len(m.group(1).split(",")) <= 2 * 10  # |Q| x nprobe bound
+
+
+def test_quantize_reconstruction_bound(spark, vectors):
+    q = vectors.select(
+        "vec_id",
+        "embedding",
+        similarity.quantize(F.col("embedding")).alias("qv"),
+        similarity.quantize_scale(F.col("embedding")).alias("scale"),
+    ).collect()
+    for r in q:
+        assert all(-127 <= c <= 127 for c in r.qv)
+        # round-half-up: |x - code*scale| <= scale/2 (+ float64 slop)
+        for x, c in zip(r.embedding, r.qv):
+            assert abs(float(x) - c * r.scale) <= r.scale / 2 + 1e-9
+
+
+def test_quantized_topk_recall_vs_exact_mips(spark, vectors):
+    """topk_quantized ranks by INNER PRODUCT (MIPS), so compare to the
+    exact float inner-product top-5, not cosine top-5 — on unnormalized
+    vectors those are different objectives by design."""
+    qs = vectors.where(F.col("vec_id") < 20)
+    rows = {r.vec_id: [float(x) for x in r.embedding]
+            for r in vectors.collect()}
+    want = {}
+    for qid in range(20):
+        qv = rows[qid]
+        scored = sorted(
+            ((sum(x * y for x, y in zip(qv, cv)), -nid)
+             for nid, cv in rows.items() if nid != qid),
+            reverse=True,
+        )
+        want[qid] = {-s[1] for s in scored[:5]}
+    approx = similarity.topk_quantized(qs, vectors, k=5).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # int8 quantization noise may swap near-ties, but overlap stays high
+    hits = sum(len(want[q] & got[q]) for q in want)
+    assert hits >= 0.8 * 5 * len(want)
+
+
+def test_kmeans_assign_matches_python_model(spark, vectors):
+    res = similarity.kmeans_assign_step(vectors, k=3).collect()
+    rows = {r.vec_id: [float(x) for x in r.embedding]
+            for r in vectors.collect()}
+    seeds = {cid: rows[cid] for cid in sorted(rows)[:3]}
+
+    def d2(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+    for r in res:
+        want = min(
+            ((d2(rows[r.vec_id], cv), cid) for cid, cv in seeds.items())
+        )[1]
+        assert r.cluster == want, r.vec_id
+    assert len(res) == len(rows)
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, vectors):
+    res = similarity.kmeans_assign_step(vectors, k=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
