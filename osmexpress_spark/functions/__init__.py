@@ -196,38 +196,23 @@ def way_bounds(ways: DataFrame, locations: DataFrame) -> DataFrame:
 
 
 # --- G7b: relation GeometryCollection with recursive member descent -------
-def relation_geojson(
+def relation_member_leaves(
     relations: DataFrame,
-    ways: DataFrame,
-    locations: DataFrame,
-    roots: DataFrame | None = None,
+    roots: DataFrame,
     max_depth: int = 32,
 ) -> DataFrame:
-    """Relation id -> GeoJSON Feature whose geometry is a
-    GeometryCollection assembled by depth-first descent into member
-    nodes, ways, and sub-relations (web_server.py:52-71's
-    ``add_relation_geoms`` recursion, distributed).
+    """The descent core of `relation_geojson`: (root, path, mtype, ref)
+    for every non-relation member reachable from each root, where
+    `path` is the member-index path from the root (DFS order =
+    lexicographic path order). A (root, relation) pair is descended at
+    most once (breadth-first first-occurrence wins), so member cycles
+    terminate — see relation_geojson's docstring for the deliberate
+    deviations from web_server.py:52-71.
 
-    Geometries appear in the reference's DFS order: each leaf carries
-    its member-index path from the root and the final sort is
-    lexicographic on that path. Deviations from the reference, both
-    deliberate:
-    - node members emit (lon, lat) like every other coordinate here;
-      web_server.py:61 appends the raw (lat, lon) location tuple for
-      node members only — an order inconsistent with its own way
-      coordinates (:34), i.e. an upstream bug we do not replicate;
-    - a (root, relation) pair is descended at most once, so member
-      cycles terminate; the reference recurses forever on cycles.
-
-    Scale shape: the per-level descent is the J1 reverse-membership
-    join bounded by `max_depth` levels (planet nesting is ~10); leaf
-    sets are pruned with semi-joins BEFORE touching the planet-sized
-    ways/locations tables; per-root assembly is one groupBy over the
-    leaves. No driver-side geometry, no UDFs.
-    """
-    rels = relations.select("id", "members", "tags")
-    if roots is None:
-        roots = rels.select("id")
+    Each level is one reverse-membership join; the loop is bounded by
+    max_depth (planet nesting ~10); frontier/seen are localCheckpointed
+    so the plan doesn't grow with depth."""
+    rels = relations.select("id", "members")
     frontier = roots.select(
         F.col("id").alias("root"),
         F.col("id").alias("rel_id"),
@@ -266,6 +251,42 @@ def relation_geojson(
             eager=True
         )
         frontier = nxt
+    return leaves
+
+
+def relation_geojson(
+    relations: DataFrame,
+    ways: DataFrame,
+    locations: DataFrame,
+    roots: DataFrame | None = None,
+    max_depth: int = 32,
+) -> DataFrame:
+    """Relation id -> GeoJSON Feature whose geometry is a
+    GeometryCollection assembled by depth-first descent into member
+    nodes, ways, and sub-relations (web_server.py:52-71's
+    ``add_relation_geoms`` recursion, distributed).
+
+    Geometries appear in the reference's DFS order: each leaf carries
+    its member-index path from the root and the final sort is
+    lexicographic on that path. Deviations from the reference, both
+    deliberate:
+    - node members emit (lon, lat) like every other coordinate here;
+      web_server.py:61 appends the raw (lat, lon) location tuple for
+      node members only — an order inconsistent with its own way
+      coordinates (:34), i.e. an upstream bug we do not replicate;
+    - a (root, relation) pair is descended at most once, so member
+      cycles terminate; the reference recurses forever on cycles.
+
+    Scale shape: the per-level descent is the J1 reverse-membership
+    join bounded by `max_depth` levels (planet nesting is ~10); leaf
+    sets are pruned with semi-joins BEFORE touching the planet-sized
+    ways/locations tables; per-root assembly is one groupBy over the
+    leaves. No driver-side geometry, no UDFs.
+    """
+    rels = relations.select("id", "members", "tags")
+    if roots is None:
+        roots = rels.select("id")
+    leaves = relation_member_leaves(relations, roots, max_depth)
 
     node_leaves = leaves.where(F.col("mtype") == "node")
     way_leaves = leaves.where(F.col("mtype") == "way")

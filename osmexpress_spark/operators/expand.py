@@ -142,7 +142,7 @@ def expand(
     source_path: str,
     dest: str,
     fmt: str | None = None,
-    partitions: int = 8,
+    partitions: int | None = None,
     materialize_edges: bool = True,
 ) -> None:
     """Full `osmx expand`: source file -> dataset directory in the
@@ -161,8 +161,13 @@ def expand(
 
     all_df = unified_source(spark, source_path, fmt).persist()
     # materialize the persist once, before concurrent writes fan out,
-    # so the decode of each blob runs exactly once
-    all_df.count()
+    # so the decode of each blob runs exactly once; the count also
+    # sizes the layout partitioning (None -> ~1M rows/partition: a
+    # fixture-scale expand writes 1 range partition per table and
+    # skips range sampling entirely; planet-scale gets thousands)
+    n_rows = all_df.count()
+    if partitions is None:
+        partitions = max(1, min(32768, -(-n_rows // 1_000_000)))
     tables = tables_from_unified(all_df)
     sort_key = {"locations": "cell", "nodes": "id", "ways": "id", "relations": "id"}
 

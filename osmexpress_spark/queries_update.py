@@ -546,3 +546,107 @@ def q_way_wkt_analog(spark, sf_dir):
         _lat("p_partkey").alias("lat"),
     )
     return fns.way_linestrings(ways, locs).select("id", "wkt")
+
+
+# --------------------------------------------------------------------------
+# G7 — the recursive member descent behind relation GeoJSON assembly,
+# hash-checked. The derived relation graph is a tree (nation -> level-1
+# relations holding node/way members; region -> level-2 super-relations
+# holding the level-1s), so the operator's visited-set BFS equals plain
+# recursion and a WITH RECURSIVE oracle reproduces it exactly. The
+# checked output is the descent core — (root, member-index path, leaf
+# type, leaf ref) — the part of web_server.py:52-71 that is actual
+# query logic; the JSON text assembly on top is golden-tested in
+# tests/test_functions.py.
+@defq(
+    "q_relation_descent_analog",
+    """
+    WITH RECURSIVE wids AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS wid
+      FROM lineitem WHERE l_orderkey % 10 = 1
+    ), mem AS (
+      SELECT CAST(s_nationkey + 9000 AS BIGINT) AS rel_id,
+             'node' AS mtype, CAST(s_suppkey AS BIGINT) AS ref
+      FROM supplier
+      UNION ALL
+      SELECT CAST((wid % 25) + 9000 AS BIGINT), 'way', wid FROM wids
+      UNION ALL
+      SELECT CAST(n_regionkey + 9100 AS BIGINT), 'relation',
+             CAST(n_nationkey + 9000 AS BIGINT)
+      FROM nation
+    ), memp AS (
+      SELECT rel_id, mtype, ref,
+             CAST(ROW_NUMBER() OVER (PARTITION BY rel_id
+                                     ORDER BY mtype, ref) - 1
+                  AS INTEGER) AS pos
+      FROM mem
+    ), roots AS (
+      SELECT DISTINCT rel_id AS id FROM mem
+    ), d AS (
+      SELECT id AS root, id AS rel_id, CAST('' AS VARCHAR) AS path
+      FROM roots
+      UNION ALL
+      SELECT d.root, m.ref,
+             CASE WHEN d.path = '' THEN CAST(m.pos AS VARCHAR)
+                  ELSE d.path || '/' || CAST(m.pos AS VARCHAR) END
+      FROM d JOIN memp m ON m.rel_id = d.rel_id AND m.mtype = 'relation'
+    )
+    SELECT d.root,
+           CASE WHEN d.path = '' THEN CAST(m.pos AS VARCHAR)
+                ELSE d.path || '/' || CAST(m.pos AS VARCHAR) END AS path,
+           m.mtype, m.ref
+    FROM d JOIN memp m ON m.rel_id = d.rel_id AND m.mtype <> 'relation'
+    """,
+)
+def q_relation_descent_analog(spark, sf_dir):
+    """G7's recursion through the real operator (functions/
+    relation_member_leaves: level-wise reverse-membership joins with a
+    visited set and member-index paths) on a derived two-level relation
+    tree."""
+    from . import functions as fns
+
+    sup = t(spark, sf_dir, "supplier").select(
+        (F.col("s_nationkey").cast("long") + 9000).alias("id"),
+        F.lit("node").alias("t"),
+        F.col("s_suppkey").cast("long").alias("r"),
+    )
+    wy = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 1)
+        .select(F.col("l_orderkey").cast("long").alias("wid"))
+        .distinct()
+        .select(
+            ((F.col("wid") % 25) + 9000).alias("id"),
+            F.lit("way").alias("t"),
+            F.col("wid").alias("r"),
+        )
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        (F.col("n_regionkey").cast("long") + 9100).alias("id"),
+        F.lit("relation").alias("t"),
+        (F.col("n_nationkey").cast("long") + 9000).alias("r"),
+    )
+    rels = (
+        sup.unionByName(wy)
+        .unionByName(nat)
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "r"))),
+                lambda x: F.struct(
+                    x["r"].alias("ref"),
+                    x["t"].alias("type"),
+                    F.lit("m").alias("role"),
+                ),
+            ).alias("members")
+        )
+    )
+    leaves = fns.relation_member_leaves(rels, rels.select("id"))
+    return leaves.select(
+        "root",
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "/"
+        ).alias("path"),
+        "mtype",
+        "ref",
+    )

@@ -170,7 +170,7 @@ def write_pbf(
     result: ExtractResult,
     path: str,
     block_size: int = 8000,
-    partitions: int = 8,
+    partitions: int | None = None,
     stream: bool = True,
     user_data: bool = True,
 ) -> None:
@@ -178,26 +178,37 @@ def write_pbf(
     nodes, ways, relations, ids ascending). Encode is distributed; the
     driver writes pre-framed blobs in partition order.
 
-    stream=True (the default — safe at any extract size) runs ONE job
-    per pass: executors spill pre-framed blobs to an ordered parquet
-    spill directory (partitioned by range-partition id, uncompressed —
-    the frames are already zlib blocks), and the driver concatenates
-    the spill files in partition order, reading record batches with
-    bounded memory. Replaces the round-1 toLocalIterator stream, which
-    scheduled one sequential job PER PARTITION — ~100 ms of scheduling
-    latency each, 3×partitions jobs per export, minutes of pure
-    overhead for a planet-sized extract. stream=False collects each
-    pass's frames in one job — a small-extract optimization whose
-    driver memory is bounded by the COMPRESSED output size; opt in
-    only when the extract is known-small.
+    The export is TWO actions total: one header-bbox+count aggregate,
+    then ONE job whose RDD is the union of the three encoded passes —
+    each pass range-partitions and sorts by id, encodes per partition,
+    and the union evaluates all three shuffle pipelines in a single
+    job (vs one job per pass, and 3×partitions sequential jobs in the
+    round-1 toLocalIterator stream — ~100 ms scheduling each, minutes
+    of pure overhead at planet partition counts).
+
+    `partitions=None` sizes the range partitioning from the node count
+    (folded into the bbox aggregate, so it costs nothing): ~1M
+    elements per partition, so the fixture-scale export skips range
+    sampling entirely (1 partition) while planet-scale gets ~8k
+    partitions. Pass an explicit int to pin it.
+
+    stream=True (the default — safe at any extract size): executors
+    spill pre-framed blobs to an ordered parquet spill (uncompressed —
+    frames are already zlib blocks) and the driver concatenates in
+    (pass, partition, seq) order, reading bounded record batches.
+    stream=False collects all frames in one job — a small-extract
+    optimization whose driver memory is bounded by the COMPRESSED
+    output size; opt in only when the extract is known-small.
 
     user_data=False is the reference's --noUserData GDPR switch
     (src/extract.cpp:73,111): changeset/uid/user are zeroed at the
     projection, before anything is shuffled or encoded.
 
-    The sink runs FOUR actions over `result` (header bbox + three
-    passes); pass `cache_ids=True` to the extract that produced it, or
-    the shared id-set DAG re-executes per action."""
+    The sink runs actions over `result`; pass `cache_ids=True` to the
+    extract that produced it, or the shared id-set DAG re-executes per
+    action."""
+    import math
+
     from . import pbf_codec
 
     def frames(kind):
@@ -219,9 +230,31 @@ def write_pbf(
         ("way", gdpr(_flat_elements(result.ways, "nodes"))),
         ("relation", gdpr(_flat_elements(result.relations, "members"))),
     ]
+    # count folds into the bbox pass: sizes the range partitioning for
+    # free (ways/relations are bounded by node count on any real map)
     bbox = result.locations.agg(
-        F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")
+        F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat"),
+        F.count(F.lit(1)),
     ).collect()[0]
+    if partitions is None:
+        partitions = max(1, min(4096, math.ceil((bbox[4] or 1) / 1_000_000)))
+    spark = result.locations.sparkSession
+    rdds = []
+    for p, (kind, df) in enumerate(passes):
+        fn = frames(kind)
+        rdds.append(
+            df.repartitionByRange(max(1, partitions), "id")
+            .sortWithinPartitions("id")
+            .rdd.mapPartitionsWithIndex(
+                lambda pid, it, _fn=fn, _p=p: (
+                    (_p, pid, i, frame) for i, frame in enumerate(_fn(it))
+                )
+            )
+        )
+    # union evaluates all three pass pipelines in ONE spark job (the
+    # shuffle stages schedule concurrently); row order under collect is
+    # (pass, partition, seq) ascending by RDD-union construction
+    encoded = spark.sparkContext.union(rdds)
     with open(path, "wb") as f:
         header = pbf_codec.encode_header_block(
             bbox=(bbox[0], bbox[1], bbox[2], bbox[3])
@@ -229,29 +262,19 @@ def write_pbf(
             else None
         )
         f.write(pbf_codec.frame_blob("OSMHeader", header))
-        for kind, df in passes:
-            fn = frames(kind)
-            encoded = (
-                df.repartitionByRange(max(1, partitions), "id")
-                .sortWithinPartitions("id")
-                .rdd.mapPartitionsWithIndex(
-                    lambda pid, it, _fn=fn: (
-                        (pid, i, frame) for i, frame in enumerate(_fn(it))
-                    )
-                )
-            )
-            if stream:
-                _spill_concat(df.sparkSession, encoded, f)
-            else:
-                for _, _, frame in encoded.collect():
-                    f.write(frame)
+        if stream:
+            _spill_concat(spark, encoded, f)
+        else:
+            for _, _, _, frame in encoded.collect():
+                f.write(frame)
 
 
 def _spill_concat(spark, encoded, f) -> None:
-    """One job: executors write (pid, seq, frame) to a parquet spill
-    partitioned by pid (no re-compression — frames are zlib already);
-    the driver then appends each pid directory's frames in order,
-    reading bounded record batches. Total driver memory: one batch."""
+    """One job: executors write (p, pid, seq, frame) to a parquet spill
+    partitioned by (p, pid) (no re-compression — frames are zlib
+    already); the driver then appends each (pass, pid) directory's
+    frames in order, reading bounded record batches. Total driver
+    memory: one batch."""
     import glob
     import os
     import shutil
@@ -262,20 +285,23 @@ def _spill_concat(spark, encoded, f) -> None:
     spill = tempfile.mkdtemp(prefix="osmx_pbf_spill_")
     try:
         (
-            spark.createDataFrame(encoded, "pid int, seq int, frame binary")
-            .write.partitionBy("pid")
+            spark.createDataFrame(
+                encoded, "p int, pid int, seq int, frame binary"
+            )
+            .write.partitionBy("p", "pid")
             .option("compression", "none")
             .mode("overwrite")
             .parquet(spill)
         )
         pid_dirs = sorted(
             (
+                int(os.path.basename(os.path.dirname(d)).split("=", 1)[1]),
                 int(os.path.basename(d).split("=", 1)[1]),
                 d,
             )
-            for d in glob.glob(os.path.join(spill, "pid=*"))
+            for d in glob.glob(os.path.join(spill, "p=*", "pid=*"))
         )
-        for _, d in pid_dirs:
+        for _, _, d in pid_dirs:
             last_seq = -1
             for part in sorted(glob.glob(os.path.join(d, "*.parquet"))):
                 pf = pq.ParquetFile(part)
@@ -283,9 +309,9 @@ def _spill_concat(spark, encoded, f) -> None:
                     batch_size=1024, columns=["seq", "frame"]
                 ):
                     seqs = batch.column("seq").to_pylist()
-                    # one task writes one pid's single file in iterator
-                    # order; assert that invariant rather than sort (a
-                    # sort would need the whole partition in memory)
+                    # one task writes one (p, pid)'s single file in
+                    # iterator order; assert that invariant rather than
+                    # sort (a sort would need the partition in memory)
                     assert seqs == sorted(seqs) and seqs[0] > last_seq, (
                         "pbf spill out of order"
                     )
