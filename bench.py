@@ -40,6 +40,10 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_embedding_topk",
     "q_embedding_ann_bucketed",
+    "q_quantized_ann",
+    "q_kmeans_assign",
+    "q_stratified_sample",
+    "q_contamination",
     "q_augmented_diff_analog",
     "osm_extract_bbox",
 ]

@@ -1026,3 +1026,33 @@ def q_kmeans_assign(spark, sf_dir):
     ivf_train (golden-tested); this step is the SQL-oracled core."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign_step(emb, k=8).select("vec_id", "cluster")
+
+
+@defq(
+    "q_stream_enrich",
+    """
+    SELECT e.event_id, e.user_id, n.n_name AS region_name,
+           e.event_type, e.value
+    FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+)
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming/watermark_ops.py:
+    enrich_join): each micro-batch joins the live event stream against
+    the broadcast nation dim — stateless, no watermark; the static
+    batch join is the exact oracle."""
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    )
+    dim = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name"),
+    )
+    out = watermark_ops.enrich_join(stream, dim, "n_nationkey").select(
+        "event_id",
+        "user_id",
+        F.col("n_name").alias("region_name"),
+        "event_type",
+        "value",
+    )
+    return _drain(out, "append")

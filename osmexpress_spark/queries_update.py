@@ -431,11 +431,24 @@ def q_augmented_diff_analog(spark, sf_dir):
     # diff references ways/node_way in several branches, and without a
     # cut each branch would re-run the lineitem aggregation (and JIT a
     # copy of it).
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators import edges as edges_mod
 
-    ways = _base_ways(spark, sf_dir).localCheckpoint(eager=True)
+    # the three materialization jobs are independent except node_way ->
+    # ways; overlap ways+locations, then node_way (each job alone
+    # leaves most of the cluster idle at batch sizes)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ways = pool.submit(
+            lambda: _base_ways(spark, sf_dir).localCheckpoint(eager=True)
+        )
+        f_locs = pool.submit(
+            lambda: _base_locations(spark, sf_dir).localCheckpoint(eager=True)
+        )
+        ways = f_ways.result()
+        locations = f_locs.result()
     tables = {
-        "locations": _base_locations(spark, sf_dir).localCheckpoint(eager=True),
+        "locations": locations,
         "nodes": _empty(spark, schemas.NODES_SCHEMA),
         "ways": ways,
         "relations": _empty(spark, schemas.RELATIONS_SCHEMA),
@@ -598,13 +611,12 @@ def q_way_wkt_analog(spark, sf_dir):
     FROM d JOIN memp m ON m.rel_id = d.rel_id AND m.mtype <> 'relation'
     """,
 )
-def q_relation_descent_analog(spark, sf_dir):
-    """G7's recursion through the real operator (functions/
-    relation_member_leaves: level-wise reverse-membership joins with a
-    visited set and member-index paths) on a derived two-level relation
-    tree."""
-    from . import functions as fns
-
+def _rel_tree(spark, sf_dir) -> DataFrame:
+    """The derived two-level relation tree: level-1 relations (one per
+    nation, id 9000+nationkey) hold node members (suppliers of that
+    nation) and way members (base ways mapped by id % 25); level-2
+    super-relations (one per region, id 9100+regionkey) hold the
+    region's level-1 relations. Members sorted by (type, ref)."""
     sup = t(spark, sf_dir, "supplier").select(
         (F.col("s_nationkey").cast("long") + 9000).alias("id"),
         F.lit("node").alias("t"),
@@ -626,7 +638,7 @@ def q_relation_descent_analog(spark, sf_dir):
         F.lit("relation").alias("t"),
         (F.col("n_nationkey").cast("long") + 9000).alias("r"),
     )
-    rels = (
+    return (
         sup.unionByName(wy)
         .unionByName(nat)
         .groupBy("id")
@@ -641,6 +653,16 @@ def q_relation_descent_analog(spark, sf_dir):
             ).alias("members")
         )
     )
+
+
+def q_relation_descent_analog(spark, sf_dir):
+    """G7's recursion through the real operator (functions/
+    relation_member_leaves: level-wise reverse-membership joins with a
+    visited set and member-index paths) on a derived two-level relation
+    tree."""
+    from . import functions as fns
+
+    rels = _rel_tree(spark, sf_dir)
     leaves = fns.relation_member_leaves(rels, rels.select("id"))
     return leaves.select(
         "root",
@@ -649,4 +671,165 @@ def q_relation_descent_analog(spark, sf_dir):
         ).alias("path"),
         "mtype",
         "ref",
+    )
+
+
+# --------------------------------------------------------------------------
+# U3 — relation upsert with 3-way reverse-index maintenance (the last
+# update operator without driver-side evidence; ref src/update.cpp:
+# 189-212). A relation change batch (modify with all-new member lists,
+# deletes, creates) runs through the real apply_changes against the
+# derived relation tree; the oracle recomputes all three edge tables
+# set-theoretically: base edges minus changed relations, plus edges of
+# the upserted member arrays.
+@defq(
+    "q_update_relation_edges",
+    """
+    WITH wids AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS wid
+      FROM lineitem WHERE l_orderkey % 10 = 1
+    ), base_edges AS (
+      SELECT 'node' AS kind, CAST(s_suppkey AS BIGINT) AS key_id,
+             CAST(s_nationkey + 9000 AS BIGINT) AS relation_id
+      FROM supplier
+      UNION ALL
+      SELECT 'way', wid, CAST((wid % 25) + 9000 AS BIGINT) FROM wids
+      UNION ALL
+      SELECT 'relation', CAST(n_nationkey + 9000 AS BIGINT),
+             CAST(n_regionkey + 9100 AS BIGINT)
+      FROM nation
+    ), changed AS (
+      SELECT CAST(n_nationkey + 9000 AS BIGINT) AS relation_id
+      FROM nation WHERE n_nationkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT CAST(r_regionkey + 9200 AS BIGINT) FROM region
+    ), new_edges AS (
+      SELECT 'node' AS kind, CAST(n_nationkey * 7 + 1 AS BIGINT) AS key_id,
+             CAST(n_nationkey + 9000 AS BIGINT) AS relation_id
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT 'way', CAST((n_nationkey % 5) * 3 + 1 AS BIGINT),
+             CAST(n_nationkey + 9000 AS BIGINT)
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT 'relation', CAST((n_nationkey % 5) + 9100 AS BIGINT),
+             CAST(n_nationkey + 9000 AS BIGINT)
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT 'node', CAST(r_regionkey + 2 AS BIGINT),
+             CAST(r_regionkey + 9200 AS BIGINT)
+      FROM region
+      UNION ALL
+      SELECT 'relation', CAST(r_regionkey * 5 + 9000 AS BIGINT),
+             CAST(r_regionkey + 9200 AS BIGINT)
+      FROM region
+    )
+    SELECT kind, key_id, relation_id FROM base_edges
+    WHERE relation_id NOT IN (SELECT relation_id FROM changed)
+    UNION ALL
+    SELECT kind, key_id, relation_id FROM new_edges
+    """,
+)
+def q_update_relation_edges(spark, sf_dir):
+    """U3 through the real operator: deleted relations' edges vanish
+    from all three indexes, upserted relations' edges are recomputed
+    from the new member arrays alone — O(|batch|), never touching
+    unchanged relations (operators/update.py:199)."""
+    from .operators import edges as edges_mod
+
+    base_rels = _rel_tree(spark, sf_dir).select(
+        "id",
+        "members",
+        F.lit(None).cast(schemas.TAGS_TYPE).alias("tags"),
+        F.lit(None).cast("array<string>").alias("tags_kv"),
+        _meta(F.lit(1)).alias("metadata"),
+    )
+    tables = {
+        "locations": _empty(spark, schemas.LOCATIONS_SCHEMA),
+        "nodes": _empty(spark, schemas.NODES_SCHEMA),
+        "ways": _empty(spark, schemas.WAYS_SCHEMA),
+        "relations": base_rels,
+        "node_relation": edges_mod.node_relation(base_rels),
+        "way_relation": edges_mod.way_relation(base_rels),
+        "relation_relation": edges_mod.relation_relation(base_rels),
+    }
+
+    def mem(ref, typ):
+        return F.struct(
+            ref.cast("long").alias("ref"),
+            F.lit(typ).alias("type"),
+            F.lit("m").alias("role"),
+        )
+
+    def chg_row(id_col, action, visible, members):
+        return [
+            F.lit("relation").alias("type"),
+            id_col.alias("id"),
+            F.lit(action).alias("action"),
+            F.lit(visible).alias("visible"),
+            _meta(F.lit(2)).alias("metadata"),
+            id_col.alias("seqnum"),
+            F.lit(None).cast("int").alias("lon"),
+            F.lit(None).cast("int").alias("lat"),
+            F.lit(None).cast(schemas.TAGS_TYPE).alias("tags"),
+            F.lit(None).cast("array<bigint>").alias("nodes"),
+            members.alias("members"),
+        ]
+
+    k = F.col("n_nationkey").cast("long")
+    nation = t(spark, sf_dir, "nation")
+    mod = nation.where(F.col("n_nationkey") % 3 == 0).select(
+        *chg_row(
+            k + 9000,
+            "modify",
+            True,
+            F.array(
+                mem(k * 7 + 1, "node"),
+                mem((k % 5) * 3 + 1, "way"),
+                mem((k % 5) + 9100, "relation"),
+            ),
+        )
+    )
+    dele = nation.where(F.col("n_nationkey") % 3 == 1).select(
+        *chg_row(
+            k + 9000,
+            "delete",
+            False,
+            F.lit(None).cast(
+                "array<struct<ref:bigint,type:string,role:string>>"
+            ),
+        )
+    )
+    r = F.col("r_regionkey").cast("long")
+    crt = t(spark, sf_dir, "region").select(
+        *chg_row(
+            r + 9200,
+            "modify",
+            True,
+            F.array(mem(r + 2, "node"), mem(r * 5 + 9000, "relation")),
+        )
+    )
+    changes = mod.unionByName(dele).unionByName(crt)
+    res = apply_changes(tables, changes, with_edges=True)
+    return (
+        res.tables["node_relation"]
+        .select(
+            F.lit("node").alias("kind"),
+            F.col("node_id").alias("key_id"),
+            "relation_id",
+        )
+        .unionByName(
+            res.tables["way_relation"].select(
+                F.lit("way").alias("kind"),
+                F.col("way_id").alias("key_id"),
+                "relation_id",
+            )
+        )
+        .unionByName(
+            res.tables["relation_relation"].select(
+                F.lit("relation").alias("kind"),
+                F.col("child_id").alias("key_id"),
+                "relation_id",
+            )
+        )
     )

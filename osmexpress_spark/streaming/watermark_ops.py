@@ -74,3 +74,25 @@ def interval_join(
         & (col("__wr", right_ts) <= col("__wl", left_ts) + F.expr(upper))
     )
     return lhs.join(rhs, cond, how).drop(col("__wr", on))
+
+
+def enrich_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left_outer",
+) -> DataFrame:
+    """Stream-static enrichment: join a live stream against a slowly-
+    changing dimension table. Stateless in Structured Streaming — each
+    micro-batch joins against the CURRENT dim snapshot, so no watermark
+    and no state store; Spark broadcasts the static side per batch when
+    it fits (the normal case for a dimension).
+
+    At 100 TB stream scale this is the standard metadata-attach step
+    (user -> account tier, doc -> source config). The dim is re-read
+    per micro-batch, which IS the refresh semantics for slowly-changing
+    dims; a dim too big to broadcast becomes a shuffle join on the
+    batch, still stateless."""
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), on, how)
