@@ -165,3 +165,27 @@ def domain_mix_quota(
         df.withColumn(rank_name, F.row_number().over(w))
         .where(F.col(rank_name) <= quota.otherwise(F.lit(0)))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    bin_name: str = "bin",
+) -> DataFrame:
+    """Fixed-order sequence packing (the context-window assembly step):
+    documents in deterministic id order are laid end-to-end and the
+    bin is the context window the document STARTS in —
+    floor(running-total-before / budget).
+
+    One global window cumsum for the contract query; the at-scale form
+    applies the same expression per shard (partition by shard key,
+    pack within shard) so no global sort is needed — bins are then
+    (shard, bin) pairs. Sums stay exact: token totals < 2^53."""
+    w = (
+        Window.orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    return df.withColumn(bin_name, (prev / F.lit(budget)).cast("long"))

@@ -110,3 +110,93 @@ def rolling_fingerprint(text: Column, k: int = 8) -> Column:
             lambda i: F.md5(F.substr(text, i, F.lit(k))),
         )
     )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_redact(text: Column, pattern: str = PII_EMAIL,
+               token: str = "<REDACTED>") -> Column:
+    """PII scrub (the pre-release corpus hygiene step): replace every
+    match of `pattern` (default: email addresses) with a fixed token.
+    Pure column expression; the pattern is deliberately conservative
+    RE2-compatible syntax so engines agree."""
+    return F.regexp_replace(text, pattern, token)
+
+
+def pii_count(text: Column, pattern: str = PII_EMAIL) -> Column:
+    """Number of PII matches scrubbed (the audit metric)."""
+    return F.size(F.regexp_extract_all(text, F.lit(f"({pattern})")))
+
+
+def chunk_bounds(text: Column, window: int, overlap: int) -> Column:
+    """Number of fixed-size character chunks with overlap: chunk i
+    covers [1 + i*(window-overlap), +window). Integer ceil-div, min 1 —
+    identical arithmetic on both engines."""
+    step = window - overlap
+    # ceil-div via +step-1 then truncate: operands stay small-positive,
+    # so double-divide + long cast is exact and engine-identical
+    return F.greatest(
+        F.lit(1).cast("long"),
+        ((F.length(text) - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
+        .cast("long"),
+    )
+
+
+def chunks(df: DataFrame, id_col: str, text_col: str,
+           window: int = 64, overlap: int = 16) -> DataFrame:
+    """Fixed-window document chunking (the context-window split step of
+    a training pipeline): one output row per (doc, chunk_idx) with the
+    chunk text. posexplode over a sequence — fully pipelined, no
+    shuffle, output rows ~ total_chars/step."""
+    step = window - overlap
+    n = chunk_bounds(F.col(text_col), window, overlap)
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n - 1)).alias(
+            "_pos", "_i"
+        ),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("_pos").alias("chunk_idx"),
+        F.substr(
+            F.col("_t"), (F.col("_i") * step + 1).cast("int"), F.lit(window)
+        ).alias("chunk_text"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 2) -> DataFrame:
+    """Gopher-style repetition signals: (n_grams, n_distinct_grams,
+    max_gram_freq) per doc over word k-grams. High max_freq/n or low
+    distinct/n flags boilerplate/templated docs. Explode + two
+    aggregations — shuffle keys are (doc, gram) hashes, map-side
+    combined."""
+    from .dedup import shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            # non-distinct k-grams: repetition is the signal here
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size(F.split(F.col(text_col), " ")) - k, F.lit(0)
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(F.split(F.col(text_col), " "), i + 1, k),
+                ),
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("c").alias("max_gram_freq"),
+    )

@@ -1056,3 +1056,114 @@ def q_stream_enrich(spark, sf_dir):
         "value",
     )
     return _drain(out, "append")
+
+
+# --- text curation v2: PII, chunking, repetition, packing ------------------
+@defq(
+    "q_doc_pii_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '({text.PII_EMAIL})')) AS INTEGER) AS n_pii,
+           md5(regexp_replace(text, '{text.PII_EMAIL}',
+               '<REDACTED>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrub audit (operators/text.py:pii_redact): per-doc match
+    count + digest of the scrubbed text. Pure regexp column
+    expressions; the pattern is conservative RE2-compatible syntax so
+    Spark (Java regex) and DuckDB (RE2) agree."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.pii_count(F.col("text")).alias("n_pii"),
+        F.md5(text.pii_redact(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+_CHUNK_W, _CHUNK_O = 64, 16
+
+
+@defq(
+    "q_doc_chunks",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) - {_CHUNK_O} + {_CHUNK_W - _CHUNK_O - 1})
+                         // {_CHUNK_W - _CHUNK_O}) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           substr(text, CAST(i * {_CHUNK_W - _CHUNK_O} + 1 AS INTEGER),
+                  {_CHUNK_W}) AS chunk_text
+    FROM n, unnest(range(n_chunks)) AS u(i)
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-window chunking with overlap (text.py:chunks): the
+    context-window split step, one row per chunk, fully pipelined
+    (posexplode, no shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    return text.chunks(d, "doc_id", "text", _CHUNK_W, _CHUNK_O)
+
+
+@defq(
+    "q_doc_repetition",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '),
+                                        i + 1, i + 2), ' ') AS gram
+      FROM documents,
+           unnest(range(greatest(len(string_split(text, ' ')) - 2, 0) + 1))
+             AS u(i)
+    ), pg AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct_grams,
+           CAST(MAX(c) AS BIGINT) AS max_gram_freq
+    FROM pg GROUP BY doc_id
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals over word bigrams (text.py:
+    repetition_stats): high max_gram_freq / low distinct fraction flags
+    templated or looping text. Integer outputs only — the ratio is the
+    caller's division."""
+    d = t(spark, sf_dir, "documents")
+    return text.repetition_stats(d, "doc_id", "text", k=2)
+
+
+_PACK_BUDGET = 512
+
+
+@defq(
+    "q_pack_sequences",
+    f"""
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {_PACK_BUDGET} AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/sample.py:pack_sequences): docs in
+    id order laid end-to-end; bin = context window the doc starts in.
+    The contract runs one global cumsum window; the scale form packs
+    per shard (see docstring)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return sample.pack_sequences(d, "doc_id", "n_tokens", _PACK_BUDGET).select(
+        "doc_id", "n_tokens", "bin"
+    )

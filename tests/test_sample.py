@@ -119,3 +119,87 @@ def test_contamination_broadcasts_bench_side(spark):
     res = dedup.contamination_pairs(d, bench, "doc_id", "text", k=3)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus never shuffles for the join
+
+
+def test_chunks_cover_text_with_overlap(spark):
+    from osmexpress_spark.operators import text as text_mod
+
+    d = _docs(spark).limit(40)
+    W, O = 64, 16
+    got = text_mod.chunks(d, "doc_id", "text", W, O).collect()
+    texts = {r.doc_id: r.text for r in d.collect()}
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+    step = W - O
+    for doc_id, t in texts.items():
+        cks = by_doc[doc_id]
+        assert sorted(cks) == list(range(len(cks)))
+        # chunks reconstruct the text exactly (drop the overlap prefix
+        # of every chunk after the first)
+        rebuilt = cks[0] + "".join(cks[i][O:] for i in range(1, len(cks)))
+        assert rebuilt == t
+        # every chunk is full-width except possibly the last
+        assert all(len(cks[i]) == W for i in range(len(cks) - 1))
+        # one more chunk would start past the end
+        assert len(cks) * step + 1 > len(t) - W + step or len(cks) == 1
+
+
+def test_repetition_stats_match_python(spark):
+    from collections import Counter
+
+    from osmexpress_spark.operators import text as text_mod
+
+    d = _docs(spark).limit(50)
+    got = {
+        r.doc_id: (r.n_grams, r.n_distinct_grams, r.max_gram_freq)
+        for r in text_mod.repetition_stats(d, "doc_id", "text", k=2).collect()
+    }
+    for r in d.collect():
+        w = r.text.split(" ")
+        grams = [" ".join(w[i : i + 2]) for i in range(max(len(w) - 2, 0) + 1)]
+        c = Counter(grams)
+        assert got[r.doc_id] == (len(grams), len(c), max(c.values())), r.doc_id
+
+
+def test_pack_sequences_respects_order_and_budget(spark):
+    from osmexpress_spark.operators import sample as sample_mod
+    from osmexpress_spark.operators import text as text_mod
+
+    d = _docs(spark).select(
+        "doc_id",
+        text_mod.token_count(F.col("text")).cast("long").alias("n"),
+    )
+    packed = sorted(
+        sample_mod.pack_sequences(d, "doc_id", "n", 512).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    for r in packed:
+        assert r.bin == cum // 512
+        cum += r.n
+    # bins are non-decreasing in doc order and contiguous from 0
+    bins = [r.bin for r in packed]
+    assert bins == sorted(bins) and bins[0] == 0
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    from osmexpress_spark.operators import text as text_mod
+
+    rows = [
+        (1, "contact alice@example.com or bob@corp.io today"),
+        (2, "no pii here"),
+        (3, "x@y.zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n, r.red)
+        for r in df.select(
+            "doc_id",
+            text_mod.pii_count(F.col("text")).alias("n"),
+            text_mod.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert got[1] == (2, "contact <REDACTED> or <REDACTED> today")
+    assert got[2] == (0, "no pii here")
+    assert got[3] == (1, "<REDACTED>")
