@@ -86,3 +86,74 @@ def extract_features(
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "item_id long, frame_idx int, frame binary, n_frame_bytes int"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 3,
+) -> DataFrame:
+    """Video-style frame sampling over opaque payloads: the payload is
+    treated as a sequence of fixed-size frames and every `stride`-th
+    frame is emitted as its own row (item_id, frame_idx, frame bytes).
+
+    This is the 1->N explode shape of real video pipelines (decode
+    container -> sample keyframes -> per-frame rows), run as
+    Arrow-batched mapInPandas with zero shuffle; a real implementation
+    swaps the byte-slicing for an ffmpeg/pyav keyframe iterator with
+    the SAME output contract. Byte-slicing keeps the stub deterministic
+    and exactly SQL-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(item_id)
+                    idxs.append(i)
+                    frames.append(fr)
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "item_id long, resized binary, n_bytes_out long"
+
+
+def resize_bytes(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize/downsample stub: keep every `factor`-th byte of the
+    payload. The real op is an image resize (PIL/opencv) with the same
+    (payload in) -> (payload out) mapInPandas contract; the byte
+    decimation keeps the plumbing deterministic and testable without
+    codec libraries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p)[::factor] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "resized": pd.Series(resized, dtype=object),
+                    "n_bytes_out": pd.Series(
+                        [len(r) for r in resized], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

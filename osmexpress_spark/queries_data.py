@@ -1167,3 +1167,37 @@ def q_pack_sequences(spark, sf_dir):
     return sample.pack_sequences(d, "doc_id", "n_tokens", _PACK_BUDGET).select(
         "doc_id", "n_tokens", "bin"
     )
+
+
+@defq(
+    "q_multimodal_frames",
+    """
+    WITH n AS (
+      SELECT doc_id AS item_id, text,
+             (length(text) + 31) // 32 AS n_frames
+      FROM documents
+    )
+    SELECT item_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5,
+           CAST(length(substr(text, CAST(i * 32 + 1 AS INTEGER), 32))
+                AS INTEGER) AS n_frame_bytes
+    FROM n, unnest(range(n_frames)) AS u(i)
+    WHERE i % 3 = 0
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling through the real mapInPandas plumbing
+    (multimodal.frame_sample): payload -> every 3rd 32-byte frame as
+    its own row. The fixture payloads are ASCII text bytes, so the
+    byte-slicing stub is exactly reproducible with string substr in
+    SQL — the rare case where a Python-side op gets a full value
+    oracle."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.attach_binary(d, "text", "doc_id")
+    frames = multimodal.frame_sample(blobs, frame_bytes=32, stride=3)
+    return frames.select(
+        "item_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        "n_frame_bytes",
+    )

@@ -611,6 +611,25 @@ def q_way_wkt_analog(spark, sf_dir):
     FROM d JOIN memp m ON m.rel_id = d.rel_id AND m.mtype <> 'relation'
     """,
 )
+def q_relation_descent_analog(spark, sf_dir):
+    """G7's recursion through the real operator (functions/
+    relation_member_leaves: level-wise reverse-membership joins with a
+    visited set and member-index paths) on a derived two-level relation
+    tree."""
+    from . import functions as fns
+
+    rels = _rel_tree(spark, sf_dir)
+    leaves = fns.relation_member_leaves(rels, rels.select("id"))
+    return leaves.select(
+        "root",
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "/"
+        ).alias("path"),
+        "mtype",
+        "ref",
+    )
+
+
 def _rel_tree(spark, sf_dir) -> DataFrame:
     """The derived two-level relation tree: level-1 relations (one per
     nation, id 9000+nationkey) hold node members (suppliers of that
@@ -652,25 +671,6 @@ def _rel_tree(spark, sf_dir) -> DataFrame:
                 ),
             ).alias("members")
         )
-    )
-
-
-def q_relation_descent_analog(spark, sf_dir):
-    """G7's recursion through the real operator (functions/
-    relation_member_leaves: level-wise reverse-membership joins with a
-    visited set and member-index paths) on a derived two-level relation
-    tree."""
-    from . import functions as fns
-
-    rels = _rel_tree(spark, sf_dir)
-    leaves = fns.relation_member_leaves(rels, rels.select("id"))
-    return leaves.select(
-        "root",
-        F.array_join(
-            F.transform("path", lambda x: x.cast("string")), "/"
-        ).alias("path"),
-        "mtype",
-        "ref",
     )
 
 

@@ -60,3 +60,33 @@ def test_extract_features_no_shuffle(spark):
     feats = multimodal.extract_features(_blobs(spark))
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_frame_sample_slices_and_strides(spark):
+    from osmexpress_spark.operators import multimodal
+
+    rows = [(1, b"a" * 100), (2, b"xy"), (3, b"")]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "item_id long, payload binary"
+    )
+    got = {}
+    for r in multimodal.frame_sample(df, frame_bytes=32, stride=3).collect():
+        got.setdefault(r.item_id, []).append(
+            (r.frame_idx, bytes(r.frame), r.n_frame_bytes)
+        )
+    # 100 bytes -> 4 frames (idx 0..3), stride 3 keeps 0 and 3
+    assert [i for i, _, _ in sorted(got[1])] == [0, 3]
+    assert sorted(got[1])[0][1] == b"a" * 32
+    assert sorted(got[1])[1] == (3, b"a" * 4, 4)  # tail frame is short
+    assert got[2] == [(0, b"xy", 2)]
+    assert 3 not in got  # empty payload -> no frames
+
+
+def test_resize_bytes_decimates(spark):
+    from osmexpress_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(10))))], "item_id long, payload binary"
+    )
+    r = multimodal.resize_bytes(df, factor=2).collect()[0]
+    assert bytes(r.resized) == bytes([0, 2, 4, 6, 8]) and r.n_bytes_out == 5
