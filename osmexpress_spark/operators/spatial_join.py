@@ -1,0 +1,97 @@
+"""Multi-region spatial join: points × regions in one pass.
+
+The reference answers one region per process run (`osmx extract`,
+src/extract.cpp:113-176). The engine generalizes it to a JOIN: N
+regions (a dim table of bboxes/polygons) against the full point set
+at once — the "tag every point with its containing zones" step of a
+geo pipeline.
+
+Scale shape (the extract plan, multi-tenant):
+- coverings are computed DRIVER-side per region (regions are a dim —
+  tens..thousands; each covering is ≤64 merged ranges) and broadcast
+  as a (box_id, lo, hi) ranges table;
+- the candidate join is `point.cell BETWEEN lo AND hi` against the
+  broadcast ranges — a BroadcastNestedLoopJoin whose inner side is
+  tiny, so cost is scan × ranges-lookup, never a shuffle of the big
+  side;
+- a single global `cell BETWEEN min(lo) AND max(hi)` predicate is
+  added separately: on a cell-sorted locations table (the expand
+  layout) it reaches the parquet scan as a pushed filter and prunes
+  row groups before the join;
+- the exact bbox refine runs as a post-join column predicate, so the
+  covering's over-selection never reaches the output (assert on
+  result sets, not coverings — docs/MANUAL.md:148).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spatial import cells
+from ..spatial.covering import covering
+from ..spatial.region import Region
+
+SCALE = 10_000_000
+
+
+def point_in_box_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    id_col: str = "id",
+    box_id_col: str = "box_id",
+    max_ranges_per_box: int = 64,
+) -> DataFrame:
+    """(point id, box_id) for every point inside every box.
+
+    `points` carries scaled-int `lon`/`lat`; `boxes` carries scaled-int
+    `minlon`/`minlat`/`maxlon`/`maxlat` (inclusive bounds) and is a
+    DIM table — it is collected to the driver to compute coverings
+    (bounded: |boxes| × ≤64 ranges).
+    """
+    spark = points.sparkSession
+    box_rows = boxes.select(
+        box_id_col, "minlon", "minlat", "maxlon", "maxlat"
+    ).collect()
+    ranges = []
+    exact = {}
+    for r in box_rows:
+        reg = Region(
+            f"{r['minlat'] / SCALE},{r['minlon'] / SCALE},"
+            f"{r['maxlat'] / SCALE},{r['maxlon'] / SCALE}",
+            "bbox",
+        )
+        for lo, hi in covering(reg, max_ranges=max_ranges_per_box):
+            ranges.append((r[box_id_col], lo, hi))
+        exact[r[box_id_col]] = (
+            r["minlon"], r["minlat"], r["maxlon"], r["maxlat"]
+        )
+    if not ranges:
+        return points.select(
+            F.col(id_col), F.lit(None).cast("long").alias(box_id_col)
+        ).where(F.lit(False))
+    ranges_df = spark.createDataFrame(ranges, f"{box_id_col} long, lo long, hi long")
+    exact_df = spark.createDataFrame(
+        [(b, *v) for b, v in exact.items()],
+        f"{box_id_col} long, minlon int, minlat int, maxlon int, maxlat int",
+    )
+    glo = min(lo for _, lo, _ in ranges)
+    ghi = max(hi for _, _, hi in ranges)
+
+    pts = points.select(
+        F.col(id_col), "lon", "lat", cells.cell_col(F.col("lon"), F.col("lat")).alias("__cell")
+    ).where(F.col("__cell").between(F.lit(glo), F.lit(ghi)))
+    # per-box coverings are merged DISJOINT ranges (cells.merge_ranges),
+    # so a point hits at most one (box, range) row — candidate pairs are
+    # already unique and the whole plan is shuffle-free
+    cand = pts.join(
+        F.broadcast(ranges_df),
+        (F.col("__cell") >= F.col("lo")) & (F.col("__cell") <= F.col("hi")),
+    ).select(id_col, "lon", "lat", box_id_col)
+    refined = cand.join(F.broadcast(exact_df), box_id_col).where(
+        (F.col("lon") >= F.col("minlon"))
+        & (F.col("lon") <= F.col("maxlon"))
+        & (F.col("lat") >= F.col("minlat"))
+        & (F.col("lat") <= F.col("maxlat"))
+    )
+    return refined.select(F.col(id_col), F.col(box_id_col))

@@ -833,3 +833,59 @@ def q_update_relation_edges(spark, sf_dir):
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-region spatial join — the extract plan generalized to N regions
+# in one pass (operators/spatial_join.py). The oracle is the exact
+# containment predicate join; the Spark plan's covering candidates are
+# a strict superset that the refine collapses to the same set.
+@defq(
+    "q_spatial_join",
+    f"""
+    WITH pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             {_LON_EXPR.format(k="c_custkey")} AS lon,
+             {_LAT_EXPR.format(k="c_custkey")} AS lat
+      FROM customer
+    ), boxes AS (
+      -- derived points cluster near (-180,-90): custkey*prime spreads
+      -- ~0.1 deg/key, so boxes sit inside that neighborhood to make
+      -- the join selective but non-empty at every sf
+      SELECT CAST(n_nationkey AS BIGINT) AS box_id,
+             CAST(-1800000000 + n_nationkey * 3000000 AS INTEGER) AS minlon,
+             CAST(-900000000 + n_nationkey * 5000000 AS INTEGER) AS minlat,
+             CAST(-1800000000 + n_nationkey * 3000000 + 6000000 AS INTEGER) AS maxlon,
+             CAST(-900000000 + n_nationkey * 5000000 + 12000000 AS INTEGER) AS maxlat
+      FROM nation
+    )
+    SELECT p.id, b.box_id
+    FROM pts p JOIN boxes b
+      ON p.lon BETWEEN b.minlon AND b.maxlon
+     AND p.lat BETWEEN b.minlat AND b.maxlat
+    """,
+)
+def q_spatial_join(spark, sf_dir):
+    """Points x regions containment join through the real covering +
+    broadcast-range + exact-refine plan (spatial_join.point_in_box_join):
+    24x18-degree boxes derived per nation, customer-derived points."""
+    from .operators.spatial_join import point_in_box_join
+
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    n = F.col("n_nationkey").cast("long")
+    boxes = t(spark, sf_dir, "nation").select(
+        n.alias("box_id"),
+        (F.lit(-1_800_000_000) + n * 3_000_000).cast("int").alias("minlon"),
+        (F.lit(-900_000_000) + n * 5_000_000).cast("int").alias("minlat"),
+        (F.lit(-1_800_000_000) + n * 3_000_000 + 6_000_000)
+        .cast("int")
+        .alias("maxlon"),
+        (F.lit(-900_000_000) + n * 5_000_000 + 12_000_000)
+        .cast("int")
+        .alias("maxlat"),
+    )
+    return point_in_box_join(pts, boxes)

@@ -190,3 +190,45 @@ def test_sql_surface_region_predicate(spark, dataset, fixture_rows):
         if any(lo <= r[4] < hi for lo, hi in ranges)
     }
     assert got == want
+
+
+def test_point_in_box_join_matches_bruteforce_and_plan(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators.spatial_join import point_in_box_join
+
+    rng = random.Random(11)
+    pts_rows = [
+        (i, rng.randint(-1_700_000_000, 1_700_000_000),
+         rng.randint(-850_000_000, 850_000_000))
+        for i in range(2000)
+    ]
+    box_rows = []
+    for b in range(12):
+        lon0 = rng.randint(-1_700_000_000, 1_400_000_000)
+        lat0 = rng.randint(-850_000_000, 600_000_000)
+        box_rows.append(
+            (b, lon0, lat0, lon0 + rng.randint(1, 300_000_000),
+             lat0 + rng.randint(1, 200_000_000))
+        )
+    pts = spark.createDataFrame(pts_rows, "id long, lon int, lat int")
+    boxes = spark.createDataFrame(
+        box_rows, "box_id long, minlon int, minlat int, maxlon int, maxlat int"
+    )
+    res = point_in_box_join(pts, boxes)
+    got = {(r.id, r.box_id) for r in res.collect()}
+    want = {
+        (i, b)
+        for i, lon, lat in pts_rows
+        for b, x0, y0, x1, y1 in box_rows
+        if x0 <= lon <= x1 and y0 <= lat <= y1
+    }
+    assert got == want
+    # covering candidates never duplicate pairs -> no distinct, and the
+    # big side never shuffles: broadcast exchanges only, no repartition
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
