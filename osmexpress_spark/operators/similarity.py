@@ -407,7 +407,7 @@ def topk_ivf_indexed(
 
 
 # --- scalar quantization (int8 compression for 100 TB vector stores) -------
-def quantize(vec: Column, bits: int = 8) -> Column:
+def quantize(vec: Column, bits: int = 8, scale: Column | None = None) -> Column:
     """Per-vector symmetric scalar quantization: q_i = round_half_up(
     x_i / scale) with scale = max|x| / (2^(bits-1) - 1), as int codes.
 
@@ -416,8 +416,16 @@ def quantize(vec: Column, bits: int = 8) -> Column:
     ANSI SQL (ROUND differs: Spark HALF_UP vs DuckDB HALF_EVEN).
     All arithmetic in float64 from exact float32 casts, so codes are
     engine-identical. An all-zero vector quantizes to zeros via the
-    1e-30 scale floor (no CASE needed)."""
-    scale = quantize_scale(vec, bits)
+    1e-30 scale floor (no CASE needed).
+
+    PERF: pass `scale` as a pre-projected COLUMN when quantizing at
+    corpus scale. Higher-order lambdas evaluate every embedded subtree
+    per ELEMENT (they bypass codegen subexpression elimination), so an
+    inline scale recomputes array_max dim times per row — dim× the
+    work. The query wrappers project quantize_scale first and feed the
+    column in."""
+    if scale is None:
+        scale = quantize_scale(vec, bits)
     return F.transform(
         vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
     )
@@ -427,6 +435,24 @@ def quantize_scale(vec: Column, bits: int = 8) -> Column:
     qmax = (1 << (bits - 1)) - 1
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     return F.greatest(amax, F.lit(1e-30)) / F.lit(float(qmax))
+
+
+def _with_codes(
+    df: DataFrame, id_col: str, vec_col: str, bits: int,
+    out_id: str, codes: str, scale: str,
+) -> DataFrame:
+    """(id, codes, scale) with the scale projected FIRST so the code
+    lambda reads it as a column (once per row, not per element)."""
+    pre = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("__v"),
+        quantize_scale(F.col(vec_col), bits).alias(scale),
+    )
+    return pre.select(
+        out_id,
+        quantize(F.col("__v"), bits, scale=F.col(scale)).alias(codes),
+        scale,
+    )
 
 
 def topk_quantized(
@@ -447,16 +473,8 @@ def topk_quantized(
     to 6 decimals before ranking, the same absorb-the-fold-noise rule
     as cosine). Queries broadcast across the candidate scan, ranks
     tie-break on id."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantize(F.col(vec_col), bits).alias("qq"),
-        quantize_scale(F.col(vec_col), bits).alias("qs"),
-    )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(F.col(vec_col), bits).alias("cq"),
-        quantize_scale(F.col(vec_col), bits).alias("cs"),
-    )
+    q = _with_codes(queries, id_col, vec_col, bits, "query_id", "qq", "qs")
+    c = _with_codes(candidates, id_col, vec_col, bits, "neighbor_id", "cq", "cs")
     idot = F.aggregate(
         F.zip_with(
             F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")

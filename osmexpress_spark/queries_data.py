@@ -948,16 +948,19 @@ def q_embedding_quantize(spark, sf_dir):
     emits an L1 norm + code digest rather than the raw array (array
     cells don't survive the driver's pandas stringification)."""
     emb = t(spark, sf_dir, "embeddings")
-    qv = similarity.quantize(F.col("embedding"))
-    return emb.select(
+    coded = similarity._with_codes(
+        emb, "vec_id", "embedding", 8, "vec_id", "qv", "qs"
+    )
+    return coded.select(
         "vec_id",
         F.aggregate(
-            F.transform(qv, lambda x: F.abs(x).cast("long")),
+            F.transform(F.col("qv"), lambda x: F.abs(x).cast("long")),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).alias("q_l1"),
-        F.md5(F.array_join(F.transform(qv, lambda x: x.cast("string")), ","))
-        .alias("q_digest"),
+        F.md5(
+            F.array_join(F.transform(F.col("qv"), lambda x: x.cast("string")), ",")
+        ).alias("q_digest"),
     )
 
 
