@@ -189,3 +189,47 @@ def pack_sequences(
     )
     prev = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
     return df.withColumn(bin_name, (prev / F.lit(budget)).cast("long"))
+
+
+def train_eval_split(
+    df: DataFrame,
+    id_col: str,
+    eval_permille: int = 50,
+    denom: int = 10_000,
+    split_name: str = "split",
+) -> DataFrame:
+    """Deterministic holdout split: the same hash bucket that drives
+    stratified_sample labels each row 'train'/'eval', so the split is
+    stable across runs, engines, and partitionings, and a row can
+    never migrate between splits as the corpus grows (membership
+    depends only on its own id). Scan-side expression, zero shuffle."""
+    cut = denom - eval_permille * denom // 1000
+    return df.withColumn(
+        split_name,
+        F.when(hash_bucket(F.col(id_col), denom) < cut, F.lit("train"))
+        .otherwise(F.lit("eval")),
+    )
+
+
+def global_shuffle_sharded(
+    df: DataFrame,
+    id_col: str,
+    shards: int,
+    pos_name: str = "pos",
+    shard_name: str = "shard",
+) -> DataFrame:
+    """The at-scale form of global_shuffle: rows hash into `shards`
+    deterministic shards, position is assigned WITHIN the shard
+    (hash-partitioned window — parallel, no global sort), and the
+    training order is (shard, pos). Shard sizes are near-uniform
+    (md5-derived bucket), so a reader walking shard files round-robin
+    sees the same unbiased order a global sort would give, at the
+    cost of one hash shuffle instead of a total-order range sort."""
+    shard = hash_bucket(F.col(id_col), shards).alias(shard_name)
+    w = Window.partitionBy(shard_name).orderBy(
+        sample_order(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn(shard_name, shard)
+        .withColumn(pos_name, F.row_number().over(w))
+    )

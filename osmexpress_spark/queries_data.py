@@ -1204,3 +1204,80 @@ def q_multimodal_frames(spark, sf_dir):
         F.md5("frame").alias("frame_md5"),
         "n_frame_bytes",
     )
+
+
+@defq(
+    "q_train_eval_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {sample.hash_bucket_sql('doc_id')} < 9500
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def q_train_eval_split(spark, sf_dir):
+    """Deterministic 95/5 holdout (operators/sample.py:
+    train_eval_split): membership depends only on the row's own id, so
+    the split never drifts as the corpus grows. Scan-side, zero
+    shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return sample.train_eval_split(d, "doc_id", eval_permille=50).select(
+        "doc_id", "split"
+    )
+
+
+@defq(
+    "q_global_shuffle_sharded",
+    """
+    SELECT doc_id,
+           (CAST(doc_id AS BIGINT) * 2654435761) % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY (CAST(doc_id AS BIGINT) * 2654435761) % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS INTEGER) AS pos
+    FROM documents
+    """,
+)
+def q_global_shuffle_sharded(spark, sf_dir):
+    """The at-scale training order (sample.global_shuffle_sharded):
+    positions assigned within hash shards by a parallel window — one
+    hash shuffle, no global sort. The (shard, pos) pair is the read
+    order."""
+    d = t(spark, sf_dir, "documents")
+    return sample.global_shuffle_sharded(d, "doc_id", shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@defq(
+    "q_vocab_topk",
+    """
+    WITH tf AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM tf GROUP BY token
+    )
+    SELECT token, n, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+      FROM counts
+    ) WHERE rnk <= 20
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics (the vocab-building step): global
+    token counts, top 20 by frequency with deterministic tie-break.
+    Explode + map-side-combined count; the top-k is a TakeOrdered over
+    the aggregated (small) vocab, not a global sort of tokens."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("token", "n", "rnk")
+    )

@@ -203,3 +203,32 @@ def test_pii_redact_scrubs_and_counts(spark):
     assert got[1] == (2, "contact <REDACTED> or <REDACTED> today")
     assert got[2] == (0, "no pii here")
     assert got[3] == (1, "<REDACTED>")
+
+
+def test_global_shuffle_sharded_is_parallel_permutation(spark):
+    g = sample.global_shuffle_sharded(_docs(spark), "doc_id", shards=8)
+    rows = g.select("doc_id", "shard", "pos").collect()
+    n = len({r.doc_id for r in rows})
+    assert n == _docs(spark).count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # positions are contiguous 1..k within every shard
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # the window is hash-partitioned (parallel), not single-partition
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_train_eval_split_deterministic_and_proportional(spark):
+    d = _docs(spark)
+    s1 = {(r.doc_id, r.split) for r in
+          sample.train_eval_split(d, "doc_id", 50).select("doc_id", "split").collect()}
+    s2 = {(r.doc_id, r.split) for r in
+          sample.train_eval_split(d.repartition(5), "doc_id", 50)
+          .select("doc_id", "split").collect()}
+    assert s1 == s2
+    n_eval = sum(1 for _, sp in s1 if sp == "eval")
+    assert 0 < n_eval < len(s1) * 0.15  # ~5% of 500, loose bound
