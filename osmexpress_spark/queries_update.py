@@ -889,3 +889,85 @@ def q_spatial_join(spark, sf_dir):
         .alias("maxlat"),
     )
     return point_in_box_join(pts, boxes)
+
+
+# --------------------------------------------------------------------------
+# examples/bbox_wkt.cpp end-to-end: bbox -> covering cell filter ->
+# reverse-membership (node_way) -> way LineString WKT. The reference's
+# output is covering-approximate ("may include ways outside the
+# bounding box", README.md:64); the analog refines exactly so the SQL
+# predicate join is the oracle.
+_BWK_BOX = (-1_800_000_000, -900_000_000, -1_792_000_000, -800_000_000)
+
+
+@defq(
+    "q_bbox_way_wkt_analog",
+    f"""
+    WITH loc AS (
+      SELECT p_partkey AS node_id,
+             {_LON_EXPR.format(k="p_partkey")} AS lon,
+             {_LAT_EXPR.format(k="p_partkey")} AS lat
+      FROM part
+    ), sel AS (
+      SELECT node_id FROM loc
+      WHERE lon BETWEEN {_BWK_BOX[0]} AND {_BWK_BOX[2]}
+        AND lat BETWEEN {_BWK_BOX[1]} AND {_BWK_BOX[3]}
+    ), v AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS way_id, l_linenumber AS pos,
+             l_partkey AS node_id
+      FROM lineitem WHERE l_orderkey % 10 = 1
+    ), hit AS (
+      SELECT DISTINCT way_id FROM v JOIN sel USING (node_id)
+    ), pts AS (
+      SELECT v.way_id, v.pos, v.node_id, loc.lon, loc.lat
+      FROM v JOIN loc USING (node_id)
+      WHERE v.way_id IN (SELECT way_id FROM hit)
+    )
+    SELECT way_id AS id,
+           'LINESTRING (' || string_agg(
+               {_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')},
+               ', ' ORDER BY pos, node_id) || ')' AS wkt
+    FROM pts GROUP BY way_id
+    """,
+)
+def q_bbox_way_wkt_analog(spark, sf_dir):
+    """The bbox_wkt example through the real pipeline: driver covering
+    of the box (G3/G4) -> pushed cell-range + exact refine on the
+    derived locations (S4/P5 shape) -> node_way reverse-membership
+    semi-join (J1) -> ordered LineString assembly (G6)."""
+    from . import functions as fns
+    from .spatial import covering as cov_mod
+    from .spatial import cells as cells_mod
+    from .spatial.region import Region
+
+    minlon, minlat, maxlon, maxlat = _BWK_BOX
+    locs = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        _lon("p_partkey").alias("lon"),
+        _lat("p_partkey").alias("lat"),
+    )
+    reg = Region(
+        f"{minlat / 1e7},{minlon / 1e7},{maxlat / 1e7},{maxlon / 1e7}", "bbox"
+    )
+    ranges = cov_mod.covering(reg)
+    sel = locs.where(
+        cells_mod.ranges_filter(
+            cells_mod.cell_col(F.col("lon"), F.col("lat")), ranges
+        )
+    ).where(
+        F.col("lon").between(minlon, maxlon)
+        & F.col("lat").between(minlat, maxlat)
+    )
+    ways = _base_ways(spark, sf_dir)
+    verts = ways.select(
+        F.col("id").alias("way_id"), F.explode("nodes").alias("node_id")
+    )
+    hit = (
+        verts.join(sel.select(F.col("id").alias("node_id")), "node_id", "left_semi")
+        .select("way_id")
+        .distinct()
+    )
+    hit_ways = ways.join(
+        hit.withColumnRenamed("way_id", "id"), "id", "left_semi"
+    )
+    return fns.way_linestrings(hit_ways, locs).select("id", "wkt")
