@@ -47,10 +47,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from osmexpress_spark import queries as Q
     from osmexpress_spark import queries_data as QD
+    from osmexpress_spark import queries_osm as QO
     from osmexpress_spark import queries_update as QU
 
     out: dict[str, str] = {}
     out.update(Q.ORACLE_SQL)
     out.update(QD.ORACLE_SQL)
+    out.update(QO.oracle_sql())
     out.update(QU.ORACLE_SQL)
     return out

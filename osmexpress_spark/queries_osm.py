@@ -1,11 +1,19 @@
-"""OSM-domain driver-contract queries (rows-only checks).
+"""OSM-domain driver-contract queries.
 
 These exercise the reference-specific pipelines — spatial extract,
 fixpoint closure, WKT assembly, point lookup — over the deterministic
-fixture dataset (seeded; built lazily under .fixtures/). They are not
-SQL-expressible (coverings + iterative closure), so no oracle entries;
-correctness is asserted by tests/test_extract.py against an
-independent Python model of `src/extract.cpp` semantics.
+fixture dataset (seeded; built lazily under .fixtures/).
+
+Most now carry full DuckDB oracles (ORACLE_SQL below): the fixture is
+pure-Python deterministic, so `oracle_sql()` writes an independent
+pyarrow copy of it and emits self-contained SQL over `read_parquet`,
+with the (deterministic, driver-side) covering ranges inlined as
+literal BETWEEN predicates and the super-relation fixpoint expressed
+as a recursive CTE. Only the recursive-GeoJSON and augmented-diff
+queries stay rows-only (JSON/className formatting is not worth
+byte-matching in SQL; their semantics are golden-tested in tests/
+against independent Python models, and the augmented-diff semantics
+are separately hash-checked by queries_update.q_augmented_diff_analog).
 """
 
 from __future__ import annotations
@@ -109,6 +117,220 @@ def osm_augmented_diff(spark, sf_dir):
     batch = testing.generate_changes(fx_rows, n_batches=1, per_batch=40)[0]
     changes = spark.createDataFrame(batch, testing.schemas.CHANGES_SCHEMA)
     return augmented_diff(ds.tables(), changes).orderBy("type", "id")
+
+
+# --- DuckDB oracles over an independent fixture copy ----------------------
+ORACLE_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".fixtures", "osm_small_oracle",
+)
+
+
+def _ensure_oracle_fixture() -> str:
+    """Write a pyarrow copy of the fixture tables (same generate() rows,
+    seed 42) so the oracle SQL never depends on the Spark-written files
+    or on driver evaluation order. Values are identical by construction;
+    only the columns the oracles read are materialized."""
+    done = os.path.join(ORACLE_FIXTURE_DIR, "_DONE")
+    if os.path.exists(done):
+        return ORACLE_FIXTURE_DIR
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = testing.generate(n_nodes=FIXTURE_NODES, seed=42)
+    os.makedirs(ORACLE_FIXTURE_DIR, exist_ok=True)
+
+    loc = rows["locations"]
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in loc], pa.int64()),
+                "lon": pa.array([r[1] for r in loc], pa.int32()),
+                "lat": pa.array([r[2] for r in loc], pa.int32()),
+                "version": pa.array([r[3] for r in loc], pa.int32()),
+                "cell": pa.array([r[4] for r in loc], pa.int64()),
+            }
+        ),
+        os.path.join(ORACLE_FIXTURE_DIR, "locations.parquet"),
+    )
+    nd = rows["nodes"]
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in nd], pa.int64()),
+                "tags_kv": pa.array([r[2] for r in nd], pa.list_(pa.string())),
+            }
+        ),
+        os.path.join(ORACLE_FIXTURE_DIR, "nodes.parquet"),
+    )
+    wy = rows["ways"]
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in wy], pa.int64()),
+                "nodes": pa.array([r[1] for r in wy], pa.list_(pa.int64())),
+                "tags_kv": pa.array([r[3] for r in wy], pa.list_(pa.string())),
+            }
+        ),
+        os.path.join(ORACLE_FIXTURE_DIR, "ways.parquet"),
+    )
+    rl = rows["relations"]
+    member_t = pa.list_(
+        pa.struct([("ref", pa.int64()), ("type", pa.string()), ("role", pa.string())])
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in rl], pa.int64()),
+                "members": pa.array(
+                    [
+                        [{"ref": m[0], "type": m[1], "role": m[2]} for m in r[1]]
+                        for r in rl
+                    ],
+                    member_t,
+                ),
+                "tags_kv": pa.array([r[3] for r in rl], pa.list_(pa.string())),
+            }
+        ),
+        os.path.join(ORACLE_FIXTURE_DIR, "relations.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return ORACLE_FIXTURE_DIR
+
+
+def _cell_pred(exact: bool) -> str:
+    """The covering ranges extract() pushes to the scan, as literal
+    BETWEEN terms (deterministic pure-Python planning — same code path
+    the Spark query runs), plus the exact half-open bbox containment
+    (ray-casting on an axis-aligned rect reduces to lat in [min,max) and
+    lon in [min,max), float math identical to Region.contains)."""
+    from .spatial import cover
+
+    ranges = cover(Region(NYC_BBOX, "bbox"))
+    pred = " OR ".join(f"(cell BETWEEN {a} AND {b})" for a, b in ranges)
+    min_lat, min_lon, max_lat, max_lon = (float(x) for x in NYC_BBOX.split(","))
+    if exact:
+        pred = (
+            f"({pred}) AND (lat / 10000000.0) >= {min_lat!r} "
+            f"AND (lat / 10000000.0) < {max_lat!r} "
+            f"AND (lon / 10000000.0) >= {min_lon!r} "
+            f"AND (lon / 10000000.0) < {max_lon!r}"
+        )
+    return pred
+
+
+def _extract_ctes(d: str, exact: bool) -> str:
+    """The extract pipeline (operators/extract.py steps 2-7) as CTEs:
+    covering seeds -> node->way -> node/way->relation -> recursive
+    rel->rel closure -> multipolygon completion with existence check ->
+    way-completion node back-fill."""
+    return f"""
+locations AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+ways AS (SELECT * FROM read_parquet('{d}/ways.parquet')),
+relations AS (SELECT * FROM read_parquet('{d}/relations.parquet')),
+seeds AS (SELECT id FROM locations WHERE {_cell_pred(exact)}),
+way_edges AS (SELECT unnest(nodes) AS node_id, id AS way_id FROM ways),
+way_hits AS (
+  SELECT DISTINCT way_id AS id FROM way_edges JOIN seeds ON way_edges.node_id = seeds.id
+),
+medges AS (
+  SELECT id AS relation_id, struct_extract(unnest(members), 'ref') AS ref,
+         struct_extract(unnest(members), 'type') AS mtype
+  FROM relations
+),
+rel_seeds AS (
+  SELECT DISTINCT id FROM (
+    SELECT relation_id AS id FROM medges JOIN seeds
+      ON medges.mtype = 'node' AND medges.ref = seeds.id
+    UNION ALL
+    SELECT relation_id AS id FROM medges JOIN way_hits
+      ON medges.mtype = 'way' AND medges.ref = way_hits.id
+  )
+),
+rel_rel AS (SELECT ref AS child_id, relation_id FROM medges WHERE mtype = 'relation'),
+rel_closure AS (
+  SELECT id FROM rel_seeds
+  UNION
+  SELECT rel_rel.relation_id AS id FROM rel_closure JOIN rel_rel
+    ON rel_rel.child_id = rel_closure.id
+),
+mp_rels AS (
+  SELECT id FROM relations
+  WHERE id IN (SELECT id FROM rel_closure)
+    AND list_position(tags_kv, 'type') IS NOT NULL
+    AND tags_kv[list_position(tags_kv, 'type') + 1] = 'multipolygon'
+),
+mp_ways AS (
+  SELECT DISTINCT ref AS id FROM medges
+  WHERE relation_id IN (SELECT id FROM mp_rels) AND mtype = 'way'
+    AND ref IN (SELECT id FROM ways)
+),
+way_all AS (
+  -- DISTINCT wrapper: DuckDB 1.0 evaluates UNION as UNION ALL for
+  -- non-recursive CTEs inside a WITH RECURSIVE block
+  SELECT DISTINCT id FROM (
+    SELECT id FROM way_hits UNION ALL SELECT id FROM mp_ways
+  )
+),
+node_all AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM seeds
+    UNION ALL
+    SELECT node_id AS id FROM way_edges JOIN way_all ON way_edges.way_id = way_all.id
+  )
+)"""
+
+
+def _fmt_coord_sql(col: str) -> str:
+    """Exact mirror of functions._fmt_coord: sign + integer part + '.' +
+    zero-padded 7-digit fraction, built from the scaled int."""
+    a = f"abs(CAST({col} AS BIGINT))"
+    return (
+        f"(CASE WHEN {col} < 0 THEN '-' ELSE '' END || "
+        f"CAST({a} // 10000000 AS VARCHAR) || '.' || "
+        f"lpad(CAST({a} % 10000000 AS VARCHAR), 7, '0'))"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _ensure_oracle_fixture()
+    coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
+    return {
+        "osm_extract_bbox": f"""WITH RECURSIVE {_extract_ctes(d, exact=False)}
+SELECT * FROM (
+  SELECT 1 AS type_rank, 'node' AS type, id FROM node_all
+  UNION ALL SELECT 2, 'way', id FROM way_all
+  UNION ALL SELECT 3, 'relation', id FROM rel_closure
+) ORDER BY type_rank, id""",
+        "osm_extract_exact": f"""WITH RECURSIVE {_extract_ctes(d, exact=True)}
+SELECT id FROM node_all ORDER BY id""",
+        "osm_way_wkt": f"""WITH RECURSIVE {_extract_ctes(d, exact=False)},
+verts AS (
+  SELECT id AS way_id, unnest(nodes) AS node_id,
+         generate_subscripts(nodes, 1) AS pos
+  FROM ways WHERE id IN (SELECT id FROM way_all)
+),
+pts AS (
+  SELECT v.way_id, v.pos, l.lon, l.lat
+  FROM verts v JOIN locations l ON v.node_id = l.id
+)
+SELECT way_id AS id,
+       'LINESTRING (' || string_agg({coord}, ', ' ORDER BY pos) || ')' AS wkt
+FROM pts GROUP BY way_id ORDER BY id""",
+        "osm_lookup": f"""WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet'))
+SELECT id, CAST(len(nodes) AS INTEGER) AS n_nodes,
+       CAST(len(tags_kv) AS INTEGER) AS n_tag_kv
+FROM ways WHERE id = (SELECT min(id) FROM ways)""",
+        "osm_stats": f"""SELECT * FROM (
+  SELECT 0 AS rank, 'locations' AS tbl,
+         (SELECT count(*) FROM read_parquet('{d}/locations.parquet')) AS n
+  UNION ALL SELECT 1, 'nodes', (SELECT count(*) FROM read_parquet('{d}/nodes.parquet'))
+  UNION ALL SELECT 2, 'ways', (SELECT count(*) FROM read_parquet('{d}/ways.parquet'))
+  UNION ALL SELECT 3, 'relations',
+         (SELECT count(*) FROM read_parquet('{d}/relations.parquet'))
+) ORDER BY rank""",
+    }
 
 
 @defq("osm_relation_geojson")

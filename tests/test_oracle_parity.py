@@ -14,10 +14,13 @@ import pytest
 
 from osmexpress_spark import queries as Q
 from osmexpress_spark import queries_data as QD
+from osmexpress_spark import queries_osm as QO
 from osmexpress_spark import queries_update as QU
 
-ALL_QUERIES = {**Q.SPARK_QUERIES, **QD.SPARK_QUERIES, **QU.SPARK_QUERIES}
-ALL_ORACLES = {**Q.ORACLE_SQL, **QD.ORACLE_SQL, **QU.ORACLE_SQL}
+ALL_QUERIES = {
+    **Q.SPARK_QUERIES, **QD.SPARK_QUERIES, **QO.SPARK_QUERIES, **QU.SPARK_QUERIES
+}
+ALL_ORACLES = {**Q.ORACLE_SQL, **QD.ORACLE_SQL, **QO.oracle_sql(), **QU.ORACLE_SQL}
 
 SF_DIR = os.environ.get("OSMX_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
