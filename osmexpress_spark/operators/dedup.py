@@ -411,3 +411,82 @@ def simhash_candidates(
         .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
         .distinct()
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs: (id,
+    cluster_id) for every id that appears in `pairs`, where cluster_id
+    is the smallest id in the component. This is the step that turns a
+    pair list (minhash_lsh_pairs / simhash_candidates output) into
+    dedup decisions: keep cluster_id == id, drop the rest.
+
+    Algorithm: iterative min-label propagation — label(x) starts at x,
+    each round takes the min of label(x) and the labels of x's
+    neighbors; a driver loop with `localCheckpoint()` per round
+    truncates lineage (same pattern as operators/closure.py). Rounds
+    needed = component diameter. Near-dup components are near-cliques
+    (diameter 2-3), so the loop converges in a handful of shuffle
+    rounds even at corpus scale; for adversarial long-chain graphs,
+    the alternating large-star/small-star contraction (Kiveris et al.)
+    drops the bound to O(log n) rounds — not needed for dedup
+    workloads, noted for parity with the literature.
+
+    Scale shape: every round is one equi-join keyed on node id over
+    the (bounded) candidate edge list plus a map-side-combinable min
+    aggregate; nothing is collected to the driver, and the convergence
+    check is a `limit(1)` probe, not a full count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("src"),
+                            F.col(id_a).cast("long").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old"), "id"
+            )
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The corpus with near-duplicates removed: for every connected
+    component of `pairs`, keep only the smallest id (the cluster
+    representative); rows in no component pass through untouched.
+    One anti-join against the non-representative id set — the corpus
+    table itself never shuffles."""
+    drop = dup_clusters(pairs, id_a, id_b).where(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

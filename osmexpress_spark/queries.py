@@ -37,6 +37,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.asof import asof_join
 from .operators.closure import transitive_closure
@@ -55,30 +56,46 @@ def defq(name: str, oracle: str | None = None):
     return wrap
 
 
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    The testdata writer's parquet annotation has varied across driver
+    rounds (round 1: UTC-adjusted; round 2: no-timezone, which Spark 4
+    infers as TIMESTAMP_NTZ). Functions like `unix_micros` and window()
+    require LTZ, and the DuckDB oracles read the same files as naive
+    timestamps — with the session pinned UTC the cast preserves the
+    stored int64 exactly, so both annotations behave identically."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensive: oracle parity requires UTC literal parsing even when the
     # caller's session didn't pin it (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
-    Spark vectorized reader rejects outright. Read nanos as long (legacy
-    conf, runtime-settable) and convert with integer arithmetic — `ts`
-    values (~1.7e18 ns) overflow double precision, so the division must
-    be integral. DuckDB oracles read the same file as TIMESTAMP_NS and
-    truncate to microseconds, matching `ts DIV 1000` exactly.
-    """
+    """Round-1 events.parquet stored `ts` as parquet TIMESTAMP(NANOS),
+    which the Spark vectorized reader rejects outright: read nanos as
+    long (legacy conf, runtime-settable) and convert with integer
+    arithmetic — `ts` values (~1.7e18 ns) overflow double precision, so
+    the division must be integral; DuckDB truncates TIMESTAMP_NS to
+    micros, matching `ts DIV 1000` exactly. Round-2 testdata writes
+    micros without a timezone annotation instead — normalize the
+    resulting TIMESTAMP_NTZ to LTZ (same int64, see _ntz_to_ltz)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
         )
-    return df
+    return _ntz_to_ltz(df)
 
 
 def money(col):

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, sample, similarity, skew, text
+from .operators import dedup, multimodal, retrieval, sample, similarity, skew, text
 from .queries import t
 from .streaming import stateful, watermark_ops
 
@@ -221,10 +221,10 @@ def _band_selects_sql() -> str:
     return "\n      UNION ALL\n      ".join(parts)
 
 
-@defq(
-    "q_minhash_lsh_pairs",
-    f"""
-    WITH ws AS (
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in `pairs(id_a, id_b)` — the LSH candidate
+    pairs. Shared by the pair-list, cluster, and survivor oracles."""
+    return f"""ws AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -237,11 +237,42 @@ def _band_selects_sql() -> str:
       FROM sh
     ), bands AS (
       {_band_selects_sql()}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )"""
+
+
+def _dup_cluster_ctes() -> str:
+    """Extends the pair CTEs with min-reachable-id connected components
+    (`clus(id, cluster_id)`). The recursive CTE enumerates every
+    (node, reachable node) pair — fine at oracle scale; the engine side
+    runs the O(diameter) label-propagation loop instead
+    (operators/dedup.dup_clusters). UNION ALL + explicit DISTINCT
+    because DuckDB 1.0 runs UNION as UNION ALL for non-recursive CTEs
+    inside WITH RECURSIVE."""
+    return f"""{_minhash_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), cnodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach AS (
+      SELECT id, id AS r FROM cnodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), clus AS (
+      SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+    )"""
+
+
+@defq(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT id_a, id_b FROM pairs
     """,
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -252,6 +283,56 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         n_hashes=N_HASHES,
         k=SHINGLE_K,
         bands=N_BANDS,
+    )
+
+
+def _lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        n_hashes=N_HASHES, k=SHINGLE_K, bands=N_BANDS,
+    )
+
+
+@defq(
+    "q_dup_clusters",
+    f"""
+    WITH RECURSIVE {_dup_cluster_ctes()}
+    SELECT id, cluster_id FROM clus ORDER BY id
+    """,
+)
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the LSH candidate pairs: the step that
+    turns pair lists into dedup decisions (keep cluster_id == id).
+    Engine: O(diameter) min-label propagation (operators/dedup.py);
+    oracle: recursive reachability + min aggregate."""
+    return dedup.dup_clusters(_lsh_pairs(spark, sf_dir)).orderBy("id")
+
+
+@defq(
+    "q_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_dup_cluster_ctes()}
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM clus WHERE id != cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus: one representative (smallest id) per
+    near-dup component, all singleton docs untouched. One anti-join;
+    the corpus table itself never shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.dedup_survivors(
+        docs, _lsh_pairs(spark, sf_dir), "doc_id"
+    ).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@defq("q_bm25_topk", retrieval.bm25_oracle_sql(["hash", "join", "spark"], k=10))
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k over the corpus — zero-shuffle scoring scan +
+    broadcast stats row + TakeOrdered top-k (operators/retrieval.py)."""
+    return retrieval.bm25_topk(
+        t(spark, sf_dir, "documents"), ["hash", "join", "spark"], k=10
     )
 
 
@@ -626,6 +707,10 @@ def _events_stream(spark, sf_dir):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
         )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # round-2 testdata writes micros without tz annotation; watermarks
+        # and window() need LTZ (session pinned UTC, same int64)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

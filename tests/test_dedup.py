@@ -90,3 +90,36 @@ def test_closure_edge_probe_cached_per_dataset(spark, tmp_path):
         out = closure.transitive_closure(seeds, e, "src", "dst")
         assert out.count() == 101
     assert closure._edge_probe_jobs == before + 1
+
+
+def test_dup_clusters_chain_diamond_and_singletons(spark):
+    """Min-label propagation finds components across a 4-chain (diameter
+    3 — needs multiple propagation rounds), a triangle, and an isolated
+    pair; ids absent from pairs don't appear."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_dedup_survivors_keeps_representatives_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"] for r in dedup.dedup_survivors(docs, pairs, "doc_id").collect()}
+    # 1 survives (representative of {1,2,3}); 4, 10, 99 untouched
+    assert got == {1, 4, 10, 99}
