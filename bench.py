@@ -38,6 +38,8 @@ HEADLINE = [
     "q_doc_token_stats",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
+    "q_dup_clusters",
+    "q_bm25_topk",
     "q_embedding_topk",
     "q_embedding_ann_bucketed",
     "q_quantized_ann",

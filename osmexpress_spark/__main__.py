@@ -1,0 +1,196 @@
+"""Command-line parity with the reference's `osmx` binary.
+
+Dispatch mirrors `/root/reference/src/cmd.cpp:38-45`:
+
+    python -m osmexpress_spark expand  SOURCE DATASET_DIR
+    python -m osmexpress_spark extract DATASET_DIR OUTPUT (--bbox|--disc|--region) ...
+    python -m osmexpress_spark update  DATASET_DIR CHANGE.osc [...] [--commit]
+    python -m osmexpress_spark query   DATASET_DIR [node|way|relation ID]
+
+Option names follow the reference where it has them: `--bbox` /
+`--region FILE` / `--expand N` (extract.cpp:70-143), `--noUserData`
+(extract.cpp:73,111), `--commit` dry-run default (update.cpp:280-291).
+Output format is picked by extension like `osmx extract`: .pbf ->
+ordered PBF sink, .xml/.osm -> XML, anything else -> a re-extractable
+parquet dataset directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark(app_name="osmx-cli")
+
+
+def cmd_expand(args) -> int:
+    from .api import Dataset
+
+    Dataset.expand(
+        _spark(),
+        args.source,
+        args.dest,
+        partitions=args.partitions,
+        materialize_edges=not args.no_edges,
+    )
+    print(f"expanded {args.source} -> {args.dest}")
+    return 0
+
+
+def _parse_region(args):
+    from .spatial import Region
+
+    if args.bbox:
+        return Region(args.bbox, "bbox")
+    if args.disc:
+        return Region(args.disc, "disc")
+    if args.region:
+        return Region.from_file(args.region)
+    print("extract: one of --bbox/--disc/--region is required", file=sys.stderr)
+    raise SystemExit(2)
+
+
+def _tables(spark, dataset: str):
+    """Latest committed store snapshot if the dir has manifests (post-
+    `update --commit`), else the plain expand layout."""
+    from .store import SnapshotStore
+
+    store = SnapshotStore(spark, dataset)
+    if store.latest_version() is not None:
+        return store.read_all()
+    from .api import Dataset
+
+    ds = Dataset(spark, dataset)
+    return ds.tables()
+
+
+def cmd_extract(args) -> int:
+    from .operators.extract import extract
+    from .sources import sink
+
+    res = extract(
+        _tables(_spark(), args.dataset),
+        _parse_region(args),
+        expand_cells=args.expand,
+        exact=args.exact,
+    )
+    out = args.output
+    if out.endswith(".pbf"):
+        sink.write_pbf(res, out, user_data=not args.noUserData)
+    elif out.endswith(".xml") or out.endswith(".osm"):
+        sink.write_xml(res, out)
+    else:
+        sink.write_dataset(res, out, user_data=not args.noUserData)
+    print(f"extracted {args.dataset} -> {out}")
+    return 0
+
+
+def cmd_update(args) -> int:
+    import os
+
+    from .api import Dataset
+    from .schemas import EDGE_TABLES
+    from .sources.osc import read_osc
+    from .store import DEFAULT_SORT, SnapshotStore
+    from .streaming.replication import apply_batch
+
+    spark = _spark()
+    store = SnapshotStore(spark, args.dataset)
+    if store.latest_version() is None:
+        # plain `expand` output (no manifests yet): bootstrap version 0
+        # from the dataset-layout parquet dirs, edges included if present
+        ds = Dataset(spark, args.dataset)
+        tables = {n: ds.table(n) for n in ("locations", "nodes", "ways", "relations")}
+        for n in EDGE_TABLES:
+            if os.path.exists(os.path.join(args.dataset, n, "_SUCCESS")):
+                tables[n] = ds.table(n)
+        store.commit(tables, metadata={"bootstrap": "cli"}, sort_by=DEFAULT_SORT)
+        print(f"bootstrapped store at {args.dataset} (version 0)")
+    for i, osc in enumerate(args.changes):
+        seq = args.seqnum + i
+        changes = read_osc(spark, osc, seqnum=seq)
+        applied = apply_batch(store, changes, seq, commit=args.commit)
+        if not args.commit:
+            print(f"dry-run {osc}: batch derived and discarded "
+                  "(pass --commit to publish)")
+        elif applied:
+            print(f"applied {osc} (seqnum {seq}) -> version {store.latest_version()}")
+        else:
+            print(f"skipped {osc}: seqnum {seq} already committed")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from pyspark.sql import functions as F
+
+    tables = _tables(_spark(), args.dataset)
+    if args.element_type:
+        if not args.id:
+            print("query: ID required with an element type", file=sys.stderr)
+            return 2
+        if args.element_type == "node":
+            df = (
+                tables["locations"].where(F.col("id") == args.id)
+                .join(tables["nodes"].where(F.col("id") == args.id), "id", "left_outer")
+                .select("id", "lon", "lat", "version", "tags", "metadata")
+            )
+        else:
+            df = tables[args.element_type + "s"].where(F.col("id") == args.id)
+        df.show(truncate=False)
+    else:
+        for name in ("locations", "nodes", "ways", "relations"):
+            print(f"{name}: {tables[name].count()}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="osmexpress_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("expand", help="bulk-load a .osm.pbf/.osm file")
+    pe.add_argument("source")
+    pe.add_argument("dest")
+    pe.add_argument("--partitions", type=int, default=None)
+    pe.add_argument("--no-edges", action="store_true",
+                    help="skip reverse-index materialization")
+    pe.set_defaults(fn=cmd_expand)
+
+    px = sub.add_parser("extract", help="spatial region extract")
+    px.add_argument("dataset")
+    px.add_argument("output")
+    px.add_argument("--bbox", help="minLat,minLon,maxLat,maxLon")
+    px.add_argument("--disc", help="lat,lon,radiusDegrees")
+    px.add_argument("--region", help="GeoJSON (.json/.geojson) or osmosis .poly file")
+    px.add_argument("--expand", type=int, default=0,
+                    help="buffer the covering by N fine cells")
+    px.add_argument("--exact", action="store_true",
+                    help="exact containment refinement (P5)")
+    px.add_argument("--noUserData", action="store_true",
+                    help="drop changeset/uid/user (GDPR projection)")
+    px.set_defaults(fn=cmd_extract)
+
+    pu = sub.add_parser("update", help="apply OsmChange files")
+    pu.add_argument("dataset")
+    pu.add_argument("changes", nargs="+")
+    pu.add_argument("--commit", action="store_true",
+                    help="publish (default is dry-run, like the reference)")
+    pu.add_argument("--seqnum", type=int, default=1)
+    pu.set_defaults(fn=cmd_update)
+
+    pq = sub.add_parser("query", help="point lookup / stats report")
+    pq.add_argument("dataset")
+    pq.add_argument("element_type", nargs="?",
+                    choices=("node", "way", "relation"))
+    pq.add_argument("id", nargs="?", type=int)
+    pq.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

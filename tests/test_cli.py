@@ -1,0 +1,53 @@
+"""CLI parity surface (python -m osmexpress_spark), mirroring the
+reference's `osmx expand/extract/update/query` dispatch
+(/root/reference/src/cmd.cpp:38-45). Runs main() in-process against
+the shared test session."""
+
+from __future__ import annotations
+
+import os
+
+from osmexpress_spark.__main__ import main
+from osmexpress_spark import testing
+from osmexpress_spark.api import Dataset
+from osmexpress_spark.operators.extract import extract
+from osmexpress_spark.sources import sink
+from osmexpress_spark.spatial import Region
+
+OSC = """<osmChange version="0.6">
+<modify><node id="1" lat="10.5" lon="20.25" version="9"><tag k="name" v="moved"/></node></modify>
+<delete><node id="4"/></delete>
+<create><node id="999001" lat="1.0" lon="2.0" version="1"><tag k="amenity" v="new"/></node></create>
+</osmChange>"""
+
+
+def test_cli_expand_query_extract_update(spark, tmp_path, capsys):
+    work = str(tmp_path)
+    fx = testing.ensure_fixture_dataset(spark, f"{work}/fx", n_nodes=300, seed=7)
+    res = extract(Dataset(spark, fx).tables(), Region("-90,-180,90,180", "bbox"))
+    sink.write_pbf(res, f"{work}/world.pbf")
+
+    assert main(["expand", f"{work}/world.pbf", f"{work}/ds"]) == 0
+    assert main(["query", f"{work}/ds"]) == 0
+    out = capsys.readouterr().out
+    assert "locations: 300" in out
+
+    assert main(["extract", f"{work}/ds", f"{work}/nyc.pbf",
+                 "--bbox", "40.5,-74.3,41.0,-73.7"]) == 0
+    assert os.path.getsize(f"{work}/nyc.pbf") > 0
+
+    osc = f"{work}/c.osc"
+    with open(osc, "w") as f:
+        f.write(OSC)
+    assert main(["update", f"{work}/ds", osc]) == 0            # dry-run
+    assert main(["query", f"{work}/ds"]) == 0
+    assert "locations: 300" in capsys.readouterr().out          # unchanged
+
+    assert main(["update", f"{work}/ds", osc, "--commit"]) == 0
+    assert main(["query", f"{work}/ds", "node", "1"]) == 0      # store-aware read
+    assert "moved" in capsys.readouterr().out
+
+
+def test_cli_query_missing_id_errors(spark, tmp_path, capsys):
+    fx = testing.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=100, seed=3)
+    assert main(["query", fx, "way"]) == 2
