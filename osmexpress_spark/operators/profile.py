@@ -1,0 +1,86 @@
+"""Table profiling: per-column health stats in one scan.
+
+Training-data pipelines gate every ingest batch on a profile (null
+explosions, cardinality collapse, range drift); the reference's only
+introspection is the per-table count report (`osmx query`,
+`/root/reference/src/cmd.cpp:96-109`) — this generalizes it per column.
+
+Scale shape: ONE aggregate job over the table — every statistic is a
+map-side-combinable aggregate (count / count-if-null / HLL-free exact
+distinct via hash aggregate / min / max), so the scan parallelizes and
+only k×5 partial values shuffle. The per-column output rows are an
+unpivot of the single aggregate row, not extra scans.
+
+Determinism contract: min/max are emitted as strings via CAST, which
+matches DuckDB for integer/string/timestamp columns; floating-point
+columns are formatted by the caller if needed (engine float-to-string
+differs, so the oracle-checked query profiles non-float columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max as strings, NULL-only columns give
+    NULL min/max. n_distinct ignores NULLs (COUNT(DISTINCT) semantics
+    on both engines)."""
+    cols = columns if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs.extend(
+            [
+                F.sum(F.isnull(c).cast("long")).alias(f"nn{i}"),
+                F.count_distinct(F.col(c)).alias(f"nd{i}"),
+                F.min(F.col(c)).cast("string").alias(f"mn{i}"),
+                F.max(F.col(c)).cast("string").alias(f"mx{i}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    # unpivot by exploding an array of per-column structs over the ONE
+    # aggregate row — a union of per-column selects would duplicate the
+    # whole aggregate subtree per column (k full table scans)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("n_rows"),
+                        F.col(f"nn{i}").alias("n_nulls"),
+                        F.col(f"nd{i}").alias("n_distinct"),
+                        F.col(f"mn{i}").alias("min_value"),
+                        F.col(f"mx{i}").alias("max_value"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+def profile_oracle_sql(table: str, columns: list[str]) -> str:
+    """DuckDB SQL computing the identical profile (one UNION ALL branch
+    per column off a shared single-row aggregate CTE)."""
+    aggs = ["count(*) AS n_rows"]
+    for i, c in enumerate(columns):
+        aggs.extend(
+            [
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn{i}",
+                f"count(DISTINCT {c}) AS nd{i}",
+                f"CAST(min({c}) AS VARCHAR) AS mn{i}",
+                f"CAST(max({c}) AS VARCHAR) AS mx{i}",
+            ]
+        )
+    branches = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", n_rows, nn{i} AS n_nulls, nd{i} AS n_distinct,"
+        f" mn{i} AS min_value, mx{i} AS max_value FROM one"
+        for i, c in enumerate(columns)
+    )
+    return f"""
+    WITH one AS (SELECT {", ".join(aggs)} FROM {table})
+    {branches}
+    """

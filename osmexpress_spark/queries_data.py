@@ -21,7 +21,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, retrieval, sample, similarity, skew, text
+from .operators import (
+    dedup, multimodal, profile, retrieval, sample, similarity, skew, text,
+)
 from .queries import t
 from .streaming import stateful, watermark_ops
 
@@ -325,6 +327,19 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup.dedup_survivors(
         docs, _lsh_pairs(spark, sf_dir), "doc_id"
     ).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@defq(
+    "q_profile_documents",
+    profile.profile_oracle_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    + " ORDER BY \"column\"",
+)
+def q_profile_documents(spark, sf_dir):
+    """Per-column ingest-gate profile (nulls/cardinality/range) in ONE
+    map-side-combinable aggregate scan (operators/profile.py)."""
+    return profile.profile(t(spark, sf_dir, "documents")).orderBy("column")
 
 
 @defq("q_bm25_topk", retrieval.bm25_oracle_sql(["hash", "join", "spark"], k=10))

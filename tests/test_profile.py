@@ -1,0 +1,26 @@
+"""operators/profile.py: per-column stats semantics + one-scan plan."""
+
+from __future__ import annotations
+
+from osmexpress_spark.operators import profile
+
+
+def test_profile_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, s string"
+    )
+    rows = {r["column"]: r for r in profile.profile(df).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 4
+    assert rows["id"]["min_value"] == "1" and rows["id"]["max_value"] == "4"
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2  # NULL excluded
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+
+
+def test_profile_is_single_aggregate_scan(spark):
+    df = spark.createDataFrame([(i, str(i)) for i in range(100)], "id long, s string")
+    plan = profile.profile(df)._jdf.queryExecution().executedPlan().toString()
+    # the explode-unpivot keeps ONE aggregate subtree: the input is
+    # scanned exactly once regardless of column count
+    assert plan.count("Scan ExistingRDD") == 1
