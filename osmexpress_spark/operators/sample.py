@@ -233,3 +233,46 @@ def global_shuffle_sharded(
         df.withColumn(shard_name, shard)
         .withColumn(pos_name, F.row_number().over(w))
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 4,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Curriculum bucketing: NTILE over (score desc, id) — bucket 1 is
+    the best n-th of the corpus. Exact-quantile contract form: the
+    single global window is the same one-reducer shape as
+    global_shuffle and is kept as the oracle-checkable semantics; at
+    100 TB use quality_buckets_by_threshold, which replaces the global
+    sort with one tiny quantile aggregate + a scan-side comparison."""
+    w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    return df.withColumn(bucket_name, F.ntile(n_buckets).over(w))
+
+
+def quality_buckets_by_threshold(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    bucket_name: str = "bucket",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale path: approxQuantile thresholds (driver-side, one
+    aggregate over the score column only) + a pure column-expression
+    bucket assignment — no global sort, no shuffle of the corpus.
+    Bucket boundaries are approximate within `relative_error` of the
+    true quantiles (ties at a boundary land in the lower bucket), which
+    is the standard trade at corpus scale."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.stat.approxQuantile(score_col, qs, relative_error)
+    # cuts ascending; first matching when() wins: score below the i-th
+    # quantile cut -> bucket n_buckets - i (1 = best, n = worst)
+    bucket = None
+    for i, cut in enumerate(cuts):
+        cond = F.col(score_col) < F.lit(cut)
+        b = F.lit(n_buckets - i)
+        bucket = F.when(cond, b) if bucket is None else bucket.when(cond, b)
+    bucket = F.lit(1) if bucket is None else bucket.otherwise(F.lit(1))
+    return df.withColumn(bucket_name, bucket)

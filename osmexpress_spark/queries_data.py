@@ -330,6 +330,25 @@ def q_dedup_survivors(spark, sf_dir):
 
 
 @defq(
+    "q_quality_buckets",
+    """
+    SELECT doc_id, n_chars,
+           CAST(NTILE(4) OVER (ORDER BY n_chars DESC, doc_id) AS INTEGER) AS bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_quality_buckets(spark, sf_dir):
+    """Curriculum bucketing (exact-quantile contract form; the 100 TB
+    path is sample.quality_buckets_by_threshold — one quantile agg +
+    scan-side comparison, no global sort)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sample.quality_buckets(d, "n_chars", "doc_id", n_buckets=4).orderBy(
+        "doc_id"
+    )
+
+
+@defq(
     "q_profile_documents",
     profile.profile_oracle_sql(
         "documents", ["doc_id", "text", "lang", "source", "n_chars"]

@@ -232,3 +232,36 @@ def test_train_eval_split_deterministic_and_proportional(spark):
     assert s1 == s2
     n_eval = sum(1 for _, sp in s1 if sp == "eval")
     assert 0 < n_eval < len(s1) * 0.15  # ~5% of 500, loose bound
+
+
+def test_quality_buckets_exact_and_threshold_agree_on_clean_quartiles(spark):
+    """With a uniform score distribution the approx-threshold path
+    reproduces the exact NTILE split; bucket 1 is the best scores."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id long, score double"
+    )
+    exact = {
+        r["id"]: r["bucket"]
+        for r in sample.quality_buckets(df, "score", "id", n_buckets=4).collect()
+    }
+    approx = {
+        r["id"]: r["bucket"]
+        for r in sample.quality_buckets_by_threshold(
+            df, "score", n_buckets=4, relative_error=0.0001
+        ).collect()
+    }
+    assert exact[100] == 1 and exact[1] == 4
+    # both assign monotone buckets; the approx cut may move ties by one
+    # id at a boundary, never more
+    diffs = [i for i in exact if exact[i] != approx[i]]
+    assert len(diffs) <= 3  # one per boundary
+
+
+def test_quality_buckets_threshold_is_scan_side(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(1000)], "id long, score double"
+    )
+    out = sample.quality_buckets_by_threshold(df, "score", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan          # no global sort window
+    assert "Exchange hashpartitioning" not in plan
