@@ -413,11 +413,15 @@ def simhash_candidates(
     )
 
 
+DRIVER_CLUSTER_MAX_PAIRS = 1_000_000
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    driver_max_pairs: int | None = DRIVER_CLUSTER_MAX_PAIRS,
 ) -> DataFrame:
     """Connected components over candidate near-dup pairs: (id,
     cluster_id) for every id that appears in `pairs`, where cluster_id
@@ -440,12 +444,45 @@ def dup_clusters(
     the (bounded) candidate edge list plus a map-side-combinable min
     aggregate; nothing is collected to the driver, and the convergence
     check is a `limit(1)` probe, not a full count.
+
+    Fast path (same design as operators/closure.py): when the pair
+    list fits a bounded driver probe (`driver_max_pairs`, one Arrow
+    pull), run union-find in Python and ship the labels back as one
+    createDataFrame — replacing ~2 jobs/round with 2 jobs total. The
+    distributed loop is the 100 TB fallback; candidate-pair lists are
+    usually far smaller than the corpus, so both paths matter.
     """
+    p2 = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    if driver_max_pairs:
+        probe = p2.limit(driver_max_pairs + 1).toPandas()
+        if len(probe) <= driver_max_pairs:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(probe["src"], probe["dst"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id so the root IS the cluster id
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            rows = sorted((x, find(x)) for x in parent)
+            return pairs.sparkSession.createDataFrame(
+                rows, "id long, cluster_id long"
+            )
     edges = (
-        pairs.select(F.col(id_a).cast("long").alias("src"),
-                     F.col(id_b).cast("long").alias("dst"))
-        .union(pairs.select(F.col(id_b).cast("long").alias("src"),
-                            F.col(id_a).cast("long").alias("dst")))
+        p2.union(p2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )

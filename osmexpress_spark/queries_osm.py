@@ -131,7 +131,7 @@ def _ensure_oracle_fixture() -> str:
     seed 42) so the oracle SQL never depends on the Spark-written files
     or on driver evaluation order. Values are identical by construction;
     only the columns the oracles read are materialized."""
-    done = os.path.join(ORACLE_FIXTURE_DIR, "_DONE")
+    done = os.path.join(ORACLE_FIXTURE_DIR, "_DONE_v2")  # v2: + mversion cols
     if os.path.exists(done):
         return ORACLE_FIXTURE_DIR
     import pyarrow as pa
@@ -170,6 +170,7 @@ def _ensure_oracle_fixture() -> str:
                 "id": pa.array([r[0] for r in wy], pa.int64()),
                 "nodes": pa.array([r[1] for r in wy], pa.list_(pa.int64())),
                 "tags_kv": pa.array([r[3] for r in wy], pa.list_(pa.string())),
+                "mversion": pa.array([r[4][0] for r in wy], pa.int32()),
             }
         ),
         os.path.join(ORACLE_FIXTURE_DIR, "ways.parquet"),
@@ -190,6 +191,7 @@ def _ensure_oracle_fixture() -> str:
                     member_t,
                 ),
                 "tags_kv": pa.array([r[3] for r in rl], pa.list_(pa.string())),
+                "mversion": pa.array([r[4][0] for r in rl], pa.int32()),
             }
         ),
         os.path.join(ORACLE_FIXTURE_DIR, "relations.parquet"),
@@ -293,6 +295,174 @@ def _fmt_coord_sql(col: str) -> str:
     )
 
 
+def _augdiff_oracle_sql(d: str) -> str:
+    """The full U6 augmented diff as one SQL statement: the change
+    batch inlined as VALUES (deterministic generate_changes output),
+    last-wins dedup, 3-way classification, indirect parent propagation
+    via the snapshot reverse indexes, old/new node positions, and
+    per-way old/new member bboxes — mirroring operators/diff.py branch
+    for branch (reference python/examples/augmented_diff.py:48-342)."""
+    fx_rows = testing.generate(n_nodes=FIXTURE_NODES, seed=42)
+    batch = testing.generate_changes(fx_rows, n_batches=1, per_batch=40)[0]
+    vals = []
+    for (seq, action, typ, id_, vis, lon, lat, nodes, _members, _tags, meta) in batch:
+        nodes_sql = (
+            "CAST(NULL AS BIGINT[])" if nodes is None
+            else "[" + ",".join(str(n) for n in nodes) + "]"
+        )
+        vals.append(
+            f"({seq},'{action}','{typ}',{id_},{'TRUE' if vis else 'FALSE'},"
+            f"{lon if lon is not None else 'CAST(NULL AS INTEGER)'},"
+            f"{lat if lat is not None else 'CAST(NULL AS INTEGER)'},"
+            f"{nodes_sql},{meta[0]})"
+        )
+    values = ",\n      ".join(vals)
+    bbox_null = ", ".join(
+        f"CAST(NULL AS INTEGER) AS {c}"
+        for c in ("old_minlon", "old_minlat", "old_maxlon", "old_maxlat",
+                  "new_minlon", "new_minlat", "new_maxlon", "new_maxlat")
+    )
+    return f"""
+    WITH locations AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+    ways AS (SELECT * FROM read_parquet('{d}/ways.parquet')),
+    relations AS (SELECT * FROM read_parquet('{d}/relations.parquet')),
+    chgraw(seqnum, action, type, id, visible, lon, lat, nodes, version) AS (
+      VALUES {values}
+    ),
+    chg AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY type, id ORDER BY version DESC, seqnum DESC) AS rn
+        FROM chgraw
+      ) WHERE rn = 1
+    ),
+    medges AS (
+      SELECT id AS relation_id, struct_extract(unnest(members), 'ref') AS ref,
+             struct_extract(unnest(members), 'type') AS mtype
+      FROM relations
+    ),
+    nw AS (SELECT DISTINCT unnest(nodes) AS node_id, id AS way_id FROM ways),
+    nrel AS (SELECT DISTINCT ref AS node_id, relation_id FROM medges WHERE mtype = 'node'),
+    wrel AS (SELECT DISTINCT ref AS way_id, relation_id FROM medges WHERE mtype = 'way'),
+    dn AS (
+      SELECT 'node' AS type, c.id,
+             CASE WHEN NOT c.visible THEN
+                    CASE WHEN l.id IS NULL THEN 'delete_not_in_db' ELSE 'delete' END
+                  WHEN l.id IS NULL THEN 'create' ELSE 'modify' END AS action,
+             TRUE AS direct, l.version AS old_version,
+             CAST(c.version AS INTEGER) AS new_version
+      FROM (SELECT * FROM chg WHERE type = 'node') c LEFT JOIN locations l ON c.id = l.id
+    ),
+    dw AS (
+      SELECT 'way' AS type, c.id,
+             CASE WHEN NOT c.visible THEN
+                    CASE WHEN w.id IS NULL THEN 'delete_not_in_db' ELSE 'delete' END
+                  WHEN w.id IS NULL THEN 'create' ELSE 'modify' END AS action,
+             TRUE AS direct, w.mversion AS old_version,
+             CAST(c.version AS INTEGER) AS new_version
+      FROM (SELECT * FROM chg WHERE type = 'way') c LEFT JOIN ways w ON c.id = w.id
+    ),
+    dr AS (
+      SELECT 'relation' AS type, c.id,
+             CASE WHEN NOT c.visible THEN
+                    CASE WHEN r.id IS NULL THEN 'delete_not_in_db' ELSE 'delete' END
+                  WHEN r.id IS NULL THEN 'create' ELSE 'modify' END AS action,
+             TRUE AS direct, r.mversion AS old_version,
+             CAST(c.version AS INTEGER) AS new_version
+      FROM (SELECT * FROM chg WHERE type = 'relation') c LEFT JOIN relations r ON c.id = r.id
+    ),
+    chg_nodes AS (SELECT id FROM chg WHERE type = 'node'),
+    chg_way_ids AS (SELECT id FROM chg WHERE type = 'way'),
+    chg_rel_ids AS (SELECT id FROM chg WHERE type = 'relation'),
+    parent_ways AS (
+      SELECT DISTINCT way_id AS id FROM nw JOIN chg_nodes ON nw.node_id = chg_nodes.id
+      WHERE way_id NOT IN (SELECT id FROM chg_way_ids)
+    ),
+    touched_ways AS (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM chg_way_ids UNION ALL SELECT id FROM parent_ways)
+    ),
+    parent_rels AS (
+      SELECT DISTINCT id FROM (
+        SELECT relation_id AS id FROM nrel JOIN chg_nodes ON nrel.node_id = chg_nodes.id
+        UNION ALL
+        SELECT relation_id AS id FROM wrel JOIN touched_ways ON wrel.way_id = touched_ways.id
+      ) WHERE id NOT IN (SELECT id FROM chg_rel_ids)
+    ),
+    iw AS (
+      SELECT 'way' AS type, id, 'modify' AS action, FALSE AS direct,
+             CAST(NULL AS INTEGER) AS old_version, CAST(NULL AS INTEGER) AS new_version
+      FROM parent_ways WHERE id IN (SELECT id FROM ways)
+    ),
+    ir AS (
+      SELECT 'relation' AS type, id, 'modify' AS action, FALSE AS direct,
+             CAST(NULL AS INTEGER) AS old_version, CAST(NULL AS INTEGER) AS new_version
+      FROM parent_rels WHERE id IN (SELECT id FROM relations)
+    ),
+    out0 AS (
+      SELECT * FROM dn UNION ALL SELECT * FROM dw UNION ALL SELECT * FROM dr
+      UNION ALL SELECT * FROM iw UNION ALL SELECT * FROM ir
+    ),
+    pos AS (
+      SELECT o.type, o.id, o.action, o.direct, o.old_version, o.new_version,
+             CASE WHEN o.type = 'node' THEN l.lon END AS old_lon,
+             CASE WHEN o.type = 'node' THEN l.lat END AS old_lat,
+             CASE WHEN o.type = 'node' THEN c2.lon END AS new_lon,
+             CASE WHEN o.type = 'node' THEN c2.lat END AS new_lat
+      FROM out0 o
+      LEFT JOIN locations l ON o.id = l.id
+      LEFT JOIN (SELECT id, lon, lat FROM chg WHERE type = 'node' AND visible) c2
+        ON o.id = c2.id
+    ),
+    wrows AS (SELECT * FROM pos WHERE type = 'way'),
+    old_bbox AS (
+      SELECT way_id, min(l.lon) AS old_minlon, min(l.lat) AS old_minlat,
+             max(l.lon) AS old_maxlon, max(l.lat) AS old_maxlat
+      FROM nw JOIN locations l ON nw.node_id = l.id
+      WHERE way_id IN (SELECT id FROM wrows) GROUP BY way_id
+    ),
+    new_loc AS (
+      SELECT id, lon, lat FROM locations
+      WHERE id NOT IN (SELECT id FROM chg WHERE type = 'node')
+      UNION ALL
+      SELECT id, lon, lat FROM chg WHERE type = 'node' AND visible
+    ),
+    wchg AS (SELECT id, nodes FROM chg
+             WHERE type = 'way' AND visible AND nodes IS NOT NULL),
+    new_edges AS (
+      SELECT id AS way_id, unnest(nodes) AS node_id FROM wchg
+      UNION ALL
+      SELECT way_id, node_id FROM nw WHERE way_id NOT IN (SELECT id FROM wchg)
+    ),
+    new_bbox AS (
+      SELECT way_id, min(nl.lon) AS new_minlon, min(nl.lat) AS new_minlat,
+             max(nl.lon) AS new_maxlon, max(nl.lat) AS new_maxlat
+      FROM new_edges JOIN new_loc nl ON new_edges.node_id = nl.id
+      WHERE way_id IN (SELECT id FROM wrows) GROUP BY way_id
+    ),
+    final_ways AS (
+      SELECT w.type, w.id, w.action, w.direct, w.old_version, w.new_version,
+             w.old_lon, w.old_lat, w.new_lon, w.new_lat,
+             ob.old_minlon, ob.old_minlat, ob.old_maxlon, ob.old_maxlat,
+             CASE WHEN w.action NOT LIKE 'delete%' THEN nb.new_minlon END AS new_minlon,
+             CASE WHEN w.action NOT LIKE 'delete%' THEN nb.new_minlat END AS new_minlat,
+             CASE WHEN w.action NOT LIKE 'delete%' THEN nb.new_maxlon END AS new_maxlon,
+             CASE WHEN w.action NOT LIKE 'delete%' THEN nb.new_maxlat END AS new_maxlat
+      FROM wrows w
+      LEFT JOIN old_bbox ob ON w.id = ob.way_id
+      LEFT JOIN new_bbox nb ON w.id = nb.way_id
+    ),
+    final_others AS (
+      SELECT type, id, action, direct, old_version, new_version,
+             old_lon, old_lat, new_lon, new_lat, {bbox_null}
+      FROM pos WHERE type != 'way'
+    )
+    SELECT * FROM (
+      SELECT * FROM final_ways UNION ALL SELECT * FROM final_others
+    ) ORDER BY type, id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -330,6 +500,7 @@ FROM ways WHERE id = (SELECT min(id) FROM ways)""",
   UNION ALL SELECT 3, 'relations',
          (SELECT count(*) FROM read_parquet('{d}/relations.parquet'))
 ) ORDER BY rank""",
+        "osm_augmented_diff": _augdiff_oracle_sql(d),
     }
 
 

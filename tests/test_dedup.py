@@ -123,3 +123,14 @@ def test_dedup_survivors_keeps_representatives_and_untouched(spark):
     got = {r["doc_id"] for r in dedup.dedup_survivors(docs, pairs, "doc_id").collect()}
     # 1 survives (representative of {1,2,3}); 4, 10, 99 untouched
     assert got == {1, 4, 10, 99}
+
+
+def test_dup_clusters_distributed_loop_matches_driver_path(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    fast = {(r["id"], r["cluster_id"])
+            for r in dedup.dup_clusters(pairs).collect()}
+    loop = {(r["id"], r["cluster_id"])
+            for r in dedup.dup_clusters(pairs, driver_max_pairs=0).collect()}
+    assert fast == loop == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
