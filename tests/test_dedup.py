@@ -134,3 +134,20 @@ def test_dup_clusters_distributed_loop_matches_driver_path(spark):
     loop = {(r["id"], r["cluster_id"])
             for r in dedup.dup_clusters(pairs, driver_max_pairs=0).collect()}
     assert fast == loop == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_minhash_bucket_cap_bounds_hot_buckets(spark):
+    """200 identical docs share every band bucket (the mass-boilerplate
+    regime): uncapped yields ~200^2/2 pairs, the cap sheds them while
+    distinct near-dups under the cap still pair up."""
+    rows = [(i, "the same boilerplate text everywhere") for i in range(200)]
+    rows += [(1000, "unique alpha beta gamma delta"),
+             (1001, "unique alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text").count()
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", max_bucket_size=10
+    ).collect()
+    assert uncapped >= 200 * 199 // 2
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(1000, 1001)}

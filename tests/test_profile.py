@@ -24,3 +24,11 @@ def test_profile_is_single_aggregate_scan(spark):
     # the explode-unpivot keeps ONE aggregate subtree: the input is
     # scanned exactly once regardless of column count
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_profile_approx_distinct_close_to_exact(spark):
+    df = spark.createDataFrame([(i % 250,) for i in range(1000)], "v long")
+    exact = profile.profile(df).collect()[0]
+    approx = profile.profile(df, approx_distinct=True).collect()[0]
+    assert exact["n_distinct"] == 250
+    assert abs(approx["n_distinct"] - 250) / 250 < 0.05  # HLL++ default rsd
