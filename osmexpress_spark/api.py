@@ -114,6 +114,32 @@ class Dataset:
     def extract(self, region: Region, **kwargs) -> ExtractResult:
         return extract(self.tables(), region, **kwargs)
 
+    # --- U1-U4 / U6 (src/update.cpp; python/examples/augmented_diff.py) ---
+    def update(self, changes, seqnum: int = 1, **kwargs):
+        """Apply one OsmChange batch and return the derived new tables
+        (UpdateResult) WITHOUT committing — the reference's dry-run
+        default (src/update.cpp:287-290). `changes` is a
+        CHANGES_SCHEMA DataFrame or a path to an .osc(.gz) file.
+        Commit by writing the result through SnapshotStore
+        (streaming.replication.apply_batch wires both)."""
+        from .operators.update import apply_changes
+        from .sources.osc import read_osc
+
+        if isinstance(changes, str):
+            changes = read_osc(self.spark, changes, seqnum=seqnum)
+        return apply_changes(self.tables(), changes, **kwargs)
+
+    def augmented_diff(self, changes, seqnum: int = 1) -> DataFrame:
+        """Overpass-style augmented diff of one OsmChange batch against
+        this snapshot (U6; python/examples/augmented_diff.py:17-305).
+        `changes` is a CHANGES_SCHEMA DataFrame or an .osc(.gz) path."""
+        from .operators.diff import augmented_diff
+        from .sources.osc import read_osc
+
+        if isinstance(changes, str):
+            changes = read_osc(self.spark, changes, seqnum=seqnum)
+        return augmented_diff(self.tables(), changes)
+
     # --- SQL surface --------------------------------------------------------
     def create_views(self, prefix: str = "osm_") -> list[str]:
         """Register every table as a temp view so the whole dataset is

@@ -51,3 +51,26 @@ def test_cli_expand_query_extract_update(spark, tmp_path, capsys):
 def test_cli_query_missing_id_errors(spark, tmp_path, capsys):
     fx = testing.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=100, seed=3)
     assert main(["query", fx, "way"]) == 2
+
+
+def test_dataset_update_and_augmented_diff_from_osc(spark, tmp_path):
+    """SURVEY §3.3 embedding-API parity: Dataset.update / .augmented_diff
+    accept an .osc path directly and run against the snapshot."""
+    from osmexpress_spark import testing as T
+
+    fx = T.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=200, seed=5)
+    ds = Dataset(spark, fx)
+    osc = str(tmp_path / "c.osc")
+    with open(osc, "w") as f:
+        f.write(OSC)
+    res = ds.update(osc)
+    locs = res.tables["locations"]
+    moved = locs.where("id = 1").collect()[0]
+    assert moved["lat"] == 105000000 and moved["lon"] == 202500000
+    assert locs.where("id = 4").count() == 0          # deleted
+    assert locs.where("id = 999001").count() == 1     # created
+    d = ds.augmented_diff(osc)
+    acts = {(r["type"], r["id"]): r["action"] for r in d.collect()}
+    assert acts[("node", 1)] == "modify"
+    assert acts[("node", 4)] == "delete"
+    assert acts[("node", 999001)] == "create"
