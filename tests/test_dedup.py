@@ -151,3 +151,38 @@ def test_minhash_bucket_cap_bounds_hot_buckets(spark):
     assert uncapped >= 200 * 199 // 2
     got = {(r["id_a"], r["id_b"]) for r in capped}
     assert got == {(1000, 1001)}
+
+
+def test_dup_clusters_fast_path_matches_loop_on_random_graphs(spark):
+    """Property: union-find fast path == distributed min-label loop ==
+    brute-force reference, on randomized pair graphs."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randrange(5, 40)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(1, 60))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        # brute-force reference: repeated relaxation to fixpoint
+        ids = sorted({x for p in pairs for x in p})
+        lbl = {x: x for x in ids}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in pairs:
+                m = min(lbl[a], lbl[b])
+                if lbl[a] != m or lbl[b] != m:
+                    lbl[a] = lbl[b] = m
+                    changed = True
+        expect = set(lbl.items())
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        fast = {(r["id"], r["cluster_id"])
+                for r in dedup.dup_clusters(df).collect()}
+        loop = {(r["id"], r["cluster_id"])
+                for r in dedup.dup_clusters(df, driver_max_pairs=0).collect()}
+        assert fast == expect, f"trial {trial}: fast path diverges"
+        assert loop == expect, f"trial {trial}: distributed loop diverges"
