@@ -40,6 +40,8 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_dup_clusters",
     "q_bm25_topk",
+    "q_profile_documents",
+    "q_quality_buckets",
     "q_embedding_topk",
     "q_embedding_ann_bucketed",
     "q_quantized_ann",

@@ -34,10 +34,13 @@ def profile(
     on both engines).
 
     `approx_distinct=True` swaps the exact distinct for
-    `approx_count_distinct` (HLL++): at 100 TB the exact form is the
-    profile's only expensive aggregate (per-column partial distinct
-    sets shuffle); the sketch keeps the whole profile a constant-memory
-    single pass. Default exact — that is the oracle-checked contract."""
+    `approx_count_distinct` (HLL++). The exact form pays twice at
+    scale: Catalyst rewrites k DISTINCT aggregates into an Expand that
+    multiplies every input row (k+1)x before the first aggregate
+    (verified in the physical plan), and the partial distinct sets
+    shuffle. The sketch version has no Expand and constant memory —
+    it IS the 100 TB path. Default exact — that is the oracle-checked
+    contract."""
     cols = columns if columns is not None else df.columns
     nd = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]

@@ -74,3 +74,18 @@ def test_dataset_update_and_augmented_diff_from_osc(spark, tmp_path):
     assert acts[("node", 1)] == "modify"
     assert acts[("node", 4)] == "delete"
     assert acts[("node", 999001)] == "create"
+
+
+def test_cli_extract_with_geojson_region_file(spark, tmp_path, capsys):
+    import json
+
+    fx = testing.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=200, seed=5)
+    region = tmp_path / "region.geojson"
+    region.write_text(json.dumps({
+        "type": "Polygon",
+        "coordinates": [[[-74.3, 40.5], [-73.7, 40.5], [-73.7, 41.0],
+                         [-74.3, 41.0], [-74.3, 40.5]]],
+    }))
+    out = str(tmp_path / "out")
+    assert main(["extract", fx, out, "--region", str(region)]) == 0
+    assert os.path.exists(os.path.join(out, "locations", "_SUCCESS"))
