@@ -39,7 +39,14 @@ _SOURCE_FORMATS = {".pbf": "osmpbf", ".osm": "osmxml", ".xml": "osmxml"}
 
 
 def _fmt_for(path: str) -> str:
-    ext = os.path.splitext(path)[1].lower()
+    low = path.lower()
+    # compressed XML: planet.osm.gz / .osm.bz2 / .xml.gz — the XML
+    # source decompresses transparently (libosmium extension parity)
+    for comp in (".gz", ".bz2"):
+        if low.endswith(comp):
+            low = low[: -len(comp)]
+            break
+    ext = os.path.splitext(low)[1]
     try:
         return _SOURCE_FORMATS[ext]
     except KeyError:

@@ -103,19 +103,35 @@ def _row(el, element: str) -> tuple:
     )
 
 
+def _open_stream(path: str):
+    """Transparent .gz/.bz2 decompression, matching libosmium's
+    extension sniffing (the reference accepts planet.osm.bz2 etc.)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
 def iter_elements(path: str, element: str) -> Iterator[tuple]:
     """Stream one element type from an .osm XML file (scaled-int coords,
-    docs/MANUAL.md:140-142). element="all" yields unified ALL_SCHEMA
-    rows for every type in ONE parse — the bulk-ingest path."""
+    docs/MANUAL.md:140-142), optionally gzip/bz2-compressed.
+    element="all" yields unified ALL_SCHEMA rows for every type in ONE
+    parse — the bulk-ingest path."""
     wanted = (
         {"node", "way", "relation"} if element == "all" else {element}
     )
-    for _, el in ET.iterparse(path):
-        if el.tag not in wanted:
-            continue
-        row = _row(el, el.tag)
-        yield to_unified(el.tag, row) if element == "all" else row
-        el.clear()  # constant-memory streaming
+    with _open_stream(path) as f:
+        for _, el in ET.iterparse(f):
+            if el.tag not in wanted:
+                continue
+            row = _row(el, el.tag)
+            yield to_unified(el.tag, row) if element == "all" else row
+            el.clear()  # constant-memory streaming
 
 
 if HAVE_DATASOURCE_API:

@@ -154,3 +154,32 @@ def test_way_tags_preserved_in_xml(spark, tmp_path, xml_file):
     osm_xml.register(spark)
     ways = spark.read.format("osmxml").option("element", "way").load(xml_file)
     assert ways.collect()[0].tags == {"highway": "residential"}
+
+
+def test_xml_source_reads_gz_and_bz2(spark, tmp_path):
+    """libosmium extension parity: .osm.gz / .osm.bz2 decompress
+    transparently through the XML source and the expand dispatcher."""
+    import bz2 as bz2_mod
+    import gzip as gzip_mod
+
+    from osmexpress_spark.operators.expand import _fmt_for, unified_source
+
+    xml = (
+        '<osm version="0.6">'
+        '<node id="1" lat="10.5" lon="20.25" version="2"><tag k="a" v="b"/></node>'
+        '<node id="2" lat="-5.0" lon="3.5" version="1"/>'
+        '<way id="7" version="1"><nd ref="1"/><nd ref="2"/></way>'
+        "</osm>"
+    ).encode()
+    plain = tmp_path / "t.osm"
+    plain.write_bytes(xml)
+    (tmp_path / "t.osm.gz").write_bytes(gzip_mod.compress(xml))
+    (tmp_path / "t.osm.bz2").write_bytes(bz2_mod.compress(xml))
+
+    assert _fmt_for(str(tmp_path / "t.osm.gz")) == "osmxml"
+    assert _fmt_for(str(tmp_path / "t.osm.bz2")) == "osmxml"
+
+    base = sorted(map(tuple, unified_source(spark, str(plain)).collect()))
+    for name in ("t.osm.gz", "t.osm.bz2"):
+        got = sorted(map(tuple, unified_source(spark, str(tmp_path / name)).collect()))
+        assert got == base and len(got) == 3
