@@ -108,7 +108,13 @@ def cmd_update(args) -> int:
         for n in EDGE_TABLES:
             if os.path.exists(os.path.join(args.dataset, n, "_SUCCESS")):
                 tables[n] = ds.table(n)
-        store.commit(tables, metadata={"bootstrap": "cli"}, sort_by=DEFAULT_SORT)
+        # carry the expand metadata forward: its `timestamp` is what the
+        # replication bootstrap resolves to a starting seqnum
+        store.commit(
+            tables,
+            metadata={"bootstrap": "cli", **ds.metadata()},
+            sort_by=DEFAULT_SORT,
+        )
         print(f"bootstrapped store at {args.dataset} (version 0)")
     for i, osc in enumerate(args.changes):
         seq = args.seqnum + i

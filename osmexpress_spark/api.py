@@ -111,6 +111,19 @@ class Dataset:
     def stats(self) -> dict[str, int]:
         return {name: self.table(name).count() for name in CORE_TABLES}
 
+    def metadata(self) -> dict:
+        """Dataset-level metadata written at expand time (the analog of
+        the reference's string metadata table: import filename and the
+        osmosis replication timestamp/seqnum when the source carried
+        them). Empty dict for pre-metadata datasets."""
+        import json
+
+        p = os.path.join(self.path, "_metadata.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def extract(self, region: Region, **kwargs) -> ExtractResult:
         return extract(self.tables(), region, **kwargs)
 

@@ -55,6 +55,38 @@ def _fmt_for(path: str) -> str:
         ) from None
 
 
+def _write_metadata(source_path: str, dest: str, fmt: str | None) -> None:
+    """Dataset-level metadata, mirroring the reference's metadata table
+    writes at expand time (src/expand.cpp:283-287): import filename +
+    the PBF header's osmosis replication timestamp/seqnum when present.
+    The `timestamp` key is what the replication bootstrap resolves to a
+    starting seqnum (streaming/feedstate.bootstrap_seqnum)."""
+    import json
+    import time
+    from datetime import datetime, timezone
+
+    meta: dict = {
+        "import_filename": source_path,
+        "imported_at": datetime.fromtimestamp(
+            time.time(), tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+    }
+    if (fmt or _fmt_for(source_path)) == "osmpbf":
+        from ..sources import pbf
+
+        header = pbf.read_header(source_path)
+        ts = header.get("osmosis_replication_timestamp")
+        if ts is not None:
+            meta["timestamp"] = datetime.fromtimestamp(
+                ts, tz=timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        seq = header.get("osmosis_replication_sequence_number")
+        if seq is not None:
+            meta["seqnum"] = int(seq)
+    with open(os.path.join(dest, "_metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def _register(spark: SparkSession, fmt: str) -> None:
     if fmt == "osmpbf":
         from ..sources import pbf
@@ -194,6 +226,7 @@ def expand(
             )
         )
     all_df.unpersist()
+    _write_metadata(source_path, dest, fmt)
     if materialize_edges:
         # re-read the written payloads so edge derivation scans parquet
         # instead of re-parsing the source file

@@ -211,6 +211,12 @@ def decode_header_block(buf: bytes) -> dict:
             out["optional_features"].append(r.span_bytes(val).decode())
         elif field == 16 and wire == 2:
             out["writingprogram"] = r.span_bytes(val).decode()
+        elif field == 32 and wire == 0:  # osmosis_replication_timestamp
+            out["osmosis_replication_timestamp"] = val
+        elif field == 33 and wire == 0:  # osmosis_replication_sequence_number
+            out["osmosis_replication_sequence_number"] = val
+        elif field == 34 and wire == 2:  # osmosis_replication_base_url
+            out["osmosis_replication_base_url"] = r.span_bytes(val).decode()
     return out
 
 
@@ -557,8 +563,12 @@ def _finish_block(st: _StringTable, group: bytearray) -> bytes:
 def encode_header_block(
     bbox: tuple[int, int, int, int] | None = None,
     writingprogram: str = "osmexpress_spark",
+    replication_timestamp: int | None = None,
+    replication_seqnum: int | None = None,
 ) -> bytes:
-    """bbox is (left, bottom, right, top) in deg*1e7 ints."""
+    """bbox is (left, bottom, right, top) in deg*1e7 ints; replication
+    fields are the osmosis header options the reference reads at expand
+    time (src/expand.cpp:283-286)."""
     out = bytearray()
     if bbox is not None:
         bb = bytearray()
@@ -571,6 +581,10 @@ def encode_header_block(
     for feat in ("OsmSchema-V0.6", "DenseNodes"):
         _put_bytes(out, 4, feat.encode())
     _put_bytes(out, 16, writingprogram.encode())
+    if replication_timestamp is not None:
+        _put_varint(out, 32, int(replication_timestamp))
+    if replication_seqnum is not None:
+        _put_varint(out, 33, int(replication_seqnum))
     return bytes(out)
 
 

@@ -183,3 +183,47 @@ def test_xml_source_reads_gz_and_bz2(spark, tmp_path):
     for name in ("t.osm.gz", "t.osm.bz2"):
         got = sorted(map(tuple, unified_source(spark, str(tmp_path / name)).collect()))
         assert got == base and len(got) == 3
+
+
+def test_replication_header_metadata_flows_through_expand(spark, tmp_path):
+    """Reference parity src/expand.cpp:283-287: the PBF header's osmosis
+    replication timestamp/seqnum land in the dataset metadata, in the
+    bootstrap-consumable shape (feedstate.bootstrap_seqnum reads
+    `timestamp`/`seqnum`)."""
+    from osmexpress_spark.api import Dataset
+    from osmexpress_spark.operators.extract import extract
+    from osmexpress_spark.sources import pbf, pbf_codec, sink
+    from osmexpress_spark.spatial import Region
+    from osmexpress_spark import testing as T
+
+    fx = T.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=120, seed=11)
+    res = extract(Dataset(spark, fx).tables(), Region("-90,-180,90,180", "bbox"))
+    orig = str(tmp_path / "plain.pbf")
+    sink.write_pbf(res, orig)
+
+    # splice a replication-stamped header onto the original body
+    idx = pbf.scan_blob_index(orig)
+    assert idx[0].blob_type == "OSMHeader"
+    body_start = idx[0].data_offset + idx[0].data_size
+    stamped = str(tmp_path / "stamped.osm.pbf")
+    header = pbf_codec.frame_blob(
+        "OSMHeader",
+        pbf_codec.encode_header_block(
+            replication_timestamp=1700000000, replication_seqnum=424242
+        ),
+    )
+    with open(orig, "rb") as f_in, open(stamped, "wb") as f_out:
+        f_in.seek(body_start)
+        f_out.write(header)
+        f_out.write(f_in.read())
+
+    hdr = pbf.read_header(stamped)
+    assert hdr["osmosis_replication_timestamp"] == 1700000000
+    assert hdr["osmosis_replication_sequence_number"] == 424242
+
+    ds = Dataset.expand(spark, stamped, str(tmp_path / "ds"),
+                        materialize_edges=False)
+    meta = ds.metadata()
+    assert meta["timestamp"] == "2023-11-14T22:13:20Z"
+    assert meta["seqnum"] == 424242
+    assert meta["import_filename"] == stamped
