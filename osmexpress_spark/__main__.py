@@ -80,7 +80,20 @@ def cmd_extract(args) -> int:
     )
     out = args.output
     if out.endswith(".pbf"):
-        sink.write_pbf(res, out, user_data=not args.noUserData)
+        # stamp the snapshot's replication timestamp into the output
+        # header like the reference (src/extract.cpp:282-283)
+        from datetime import datetime, timezone
+
+        from .api import Dataset
+
+        ts = Dataset(_spark(), args.dataset).metadata().get("timestamp")
+        epoch = (
+            int(datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
+                .replace(tzinfo=timezone.utc).timestamp())
+            if ts else None
+        )
+        sink.write_pbf(res, out, user_data=not args.noUserData,
+                       replication_timestamp=epoch)
     elif out.endswith(".xml") or out.endswith(".osm"):
         sink.write_xml(res, out)
     else:

@@ -173,6 +173,7 @@ def write_pbf(
     partitions: int | None = None,
     stream: bool = True,
     user_data: bool = True,
+    replication_timestamp: int | None = None,
 ) -> None:
     """Ordered single-file .osm.pbf (extract.cpp:280-426's three passes:
     nodes, ways, relations, ids ascending). Encode is distributed; the
@@ -256,10 +257,13 @@ def write_pbf(
     # (pass, partition, seq) ascending by RDD-union construction
     encoded = spark.sparkContext.union(rdds)
     with open(path, "wb") as f:
+        # reference stamps the snapshot's replication timestamp into the
+        # output header (src/extract.cpp:282-283)
         header = pbf_codec.encode_header_block(
             bbox=(bbox[0], bbox[1], bbox[2], bbox[3])
             if bbox[0] is not None
-            else None
+            else None,
+            replication_timestamp=replication_timestamp,
         )
         f.write(pbf_codec.frame_blob("OSMHeader", header))
         if stream:
