@@ -181,8 +181,11 @@ def main(argv: list[str] | None = None) -> int:
     px = sub.add_parser("extract", help="spatial region extract")
     px.add_argument("dataset")
     px.add_argument("output")
-    px.add_argument("--bbox", help="minLat,minLon,maxLat,maxLon")
-    px.add_argument("--disc", help="lat,lon,radiusDegrees")
+    px.add_argument("--bbox",
+                    help="minLat,minLon,maxLat,maxLon "
+                         "(write --bbox=-90,... when the first value is negative)")
+    px.add_argument("--disc",
+                    help="lat,lon,radiusDegrees (--disc=-41,... if negative)")
     px.add_argument("--region", help="GeoJSON (.json/.geojson) or osmosis .poly file")
     px.add_argument("--expand", type=int, default=0,
                     help="buffer the covering by N fine cells")
