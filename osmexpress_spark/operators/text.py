@@ -200,3 +200,31 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
         F.count(F.lit(1)).alias("n_distinct_grams"),
         F.max("c").alias("max_gram_freq"),
     )
+
+
+def boilerplate_ngrams(
+    df, id_col: str, text_col: str, n: int = 3, min_docs: int = 2
+):
+    """Cross-document boilerplate detector: word n-grams present in at
+    least `min_docs` DISTINCT documents, with the document count.
+    The standard pre-filter for template/navigation boilerplate (and a
+    cheap contamination screen) before near-dup clustering.
+
+    Scale shape: shingles() already emits the per-document DISTINCT
+    n-gram set as a pure column expression, so each (doc, gram) pair
+    occurs once and the document count is a plain COUNT(*) — a
+    map-side-combinable aggregate with no COUNT(DISTINCT) expansion.
+    Output is gram-keyed and tiny relative to the corpus (only grams
+    crossing the threshold survive)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import shingles
+
+    g = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

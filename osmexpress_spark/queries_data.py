@@ -330,6 +330,31 @@ def q_dedup_survivors(spark, sf_dir):
 
 
 @defq(
+    "q_boilerplate_ngrams",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(w) - 2),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS gram
+      FROM ws WHERE len(w) >= 3
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY gram HAVING count(*) >= 4
+    ORDER BY gram
+    """,
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate/contamination screen: word 3-grams in
+    >= 20 distinct docs (operators/text.py:boilerplate_ngrams — per-doc
+    distinct shingle sets make the doc count a plain COUNT(*))."""
+    return text.boilerplate_ngrams(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=4
+    ).orderBy("gram")
+
+
+@defq(
     "q_quality_buckets",
     """
     SELECT doc_id, n_chars,

@@ -265,3 +265,26 @@ def test_quality_buckets_threshold_is_scan_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan          # no global sort window
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_boilerplate_ngrams_counts_distinct_docs(spark):
+    from osmexpress_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to subscribe now"),
+            (2, "click here to subscribe today"),
+            (3, "click here to unsubscribe"),
+            (4, "totally original content piece"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["gram"]: r["n_docs"]
+        for r in text_ops.boilerplate_ngrams(
+            docs, "doc_id", "text", n=3, min_docs=2
+        ).collect()
+    }
+    assert got["click here to"] == 3
+    assert got["here to subscribe"] == 2
+    assert "totally original content" not in got
