@@ -32,22 +32,38 @@ def asof_join(
     right_cols: list[str],
     right_order: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_time <= left_time and matching `on` key (backward as-of,
-    left-outer: unmatched left rows keep NULLs).
+    """For each left row, attach one right row with a matching `on` key
+    (left-outer: unmatched left rows keep NULLs):
+
+    - direction="backward" (default): the LATEST right row with
+      right_time <= left_time (ties on time -> highest right_order);
+    - direction="forward": the EARLIEST right row with
+      right_time >= left_time (ties on time -> lowest right_order).
 
     right_order: column making right rows totally ordered within
     (key, time) ties — required for deterministic output when right
     timestamps repeat; defaults to right_time.
+
+    Both directions are the same one-shuffle union+window plan; only
+    the side ordering at equal timestamps and the fill direction flip
+    (backward: right sorts before left, last() over preceding rows;
+    forward: right sorts after left, first() over following rows).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     right_order = right_order or right_time
     lcols = left.columns
     out_names = [prefix + c for c in right_cols]
+    backward = direction == "backward"
+    # equal-time eligibility: backward needs right rows to sort BEFORE
+    # left (<= includes them in the preceding window); forward AFTER
+    left_side, right_side = (1, 0) if backward else (0, 1)
 
     l_tagged = left.select(
         *lcols,
-        F.lit(1).alias("__side"),
+        F.lit(left_side).alias("__side"),
         F.col(left_time).alias("__t"),
         F.lit(None).cast(right.schema[right_order].dataType).alias("__ord"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(n)
@@ -57,20 +73,22 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c != on],
         F.col(on),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         F.col(right_time).alias("__t"),
         F.col(right_order).alias("__ord"),
         *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
     ).select(*lcols, "__side", "__t", "__ord", *out_names)
 
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__ord").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(on).orderBy(
+        F.col("__t").asc(), F.col("__side").asc(), F.col("__ord").asc()
     )
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = [F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names]
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = [F.first(n, ignorenulls=True).over(w).alias(n) for n in out_names]
     filled = l_tagged.unionByName(r_tagged).select(
-        *lcols,
-        "__side",
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+        *lcols, "__side", *fill
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    return filled.where(F.col("__side") == F.lit(left_side)).drop("__side")

@@ -651,6 +651,44 @@ def q_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "asof_view_id")
 
 
+# forward as-of: the next view at-or-after each purchase (same
+# one-shuffle union+window plan, flipped fill direction).
+@defq(
+    "q_asof_join_forward",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+    cand AS (
+      SELECT p.event_id, v.view_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts ASC, v.view_id ASC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+    )
+    SELECT p.event_id, p.user_id, c.view_id AS asof_view_id
+    FROM p LEFT JOIN (SELECT event_id, view_id FROM cand WHERE rn = 1) c
+      USING (event_id)
+    """,
+)
+def q_asof_join_forward(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["view_id"],
+        right_order="view_id",
+        direction="forward",
+    ).select("event_id", "user_id", "asof_view_id")
+
+
 # sessionization — gap-based windows (SURVEY.md §2.6: exposed builtin).
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
