@@ -615,6 +615,42 @@ def q_window_tumbling(spark, sf_dir):
     )
 
 
+# sliding windows — every event lands in windowDuration/slide = 2
+# overlapping windows; the oracle replicates Spark's alignment (starts
+# at bucket(ts, slide) and bucket(ts, slide) - slide).
+@defq(
+    "q_window_sliding",
+    """
+    WITH s AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+               - 300 * o.off AS win_start,
+             event_type, value
+      FROM events, (VALUES (0), (1)) o(off)
+    )
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # as-of join (backward) — our union+window operator vs a rank-based oracle.
 @defq(
     "q_asof_join",
