@@ -397,6 +397,31 @@ def q_rollup(spark, sf_dir):
     )
 
 
+# cube — the full grouping-sets lattice (SURVEY.md §2.4 'free builtins';
+# rollup covers the hierarchy, cube all 2^k subsets).
+@defq(
+    "q_cube",
+    """
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE(n_name, c_mktsegment)
+    """,
+)
+def q_cube(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(money("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
 # A4 — bounds aggregation (src/region.cpp:137-157 analog).
 @defq(
     "q_bounds_agg",
