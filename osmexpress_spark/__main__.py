@@ -56,16 +56,21 @@ def _parse_region(args):
 
 def _tables(spark, dataset: str):
     """Latest committed store snapshot if the dir has manifests (post-
-    `update --commit`), else the plain expand layout."""
-    from .store import SnapshotStore
+    `update --commit`), else the plain expand layout. Checked without
+    constructing SnapshotStore: its __init__ mkdirs `_versions`, and a
+    read-only dataset mount must stay readable through query/extract."""
+    import os
 
-    store = SnapshotStore(spark, dataset)
-    if store.latest_version() is not None:
-        return store.read_all()
+    vdir = os.path.join(dataset, "_versions")
+    if os.path.isdir(vdir) and any(
+        f.startswith("v") and f.endswith(".json") for f in os.listdir(vdir)
+    ):
+        from .store import SnapshotStore
+
+        return SnapshotStore(spark, dataset).read_all()
     from .api import Dataset
 
-    ds = Dataset(spark, dataset)
-    return ds.tables()
+    return Dataset(spark, dataset).tables()
 
 
 def cmd_extract(args) -> int:

@@ -89,3 +89,13 @@ def test_cli_extract_with_geojson_region_file(spark, tmp_path, capsys):
     out = str(tmp_path / "out")
     assert main(["extract", fx, out, "--region", str(region)]) == 0
     assert os.path.exists(os.path.join(out, "locations", "_SUCCESS"))
+
+
+def test_cli_query_leaves_readonly_dataset_untouched(spark, tmp_path, capsys):
+    """query/extract are pure reads: no _versions dir (or anything else)
+    appears in a plain dataset dir."""
+    fx = testing.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=100, seed=3)
+    before = set(os.listdir(fx))
+    assert main(["query", fx]) == 0
+    assert set(os.listdir(fx)) == before
+    assert not os.path.exists(os.path.join(fx, "_versions"))
