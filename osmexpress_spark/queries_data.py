@@ -860,6 +860,38 @@ def q_stream_windowed(spark, sf_dir):
 
 
 @defq(
+    "q_stream_sliding",
+    """
+    WITH s AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+               - 300 * o.off AS win_start,
+             event_type
+      FROM events, (VALUES (0), (1)) o(off)
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window aggregation through Structured Streaming (every
+    event in windowDuration/slide = 2 overlapping windows); same
+    alignment contract as the batch q_window_sliding."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+@defq(
     "q_stream_dedup",
     """
     SELECT event_id, user_id, event_type,

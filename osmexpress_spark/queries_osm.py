@@ -131,7 +131,9 @@ def _ensure_oracle_fixture() -> str:
     seed 42) so the oracle SQL never depends on the Spark-written files
     or on driver evaluation order. Values are identical by construction;
     only the columns the oracles read are materialized."""
-    done = os.path.join(ORACLE_FIXTURE_DIR, "_DONE_v2")  # v2: + mversion cols
+    # marker keyed to schema rev + generation params: changing either
+    # regenerates instead of silently serving stale rows
+    done = os.path.join(ORACLE_FIXTURE_DIR, f"_DONE_v2_{FIXTURE_NODES}_42")
     if os.path.exists(done):
         return ORACLE_FIXTURE_DIR
     import pyarrow as pa
