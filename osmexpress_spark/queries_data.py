@@ -559,13 +559,116 @@ def q_embedding_ann_bucketed(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
 
 
-@defq("q_embedding_ann_ivf")  # rows-only: iterative k-means training
+def _lldot(a: str, b: str) -> str:
+    """Dot of two DOUBLE[] list expressions (already cast)."""
+    return (
+        f"list_sum(list_transform(range({EMB_DIM}), i -> {a}[i+1] * {b}[i+1]))"
+    )
+
+
+def _lloyd_iter_sql(k: int) -> str:
+    """One unrolled Lloyd iteration as CTEs: assign every training
+    vector to its argmax-dot centroid (ties -> lowest cid, matching
+    numpy argmax / Spark array_position), recompute per-dimension
+    means, keep the previous center for empty clusters, round every
+    element to 6 decimals (ivf_train's np.round(cents, 6))."""
+    p = f"cents{k - 1}"
+    return f"""
+    asg{k} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY round({_lldot('t.v', 'c.cv')}, 6) DESC, c.cid
+               ) AS rn
+        FROM train t CROSS JOIN {p} c
+      ) WHERE rn = 1
+    ),
+    dim{k} AS (
+      SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM asg{k}
+    ),
+    new{k} AS (
+      SELECT cid, list(round(m, 6) ORDER BY d) AS cv FROM (
+        SELECT cid, d, avg(x) AS m FROM dim{k} GROUP BY cid, d
+      ) GROUP BY cid
+    ),
+    cents{k} AS (
+      SELECT p.cid,
+             COALESCE(n.cv, list_transform(p.cv, x -> round(x, 6))) AS cv
+      FROM {p} p LEFT JOIN new{k} n ON p.cid = n.cid
+    )"""
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 3) -> str:
+    """q_embedding_ann_ivf as one deterministic SQL statement.
+
+    ivf_train is deterministic end-to-end — the training sample is the
+    n_centroids*64 lowest vec_ids, the seed centroids are the first
+    n_centroids of those, and each of the 2 Lloyd iterations rounds
+    scores and centers to 6 decimals — so the whole training loop
+    unrolls into SQL (no RNG, no state to inline). Probe ranking
+    mirrors topk_ivf's reverse(array_sort): score DESC, ties on HIGHER
+    cid first; candidate assignment mirrors _argmax: ties on LOWEST
+    cid. The indexed variant is the same math behind an on-disk
+    layout, so it shares this oracle."""
+    train_limit = n_centroids * 64
+    return f"""
+    WITH train AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {train_limit}
+    ),
+    cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM (SELECT * FROM train ORDER BY vec_id LIMIT {n_centroids})
+    ),{_lloyd_iter_sql(1)},{_lloyd_iter_sql(2)},
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cscore AS (
+      SELECT e.vec_id, e.v, c.cid, round({_lldot('e.v', 'c.cv')}, 6) AS s
+      FROM emb e CROSS JOIN cents2 c
+    ),
+    cand AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        FROM cscore WHERE vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             round({_lldot('p.qv', 'c.cv')} /
+                   (sqrt({_lldot('p.qv', 'p.qv')}) *
+                    sqrt({_lldot('c.cv', 'c.cv')})), 6) AS sim
+      FROM probe p JOIN cand c USING (cid)
+      WHERE c.neighbor_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS INTEGER) AS knn_rank
+      FROM scored
+    ) WHERE knn_rank <= {k}
+    """
+
+
+@defq("q_embedding_ann_ivf", _ivf_oracle_sql())
 def q_embedding_ann_ivf(spark, sf_dir):
     """IVF ANN (the 100 TB similarity path): coarse k-means quantizer,
-    probe nprobe inverted lists. Training is iterative (driver Lloyd
-    loop, distributed assignment), so not single-statement SQL; golden
-    coverage lives in tests/test_similarity.py (recall vs brute force +
-    cluster invariants)."""
+    probe nprobe inverted lists. Training is iterative but fully
+    deterministic (bounded lowest-id sample, driver Lloyd loop with
+    6-decimal rounding), so the oracle unrolls both iterations as SQL
+    CTEs; recall-vs-bruteforce goldens live in tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     res = similarity.topk_ivf(
         emb.where(F.col("vec_id") < 10), emb, dim=EMB_DIM, k=3,
@@ -574,14 +677,13 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("knn_rank"))
 
 
-@defq("q_embedding_ann_ivf_indexed")  # rows-only: iterative training + index IO
+@defq("q_embedding_ann_ivf_indexed", _ivf_oracle_sql())
 def q_embedding_ann_ivf_indexed(spark, sf_dir):
     """The on-disk inverted-file probe path: lists parquet partitioned
     by cid (built once, cached under .fixtures keyed by sf), probe
     pushes a literal cid IN-filter so the scan partition-prunes.
-    Equivalence to the inline form is golden-tested
-    (tests/test_similarity.py); same no-oracle reason as
-    q_embedding_ann_ivf."""
+    Produces the same rows as the inline form given the same build
+    parameters, so it shares q_embedding_ann_ivf's unrolled oracle."""
     import os
 
     from . import queries_osm as QO

