@@ -32,8 +32,9 @@ Scale shapes:
   stratum exceeds an executor.
 - ``global_shuffle`` — the one intrinsically all-data sort in a
   training pipeline (the final example-order materialization). Runs as
-  a range-partitioned sort on the md5 key (uniform by construction, so
-  range partitions balance); do it exactly once, at the last write.
+  a md5-prefix-sharded window (prefix order == global order, so shard
+  offsets + local ranks give exact global positions) — parallel end to
+  end, no single-partition stage; do it exactly once, at the last write.
 """
 
 from __future__ import annotations
@@ -118,21 +119,56 @@ def reservoir_per_key(
     )
 
 
-def global_shuffle(df: DataFrame, id_col: str, pos_name: str = "pos") -> DataFrame:
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    pos_name: str = "pos",
+    prefix_len: int = 2,
+) -> DataFrame:
     """Assign the deterministic global training-order position: rows
-    sorted by md5(id). The md5 key is uniform, so the range-partitioned
-    sort balances; at 100 TB this is the single intentional full
-    shuffle of the pipeline (run it once, at the final materialization;
-    upstream ops must not depend on this order).
+    sorted by (md5(id), id). The positions are EXACT global ranks, but
+    no single-partition window ever runs: the md5 key is sharded on its
+    first ``prefix_len`` hex chars (16^prefix_len shards), and because
+    md5-hex comparison is lexicographic, every row of shard s sorts
+    strictly before every row of shard s+1 — so
 
-    Note row_number here is a single-partition window over the sort —
-    fine for the contract fixture; the scale path writes the sorted
-    frame with ``df.sort(key).write`` (positions implicit in file
-    order) or zips monotonically within range partitions.
+        global rank = (rows in shards < s) + rank within shard s.
+
+    The per-shard counts are one cheap aggregate (tiny shuffle of
+    16^prefix_len rows), prefix-summed on the driver and re-entered as
+    a literal map; the ranks are a hash-partitioned window. At 100 TB
+    this is one corpus scan for counts + one shuffle into 256 balanced
+    shards (md5 prefixes are uniform) — the single intentional all-data
+    shuffle of the pipeline, now parallel end-to-end.
     """
-    w = Window.orderBy(sample_order(F.col(id_col)), F.col(id_col))
-    return df.select(
-        F.row_number().over(w).alias(pos_name), "*"
+    key = sample_order(F.col(id_col))
+    shard = F.conv(F.substring(key, 1, prefix_len), 16, 10).cast("long")
+    with_shard = df.withColumn("_gs_shard", shard)
+    counts = {
+        r[0]: r[1]
+        for r in with_shard.groupBy("_gs_shard").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in sorted(counts):
+        offsets[s] = acc
+        acc += counts[s]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_gs_shard").orderBy(key, F.col(id_col))
+    return (
+        with_shard.withColumn(
+            pos_name,
+            (
+                F.row_number().over(w).cast("long")
+                + F.coalesce(
+                    F.element_at(off_map, F.col("_gs_shard")), F.lit(0)
+                ).cast("long")
+            ).cast("int"),
+        )
+        .drop("_gs_shard")
+        .select(pos_name, *df.columns)
     )
 
 

@@ -1123,9 +1123,11 @@ def q_reservoir_per_key(spark, sf_dir):
     """,
 )
 def q_global_shuffle(spark, sf_dir):
-    """Deterministic global training order (the pipeline's one
-    intentional full sort; see operators/sample.py for the at-scale
-    materialization note)."""
+    """Deterministic global training order. The oracle states the
+    semantics as one global-window ROW_NUMBER; the Spark plan computes
+    the identical positions via md5-prefix shards + driver offsets, so
+    no single-partition stage exists (asserted in
+    test_plan_quality.py)."""
     d = t(spark, sf_dir, "documents")
     return sample.global_shuffle(d, "doc_id").select("pos", "doc_id")
 

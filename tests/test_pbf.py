@@ -288,3 +288,28 @@ def test_pbf_sink_user_data_false_drops_gdpr_fields(spark, tmp_path):
     # ids/coords unaffected
     nodes = spark.read.format("osmpbf").option("element", "node").load(out)
     assert nodes.count() == res.locations.count()
+
+
+def test_header_bbox_odd_nanodegrees_round_to_nearest():
+    # third-party PBFs may carry bbox nanodegrees that aren't multiples
+    # of 100; decoding must round-to-nearest like node coords, not
+    # floor toward -inf
+    from osmexpress_spark.sources.pbf_codec import (
+        _put_bytes, _put_varint, _zz_enc, decode_header_block,
+    )
+
+    bb = bytearray()
+    # (left, right, top, bottom) nanodeg: +....49 rounds down,
+    # +....51 rounds up, and negatives mirror (-...51 rounds down)
+    _put_varint(bb, 1, _zz_enc(1_000_000_049))
+    _put_varint(bb, 2, _zz_enc(1_000_000_051))
+    _put_varint(bb, 3, _zz_enc(-1_000_000_049))
+    _put_varint(bb, 4, _zz_enc(-1_000_000_051))
+    hdr = bytearray()
+    _put_bytes(hdr, 1, bytes(bb))
+    out = decode_header_block(bytes(hdr))
+    left, bottom, right, top = out["bbox"]
+    assert left == 10_000_000
+    assert right == 10_000_001
+    assert top == -10_000_000
+    assert bottom == -10_000_001

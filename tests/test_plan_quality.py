@@ -77,3 +77,11 @@ def test_tag_filter_whole_stage_codegen(spark):
     # "*(N)" prefixes mark operators fused into a WholeStageCodegen stage
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_global_shuffle_has_no_single_partition_stage(spark):
+    # exact global positions must come from md5-prefix shards + driver
+    # offsets — never a row_number over an all-data single partition
+    plan = _final_plan(QD.SPARK_QUERIES["q_global_shuffle"](spark, SF_DIR))
+    assert "Window" in plan  # the per-shard rank window is present
+    assert "SinglePartition" not in plan

@@ -149,3 +149,15 @@ def test_time_travel_spans_merge_commits(spark, fresh):
         ),
     )
     assert store.read_table("locations", version=v0).count() == n0
+
+
+def test_double_publish_same_version_fails_loudly(fresh):
+    # two writers racing to the same version number must not silently
+    # clobber each other's manifest: the second publish raises
+    _, _, store = fresh
+    v = store.latest_version()
+    manifest = store._manifest(v)
+    with pytest.raises(FileExistsError):
+        store._publish(manifest, v)
+    # the original manifest is untouched
+    assert store._manifest(v) == manifest
