@@ -117,6 +117,20 @@ def cmd_update(args) -> int:
     from .streaming.replication import apply_batch
 
     spark = _spark()
+    if not args.commit:
+        # dry-run must leave the dataset byte-identical (reference
+        # update.cpp:287-290): derive each batch's merge plans straight
+        # from the .osc — no store bootstrap, no _versions dir, no
+        # rewrite of data/. Constructing a SnapshotStore would mkdir.
+        from .operators.update import merge_specs_for
+
+        for i, osc in enumerate(args.changes):
+            seq = args.seqnum + i
+            changes = read_osc(spark, osc, seqnum=seq)
+            merge_specs_for(changes)  # parses + plans, then discards
+            print(f"dry-run {osc}: batch derived and discarded "
+                  "(pass --commit to publish)")
+        return 0
     store = SnapshotStore(spark, args.dataset)
     if store.latest_version() is None:
         # plain `expand` output (no manifests yet): bootstrap version 0
@@ -137,11 +151,8 @@ def cmd_update(args) -> int:
     for i, osc in enumerate(args.changes):
         seq = args.seqnum + i
         changes = read_osc(spark, osc, seqnum=seq)
-        applied = apply_batch(store, changes, seq, commit=args.commit)
-        if not args.commit:
-            print(f"dry-run {osc}: batch derived and discarded "
-                  "(pass --commit to publish)")
-        elif applied:
+        applied = apply_batch(store, changes, seq, commit=True)
+        if applied:
             print(f"applied {osc} (seqnum {seq}) -> version {store.latest_version()}")
         else:
             print(f"skipped {osc}: seqnum {seq} already committed")

@@ -112,17 +112,30 @@ class Dataset:
         return {name: self.table(name).count() for name in CORE_TABLES}
 
     def metadata(self) -> dict:
-        """Dataset-level metadata written at expand time (the analog of
-        the reference's string metadata table: import filename and the
-        osmosis replication timestamp/seqnum when the source carried
-        them). Empty dict for pre-metadata datasets."""
+        """Dataset-level metadata: the expand-time `_metadata.json`
+        (import filename, osmosis replication timestamp/seqnum from the
+        source header), overlaid with the latest store manifest's
+        metadata when the dataset has committed updates — so after
+        `update --commit` the replication seqnum/timestamp reflect the
+        CURRENT snapshot (reference stamps extract headers from the live
+        db state, src/extract.cpp:282-283), not the stale expand."""
         import json
 
+        static: dict = {}
         p = os.path.join(self.path, "_metadata.json")
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return json.load(f)
+        if os.path.exists(p):
+            with open(p) as f:
+                static = json.load(f)
+        vdir = os.path.join(self.path, "_versions")
+        if os.path.isdir(vdir) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(vdir)
+        ):
+            from .store import SnapshotStore
+
+            live = SnapshotStore(self.spark, self.path).metadata()
+            live = {k: v for k, v in live.items() if k != "committed_at"}
+            return {**static, **live}
+        return static
 
     def extract(self, region: Region, **kwargs) -> ExtractResult:
         return extract(self.tables(), region, **kwargs)

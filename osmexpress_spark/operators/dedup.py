@@ -529,6 +529,19 @@ def dup_clusters(
         labels = new_labels
         if not changed:
             break
+    else:
+        # never converged within max_iterations: min-label propagation
+        # needs as many rounds as the widest component's eccentricity,
+        # so silently returning here would hand back WRONG cluster ids
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: label propagation did not converge in "
+            f"{max_iterations} iterations — cluster ids are incomplete "
+            f"for components wider than that; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

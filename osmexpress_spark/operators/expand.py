@@ -41,10 +41,15 @@ _SOURCE_FORMATS = {".pbf": "osmpbf", ".osm": "osmxml", ".xml": "osmxml"}
 def _fmt_for(path: str) -> str:
     low = path.lower()
     # compressed XML: planet.osm.gz / .osm.bz2 / .xml.gz — the XML
-    # source decompresses transparently (libosmium extension parity)
+    # source decompresses transparently (libosmium extension parity).
+    # Only strip the suffix when XML remains underneath: the PBF source
+    # cannot decompress, so planet.pbf.gz must keep raising the clear
+    # unsupported-extension error instead of failing deep in decode
     for comp in (".gz", ".bz2"):
         if low.endswith(comp):
-            low = low[: -len(comp)]
+            inner = os.path.splitext(low[: -len(comp)])[1]
+            if inner in (".osm", ".xml"):
+                low = low[: -len(comp)]
             break
     ext = os.path.splitext(low)[1]
     try:

@@ -92,12 +92,17 @@ class UpdateResult:
         return self._counts
 
 
-def apply_changes(
-    tables: dict[str, DataFrame], changes: DataFrame, with_edges: bool = True
-) -> UpdateResult:
-    """Apply one OsmChange batch to the core tables (+ edge tables if
-    present/requested). Pure transformation: returns new DataFrames, the
-    caller decides whether to commit (U4 dry-run semantics)."""
+def merge_specs_for(
+    changes: DataFrame,
+) -> tuple[dict[str, MergeSpec], DataFrame]:
+    """Batch-only merge specs: per-table upsert images + changed-key
+    sets derived from the deduped batch ALONE — no base table is ever
+    read or planned. This is the O(|batch|) path the replication
+    commit uses: at 100 TB the base tables are planet-sized while the
+    batch is minutes-sized, and `SnapshotStore.merge_commit` only needs
+    these batch-sized frames (base files stay untouched). Returns
+    (specs, deduped batch); callers that also want the folded tables go
+    through `apply_changes`, which reuses these specs."""
     chg = last_wins(changes).localCheckpoint(eager=True)
 
     nodes_chg = chg.where(F.col("type") == "node")
@@ -113,7 +118,6 @@ def apply_changes(
         F.coalesce(F.col("metadata.version"), F.lit(1)).alias("version"),
         cells.cell_col(F.col("lon"), F.col("lat")).alias("cell"),
     )
-    new_locations = _merge(tables["locations"], loc_upserts, node_ids)
 
     # --- tagged-node payload: kept only while tags non-empty ---------------
     tagged_upserts = nodes_chg.where(
@@ -128,7 +132,6 @@ def apply_changes(
         ).alias("tags_kv"),
         "metadata",
     )
-    new_nodes = _merge(tables["nodes"], tagged_upserts, node_ids)
 
     # --- ways (U2) ----------------------------------------------------------
     way_ids = ways_chg.select("id")
@@ -144,7 +147,6 @@ def apply_changes(
         ).alias("tags_kv"),
         "metadata",
     )
-    new_ways = _merge(tables["ways"], way_upserts, way_ids)
 
     # --- relations (U3) -----------------------------------------------------
     rel_ids = rels_chg.select("id")
@@ -163,14 +165,6 @@ def apply_changes(
         ).alias("tags_kv"),
         "metadata",
     )
-    new_relations = _merge(tables["relations"], rel_upserts, rel_ids)
-
-    out = {
-        "locations": new_locations,
-        "nodes": new_nodes,
-        "ways": new_ways,
-        "relations": new_relations,
-    }
 
     specs = {
         "locations": MergeSpec(loc_upserts, node_ids, "id"),
@@ -180,37 +174,52 @@ def apply_changes(
     }
 
     # --- reverse-index maintenance (U2/U3): recompute changed ids only -----
-    # New edge rows derive from the batch's upsert images alone
-    # (new_table ⋉ changed_ids == upserts by construction of _merge), so
-    # the edge-upsert plans never touch the base tables — O(|batch|).
-    # (A USING join moves the key column first, so re-select the
-    # canonical column order after the anti-join.)
+    # New edge rows derive from the batch's upsert images alone, so the
+    # edge-upsert plans never touch the base tables — O(|batch|).
+    way_keys = way_ids.withColumnRenamed("id", "way_id")
+    specs["node_way"] = MergeSpec(
+        edges_mod.node_way(way_upserts), way_keys, "way_id"
+    )
+    rel_anti = rel_ids.withColumnRenamed("id", "relation_id")
+    for name, fn in (
+        ("node_relation", edges_mod.node_relation),
+        ("way_relation", edges_mod.way_relation),
+        ("relation_relation", edges_mod.relation_relation),
+    ):
+        specs[name] = MergeSpec(fn(rel_upserts), rel_anti, "relation_id")
+    return specs, chg
+
+
+def apply_changes(
+    tables: dict[str, DataFrame], changes: DataFrame, with_edges: bool = True
+) -> UpdateResult:
+    """Apply one OsmChange batch to the core tables (+ edge tables if
+    present/requested). Pure transformation: returns new DataFrames, the
+    caller decides whether to commit (U4 dry-run semantics). The folded
+    `tables` are the specs from `merge_specs_for` applied as
+    anti-join + union MERGEs; commit paths that only need the
+    batch-sized deltas should call `merge_specs_for` directly and never
+    pay for base-table plan construction."""
+    specs, chg = merge_specs_for(changes)
+
+    # edge-table anti-joins key on the OWNING side and a USING join
+    # moves the key column first — re-select the canonical column order
+    out = {}
+    for name in ("locations", "nodes", "ways", "relations"):
+        spec = specs[name]
+        out[name] = _merge(tables[name], spec.upserts, spec.changed_keys)
     if with_edges:
-        if "node_way" in tables:
-            nw_upserts = edges_mod.node_way(way_upserts)
-            way_keys = way_ids.withColumnRenamed("id", "way_id")
-            out["node_way"] = (
-                tables["node_way"]
-                .join(way_keys, "way_id", "left_anti")
-                .select("node_id", "way_id")
-                .unionByName(nw_upserts)
-            )
-            specs["node_way"] = MergeSpec(nw_upserts, way_keys, "way_id")
-        rel_anti = rel_ids.withColumnRenamed("id", "relation_id")
-        for name, fn, key in (
-            ("node_relation", edges_mod.node_relation, "node_id"),
-            ("way_relation", edges_mod.way_relation, "way_id"),
-            ("relation_relation", edges_mod.relation_relation, "child_id"),
+        for name in (
+            "node_way", "node_relation", "way_relation", "relation_relation"
         ):
             if name not in tables:
                 continue
-            upserts = fn(rel_upserts)
+            spec = specs[name]
             out[name] = (
                 tables[name]
-                .join(rel_anti, "relation_id", "left_anti")
-                .select(key, "relation_id")
-                .unionByName(upserts)
+                .join(spec.changed_keys, spec.key, "left_anti")
+                .select(tables[name].columns)
+                .unionByName(spec.upserts.select(tables[name].columns))
             )
-            specs[name] = MergeSpec(upserts, rel_anti, "relation_id")
 
     return UpdateResult(tables=out, merge_specs=specs, _chg=chg)

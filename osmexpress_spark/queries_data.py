@@ -347,7 +347,7 @@ def q_dedup_survivors(spark, sf_dir):
 )
 def q_boilerplate_ngrams(spark, sf_dir):
     """Cross-document boilerplate/contamination screen: word 3-grams in
-    >= 20 distinct docs (operators/text.py:boilerplate_ngrams — per-doc
+    >= 4 distinct docs (operators/text.py:boilerplate_ngrams — per-doc
     distinct shingle sets make the doc count a plain COUNT(*))."""
     return text.boilerplate_ngrams(
         t(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=4

@@ -81,6 +81,51 @@ class DirStateSource:
         return self._read(seq_path(seq)) or self._read(f"{seq}.state.txt")
 
 
+def diff_path(seq: int) -> str:
+    """Osmosis nested layout for the diff payload itself:
+    seq 6369237 -> '006/369/237.osc.gz'."""
+    s = f"{seq:09d}"
+    return f"{s[0:3]}/{s[3:6]}/{s[6:9]}.osc.gz"
+
+
+class HttpStateSource:
+    """State files + diffs served by a replication server (the
+    reference's deployment: utils/osmx-update:15-48 downloads
+    ``state.txt`` and per-sequence ``.osc.gz`` from a base URL like
+    https://planet.osm.org/replication/minute). Implements the same
+    ``latest()``/``state(seq)`` protocol as DirStateSource, plus
+    ``fetch(rel)`` for diff payloads; a 404 (garbage-collected or
+    not-yet-published sequence) reads as None, everything else
+    raises."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def fetch(self, rel: str) -> bytes | None:
+        import urllib.error
+        import urllib.request
+
+        url = f"{self.base_url}/{rel}"
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def _read(self, rel: str) -> FeedState | None:
+        raw = self.fetch(rel)
+        return None if raw is None else parse_state(raw.decode())
+
+    def latest(self) -> FeedState | None:
+        return self._read("state.txt")
+
+    def state(self, seq: int) -> FeedState | None:
+        return self._read(seq_path(seq)) or self._read(f"{seq}.state.txt")
+
+
 def timestamp_to_seqnum(source, timestamp: datetime) -> int | None:
     """Binary-search the feed's state files for the resume sequence (see
     module docstring for the exact contract). `source` needs

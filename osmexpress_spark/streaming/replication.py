@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..operators.update import apply_changes
+from ..operators.update import merge_specs_for
 from ..store import DEFAULT_SORT, SnapshotStore
 
 
@@ -56,6 +56,7 @@ def apply_batch(
     seqnum: int,
     commit: bool = True,
     types: set[str] | None = None,
+    metadata: dict | None = None,
 ) -> bool:
     """Apply one seqnum batch transactionally; skip if already applied
     (idempotence); `commit=False` is the reference's dry-run
@@ -69,7 +70,11 @@ def apply_batch(
     build-up compacts automatically past `max_layers`."""
     if seqnum <= committed_seqnum(store):
         return False
-    result = apply_changes(store.read_all(), changes)
+    # batch-only spec construction: the commit path never reads (or even
+    # plans over) the base tables — merge_commit lands the batch-sized
+    # layers and the manifest does the rest. Folding happens at read
+    # time; dry-run still derives the full batch plans and discards.
+    specs, _ = merge_specs_for(changes)
     if commit:
         if types is None:
             types = {
@@ -78,11 +83,22 @@ def apply_batch(
         affected = set().union(*(_AFFECTED[t] for t in types)) if types else set()
         merges = {
             name: spec
-            for name, spec in (result.merge_specs or {}).items()
+            for name, spec in specs.items()
             if name in affected and name in store.tables()
         }
+        meta = dict(metadata or {})
+        if "timestamp" not in meta:
+            # stamp the batch's newest element timestamp so downstream
+            # exports carry the snapshot's real replication state
+            # (reference: extract.cpp stamps the CURRENT snapshot, not
+            # the expand-time header) — one tiny agg on the batch frame
+            ts = changes.agg(F.max("metadata.timestamp")).collect()[0][0]
+            if ts is not None:
+                meta["timestamp"] = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
         store.merge_commit(
-            merges, metadata={"seqnum": seqnum}, sort_by=DEFAULT_SORT
+            merges,
+            metadata={**meta, "seqnum": seqnum},
+            sort_by=DEFAULT_SORT,
         )
     return True
 
@@ -120,6 +136,66 @@ def catch_up(
         batch = changes.where(F.col("seqnum") == seq)
         if apply_batch(store, batch, seq, commit=commit, types=types_by_seq[seq]):
             applied.append(seq)
+    return applied
+
+
+def http_catch_up(
+    spark: SparkSession,
+    store: SnapshotStore,
+    base_url: str,
+    commit: bool = True,
+    limit: int | None = None,
+    timeout: float = 30.0,
+) -> list[int]:
+    """Catch up from a remote replication server (the reference's
+    deployment shape, utils/osmx-update:15-48): read the server's
+    ``state.txt``, resume from the store's committed seqnum — or, on a
+    fresh expand, from the timestamp→seqnum binary search over the
+    server's state files (utils/server.py:27-107) — then download and
+    apply each pending ``NNN/NNN/NNN.osc.gz`` in order, one
+    transactional merge-commit per sequence, recording the sequence's
+    state timestamp alongside the seqnum. Stops cleanly at the first
+    hole (not-yet-published or garbage-collected diff). A local
+    directory served by any static HTTP server is protocol-identical
+    (the test fake); only the driver downloads — batches are
+    minutes-sized by construction."""
+    import os
+    import tempfile
+
+    from ..sources.osc import read_osc
+    from .feedstate import HttpStateSource, bootstrap_seqnum, diff_path
+
+    source = HttpStateSource(base_url, timeout=timeout)
+    latest = source.latest()
+    if latest is None:
+        return []
+    committed = committed_seqnum(store)
+    if committed == 0:
+        boot = bootstrap_seqnum(store, source)
+        if boot is not None:
+            committed = boot
+    applied: list[int] = []
+    seq = committed + 1
+    while seq <= latest.sequence and (limit is None or len(applied) < limit):
+        payload = source.fetch(diff_path(seq))
+        if payload is None:
+            break
+        fd, tmp = tempfile.mkstemp(suffix=".osc.gz")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            changes = read_osc(spark, tmp, seqnum=seq)
+            st = source.state(seq)
+            meta = (
+                {"timestamp": st.timestamp.strftime("%Y-%m-%dT%H:%M:%SZ")}
+                if st is not None
+                else {}
+            )
+            if apply_batch(store, changes, seq, commit=commit, metadata=meta):
+                applied.append(seq)
+        finally:
+            os.unlink(tmp)
+        seq += 1
     return applied
 
 

@@ -40,6 +40,10 @@ def test_cli_expand_query_extract_update(spark, tmp_path, capsys):
     with open(osc, "w") as f:
         f.write(OSC)
     assert main(["update", f"{work}/ds", osc]) == 0            # dry-run
+    # a dry-run must leave the dataset byte-identical: no store
+    # bootstrap, no _versions dir, no duplicated data/ tree
+    assert not os.path.exists(f"{work}/ds/_versions")
+    assert not os.path.exists(f"{work}/ds/data")
     assert main(["query", f"{work}/ds"]) == 0
     assert "locations: 300" in capsys.readouterr().out          # unchanged
 

@@ -95,3 +95,17 @@ def test_expand_xml_and_pbf_agree(spark, tmp_path, source_pbf):
     wa = {r.id: list(r.nodes) for r in a.ways().collect()}
     wb = {r.id: list(r.nodes) for r in b.ways().collect()}
     assert wa == wb
+
+
+def test_fmt_for_compressed_dispatch():
+    from osmexpress_spark.operators.expand import _fmt_for
+
+    assert _fmt_for("planet.osm.gz") == "osmxml"
+    assert _fmt_for("planet.xml.bz2") == "osmxml"
+    assert _fmt_for("planet.osm.pbf") == "osmpbf"
+    # compressed PBF is unsupported: fail with the clear extension
+    # error up front, not an obscure decode failure later
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot infer source format"):
+        _fmt_for("planet.pbf.gz")

@@ -205,3 +205,66 @@ def test_catch_up_bootstraps_from_timestamp(spark, tmp_path, fresh_store):
     )
     assert applied == [3]
     assert replication.committed_seqnum(store) == 3
+
+
+# --- remote HTTP replication transport (utils/osmx-update:15-48) ----------
+def test_http_catch_up_from_local_server(spark, tmp_path):
+    """End-to-end remote catch-up: a static HTTP server fronts a feed
+    directory (state files + per-seq .osc.gz); a store that only knows
+    its expand timestamp bootstraps its seqnum via the binary search
+    over the SERVER's state files, then downloads and applies every
+    pending diff transactionally."""
+    import functools
+    import gzip
+    import http.server
+    import os
+    import threading
+    from datetime import datetime, timedelta, timezone
+
+    from osmexpress_spark.streaming import feedstate
+
+    feed = str(tmp_path / "feed")
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    oscs = {
+        1: '<osmChange version="0.6"><modify>'
+           '<node id="1" lon="3.0" lat="4.0" version="2"/></modify></osmChange>',
+        2: '<osmChange version="0.6"><create>'
+           '<node id="9001" lon="1.0" lat="1.0" version="1"/></create></osmChange>',
+        3: '<osmChange version="0.6"><delete>'
+           '<node id="2" version="2"/></delete></osmChange>',
+    }
+    for seq, xml in oscs.items():
+        _write_state(feed, seq, base + timedelta(minutes=seq))
+        with gzip.open(os.path.join(feed, feedstate.diff_path(seq)), "wt") as f:
+            f.write(xml)
+    _write_state(feed, 3, base + timedelta(minutes=3), latest=True)
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=feed
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        rows = testing.generate(n_nodes=100, seed=5)
+        dfs = testing.to_dataframes(spark, rows)
+        dfs.update(edges_mod.derive_all(dfs["ways"], dfs["relations"]))
+        # fresh-expand store: no seqnum, timestamp between state 1 and 2
+        # -> bootstrap resolves seq 1, so only 2..3 replay
+        ts = (base + timedelta(seconds=90)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        store = SnapshotStore.create(
+            spark, str(tmp_path / "store"), dfs,
+            metadata={"timestamp": ts}, sort_by=DEFAULT_SORT,
+        )
+        applied = replication.http_catch_up(spark, store, url)
+        assert applied == [2, 3]
+        assert replication.committed_seqnum(store) == 3
+        # the applied sequence's state timestamp is recorded at commit
+        assert store.metadata()["timestamp"] == "2024-01-01T00:03:00Z"
+        loc = store.read_table("locations")
+        assert loc.where(F.col("id") == 9001).count() == 1
+        assert loc.where(F.col("id") == 2).count() == 0
+        # idempotent: nothing pending on a second pass
+        assert replication.http_catch_up(spark, store, url) == []
+    finally:
+        srv.shutdown()
