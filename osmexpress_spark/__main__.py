@@ -54,23 +54,45 @@ def _parse_region(args):
     raise SystemExit(2)
 
 
-def _tables(spark, dataset: str):
-    """Latest committed store snapshot if the dir has manifests (post-
-    `update --commit`), else the plain expand layout. Checked without
-    constructing SnapshotStore: its __init__ mkdirs `_versions`, and a
-    read-only dataset mount must stay readable through query/extract."""
+def _has_store(dataset: str) -> bool:
+    """True when the dir has committed manifests (post-`update --commit`).
+    Checked without constructing SnapshotStore: its __init__ mkdirs
+    `_versions`, and a read-only dataset mount must stay readable
+    through query/extract."""
     import os
 
     vdir = os.path.join(dataset, "_versions")
-    if os.path.isdir(vdir) and any(
+    return os.path.isdir(vdir) and any(
         f.startswith("v") and f.endswith(".json") for f in os.listdir(vdir)
-    ):
+    )
+
+
+def _tables(spark, dataset: str):
+    """Latest committed store snapshot if present, else the plain
+    expand layout."""
+    if _has_store(dataset):
         from .store import SnapshotStore
 
         return SnapshotStore(spark, dataset).read_all()
     from .api import Dataset
 
     return Dataset(spark, dataset).tables()
+
+
+def _snapshot_metadata(spark, dataset: str) -> dict:
+    """Replication metadata of the snapshot being extracted: the latest
+    manifest's (advanced by every `update --commit` / apply_batch,
+    which stamps the batch's newest element timestamp) when a store
+    exists, else the static expand-time _metadata.json. The reference
+    stamps the CURRENT snapshot's state (src/extract.cpp:282-283), not
+    the bulk-load header's."""
+    if _has_store(dataset):
+        from .store import SnapshotStore
+
+        return SnapshotStore(spark, dataset).metadata()
+    from .api import Dataset
+
+    return Dataset(spark, dataset).metadata()
 
 
 def cmd_extract(args) -> int:
@@ -89,9 +111,7 @@ def cmd_extract(args) -> int:
         # header like the reference (src/extract.cpp:282-283)
         from datetime import datetime, timezone
 
-        from .api import Dataset
-
-        ts = Dataset(_spark(), args.dataset).metadata().get("timestamp")
+        ts = _snapshot_metadata(_spark(), args.dataset).get("timestamp")
         epoch = (
             int(datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ")
                 .replace(tzinfo=timezone.utc).timestamp())

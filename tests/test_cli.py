@@ -52,6 +52,39 @@ def test_cli_expand_query_extract_update(spark, tmp_path, capsys):
     assert "moved" in capsys.readouterr().out
 
 
+def test_cli_extract_stamps_latest_manifest_timestamp(spark, tmp_path, capsys):
+    """After `update --commit`, extract-to-PBF stamps the CURRENT
+    snapshot's replication timestamp — advanced by apply_batch from the
+    batch's newest element — not the stale expand-time _metadata.json
+    (reference src/extract.cpp:282-283 stamps the live snapshot)."""
+    import calendar
+
+    from osmexpress_spark.sources import pbf
+
+    work = str(tmp_path)
+    fx = testing.ensure_fixture_dataset(spark, f"{work}/fx", n_nodes=100, seed=11)
+    res = extract(Dataset(spark, fx).tables(), Region("-90,-180,90,180", "bbox"))
+    sink.write_pbf(res, f"{work}/world.pbf")
+    assert main(["expand", f"{work}/world.pbf", f"{work}/ds"]) == 0
+
+    osc = f"{work}/c.osc"
+    with open(osc, "w") as f:
+        f.write(
+            '<osmChange version="0.6"><modify>'
+            '<node id="1" lat="10.5" lon="20.25" version="9"'
+            ' timestamp="2031-05-06T07:08:09Z"/>'
+            "</modify></osmChange>"
+        )
+    assert main(["update", f"{work}/ds", osc, "--commit"]) == 0
+
+    out = f"{work}/after.pbf"
+    assert main(["extract", f"{work}/ds", out,
+                 "--bbox=-90,-180,90,180"]) == 0
+    hdr = pbf.read_header(out)
+    want = calendar.timegm((2031, 5, 6, 7, 8, 9, 0, 0, 0))
+    assert hdr["osmosis_replication_timestamp"] == want
+
+
 def test_cli_query_missing_id_errors(spark, tmp_path, capsys):
     fx = testing.ensure_fixture_dataset(spark, str(tmp_path / "fx"), n_nodes=100, seed=3)
     assert main(["query", fx, "way"]) == 2
