@@ -77,6 +77,10 @@ PRIORITY: list[str] = [
     # -- previously no_oracle (r01/r02); oracled via inlined centroids in r3
     "q_embedding_ann_ivf",
     "q_embedding_ann_ivf_indexed",
+    # -- new in round 3: semantic dedup + DSIR importance resampling
+    "q_semantic_dedup",
+    "q_importance_weights",
+    "q_importance_resample",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

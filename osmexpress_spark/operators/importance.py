@@ -1,0 +1,109 @@
+"""Data-selection importance weighting (DSIR-style).
+
+Hashed n-gram importance resampling after Xie et al. 2023
+(arXiv:2302.03169): score every raw document by how much more likely
+its hashed unigram profile is under a TARGET distribution (e.g. a
+high-quality or in-domain subset) than under the RAW corpus
+distribution, then keep the top-weighted documents. The published
+method trains two hashed bag-of-n-grams models and resamples by the
+log-likelihood ratio; this module is that estimator as two tiny
+aggregations plus one broadcast join.
+
+Determinism/oracle contract:
+- the feature hash is the first two hex chars of md5(token) — 256
+  buckets, bit-identical in Spark and DuckDB (no engine hash());
+- per-bucket log-likelihood ratios (add-one smoothing) are rounded to
+  integer MICRO-NATS (round(ln(...) * 1e6)), so per-document weights
+  are exact BIGINT sums — no float accumulation order anywhere in the
+  output.
+
+100 TB shape: the two distribution tables are <= `buckets` rows each —
+they broadcast, and the model "training" is one map-side-combined
+aggregation over the corpus. The per-document scoring pass is
+explode -> partial-agg on (doc, bucket) -> broadcast join -> final agg
+on doc; the corpus shuffles only as (doc_id, bucket, count) partial
+counts (<= 256 rows per document), never as raw text. The reference
+engine has no analog; this is part of the training-data-curation
+surface the Spark port adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BUCKETS = 256
+
+
+def token_bucket(token: Column) -> Column:
+    """Feature-hash bucket: first two hex chars of md5 (256 values,
+    kept as the 2-char string — engines agree on md5, not on hash())."""
+    return F.substring(F.md5(token), 1, 2)
+
+
+def hashed_importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, weight_micro): DSIR log-likelihood-ratio weight per doc in
+    integer micro-nats. `target` is a boolean Column marking the
+    target-domain rows inside df (the in-domain sample the raw corpus
+    is being steered toward)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).select("id", "is_target", token_bucket(F.col("token")).alias("b"))
+    # (doc, bucket) partial counts: the only corpus-sized shuffle, with
+    # map-side combine collapsing each doc's tokens to <= 256 rows
+    per_doc = toks.groupBy("id", "is_target", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dist = per_doc.groupBy("b").agg(
+        F.sum("n").alias("raw_n"),
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias(
+            "tgt_n"
+        ),
+    )
+    totals = dist.agg(
+        F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
+    )
+    # identical formula text on the oracle side: association order of
+    # the double arithmetic must match for the micro-nat round to agree
+    lnr = F.log(
+        ((F.col("tgt_n") + F.lit(1.0)) / (F.col("tgt_t") + F.lit(float(N_BUCKETS))))
+        / ((F.col("raw_n") + F.lit(1.0)) / (F.col("raw_t") + F.lit(float(N_BUCKETS))))
+    )
+    ratios = dist.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(lnr * F.lit(1e6)).cast("long").alias("micro")
+    )
+    return (
+        per_doc.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(F.sum(F.col("n") * F.col("micro")).alias("weight_micro"))
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: Column,
+    n_keep: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The selection step: top n_keep docs by importance weight
+    (deterministic: ties break on id).
+
+    orderBy().limit() compiles to TakeOrdered — each partition keeps
+    its local top-n_keep and only those reach the driver-side merge, so
+    the corpus-sized weight frame is never globally sorted and never
+    lands in one partition. The rank window runs AFTER the limit, over
+    exactly n_keep rows (bounded by the caller, like every top-k here)."""
+    w = hashed_importance_weights(df, target, id_col, text_col)
+    top = w.orderBy(F.col("weight_micro").desc(), F.col("id")).limit(n_keep)
+    win = Window.orderBy(F.col("weight_micro").desc(), F.col("id"))
+    return top.withColumn(
+        "rnk", F.row_number().over(win)
+    ).select("id", "weight_micro", "rnk")

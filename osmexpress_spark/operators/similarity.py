@@ -547,3 +547,68 @@ def kmeans_assign_step(
         .where(F.col("rn") == 1)
         .select(F.col(id_col), F.col("cid").alias("cluster"), F.col("d2"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the coarse k-means
+    quantizer, then within each cluster drop every item whose cosine
+    to the cluster REPRESENTATIVE meets the threshold. Representative
+    = the member most similar to its centroid (ties -> lowest id), the
+    paper's "keep one exemplar per semantic neighborhood" reduced to a
+    deterministic, oracle-checkable contract.
+
+    Returns (id, cid, rep_id, rep_sim, keep): rep_sim is cosine to the
+    representative rounded to 6 decimals, keep is true for the
+    representative itself and for members below the threshold.
+
+    100 TB shape: centroids are expression literals (no join for the
+    assignment — the scan stays whole-stage codegen); representative
+    election is a map-side-combined groupBy producing n_centroids rows
+    that broadcast back. The corpus is scanned twice and shuffled only
+    into the tiny agg — never pairwise. Contrast cosine_dedup_pairs
+    (LSH buckets, near-exact at high thresholds): semantic dedup
+    catches paraphrase-level duplicates that share no surface text at
+    the cost of centroid training (driver-side, constant in corpus
+    size — see ivf_train)."""
+    cents = ivf_train(df, dim, n_centroids, iters, id_col, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _argmax(_centroid_scores(F.col(vec_col), cents)).alias("cid"),
+    ).withColumn(
+        "simc",
+        cosine(F.col("v"), F.element_at(cent_lit, F.col("cid") + 1)),
+    )
+    reps = assigned.groupBy("cid").agg(
+        F.max_by(
+            F.struct(F.col("id").alias("rep_id"), F.col("v").alias("rv")),
+            # unique ordering key: max simc, then lowest id
+            F.struct(F.col("simc"), (-F.col("id")).alias("neg")),
+        ).alias("rep")
+    ).select("cid", "rep.rep_id", "rep.rv")
+    return (
+        assigned.join(F.broadcast(reps), "cid")
+        .withColumn("rep_sim", cosine(F.col("v"), F.col("rv")))
+        .select(
+            "id",
+            "cid",
+            "rep_id",
+            "rep_sim",
+            (
+                (F.col("id") == F.col("rep_id"))
+                | (F.col("rep_sim") < F.lit(float(threshold)))
+            ).alias("keep"),
+        )
+    )

@@ -1561,3 +1561,158 @@ def q_vocab_topk(spark, sf_dir):
         .where(F.col("rnk") <= 20)
         .select("token", "n", "rnk")
     )
+
+
+# --- semantic dedup + importance resampling (corpus curation) --------------
+
+
+def _semantic_dedup_oracle_sql(n_centroids: int = 16, threshold: str = "0.9e0") -> str:
+    """q_semantic_dedup as one statement: reuses the unrolled IVF
+    training CTEs (cents2 is deterministic — see _ivf_oracle_sql), then
+    elects the per-cluster representative (max cosine-to-centroid, ties
+    lowest id) and flags members at/above the threshold cosine to it."""
+    train_limit = n_centroids * 64
+    return f"""
+    WITH train AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {train_limit}
+    ),
+    cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM (SELECT * FROM train ORDER BY vec_id LIMIT {n_centroids})
+    ),{_lloyd_iter_sql(1)},{_lloyd_iter_sql(2)},
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cscore AS (
+      SELECT e.vec_id, e.v, c.cid, round({_lldot('e.v', 'c.cv')}, 6) AS s
+      FROM emb e CROSS JOIN cents2 c
+    ),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    wc AS (
+      SELECT a.vec_id, a.v, a.cid,
+             round({_lldot('a.v', 'c.cv')} /
+                   (sqrt({_lldot('a.v', 'a.v')}) *
+                    sqrt({_lldot('c.cv', 'c.cv')})), 6) AS simc
+      FROM asg a JOIN cents2 c ON a.cid = c.cid
+    ),
+    rep AS (
+      SELECT cid, vec_id AS rep_id, v AS rv FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cid ORDER BY simc DESC, vec_id ASC) AS rn
+        FROM wc
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT w.vec_id AS id, w.cid, r.rep_id,
+             round({_lldot('w.v', 'r.rv')} /
+                   (sqrt({_lldot('w.v', 'w.v')}) *
+                    sqrt({_lldot('r.rv', 'r.rv')})), 6) AS rep_sim
+      FROM wc w JOIN rep r ON w.cid = r.cid
+    )
+    SELECT id, cid, rep_id, rep_sim,
+           (id = rep_id OR rep_sim < {threshold}) AS keep
+    FROM scored
+    """
+
+
+@defq("q_semantic_dedup", _semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup, arXiv:2303.09540): coarse
+    k-means clusters, one representative per cluster, drop members with
+    cosine >= 0.9 to their representative. Training is the same
+    deterministic driver-side Lloyd loop as IVF, so the oracle unrolls
+    it; election + flagging are a 16-row broadcast agg — the corpus
+    never shuffles pairwise."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, dim=EMB_DIM, n_centroids=16, threshold=0.9
+    )
+
+
+_IMPORTANCE_WEIGHTS_CTE = """
+    tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             substr(md5(token), 1, 2) AS b, count(*) AS n
+      FROM tok GROUP BY doc_id, (lang = 'en'), substr(md5(token), 1, 2)
+    ),
+    dist AS (
+      SELECT b, CAST(sum(n) AS BIGINT) AS raw_n,
+             CAST(sum(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT) AS tgt_n
+      FROM tb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(raw_n) AS BIGINT) AS raw_t,
+             CAST(sum(tgt_n) AS BIGINT) AS tgt_t
+      FROM dist
+    ),
+    ratios AS (
+      SELECT b, CAST(round(ln(
+               ((tgt_n + 1.0e0) / (tgt_t + 256.0e0)) /
+               ((raw_n + 1.0e0) / (raw_t + 256.0e0))) * 1e6, 0) AS BIGINT)
+             AS micro
+      FROM dist CROSS JOIN tot
+    ),
+    weights AS (
+      SELECT doc_id, CAST(sum(n * micro) AS BIGINT) AS weight_micro
+      FROM tb JOIN ratios USING (b) GROUP BY doc_id
+    )
+"""
+
+
+@defq(
+    "q_importance_weights",
+    f"""
+    WITH {_IMPORTANCE_WEIGHTS_CTE}
+    SELECT doc_id AS id, weight_micro FROM weights
+    """,
+)
+def q_importance_weights(spark, sf_dir):
+    """DSIR hashed importance weights (operators/importance.py,
+    arXiv:2302.03169): md5-bucketed unigram log-likelihood ratio of the
+    English subset vs the whole corpus, in integer micro-nats (exact
+    BIGINT sums — the only float is the per-bucket ln, rounded to 1e-6
+    nats where a cross-engine 1-ulp flip is measure-zero for a
+    transcendental, unlike the rational midpoints the module header
+    bans)."""
+    d = t(spark, sf_dir, "documents")
+    from .operators import importance
+
+    return importance.hashed_importance_weights(
+        d, F.col("lang") == "en"
+    )
+
+
+@defq(
+    "q_importance_resample",
+    f"""
+    WITH {_IMPORTANCE_WEIGHTS_CTE}
+    SELECT doc_id AS id, weight_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, weight_micro,
+             row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rnk
+      FROM weights
+    ) WHERE rnk <= 100
+    """,
+)
+def q_importance_resample(spark, sf_dir):
+    """The DSIR selection step: keep the 100 raw docs whose hashed
+    n-gram profile is most target-like (TakeOrdered top-k — no global
+    sort; rank window runs over the 100 survivors only)."""
+    d = t(spark, sf_dir, "documents")
+    from .operators import importance
+
+    return importance.importance_resample(
+        d, F.col("lang") == "en", n_keep=100
+    )

@@ -85,3 +85,27 @@ def test_global_shuffle_has_no_single_partition_stage(spark):
     plan = _final_plan(QD.SPARK_QUERIES["q_global_shuffle"](spark, SF_DIR))
     assert "Window" in plan  # the per-shard rank window is present
     assert "SinglePartition" not in plan
+
+
+def test_semantic_dedup_broadcasts_reps(spark):
+    # representative election is a 16-row agg that broadcasts back;
+    # the corpus side must never sort-merge or go through Python
+    plan = _final_plan(QD.SPARK_QUERIES["q_semantic_dedup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_importance_weights_broadcast_model(spark):
+    # the 256-row ratio table broadcasts; the corpus joins it without a
+    # corpus-sized shuffle on the model side, and nothing runs in Python
+    plan = _final_plan(QD.SPARK_QUERIES["q_importance_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_importance_resample_is_takeordered(spark):
+    # top-k selection must be a TakeOrdered partial top-k, not a global
+    # sort / single-partition rank over the full weight frame
+    plan = _final_plan(QD.SPARK_QUERIES["q_importance_resample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan

@@ -186,3 +186,28 @@ def test_kmeans_assign_broadcasts_centroids(spark, vectors):
     res = similarity.kmeans_assign_step(vectors, k=3)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_contract(spark, vectors):
+    res = similarity.semantic_dedup(
+        vectors, dim=DIM, n_centroids=3, threshold=0.9
+    ).collect()
+    assert len(res) == N                      # every vector classified
+    by_cid: dict[int, list] = {}
+    for r in res:
+        by_cid.setdefault(r["cid"], []).append(r)
+    for cid, members in by_cid.items():
+        reps = [m for m in members if m["id"] == m["rep_id"]]
+        assert len(reps) == 1                 # exactly one rep per cluster
+        rep = reps[0]
+        assert rep["keep"]                    # rep always survives
+        assert rep["rep_sim"] == 1.0          # cosine to itself
+        for m in members:
+            assert m["rep_id"] == rep["id"]
+            # keep contract: below-threshold or the rep itself
+            assert m["keep"] == (m["id"] == rep["id"] or m["rep_sim"] < 0.9)
+    # the blobs are tight: semantic dup pruning must actually fire
+    assert any(not r["keep"] for r in res)
+    # and loners below the threshold survive alongside the rep
+    kept = [r for r in res if r["keep"]]
+    assert len(kept) >= len(by_cid)
