@@ -48,6 +48,8 @@ HEADLINE = [
     "q_kmeans_assign",
     "q_stratified_sample",
     "q_contamination",
+    "q_semantic_dedup",
+    "q_importance_resample",
     "q_augmented_diff_analog",
     "osm_extract_bbox",
 ]
