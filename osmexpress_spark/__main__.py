@@ -6,6 +6,7 @@ Dispatch mirrors `/root/reference/src/cmd.cpp:38-45`:
     python -m osmexpress_spark extract DATASET_DIR OUTPUT (--bbox|--disc|--region) ...
     python -m osmexpress_spark update  DATASET_DIR CHANGE.osc [...] [--commit]
     python -m osmexpress_spark query   DATASET_DIR [node|way|relation ID]
+    python -m osmexpress_spark serve   DATASET_DIR [--port N]
 
 Option names follow the reference where it has them: `--bbox` /
 `--region FILE` / `--expand N` (extract.cpp:70-143), `--noUserData`
@@ -179,6 +180,100 @@ def cmd_update(args) -> int:
     return 0
 
 
+def make_geojson_server(spark, dataset: str, port: int = 0):
+    """GeoJSON HTTP API with the reference example's URL contract
+    (python/examples/web_server.py): GET /{node|way|relation}/{id} ->
+    one GeoJSON Feature. Tables resolve once at startup (store-aware);
+    each request is a point-lookup query. Returns an HTTPServer the
+    caller serves (serve_forever / a test thread).
+
+    Deliberate deviation, same as functions.relation_geojson: node
+    coordinates are always (lon, lat); web_server.py:33 returns the
+    raw (lat, lon) tuple for bare nodes, inconsistent with its own way
+    coordinates — an upstream bug we do not replicate."""
+    import json
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from pyspark.sql import functions as F
+
+    from . import functions as fn
+
+    tables = _tables(spark, dataset)
+
+    def feature_for(etype: str, eid: int) -> dict | None:
+        if etype == "node":
+            rows = fn.node_geojson(
+                tables["locations"].where(F.col("id") == eid),
+                tables["nodes"].where(F.col("id") == eid),
+            ).collect()
+            if not rows:
+                return None
+            head = json.loads(rows[0]["feature_head"])
+            head["geometry"] = json.loads(rows[0]["geometry"])
+            return head
+        if etype == "way":
+            way = tables["ways"].where(F.col("id") == eid)
+            props = way.select("tags").collect()
+            if not props:
+                return None
+            geom = fn.way_geojson(way, tables["locations"]).collect()
+            return {
+                "type": "Feature",
+                "properties": dict(props[0]["tags"] or {}),
+                "geometry": json.loads(geom[0]["geometry"])
+                if geom
+                else {"type": "LineString", "coordinates": []},
+            }
+        if etype == "relation":
+            rows = fn.relation_geojson(
+                tables["relations"],
+                tables["ways"],
+                tables["locations"],
+                roots=spark.createDataFrame([(eid,)], "id long"),
+            ).collect()
+            return json.loads(rows[0]["feature"]) if rows else None
+        return None
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test runs
+            pass
+
+        def do_GET(self):
+            parts = self.path.split("/")
+            if len(parts) < 3 or parts[1] not in ("node", "way", "relation"):
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b"bad request")
+                return
+            try:
+                feature = feature_for(parts[1], int(parts[2]))
+            except ValueError:
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b"bad request")
+                return
+            if feature is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps(feature).encode())
+
+    return HTTPServer(("127.0.0.1", port), Handler)
+
+
+def cmd_serve(args) -> int:
+    srv = make_geojson_server(_spark(), args.dataset, args.port)
+    print(f"serving {args.dataset} on http://127.0.0.1:{srv.server_port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_query(args) -> int:
     from pyspark.sql import functions as F
 
@@ -238,6 +333,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="publish (default is dry-run, like the reference)")
     pu.add_argument("--seqnum", type=int, default=1)
     pu.set_defaults(fn=cmd_update)
+
+    ps = sub.add_parser(
+        "serve", help="GeoJSON HTTP API (examples/web_server.py parity)"
+    )
+    ps.add_argument("dataset")
+    ps.add_argument("--port", type=int, default=8000)
+    ps.set_defaults(fn=cmd_serve)
 
     pq = sub.add_parser("query", help="point lookup / stats report")
     pq.add_argument("dataset")

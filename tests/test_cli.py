@@ -136,3 +136,53 @@ def test_cli_query_leaves_readonly_dataset_untouched(spark, tmp_path, capsys):
     assert main(["query", fx]) == 0
     assert set(os.listdir(fx)) == before
     assert not os.path.exists(os.path.join(fx, "_versions"))
+
+
+def test_geojson_server_parity(spark, tmp_path):
+    """`serve` answers the reference web_server.py URL contract:
+    GET /{node|way|relation}/{id} -> GeoJSON Feature with tag
+    properties; 404 on unknown ids, 400 on junk paths."""
+    import json
+    import threading
+    import urllib.request
+
+    from osmexpress_spark.__main__ import make_geojson_server
+
+    fx = testing.ensure_fixture_dataset(spark, str(tmp_path / "fx"),
+                                        n_nodes=150, seed=9)
+    srv = make_geojson_server(spark, fx, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        ds = Dataset(spark, fx)
+        way = ds.ways().select("id", "nodes", "tags").limit(1).collect()[0]
+        rel = ds.relations().select("id").limit(1).collect()[0]
+
+        node_id = way["nodes"][0]
+        got = json.load(urllib.request.urlopen(f"{base}/node/{node_id}"))
+        assert got["type"] == "Feature"
+        assert got["geometry"]["type"] == "Point"
+        lon, lat = got["geometry"]["coordinates"]
+        loc = ds.locations().where(f"id = {node_id}").collect()[0]
+        assert abs(lon - loc["lon"] / 1e7) < 1e-9
+        assert abs(lat - loc["lat"] / 1e7) < 1e-9
+
+        got = json.load(urllib.request.urlopen(f"{base}/way/{way['id']}"))
+        assert got["geometry"]["type"] == "LineString"
+        assert len(got["geometry"]["coordinates"]) == len(way["nodes"])
+        assert got["properties"] == dict(way["tags"] or {})
+
+        got = json.load(urllib.request.urlopen(f"{base}/relation/{rel['id']}"))
+        assert got["geometry"]["type"] == "GeometryCollection"
+
+        import urllib.error
+        for bad, code in (("/node/99999999", 404), ("/junk", 400),
+                          ("/node/abc", 400)):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError(f"{bad} should fail")
+            except urllib.error.HTTPError as e:
+                assert e.code == code, bad
+    finally:
+        srv.shutdown()
