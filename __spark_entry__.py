@@ -81,6 +81,11 @@ PRIORITY: list[str] = [
     "q_semantic_dedup",
     "q_importance_weights",
     "q_importance_resample",
+    "q_pq_encode",
+    "q_pq_topk",
+    "q_dup_ngram_stats",
+    "q_doc_dup_spans",
+    "q_gopher_rules",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

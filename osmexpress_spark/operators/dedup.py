@@ -561,3 +561,97 @@ def dedup_survivors(
         F.col("id") != F.col("cluster_id")
     ).select(F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Substring-level duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", arXiv:2107.06499). Document-level
+# dedup misses long verbatim passages embedded in otherwise-distinct
+# documents; the practical large-scale approximation of the paper's
+# suffix array is positional k-gram window hashing — a window repeated
+# across >= min_docs documents marks a duplicated span.
+
+
+def span_hashes(text: Column, k: int = 5) -> Column:
+    """Positional word k-gram hashes: element i (0-based) is
+    md5('w_i .. w_{i+k-1}'). NOT deduplicated — position identity is
+    the point. Same zip_with-fold shape as shingles() (per-index
+    slice defeats codegen subexpression reuse, measured 4.6x)."""
+    ws = F.split(text, " ")
+    n = F.size(ws)
+    m = n - F.lit(k - 1)
+    acc = F.slice(ws, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(ws, 1 + j, m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.when(n >= k, F.transform(acc, F.md5)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(h, n_docs, n_occ) for every k-gram window seen in >= min_docs
+    distinct documents. One explode + one hash-aggregate: the shuffle
+    carries (hash, doc_id) pairs — never text — with map-side partial
+    aggregation; at 100 TB this is the linear substring-dedup census
+    (the suffix-array equivalent join is superlinear and needs global
+    order)."""
+    sp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(span_hashes(F.col(text_col), k)).alias("h"),
+    )
+    return (
+        sp.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-window counts (doc_id, n_spans,
+    n_dup_spans) — the removal signal: n_dup_spans/n_spans is the
+    fraction of the document covered by cross-document duplicate
+    windows (emitted as exact integers per the no-rounded-rationals
+    rule). Two scans of the span stream + one join on the window hash;
+    document text itself never shuffles."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        span_hashes(F.col(text_col), k).alias("hs"),
+    ).where(F.size("hs") > 0)
+    sp = base.select("doc_id", F.explode("hs").alias("h"))
+    dup = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    per = sp.join(dup, "h").groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        base.select("doc_id", F.size("hs").alias("n_spans"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("int").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("int").alias(
+                "n_dup_spans"
+            ),
+        )
+    )

@@ -648,3 +648,192 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"). Splits the D-dim vector into m subvectors
+# and learns an independent ksub-codeword codebook per subspace; a
+# vector compresses to m small codes (here one byte each — ksub<=256).
+# At 100 TB this is the memory-tier below int8 scalar quantization:
+# 64 float32 dims (256 B) become 8 code bytes (32x), and search is
+# asymmetric-distance (ADC) — the query stays exact, candidates are
+# reconstructed per-subspace via codebook lookup, so the candidate
+# scan reads 1/32 of the bytes. Training follows ivf_train's
+# determinism contract (bounded lowest-id sample, seeded from the
+# sample head, 6-decimal rounding every iteration) so the whole
+# pipeline unrolls into oracle SQL.
+
+
+def pq_train(
+    candidates: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd (squared-L2 assignment, ties -> lowest code)
+    over the train_limit lowest-id vectors; returns codebooks[j][c] =
+    dsub-dim centroid. Deterministic end-to-end: seeds are the first
+    ksub subvectors of the id-sorted sample, every distance and every
+    updated center rounds to 6 decimals — same contract as ivf_train,
+    so the oracle replays training as SQL CTEs."""
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    dsub = dim // m
+    train_limit = train_limit or ksub * 64
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in candidates.orderBy(id_col)
+            .select(vec_col)
+            .limit(train_limit)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = np.round(
+                ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            codes = np.argmin(d2, axis=1)  # first occurrence = lowest code
+            for c in range(ksub):
+                members = sub[codes == c]
+                if len(members):  # empty codewords keep their center
+                    cents[c] = members.mean(axis=0)
+            cents = np.round(cents, 6)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _books_lit(books: list[list[list[float]]]) -> Column:
+    """array<array<array<double>>> literal as ONE parsed expression
+    (same py4j-round-trip argument as _matrix_lit)."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cw) + ")" for cw in cb
+        )
+        + ")"
+        for cb in books
+    )
+    return F.expr(f"array({body})")
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
+    """array<int> of m codes: per subspace, the argmin-L2 codeword
+    (distances rounded to 6 decimals, ties -> lowest code). The
+    subvectors are sliced ONCE into an array and zip_with pairs them
+    with the codebook literal, so each codeword distance reads its
+    slice from the paired lambda variable instead of re-slicing."""
+    m = len(books)
+    dsub = len(books[0][0])
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec, j * dsub + 1, dsub),
+    )
+    return F.zip_with(
+        subs,
+        _books_lit(books),
+        lambda sub, cb: (
+            F.array_position(
+                F.transform(cb, lambda cw: F.round(_l2(sub, cw), 6)),
+                F.array_min(
+                    F.transform(cb, lambda cw: F.round(_l2(sub, cw), 6))
+                ),
+            )
+            - 1
+        ).cast("int"),
+    )
+
+
+def pq_codes_df(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — the stored representation. Pure column expression:
+    the encode scan is whole-stage codegen, nothing shuffles."""
+    return df.select(
+        F.col(id_col), pq_codes(F.col(vec_col), books).alias("codes")
+    )
+
+
+def topk_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """ADC top-k: exact query subvectors against codebook-reconstructed
+    candidates. score = sum_j dot(q_sub_j, books[j][code_j]), rounded
+    to 6 decimals before ranking (the cosine fold-noise rule); ranks
+    tie-break on candidate id. Queries broadcast across the candidate
+    scan — the big side never shuffles, and at deployment the codes
+    column is precomputed (pq_codes_df) so the scan reads m bytes per
+    row instead of the float vector."""
+    books = pq_train(candidates, dim, m, ksub, iters, id_col, vec_col)
+    dsub = dim // m
+    c = pq_codes_df(candidates, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    blit = _books_lit(books)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: dot(
+                F.slice(F.col("qv"), j * dsub + 1, F.lit(dsub)),
+                F.element_at(F.element_at(blit, j + 1), code + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc, 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -228,3 +228,34 @@ def boilerplate_ngrams(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def gopher_flags(text: Column, min_words: int = 20, max_words: int = 100000,
+                 min_mean_len: int = 3, max_mean_len: int = 10) -> Column:
+    """Gopher-style document quality gates (Rae et al. 2021,
+    arXiv:2112.11446 Table A1), as a struct of booleans + the combined
+    keep flag. Every rule is an INTEGER inequality — mean word length
+    in [3,10] is `3*n <= total_len <= 10*n`, the >=80% alpha-word rule
+    is `5*n_alpha >= 4*n` — so there is no rounded rational anywhere
+    (module-header rule) and the oracle replays the rules exactly.
+    The line-based rules (bullet ratio, duplicate lines) live in
+    repetition_stats: the whitespace token contract has no line
+    structure."""
+    ws = tokens(text)
+    n = F.size(ws)
+    total_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    ok_words = (n >= min_words) & (n <= max_words)
+    ok_mean = (total_len >= min_mean_len * n) & (total_len <= max_mean_len * n)
+    ok_alpha = n_alpha * 5 >= n * 4
+    ok_stop = n_stop >= 2
+    return F.struct(
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_alpha & ok_stop).alias("keep"),
+    )

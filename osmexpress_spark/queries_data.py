@@ -1716,3 +1716,270 @@ def q_importance_resample(spark, sf_dir):
     return importance.importance_resample(
         d, F.col("lang") == "en", n_keep=100
     )
+
+
+# --- product quantization --------------------------------------------------
+PQ_M = 8
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_KSUB = 16
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range({PQ_DSUB}), "
+        f"i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])))"
+    )
+
+
+def _pq_lloyd_iter_sql(k: int) -> str:
+    """One per-subspace Lloyd iteration (squared-L2 argmin, ties ->
+    lowest code) — _lloyd_iter_sql keyed by subspace j. Mirrors
+    pq_train: distances round to 6 before the argmin, updated centers
+    round to 6, empty codewords keep their (rounded) center."""
+    p = f"books{k - 1}"
+    return f"""
+    pasg{k} AS (
+      SELECT vec_id, j, v, code FROM (
+        SELECT s.vec_id, s.j, s.v, b.code,
+               row_number() OVER (
+                 PARTITION BY s.j, s.vec_id
+                 ORDER BY round({_pq_l2_sql('s.v', 'b.cv')}, 6), b.code
+               ) AS rn
+        FROM psub s JOIN {p} b ON s.j = b.j
+      ) WHERE rn = 1
+    ),
+    pdim{k} AS (
+      SELECT j, code, generate_subscripts(v, 1) AS d, unnest(v) AS x
+      FROM pasg{k}
+    ),
+    pnew{k} AS (
+      SELECT j, code, list(round(m, 6) ORDER BY d) AS cv FROM (
+        SELECT j, code, d, avg(x) AS m FROM pdim{k} GROUP BY j, code, d
+      ) GROUP BY j, code
+    ),
+    books{k} AS (
+      SELECT p.j, p.code,
+             COALESCE(n.cv, list_transform(p.cv, x -> round(x, 6))) AS cv
+      FROM {p} p LEFT JOIN pnew{k} n ON p.j = n.j AND p.code = n.code
+    )"""
+
+
+def _pq_ctes() -> str:
+    """Training + encode CTEs shared by the PQ oracles, ending in
+    `pcodes(vec_id, codes)`. Replays pq_train (operators/similarity.py)
+    exactly: lowest-id sample, per-subspace seeds = the sample head,
+    2 Lloyd iterations, everything rounded to 6 decimals."""
+    train_limit = PQ_KSUB * 64
+    return f"""
+    ptrain AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {train_limit}
+    ),
+    pjs AS (SELECT unnest(range({PQ_M})) AS j),
+    psub AS (
+      SELECT t.vec_id, pjs.j,
+             list_transform(range({PQ_DSUB}),
+                            i -> t.v[pjs.j * {PQ_DSUB} + i + 1]) AS v
+      FROM ptrain t CROSS JOIN pjs
+    ),
+    books0 AS (
+      SELECT j, CAST(rn - 1 AS INTEGER) AS code, v AS cv FROM (
+        SELECT j, v,
+               row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM psub
+      ) WHERE rn <= {PQ_KSUB}
+    ),{_pq_lloyd_iter_sql(1)},{_pq_lloyd_iter_sql(2)},
+    pemb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pesub AS (
+      SELECT e.vec_id, pjs.j,
+             list_transform(range({PQ_DSUB}),
+                            i -> e.v[pjs.j * {PQ_DSUB} + i + 1]) AS v
+      FROM pemb e CROSS JOIN pjs
+    ),
+    pecode AS (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, e.j, b.code,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, e.j
+                 ORDER BY round({_pq_l2_sql('e.v', 'b.cv')}, 6), b.code
+               ) AS rn
+        FROM pesub e JOIN books2 b ON e.j = b.j
+      ) WHERE rn = 1
+    ),
+    pcodes AS (
+      SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY j) AS codes
+      FROM pecode GROUP BY vec_id
+    )"""
+
+
+@defq(
+    "q_pq_encode",
+    f"""
+    WITH {_pq_ctes()}
+    SELECT vec_id, codes FROM pcodes
+    """,
+)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization storage codes (similarity.py: pq_train /
+    pq_codes_df, Jegou et al. 2011): 64 float32 dims -> 8 one-byte
+    codes (32x compression). Training is the same deterministic
+    bounded-sample Lloyd contract as IVF, so the oracle unrolls it per
+    subspace; the encode scan itself is a pure column expression
+    (whole-stage codegen, zero shuffle)."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, EMB_DIM, m=PQ_M, ksub=PQ_KSUB)
+    return similarity.pq_codes_df(emb, books)
+
+
+@defq(
+    "q_pq_topk",
+    f"""
+    WITH {_pq_ctes()},
+    pbj AS (SELECT j, list(cv ORDER BY code) AS cbs FROM books2 GROUP BY j),
+    pbl AS (SELECT list(cbs ORDER BY j) AS books FROM pbj),
+    pqq AS (
+      SELECT vec_id AS query_id, v AS qv FROM pemb WHERE vec_id < 10
+    ),
+    pscored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range({PQ_M}), j ->
+               list_sum(list_transform(range({PQ_DSUB}), i ->
+                 q.qv[j * {PQ_DSUB} + i + 1]
+                 * b.books[j+1][c.codes[j+1] + 1][i+1])))), 6) AS sim
+      FROM pqq q CROSS JOIN pcodes c CROSS JOIN pbl b
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS INTEGER) AS knn_rank
+      FROM pscored
+    ) WHERE knn_rank <= 5
+    """,
+)
+def q_pq_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k over PQ codes (similarity.py:
+    topk_pq): exact query subvectors, candidates reconstructed by
+    codebook lookup — the candidate scan reads m code bytes per row
+    instead of the float vector (1/32 of the bytes at dim=64/m=8).
+    The outer and inner folds run left-to-right on both engines, so
+    the 6-decimal rounded score is reproducible."""
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_pq(
+        emb.where(F.col("vec_id") < 10), emb, dim=EMB_DIM,
+        k=5, m=PQ_M, ksub=PQ_KSUB,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+    )
+
+
+# --- substring-level duplication -------------------------------------------
+SPAN_K = 5
+
+
+def _span_ctes() -> str:
+    return f"""
+    sws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ssp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(w) - {SPAN_K - 1}),
+                    i -> md5(array_to_string(w[i+1:i+{SPAN_K}], ' ')))) AS h
+      FROM sws WHERE len(w) >= {SPAN_K}
+    ),
+    sg AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+      FROM ssp GROUP BY h
+    )"""
+
+
+@defq(
+    "q_dup_ngram_stats",
+    f"""
+    WITH {_span_ctes()}
+    SELECT h, n_docs, n_occ FROM sg WHERE n_docs >= 2
+    """,
+)
+def q_dup_ngram_stats(spark, sf_dir):
+    """Substring-dedup census (dedup.py: duplicated_span_stats, Lee et
+    al. arXiv:2107.06499): every word 5-gram window repeated across
+    documents, with its document reach and occurrence count. Explode +
+    one map-side-combined hash aggregate — the linear scale shape of
+    suffix-array substring dedup."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(d, "doc_id", "text", k=SPAN_K)
+
+
+@defq(
+    "q_doc_dup_spans",
+    f"""
+    WITH {_span_ctes()},
+    sdup AS (SELECT h FROM sg WHERE n_docs >= 2),
+    sper AS (
+      SELECT ssp.doc_id, COUNT(*) AS n_dup
+      FROM ssp JOIN sdup USING (h) GROUP BY ssp.doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) - {SPAN_K - 1} AS INTEGER) AS n_spans,
+           CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_dup_spans
+    FROM sws w LEFT JOIN sper p USING (doc_id)
+    WHERE len(w.w) >= {SPAN_K}
+    """,
+)
+def q_doc_dup_spans(spark, sf_dir):
+    """Per-document duplicated-span coverage (dedup.py: doc_dup_spans):
+    how much of each document consists of cross-document duplicate
+    5-gram windows — the substring-removal signal, as exact integers
+    (numerator n_dup_spans / denominator n_spans)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.doc_dup_spans(d, "doc_id", "text", k=SPAN_K)
+
+
+@defq(
+    "q_gopher_rules",
+    f"""
+    WITH gw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), gm AS (
+      SELECT doc_id,
+             len(w) AS n,
+             list_sum(list_transform(w, t -> length(t))) AS total_len,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t)))
+               AS n_stop
+      FROM gw
+    )
+    SELECT doc_id,
+           (n >= 20 AND n <= 100000) AS ok_word_count,
+           (total_len >= 3 * n AND total_len <= 10 * n)
+             AS ok_mean_word_len,
+           (n_alpha * 5 >= n * 4) AS ok_alpha_ratio,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n >= 20 AND n <= 100000)
+            AND (total_len >= 3 * n AND total_len <= 10 * n)
+            AND (n_alpha * 5 >= n * 4)
+            AND (n_stop >= 2)) AS keep
+    FROM gm
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality gates (text.py: gopher_flags, arXiv:2112.11446):
+    word-count window, mean-word-length window, alpha-word ratio,
+    stopword presence — all as integer inequalities, one filter scan,
+    zero shuffles. The standard pre-training curation gate alongside
+    quality_score's continuous ranking."""
+    d = t(spark, sf_dir, "documents")
+    g = text.gopher_flags(F.col("text"))
+    return d.withColumn("g", g).select(
+        "doc_id",
+        F.col("g.ok_word_count").alias("ok_word_count"),
+        F.col("g.ok_mean_word_len").alias("ok_mean_word_len"),
+        F.col("g.ok_alpha_ratio").alias("ok_alpha_ratio"),
+        F.col("g.ok_stopwords").alias("ok_stopwords"),
+        F.col("g.keep").alias("keep"),
+    )

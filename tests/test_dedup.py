@@ -186,3 +186,38 @@ def test_dup_clusters_fast_path_matches_loop_on_random_graphs(spark):
                 for r in dedup.dup_clusters(df, driver_max_pairs=0).collect()}
         assert fast == expect, f"trial {trial}: fast path diverges"
         assert loop == expect, f"trial {trial}: distributed loop diverges"
+
+
+def test_span_hashes_positions_and_short_docs(spark):
+    from osmexpress_spark.operators.dedup import span_hashes
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x a b c")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.hs for r in df.select(
+        "doc_id", span_hashes(F.col("text"), k=3).alias("hs")).collect()}
+    assert len(rows[1]) == 2          # 'a b c', 'b c d'
+    assert rows[2] == []              # shorter than k -> no spans
+    assert len(rows[3]) == 2          # 'x a b', 'a b c'
+    assert rows[1][0] == rows[3][1]   # same window text, same hash
+    assert rows[1][0] != rows[1][1]
+
+
+def test_doc_dup_spans_counts(spark):
+    from osmexpress_spark.operators.dedup import (
+        doc_dup_spans, duplicated_span_stats,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s t u"),       # shares 'p q r s t' with doc 2
+            (2, "p q r s t x"),
+            (3, "m n o m n o m n"),   # internal repeats only -> no dups
+            (4, "z z"),               # too short for k=5
+        ],
+        "doc_id long, text string",
+    )
+    stats = duplicated_span_stats(df, "doc_id", "text", k=5).collect()
+    assert len(stats) == 1 and stats[0].n_docs == 2 and stats[0].n_occ == 2
+    per = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in doc_dup_spans(df, "doc_id", "text", k=5).collect()}
+    assert per == {1: (2, 1), 2: (2, 1), 3: (4, 0)}  # doc 4 has no spans

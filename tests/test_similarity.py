@@ -211,3 +211,86 @@ def test_semantic_dedup_contract(spark, vectors):
     # and loners below the threshold survive alongside the rep
     kept = [r for r in res if r["keep"]]
     assert len(kept) >= len(by_cid)
+
+
+def test_pq_codes_shape_and_determinism(spark, vectors):
+    books = similarity.pq_train(vectors, DIM, m=4, ksub=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(cw) == DIM // 4 for b in books for cw in b)
+    # deterministic: retraining yields identical codebooks
+    assert books == similarity.pq_train(vectors, DIM, m=4, ksub=8)
+    codes = similarity.pq_codes_df(vectors, books).collect()
+    assert len(codes) == N
+    for r in codes:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+
+
+def test_pq_reconstruction_beats_random(spark, vectors):
+    """Codebook reconstruction must sit near the subspace members:
+    mean squared reconstruction error well under the blob spread."""
+    books = similarity.pq_train(vectors, DIM, m=4, ksub=8)
+    dsub = DIM // 4
+    rows = similarity.pq_codes_df(vectors, books, vec_col="embedding") \
+        .join(vectors, "vec_id").collect()
+    tot, n = 0.0, 0
+    for r in rows:
+        for j, c in enumerate(r.codes):
+            cw = books[j][c]
+            sub = [float(x) for x in r.embedding[j * dsub:(j + 1) * dsub]]
+            tot += sum((a - b) ** 2 for a, b in zip(sub, cw))
+            n += 1
+    # blob half-width is 1.0 per dim; codewords should land inside it
+    assert tot / n < dsub * 1.0, tot / n
+
+
+def test_pq_topk_matches_python_adc_model(spark, vectors):
+    """topk_pq is DETERMINISTIC given the trained books: replicate
+    encode (argmin-L2 on 6-decimal-rounded distances, ties -> lowest
+    code) and ADC scoring (per-subspace dot vs the codeword, summed,
+    rounded to 6) in plain Python and demand the exact same ranking.
+    Within-blob candidates collapse to identical codes, so rank-based
+    recall is meaningless here — exact ADC semantics is the contract.
+    Also: every returned neighbor must come from the query's blob
+    (blobs are antipodal, so any reconstruction keeps them apart)."""
+    m, ksub = 4, 8
+    dsub = DIM // m
+    books = similarity.pq_train(vectors, DIM, m=m, ksub=ksub)
+    rows = {r.vec_id: [float(x) for x in r.embedding]
+            for r in vectors.collect()}
+
+    def code_of(v):
+        out = []
+        for j in range(m):
+            sub = v[j * dsub:(j + 1) * dsub]
+            d2s = [round(sum((a - b) ** 2 for a, b in zip(sub, cw)), 6)
+                   for cw in books[j]]
+            out.append(d2s.index(min(d2s)))
+        return out
+
+    def adc(qv, codes):
+        s = 0.0
+        for j in range(m):
+            cw = books[j][codes[j]]
+            s += sum(a * b
+                     for a, b in zip(qv[j * dsub:(j + 1) * dsub], cw))
+        return round(s, 6)
+
+    codes = {nid: code_of(v) for nid, v in rows.items()}
+    want = {}
+    for qid in range(20):
+        scored = sorted(
+            ((-adc(rows[qid], codes[nid]), nid)
+             for nid in rows if nid != qid),
+        )
+        want[qid] = [nid for _, nid in scored[:5]]
+    approx = similarity.topk_pq(
+        vectors.where(F.col("vec_id") < 20), vectors, DIM,
+        k=5, m=m, ksub=ksub,
+    ).collect()
+    got = {}
+    for r in sorted(approx, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == want
+    for qid, nbrs in got.items():
+        assert all(n % 3 == qid % 3 for n in nbrs)  # same blob

@@ -1,0 +1,44 @@
+"""Text-operator unit tests beyond the oracle-parity sweep: edge cases
+the synthetic corpus never produces (non-alpha tokens, stopword-free
+docs, boundary word counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import text
+
+
+def _flags(spark, doc):
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = df.select(text.gopher_flags(F.col("text")).alias("g")).collect()[0].g
+    return r.asDict()
+
+
+def test_gopher_flags_all_pass(spark):
+    doc = " ".join(["the", "and", "words"] + ["token"] * 20)
+    g = _flags(spark, doc)
+    assert g == {
+        "ok_word_count": True, "ok_mean_word_len": True,
+        "ok_alpha_ratio": True, "ok_stopwords": True, "keep": True,
+    }
+
+
+def test_gopher_flags_each_rule_fires_independently(spark):
+    # too short
+    assert not _flags(spark, "the and tiny doc")["ok_word_count"]
+    # mean word length too small (all 1-char words)
+    short = " ".join(["a"] * 30)
+    g = _flags(spark, short)
+    assert not g["ok_mean_word_len"] and not g["keep"]
+    # mean word length too large
+    longw = " ".join(["the", "and"] + ["verylongtokenword"] * 28)
+    assert not _flags(spark, longw)["ok_mean_word_len"]
+    # alpha ratio: >20% pure-number tokens fails
+    nums = " ".join(["the", "and"] + ["word"] * 16 + ["123"] * 12)
+    g = _flags(spark, nums)
+    assert not g["ok_alpha_ratio"] and not g["keep"]
+    # no stopwords
+    nostop = " ".join(["token"] * 30)
+    g = _flags(spark, nostop)
+    assert not g["ok_stopwords"] and not g["keep"]
