@@ -86,6 +86,8 @@ PRIORITY: list[str] = [
     "q_dup_ngram_stats",
     "q_doc_dup_spans",
     "q_gopher_rules",
+    "q_curation_pipeline",
+    "q_ivfpq_topk",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

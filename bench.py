@@ -50,6 +50,9 @@ HEADLINE = [
     "q_contamination",
     "q_semantic_dedup",
     "q_importance_resample",
+    "q_pq_topk",
+    "q_doc_dup_spans",
+    "q_gopher_rules",
     "q_augmented_diff_analog",
     "osm_extract_bbox",
 ]

@@ -1983,3 +1983,159 @@ def q_gopher_rules(spark, sf_dir):
         F.col("g.ok_stopwords").alias("ok_stopwords"),
         F.col("g.keep").alias("keep"),
     )
+
+
+@defq(
+    "q_curation_pipeline",
+    f"""
+    WITH cw AS (
+      SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
+      FROM documents
+    ), cg AS (
+      SELECT doc_id, lang, source, text, w FROM (
+        SELECT *,
+               len(w) AS n,
+               list_sum(list_transform(w, t -> length(t))) AS total_len,
+               len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                 AS n_alpha,
+               len(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t)))
+                 AS n_stop
+        FROM cw
+      ) WHERE (n >= 20 AND n <= 100000)
+        AND (total_len >= 3 * n AND total_len <= 10 * n)
+        AND (n_alpha * 5 >= n * 4) AND (n_stop >= 2)
+    ), ce AS (
+      SELECT doc_id, lang, source, w FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS ern
+        FROM cg
+      ) WHERE ern = 1
+    ),
+    csp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(w) - {SPAN_K - 1}),
+                    i -> md5(array_to_string(w[i+1:i+{SPAN_K}], ' ')))) AS h
+      FROM cw WHERE len(w) >= {SPAN_K}
+    ),
+    cdup AS (
+      SELECT h FROM csp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cper AS (
+      SELECT csp.doc_id, COUNT(*) AS n_dup
+      FROM csp JOIN cdup USING (h) GROUP BY csp.doc_id
+    )
+    SELECT e.doc_id, e.lang, e.source,
+           CAST(len(e.w) - {SPAN_K - 1} AS INTEGER) AS n_spans,
+           CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_dup_spans
+    FROM ce e LEFT JOIN cper p USING (doc_id)
+    WHERE COALESCE(p.n_dup, 0) * 5 <= len(e.w) - {SPAN_K - 1}
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation: Gopher gates -> exact-dedup survivor
+    election (lowest doc_id per md5) -> substring-duplication cap
+    (duplicated 5-gram windows cover <= 20% of the doc, as the integer
+    inequality 5*n_dup <= n_spans). Demonstrates that the curation
+    operators COMPOSE as one declarative plan: the gates are scan-side
+    predicates, the survivor election is one hash window, and the span
+    screen joins stats — Catalyst pipelines all three without
+    materializing intermediates; text shuffles only into the md5
+    window."""
+    d = t(spark, sf_dir, "documents")
+    gated = d.withColumn("g", text.gopher_flags(F.col("text"))).where(
+        F.col("g.keep")
+    )
+    ew = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    survivors = (
+        gated.withColumn("ern", F.row_number().over(ew))
+        .where(F.col("ern") == 1)
+        .select("doc_id", "lang", "source")
+    )
+    spans = dedup.doc_dup_spans(d, "doc_id", "text", k=SPAN_K)
+    return (
+        survivors.join(spans, "doc_id", "left")
+        .where(
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)) * 5
+            <= F.coalesce(F.col("n_spans"), F.lit(0))
+        )
+        .select("doc_id", "lang", "source", "n_spans", "n_dup_spans")
+    )
+
+
+def _ivfpq_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 3) -> str:
+    """IVF coarse assignment + PQ ADC scoring in one statement: the IVF
+    training chain (train/cents0..cents2) and the PQ chain
+    (ptrain/books0..books2/pcodes) are independent deterministic CTE
+    families, so the composed oracle just concatenates them and joins
+    probe lists with candidate codes."""
+    train_limit = n_centroids * 64
+    return f"""
+    WITH train AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {train_limit}
+    ),
+    cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM (SELECT * FROM train ORDER BY vec_id LIMIT {n_centroids})
+    ),{_lloyd_iter_sql(1)},{_lloyd_iter_sql(2)},{_pq_ctes()},
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cscore AS (
+      SELECT e.vec_id, e.v, c.cid, round({_lldot('e.v', 'c.cv')}, 6) AS s
+      FROM emb e CROSS JOIN cents2 c
+    ),
+    cand AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        FROM cscore WHERE vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    pbj AS (SELECT j, list(cv ORDER BY code) AS cbs FROM books2 GROUP BY j),
+    pbl AS (SELECT list(cbs ORDER BY j) AS books FROM pbj),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             round(list_sum(list_transform(range({PQ_M}), j ->
+               list_sum(list_transform(range({PQ_DSUB}), i ->
+                 p.qv[j * {PQ_DSUB} + i + 1]
+                 * b.books[j+1][pc.codes[j+1] + 1][i+1])))), 6) AS sim
+      FROM probe p JOIN cand c USING (cid)
+      JOIN pcodes pc ON pc.vec_id = c.neighbor_id
+      CROSS JOIN pbl b
+      WHERE c.neighbor_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS INTEGER) AS knn_rank
+      FROM scored
+    ) WHERE knn_rank <= {k}
+    """
+
+
+@defq("q_ivfpq_topk", _ivfpq_oracle_sql())
+def q_ivfpq_topk(spark, sf_dir):
+    """Composed IVF+PQ ANN (similarity.py: topk_ivfpq): the coarse
+    quantizer prunes the scan to nprobe/n_centroids of the corpus and
+    each probed list is read as PQ code bytes — the two reductions
+    multiply (the IVFADC production layout, sans residual encoding to
+    keep both trainings independently deterministic for the oracle)."""
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_ivfpq(
+        emb.where(F.col("vec_id") < 10), emb, dim=EMB_DIM,
+        k=3, n_centroids=16, nprobe=4, m=PQ_M, ksub=PQ_KSUB,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+    )

@@ -109,3 +109,49 @@ def test_importance_resample_is_takeordered(spark):
     # sort / single-partition rank over the full weight frame
     plan = _final_plan(QD.SPARK_QUERIES["q_importance_resample"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_topk_broadcasts_queries_no_python(spark):
+    # candidate side (corpus) never shuffles: queries broadcast across
+    # the encode scan; codebook lookups are expression literals
+    plan = _final_plan(QD.SPARK_QUERIES["q_pq_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_zero_shuffle(spark):
+    # encoding is a pure column expression over one scan
+    plan = _final_plan(QD.SPARK_QUERIES["q_pq_encode"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_gopher_rules"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_span_census_single_aggregate_no_python(spark):
+    # explode + one hash aggregate; the only shuffle key is the window
+    # hash (map-side partial agg), text never shuffles
+    plan = _final_plan(QD.SPARK_QUERIES["q_dup_ngram_stats"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_curation_pipeline_single_plan_no_python(spark):
+    # gates are scan-side predicates; survivor election is one hash
+    # window; the span screen joins stats — all one declarative plan
+    plan = _final_plan(QD.SPARK_QUERIES["q_curation_pipeline"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_probe_join_no_corpus_shuffle(spark):
+    # probe rows broadcast into the candidate scan; the corpus never
+    # sort-merges
+    plan = _final_plan(QD.SPARK_QUERIES["q_ivfpq_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -294,3 +294,25 @@ def test_pq_topk_matches_python_adc_model(spark, vectors):
     assert got == want
     for qid, nbrs in got.items():
         assert all(n % 3 == qid % 3 for n in nbrs)  # same blob
+
+
+def test_ivfpq_full_probe_equals_pq_and_partial_stays_in_blob(spark, vectors):
+    """With nprobe = n_centroids every inverted list is probed, so the
+    composed index must reproduce plain ADC ranking exactly; with a
+    partial probe the pruned search must still return same-blob
+    neighbors (the coarse quantizer separates the antipodal blobs)."""
+    m, ksub, nc = 4, 8, 6
+    qs = vectors.where(F.col("vec_id") < 12)
+    full = similarity.topk_ivfpq(
+        qs, vectors, DIM, k=5, n_centroids=nc, nprobe=nc, m=m, ksub=ksub,
+    ).collect()
+    plain = similarity.topk_pq(qs, vectors, DIM, k=5, m=m, ksub=ksub).collect()
+    as_map = lambda rows: {
+        (r.query_id, r.rank): r.neighbor_id for r in rows
+    }
+    assert as_map(full) == as_map(plain)
+    pruned = similarity.topk_ivfpq(
+        qs, vectors, DIM, k=5, n_centroids=nc, nprobe=2, m=m, ksub=ksub,
+    ).collect()
+    for r in pruned:
+        assert r.neighbor_id % 3 == r.query_id % 3
