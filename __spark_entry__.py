@@ -88,6 +88,7 @@ PRIORITY: list[str] = [
     "q_gopher_rules",
     "q_curation_pipeline",
     "q_ivfpq_topk",
+    "q_contamination_bloom",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

@@ -655,3 +655,108 @@ def doc_dup_spans(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-pruned decontamination. contamination_pairs broadcasts the
+# benchmark inverted index and lets the join discard non-matching
+# corpus shingles; at 100 TB the corpus side still materializes every
+# (doc_id, shingle_hash) row into the join. A Bloom pre-filter on the
+# benchmark shingle set turns that into a scan-side predicate: only
+# shingles that MIGHT be benchmark shingles survive the explode, so
+# join input shrinks to matches + fpp * non-matches. The filter is a
+# pure pruning stage — the broadcast join still verifies exactly, so
+# false positives cost work, never correctness, and the result is
+# bit-identical to contamination_pairs (same oracle).
+#
+# The filter itself is deterministic and engine-portable: positions
+# are derived from the SAME xxhash64 the inverted index keys on
+# (Kirsch-Mitzenmacher double hashing), the bench side's positions are
+# computed BY SPARK and collected (KBs — the bench is an eval suite),
+# and membership is a column expression over an array<bigint> word
+# literal. No RNG, no JVM-private bloom format.
+
+
+def _bloom_positions(h: Column, nbits: int, n_hashes: int) -> list[Column]:
+    """Kirsch-Mitzenmacher probe positions g_i = h1 + i*h2 mod nbits."""
+    h1 = F.pmod(h, F.lit(2**31))
+    h2 = F.pmod(F.shiftright(h, 31), F.lit(2**31)) * 2 + 1  # odd stride
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(nbits)).cast("int")
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str = "s",
+                nbits: int = 1 << 16, n_hashes: int = 2) -> list[int]:
+    """Bit-set words (signed 64-bit ints, BIGINT-literal ready) for the
+    distinct probe positions of ``keys[key_col]`` (int64 hashes). The
+    position computation runs IN SPARK so the build and probe sides
+    share hashing exactly; only set-bit positions come to the driver."""
+    pos = (
+        keys.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col(key_col), nbits, n_hashes))
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (nbits // 64)
+    for r in pos:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(h: Column, words: list[int],
+                        nbits: int = 1 << 16, n_hashes: int = 2) -> Column:
+    """AND of the n_hashes bit tests against the word-array literal —
+    stays inside whole-stage codegen (one parsed literal, shifts and
+    masks only)."""
+    wlit = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    test = F.lit(True)
+    for p in _bloom_positions(h, nbits, n_hashes):
+        word = F.element_at(wlit, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftrightunsigned", word, F.pmod(p, F.lit(64))
+        )
+        test = test & (bit.bitwiseAND(F.lit(1)) == 1)
+    return test
+
+
+def contamination_pairs_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_common: int = 1,
+    bench_id_name: str = "bench_id",
+    nbits: int = 1 << 16,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """contamination_pairs with the Bloom scan-side pre-filter; result
+    is identical (the exact join verifies), the corpus-side join input
+    is ~fpp of the non-contaminated shingle stream."""
+    sh = shingles(F.col(text_col), k)
+    corp_inv = (
+        corpus.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(F.col(id_col), F.explode(sh).alias("s"))
+        .select(F.col(id_col), F.xxhash64("s").alias("s"))
+    )
+    bench_inv = (
+        bench.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(F.col(id_col).alias(bench_id_name), F.explode(sh).alias("s"))
+        .select(F.col(bench_id_name), F.xxhash64("s").alias("s"))
+    )
+    words = bloom_build(bench_inv, "s", nbits, n_hashes)
+    pruned = corp_inv.where(
+        bloom_might_contain(F.col("s"), words, nbits, n_hashes)
+    )
+    return (
+        pruned.join(F.broadcast(bench_inv), "s")
+        .where(F.col(id_col) != F.col(bench_id_name))
+        .groupBy(id_col, bench_id_name)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -2139,3 +2139,22 @@ def q_ivfpq_topk(spark, sf_dir):
     return res.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
     )
+
+
+@defq(
+    "q_contamination_bloom",
+    ORACLE_SQL["q_contamination"],
+)
+def q_contamination_bloom(spark, sf_dir):
+    """Bloom-pruned decontamination (dedup.py:
+    contamination_pairs_bloom): a deterministic Bloom filter over the
+    benchmark shingle hashes becomes a scan-side predicate on the
+    corpus explode, so only might-match shingles reach the broadcast
+    join. The join still verifies exactly — the result (and the
+    oracle) is bit-identical to q_contamination; the bloom changes the
+    plan, not the answer."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_pairs_bloom(
+        d, bench, "doc_id", "text", k=_CONTAM_K, min_common=2
+    ).select("doc_id", "bench_id", "n_common")

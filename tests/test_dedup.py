@@ -221,3 +221,26 @@ def test_doc_dup_spans_counts(spark):
     per = {r.doc_id: (r.n_spans, r.n_dup_spans)
            for r in doc_dup_spans(df, "doc_id", "text", k=5).collect()}
     assert per == {1: (2, 1), 2: (2, 1), 3: (4, 0)}  # doc 4 has no spans
+
+
+def test_bloom_contamination_matches_exact_path(spark):
+    from osmexpress_spark.operators.dedup import (
+        bloom_build, bloom_might_contain, contamination_pairs,
+        contamination_pairs_bloom,
+    )
+    docs = [(i, f"w{i} common token stream x{i % 7} y{i % 5} z{i % 3}")
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.where(F.col("doc_id") % 9 == 0)
+    exact = sorted(map(tuple, contamination_pairs(
+        df, bench, "doc_id", "text", k=2, min_common=2).collect()))
+    bloom = sorted(map(tuple, contamination_pairs_bloom(
+        df, bench, "doc_id", "text", k=2, min_common=2).collect()))
+    assert bloom == exact and len(exact) > 0
+    # superset property: every true bench hash passes its own filter
+    b_inv = bench.select(F.explode(
+        F.split(F.col("text"), " ")).alias("w")).select(
+        F.xxhash64("w").alias("s"))
+    words = bloom_build(b_inv)
+    assert b_inv.where(
+        ~bloom_might_contain(F.col("s"), words)).count() == 0

@@ -155,3 +155,14 @@ def test_ivfpq_probe_join_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_contamination_filter_is_scan_side(spark):
+    # the bloom membership test must appear as a Filter BEFORE the
+    # broadcast join (pruning the explode output), all JVM-side
+    plan = _final_plan(
+        QD.SPARK_QUERIES["q_contamination_bloom"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "shiftrightunsigned" in plan  # the bit test survived codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
