@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "q_curation_pipeline",
     "q_ivfpq_topk",
     "q_contamination_bloom",
+    "q_perplexity_scores",
+    "q_perplexity_filter",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

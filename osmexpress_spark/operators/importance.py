@@ -107,3 +107,70 @@ def importance_resample(
     return top.withColumn(
         "rnk", F.row_number().over(win)
     ).select("id", "weight_micro", "rnk")
+
+
+def unigram_nll_scores(
+    df: DataFrame,
+    lm_subset: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.3, with the hashed-unigram model standing in
+    for KenLM): score every document by its total negative
+    log-likelihood under a unigram LM trained on ``lm_subset`` (the
+    high-quality reference corpus — Wikipedia in the paper).
+
+    Returns (id, n_tokens, nll_micro): nll_micro is the exact BIGINT
+    sum of per-token NLLs in integer micro-nats; mean NLL (the
+    log-perplexity) is the rational nll_micro / (1e6 * n_tokens),
+    emitted as numerator+denominator per the no-rounded-rationals
+    rule. Same shape as the DSIR estimator: one map-side-combined
+    aggregation trains the <=256-row model, the model broadcasts, and
+    the corpus shuffles only (doc, bucket, count) partials."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        lm_subset.alias("is_lm"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).select("id", "is_lm", token_bucket(F.col("token")).alias("b"))
+    per_doc = toks.groupBy("id", "is_lm", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dist = per_doc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_lm"), F.col("n")).otherwise(0)).alias("lm_n")
+    )
+    totals = dist.agg(F.sum("lm_n").alias("lm_t"))
+    # -ln(p_b) with add-one smoothing; formula text mirrored in the
+    # oracle so the double association order matches before the round
+    nll = -F.log(
+        (F.col("lm_n") + F.lit(1.0))
+        / (F.col("lm_t") + F.lit(float(N_BUCKETS)))
+    )
+    model = dist.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(nll * F.lit(1e6)).cast("long").alias("nll_micro_b")
+    )
+    return (
+        per_doc.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("int").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("nll_micro_b")).alias("nll_micro"),
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm_subset: Column,
+    max_mean_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CCNet head/middle cut as an integer inequality: keep
+    documents whose mean token NLL under the reference LM is at most
+    ``max_mean_micro`` MICRO-nats — nll_micro <= max_mean_micro *
+    n_tokens, no float division anywhere."""
+    s = unigram_nll_scores(df, lm_subset, id_col, text_col)
+    return s.where(
+        F.col("nll_micro") <= F.lit(int(max_mean_micro)) * F.col("n_tokens")
+    )

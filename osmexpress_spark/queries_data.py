@@ -2158,3 +2158,73 @@ def q_contamination_bloom(spark, sf_dir):
     return dedup.contamination_pairs_bloom(
         d, bench, "doc_id", "text", k=_CONTAM_K, min_common=2
     ).select("doc_id", "bench_id", "n_common")
+
+
+_NLL_CTE = """
+    ptok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    ptb AS (
+      SELECT doc_id, (lang = 'en') AS is_lm,
+             substr(md5(token), 1, 2) AS b, count(*) AS n
+      FROM ptok GROUP BY doc_id, (lang = 'en'), substr(md5(token), 1, 2)
+    ),
+    pdist AS (
+      SELECT b,
+             CAST(sum(CASE WHEN is_lm THEN n ELSE 0 END) AS BIGINT) AS lm_n
+      FROM ptb GROUP BY b
+    ),
+    ptot AS (SELECT CAST(sum(lm_n) AS BIGINT) AS lm_t FROM pdist),
+    pmodel AS (
+      SELECT b, CAST(round(-ln((lm_n + 1.0e0) / (lm_t + 256.0e0)) * 1e6, 0)
+                 AS BIGINT) AS nll_micro_b
+      FROM pdist CROSS JOIN ptot
+    ),
+    pnll AS (
+      SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_tokens,
+             CAST(sum(n * nll_micro_b) AS BIGINT) AS nll_micro
+      FROM ptb JOIN pmodel USING (b) GROUP BY doc_id
+    )
+"""
+
+
+@defq(
+    "q_perplexity_scores",
+    f"""
+    WITH {_NLL_CTE}
+    SELECT doc_id AS id, n_tokens, nll_micro FROM pnll
+    """,
+)
+def q_perplexity_scores(spark, sf_dir):
+    """CCNet-style LM quality scores (operators/importance.py:
+    unigram_nll_scores, arXiv:1911.00359): total negative
+    log-likelihood of each doc under a hashed-unigram LM trained on
+    the English subset, in exact integer micro-nats (mean NLL = the
+    rational nll_micro / 1e6*n_tokens — numerator and denominator
+    emitted, never the rounded float)."""
+    d = t(spark, sf_dir, "documents")
+    from .operators import importance
+
+    return importance.unigram_nll_scores(d, F.col("lang") == "en")
+
+
+@defq(
+    "q_perplexity_filter",
+    f"""
+    WITH {_NLL_CTE}
+    SELECT doc_id AS id, n_tokens, nll_micro FROM pnll
+    WHERE nll_micro <= 3422406 * n_tokens
+    """,
+)
+def q_perplexity_filter(spark, sf_dir):
+    """The CCNet perplexity cut as an integer inequality (keep docs
+    with mean token NLL <= 3.422406 nats — the fixture median — under
+    the reference LM): the standard head/middle selection, no float
+    division anywhere."""
+    d = t(spark, sf_dir, "documents")
+    from .operators import importance
+
+    return importance.perplexity_filter(
+        d, F.col("lang") == "en", max_mean_micro=3422406
+    )

@@ -93,3 +93,60 @@ def test_resample_is_deterministic_topk(spark, docs):
         key=lambda x: (-x[0], x[1]),
     )[:25]
     assert ws == full
+
+
+def test_unigram_nll_scores_match_python_model(spark):
+    from osmexpress_spark.operators import importance
+    import hashlib
+    import math
+
+    docs = [
+        (1, True, "aa bb aa cc"),
+        (2, True, "aa aa bb"),
+        (3, False, "zz yy xx aa"),
+        (4, False, "bb bb bb"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, is_lm boolean, text string"
+    )
+    got = {r.id: (r.n_tokens, r.nll_micro)
+           for r in importance.unigram_nll_scores(
+               df, F.col("is_lm"), "doc_id", "text").collect()}
+
+    bucket = lambda t: hashlib.md5(t.encode()).hexdigest()[:2]
+    lm_counts: dict[str, int] = {}
+    for _, is_lm, text in docs:
+        if is_lm:
+            for t in text.split(" "):
+                lm_counts[bucket(t)] = lm_counts.get(bucket(t), 0) + 1
+    lm_t = sum(lm_counts.values())
+    nll_b = {}
+    all_buckets = {bucket(t) for _, _, txt in docs for t in txt.split(" ")}
+    for b in all_buckets:
+        p = (lm_counts.get(b, 0) + 1.0) / (lm_t + 256.0)
+        nll_b[b] = round(-math.log(p) * 1e6)
+    want = {}
+    for did, _, text in docs:
+        toks = text.split(" ")
+        want[did] = (len(toks), sum(nll_b[bucket(t)] for t in toks))
+    assert got == want
+    # in-LM docs must score lower (more likely) than the OOV doc
+    mean = lambda d: want[d][1] / want[d][0]
+    assert mean(1) < mean(3) and mean(2) < mean(3)
+
+
+def test_perplexity_filter_integer_threshold(spark):
+    from osmexpress_spark.operators import importance
+
+    df = spark.createDataFrame(
+        [(1, True, "aa bb aa"), (2, False, "qq rr ss tt")],
+        "doc_id long, is_lm boolean, text string",
+    )
+    scores = {r.id: r.nll_micro // r.n_tokens
+              for r in importance.unigram_nll_scores(
+                  df, F.col("is_lm"), "doc_id", "text").collect()}
+    cut = (scores[1] + scores[2]) // 2
+    kept = [r.id for r in importance.perplexity_filter(
+        df, F.col("is_lm"), max_mean_micro=cut, id_col="doc_id",
+        text_col="text").collect()]
+    assert kept == [1]

@@ -166,3 +166,11 @@ def test_bloom_contamination_filter_is_scan_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "shiftrightunsigned" in plan  # the bit test survived codegen
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_scores_broadcast_model(spark):
+    # the 256-row LM broadcasts; corpus shuffles only (doc,bucket)
+    # partial counts, nothing in Python
+    plan = _final_plan(QD.SPARK_QUERIES["q_perplexity_scores"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
