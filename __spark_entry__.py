@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "q_contamination_bloom",
     "q_perplexity_scores",
     "q_perplexity_filter",
+    "q_temperature_mixture",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

@@ -312,3 +312,45 @@ def quality_buckets_by_threshold(
         bucket = F.when(cond, b) if bucket is None else bucket.when(cond, b)
     bucket = F.lit(1) if bucket is None else bucket.otherwise(F.lit(1))
     return df.withColumn(bucket_name, bucket)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-LM
+    mixture sampler of XLM-R / mC4: sample domain d with probability
+    proportional to n_d^alpha, alpha = 1/T < 1 flattening the head).
+    Realized by deterministic DOWNSAMPLING only: keep-rate
+    r_d = (n_d / n_min)^(alpha-1), so the smallest domain keeps
+    everything and no row is ever duplicated.
+
+    Determinism: the keep test is hash_bucket(id) < floor(r_d * denom)
+    — the only float is one pow() whose floor lands on an integer
+    boundary with measure-zero probability (same acceptance as the
+    ln() in the DSIR micro-nat model). Plan shape: one tiny groupBy
+    for the domain census, a broadcast of |domains| rows back, and a
+    scan-side predicate — the corpus never shuffles."""
+    counts = df.groupBy(F.col(domain_col).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    nmin = counts.agg(F.min("n_d").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "d",
+        F.floor(
+            F.pow(
+                F.col("n_d").cast("double") / F.col("n_min").cast("double"),
+                F.lit(float(alpha) - 1.0),
+            )
+            * F.lit(float(denom))
+        ).cast("long").alias("cut"),
+    )
+    bucket = hash_bucket(F.col(id_col), denom)
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == rates["d"])
+        .where(bucket < F.col("cut"))
+        .drop("d", "cut")
+    )

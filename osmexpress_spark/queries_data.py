@@ -2228,3 +2228,32 @@ def q_perplexity_filter(spark, sf_dir):
     return importance.perplexity_filter(
         d, F.col("lang") == "en", max_mean_micro=3422406
     )
+
+
+@defq(
+    "q_temperature_mixture",
+    """
+    WITH tc AS (
+      SELECT lang AS d, COUNT(*) AS n_d FROM documents GROUP BY lang
+    ),
+    tm AS (SELECT MIN(n_d) AS n_min FROM tc),
+    tr AS (
+      SELECT d, CAST(floor(pow(CAST(n_d AS DOUBLE) / CAST(n_min AS DOUBLE),
+                               -0.5e0) * 1000000) AS BIGINT) AS cut
+      FROM tc CROSS JOIN tm
+    )
+    SELECT doc_id, lang FROM documents JOIN tr ON lang = d
+    WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 1000000 < cut
+    """,
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature mixture sampling (operators/sample.py:
+    temperature_mixture, the XLM-R/mC4 n_d^alpha rebalance at T=2,
+    over the skewed lang column — en dominates the fixture 218:64):
+    per-domain keep rates (n_d/n_min)^(alpha-1) realized as a
+    deterministic scan-side hash threshold — domain census broadcasts,
+    corpus never shuffles."""
+    d = t(spark, sf_dir, "documents")
+    return sample.temperature_mixture(
+        d, "lang", alpha=0.5, id_col="doc_id"
+    ).select("doc_id", "lang")

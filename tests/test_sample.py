@@ -288,3 +288,31 @@ def test_boilerplate_ngrams_counts_distinct_docs(spark):
     assert got["click here to"] == 3
     assert got["here to subscribe"] == 2
     assert "totally original content" not in got
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    from osmexpress_spark.operators.sample import (
+        KNUTH, temperature_mixture,
+    )
+    import math
+
+    # domains: a=200 docs, b=50, c=10 (ids partition the ranges)
+    rows = [(i, "a") for i in range(200)]
+    rows += [(200 + i, "b") for i in range(50)]
+    rows += [(250 + i, "c") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = temperature_mixture(df, "domain", alpha=0.5).collect()
+    by_dom: dict[str, set] = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, set()).add(r.doc_id)
+    # smallest domain keeps everything
+    assert by_dom["c"] == set(range(250, 260))
+    # python model of the same threshold math
+    for dom, n in (("a", 200), ("b", 50), ("c", 10)):
+        cut = math.floor((n / 10) ** -0.5 * 1_000_000)
+        ids = {i for i, d in rows if d == dom
+               and (i * KNUTH) % 1_000_000 < cut}
+        assert by_dom.get(dom, set()) == ids, dom
+    # determinism: second run identical
+    again = temperature_mixture(df, "domain", alpha=0.5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, kept))
