@@ -92,6 +92,10 @@ PRIORITY: list[str] = [
     "q_perplexity_scores",
     "q_perplexity_filter",
     "q_temperature_mixture",
+    # -- position >= 50: outside this round's driver window (it is
+    #    full of never-checked entries); rotates in next round, pinned
+    #    locally by tests/test_oracle_parity.py meanwhile
+    "q_remove_dup_spans",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

@@ -760,3 +760,65 @@ def contamination_pairs_bloom(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION step of substring dedup (Lee et al. arXiv:2107.06499
+    remove all-but-one occurrence): every duplicated k-gram window
+    keeps only its canonical occurrence — the globally smallest
+    (doc_id, pos), encoded as doc_id*100000+pos (positions are bounded
+    by document length, far under 1e5 here; raise the stride for
+    book-length docs) — and every token covered by a non-canonical
+    duplicated window is deleted from its document.
+
+    Returns (doc_id, clean_text, n_removed) for EVERY input document
+    (n_removed = 0 when nothing was cut). Reconstruction is an
+    index-aware filter lambda over the token array — no Python, no
+    per-token shuffle; only (doc_id, covered-index) pairs and the
+    window-hash census move between stages."""
+    pos_key = F.col("doc_id") * F.lit(100000) + F.col("pos")
+    sp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"),
+    )
+    canon = (
+        sp.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(pos_key).alias("canon"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("h", "canon")
+    )
+    deleted = (
+        sp.join(canon, "h")
+        .where(pos_key != F.col("canon"))
+        .select("doc_id", "pos")
+    )
+    covered = (
+        deleted.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("ti")).alias("cov"))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    ws = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        ws, lambda w, i: ~F.array_contains(cov, i.cast("int"))
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(cov).cast("int").alias("n_removed"),
+    )

@@ -2257,3 +2257,66 @@ def q_temperature_mixture(spark, sf_dir):
     return sample.temperature_mixture(
         d, "lang", alpha=0.5, id_col="doc_id"
     ).select("doc_id", "lang")
+
+
+@defq(
+    "q_remove_dup_spans",
+    """
+    WITH rws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    rsp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(w) - 4),
+                    i -> {'pos': i, 'h': md5(array_to_string(w[i+1:i+5], ' '))}
+             )) AS sp
+      FROM rws WHERE len(w) >= 5
+    ),
+    rspp AS (
+      SELECT doc_id, CAST(sp.pos AS INTEGER) AS pos, sp.h AS h FROM rsp
+    ),
+    rcanon AS (
+      SELECT h, min(doc_id * 100000 + pos) AS canon
+      FROM rspp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rdel AS (
+      SELECT doc_id, pos FROM rspp JOIN rcanon USING (h)
+      WHERE doc_id * 100000 + pos != canon
+    ),
+    rcov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS ti FROM rdel
+    ),
+    rtok AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(w)), i -> {'i': i, 'w': w[i+1]}))
+               AS t
+      FROM rws
+    ),
+    rkept AS (
+      SELECT t0.doc_id, t0.i, t0.w
+      FROM (SELECT doc_id, t.i AS i, t.w AS w FROM rtok) t0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rcov c WHERE c.doc_id = t0.doc_id AND c.ti = t0.i
+      )
+    ),
+    rclean AS (
+      SELECT doc_id, array_to_string(list(w ORDER BY i), ' ') AS clean_text
+      FROM rkept GROUP BY doc_id
+    ),
+    rnrem AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_removed
+      FROM rcov GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_removed, 0) AS INTEGER) AS n_removed
+    FROM documents d
+    LEFT JOIN rclean c USING (doc_id)
+    LEFT JOIN rnrem r USING (doc_id)
+    """,
+)
+def q_remove_dup_spans(spark, sf_dir):
+    """The substring-dedup ACTION step (dedup.py: remove_dup_spans,
+    Lee et al. arXiv:2107.06499): delete every token covered by a
+    non-canonical duplicated 5-gram window (the globally-first
+    occurrence survives), returning cleaned text + removal counts for
+    every document."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.remove_dup_spans(d, "doc_id", "text", k=SPAN_K)

@@ -244,3 +244,39 @@ def test_bloom_contamination_matches_exact_path(spark):
     words = bloom_build(b_inv)
     assert b_inv.where(
         ~bloom_might_contain(F.col("s"), words)).count() == 0
+
+
+def test_remove_dup_spans_keeps_canonical_occurrence(spark):
+    from osmexpress_spark.operators.dedup import remove_dup_spans
+    df = spark.createDataFrame(
+        [
+            (1, "p q r s t u"),       # owns the canonical 'p q r s t'
+            (2, "a p q r s t"),       # loses tokens 1..5
+            (3, "m n o k l"),         # untouched
+            (4, "x y"),               # too short for spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in remove_dup_spans(df, "doc_id", "text", k=5).collect()}
+    assert out[1] == ("p q r s t u", 0)   # canonical survives intact
+    assert out[2] == ("a", 5)             # covered window deleted
+    assert out[3] == ("m n o k l", 0)
+    assert out[4] == ("x y", 0)
+
+
+def test_remove_dup_spans_overlapping_windows_union(spark):
+    from osmexpress_spark.operators.dedup import remove_dup_spans
+    # doc 6 repeats doc 5's whole text shifted: overlapping duplicated
+    # windows must union their covered indices, not double-count
+    df = spark.createDataFrame(
+        [
+            (5, "a b c d e f g"),
+            (6, "z a b c d e f g"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in remove_dup_spans(df, "doc_id", "text", k=5).collect()}
+    assert out[5] == ("a b c d e f g", 0)
+    assert out[6] == ("z", 7)             # indices 1..7 covered once

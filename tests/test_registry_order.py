@@ -69,11 +69,21 @@ def test_never_validated_queries_sort_first():
         f"{order[last_never]!r} (pos {last_never}) sorts after "
         f"{order[first_green]!r} (pos {first_green})"
     )
-    assert last_never < DRIVER_WINDOW, (
-        f"{len(never)} never-validated queries but {order[last_never]!r} sits "
-        f"at position {last_never}, outside the driver's first-"
-        f"{DRIVER_WINDOW} check window"
-    )
+    if len(never) <= DRIVER_WINDOW:
+        assert last_never < DRIVER_WINDOW, (
+            f"{len(never)} never-validated queries but {order[last_never]!r} "
+            f"sits at position {last_never}, outside the driver's first-"
+            f"{DRIVER_WINDOW} check window"
+        )
+    else:
+        # more never-validated queries than window slots: the best the
+        # ordering can do is waste no slot on an already-green query
+        wasted = [q for q in order[:DRIVER_WINDOW] if q in green]
+        assert not wasted, (
+            f"{len(never)} never-validated queries exceed the "
+            f"{DRIVER_WINDOW}-slot window, yet already-green {wasted!r} "
+            f"occupy window slots"
+        )
 
 
 def test_priority_list_is_exact_and_valid():
