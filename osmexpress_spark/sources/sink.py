@@ -341,3 +341,47 @@ def header_bbox(result: ExtractResult) -> tuple[float, float, float, float]:
         row["lon1"] / 1e7,
         row["lat1"] / 1e7,
     )
+
+
+def write_training_shards(
+    df,
+    path: str,
+    shards: int,
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Deterministic training-shard layout: rows hash into `shards`
+    near-uniform shards (sample.global_shuffle_sharded — md5-derived
+    order, no global sort), each shard lands as exactly one parquet
+    file under shard=<s>/, sorted by the within-shard position so a
+    reader streaming shard files round-robin replays the canonical
+    training order.
+
+    Spark-first shape: ONE hash shuffle (repartition on the shard
+    column) + sortWithinPartitions(pos) + partitionBy write — no
+    driver collection, no coalesce(1) bottleneck; each shard is
+    written by its own task. Returns the shard directory names.
+
+    At 100 TB pick `shards` so a shard fits a trainer's streaming
+    budget (e.g. corpus_bytes / 1 GiB); the layout is stable under
+    re-runs because both the shard hash and the order key derive from
+    the id alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sample import global_shuffle_sharded
+
+    ordered = global_shuffle_sharded(df, id_col, shards)
+    (
+        ordered.repartition(shards, F.col("shard"))
+        # shard-first sort satisfies the dynamic-partition writer's
+        # required ordering, so it will not inject its own (unstable)
+        # sort on the partition column and scramble pos
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    )

@@ -316,3 +316,30 @@ def test_temperature_mixture_rates_and_determinism(spark):
     # determinism: second run identical
     again = temperature_mixture(df, "domain", alpha=0.5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, kept))
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    from osmexpress_spark.operators.sample import global_shuffle_sharded
+    from osmexpress_spark.sources.sink import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    dirs = write_training_shards(df, out, shards=4)
+    assert dirs == [f"shard={s}" for s in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # every shard is one file, rows inside are pos-ascending, and the
+    # (shard, pos) assignment replays global_shuffle_sharded exactly
+    import glob
+    want = {(r.doc_id): (r.shard, r.pos)
+            for r in global_shuffle_sharded(df, "doc_id", 4).collect()}
+    for s in range(4):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, files
+        rows = spark.read.parquet(files[0]).collect()
+        poss = [r.pos for r in rows]
+        assert poss == sorted(poss)
+        for r in rows:
+            assert want[r.doc_id] == (s, r.pos)
