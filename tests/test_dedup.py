@@ -280,3 +280,45 @@ def test_remove_dup_spans_overlapping_windows_union(spark):
            for r in remove_dup_spans(df, "doc_id", "text", k=5).collect()}
     assert out[5] == ("a b c d e f g", 0)
     assert out[6] == ("z", 7)             # indices 1..7 covered once
+
+
+def test_remove_dup_spans_matches_python_model_random(spark):
+    """Randomized equivalence against an independent Python model of
+    the canonical-occurrence semantics (tiny vocab forces heavy window
+    collisions, docs straddle the k boundary)."""
+    import random
+
+    rng = random.Random(13)
+    k = 3
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice("abcde")
+                         for _ in range(rng.randint(1, 12))))
+            for i in range(25)
+        ]
+        # python model
+        spans = {}  # h -> list[(doc, pos)]
+        toks = {d: t.split(" ") for d, t in docs}
+        for d, t in docs:
+            w = toks[d]
+            for p in range(len(w) - k + 1):
+                spans.setdefault(" ".join(w[p:p + k]), []).append((d, p))
+        covered = {d: set() for d, _ in docs}
+        for occ in spans.values():
+            if len({d for d, _ in occ}) < 2:
+                continue
+            canon = min((d * 100000 + p) for d, p in occ)
+            for d, p in occ:
+                if d * 100000 + p != canon:
+                    covered[d].update(range(p, p + k))
+        want = {}
+        for d, _ in docs:
+            keep = [w for i, w in enumerate(toks[d])
+                    if i not in covered[d]]
+            want[d] = (" ".join(keep), len(covered[d]))
+
+        from osmexpress_spark.operators.dedup import remove_dup_spans
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.clean_text, r.n_removed)
+               for r in remove_dup_spans(df, "doc_id", "text", k=k).collect()}
+        assert got == want, f"trial {trial}"
