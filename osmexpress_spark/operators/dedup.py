@@ -632,21 +632,38 @@ def doc_dup_spans(
     windows (emitted as exact integers per the no-rounded-rationals
     rule). Two scans of the span stream + one join on the window hash;
     document text itself never shuffles."""
+    toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        span_hashes(F.col(text_col), k).alias("hs"),
-    ).where(F.size("hs") > 0)
-    sp = base.select("doc_id", F.explode("hs").alias("h"))
-    dup = (
-        sp.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("h")
+        F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0)).alias("n_spans"),
+    ).where(F.col("n_spans") > 0)
+    sp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(span_hashes(F.col(text_col), k)).alias("h"),
     )
-    per = sp.join(dup, "h").groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    # ONE evaluation of the span-hash expression and ONE shuffle on h:
+    # each hash group carries its occurrence list out of the aggregate,
+    # so no second pass joins back against the span stream (the join
+    # form re-ran the md5 fold per DAG branch — measured 8.5s -> ~3s at
+    # sf0.1). Occurrence lists are the same rows the join would have
+    # shuffled; a pathologically hot boilerplate hash concentrates its
+    # list in one reducer — screen such hashes out up front with
+    # text.boilerplate_ngrams at real scale.
+    occ = (
+        sp.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.collect_list("doc_id").alias("docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    per = (
+        occ.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
     return (
-        base.select("doc_id", F.size("hs").alias("n_spans"))
-        .join(per, "doc_id", "left")
+        base.join(per, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_spans").cast("int").alias("n_spans"),
@@ -787,19 +804,24 @@ def remove_dup_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"),
     )
+    # one span-hash evaluation, one shuffle on h: the aggregate carries
+    # each duplicated hash's occurrence list out, so the non-canonical
+    # occurrences come from an explode of the aggregate — not a second
+    # join back against the span stream (same reshape as doc_dup_spans)
     canon = (
         sp.groupBy("h")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.min(pos_key).alias("canon"),
+            F.collect_list(F.struct("doc_id", "pos")).alias("occs"),
         )
         .where(F.col("n_docs") >= min_docs)
-        .select("h", "canon")
     )
     deleted = (
-        sp.join(canon, "h")
-        .where(pos_key != F.col("canon"))
-        .select("doc_id", "pos")
+        canon.select("canon", F.explode("occs").alias("o"))
+        .where(F.col("o.doc_id") * F.lit(100000) + F.col("o.pos")
+               != F.col("canon"))
+        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos"))
     )
     covered = (
         deleted.select(
