@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     #    full of never-checked entries); rotates in next round, pinned
     #    locally by tests/test_oracle_parity.py meanwhile
     "q_remove_dup_spans",
+    "q_ivfpq_topk_indexed",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

@@ -2320,3 +2320,30 @@ def q_remove_dup_spans(spark, sf_dir):
     every document."""
     d = t(spark, sf_dir, "documents")
     return dedup.remove_dup_spans(d, "doc_id", "text", k=SPAN_K)
+
+
+@defq("q_ivfpq_topk_indexed", _ivfpq_oracle_sql())
+def q_ivfpq_topk_indexed(spark, sf_dir):
+    """The on-disk composed probe path (similarity.py:
+    ivfpq_build_index / topk_ivfpq_indexed): lists parquet-partitioned
+    by cid storing only PQ code bytes, probe pushes a literal cid
+    IN-filter (PartitionFilters prune the scan). Same rows as the
+    inline q_ivfpq_topk, so it shares its unrolled oracle."""
+    import os
+
+    from . import queries_osm as QO
+
+    emb = t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(os.path.dirname(QO.FIXTURE_DIR), f"ivfpq_idx_{sf_tag}")
+    if not os.path.exists(os.path.join(idx, "model.json")):
+        similarity.ivfpq_build_index(
+            emb, idx, EMB_DIM, n_centroids=16, nprobe_default=4,
+            m=PQ_M, ksub=PQ_KSUB,
+        )
+    res = similarity.topk_ivfpq_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 10), k=3, nprobe=4
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+    )

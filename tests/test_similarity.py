@@ -316,3 +316,29 @@ def test_ivfpq_full_probe_equals_pq_and_partial_stays_in_blob(spark, vectors):
     ).collect()
     for r in pruned:
         assert r.neighbor_id % 3 == r.query_id % 3
+
+
+def test_ivfpq_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
+    """The on-disk composed layout: identical rows to the inline
+    topk_ivfpq, lists store only code bytes, and the probe scan
+    partition-prunes on the literal cid IN-list."""
+    idx = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(
+        vectors, idx, DIM, n_centroids=6, nprobe_default=2, m=4, ksub=8,
+    )
+    queries = vectors.where(F.col("vec_id") < 10)
+    inline = similarity.topk_ivfpq(
+        queries, vectors, DIM, k=3, n_centroids=6, nprobe=2, m=4, ksub=8,
+    )
+    indexed = similarity.topk_ivfpq_indexed(spark, idx, queries, k=3)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # lists hold codes, not vectors
+    import glob
+    one = glob.glob(f"{idx}/lists/cid=*/*.parquet")[0]
+    cols = spark.read.parquet(one).columns
+    assert "codes" in cols and "cv" not in cols and "embedding" not in cols
+    # physical partition pruning on the probe cids
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
