@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     #    locally by tests/test_oracle_parity.py meanwhile
     "q_remove_dup_spans",
     "q_ivfpq_topk_indexed",
+    "q_curation_report",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

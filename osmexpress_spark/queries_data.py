@@ -2347,3 +2347,61 @@ def q_ivfpq_topk_indexed(spark, sf_dir):
     return res.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
     )
+
+
+@defq(
+    "q_curation_report",
+    f"""
+    WITH qw AS (
+      SELECT doc_id, lang, text, md5(text) AS th,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), qm AS (
+      SELECT doc_id, lang, th,
+             len(w) AS n,
+             list_sum(list_transform(w, t -> length(t))) AS total_len,
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t)))
+               AS n_stop
+      FROM qw
+    ), qd AS (
+      SELECT qm.*,
+             (row_number() OVER (PARTITION BY th ORDER BY doc_id) > 1)
+               AS is_dup,
+             ((n >= 20 AND n <= 100000)
+              AND (total_len >= 3 * n AND total_len <= 10 * n)
+              AND (n_alpha * 5 >= n * 4) AND (n_stop >= 2)) AS keep
+      FROM qm
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_pass,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups
+    FROM qd GROUP BY lang
+    """,
+)
+def q_curation_report(spark, sf_dir):
+    """Corpus curation health report, one row per language: document
+    and token volume, Gopher-gate pass count, exact-duplicate count
+    (non-canonical md5 group members). One scan + one md5 window + one
+    tiny group-by — the dashboard query a curation run starts from."""
+    d = t(spark, sf_dir, "documents")
+    g = text.gopher_flags(F.col("text"))
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    enriched = d.select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).alias("n"),
+        g["keep"].alias("keep"),
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_gopher_pass"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_exact_dups"),
+    )
