@@ -96,3 +96,29 @@ def enrich_join(
     from pyspark.sql.functions import broadcast
 
     return stream.join(broadcast(dim), on, how)
+
+
+def curate_docs_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming ingest curation: Gopher quality gates (stateless
+    scan-side predicates — identical semantics to the batch
+    q_gopher_rules) + watermark-bounded exact dedup on the content
+    hash. A continuously-arriving corpus (file drops, Kafka) gets the
+    same front-of-pipeline treatment the batch curation applies, with
+    dedup state bounded to one md5 entry per distinct document seen
+    inside the watermark horizon.
+
+    Works identically on a batch frame (watermark is a no-op there;
+    dropDuplicates is global), so batch backfills and the live stream
+    share one code path."""
+    from ..operators import text as text_ops
+
+    gated = docs.where(text_ops.gopher_flags(F.col(text_col))["keep"])
+    hashed = gated.withColumn("__h", F.md5(F.col(text_col)))
+    deduped = dedup_stream(hashed, keys=["__h"], ts_col=ts_col, delay=delay)
+    return deduped.drop("__h")

@@ -82,3 +82,57 @@ def test_interval_join_left_outer(spark):
     )
     rows = sorted((r.lid, r.rid) for r in got.collect())
     assert rows == [(10, 20), (12, None)]
+
+
+def test_curate_docs_stream_end_to_end(spark, tmp_path):
+    """Real readStream: json file drops -> gates + watermarked content
+    dedup -> memory sink. Gated-out and duplicate docs must not reach
+    the sink; the same call degrades to batch semantics on a plain
+    DataFrame."""
+    import json
+
+    good = " ".join(["the", "and", "words"] + ["token"] * 20)
+    src = tmp_path / "drops"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": good, "ts": "2024-01-01T00:00:00"},
+        {"doc_id": 2, "text": good, "ts": "2024-01-01T00:01:00"},  # dup
+        {"doc_id": 3, "text": "too short", "ts": "2024-01-01T00:02:00"},
+        {"doc_id": 4, "text": good + " extra", "ts": "2024-01-01T00:03:00"},
+    ]
+    with open(src / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .json(str(src))
+    )
+    curated = watermark_ops.curate_docs_stream(stream)
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_docs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r.doc_id for r in spark.sql("SELECT * FROM curated_docs").collect()
+    )
+    assert got == [1, 4]  # 2 deduped, 3 gated out
+
+    # batch fallback: identical survivors
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"],
+          dt.datetime.fromisoformat(r["ts"])) for r in rows],
+        "doc_id long, text string, ts timestamp",
+    )
+    got_b = sorted(
+        r.doc_id
+        for r in watermark_ops.curate_docs_stream(batch).collect()
+    )
+    assert got_b == [1, 4]
