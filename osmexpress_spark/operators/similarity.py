@@ -1041,3 +1041,55 @@ def topk_ivfpq_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def topk_ivfpq_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    rerank: int = 20,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Two-stage search, the standard recall-recovery pattern over a
+    compressed index: stage 1 takes the ADC top-`rerank` from the
+    IVF+PQ scan (cheap, approximate), stage 2 re-scores ONLY those
+    candidates against their exact float vectors and returns the
+    cosine top-k. At 100 TB stage 2 touches rerank*|Q| rows — a point
+    lookup against the primary store, not a scan — so the exact
+    vectors never stream through the search; recall approaches brute
+    force while scan cost stays at the compressed tier's."""
+    shortlist = topk_ivfpq(
+        queries, candidates, dim, id_col, vec_col,
+        k=rerank, n_centroids=n_centroids, nprobe=nprobe,
+        m=m, ksub=ksub, iters=iters,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    exact = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

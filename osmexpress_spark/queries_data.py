@@ -2062,11 +2062,12 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
-def _ivfpq_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 3) -> str:
-    """IVF coarse assignment + PQ ADC scoring in one statement: the IVF
-    training chain (train/cents0..cents2) and the PQ chain
-    (ptrain/books0..books2/pcodes) are independent deterministic CTE
-    families, so the composed oracle just concatenates them and joins
+def _ivfpq_scored_ctes(n_centroids: int = 16, nprobe: int = 4) -> str:
+    """CTEs through `scored(query_id, neighbor_id, sim)` — the ADC
+    probe scores — shared by the plain, indexed, and reranked
+    oracles. The IVF training chain (train/cents0..cents2) and the PQ
+    chain (ptrain/books0..books2/pcodes) are independent deterministic
+    CTE families, so the composition just concatenates them and joins
     probe lists with candidate codes."""
     train_limit = n_centroids * 64
     return f"""
@@ -2113,7 +2114,12 @@ def _ivfpq_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 3) -> str
       JOIN pcodes pc ON pc.vec_id = c.neighbor_id
       CROSS JOIN pbl b
       WHERE c.neighbor_id != p.query_id
-    )
+    )"""
+
+
+def _ivfpq_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 3) -> str:
+    return f"""
+    {_ivfpq_scored_ctes(n_centroids, nprobe)}
     SELECT query_id, neighbor_id, knn_rank FROM (
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (
@@ -2404,4 +2410,55 @@ def q_curation_report(spark, sf_dir):
         F.sum("n").alias("n_tokens"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_gopher_pass"),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_exact_dups"),
+    )
+
+
+def _ivfpq_rerank_oracle_sql(
+    n_centroids: int = 16, nprobe: int = 4, rerank: int = 20, k: int = 3
+) -> str:
+    """Stage-1 ADC top-`rerank` shortlist from the composed-index
+    scores, stage-2 exact cosine over the shortlist only."""
+    return f"""
+    {_ivfpq_scored_ctes(n_centroids, nprobe)},
+    shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {rerank}
+    ),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({_lldot('q.v', 'c.v')} /
+                   (sqrt({_lldot('q.v', 'q.v')}) *
+                    sqrt({_lldot('c.v', 'c.v')})), 6) AS sim
+      FROM shortl s
+      JOIN emb q ON q.vec_id = s.query_id
+      JOIN emb c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS INTEGER) AS knn_rank
+      FROM ex
+    ) WHERE knn_rank <= {k}
+    """
+
+
+@defq("q_ivfpq_rerank", _ivfpq_rerank_oracle_sql())
+def q_ivfpq_rerank(spark, sf_dir):
+    """Two-stage search (similarity.py: topk_ivfpq_rerank): ADC
+    top-20 shortlist from the compressed index, exact cosine re-rank
+    of only those rows — recall approaches brute force while the scan
+    stays at the compressed tier's cost; the exact vectors are touched
+    as point lookups, never streamed."""
+    emb = t(spark, sf_dir, "embeddings")
+    res = similarity.topk_ivfpq_rerank(
+        emb.where(F.col("vec_id") < 10), emb, dim=EMB_DIM,
+        k=3, rerank=20, n_centroids=16, nprobe=4, m=PQ_M, ksub=PQ_KSUB,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
     )

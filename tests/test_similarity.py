@@ -342,3 +342,25 @@ def test_ivfpq_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
     # physical partition pruning on the probe cids
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_ivfpq_rerank_recovers_bruteforce_recall(spark, vectors):
+    """With a generous shortlist, exact re-ranking must recover the
+    brute-force cosine top-3 despite the coarse PQ codes collapsing
+    within-blob candidates."""
+    qs = vectors.where(F.col("vec_id") < 20)
+    rows = [(r.vec_id, [float(x) for x in r.embedding])
+            for r in vectors.collect()]
+    exact = _brute_py(rows, k=3)
+    # shortlist must exceed the blob population (~67): PQ collapses
+    # within-blob candidates to identical ADC scores, so a smaller
+    # shortlist drops true neighbors on id tie-breaks by design
+    res = similarity.topk_ivfpq_rerank(
+        qs, vectors, DIM, k=3, rerank=80, n_centroids=6, nprobe=3,
+        m=4, ksub=8,
+    ).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = sum(len(set(got[q]) & set(exact[q])) for q in got)
+    assert hits >= 0.95 * 3 * 20, hits / 60
