@@ -1,0 +1,48 @@
+"""read_documents must normalize every supported container to the
+canonical documents schema, deriving what the input lacks."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from osmexpress_spark.sources.corpus import DOCUMENTS_SCHEMA, read_documents
+
+
+def test_jsonl_gz_normalizes_and_derives(spark, tmp_path):
+    p = tmp_path / "drop.jsonl.gz"
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "extra": "x"},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr"},
+    ]
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = read_documents(spark, str(p))
+    assert df.schema == DOCUMENTS_SCHEMA
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[1].n_chars == len("hello world")   # derived
+    assert got[1].source is None                  # defaulted
+    assert got[2].lang == "fr"
+    assert "extra" not in df.columns              # dropped
+
+
+def test_csv_and_parquet_roundtrip(spark, tmp_path):
+    csv = tmp_path / "corpus.csv"
+    csv.write_text("doc_id,text,source\n7,seven words here,web\n")
+    df = read_documents(spark, str(csv))
+    assert df.schema == DOCUMENTS_SCHEMA
+    r = df.collect()[0]
+    assert (r.doc_id, r.source, r.lang) == (7, "web", None)
+
+    df2 = read_documents(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df2.schema == DOCUMENTS_SCHEMA
+    assert df2.count() == 500
+
+
+def test_missing_required_column_raises(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "body": "no text column"}\n')
+    import pytest
+    with pytest.raises(ValueError, match="text"):
+        read_documents(spark, str(p))
