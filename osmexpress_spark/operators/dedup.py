@@ -710,6 +710,8 @@ def bloom_build(keys: DataFrame, key_col: str = "s",
     distinct probe positions of ``keys[key_col]`` (int64 hashes). The
     position computation runs IN SPARK so the build and probe sides
     share hashing exactly; only set-bit positions come to the driver."""
+    if nbits <= 0 or nbits % 64:
+        raise ValueError(f"nbits must be a positive multiple of 64: {nbits}")
     pos = (
         keys.select(
             F.explode(
@@ -729,7 +731,14 @@ def bloom_might_contain(h: Column, words: list[int],
                         nbits: int = 1 << 16, n_hashes: int = 2) -> Column:
     """AND of the n_hashes bit tests against the word-array literal —
     stays inside whole-stage codegen (one parsed literal, shifts and
-    masks only)."""
+    masks only). ``words`` must come from a bloom_build with the SAME
+    nbits/n_hashes — a shorter word array would turn out-of-range
+    element_at lookups into NULLs and silently drop TRUE matches."""
+    if len(words) * 64 != nbits:
+        raise ValueError(
+            f"words covers {len(words) * 64} bits but nbits={nbits}; "
+            "build and probe must share the same nbits"
+        )
     wlit = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     test = F.lit(True)
     for p in _bloom_positions(h, nbits, n_hashes):
@@ -789,17 +798,17 @@ def remove_dup_spans(
     """The ACTION step of substring dedup (Lee et al. arXiv:2107.06499
     remove all-but-one occurrence): every duplicated k-gram window
     keeps only its canonical occurrence — the globally smallest
-    (doc_id, pos), encoded as doc_id*100000+pos (positions are bounded
-    by document length, far under 1e5 here; raise the stride for
-    book-length docs) — and every token covered by a non-canonical
-    duplicated window is deleted from its document.
+    (doc_id, pos), encoded as doc_id*1e9+pos (safe for documents up to
+    a billion tokens and doc ids up to ~9.2e9; both overflow int64
+    loudly, not silently, beyond that) — and every token covered by a
+    non-canonical duplicated window is deleted from its document.
 
     Returns (doc_id, clean_text, n_removed) for EVERY input document
     (n_removed = 0 when nothing was cut). Reconstruction is an
     index-aware filter lambda over the token array — no Python, no
     per-token shuffle; only (doc_id, covered-index) pairs and the
     window-hash census move between stages."""
-    pos_key = F.col("doc_id") * F.lit(100000) + F.col("pos")
+    pos_key = F.col("doc_id") * F.lit(1_000_000_000) + F.col("pos")
     sp = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"),
@@ -819,7 +828,7 @@ def remove_dup_spans(
     )
     deleted = (
         canon.select("canon", F.explode("occs").alias("o"))
-        .where(F.col("o.doc_id") * F.lit(100000) + F.col("o.pos")
+        .where(F.col("o.doc_id") * F.lit(1_000_000_000) + F.col("o.pos")
                != F.col("canon"))
         .select(F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos"))
     )

@@ -333,7 +333,14 @@ def temperature_mixture(
     boundary with measure-zero probability (same acceptance as the
     ln() in the DSIR micro-nat model). Plan shape: one tiny groupBy
     for the domain census, a broadcast of |domains| rows back, and a
-    scan-side predicate — the corpus never shuffles."""
+    scan-side predicate — the corpus never shuffles.
+
+    NULL-domain rows are EXCLUDED up front (and from the census):
+    leaving them in would let a tiny phantom NULL group set n_min and
+    misscale every real domain's keep-rate while the equi-join
+    silently dropped the NULL rows anyway. Map NULLs to a sentinel
+    domain before calling if they should participate."""
+    df = df.where(F.col(domain_col).isNotNull())
     counts = df.groupBy(F.col(domain_col).alias("d")).agg(
         F.count(F.lit(1)).alias("n_d")
     )

@@ -213,6 +213,76 @@ def _argmax(scores: Column) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _probe_cids(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the query's nprobe highest-dot centroid ids —
+    score DESC with ties to the HIGHER cid (reverse(array_sort)),
+    mirrored exactly by every probe oracle. One definition shared by
+    all four probe paths so a tie-break change cannot fork them."""
+    scores = _centroid_scores(vec, cents)
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.arrays_zip(
+                    scores.alias("s"),
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return F.transform(ranked, lambda x: x["i"])
+
+
+def _adc_score(
+    codes: Column, qv: Column, books: list[list[list[float]]]
+) -> Column:
+    """Asymmetric-distance score: sum_j dot(q_sub_j, books[j][code_j]),
+    UNROUNDED (callers round to 6 before ranking). One definition
+    shared by every PQ search path — the formula and its left-to-right
+    fold order are part of the oracle parity contract."""
+    m = len(books)
+    dsub = len(books[0][0])
+    blit = _books_lit(books)
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: dot(
+                F.slice(qv, j * dsub + 1, F.lit(dsub)),
+                F.element_at(F.element_at(blit, j + 1), code + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_sample(
+    candidates: DataFrame,
+    limit: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The shared deterministic training sample: the `limit` lowest-id
+    vectors as a float64 ndarray. Both trainers consume an id-sorted
+    head, so call this once and hand the array to ivf_train AND
+    pq_train — otherwise each runs its own corpus-wide TakeOrdered
+    collect for the identical rows."""
+    import numpy as np
+
+    return np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in candidates.orderBy(id_col)
+            .select(vec_col)
+            .limit(limit)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
 def ivf_train(
     candidates: DataFrame,
     dim: int,
@@ -221,6 +291,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int | None = None,
+    sample=None,
 ) -> list[list[float]]:
     """Lloyd iterations over a bounded deterministic sample (the
     n_centroids*64 lowest-id vectors by default); returns the trained
@@ -228,20 +299,16 @@ def ivf_train(
     expressions). A coarse quantizer never needs the full corpus:
     training cost stays constant as the candidate set grows, which is
     the point at 100 TB — only the ASSIGNMENT scan is corpus-sized,
-    and it runs once, distributed, at index-build time."""
+    and it runs once, distributed, at index-build time. Pass `sample`
+    (from train_sample) when also training PQ on the same candidates
+    to share the one TakeOrdered collect."""
     import numpy as np
 
     train_limit = train_limit or n_centroids * 64
-    sample = np.array(
-        [
-            [float(x) for x in r[0]]
-            for r in candidates.orderBy(id_col)
-            .select(vec_col)
-            .limit(train_limit)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    if sample is None:
+        sample = train_sample(candidates, train_limit, id_col, vec_col)
+    else:
+        sample = sample[:train_limit]
     cents = sample[:n_centroids].copy()
     for _ in range(iters):
         # Lloyd step in numpy — the sample is already driver-side, and a
@@ -277,23 +344,10 @@ def topk_ivf(
         F.col(vec_col).alias("cv"),
         _argmax(_centroid_scores(F.col(vec_col), cents)).alias("cid"),
     )
-    scores = _centroid_scores(F.col(vec_col), cents)
-    ranked = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.arrays_zip(
-                    scores.alias("s"),
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
-                )
-            )
-        ),
-        1,
-        nprobe,
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.transform(ranked, lambda x: x["i"])).alias("cid"),
+        F.explode(_probe_cids(F.col(vec_col), cents, nprobe)).alias("cid"),
     )
     scored = (
         c.join(F.broadcast(q), "cid")
@@ -380,23 +434,10 @@ def topk_ivf_indexed(
         meta = json.load(f)
     cents = meta["centroids"]
 
-    scores = _centroid_scores(F.col(vec_col), cents)
-    ranked = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.arrays_zip(
-                    scores.alias("s"),
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
-                )
-            )
-        ),
-        1,
-        nprobe,
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.transform(ranked, lambda x: x["i"])).alias("cid"),
+        F.explode(_probe_cids(F.col(vec_col), cents, nprobe)).alias("cid"),
     ).localCheckpoint(eager=True)  # probed twice: cid collect + join
 
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
@@ -674,28 +715,24 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_limit: int | None = None,
+    sample=None,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd (squared-L2 assignment, ties -> lowest code)
     over the train_limit lowest-id vectors; returns codebooks[j][c] =
     dsub-dim centroid. Deterministic end-to-end: seeds are the first
     ksub subvectors of the id-sorted sample, every distance and every
     updated center rounds to 6 decimals — same contract as ivf_train,
-    so the oracle replays training as SQL CTEs."""
+    so the oracle replays training as SQL CTEs. Pass `sample` (from
+    train_sample) when also training IVF on the same candidates."""
     import numpy as np
 
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     dsub = dim // m
     train_limit = train_limit or ksub * 64
-    sample = np.array(
-        [
-            [float(x) for x in r[0]]
-            for r in candidates.orderBy(id_col)
-            .select(vec_col)
-            .limit(train_limit)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    if sample is None:
+        sample = train_sample(candidates, train_limit, id_col, vec_col)
+    else:
+        sample = sample[:train_limit]
     books: list[list[list[float]]] = []
     for j in range(m):
         sub = sample[:, j * dsub : (j + 1) * dsub]
@@ -753,17 +790,20 @@ def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.slice(vec, j * dsub + 1, dsub),
     )
-    return F.zip_with(
+    # the distance array materializes ONCE per subspace as the outer
+    # transform's lambda variable; array_position and array_min then
+    # read that array instead of re-running the ksub L2 folds (the
+    # inlined form evaluated every distance twice — the same
+    # per-element-lambda pitfall quantize() documents)
+    d2ss = F.zip_with(
         subs,
         _books_lit(books),
-        lambda sub, cb: (
-            F.array_position(
-                F.transform(cb, lambda cw: F.round(_l2(sub, cw), 6)),
-                F.array_min(
-                    F.transform(cb, lambda cw: F.round(_l2(sub, cw), 6))
-                ),
-            )
-            - 1
+        lambda sub, cb: F.transform(cb, lambda cw: F.round(_l2(sub, cw), 6)),
+    )
+    return F.transform(
+        d2ss,
+        lambda d2s: (
+            F.array_position(d2s, F.array_min(d2s)) - 1
         ).cast("int"),
     )
 
@@ -800,26 +840,13 @@ def topk_pq(
     column is precomputed (pq_codes_df) so the scan reads m bytes per
     row instead of the float vector."""
     books = pq_train(candidates, dim, m, ksub, iters, id_col, vec_col)
-    dsub = dim // m
     c = pq_codes_df(candidates, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    blit = _books_lit(books)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, j: dot(
-                F.slice(F.col("qv"), j * dsub + 1, F.lit(dsub)),
-                F.element_at(F.element_at(blit, j + 1), code + 1),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_score(F.col("codes"), F.col("qv"), books)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -865,45 +892,26 @@ def topk_ivfpq(
     reductions compose multiplicatively. Scoring is ADC: exact query
     subvectors against codebook lookups, rounded to 6 before ranking,
     id tie-breaks."""
-    cents = ivf_train(candidates, dim, n_centroids, iters, id_col, vec_col)
-    books = pq_train(candidates, dim, m, ksub, iters, id_col, vec_col)
-    dsub = dim // m
+    sample = train_sample(
+        candidates, max(n_centroids, ksub) * 64, id_col, vec_col
+    )
+    cents = ivf_train(
+        candidates, dim, n_centroids, iters, id_col, vec_col, sample=sample
+    )
+    books = pq_train(
+        candidates, dim, m, ksub, iters, id_col, vec_col, sample=sample
+    )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         _argmax(_centroid_scores(F.col(vec_col), cents)).alias("cid"),
         pq_codes(F.col(vec_col), books).alias("codes"),
     )
-    scores = _centroid_scores(F.col(vec_col), cents)
-    ranked = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.arrays_zip(
-                    scores.alias("s"),
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
-                )
-            )
-        ),
-        1,
-        nprobe,
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.transform(ranked, lambda x: x["i"])).alias("cid"),
+        F.explode(_probe_cids(F.col(vec_col), cents, nprobe)).alias("cid"),
     )
-    blit = _books_lit(books)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, j: dot(
-                F.slice(F.col("qv"), j * dsub + 1, F.lit(dsub)),
-                F.element_at(F.element_at(blit, j + 1), code + 1),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_score(F.col("codes"), F.col("qv"), books)
     scored = (
         c.join(F.broadcast(q), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -940,8 +948,15 @@ def ivfpq_build_index(
     import json
     import os
 
-    cents = ivf_train(candidates, dim, n_centroids, iters, id_col, vec_col)
-    books = pq_train(candidates, dim, m, ksub, iters, id_col, vec_col)
+    sample = train_sample(
+        candidates, max(n_centroids, ksub) * 64, id_col, vec_col
+    )
+    cents = ivf_train(
+        candidates, dim, n_centroids, iters, id_col, vec_col, sample=sample
+    )
+    books = pq_train(
+        candidates, dim, m, ksub, iters, id_col, vec_col, sample=sample
+    )
     (
         candidates.select(
             F.col(id_col).alias("neighbor_id"),
@@ -992,42 +1007,17 @@ def topk_ivfpq_indexed(
     dsub = meta["dim"] // m
     nprobe = nprobe or meta["nprobe_default"]
 
-    scores = _centroid_scores(F.col(vec_col), cents)
-    ranked = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.arrays_zip(
-                    scores.alias("s"),
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
-                )
-            )
-        ),
-        1,
-        nprobe,
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.transform(ranked, lambda x: x["i"])).alias("cid"),
+        F.explode(_probe_cids(F.col(vec_col), cents, nprobe)).alias("cid"),
     ).localCheckpoint(eager=True)  # probed twice: cid collect + join
 
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
     lists = spark.read.parquet(os.path.join(path, "lists")).where(
         F.col("cid").isin(probe_cids)
     )
-    blit = _books_lit(books)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, j: dot(
-                F.slice(F.col("qv"), j * dsub + 1, F.lit(dsub)),
-                F.element_at(F.element_at(blit, j + 1), code + 1),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_score(F.col("codes"), F.col("qv"), books)
     scored = (
         lists.join(F.broadcast(q), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -247,7 +247,11 @@ def gopher_flags(text: Column, min_words: int = 20, max_words: int = 100000,
         F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
     )
     n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    # DISTINCT stopwords: Rae et al. require "at least 2 of the
+    # following words" — repeating one stopword twice must not pass
+    n_stop = F.size(
+        F.array_distinct(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    )
     ok_words = (n >= min_words) & (n <= max_words)
     ok_mean = (total_len >= min_mean_len * n) & (total_len <= max_mean_len * n)
     ok_alpha = n_alpha * 5 >= n * 4

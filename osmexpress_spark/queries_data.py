@@ -1950,7 +1950,7 @@ def q_doc_dup_spans(spark, sf_dir):
              list_sum(list_transform(w, t -> length(t))) AS total_len,
              len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
                AS n_alpha,
-             len(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t)))
+             len(list_distinct(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t))))
                AS n_stop
       FROM gw
     )
@@ -1998,7 +1998,7 @@ def q_gopher_rules(spark, sf_dir):
                list_sum(list_transform(w, t -> length(t))) AS total_len,
                len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
                  AS n_alpha,
-               len(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t)))
+               len(list_distinct(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t))))
                  AS n_stop
         FROM cw
       ) WHERE (n >= 20 AND n <= 100000)
@@ -2240,7 +2240,8 @@ def q_perplexity_filter(spark, sf_dir):
     "q_temperature_mixture",
     """
     WITH tc AS (
-      SELECT lang AS d, COUNT(*) AS n_d FROM documents GROUP BY lang
+      SELECT lang AS d, COUNT(*) AS n_d FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
     ),
     tm AS (SELECT MIN(n_d) AS n_min FROM tc),
     tr AS (
@@ -2280,12 +2281,12 @@ def q_temperature_mixture(spark, sf_dir):
       SELECT doc_id, CAST(sp.pos AS INTEGER) AS pos, sp.h AS h FROM rsp
     ),
     rcanon AS (
-      SELECT h, min(doc_id * 100000 + pos) AS canon
+      SELECT h, min(doc_id * 1000000000 + pos) AS canon
       FROM rspp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
     ),
     rdel AS (
       SELECT doc_id, pos FROM rspp JOIN rcanon USING (h)
-      WHERE doc_id * 100000 + pos != canon
+      WHERE doc_id * 1000000000 + pos != canon
     ),
     rcov AS (
       SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS ti FROM rdel
@@ -2368,7 +2369,7 @@ def q_ivfpq_topk_indexed(spark, sf_dir):
              list_sum(list_transform(w, t -> length(t))) AS total_len,
              len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
                AS n_alpha,
-             len(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t)))
+             len(list_distinct(list_filter(w, t -> list_contains({text.STOPWORDS!r}, t))))
                AS n_stop
       FROM qw
     ), qd AS (

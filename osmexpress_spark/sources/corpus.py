@@ -43,7 +43,12 @@ def _fmt_for(path: str) -> str:
         return "json"
     if low.endswith((".csv", ".tsv")):
         return "csv"
-    return "parquet"
+    base = low.rsplit("/", 1)[-1]
+    if base.endswith(".parquet") or "." not in base:
+        return "parquet"  # parquet file, or a directory of them
+    raise ValueError(
+        f"unsupported corpus format for {path!r}; pass fmt= explicitly"
+    )
 
 
 def read_documents(

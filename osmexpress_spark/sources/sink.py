@@ -383,5 +383,6 @@ def write_training_shards(
         .parquet(path)
     )
     return sorted(
-        d for d in os.listdir(path) if d.startswith("shard=")
+        (d for d in os.listdir(path) if d.startswith("shard=")),
+        key=lambda d: int(d.split("=", 1)[1]),
     )

@@ -113,12 +113,27 @@ def curate_docs_stream(
     dedup state bounded to one md5 entry per distinct document seen
     inside the watermark horizon.
 
-    Works identically on a batch frame (watermark is a no-op there;
-    dropDuplicates is global), so batch backfills and the live stream
-    share one code path."""
+    On a batch frame the dedup degrades to a DETERMINISTIC survivor
+    election (lowest id per content hash) rather than dropDuplicates,
+    whose per-hash survivor depends on partitioning order — a backfill
+    must reproduce byte-identical output across reruns. The stream
+    side keeps first-arrival semantics (arrival order IS the stream's
+    determinism)."""
+    from pyspark.sql import Window
+
     from ..operators import text as text_ops
 
     gated = docs.where(text_ops.gopher_flags(F.col(text_col))["keep"])
     hashed = gated.withColumn("__h", F.md5(F.col(text_col)))
-    deduped = dedup_stream(hashed, keys=["__h"], ts_col=ts_col, delay=delay)
+    if docs.isStreaming:
+        deduped = dedup_stream(
+            hashed, keys=["__h"], ts_col=ts_col, delay=delay
+        )
+    else:
+        w = Window.partitionBy("__h").orderBy(F.col(id_col))
+        deduped = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return deduped.drop("__h")

@@ -307,9 +307,9 @@ def test_remove_dup_spans_matches_python_model_random(spark):
         for occ in spans.values():
             if len({d for d, _ in occ}) < 2:
                 continue
-            canon = min((d * 100000 + p) for d, p in occ)
+            canon = min((d * 1_000_000_000 + p) for d, p in occ)
             for d, p in occ:
-                if d * 100000 + p != canon:
+                if d * 1_000_000_000 + p != canon:
                     covered[d].update(range(p, p + k))
         want = {}
         for d, _ in docs:

@@ -343,3 +343,13 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert poss == sorted(poss)
         for r in rows:
             assert want[r.doc_id] == (s, r.pos)
+
+
+def test_temperature_mixture_excludes_null_domains(spark):
+    from osmexpress_spark.operators.sample import temperature_mixture
+    rows = [(i, "a") for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = temperature_mixture(df, "domain", alpha=0.5).collect()
+    # single real domain => rate 1 (n_min = its own count), all kept;
+    # the NULL row is excluded rather than silently poisoning n_min
+    assert sorted(r.doc_id for r in kept) == list(range(100))

@@ -42,3 +42,12 @@ def test_gopher_flags_each_rule_fires_independently(spark):
     nostop = " ".join(["token"] * 30)
     g = _flags(spark, nostop)
     assert not g["ok_stopwords"] and not g["keep"]
+
+
+def test_gopher_stopword_rule_requires_distinct_words(spark):
+    # one stopword repeated twice must NOT satisfy the >=2 rule
+    one_rep = " ".join(["the", "the"] + ["token"] * 20)
+    g = _flags(spark, one_rep)
+    assert not g["ok_stopwords"] and not g["keep"]
+    two = " ".join(["the", "of"] + ["token"] * 20)
+    assert _flags(spark, two)["ok_stopwords"]
