@@ -53,6 +53,7 @@ HEADLINE = [
     "q_pq_topk",
     "q_doc_dup_spans",
     "q_gopher_rules",
+    "q_curation_pipeline",
     "q_augmented_diff_analog",
     "osm_extract_bbox",
 ]
