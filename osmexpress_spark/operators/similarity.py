@@ -1083,3 +1083,38 @@ def topk_ivfpq_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign + encode NEW vectors with
+    the SAVED model (model.json) and append them to their cid
+    partitions — no retraining, no rewrite of existing lists. This is
+    the production cadence: the coarse quantizer tolerates stale
+    centroids (recall degrades gradually as the distribution drifts;
+    see ivf_build_index), so ingest appends ride along until a
+    scheduled rebuild. Append cost is one scan of the NEW rows only;
+    probes see the union immediately because partition listing is
+    dynamic."""
+    import json
+    import os
+
+    with open(os.path.join(path, "model.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    books = meta["books"]
+    (
+        new_candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            pq_codes(F.col(vec_col), books).alias("codes"),
+            _argmax(_centroid_scores(F.col(vec_col), cents)).alias("cid"),
+        )
+        .write.partitionBy("cid")
+        .mode("append")
+        .parquet(os.path.join(path, "lists"))
+    )

@@ -364,3 +364,42 @@ def test_ivfpq_rerank_recovers_bruteforce_recall(spark, vectors):
         got.setdefault(r.query_id, []).append(r.neighbor_id)
     hits = sum(len(set(got[q]) & set(exact[q])) for q in got)
     assert hits >= 0.95 * 3 * 20, hits / 60
+
+
+def test_ivfpq_append_extends_lists_without_retraining(spark, vectors,
+                                                       tmp_path):
+    """Appending rides the SAVED model: building on the first half and
+    appending the second must probe identically to encoding the full
+    corpus under that same model."""
+    idx = str(tmp_path / "inc_idx")
+    first = vectors.where(F.col("vec_id") < 100)
+    rest = vectors.where(F.col("vec_id") >= 100)
+    similarity.ivfpq_build_index(
+        first, idx, DIM, n_centroids=6, nprobe_default=2, m=4, ksub=8,
+    )
+    similarity.ivfpq_append(spark, idx, rest)
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.count() == N
+    # reference: a fresh index whose lists are encoded with the SAME
+    # model (train on `first`, encode everything)
+    import json
+    with open(f"{idx}/model.json") as f:
+        meta = json.load(f)
+    ref = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity.pq_codes(F.col("embedding"), meta["books"]).alias("codes"),
+        similarity._argmax(
+            similarity._centroid_scores(
+                F.col("embedding"), meta["centroids"])
+        ).alias("cid"),
+    )
+    got = sorted((r.neighbor_id, r.cid, list(r.codes))
+                 for r in lists.select("neighbor_id", "cid", "codes").collect())
+    want = sorted((r.neighbor_id, r.cid, list(r.codes))
+                  for r in ref.collect())
+    assert got == want
+    # probes over the appended index return new-half neighbors too
+    res = similarity.topk_ivfpq_indexed(
+        spark, idx, vectors.where(F.col("vec_id") < 5), k=5, nprobe=2,
+    ).collect()
+    assert any(r.neighbor_id >= 100 for r in res)
