@@ -263,3 +263,13 @@ def gopher_flags(text: Column, min_words: int = 20, max_words: int = 100000,
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def normalize(text: Column) -> Column:
+    """Canonical text normalization for dedup keys and tokenizer
+    input: lowercase, collapse whitespace runs to single spaces, trim.
+    Pure column expression; engines agree on every step (no unicode
+    case folding beyond ASCII is attempted — DuckDB and the JVM
+    disagree on some locale-dependent mappings, and the corpus
+    contract is ASCII-tokenizable text)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

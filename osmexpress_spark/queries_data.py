@@ -2463,3 +2463,26 @@ def q_ivfpq_rerank(spark, sf_dir):
     return res.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
     )
+
+
+@defq(
+    "q_doc_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                AS INTEGER) AS n_norm_chars
+    FROM documents
+    """,
+)
+def q_doc_normalize(spark, sf_dir):
+    """Canonical normalization (text.py: normalize): lowercase +
+    whitespace collapse + trim — the standard pre-dedup/pre-tokenize
+    transform, as a pure column expression."""
+    d = t(spark, sf_dir, "documents")
+    n = text.normalize(F.col("text"))
+    return d.select(
+        "doc_id",
+        n.alias("norm_text"),
+        F.length(n).cast("int").alias("n_norm_chars"),
+    )
