@@ -386,3 +386,14 @@ def write_training_shards(
         (d for d in os.listdir(path) if d.startswith("shard=")),
         key=lambda d: int(d.split("=", 1)[1]),
     )
+
+
+def read_training_shards(spark, path: str):
+    """Reader mate of write_training_shards: the canonical global
+    training order is round-robin across shards by within-shard
+    position — ORDER BY (pos, shard). Equivalent to the unsharded
+    global_shuffle order in distribution (md5-derived assignment on
+    both axes) while letting trainer workers each stream ONE shard
+    file sequentially; this reader is for validation and small jobs,
+    not the trainer hot path."""
+    return spark.read.parquet(path).orderBy("pos", "shard")

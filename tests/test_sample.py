@@ -353,3 +353,18 @@ def test_temperature_mixture_excludes_null_domains(spark):
     # single real domain => rate 1 (n_min = its own count), all kept;
     # the NULL row is excluded rather than silently poisoning n_min
     assert sorted(r.doc_id for r in kept) == list(range(100))
+
+
+def test_read_training_shards_round_robin_order(spark, tmp_path):
+    from osmexpress_spark.sources.sink import (
+        read_training_shards, write_training_shards,
+    )
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(60)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "s")
+    write_training_shards(df, out, shards=3)
+    rows = read_training_shards(spark, out).collect()
+    assert len(rows) == 60
+    order = [(r.pos, r.shard) for r in rows]
+    assert order == sorted(order)
