@@ -134,7 +134,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in PRIORITY:
-        out[name] = merged[name]
+        # a renamed/removed query must cost ONE missing entry, not a
+        # KeyError that zeroes the driver's whole CORRECTNESS pass
+        # (tests/test_registry_order.py still fails loudly on drift)
+        if name in merged:
+            out[name] = merged[name]
     for name, fn in merged.items():
         if name not in out:
             out[name] = fn

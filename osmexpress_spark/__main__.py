@@ -81,16 +81,13 @@ def _tables(spark, dataset: str):
 
 
 def _snapshot_metadata(spark, dataset: str) -> dict:
-    """Replication metadata of the snapshot being extracted: the latest
-    manifest's (advanced by every `update --commit` / apply_batch,
-    which stamps the batch's newest element timestamp) when a store
-    exists, else the static expand-time _metadata.json. The reference
-    stamps the CURRENT snapshot's state (src/extract.cpp:282-283), not
-    the bulk-load header's."""
-    if _has_store(dataset):
-        from .store import SnapshotStore
-
-        return SnapshotStore(spark, dataset).metadata()
+    """Replication metadata of the snapshot being extracted. Delegates
+    to Dataset.metadata(), which overlays the latest manifest's live
+    metadata on the static expand-time _metadata.json — so an extract
+    still carries the expand-time replication timestamp when the last
+    committed diff's elements had no timestamps (a store-only read
+    would return {seqnum} and stamp nothing). Reference stamps the
+    CURRENT snapshot's state (src/extract.cpp:282-283)."""
     from .api import Dataset
 
     return Dataset(spark, dataset).metadata()
@@ -143,10 +140,32 @@ def cmd_update(args) -> int:
         # update.cpp:287-290): derive each batch's merge plans straight
         # from the .osc — no store bootstrap, no _versions dir, no
         # rewrite of data/. Constructing a SnapshotStore would mkdir.
+        # It still VALIDATES like the commit path would: the dataset
+        # must exist, and already-committed seqnums report as skipped.
+        import json
+
         from .operators.update import merge_specs_for
 
+        if not os.path.isdir(os.path.join(args.dataset, "locations")):
+            print(f"error: {args.dataset} is not an expanded dataset "
+                  "(no locations/ table)", file=sys.stderr)
+            return 2
+        committed = 0
+        if _has_store(args.dataset):
+            vdir = os.path.join(args.dataset, "_versions")
+            latest = max(
+                (f for f in os.listdir(vdir)
+                 if f.startswith("v") and f.endswith(".json")),
+                key=lambda f: int(f[1:-5]),
+            )
+            with open(os.path.join(vdir, latest)) as f:
+                committed = json.load(f)["metadata"].get("seqnum", 0)
         for i, osc in enumerate(args.changes):
             seq = args.seqnum + i
+            if seq <= committed:
+                print(f"dry-run {osc}: skipped (seqnum {seq} already "
+                      f"committed, store at {committed})")
+                continue
             changes = read_osc(spark, osc, seqnum=seq)
             merge_specs_for(changes)  # parses + plans, then discards
             print(f"dry-run {osc}: batch derived and discarded "

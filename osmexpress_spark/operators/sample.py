@@ -148,6 +148,15 @@ def global_shuffle(
         r[0]: r[1]
         for r in with_shard.groupBy("_gs_shard").count().collect()
     }
+    if None in counts:
+        # NULL ids have no deterministic place in a total order — fail
+        # loudly instead of crashing in sorted() or silently colliding
+        # offsets (the count rows are already on the driver, so this
+        # check is free)
+        raise ValueError(
+            f"global_shuffle: {counts[None]} row(s) have NULL {id_col!r}; "
+            "filter or assign ids first"
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for s in sorted(counts):
@@ -261,7 +270,13 @@ def global_shuffle_sharded(
     (md5-derived bucket), so a reader walking shard files round-robin
     sees the same unbiased order a global sort would give, at the
     cost of one hash shuffle instead of a total-order range sort."""
-    shard = hash_bucket(F.col(id_col), shards).alias(shard_name)
+    shard = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit("global_shuffle_sharded: NULL id has no deterministic "
+                  "training-order position; filter or assign ids first")
+        ).cast("long"),
+    ).otherwise(hash_bucket(F.col(id_col), shards)).alias(shard_name)
     w = Window.partitionBy(shard_name).orderBy(
         sample_order(F.col(id_col)), F.col(id_col)
     )

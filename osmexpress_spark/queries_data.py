@@ -662,6 +662,47 @@ def _ivf_oracle_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 3) -> str:
     """
 
 
+def _path_fingerprint(p: str) -> str:
+    """Cheap content fingerprint (total bytes + newest mtime) of a
+    parquet file-or-directory — invalidates fixture index caches when
+    the driver regenerates /root/testdata (round 2 showed it rewrites
+    the parquet with a different writer between rounds)."""
+    import os
+
+    if os.path.isdir(p):
+        tot, mt = 0, 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                tot += st.st_size
+                mt = max(mt, int(st.st_mtime))
+        return f"{tot}-{mt}"
+    st = os.stat(p)
+    return f"{st.st_size}-{int(st.st_mtime)}"
+
+
+def _fixture_index(sf_dir: str, kind: str, marker: str, build) -> str:
+    """Build-or-reuse an on-disk fixture index keyed by sf tag AND the
+    source parquet's content fingerprint; rebuilds on any mismatch."""
+    import os
+
+    from . import queries_osm as QO
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(os.path.dirname(QO.FIXTURE_DIR), f"{kind}_{sf_tag}")
+    fp = _path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    fp_file = os.path.join(idx, "src.fp")
+    stale = True
+    if os.path.exists(os.path.join(idx, marker)) and os.path.exists(fp_file):
+        with open(fp_file) as f:
+            stale = f.read().strip() != fp
+    if stale:
+        build(idx)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    return idx
+
+
 @defq("q_embedding_ann_ivf", _ivf_oracle_sql())
 def q_embedding_ann_ivf(spark, sf_dir):
     """IVF ANN (the 100 TB similarity path): coarse k-means quantizer,
@@ -684,15 +725,11 @@ def q_embedding_ann_ivf_indexed(spark, sf_dir):
     pushes a literal cid IN-filter so the scan partition-prunes.
     Produces the same rows as the inline form given the same build
     parameters, so it shares q_embedding_ann_ivf's unrolled oracle."""
-    import os
-
-    from . import queries_osm as QO
-
     emb = t(spark, sf_dir, "embeddings")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    idx = os.path.join(os.path.dirname(QO.FIXTURE_DIR), f"ivf_idx_{sf_tag}")
-    if not os.path.exists(os.path.join(idx, "centroids.json")):
-        similarity.ivf_build_index(emb, idx, EMB_DIM, n_centroids=16)
+    idx = _fixture_index(
+        sf_dir, "ivf_idx", "centroids.json",
+        lambda p: similarity.ivf_build_index(emb, p, EMB_DIM, n_centroids=16),
+    )
     res = similarity.topk_ivf_indexed(
         spark, idx, emb.where(F.col("vec_id") < 10), k=3, nprobe=4
     )
@@ -2336,18 +2373,14 @@ def q_ivfpq_topk_indexed(spark, sf_dir):
     by cid storing only PQ code bytes, probe pushes a literal cid
     IN-filter (PartitionFilters prune the scan). Same rows as the
     inline q_ivfpq_topk, so it shares its unrolled oracle."""
-    import os
-
-    from . import queries_osm as QO
-
     emb = t(spark, sf_dir, "embeddings")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    idx = os.path.join(os.path.dirname(QO.FIXTURE_DIR), f"ivfpq_idx_{sf_tag}")
-    if not os.path.exists(os.path.join(idx, "model.json")):
-        similarity.ivfpq_build_index(
-            emb, idx, EMB_DIM, n_centroids=16, nprobe_default=4,
+    idx = _fixture_index(
+        sf_dir, "ivfpq_idx", "model.json",
+        lambda p: similarity.ivfpq_build_index(
+            emb, p, EMB_DIM, n_centroids=16, nprobe_default=4,
             m=PQ_M, ksub=PQ_KSUB,
-        )
+        ),
+    )
     res = similarity.topk_ivfpq_indexed(
         spark, idx, emb.where(F.col("vec_id") < 10), k=3, nprobe=4
     )

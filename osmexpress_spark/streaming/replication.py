@@ -76,25 +76,41 @@ def apply_batch(
     # time; dry-run still derives the full batch plans and discards.
     specs, _ = merge_specs_for(changes)
     if commit:
-        if types is None:
-            types = {
-                r[0] for r in changes.select("type").distinct().collect()
-            }
+        given = dict(metadata or {})
+        need_ts = "timestamp" not in given
+        if types is None or need_ts:
+            # ONE driver job discovers both the batch's type set and its
+            # newest element timestamp (was two separate blocking jobs —
+            # per-batch fixed cost matters at minutely cadence)
+            agg = changes.agg(
+                F.collect_set("type").alias("tps"),
+                F.max("metadata.timestamp").alias("ts"),
+            ).collect()[0]
+            if types is None:
+                types = set(agg["tps"])
+            batch_ts = agg["ts"] if need_ts else None
+        else:
+            batch_ts = None
         affected = set().union(*(_AFFECTED[t] for t in types)) if types else set()
         merges = {
             name: spec
             for name, spec in specs.items()
             if name in affected and name in store.tables()
         }
-        meta = dict(metadata or {})
-        if "timestamp" not in meta:
-            # stamp the batch's newest element timestamp so downstream
-            # exports carry the snapshot's real replication state
-            # (reference: extract.cpp stamps the CURRENT snapshot, not
-            # the expand-time header) — one tiny agg on the batch frame
-            ts = changes.agg(F.max("metadata.timestamp")).collect()[0][0]
-            if ts is not None:
-                meta["timestamp"] = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        # metadata MERGES onto the previous manifest's: a batch whose
+        # elements carry no timestamps must not erase the snapshot's
+        # replication state, and the advertised timestamp never moves
+        # backward (older-element diffs keep the newer watermark)
+        prev = (
+            {k: v for k, v in store.metadata().items() if k != "committed_at"}
+            if store.latest_version() is not None
+            else {}
+        )
+        meta = {**prev, **given}
+        if need_ts and batch_ts is not None:
+            new_ts = batch_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if new_ts > meta.get("timestamp", ""):
+                meta["timestamp"] = new_ts
         store.merge_commit(
             merges,
             metadata={**meta, "seqnum": seqnum},

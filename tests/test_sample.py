@@ -368,3 +368,19 @@ def test_read_training_shards_round_robin_order(spark, tmp_path):
     assert len(rows) == 60
     order = [(r.pos, r.shard) for r in rows]
     assert order == sorted(order)
+
+
+def test_global_shuffle_rejects_null_ids(spark):
+    import pytest
+    from osmexpress_spark.operators.sample import (
+        global_shuffle, global_shuffle_sharded,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_shuffle(df, "doc_id")
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        global_shuffle_sharded(df, "doc_id", shards=4).collect()
+    assert "NULL id" in str(ei.value)

@@ -268,3 +268,55 @@ def test_http_catch_up_from_local_server(spark, tmp_path):
         assert replication.http_catch_up(spark, store, url) == []
     finally:
         srv.shutdown()
+
+
+def test_apply_batch_metadata_merges_and_never_rewinds(spark, tmp_path):
+    """A diff whose elements carry NO timestamps must not erase the
+    snapshot's replication timestamp, and an older-element diff must
+    not move it backward (the manifest metadata MERGES, timestamp is a
+    watermark)."""
+    import datetime as dt
+
+    from osmexpress_spark import testing
+    from osmexpress_spark.store import DEFAULT_SORT, SnapshotStore
+    from osmexpress_spark.streaming.replication import apply_batch
+
+    rows = testing.generate(n_nodes=60, seed=5)
+    store = SnapshotStore.create(
+        spark,
+        str(tmp_path / "store"),
+        testing.to_dataframes(spark, rows),
+        metadata={"seqnum": 0, "timestamp": "2024-06-01T00:00:00Z",
+                  "bootstrap": "test"},
+        sort_by=DEFAULT_SORT,
+    )
+    # batch 1: no element timestamps at all (tuples follow
+    # CHANGES_SCHEMA order: seqnum at 0, metadata struct at 10 with
+    # timestamp as its second field)
+    base = testing.generate_changes(rows, n_batches=1, per_batch=5)[0]
+
+    def rewrite(batch, seq, ts):
+        out = []
+        for r in batch:
+            r = list(r)
+            r[0] = seq
+            md = list(r[10])
+            md[1] = ts
+            r[10] = tuple(md)
+            out.append(tuple(r))
+        return out
+
+    no_ts = rewrite(base, 1, None)
+    changes1 = spark.createDataFrame(no_ts, testing.schemas.CHANGES_SCHEMA)
+    assert apply_batch(store, changes1, 1, commit=True)
+    m1 = store.metadata()
+    assert m1["timestamp"] == "2024-06-01T00:00:00Z"   # preserved
+    assert m1["bootstrap"] == "test"                   # carried forward
+    assert m1["seqnum"] == 1
+    # batch 2: elements OLDER than the watermark
+    old_ts = rewrite(base, 2, dt.datetime(2020, 1, 1))
+    changes2 = spark.createDataFrame(old_ts, testing.schemas.CHANGES_SCHEMA)
+    assert apply_batch(store, changes2, 2, commit=True)
+    m2 = store.metadata()
+    assert m2["timestamp"] == "2024-06-01T00:00:00Z"   # no rewind
+    assert m2["seqnum"] == 2
