@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "q_curation_report",
     "q_ivfpq_rerank",
     "q_doc_normalize",
+    "osm_radius_pairs",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

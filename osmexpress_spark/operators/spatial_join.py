@@ -95,3 +95,87 @@ def point_in_box_join(
         & (F.col("lat") <= F.col("maxlat"))
     )
     return refined.select(F.col(id_col), F.col(box_id_col))
+
+
+def radius_pairs(
+    nodes,
+    radius: int,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """All node pairs (id_a < id_b) within planar integer distance
+    ``radius`` (scaled deg*1e7 coords), with the exact squared
+    distance d2. The proximity self-join every geo pipeline needs
+    (cluster detection, duplicate-POI merge) — expressed as a
+    grid-bucket join, not a cross join: bucket side = radius, so a
+    point's partners can only live in its 3x3 bucket neighborhood.
+    The probe side explodes its 9 neighbor keys; the build side keeps
+    one row per point; each qualifying pair meets on exactly ONE
+    bucket key (the build point's own), so no post-join dedup.
+
+    100 TB shape: one equi-join shuffle on the bucket key (vs the
+    O(n²) cross join), explode factor 9 on one side only, pure
+    integer arithmetic. Squares are overflow-proof by construction:
+    deltas are clamped to `radius` with least() BEFORE squaring —
+    exact for every surviving pair (their deltas are <= radius
+    already), bounded for antipodal ones (raw global deltas overflow
+    int64 when squared). Planar contract: no antimeridian wrap — the
+    two sides of the dateline are far apart in this metric, matching
+    the reference's planar region tests (src/region.cpp)."""
+    from pyspark.sql import functions as F
+
+    bs = int(radius)
+
+    def fdiv(c):
+        c = F.col(c).cast("long")
+        return ((c - F.pmod(c, F.lit(bs))) / F.lit(bs)).cast("long")
+
+    pts = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(lon_col).cast("long").alias("lon"),
+        F.col(lat_col).cast("long").alias("lat"),
+        fdiv(lon_col).alias("bx"),
+        fdiv(lat_col).alias("by"),
+    )
+    probe = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("bx") + dx).alias("bx"),
+                        (F.col("by") + dy).alias("by"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("nb"),
+    ).select("id_a", "lon_a", "lat_a", "nb.bx", "nb.by")
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        "bx",
+        "by",
+    )
+    adx = F.abs(F.col("lon_b") - F.col("lon_a"))
+    ady = F.abs(F.col("lat_b") - F.col("lat_a"))
+    dx = F.least(adx, F.lit(bs))
+    dy = F.least(ady, F.lit(bs))
+    return (
+        probe.join(build, ["bx", "by"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((adx <= bs) & (ady <= bs))
+        .select(
+            "id_a",
+            "id_b",
+            (dx * dx + dy * dy).alias("d2"),
+        )
+        # the bound is precomputed in Python: an int32 lit * lit would
+        # constant-fold past 2^31 and trip ANSI overflow at plan time
+        .where(F.col("d2") <= F.lit(bs * bs).cast("long"))
+    )

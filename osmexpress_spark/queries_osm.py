@@ -465,6 +465,22 @@ def _augdiff_oracle_sql(d: str) -> str:
     """
 
 
+
+RADIUS_PAIRS = 100000  # deg*1e7 units ~ 0.01 degrees ~ 1.1 km
+
+
+@defq("osm_radius_pairs")
+def osm_radius_pairs(spark, sf_dir):
+    """Proximity self-join over the fixture nodes (operators/
+    spatial_join.py:radius_pairs): every pair within ~1.1 km planar
+    distance, via the grid-bucket join (bucket side = radius, 3x3
+    probe neighborhood) instead of the O(n^2) cross join the oracle
+    runs. The spatial analog of the LSH-bucketed near-dup joins."""
+    from .operators.spatial_join import radius_pairs
+
+    ds = _dataset(spark)
+    return radius_pairs(ds.table("locations"), RADIUS_PAIRS)
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -490,6 +506,20 @@ pts AS (
 SELECT way_id AS id,
        'LINESTRING (' || string_agg({coord}, ', ' ORDER BY pos) || ')' AS wkt
 FROM pts GROUP BY way_id ORDER BY id""",
+        "osm_radius_pairs": f"""
+WITH locations AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         least(abs(CAST(b.lon AS BIGINT) - a.lon), {RADIUS_PAIRS}) AS dx,
+         least(abs(CAST(b.lat AS BIGINT) - a.lat), {RADIUS_PAIRS}) AS dy,
+         abs(CAST(b.lon AS BIGINT) - a.lon) AS adx,
+         abs(CAST(b.lat AS BIGINT) - a.lat) AS ady
+  FROM locations a JOIN locations b ON a.id < b.id
+)
+SELECT id_a, id_b, CAST(dx*dx + dy*dy AS BIGINT) AS d2
+FROM cand
+WHERE adx <= {RADIUS_PAIRS} AND ady <= {RADIUS_PAIRS}
+  AND dx*dx + dy*dy <= CAST({RADIUS_PAIRS} AS BIGINT) * {RADIUS_PAIRS}""",
         "osm_lookup": f"""WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet'))
 SELECT id, CAST(len(nodes) AS INTEGER) AS n_nodes,
        CAST(len(tags_kv) AS INTEGER) AS n_tag_kv

@@ -232,3 +232,32 @@ def test_point_in_box_join_matches_bruteforce_and_plan(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_radius_pairs_matches_bruteforce(spark):
+    """Grid-bucket proximity join vs an O(n^2) python model, including
+    points straddling bucket boundaries and exact-boundary distances."""
+    from osmexpress_spark.operators.spatial_join import radius_pairs
+
+    pts = [
+        (1, 0, 0),
+        (2, 90, 10),          # d2=8200 < 10000
+        (3, 100, 0),          # exactly radius -> included
+        (4, 101, 0),          # just outside
+        (5, -99, -99),        # boundary-straddling bucket, outside (d2>1e4)
+        (6, -70, -70),        # inside (d2=9800)
+        (7, 1000000, 1000000),
+        (8, 1000050, 1000050), # inside with far-away bucket
+    ]
+    df = spark.createDataFrame(pts, "id long, lon int, lat int")
+    r = 100
+    got = sorted((x.id_a, x.id_b, x.d2)
+                 for x in radius_pairs(df, r).collect())
+    want = []
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1:]:
+            d2 = (xb - xa) ** 2 + (yb - ya) ** 2
+            if d2 <= r * r:
+                a, b = sorted((ia, ib))
+                want.append((a, b, d2))
+    assert got == sorted(want) and len(want) >= 3
