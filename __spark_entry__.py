@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "q_ivfpq_rerank",
     "q_doc_normalize",
     "osm_radius_pairs",
+    "osm_nearest_neighbors",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

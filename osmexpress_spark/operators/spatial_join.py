@@ -179,3 +179,41 @@ def radius_pairs(
         # constant-fold past 2^31 and trip ANSI overflow at plan time
         .where(F.col("d2") <= F.lit(bs * bs).cast("long"))
     )
+
+
+def nearest_neighbors(
+    nodes,
+    k: int,
+    radius: int,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Radius-bounded k-nearest-neighbor join: for every node, its k
+    closest nodes within `radius` (exact integer d2, ties -> lower
+    neighbor id). Production kNN over geo points is always
+    radius-bounded — an unbounded search needs adaptive grid levels,
+    and pipelines that want "the k nearest, wherever they are" really
+    want "neighbors within a sane radius, else nothing" (duplicate-POI
+    merge, address clustering). Derived from radius_pairs: symmetrize
+    the a<b pair stream, one rank window per node. Nodes with no
+    neighbor inside the radius are absent from the output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pairs = radius_pairs(nodes, radius, id_col, lon_col, lat_col)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "d2"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("neighbor_id"),
+            "d2",
+        )
+    )
+    w = Window.partitionBy("id").orderBy("d2", "neighbor_id")
+    return (
+        sym.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("id", "neighbor_id", "d2", "nn_rank")
+    )

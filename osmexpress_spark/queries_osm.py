@@ -481,6 +481,17 @@ def osm_radius_pairs(spark, sf_dir):
     ds = _dataset(spark)
     return radius_pairs(ds.table("locations"), RADIUS_PAIRS)
 
+
+@defq("osm_nearest_neighbors")
+def osm_nearest_neighbors(spark, sf_dir):
+    """Radius-bounded kNN join over the fixture nodes (spatial_join.py:
+    nearest_neighbors): each node's 3 closest neighbors within ~1.1 km,
+    exact integer distances, rank ties on neighbor id."""
+    from .operators.spatial_join import nearest_neighbors
+
+    ds = _dataset(spark)
+    return nearest_neighbors(ds.table("locations"), k=3, radius=RADIUS_PAIRS)
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -520,6 +531,28 @@ SELECT id_a, id_b, CAST(dx*dx + dy*dy AS BIGINT) AS d2
 FROM cand
 WHERE adx <= {RADIUS_PAIRS} AND ady <= {RADIUS_PAIRS}
   AND dx*dx + dy*dy <= CAST({RADIUS_PAIRS} AS BIGINT) * {RADIUS_PAIRS}""",
+        "osm_nearest_neighbors": f"""
+WITH locations AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+cand AS (
+  SELECT a.id AS id, b.id AS neighbor_id,
+         least(abs(CAST(b.lon AS BIGINT) - a.lon), {RADIUS_PAIRS}) AS dx,
+         least(abs(CAST(b.lat AS BIGINT) - a.lat), {RADIUS_PAIRS}) AS dy,
+         abs(CAST(b.lon AS BIGINT) - a.lon) AS adx,
+         abs(CAST(b.lat AS BIGINT) - a.lat) AS ady
+  FROM locations a JOIN locations b ON a.id != b.id
+),
+inr AS (
+  SELECT id, neighbor_id, CAST(dx*dx + dy*dy AS BIGINT) AS d2
+  FROM cand
+  WHERE adx <= {RADIUS_PAIRS} AND ady <= {RADIUS_PAIRS}
+    AND dx*dx + dy*dy <= CAST({RADIUS_PAIRS} AS BIGINT) * {RADIUS_PAIRS}
+)
+SELECT id, neighbor_id, d2, nn_rank FROM (
+  SELECT id, neighbor_id, d2,
+         CAST(row_number() OVER (
+           PARTITION BY id ORDER BY d2, neighbor_id) AS INTEGER) AS nn_rank
+  FROM inr
+) WHERE nn_rank <= 3""",
         "osm_lookup": f"""WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet'))
 SELECT id, CAST(len(nodes) AS INTEGER) AS n_nodes,
        CAST(len(tags_kv) AS INTEGER) AS n_tag_kv

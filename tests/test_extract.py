@@ -261,3 +261,30 @@ def test_radius_pairs_matches_bruteforce(spark):
                 a, b = sorted((ia, ib))
                 want.append((a, b, d2))
     assert got == sorted(want) and len(want) >= 3
+
+
+def test_nearest_neighbors_radius_bounded_knn(spark):
+    from osmexpress_spark.operators.spatial_join import nearest_neighbors
+
+    pts = [
+        (1, 0, 0), (2, 10, 0), (3, 0, 20), (4, 30, 30), (5, 500, 500),
+    ]
+    df = spark.createDataFrame(pts, "id long, lon int, lat int")
+    got = {}
+    for r in nearest_neighbors(df, k=2, radius=100).collect():
+        got.setdefault(r.id, []).append((r.nn_rank, r.neighbor_id, r.d2))
+    for v in got.values():
+        v.sort()
+    # python model
+    want = {}
+    for i, (ia, xa, ya) in enumerate(pts):
+        cands = sorted(
+            ((xb - xa) ** 2 + (yb - ya) ** 2, ib)
+            for ib, xb, yb in pts
+            if ib != ia and (xb - xa) ** 2 + (yb - ya) ** 2 <= 100 * 100
+        )
+        if cands:
+            want[ia] = [(r + 1, nid, d2)
+                        for r, (d2, nid) in enumerate(cands[:2])]
+    assert got == want
+    assert 5 not in got  # isolated node absent, not k-padded
