@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "q_doc_normalize",
     "osm_radius_pairs",
     "osm_nearest_neighbors",
+    "osm_way_lengths",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

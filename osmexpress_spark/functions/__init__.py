@@ -351,3 +351,51 @@ def relation_geojson(
             ).alias("feature"),
         )
     )
+
+
+def way_lengths(ways: DataFrame, locations: DataFrame) -> DataFrame:
+    """Per-way planar polyline length (id, n_segments, length_micro):
+    sum over consecutive vertex pairs of round(sqrt(dlon^2+dlat^2)*1e6)
+    in scaled-coord micro-units. Each SEGMENT rounds to an integer
+    before the sum, so the per-way total is an exact BIGINT — immune
+    to float summation order across partitions/engines (the only float
+    is one sqrt per segment, rounded at 1e-6 where a cross-engine ulp
+    flip is measure-zero). Same posexplode + narrow-locations join as
+    way_linestrings; consecutive pairs come from zip_with over the
+    sorted vertex array, so no window function runs."""
+    verts = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("nodes").alias("pos", "node_id"),
+    )
+    joined = verts.join(
+        locations.select(F.col("id").alias("node_id"), "lon", "lat"),
+        "node_id",
+    )
+    pts = joined.groupBy("way_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "lon", "lat"))
+        ).alias("pts")
+    )
+    n = F.size("pts")
+    head = F.slice(F.col("pts"), 1, n - 1)
+    tail = F.slice(F.col("pts"), 2, n - 1)
+    seg = F.zip_with(
+        head,
+        tail,
+        lambda a, b: F.round(
+            F.sqrt(
+                (b["lon"].cast("double") - a["lon"].cast("double"))
+                * (b["lon"].cast("double") - a["lon"].cast("double"))
+                + (b["lat"].cast("double") - a["lat"].cast("double"))
+                * (b["lat"].cast("double") - a["lat"].cast("double"))
+            )
+            * 1e6
+        ).cast("long"),
+    )
+    return pts.select(
+        F.col("way_id").alias("id"),
+        (n - 1).cast("int").alias("n_segments"),
+        F.aggregate(
+            seg, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("length_micro"),
+    )

@@ -492,6 +492,18 @@ def osm_nearest_neighbors(spark, sf_dir):
     ds = _dataset(spark)
     return nearest_neighbors(ds.table("locations"), k=3, radius=RADIUS_PAIRS)
 
+
+@defq("osm_way_lengths")
+def osm_way_lengths(spark, sf_dir):
+    """Per-way planar polyline length (functions/__init__.py:
+    way_lengths): segment lengths round to integer micro-units BEFORE
+    summing, so totals are exact BIGINTs regardless of partition fold
+    order."""
+    from . import functions as fn
+
+    ds = _dataset(spark)
+    return fn.way_lengths(ds.table("ways"), ds.table("locations"))
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -553,6 +565,36 @@ SELECT id, neighbor_id, d2, nn_rank FROM (
            PARTITION BY id ORDER BY d2, neighbor_id) AS INTEGER) AS nn_rank
   FROM inr
 ) WHERE nn_rank <= 3""",
+        "osm_way_lengths": f"""
+WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet')),
+locations AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+verts AS (
+  SELECT id AS way_id, unnest(nodes) AS node_id,
+         generate_subscripts(nodes, 1) AS pos
+  FROM ways
+),
+pts AS (
+  SELECT v.way_id, v.pos, l.lon, l.lat
+  FROM verts v JOIN locations l ON v.node_id = l.id
+),
+ordered AS (
+  SELECT way_id, list({{'lon': lon, 'lat': lat}} ORDER BY pos) AS ps
+  FROM pts GROUP BY way_id
+),
+segs AS (
+  SELECT way_id, CAST(len(ps) - 1 AS INTEGER) AS n_segments,
+         list_transform(range(len(ps) - 1), i ->
+           CAST(round(sqrt(
+             (CAST(ps[i+2].lon AS DOUBLE) - ps[i+1].lon)
+             * (CAST(ps[i+2].lon AS DOUBLE) - ps[i+1].lon)
+             + (CAST(ps[i+2].lat AS DOUBLE) - ps[i+1].lat)
+             * (CAST(ps[i+2].lat AS DOUBLE) - ps[i+1].lat)) * 1e6, 0)
+           AS BIGINT)) AS seg
+  FROM ordered
+)
+SELECT way_id AS id, n_segments,
+       CAST(COALESCE(list_sum(seg), 0) AS BIGINT) AS length_micro
+FROM segs""",
         "osm_lookup": f"""WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet'))
 SELECT id, CAST(len(nodes) AS INTEGER) AS n_nodes,
        CAST(len(tags_kv) AS INTEGER) AS n_tag_kv

@@ -166,3 +166,23 @@ def test_relation_geojson_matches_python_model(spark):
         if any(m[1] == "relation" for m in rel[1]):
             checked_nested += 1
     assert checked_nested >= 3  # fixture guarantees nesting chains + diamond
+
+
+def test_way_lengths_integer_micro_sums(spark):
+    from osmexpress_spark import functions as fn
+
+    ways = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [20, 21]), (3, [30])],
+        "id long, nodes array<long>",
+    )
+    locs = spark.createDataFrame(
+        [(10, 0, 0), (11, 3, 4), (12, 3, 8),      # 5.0 + 4.0
+         (20, 0, 0), (21, 1, 1),                   # sqrt(2)
+         (30, 7, 7)],                              # single vertex
+        "id long, lon int, lat int",
+    )
+    got = {r.id: (r.n_segments, r.length_micro)
+           for r in fn.way_lengths(ways, locs).collect()}
+    assert got[1] == (2, 5_000_000 + 4_000_000)
+    assert got[2] == (1, round(2 ** 0.5 * 1e6))
+    assert got[3] == (0, 0)
