@@ -504,6 +504,27 @@ def osm_way_lengths(spark, sf_dir):
     ds = _dataset(spark)
     return fn.way_lengths(ds.table("ways"), ds.table("locations"))
 
+
+TILE_ZOOM = 8
+
+
+@defq("osm_tile_counts")
+def osm_tile_counts(spark, sf_dir):
+    """Slippy-map tile census (spatial/cells.py:tile_xy): node count
+    per web-mercator z8 tile — the partitioning key of every tile
+    render/serve pipeline, as one scan + one map-side-combined
+    aggregate."""
+    from .spatial.cells import tile_xy
+
+    ds = _dataset(spark)
+    locs = ds.table("locations")
+    tx, ty = tile_xy(F.col("lon"), F.col("lat"), TILE_ZOOM)
+    return (
+        locs.select(tx.alias("tile_x"), ty.alias("tile_y"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -595,6 +616,23 @@ segs AS (
 SELECT way_id AS id, n_segments,
        CAST(COALESCE(list_sum(seg), 0) AS BIGINT) AS length_micro
 FROM segs""",
+        "osm_tile_counts": f"""
+WITH locations AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+t AS (
+  SELECT
+    greatest(0, least(CAST(floor((CAST(lon AS DOUBLE)/1e7/360.0e0 + 0.5e0)
+                         * {1 << TILE_ZOOM}) AS BIGINT), {(1 << TILE_ZOOM) - 1}))
+      AS tile_x,
+    greatest(0, least(CAST(floor((0.5e0 -
+        ln(tan(radians(CAST(lat AS DOUBLE)/1e7))
+           + 1.0e0/cos(radians(CAST(lat AS DOUBLE)/1e7)))
+        / (2.0e0 * 3.141592653589793e0)) * {1 << TILE_ZOOM}) AS BIGINT),
+        {(1 << TILE_ZOOM) - 1}))
+      AS tile_y
+  FROM locations
+)
+SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_nodes
+FROM t GROUP BY tile_x, tile_y""",
         "osm_lookup": f"""WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet'))
 SELECT id, CAST(len(nodes) AS INTEGER) AS n_nodes,
        CAST(len(tags_kv) AS INTEGER) AS n_tag_kv

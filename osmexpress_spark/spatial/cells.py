@@ -153,3 +153,26 @@ def ranges_filter(cell: Column, ranges: list[tuple[int, int]]) -> Column:
 
     outer = cell.between(ranges[0][0], ranges[-1][1] - 1)
     return outer & build(0, len(ranges))
+
+
+def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Web-mercator tile (x, y) at `zoom` for scaled-int coords — the
+    slippy-map z/x/y scheme every tile pipeline partitions by.
+
+    x = floor((lon/360 + 0.5) * 2^z); y uses the mercator latitude
+    projection. Latitudes beyond the mercator clip (~85.0511°) clamp to
+    the edge rows like every tiler does. All math is double precision
+    with a final floor — a cross-engine 1-ulp flip only matters when a
+    point sits exactly on a tile boundary (measure-zero for real
+    coordinates; the fixture oracle confirms bit-parity in practice)."""
+    n = float(1 << zoom)
+    lon_d = lon.cast("double") / 1e7
+    lat_d = lat.cast("double") / 1e7
+    x = F.floor((lon_d / F.lit(360.0) + F.lit(0.5)) * F.lit(n)).cast("long")
+    lat_r = F.radians(lat_d)
+    merc = F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r))
+    y = F.floor(
+        (F.lit(0.5) - merc / F.lit(2.0 * 3.141592653589793)) * F.lit(n)
+    ).cast("long")
+    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(int(n) - 1)))
+    return clamp(x), clamp(y)

@@ -82,3 +82,40 @@ def test_cap_ranges_superset_and_order():
         assert covered(lo, capped) and covered(hi - 1, capped)
     # no-op when under the cap
     assert _cap_ranges(rs, 10) == rs
+
+
+def test_tile_xy_known_points_and_clamp(spark):
+    """Slippy-map sanity: known lon/lat -> z/x/y against the standard
+    formula, plus polar clamping to the mercator edge rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.spatial.cells import tile_xy
+
+    pts = [
+        (1, 0, 0),                       # null island
+        (2, -737985870, 407484050),      # NYC-ish (-73.79..., 40.74...)
+        (3, 1395000000, 356000000),      # Tokyo-ish
+        (4, 0, 890000000),               # beyond mercator clip -> y=0
+        (5, 0, -890000000),              # -> y=2^z-1
+        (6, -1800000000, 0),             # west edge -> x=0
+    ]
+    z = 8
+    df = spark.createDataFrame(pts, "id long, lon int, lat int")
+    tx, ty = tile_xy(F.col("lon"), F.col("lat"), z)
+    got = {r.id: (r.x, r.y) for r in
+           df.select("id", tx.alias("x"), ty.alias("y")).collect()}
+
+    def slippy(lon, lat, z):
+        n = 1 << z
+        x = int((lon / 360.0 + 0.5) * n)
+        lr = math.radians(lat)
+        y = int((0.5 - math.log(math.tan(lr) + 1 / math.cos(lr))
+                 / (2 * math.pi)) * n)
+        return (max(0, min(x, n - 1)), max(0, min(y, n - 1)))
+
+    for i, lon, lat in pts[:3] + [pts[5]]:
+        assert got[i] == slippy(lon / 1e7, lat / 1e7, z), i
+    assert got[4] == (128, 0)
+    assert got[5] == (128, (1 << z) - 1)
