@@ -56,6 +56,9 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_augmented_diff_analog",
     "osm_extract_bbox",
+    "osm_radius_pairs",
+    "osm_way_lengths",
+    "osm_tile_counts",
 ]
 
 
