@@ -103,6 +103,7 @@ def radius_pairs(
     id_col: str = "id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    max_bucket_size: int | None = None,
 ):
     """All node pairs (id_a < id_b) within planar integer distance
     ``radius`` (scaled deg*1e7 coords), with the exact squared
@@ -122,7 +123,16 @@ def radius_pairs(
     already), bounded for antipodal ones (raw global deltas overflow
     int64 when squared). Planar contract: no antimeridian wrap — the
     two sides of the dateline are far apart in this metric, matching
-    the reference's planar region tests (src/region.cpp)."""
+    the reference's planar region tests (src/region.cpp).
+
+    ``max_bucket_size`` is the hot-bucket guard for skewed point
+    densities (the minhash_lsh_pairs pattern): a dense-city bucket of
+    b points emits O(b²) pairs no matter the join strategy — that is
+    the operator's OUTPUT, not an inefficiency — but one pathological
+    bucket can still stall a reducer. Buckets above the cap are
+    dropped before the join (one extra count-aggregate over the
+    bucket keys); default None = exact contract semantics (what the
+    oracle checks)."""
     from pyspark.sql import functions as F
 
     bs = int(radius)
@@ -162,6 +172,11 @@ def radius_pairs(
         "bx",
         "by",
     )
+    if max_bucket_size is not None:
+        size = pts.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("__bsz"))
+        ok = size.where(F.col("__bsz") <= max_bucket_size).select("bx", "by")
+        build = build.join(ok, ["bx", "by"])
+        probe = probe.join(ok, ["bx", "by"])
     adx = F.abs(F.col("lon_b") - F.col("lon_a"))
     ady = F.abs(F.col("lat_b") - F.col("lat_a"))
     dx = F.least(adx, F.lit(bs))

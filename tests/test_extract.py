@@ -288,3 +288,17 @@ def test_nearest_neighbors_radius_bounded_knn(spark):
                         for r, (d2, nid) in enumerate(cands[:2])]
     assert got == want
     assert 5 not in got  # isolated node absent, not k-padded
+
+
+def test_radius_pairs_hot_bucket_cap(spark):
+    from osmexpress_spark.operators.spatial_join import radius_pairs
+
+    # 30 points piled into one bucket + 2 isolated-but-close points
+    pts = [(i, 5 + i % 3, 5 + i // 3) for i in range(30)]
+    pts += [(100, 100000, 100000), (101, 100010, 100010)]
+    df = spark.createDataFrame(pts, "id long, lon int, lat int")
+    full = radius_pairs(df, 100).collect()
+    capped = radius_pairs(df, 100, max_bucket_size=10).collect()
+    assert len(full) == 30 * 29 // 2 + 1
+    # the hot pile is dropped; the small bucket's pair survives
+    assert sorted((r.id_a, r.id_b) for r in capped) == [(100, 101)]
