@@ -142,24 +142,28 @@ def cmd_update(args) -> int:
         # rewrite of data/. Constructing a SnapshotStore would mkdir.
         # It still VALIDATES like the commit path would: the dataset
         # must exist, and already-committed seqnums report as skipped.
-        import json
-
         from .operators.update import merge_specs_for
 
-        if not os.path.isdir(os.path.join(args.dataset, "locations")):
+        has_store = _has_store(args.dataset)
+        if not has_store and not os.path.isdir(
+            os.path.join(args.dataset, "locations")
+        ):
             print(f"error: {args.dataset} is not an expanded dataset "
-                  "(no locations/ table)", file=sys.stderr)
+                  "(no locations/ table and no committed store)",
+                  file=sys.stderr)
             return 2
         committed = 0
-        if _has_store(args.dataset):
-            vdir = os.path.join(args.dataset, "_versions")
-            latest = max(
-                (f for f in os.listdir(vdir)
-                 if f.startswith("v") and f.endswith(".json")),
-                key=lambda f: int(f[1:-5]),
+        if has_store:
+            # _versions exists, so constructing the (read-only-used)
+            # store cannot mutate anything — and it is the single
+            # owner of the manifest format (no hand-parsed v*.json)
+            from .store import SnapshotStore
+
+            committed = int(
+                SnapshotStore(spark, args.dataset)
+                .metadata()
+                .get("seqnum", 0)
             )
-            with open(os.path.join(vdir, latest)) as f:
-                committed = json.load(f)["metadata"].get("seqnum", 0)
         for i, osc in enumerate(args.changes):
             seq = args.seqnum + i
             if seq <= committed:

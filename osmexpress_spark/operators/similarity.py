@@ -1086,7 +1086,6 @@ def topk_ivfpq_rerank(
 
 
 def ivfpq_append(
-    spark,
     path: str,
     new_candidates: DataFrame,
     id_col: str = "vec_id",

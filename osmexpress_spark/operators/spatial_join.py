@@ -148,6 +148,13 @@ def radius_pairs(
         fdiv(lon_col).alias("bx"),
         fdiv(lat_col).alias("by"),
     )
+    if max_bucket_size is not None:
+        # drop hot-bucket POINTS (both join sides derive from the
+        # filtered frame): filtering only one side would half-drop the
+        # bucket and make survival depend on which id sorted lower
+        size = pts.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("__bsz"))
+        ok = size.where(F.col("__bsz") <= max_bucket_size).select("bx", "by")
+        pts = pts.join(ok, ["bx", "by"])
     probe = pts.select(
         F.col("id").alias("id_a"),
         F.col("lon").alias("lon_a"),
@@ -172,11 +179,6 @@ def radius_pairs(
         "bx",
         "by",
     )
-    if max_bucket_size is not None:
-        size = pts.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("__bsz"))
-        ok = size.where(F.col("__bsz") <= max_bucket_size).select("bx", "by")
-        build = build.join(ok, ["bx", "by"])
-        probe = probe.join(ok, ["bx", "by"])
     adx = F.abs(F.col("lon_b") - F.col("lon_a"))
     ady = F.abs(F.col("lat_b") - F.col("lat_a"))
     dx = F.least(adx, F.lit(bs))
@@ -216,7 +218,11 @@ def nearest_neighbors(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # materialize once: the symmetrizing union would otherwise plan the
+    # 9x-explode grid join twice (repo convention: localCheckpoint with
+    # a "probed twice" note, as in topk_ivfpq_indexed)
     pairs = radius_pairs(nodes, radius, id_col, lon_col, lat_col)
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "d2"
     ).unionByName(

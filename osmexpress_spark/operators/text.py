@@ -268,8 +268,12 @@ def gopher_flags(text: Column, min_words: int = 20, max_words: int = 100000,
 def normalize(text: Column) -> Column:
     """Canonical text normalization for dedup keys and tokenizer
     input: lowercase, collapse whitespace runs to single spaces, trim.
-    Pure column expression; engines agree on every step (no unicode
-    case folding beyond ASCII is attempted — DuckDB and the JVM
-    disagree on some locale-dependent mappings, and the corpus
-    contract is ASCII-tokenizable text)."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    Pure column expression. The whitespace class is EXPLICIT
+    ([ \\t\\n\\r\\f]) rather than \\s: Java's \\s matches vertical tab,
+    RE2's (DuckDB) does not — an explicit class means both engines
+    rewrite the same characters. ASCII contract (the corpus schema's):
+    non-ASCII case folding is locale-dependent on the JVM and is not
+    attempted."""
+    return F.trim(
+        F.regexp_replace(F.lower(text), "[ \\t\\n\\r\\f]+", " ")
+    )

@@ -2502,8 +2502,8 @@ def q_ivfpq_rerank(spark, sf_dir):
     "q_doc_normalize",
     r"""
     SELECT doc_id,
-           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')))
                 AS INTEGER) AS n_norm_chars
     FROM documents
     """,

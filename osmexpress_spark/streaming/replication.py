@@ -97,15 +97,19 @@ def apply_batch(
             for name, spec in specs.items()
             if name in affected and name in store.tables()
         }
-        # metadata MERGES onto the previous manifest's: a batch whose
-        # elements carry no timestamps must not erase the snapshot's
-        # replication state, and the advertised timestamp never moves
-        # backward (older-element diffs keep the newer watermark)
-        prev = (
-            {k: v for k, v in store.metadata().items() if k != "committed_at"}
-            if store.latest_version() is not None
-            else {}
-        )
+        # REPLICATION metadata carries forward (a batch whose elements
+        # have no timestamps must not erase the snapshot's replication
+        # state), and the timestamp is a watermark that never rewinds.
+        # Only the replication keys are inherited — version-descriptive
+        # keys (committed_at, optimize()'s `optimized`) describe ONE
+        # manifest and must not leak onto later commits.
+        # (committed_seqnum above already raised on an empty store.)
+        prev_all = store.metadata()
+        prev = {
+            k: prev_all[k]
+            for k in ("timestamp", "bootstrap")
+            if k in prev_all
+        }
         meta = {**prev, **given}
         if need_ts and batch_ts is not None:
             new_ts = batch_ts.strftime("%Y-%m-%dT%H:%M:%SZ")

@@ -302,3 +302,23 @@ def test_radius_pairs_hot_bucket_cap(spark):
     assert len(full) == 30 * 29 // 2 + 1
     # the hot pile is dropped; the small bucket's pair survives
     assert sorted((r.id_a, r.id_b) for r in capped) == [(100, 101)]
+
+
+def test_radius_pairs_cap_drops_whole_bucket_symmetrically(spark):
+    """A pair spanning a hot bucket and an ok bucket must vanish
+    REGARDLESS of which side carries the lower id (the half-dropped
+    form leaked pairs when the hot point's id was smaller)."""
+    from osmexpress_spark.operators.spatial_join import radius_pairs
+
+    def run(hot_id, ok_id):
+        pts = [(hot_id + i, 5 + i % 3, 5 + i // 3) for i in range(20)]
+        pts.append((ok_id, 105, 5))  # adjacent bucket, within radius of
+        pts.append((hot_id, 95, 5))  # this hot-bucket member
+        df = spark.createDataFrame(pts, "id long, lon int, lat int")
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in radius_pairs(df, 100, max_bucket_size=10).collect()
+        )
+
+    assert run(hot_id=1, ok_id=1000) == []     # hot side has lower ids
+    assert run(hot_id=1000, ok_id=1) == []     # hot side has higher ids

@@ -377,7 +377,7 @@ def test_ivfpq_append_extends_lists_without_retraining(spark, vectors,
     similarity.ivfpq_build_index(
         first, idx, DIM, n_centroids=6, nprobe_default=2, m=4, ksub=8,
     )
-    similarity.ivfpq_append(spark, idx, rest)
+    similarity.ivfpq_append(idx, rest)
     lists = spark.read.parquet(f"{idx}/lists")
     assert lists.count() == N
     # reference: a fresh index whose lists are encoded with the SAME
