@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "osm_nearest_neighbors",
     "osm_way_lengths",
     "osm_tile_counts",
+    "q_pack_balanced",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

@@ -376,3 +376,43 @@ def temperature_mixture(
         .where(bucket < F.col("cut"))
         .drop("d", "cut")
     )
+
+
+def pack_balanced(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    bin_name: str = "bin",
+) -> DataFrame:
+    """Load-balanced bin assignment (LPT-style): documents sorted by
+    (size desc, id) deal round-robin into ceil(total/budget) bins —
+    the longest-first deal keeps per-bin loads within one max-doc of
+    each other, the classic approximation of longest-processing-time
+    scheduling without sequential bin state. Complements
+    pack_sequences (which preserves reading order): use this when bins
+    are independent training batches and balance matters more than
+    contiguity.
+
+    Contract form runs one global rank window (same documented
+    single-reducer caveat as quality_buckets' exact NTILE); at scale
+    apply it per shard after global_shuffle_sharded and read bins as
+    (shard, bin)."""
+    totals = df.agg(
+        F.sum(F.col(size_col).cast("long")).alias("__tot")
+    )
+    w = Window.orderBy(F.desc(size_col), F.col(id_col))
+    return (
+        df.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__nbins",
+            F.greatest(
+                F.ceil(F.col("__tot") / F.lit(budget)), F.lit(1)
+            ).cast("long"),
+        )
+        .withColumn(
+            bin_name,
+            ((F.row_number().over(w) - 1) % F.col("__nbins")).cast("long"),
+        )
+        .drop("__tot", "__nbins")
+    )

@@ -2519,3 +2519,36 @@ def q_doc_normalize(spark, sf_dir):
         n.alias("norm_text"),
         F.length(n).cast("int").alias("n_norm_chars"),
     )
+
+
+@defq(
+    "q_pack_balanced",
+    f"""
+    WITH pb AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pbt AS (
+      SELECT greatest(CAST(ceil(CAST(sum(n_tokens) AS DOUBLE)
+                                / {_PACK_BUDGET}) AS BIGINT), 1) AS nbins
+      FROM pb
+    )
+    SELECT doc_id, n_tokens,
+           CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                % (SELECT nbins FROM pbt) AS BIGINT) AS bin
+    FROM pb
+    """,
+)
+def q_pack_balanced(spark, sf_dir):
+    """Load-balanced packing (sample.py:pack_balanced): longest-first
+    round-robin deal into ceil(total/budget) bins — LPT-style batch
+    balancing, vs q_pack_sequences' order-preserving window
+    assembly."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return sample.pack_balanced(
+        d, "doc_id", "n_tokens", _PACK_BUDGET
+    ).select("doc_id", "n_tokens", "bin")

@@ -384,3 +384,23 @@ def test_global_shuffle_rejects_null_ids(spark):
     with pytest.raises(Exception) as ei:
         global_shuffle_sharded(df, "doc_id", shards=4).collect()
     assert "NULL id" in str(ei.value)
+
+
+def test_pack_balanced_loads_within_one_max_doc(spark):
+    from osmexpress_spark.operators.sample import pack_balanced
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    budget = 500
+    out = pack_balanced(df, "doc_id", "n", budget).collect()
+    total = sum(n for _, n in rows)
+    nbins = -(-total // budget)
+    loads: dict[int, int] = {}
+    for r in out:
+        loads[r.bin] = loads.get(r.bin, 0) + r.n
+    assert set(loads) == set(range(nbins))
+    # LPT round-robin: spread bounded by the largest document
+    assert max(loads.values()) - min(loads.values()) <= max(n for _, n in rows)
+    # deterministic
+    again = pack_balanced(df, "doc_id", "n", budget).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
