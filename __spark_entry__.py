@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     "osm_way_lengths",
     "osm_tile_counts",
     "q_pack_balanced",
+    "osm_user_edit_stats",
     # -- green in r01, dropped out of r02's window; re-validate with the
     #    oracles registered since
     "q_salted_join",

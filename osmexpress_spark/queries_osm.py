@@ -133,7 +133,7 @@ def _ensure_oracle_fixture() -> str:
     only the columns the oracles read are materialized."""
     # marker keyed to schema rev + generation params: changing either
     # regenerates instead of silently serving stale rows
-    done = os.path.join(ORACLE_FIXTURE_DIR, f"_DONE_v2_{FIXTURE_NODES}_42")
+    done = os.path.join(ORACLE_FIXTURE_DIR, f"_DONE_v3_{FIXTURE_NODES}_42")
     if os.path.exists(done):
         return ORACLE_FIXTURE_DIR
     import pyarrow as pa
@@ -161,6 +161,9 @@ def _ensure_oracle_fixture() -> str:
             {
                 "id": pa.array([r[0] for r in nd], pa.int64()),
                 "tags_kv": pa.array([r[2] for r in nd], pa.list_(pa.string())),
+                "muser": pa.array([r[3][4] for r in nd], pa.string()),
+                "mts": pa.array([r[3][1] for r in nd],
+                                pa.timestamp("us")),
             }
         ),
         os.path.join(ORACLE_FIXTURE_DIR, "nodes.parquet"),
@@ -173,6 +176,8 @@ def _ensure_oracle_fixture() -> str:
                 "nodes": pa.array([r[1] for r in wy], pa.list_(pa.int64())),
                 "tags_kv": pa.array([r[3] for r in wy], pa.list_(pa.string())),
                 "mversion": pa.array([r[4][0] for r in wy], pa.int32()),
+                "muser": pa.array([r[4][4] for r in wy], pa.string()),
+                "mts": pa.array([r[4][1] for r in wy], pa.timestamp("us")),
             }
         ),
         os.path.join(ORACLE_FIXTURE_DIR, "ways.parquet"),
@@ -194,6 +199,8 @@ def _ensure_oracle_fixture() -> str:
                 ),
                 "tags_kv": pa.array([r[3] for r in rl], pa.list_(pa.string())),
                 "mversion": pa.array([r[4][0] for r in rl], pa.int32()),
+                "muser": pa.array([r[4][4] for r in rl], pa.string()),
+                "mts": pa.array([r[4][1] for r in rl], pa.timestamp("us")),
             }
         ),
         os.path.join(ORACLE_FIXTURE_DIR, "relations.parquet"),
@@ -525,6 +532,32 @@ def osm_tile_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
 
+
+@defq("osm_user_edit_stats")
+def osm_user_edit_stats(spark, sf_dir):
+    """Contributor analytics (the OSMCha/taginfo-style workload): per
+    user, how many tagged elements of each type they last touched and
+    their newest edit timestamp — one union scan over the three
+    payload tables + one map-side-combined aggregate."""
+    ds = _dataset(spark)
+    out = None
+    for tname, typ in (("nodes", "node"), ("ways", "way"),
+                       ("relations", "relation")):
+        rows = ds.table(tname).select(
+            F.col("metadata.user").alias("user"),
+            F.lit(typ).alias("type"),
+            F.col("metadata.timestamp").alias("ts"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return (
+        out.groupBy("user", "type")
+        .agg(
+            F.count(F.lit(1)).alias("n_elements"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+            .alias("latest_edit"),
+        )
+    )
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -633,6 +666,18 @@ t AS (
 )
 SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_nodes
 FROM t GROUP BY tile_x, tile_y""",
+        "osm_user_edit_stats": f"""
+WITH el AS (
+  SELECT muser AS "user", 'node' AS type, mts AS ts
+  FROM read_parquet('{d}/nodes.parquet')
+  UNION ALL
+  SELECT muser, 'way', mts FROM read_parquet('{d}/ways.parquet')
+  UNION ALL
+  SELECT muser, 'relation', mts FROM read_parquet('{d}/relations.parquet')
+)
+SELECT "user", type, CAST(count(*) AS BIGINT) AS n_elements,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS latest_edit
+FROM el GROUP BY "user", type""",
         "osm_lookup": f"""WITH ways AS (SELECT * FROM read_parquet('{d}/ways.parquet'))
 SELECT id, CAST(len(nodes) AS INTEGER) AS n_nodes,
        CAST(len(tags_kv) AS INTEGER) AS n_tag_kv
