@@ -403,3 +403,40 @@ def test_ivfpq_append_extends_lists_without_retraining(spark, vectors,
         spark, idx, vectors.where(F.col("vec_id") < 5), k=5, nprobe=2,
     ).collect()
     assert any(r.neighbor_id >= 100 for r in res)
+
+
+def test_pq_codes_match_python_model_random_vectors(spark):
+    """Randomized encode equivalence on adversarial inputs the blob
+    fixture never produces: near-tie distances (rounding then lowest-
+    code tie-break), zero vectors, duplicated rows."""
+    import random
+
+    rng = random.Random(99)
+    dim, m, ksub = 8, 4, 4
+    dsub = dim // m
+    for trial in range(3):
+        rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+                for i in range(60)]
+        rows.append((60, [0.0] * dim))
+        rows.append((61, rows[0][1]))  # exact duplicate of id 0
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = similarity.pq_train(df, dim, m=m, ksub=ksub)
+
+        # float32 round-trip: Spark stores float, model must match
+        import struct
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+
+        def code_of(v):
+            out = []
+            for j in range(m):
+                sub = [f32(x) for x in v[j * dsub:(j + 1) * dsub]]
+                d2s = [round(sum((a - b) ** 2 for a, b in zip(sub, cw)), 6)
+                       for cw in books[j]]
+                out.append(d2s.index(min(d2s)))
+            return out
+
+        got = {r.vec_id: list(r.codes)
+               for r in similarity.pq_codes_df(df, books).collect()}
+        want = {i: code_of(v) for i, v in rows}
+        assert got == want, f"trial {trial}"
+        assert got[61] == got[0]  # identical vectors -> identical codes
