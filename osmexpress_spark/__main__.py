@@ -157,8 +157,6 @@ def cmd_update(args) -> int:
             # _versions exists, so constructing the (read-only-used)
             # store cannot mutate anything — and it is the single
             # owner of the manifest format (no hand-parsed v*.json)
-            from .store import SnapshotStore
-
             committed = int(
                 SnapshotStore(spark, args.dataset)
                 .metadata()

@@ -133,8 +133,6 @@ def radius_pairs(
     dropped before the join (one extra count-aggregate over the
     bucket keys); default None = exact contract semantics (what the
     oracle checks)."""
-    from pyspark.sql import functions as F
-
     bs = int(radius)
 
     def fdiv(c):
@@ -216,7 +214,6 @@ def nearest_neighbors(
     the a<b pair stream, one rank window per node. Nodes with no
     neighbor inside the radius are absent from the output."""
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     # materialize once: the symmetrizing union would otherwise plan the
     # 9x-explode grid join twice (repo convention: localCheckpoint with

@@ -657,8 +657,10 @@ t AS (
                          * {1 << TILE_ZOOM}) AS BIGINT), {(1 << TILE_ZOOM) - 1}))
       AS tile_x,
     greatest(0, least(CAST(floor((0.5e0 -
-        ln(tan(radians(CAST(lat AS DOUBLE)/1e7))
-           + 1.0e0/cos(radians(CAST(lat AS DOUBLE)/1e7)))
+        ln(tan(radians(greatest(-85.05112877980659e0,
+              least(CAST(lat AS DOUBLE)/1e7, 85.05112877980659e0))))
+           + 1.0e0/cos(radians(greatest(-85.05112877980659e0,
+              least(CAST(lat AS DOUBLE)/1e7, 85.05112877980659e0)))))
         / (2.0e0 * 3.141592653589793e0)) * {1 << TILE_ZOOM}) AS BIGINT),
         {(1 << TILE_ZOOM) - 1}))
       AS tile_y

@@ -169,7 +169,13 @@ def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     lon_d = lon.cast("double") / 1e7
     lat_d = lat.cast("double") / 1e7
     x = F.floor((lon_d / F.lit(360.0) + F.lit(0.5)) * F.lit(n)).cast("long")
-    lat_r = F.radians(lat_d)
+    # clamp BEFORE projecting: within ~1e-7 deg of the poles the
+    # mercator argument tan+sec underflows to exactly 0.0 and log
+    # becomes NULL here / an error in DuckDB — clamping to the tiling
+    # limit keeps both engines finite and identical
+    MERC_LIMIT = 85.05112877980659
+    lat_c = F.greatest(F.lit(-MERC_LIMIT), F.least(lat_d, F.lit(MERC_LIMIT)))
+    lat_r = F.radians(lat_c)
     merc = F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r))
     y = F.floor(
         (F.lit(0.5) - merc / F.lit(2.0 * 3.141592653589793)) * F.lit(n)
