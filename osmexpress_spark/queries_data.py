@@ -1856,7 +1856,9 @@ def _pq_ctes() -> str:
     "q_pq_encode",
     f"""
     WITH {_pq_ctes()}
-    SELECT vec_id, codes FROM pcodes
+    SELECT vec_id, CAST(j AS INTEGER) AS subspace,
+           CAST(code AS INTEGER) AS code
+    FROM pecode
     """,
 )
 def q_pq_encode(spark, sf_dir):
@@ -1865,10 +1867,22 @@ def q_pq_encode(spark, sf_dir):
     codes (32x compression). Training is the same deterministic
     bounded-sample Lloyd contract as IVF, so the oracle unrolls it per
     subspace; the encode scan itself is a pure column expression
-    (whole-stage codegen, zero shuffle)."""
+    (whole-stage codegen, zero shuffle).
+
+    Contract shape: the stored form is (vec_id, codes array) but the
+    driver's canonicalizer cannot hash array cells, so the contract
+    posexplodes to one (vec_id, subspace, code) row per byte — same
+    information, hashable cells."""
     emb = t(spark, sf_dir, "embeddings")
     books = similarity.pq_train(emb, EMB_DIM, m=PQ_M, ksub=PQ_KSUB)
-    return similarity.pq_codes_df(emb, books)
+    codes = similarity.pq_codes_df(emb, books)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
 
 
 @defq(

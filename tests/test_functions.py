@@ -168,6 +168,60 @@ def test_relation_geojson_matches_python_model(spark):
     assert checked_nested >= 3  # fixture guarantees nesting chains + diamond
 
 
+def test_relation_geojson_serializes_member_leaves(spark):
+    """Bridges the driver oracle to the JSON output: the
+    `osm_relation_geojson` CORRECTNESS row checks the descent core
+    (relation_member_leaves) against a WITH RECURSIVE oracle; this test
+    asserts the Feature text is a deterministic serialization of
+    exactly those leaves — together they pin the full pipeline."""
+    import json
+
+    from osmexpress_spark import testing
+    from osmexpress_spark.functions import (
+        relation_geojson,
+        relation_member_leaves,
+    )
+
+    rows = testing.generate(n_nodes=300, seed=7)
+    dfs = testing.to_dataframes(spark, rows)
+    leaves = {}
+    for r in relation_member_leaves(
+        dfs["relations"], dfs["relations"].select("id")
+    ).collect():
+        leaves.setdefault(r["root"], []).append(
+            (list(r["path"]), r["mtype"], r["ref"])
+        )
+    out = {
+        r["id"]: json.loads(r["feature"])
+        for r in relation_geojson(
+            dfs["relations"], dfs["ways"], dfs["locations"]
+        ).collect()
+    }
+
+    locs = {r[0]: (r[1], r[2]) for r in rows["locations"]}
+    way_refs = {w[0]: w[1] for w in rows["ways"]}
+
+    def geom(typ, ref):
+        if typ == "node":
+            lon, lat = locs[ref]
+            return {"type": "Point", "coordinates": [lon / 1e7, lat / 1e7]}
+        return {
+            "type": "LineString",
+            "coordinates": [
+                [locs[n][0] / 1e7, locs[n][1] / 1e7] for n in way_refs[ref]
+            ],
+        }
+
+    assert set(out) >= set(leaves)
+    for rid, feat in out.items():
+        expected = [
+            geom(t, ref)
+            for _p, t, ref in sorted(leaves.get(rid, []), key=lambda x: x[0])
+            if (ref in locs if t == "node" else ref in way_refs)
+        ]
+        assert feat["geometry"]["geometries"] == expected, f"relation {rid}"
+
+
 def test_way_lengths_integer_micro_sums(spark):
     from osmexpress_spark import functions as fn
 

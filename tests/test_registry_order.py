@@ -28,12 +28,7 @@ import __spark_entry__ as entry  # noqa: E402
 
 # Queries whose semantics are not expressible as deterministic ANSI SQL;
 # each carries a pointer to the golden test that pins it instead.
-ROWS_ONLY_JUSTIFIED = {
-    # GeometryCollection assembly with recursive relation-member descent:
-    # nested-JSON output, pinned by tests/test_functions.py geojson goldens
-    # against an independent Python model.
-    "osm_relation_geojson",
-}
+ROWS_ONLY_JUSTIFIED: set[str] = set()
 
 DRIVER_WINDOW = 50
 
@@ -86,11 +81,40 @@ def test_never_validated_queries_sort_first():
         )
 
 
-def test_priority_list_is_exact_and_valid():
+def test_priority_order_is_computed_and_exact():
     order = list(entry.queries().keys())
-    assert len(entry.PRIORITY) == len(set(entry.PRIORITY)), "duplicate PRIORITY"
-    assert order[: len(entry.PRIORITY)] == entry.PRIORITY
+    assert order == entry.priority_order()
     assert len(set(order)) == len(order)
+    # evidence age must be non-decreasing through the registry: never-
+    # green (-1) first, then oldest green round first, so every entry
+    # rotates back through the driver window before its evidence rots
+    ages = entry._latest_green_round()
+    seq = [ages.get(n, -1) for n in order]
+    assert seq == sorted(seq), "registry not sorted by evidence age"
+
+
+def test_evidence_age_report():
+    """Ask #7 (VERDICT r03): print per-query evidence age so stale
+    greens visibly rotate back into the window. Fails if any green row
+    is older than 2 rounds AND sits outside the next driver window
+    (i.e. the rotation cannot catch it next round)."""
+    order = list(entry.queries().keys())
+    ages = entry._latest_green_round()
+    current = max(ages.values(), default=0)
+    lines = []
+    stale_unreachable = []
+    for pos, name in enumerate(order):
+        age = ages.get(name, -1)
+        label = "never" if age < 0 else f"r{age:02d}"
+        lines.append(f"  {pos:3d}  {label}  {name}")
+        if age >= 0 and current - age >= 2 and pos >= DRIVER_WINDOW:
+            stale_unreachable.append(name)
+    print("\nregistry evidence age (pos / last green round / query):")
+    print("\n".join(lines))
+    assert not stale_unreachable, (
+        "green rows older than 2 rounds sit outside the next driver "
+        f"window: {stale_unreachable}"
+    )
 
 
 def test_every_query_oracled_or_justified():
