@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from osmexpress_spark.operators import closure, dedup
 
 
@@ -134,6 +136,29 @@ def test_dup_clusters_distributed_loop_matches_driver_path(spark):
     loop = {(r["id"], r["cluster_id"])
             for r in dedup.dup_clusters(pairs, driver_max_pairs=0).collect()}
     assert fast == loop == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dup_clusters_warns_on_non_convergence(spark):
+    """A 5-chain has eccentricity 4, so one propagation round cannot
+    settle it: the distributed loop must WARN rather than silently
+    return incomplete cluster ids (ADVICE r03)."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        dedup.dup_clusters(
+            pairs, max_iterations=1, driver_max_pairs=None
+        ).collect()
+    # and the converged loop stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in dedup.dup_clusters(pairs, driver_max_pairs=None).collect()
+        }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
 
 
 def test_minhash_bucket_cap_bounds_hot_buckets(spark):

@@ -270,6 +270,117 @@ def test_http_catch_up_from_local_server(spark, tmp_path):
         srv.shutdown()
 
 
+def _serve(feed: str):
+    """Static HTTP server over a feed dir; returns (server, base_url)."""
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=feed
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_port}"
+
+
+def test_http_feed_404_at_head(spark, tmp_path):
+    """Edge case (utils/server.py:27-107): the server has no state.txt
+    at all (404 at the feed head). latest() must read as None — not
+    raise — the bootstrap must resolve to None, and http_catch_up must
+    report nothing pending instead of crashing or committing."""
+    import os
+    from datetime import datetime, timezone
+
+    from osmexpress_spark.streaming import feedstate
+
+    feed = str(tmp_path / "empty_feed")
+    os.makedirs(feed)
+    srv, url = _serve(feed)
+    try:
+        src = feedstate.HttpStateSource(url)
+        assert src.latest() is None
+        assert src.state(7) is None
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        assert feedstate.timestamp_to_seqnum(src, ts) is None
+
+        rows = testing.generate(n_nodes=60, seed=5)
+        dfs = testing.to_dataframes(spark, rows)
+        dfs.update(edges_mod.derive_all(dfs["ways"], dfs["relations"]))
+        store = SnapshotStore.create(
+            spark, str(tmp_path / "store404"), dfs,
+            metadata={"timestamp": "2024-01-01T00:00:00Z"},
+            sort_by=DEFAULT_SORT,
+        )
+        before = store.metadata()
+        assert replication.http_catch_up(spark, store, url) == []
+        assert store.metadata() == before
+    finally:
+        srv.shutdown()
+
+
+def test_http_truncated_state_file_raises_clearly(tmp_path):
+    """Edge case: a truncated/corrupt state.txt (half an osmosis file)
+    must raise a clear ValueError at parse time — not return a bogus
+    FeedState that would mis-steer the binary search — while a 404
+    still reads as None (the two failure shapes stay distinct)."""
+    import os
+
+    import pytest as _pytest
+
+    from osmexpress_spark.streaming import feedstate
+
+    feed = str(tmp_path / "trunc_feed")
+    os.makedirs(feed)
+    # timestamp line lost mid-write
+    with open(os.path.join(feed, "state.txt"), "w") as f:
+        f.write("#Mon Jan 01 00:00:01 UTC 2024\nsequenceNumber=42\n")
+    srv, url = _serve(feed)
+    try:
+        src = feedstate.HttpStateSource(url)
+        with _pytest.raises(ValueError, match="missing sequenceNumber or timestamp"):
+            src.latest()
+        assert src.state(41) is None  # 404 path unchanged
+    finally:
+        srv.shutdown()
+    # and an empty file behaves the same as a truncated one
+    with open(os.path.join(feed, "state.txt"), "w") as f:
+        f.write("")
+    with _pytest.raises(ValueError):
+        feedstate.parse_state("")
+
+
+def test_http_timestamp_older_than_first_state(tmp_path):
+    """Edge case: the store's expand timestamp predates the oldest
+    state file the server still has (0..4 garbage-collected, feed holds
+    5..8). The binary search must converge on the oldest AVAILABLE
+    sequence — the documented best-effort resume point — probing 404s
+    outward rather than looping or raising."""
+    from datetime import datetime, timedelta, timezone
+
+    from osmexpress_spark.streaming import feedstate
+
+    feed = str(tmp_path / "gc_feed")
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    for seq in (5, 6, 7, 8):
+        _write_state(feed, seq, base + timedelta(minutes=seq))
+    _write_state(feed, 8, base + timedelta(minutes=8), latest=True)
+    srv, url = _serve(feed)
+    try:
+        src = feedstate.HttpStateSource(url)
+        # a full day before anything on the feed
+        got = feedstate.timestamp_to_seqnum(src, base - timedelta(days=1))
+        assert got == 5
+        # and the normal mid-feed contract still holds over HTTP with
+        # the garbage-collected prefix present
+        mid = base + timedelta(minutes=6, seconds=30)
+        assert feedstate.timestamp_to_seqnum(src, mid) == 6
+        newer = base + timedelta(hours=2)
+        assert feedstate.timestamp_to_seqnum(src, newer) == 8
+    finally:
+        srv.shutdown()
+
+
 def test_apply_batch_metadata_merges_and_never_rewinds(spark, tmp_path):
     """A diff whose elements carry NO timestamps must not erase the
     snapshot's replication timestamp, and an older-element diff must
