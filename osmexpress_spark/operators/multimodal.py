@@ -2,12 +2,15 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode/feature-extraction runs as Arrow-batched `mapInPandas` so the
-bytes never round-trip through Python row-by-row. The actual codec
-libraries are not in this container, so the decode step is STUBBED
-behind `decoder=`: the default `fake_decoder` is a deterministic
-byte-statistics extractor that keeps the whole Spark-side contract
-(schema, batching, partitioning) real and testable; swap in a real
-decoder (PIL/torchaudio/ffmpeg) in production.
+bytes never round-trip through Python row-by-row. The decode step is
+pluggable via `decoder=`: `image_decoder` REALLY decodes the two
+formats that need no codec library (uncompressed 24-bit BMP, binary
+PPM) and raises NotImplementedError for formats whose codecs are
+absent in this container (the honest-stub branch, recorded as
+decode_ok=False); `fake_decoder` is a deterministic byte-statistics
+stand-in that keeps the whole Spark-side contract (schema, batching,
+partitioning) testable for arbitrary bytes. Swap in PIL/torchaudio/
+ffmpeg in production with the same signature.
 
 Scale notes: batches arrive as Arrow RecordBatches sized by
 `spark.sql.execution.arrow.maxRecordsPerBatch`; for large blobs set it
@@ -45,6 +48,103 @@ def fake_decoder(payload: bytes) -> list[float]:
     ]
 
 
+def image_decoder(payload: bytes) -> list[float]:
+    """REAL pure-stdlib image decode for the two container formats that
+    need no codec library: uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB) and binary PPM (P6). Returns the fixed 5-float feature
+    vector [width, height, mean_r, mean_g, mean_b] with channel means
+    normalized to [0, 1].
+
+    Anything else (PNG/JPEG/...) needs a codec not present in this
+    container and raises NotImplementedError — the honest-stub branch
+    that extract_features records as decode_ok=False. A corrupt payload
+    of a SUPPORTED format raises ValueError (also decode_ok=False):
+    truncation must not silently produce features."""
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "only uncompressed 24-bit BMP and binary PPM decode in-container; "
+        "swap in PIL/opencv via decoder= for other formats"
+    )
+
+
+def _decode_bmp24(payload: bytes) -> list[float]:
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("BMP truncated before BITMAPINFOHEADER")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24bpp BI_RGB BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("BMP with non-positive dimensions")
+    stride = ((width * 3 + 3) // 4) * 4
+    need = pixel_off + stride * height
+    if len(payload) < need:
+        raise ValueError(
+            f"BMP pixel array truncated: need {need} bytes, have {len(payload)}"
+        )
+    tot = [0, 0, 0]  # b, g, r accumulators; strided slices stay C-speed
+    for row in range(height):
+        base = pixel_off + row * stride
+        rowbytes = payload[base : base + width * 3]
+        tot[0] += sum(rowbytes[0::3])
+        tot[1] += sum(rowbytes[1::3])
+        tot[2] += sum(rowbytes[2::3])
+    _ = top_down  # row order does not change channel means
+    n = width * height * 255.0
+    return [float(width), float(height), tot[2] / n, tot[1] / n, tot[0] / n]
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
+    # '#' comments may appear inside the whitespace runs
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("PPM header truncated")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"PPM bad dimensions/maxval {fields}")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = width * height * 3
+    pixels = payload[pos : pos + need]
+    if len(pixels) < need:
+        raise ValueError(
+            f"PPM pixel data truncated: need {need} bytes, have {len(pixels)}"
+        )
+    n = width * height * float(maxval)
+    return [
+        float(width),
+        float(height),
+        sum(pixels[0::3]) / n,
+        sum(pixels[1::3]) / n,
+        sum(pixels[2::3]) / n,
+    ]
+
+
 def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Demo wrapper: treat utf-8 text bytes as an opaque blob column with
     typed metadata — the exact shape an image/audio table would have."""
@@ -69,10 +169,15 @@ def extract_features(
         for pdf in batches:
             feats, ok = [], []
             for payload in pdf["payload"]:
+                # NotImplementedError = format needs an absent codec;
+                # ValueError = corrupt/truncated payload of a supported
+                # format. Both are per-row failures (decode_ok=False),
+                # never job failures — at corpus scale a bad blob must
+                # not kill the stage.
                 try:
                     feats.append(decoder(bytes(payload)))
                     ok.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     feats.append(None)
                     ok.append(False)
             yield pd.DataFrame(

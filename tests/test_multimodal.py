@@ -90,3 +90,101 @@ def test_resize_bytes_decimates(spark):
     )
     r = multimodal.resize_bytes(df, factor=2).collect()[0]
     assert bytes(r.resized) == bytes([0, 2, 4, 6, 8]) and r.n_bytes_out == 5
+
+
+# --- real in-container image decode (BMP/PPM, pure stdlib) -----------------
+def _bmp24(pixels, top_down=False):
+    """Encode rows of (r, g, b) tuples as an uncompressed 24-bit BMP.
+    Independent test-side encoder: BGR byte order, rows padded to 4
+    bytes, bottom-up unless top_down."""
+    import struct
+
+    height, width = len(pixels), len(pixels[0])
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = pixels if top_down else list(reversed(pixels))
+    body = b"".join(
+        b"".join(bytes((b_, g, r)) for r, g, b_ in row)
+        + b"\x00" * (stride - width * 3)
+        for row in rows
+    )
+    hdr_h = -height if top_down else height
+    info = struct.pack("<IiiHHIIiiII", 40, width, hdr_h, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return file_hdr + info + body
+
+
+def _ppm(pixels, maxval=255, comment=False):
+    head = b"P6\n"
+    if comment:
+        head += b"# test comment\n"
+    height, width = len(pixels), len(pixels[0])
+    head += f"{width} {height}\n{maxval}\n".encode()
+    return head + b"".join(
+        bytes(px) for row in pixels for px in row
+    )
+
+
+PIXELS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+# channel means over the 6 pixels, /255
+MEANS = tuple(
+    sum(px[c] for row in PIXELS for px in row) / (6 * 255.0) for c in range(3)
+)
+
+
+def test_image_decoder_bmp_golden():
+    for top_down in (False, True):
+        w, h, r, g, b = multimodal.image_decoder(_bmp24(PIXELS, top_down))
+        assert (w, h) == (3.0, 2.0)
+        assert (r, g, b) == MEANS
+
+
+def test_image_decoder_ppm_golden():
+    w, h, r, g, b = multimodal.image_decoder(_ppm(PIXELS, comment=True))
+    assert (w, h) == (3.0, 2.0)
+    assert (r, g, b) == MEANS
+    # non-255 maxval rescales
+    w, h, r, g, b = multimodal.image_decoder(_ppm([[(50, 0, 100)]], maxval=100))
+    assert (r, g, b) == (0.5, 0.0, 1.0)
+
+
+def test_image_decoder_failure_shapes():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.image_decoder(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(_bmp24(PIXELS)[:-4])  # truncated pixels
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(_ppm(PIXELS)[:-4])
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(b"BM" + b"\x00" * 10)  # truncated header
+
+
+def test_extract_features_real_images_distributed(spark):
+    """Both decoder branches on real bytes, through the distributed
+    Arrow path: BMP and PPM rows decode to exact channel means; a PNG
+    magic and a truncated BMP mark decode_ok=False without failing the
+    stage."""
+    rows = [
+        (1, bytearray(_bmp24(PIXELS))),
+        (2, bytearray(_ppm(PIXELS))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\nnot-a-real-png")),
+        (4, bytearray(_bmp24(PIXELS)[:-4])),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary").repartition(4)
+    got = {
+        r.item_id: r
+        for r in multimodal.extract_features(
+            df, decoder=multimodal.image_decoder, modality="image"
+        ).collect()
+    }
+    assert got[1].decode_ok and got[2].decode_ok
+    assert list(got[1].feat) == [3.0, 2.0, *MEANS]
+    assert list(got[2].feat) == [3.0, 2.0, *MEANS]
+    assert not got[3].decode_ok and got[3].feat is None
+    assert not got[4].decode_ok and got[4].feat is None
+    assert got[1].modality == "image"
