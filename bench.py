@@ -59,6 +59,14 @@ HEADLINE = [
     "osm_radius_pairs",
     "osm_way_lengths",
     "osm_tile_counts",
+    # round 4: sketches, model scoring, band join, OSM analytics
+    "q_kmv_distinct",
+    "q_cms_heavy_hitters",
+    "q_quality_logreg",
+    "q_bigram_perplexity",
+    "q_band_join",
+    "osm_way_areas",
+    "osm_way_intersections",
 ]
 
 
@@ -100,6 +108,22 @@ def main() -> None:
         df = registry[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # the 100 TB form of the profile contract: HLL++ approx distinct
+    # replaces the exact multi-DISTINCT (whose Catalyst Expand
+    # multiplies every row (k+1)x before the first aggregate) with one
+    # plain map-side-combinable aggregate. Benched beside the exact
+    # q_profile_documents line so the scale path has its own number;
+    # it can't be a registry query because HLL estimates differ
+    # between engines.
+    from osmexpress_spark.operators import profile as profile_mod
+    from osmexpress_spark.queries_data import t as _t
+
+    t0 = time.monotonic()
+    profile_mod.profile(
+        _t(spark, SF_DIR, "documents"), approx_distinct=True
+    ).write.format("noop").mode("overwrite").save()
+    timings["q_profile_documents_approx"] = round(time.monotonic() - t0, 3)
 
     # --- pipeline throughput anchors (BASELINE.md: expand wall time,
     # single-file extract export, minutely update batch latency) -------

@@ -399,3 +399,55 @@ def way_lengths(ways: DataFrame, locations: DataFrame) -> DataFrame:
             seg, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("length_micro"),
     )
+
+
+def way_areas(ways: DataFrame, locations: DataFrame) -> DataFrame:
+    """Planar shoelace area of closed ways (id, n_vertices,
+    area2): 2x the signed polygon area in scaled-coord^2 units,
+    positive for counter-clockwise rings — the multipolygon building
+    block the reference assembles but never measures.
+
+    Exactness contract (the way_lengths sibling): every vertex is
+    TRANSLATED by the ring's first vertex before the cross products,
+    so the BIGINT products stay within ~(2^31)^2 for any ring whose
+    extent fits one hemisphere-scale bbox, and the per-way sum is an
+    exact integer — no float anywhere, immune to fold order across
+    partitions and engines. Closed = first ref equals last ref and
+    >= 4 refs; same posexplode + narrow-locations join + zip_with
+    consecutive-pairs shape as way_lengths (no window function)."""
+    closed = ways.where(
+        (F.size("nodes") >= 4)
+        & (F.element_at("nodes", 1) == F.element_at("nodes", -1))
+    )
+    verts = closed.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("nodes").alias("pos", "node_id"),
+    )
+    joined = verts.join(
+        locations.select(F.col("id").alias("node_id"), "lon", "lat"),
+        "node_id",
+    )
+    pts = joined.groupBy("way_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias(
+            "pts"
+        )
+    )
+    n = F.size("pts")
+    x0 = F.element_at("pts", 1)["lon"].cast("long")
+    y0 = F.element_at("pts", 1)["lat"].cast("long")
+    head = F.slice(F.col("pts"), 1, n - 1)
+    tail = F.slice(F.col("pts"), 2, n - 1)
+    cross = F.zip_with(
+        head,
+        tail,
+        lambda a, b: (a["lon"].cast("long") - x0)
+        * (b["lat"].cast("long") - y0)
+        - (b["lon"].cast("long") - x0) * (a["lat"].cast("long") - y0),
+    )
+    return pts.select(
+        F.col("way_id").alias("id"),
+        n.cast("int").alias("n_vertices"),
+        F.aggregate(
+            cross, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("area2"),
+    )

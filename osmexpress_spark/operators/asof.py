@@ -92,3 +92,58 @@ def asof_join(
         *lcols, "__side", *fill
     )
     return filled.where(F.col("__side") == F.lit(left_side)).drop("__side")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    band_seconds: int,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Batch band (interval-bounded range) join: every (left, right)
+    pair with a matching `on` key and ``left_time < right_time <=
+    left_time + band_seconds`` — the batch analog of the streaming
+    interval join (streaming/watermark_ops.py).
+
+    The naive plan is an equi-join on the key followed by a time
+    filter, which explodes to |left| x |right-per-key| before
+    filtering. Instead the band is BUCKETED: both sides compute
+    ``floor(epoch / band_seconds)``; a qualifying right row's bucket
+    can only be the left row's bucket b0 or b0+1, so the left side
+    probes exactly those two (one explode to 2 rows), the join is a
+    plain equi-join on (key, bucket), and the exact band predicate
+    refines. Shuffle volume is 2|left| + |right| keyed rows — never
+    the pair blowup — and AQE handles residual key skew. Right-side
+    columns come back prefixed; both time columns survive unprefixed/
+    prefixed for the refinement and the caller."""
+    if band_seconds <= 0:
+        raise ValueError("band_seconds must be positive")
+    b0 = F.floor(F.unix_timestamp(F.col(left_time)) / band_seconds)
+    l_probe = left.select(
+        *left.columns,
+        F.explode(F.array(b0, b0 + 1)).alias("__b"),
+    )
+    r_side = right.select(
+        F.col(on),
+        *[
+            F.col(c).alias(prefix + c)
+            for c in right.columns
+            if c != on
+        ],
+        F.floor(
+            F.unix_timestamp(F.col(right_time)) / band_seconds
+        ).alias("__b"),
+    )
+    rt = F.col(prefix + right_time)
+    lt = F.col(left_time)
+    return (
+        l_probe.join(r_side, [on, "__b"])
+        .where(
+            (rt > lt)
+            & (rt <= lt + F.expr(f"INTERVAL {int(band_seconds)} SECONDS"))
+        )
+        .drop("__b")
+    )

@@ -174,3 +174,68 @@ def perplexity_filter(
     return s.where(
         F.col("nll_micro") <= F.lit(int(max_mean_micro)) * F.col("n_tokens")
     )
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    lm_subset: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram LM quality scoring — the conditional-probability upgrade
+    of unigram_nll_scores (CCNet's KenLM is a 5-gram; the hashed
+    bigram is the smallest model that captures word ORDER). Each
+    document's consecutive-token-bucket pairs (b1, b2) are scored by
+    -ln p(b2 | b1) with add-one smoothing over the lm_subset's bigram
+    table: p = (c(b1,b2) + 1) / (c(b1,*) + B^2) where B = N_BUCKETS.
+
+    Returns (id, n_bigrams, nll_micro): per-pair NLLs are rounded to
+    integer micro-nats BEFORE the per-document sum (the module's
+    determinism contract), so nll_micro is an exact BIGINT and mean
+    NLL is the rational nll_micro / (1e6 * n_bigrams).
+
+    100 TB shape: the bigram model is <= B^2 = 65536 rows — still a
+    broadcast; the corpus shuffles only (doc, b1, b2, count) partials
+    (<= 65536 rows per doc, in practice ~doc length), never text.
+    """
+    ws = F.split(F.col(text_col), " ")
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        lm_subset.alias("is_lm"),
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(
+        "id",
+        "is_lm",
+        token_bucket(F.col("p.w1")).alias("b1"),
+        token_bucket(F.col("p.w2")).alias("b2"),
+    )
+    per_doc = pairs.groupBy("id", "is_lm", "b1", "b2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dist = per_doc.groupBy("b1", "b2").agg(
+        F.sum(F.when(F.col("is_lm"), F.col("n")).otherwise(0)).alias("lm_n")
+    )
+    ctx = dist.groupBy("b1").agg(F.sum("lm_n").alias("ctx_n"))
+    # -ln((lm_n + 1) / (ctx_n + B^2)); formula text mirrored in the
+    # oracle so the double association order matches before the round
+    nll = -F.log(
+        (F.col("lm_n") + F.lit(1.0))
+        / (F.col("ctx_n") + F.lit(float(N_BUCKETS * N_BUCKETS)))
+    )
+    model = dist.join(ctx, "b1").select(
+        "b1", "b2", F.round(nll * F.lit(1e6)).cast("long").alias("nll_micro_b")
+    )
+    return (
+        per_doc.join(F.broadcast(model), ["b1", "b2"])
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("int").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("nll_micro_b")).alias("nll_micro"),
+        )
+    )

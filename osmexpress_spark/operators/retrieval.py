@@ -154,3 +154,109 @@ def bm25_oracle_sql(
     ORDER BY score DESC, {id_col}
     LIMIT {k}
     """
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs by TF-IDF score — the plain-vector-space sibling of
+    bm25_topk, same two-scan zero-shuffle plan (per-term tf as a column
+    expression, one broadcast stats row, TakeOrdered top-k).
+
+    score = sum_t tf_t * (N / df_t): the raw df ratio replaces log-idf
+    (monotone per term, no transcendental), each term contributes one
+    exact-int-operand division and multiply, and the sum folds
+    left-to-right in query order — bit-identical on both engines.
+    Output (id, score DOUBLE, n_hit INT) ordered by (score DESC, id)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = list(query_terms)
+    ws = F.split(F.col(text_col), " ")
+
+    def tf_of(term: str) -> Column:
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        *[tf_of(term).alias(f"tf{i}") for i, term in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int) -> Column:
+        # tf * N / df, left-to-right; df 0 => tf 0 => the 0 * inf trap
+        # never fires because the term is skipped via when()
+        return F.when(
+            F.col(f"df{i}") > 0,
+            F.col(f"tf{i}").cast("double")
+            * (
+                F.col("n_docs").cast("double")
+                / F.col(f"df{i}").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+
+    score = reduce(lambda a, c: a + c, [term_score(i) for i in range(len(terms))])
+    n_hit = reduce(
+        lambda a, c: a + c,
+        [(F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))],
+    )
+    return (
+        scored.select(F.col(id_col), score.alias("score"), n_hit.alias("n_hit"))
+        .where(F.col("n_hit") > 0)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def tfidf_oracle_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> str:
+    """DuckDB SQL computing tfidf_topk with the identical
+    left-to-right float expression."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(string_split({text_col}, ' '), w -> w = '{t}'))"
+        f" AS tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    term_scores = " + ".join(
+        f"(CASE WHEN df{i} > 0 THEN CAST(tf{i} AS DOUBLE) * "
+        f"(CAST(n_docs AS DOUBLE) / CAST(df{i} AS DOUBLE)) ELSE 0e0 END)"
+        for i in range(len(query_terms))
+    )
+    n_hit = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(query_terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+         {tf_cols}
+      FROM {table}
+    ), stats AS (
+      SELECT count(*) AS n_docs, {df_cols}
+      FROM base
+    )
+    SELECT {id_col}, {term_scores} AS score,
+           CAST({n_hit} AS INTEGER) AS n_hit
+    FROM base, stats
+    WHERE {n_hit} > 0
+    ORDER BY score DESC, {id_col}
+    LIMIT {k}
+    """

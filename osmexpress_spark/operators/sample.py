@@ -416,3 +416,40 @@ def pack_balanced(
         )
         .drop("__tot", "__nbins")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    rank_name: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup 2007): priority = u / w with u the
+    deterministic 48-bit md5-uniform of the id, keep the k SMALLEST
+    priorities. Heavier rows draw proportionally smaller priorities,
+    so inclusion probability scales with weight — the weighted
+    counterpart of reservoir_per_key, reproducible and engine-exact
+    (u and w are exact integers; the one division is a single IEEE op,
+    and ranking ties break on id).
+
+    Scale shape: the priority is a scan-side expression; the top-k is
+    TakeOrdered (no global sort); the rank window runs AFTER the limit
+    over exactly k rows. Zero-weight/null rows are excluded (their
+    priority would be infinite)."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    pri = u.cast("double") / F.col(weight_col).cast("double")
+    keep = (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri"), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__pri"), F.col(id_col))
+    return (
+        keep.withColumn(rank_name, F.row_number().over(w).cast("int"))
+        .drop("__pri")
+    )

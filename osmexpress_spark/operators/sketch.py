@@ -1,0 +1,137 @@
+"""Cardinality / frequency sketches over the corpus (KMV, Count-Min).
+
+Training-data pipelines need cheap corpus statistics long before they
+need exact ones: how many distinct shingles (dedup capacity planning),
+how often does each boilerplate phrase occur (hot-bucket caps). Spark's
+built-in `approx_count_distinct` answers the first with HLL++ but its
+estimates are engine-internal; these two operators are the
+*deterministic, engine-portable* sketch family — every number they emit
+is reproducible bit-for-bit on any engine with md5 (the same
+determinism contract as operators/dedup.py), so the driver's DuckDB
+oracle can check them exactly.
+
+- KMV (k minimum values, Bar-Yossef et al. 2002): keep the k smallest
+  48-bit hashes of the distinct items; estimate = (k-1) * 2^48 /
+  h_(k). 48 bits so every hash is exactly representable as an IEEE
+  double and the single division is the only float op.
+- Count-Min (Cormode & Muthukrishnan 2005): d hash rows x w buckets of
+  exact counts; a point estimate is the min over rows. Build is one
+  d-fold explode + map-side-combined count — the sketch is d*w rows
+  total no matter the corpus size.
+
+Scale shape: both sketches reduce the corpus to a bounded object (k
+rows / d*w rows) via map-side-combinable aggregation; nothing
+item-level ever reaches the driver. The KMV `distinct()` shuffles only
+per-partition-deduped 8-byte hashes; the CMS groupBy shuffles at most
+d*w partial counts per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KMV_BITS = 48  # 12 hex chars: exact in an IEEE double (<= 2^53)
+
+
+def hash48(col: Column) -> Column:
+    """Deterministic 48-bit uniform hash of a string column (md5
+    prefix), the engine-portable idiom shared with dedup/sample."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def kmv_minima(df: DataFrame, item: Column, k: int = 256) -> DataFrame:
+    """The k smallest distinct 48-bit item hashes, as (rank, h).
+
+    Plan: hash -> distinct (map-side partial dedup, the shuffle carries
+    only per-partition-distinct 8-byte hashes) -> global k-smallest
+    (TakeOrdered, no full sort materialization). Duplicate items share
+    a hash, so the distinct is the multiset->set step of the sketch.
+    """
+    from pyspark.sql import Window
+
+    mins = (
+        df.select(hash48(item).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    win = Window.orderBy("h")
+    return mins.select(
+        F.row_number().over(win).cast("int").alias("rank"), "h"
+    )
+
+
+def kmv_distinct_estimate(df: DataFrame, item: Column, k: int = 256) -> DataFrame:
+    """One-row distinct-count estimate: (k_used, kth_hash,
+    est_distinct DOUBLE). With fewer than k distinct hashes the sketch
+    has seen everything and the estimate IS the exact count (the
+    standard KMV small-cardinality branch); otherwise
+    est = (k-1) * 2^48 / h_(k) — exact integer operands, one IEEE
+    division, so the double is engine-exact."""
+    minima = kmv_minima(df, item, k)
+    return minima.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(1 << KMV_BITS)))
+            / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def cms_build(
+    df: DataFrame, item: Column, w: int = 1024, d: int = 3
+) -> DataFrame:
+    """Count-Min sketch of item frequencies: (j, bucket, cnt) for
+    j in [0, d), bucket in [0, w). Row j's bucket of an item is the
+    48-bit md5 of ``"j:item"`` mod w. One explode to d rows per item +
+    one map-side-combined count; the result is at most d*w rows."""
+    rows = df.select(item.alias("item")).select(
+        "item", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    )
+    bucket = (
+        hash48(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("item")))
+        % w
+    )
+    return (
+        rows.select("j", bucket.cast("int").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, items: list[str], w: int = 1024, d: int = 3
+) -> DataFrame:
+    """Point-frequency estimates for a fixed probe list: (item,
+    est_count) where est_count = min over the d rows of the item's
+    bucket count (the classic CMS upper bound; 0 if a bucket is
+    empty). The probe list broadcasts; the sketch is already bounded
+    at d*w rows."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(it, j) for it in items for j in range(d)], "item string, j int"
+    ).select(
+        "item",
+        "j",
+        (
+            hash48(
+                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("item"))
+            )
+            % w
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["j", "bucket"], "left_outer")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

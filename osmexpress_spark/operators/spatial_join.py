@@ -235,3 +235,39 @@ def nearest_neighbors(
         .where(F.col("nn_rank") <= k)
         .select("id", "neighbor_id", "d2", "nn_rank")
     )
+
+
+def way_intersections(
+    node_way: DataFrame,
+    min_shared: int = 1,
+    max_node_degree: int | None = None,
+) -> DataFrame:
+    """Topological way-intersection join: (way_a < way_b,
+    n_shared_nodes) for every pair of ways sharing at least
+    ``min_shared`` nodes — the routing-graph construction step (shared
+    nodes are the junction candidates), expressed over the node_way
+    reverse edge table the engine already maintains.
+
+    Plan: self-equi-join of node_way on node_id (each side one
+    8-byte-pair row per edge) + one map-side-combined count — the
+    inverted-index pair-generation shape of dedup.jaccard_pairs, NOT
+    an all-pairs join. ``max_node_degree`` is the hot-key guard (the
+    minhash/radius-join pattern): a node shared by b ways contributes
+    O(b^2) pairs; degrees above the cap are dropped with the same
+    documented bias trade-off. Default None keeps exact semantics."""
+    e = node_way.select("node_id", "way_id")
+    if max_node_degree is not None:
+        deg = e.groupBy("node_id").agg(F.count(F.lit(1)).alias("__deg"))
+        e = (
+            e.join(deg.where(F.col("__deg") <= max_node_degree), "node_id")
+            .drop("__deg")
+        )
+    a = e.select("node_id", F.col("way_id").alias("way_a"))
+    b = e.select("node_id", F.col("way_id").alias("way_b"))
+    return (
+        a.join(b, "node_id")
+        .where(F.col("way_a") < F.col("way_b"))
+        .groupBy("way_a", "way_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_nodes"))
+        .where(F.col("n_shared_nodes") >= min_shared)
+    )

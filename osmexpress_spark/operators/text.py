@@ -277,3 +277,52 @@ def normalize(text: Column) -> Column:
     return F.trim(
         F.regexp_replace(F.lower(text), "[ \\t\\n\\r\\f]+", " ")
     )
+
+
+# Fixed demo weights for the quality classifier, in integer micro-units
+# (weight * 1e6). A real pipeline trains these offline (sklearn /
+# Spark ML) and ships the vector the same way; inference below is
+# weight-agnostic. Order: [bias, n_tokens, total_token_len,
+# n_alpha_tokens, n_distinct_stopwords, n_digit_tokens].
+LOGREG_WEIGHTS_MICRO = [-2_000_000, 12_000, -3_000, 25_000, 400_000, -150_000]
+
+
+def quality_logreg(
+    text: Column, weights_micro: list[int] | None = None
+) -> Column:
+    """Linear quality-classifier inference as a pure column expression:
+    struct(logit_micro BIGINT, keep BOOLEAN).
+
+    The feature vector is all exact integers (token count, total token
+    length, alpha-token count, DISTINCT stopword count, digit-token
+    count) and the weights arrive as integer micro-units, so the logit
+    is an exact BIGINT dot product — sigmoid is monotone, so
+    classification (logit > 0 <=> p > 0.5) and ranking need no
+    transcendental at all (the module's no-rounded-rational rule).
+    Zero shuffle, whole-stage codegen; at 100 TB this is a scan-side
+    predicate like gopher_flags.
+    """
+    w = weights_micro or LOGREG_WEIGHTS_MICRO
+    if len(w) != 6:
+        raise ValueError("quality_logreg expects 6 weights (bias + 5)")
+    ws = tokens(text)
+    n = F.size(ws).cast("long")
+    total_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_distinct(F.filter(ws, lambda t: t.isin(*STOPWORDS)))
+    ).cast("long")
+    n_digit = F.size(F.filter(ws, lambda t: t.rlike("^[0-9]+$"))).cast("long")
+    logit = (
+        F.lit(w[0])
+        + F.lit(w[1]) * n
+        + F.lit(w[2]) * total_len
+        + F.lit(w[3]) * n_alpha
+        + F.lit(w[4]) * n_stop
+        + F.lit(w[5]) * n_digit
+    ).cast("long")
+    return F.struct(
+        logit.alias("logit_micro"), (logit > 0).alias("keep")
+    )

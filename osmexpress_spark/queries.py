@@ -803,3 +803,45 @@ def q_sessionize(spark, sf_dir):
         F.max("n").alias("max_session_len"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+BAND_SECONDS = 3600
+
+
+@defq(
+    "q_band_join",
+    f"""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS gap_us
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+      AND r.ts > l.ts
+      AND epoch_us(r.ts) - epoch_us(l.ts) <= CAST({BAND_SECONDS} AS BIGINT) * 1000000
+    """,
+)
+def q_band_join(spark, sf_dir):
+    """Batch band join (operators/asof.py:band_join): purchases within
+    one hour AFTER each click by the same user. The plan is the
+    bucketed-band equi-join — floor(epoch/band) buckets, the left side
+    probes (b, b+1), exact predicate refines — so shuffle volume is
+    2|L| + |R| keyed rows, never the per-key pair blowup of a raw
+    inequality join."""
+    from .operators.asof import band_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("ts"), F.col("user_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("ts"), F.col("user_id")
+    )
+    joined = band_join(
+        clicks, purchases, "user_id", "ts", "ts", BAND_SECONDS
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )

@@ -2566,3 +2566,237 @@ def q_pack_balanced(spark, sf_dir):
     return sample.pack_balanced(
         d, "doc_id", "n_tokens", _PACK_BUDGET
     ).select("doc_id", "n_tokens", "bin")
+
+
+# --- deterministic sketches (operators/sketch.py) --------------------------
+KMV_K = 256
+CMS_W = 1024
+CMS_D = 3
+CMS_PROBES = ["spark", "table", "row", "merge", "window", "zzz_absent"]
+
+
+def _cms_bucket_sql(j: str, item: str) -> str:
+    return (
+        f"CAST(CAST('0x' || substring(md5(CAST({j} AS VARCHAR) || ':' "
+        f"|| {item}), 1, 12) AS BIGINT) % {CMS_W} AS INTEGER)"
+    )
+
+
+@defq(
+    "q_kmv_distinct",
+    f"""
+    WITH kw AS (SELECT string_split(text, ' ') AS w FROM documents),
+    ksh AS (
+      SELECT unnest(list_transform(range(len(w) - 2),
+                    i -> array_to_string(w[i+1:i+3], ' '))) AS s
+      FROM kw WHERE len(w) >= 3
+    ),
+    kh AS (
+      SELECT DISTINCT CAST('0x' || substring(md5(s), 1, 12) AS BIGINT) AS h
+      FROM ksh
+    ),
+    kmins AS (SELECT h FROM kh ORDER BY h LIMIT {KMV_K}),
+    kagg AS (
+      SELECT CAST(count(*) AS INTEGER) AS k_used, max(h) AS kth_hash
+      FROM kmins
+    )
+    SELECT k_used, kth_hash,
+           CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE {KMV_K - 1}e0 * {1 << 48}e0 / CAST(kth_hash AS DOUBLE)
+           END AS est_distinct
+    FROM kagg
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over word 3-gram shingles
+    (operators/sketch.py, Bar-Yossef et al. 2002): the k smallest
+    48-bit hashes estimate the corpus' distinct-shingle cardinality
+    with one map-side-deduped shuffle + TakeOrdered — the
+    engine-portable (exactly oracle-checkable) sibling of HLL++."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.where(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        F.explode(dedup.shingles(F.col("text"), k=3)).alias("s")
+    )
+    return sketch.kmv_distinct_estimate(sh, F.col("s"), k=KMV_K)
+
+
+@defq(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH ct AS (SELECT unnest(string_split(text, ' ')) AS item
+                FROM documents),
+    cj AS (SELECT unnest(range({CMS_D})) AS j),
+    csk AS (
+      SELECT cj.j, {_cms_bucket_sql('cj.j', 'ct.item')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ct CROSS JOIN cj GROUP BY 1, 2
+    ),
+    cprobe AS (
+      SELECT p.item, cj.j, {_cms_bucket_sql('cj.j', 'p.item')} AS bucket
+      FROM (SELECT unnest({CMS_PROBES!r}) AS item) p CROSS JOIN cj
+    )
+    SELECT p.item AS term,
+           CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+    FROM cprobe p LEFT JOIN csk s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY p.item
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min point-frequency estimates for a probe vocabulary
+    (operators/sketch.py, Cormode & Muthukrishnan 2005): the token
+    stream folds into a bounded d x w count grid (map-side combine);
+    estimates are the min over the d rows — deterministic md5 bucket
+    hashes make the sketch itself oracle-checkable, absent terms
+    included (est 0 unless all d buckets collide)."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    cms = sketch.cms_build(toks, F.col("item"), w=CMS_W, d=CMS_D)
+    return sketch.cms_estimate(cms, CMS_PROBES, w=CMS_W, d=CMS_D).select(
+        F.col("item").alias("term"), F.col("est_count").cast("long").alias("est_count")
+    )
+
+
+# --- model-driven scoring / weighted sampling / tf-idf ---------------------
+_LR_W = text.LOGREG_WEIGHTS_MICRO
+_LR_STOP = text.STOPWORDS
+
+
+@defq(
+    "q_quality_logreg",
+    f"""
+    WITH lrw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lrf AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+               AS total_len,
+             CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_distinct(list_filter(w,
+               t -> list_contains({_LR_STOP!r}, t)))) AS BIGINT) AS n_stop,
+             CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$')))
+               AS BIGINT) AS n_digit
+      FROM lrw
+    )
+    SELECT doc_id,
+           CAST({_LR_W[0]} + {_LR_W[1]} * n + {_LR_W[2]} * total_len
+                + {_LR_W[3]} * n_alpha + {_LR_W[4]} * n_stop
+                + {_LR_W[5]} * n_digit AS BIGINT) AS logit_micro,
+           ({_LR_W[0]} + {_LR_W[1]} * n + {_LR_W[2]} * total_len
+                + {_LR_W[3]} * n_alpha + {_LR_W[4]} * n_stop
+                + {_LR_W[5]} * n_digit) > 0 AS keep
+    FROM lrf
+    """,
+)
+def q_quality_logreg(spark, sf_dir):
+    """Quality-classifier inference (operators/text.py:quality_logreg):
+    a broadcast-weight logistic-regression scan emitting the exact
+    integer-micro logit (sigmoid is monotone, so logit > 0 IS the
+    p > 0.5 decision — no transcendental, no rounded rational).
+    Zero-shuffle scan-side predicate at any scale."""
+    d = t(spark, sf_dir, "documents")
+    s = text.quality_logreg(F.col("text"))
+    return d.select(
+        "doc_id", s["logit_micro"].alias("logit_micro"), s["keep"].alias("keep")
+    )
+
+
+@defq(
+    "q_priority_sample",
+    """
+    WITH pw AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY pri, doc_id) AS INTEGER)
+             AS sample_rank
+    FROM pw ORDER BY pri, doc_id LIMIT 50
+    """,
+)
+def q_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement via priority sampling
+    (sample.py:priority_sample, Duffield-Lund-Thorup 2007): priority =
+    md5-uniform(id) / weight, keep the 50 smallest — longer documents
+    (weight n_chars) are proportionally likelier. Scan-side priority +
+    TakeOrdered; the rank window runs over exactly 50 rows."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sample.priority_sample(d, "doc_id", "n_chars", k=50).select(
+        "doc_id", "n_chars", "sample_rank"
+    )
+
+
+@defq(
+    "q_tfidf_topk",
+    retrieval.tfidf_oracle_sql(["hash", "join", "spark"], k=10),
+)
+def q_tfidf_topk(spark, sf_dir):
+    """TF-IDF lexical top-k beside q_bm25_topk (operators/retrieval.py:
+    tfidf_topk): same zero-shuffle scoring scan + broadcast stats row +
+    TakeOrdered plan, raw-ratio idf so every double is engine-exact."""
+    return retrieval.tfidf_topk(
+        t(spark, sf_dir, "documents"), ["hash", "join", "spark"], k=10
+    )
+
+
+_BIGRAM_CTE = """
+    bgw AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bgp AS (
+      SELECT doc_id, (lang = 'en') AS is_lm,
+             substr(md5(w[i+1]), 1, 2) AS b1,
+             substr(md5(w[i+2]), 1, 2) AS b2
+      FROM bgw, unnest(range(len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, is_lm, b1, b2, count(*) AS n
+      FROM bgp GROUP BY doc_id, is_lm, b1, b2
+    ),
+    bgd AS (
+      SELECT b1, b2,
+             CAST(sum(CASE WHEN is_lm THEN n ELSE 0 END) AS BIGINT) AS lm_n
+      FROM bgc GROUP BY b1, b2
+    ),
+    bgctx AS (
+      SELECT b1, CAST(sum(lm_n) AS BIGINT) AS ctx_n FROM bgd GROUP BY b1
+    ),
+    bgm AS (
+      SELECT d.b1, d.b2,
+             CAST(round(-ln((lm_n + 1.0e0) / (ctx_n + 65536.0e0)) * 1e6, 0)
+                  AS BIGINT) AS nll_micro_b
+      FROM bgd d JOIN bgctx c ON d.b1 = c.b1
+    ),
+    bgnll AS (
+      SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_bigrams,
+             CAST(sum(n * nll_micro_b) AS BIGINT) AS nll_micro
+      FROM bgc JOIN bgm USING (b1, b2) GROUP BY doc_id
+    )
+"""
+
+
+@defq(
+    "q_bigram_perplexity",
+    f"""
+    WITH {_BIGRAM_CTE}
+    SELECT doc_id AS id, n_bigrams, nll_micro FROM bgnll
+    """,
+)
+def q_bigram_perplexity(spark, sf_dir):
+    """Bigram-LM quality scores (importance.py:bigram_nll_scores): the
+    word-order-aware upgrade of q_perplexity_scores — hashed
+    conditional bigram model trained on the lang='en' subset, per-doc
+    NLL as exact micro-nat BIGINT sums; the <=65536-row model
+    broadcasts, the corpus shuffles only bucket-pair partials."""
+    from .operators import importance
+
+    d = t(spark, sf_dir, "documents")
+    return importance.bigram_nll_scores(d, F.col("lang") == "en")

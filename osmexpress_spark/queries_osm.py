@@ -716,6 +716,59 @@ SELECT dsc.root AS id,
        m.mtype, m.ref
 FROM dsc JOIN memp m ON m.rel_id = dsc.rel_id AND m.mtype <> 'relation'
 ORDER BY id, path""",
+        "osm_tag_stats": f"""
+WITH el AS (
+  SELECT 'node' AS type, tags_kv FROM read_parquet('{d}/nodes.parquet')
+  UNION ALL
+  SELECT 'way', tags_kv FROM read_parquet('{d}/ways.parquet')
+  UNION ALL
+  SELECT 'relation', tags_kv FROM read_parquet('{d}/relations.parquet')
+),
+kv AS (
+  SELECT type, tags_kv[2*i+1] AS key, tags_kv[2*i+2] AS value
+  FROM el, unnest(range(len(tags_kv) // 2)) AS u(i)
+)
+SELECT type, key, value, CAST(count(*) AS BIGINT) AS n
+FROM kv GROUP BY type, key, value""",
+        "osm_way_areas": f"""
+WITH wa AS (
+  SELECT id, nodes FROM read_parquet('{d}/ways.parquet')
+  WHERE len(nodes) >= 4 AND nodes[1] = nodes[len(nodes)]
+),
+wv AS (
+  SELECT id, unnest(nodes) AS node_id,
+         generate_subscripts(nodes, 1) AS pos
+  FROM wa
+),
+wp AS (
+  SELECT wv.id, wv.pos, l.lon, l.lat
+  FROM wv JOIN read_parquet('{d}/locations.parquet') l ON wv.node_id = l.id
+),
+wl AS (
+  SELECT id,
+         list(struct_pack(pos := pos, lon := lon, lat := lat)
+              ORDER BY pos) AS pts
+  FROM wp GROUP BY id
+)
+SELECT id, CAST(len(pts) AS INTEGER) AS n_vertices,
+       CAST(COALESCE(list_sum(list_transform(range(len(pts) - 1), i ->
+         (CAST(pts[i+1].lon AS BIGINT) - pts[1].lon)
+           * (CAST(pts[i+2].lat AS BIGINT) - pts[1].lat)
+         - (CAST(pts[i+2].lon AS BIGINT) - pts[1].lon)
+           * (CAST(pts[i+1].lat AS BIGINT) - pts[1].lat))), 0)
+         AS BIGINT) AS area2
+FROM wl""",
+        "osm_way_intersections": f"""
+WITH e AS (
+  SELECT DISTINCT node_id, way_id FROM (
+    SELECT unnest(nodes) AS node_id, id AS way_id
+    FROM read_parquet('{d}/ways.parquet')
+  )
+)
+SELECT a.way_id AS way_a, b.way_id AS way_b,
+       CAST(count(*) AS BIGINT) AS n_shared_nodes
+FROM e a JOIN e b ON a.node_id = b.node_id AND a.way_id < b.way_id
+GROUP BY a.way_id, b.way_id""",
     }
 
 
@@ -744,3 +797,45 @@ def osm_relation_geojson(spark, sf_dir):
         "mtype",
         "ref",
     ).orderBy("id", "path")
+
+
+@defq("osm_tag_stats")
+def osm_tag_stats(spark, sf_dir):
+    """Taginfo-style key/value census over all three element types
+    (the reference's tag inventory workload; taginfo.openstreetmap.org
+    is the canonical consumer): one union scan of the payload tables,
+    one explode of the tag map, one map-side-combined aggregate."""
+    ds = _dataset(spark)
+    out = None
+    for tname, typ in (("nodes", "node"), ("ways", "way"),
+                       ("relations", "relation")):
+        rows = ds.table(tname).select(
+            F.lit(typ).alias("type"),
+            F.explode("tags").alias("key", "value"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.groupBy("type", "key", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@defq("osm_way_areas")
+def osm_way_areas(spark, sf_dir):
+    """Closed-ring shoelace areas (functions/__init__.py:way_areas):
+    exact signed integer 2A per closed way, translated to the first
+    vertex so products never overflow — the measurement step under
+    multipolygon pipelines."""
+    ds = _dataset(spark)
+    return fn.way_areas(ds.table("ways"), ds.table("locations"))
+
+
+@defq("osm_way_intersections")
+def osm_way_intersections(spark, sf_dir):
+    """Topological way-intersection pairs over the node_way edge table
+    (operators/spatial_join.py:way_intersections): the routing-graph
+    junction-candidate join as an inverted-index self-join, not
+    all-pairs."""
+    from .operators.spatial_join import way_intersections
+
+    ds = _dataset(spark)
+    return way_intersections(ds.table("node_way"))

@@ -174,3 +174,36 @@ def test_perplexity_scores_broadcast_model(spark):
     plan = _final_plan(QD.SPARK_QUERIES["q_perplexity_scores"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_logreg_zero_shuffle_no_python(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_quality_logreg"](spark, SF_DIR))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_tfidf_takeordered_broadcast_stats(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_tfidf_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan
+
+
+def test_kmv_takeordered_no_python(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_kmv_distinct"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan and "Python" not in plan
+
+
+def test_cms_bounded_hashagg_no_python(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_cms_heavy_hitters"](spark, SF_DIR))
+    assert "HashAggregate" in plan and "Python" not in plan
+
+
+def test_bigram_model_broadcasts(spark):
+    plan = _final_plan(QD.SPARK_QUERIES["q_bigram_perplexity"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
+
+
+def test_band_join_is_equi_join(spark):
+    plan = _final_plan(Q.SPARK_QUERIES["q_band_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

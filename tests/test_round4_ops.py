@@ -1,0 +1,216 @@
+"""Round-4 operators: deterministic sketches (KMV / Count-Min),
+priority sampling, logreg quality inference, TF-IDF, bigram LM,
+bucketed band join, shoelace way areas, way-intersection join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import retrieval, sample, sketch, text
+from osmexpress_spark.operators.asof import band_join
+from osmexpress_spark.operators.spatial_join import way_intersections
+
+
+# --- KMV -------------------------------------------------------------------
+def test_kmv_exact_branch_small_cardinality(spark):
+    df = spark.createDataFrame(
+        [(f"item{i % 7}",) for i in range(100)], "s string"
+    )
+    row = sketch.kmv_distinct_estimate(df, F.col("s"), k=256).collect()[0]
+    assert row.k_used == 7
+    assert row.est_distinct == 7.0  # fewer than k -> exact count
+
+
+def test_kmv_estimate_within_sampling_error(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "s string")
+    row = sketch.kmv_distinct_estimate(df, F.col("s"), k=256).collect()[0]
+    assert row.k_used == 256
+    # KMV stderr ~ n/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(row.est_distinct - n) < 0.25 * n
+    # duplicates never change the sketch (set semantics)
+    dup = spark.createDataFrame(
+        [(f"u{i % n}",) for i in range(2 * n)], "s string"
+    )
+    row2 = sketch.kmv_distinct_estimate(dup, F.col("s"), k=256).collect()[0]
+    assert (row2.kth_hash, row2.est_distinct) == (row.kth_hash, row.est_distinct)
+
+
+# --- Count-Min -------------------------------------------------------------
+def test_cms_never_underestimates_and_hits_exact_counts(spark):
+    items = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(items, "s string")
+    cms = sketch.cms_build(df, F.col("s"), w=1024, d=3)
+    got = {
+        r["item"]: r["est_count"]
+        for r in sketch.cms_estimate(
+            cms, ["a", "b", "c", "nope"], w=1024, d=3
+        ).collect()
+    }
+    true = {"a": 50, "b": 7, "c": 1, "nope": 0}
+    for k, t in true.items():
+        assert got[k] >= t  # CMS is an upper bound, always
+    # with 3 items in 1024*3 buckets there are no collisions
+    assert got == true
+
+
+def test_cms_sketch_is_bounded(spark):
+    df = spark.createDataFrame([(f"i{i}",) for i in range(5000)], "s string")
+    cms = sketch.cms_build(df, F.col("s"), w=64, d=2)
+    assert cms.count() <= 64 * 2
+
+
+# --- priority sampling -----------------------------------------------------
+def test_priority_sample_weights_bias_inclusion(spark):
+    # 200 light rows (w=1) vs 200 heavy rows (w=100): the heavy half
+    # must dominate a k=40 sample
+    rows = [(i, 1) for i in range(200)] + [(i, 100) for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sample.priority_sample(df, "id", "w", k=40).collect()
+    heavy = sum(1 for r in got if r["id"] >= 200)
+    assert heavy >= 35
+    ranks = sorted(r["sample_rank"] for r in got)
+    assert ranks == list(range(1, 41))
+    # deterministic across runs
+    again = sample.priority_sample(df, "id", "w", k=40).collect()
+    assert {r["id"] for r in got} == {r["id"] for r in again}
+
+
+def test_priority_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "id long, w long"
+    )
+    got = sample.priority_sample(df, "id", "w", k=10).collect()
+    assert [r["id"] for r in got] == [3]
+
+
+# --- logreg quality inference ----------------------------------------------
+def test_quality_logreg_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick fox 123"), (2, "")], "id long, text string"
+    )
+    s = text.quality_logreg(F.col("text"))
+    got = {
+        r["id"]: (r["q"]["logit_micro"], r["q"]["keep"])
+        for r in df.select("id", s.alias("q")).collect()
+    }
+    w = text.LOGREG_WEIGHTS_MICRO
+    # doc 1: 4 tokens, total_len 3+5+3+3=14, alpha 3, distinct stop {the}=1,
+    # digit 1
+    expect1 = w[0] + w[1] * 4 + w[2] * 14 + w[3] * 3 + w[4] * 1 + w[5] * 1
+    assert got[1] == (expect1, expect1 > 0)
+    # doc 2: split("") -> [""] => 1 token of length 0, nothing else
+    expect2 = w[0] + w[1] * 1
+    assert got[2] == (expect2, expect2 > 0)
+
+
+def test_quality_logreg_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        text.quality_logreg(F.col("text"), weights_micro=[1, 2])
+
+
+# --- TF-IDF ----------------------------------------------------------------
+def test_tfidf_scores_and_absent_term(spark):
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "w w w")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["n_hit"])
+        for r in retrieval.tfidf_topk(df, ["x", "y", "absent"], k=10).collect()
+    }
+    # N=3, df_x=2, df_y=1; doc1: 2*(3/2) + 1*(3/1) = 6.0; doc2: 1.5
+    assert got[1] == (6.0, 2)
+    assert got[2] == (1.5, 1)
+    assert 3 not in got  # no hit, no row
+    with pytest.raises(ValueError):
+        retrieval.tfidf_topk(df, [])
+
+
+# --- bigram LM -------------------------------------------------------------
+def test_bigram_nll_counts_and_short_docs(spark):
+    from osmexpress_spark.operators import importance
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b", "en"), (3, "solo", "en"),
+         (4, "b c b c", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["id"]: r for r in importance.bigram_nll_scores(
+            df, F.col("lang") == "en"
+        ).collect()
+    }
+    assert got[1]["n_bigrams"] == 2 and got[2]["n_bigrams"] == 1
+    assert got[4]["n_bigrams"] == 3
+    assert 3 not in got  # single-token doc has no bigrams
+    # out-of-model doc still scores (add-one smoothing), and repeated
+    # high-probability pairs cost less per bigram than unseen ones
+    assert all(r["nll_micro"] > 0 for r in got.values())
+
+
+# --- band join -------------------------------------------------------------
+def test_band_join_boundaries(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 7, ts(0)), (2, 7, ts(10_000)), (3, 8, ts(0))],
+        "lid long, user long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 7, ts(0)),        # equal time: excluded (strict >)
+         (101, 7, ts(1)),        # in band
+         (102, 7, ts(3600)),     # exactly band: included (<=)
+         (103, 7, ts(3601)),     # out
+         (104, 9, ts(1))],       # other key
+        "rid long, user long, ts timestamp",
+    )
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in band_join(left, right, "user", "ts", "ts", 3600).collect()
+    }
+    assert got == {(1, 101), (1, 102)}
+    with pytest.raises(ValueError):
+        band_join(left, right, "user", "ts", "ts", 0)
+
+
+# --- way areas -------------------------------------------------------------
+def test_way_areas_unit_square_and_orientation(spark):
+    from osmexpress_spark import functions as fn
+
+    # square of side 10 at an offset (translation invariance), CCW and CW
+    locs = spark.createDataFrame(
+        [(1, 1000, 2000), (2, 1010, 2000), (3, 1010, 2010), (4, 1000, 2010)],
+        "id long, lon int, lat int",
+    )
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 1]),      # CCW: +2A = 200
+         (11, [1, 4, 3, 2, 1]),      # CW: -200
+         (12, [1, 2, 3]),            # open: excluded
+         (13, [1, 2, 1])],           # closed but < 4 refs: excluded
+        "id long, nodes array<long>",
+    )
+    got = {r["id"]: (r["n_vertices"], r["area2"])
+           for r in fn.way_areas(ways, locs).collect()}
+    assert got == {10: (5, 200), 11: (5, -200)}
+
+
+# --- way intersections -----------------------------------------------------
+def test_way_intersections_counts_and_degree_cap(spark):
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12),
+         (9, 10), (9, 11), (9, 12)],   # node 9: degree 3 hub
+        "node_id long, way_id long",
+    )
+    got = {(r["way_a"], r["way_b"]): r["n_shared_nodes"]
+           for r in way_intersections(edges).collect()}
+    assert got == {(10, 11): 3, (10, 12): 2, (11, 12): 1}
+    capped = {(r["way_a"], r["way_b"]): r["n_shared_nodes"]
+              for r in way_intersections(edges, max_node_degree=2).collect()}
+    assert capped == {(10, 11): 2, (10, 12): 1}
+    assert way_intersections(edges, min_shared=2).count() == 2
