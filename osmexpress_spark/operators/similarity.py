@@ -1117,3 +1117,30 @@ def ivfpq_append(
         .mode("append")
         .parquet(os.path.join(path, "lists"))
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall report of an approximate top-k against the exact top-k:
+    (query_id, n_exact, n_overlap) — recall@k is the rational
+    n_overlap / n_exact (emitted as numerator/denominator per the
+    no-rounded-rational rule). Both inputs are (query_id, neighbor_id
+    [, rank]) result frames, so any pair of this module's searchers
+    (brute force vs LSH / IVF / PQ / IVFPQ) can be compared.
+
+    Scale shape: result sets are k rows per query by construction, so
+    the join is tiny regardless of corpus size — evaluation costs the
+    two searches, not the comparison."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_overlap"),
+        )
+    )

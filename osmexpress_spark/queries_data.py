@@ -2800,3 +2800,62 @@ def q_bigram_perplexity(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return importance.bigram_nll_scores(d, F.col("lang") == "en")
+
+
+# --- ANN evaluation --------------------------------------------------------
+def _ranked_sql(qcte: str, ccte: str, joincond: str, k: int) -> str:
+    return f"""(
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id)
+                    AS INTEGER) AS r
+        FROM (
+          SELECT query_id, neighbor_id,
+                 round({_dot_sql('qv', 'cv')} /
+                       (sqrt({_dot_sql('qv', 'qv')})
+                        * sqrt({_dot_sql('cv', 'cv')})), 6) AS sim
+          FROM {qcte}, {ccte}
+          WHERE neighbor_id != query_id {joincond}
+        )
+      ) WHERE r <= {k}
+    )"""
+
+
+@defq(
+    "q_ann_recall",
+    f"""
+    WITH arq AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+    arc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    arbk AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    arqb AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+             FROM arbk WHERE vec_id < 10),
+    arcb AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket
+             FROM arbk),
+    arex AS {_ranked_sql('arq', 'arc', '', 3)},
+    arap AS {_ranked_sql('arqb', 'arcb', 'AND arqb.bucket = arcb.bucket', 3)}
+    SELECT e.query_id,
+           CAST(count(*) AS INTEGER) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_overlap
+    FROM arex e LEFT JOIN arap a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation (similarity.py:ann_recall): recall@3 of
+    the LSH-bucketed searcher against exact brute force, per query —
+    the report every approximate-index deployment needs before
+    trusting the index. Output keeps the rational (n_overlap,
+    n_exact); both searches run their own documented plans and the
+    comparison joins k-row result sets."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = similarity.topk_bruteforce(q, emb, k=3)
+    approx = similarity.topk_bucketed(q, emb, dim=EMB_DIM, k=3)
+    return similarity.ann_recall(exact, approx)

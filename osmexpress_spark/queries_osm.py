@@ -769,6 +769,35 @@ SELECT a.way_id AS way_a, b.way_id AS way_b,
        CAST(count(*) AS BIGINT) AS n_shared_nodes
 FROM e a JOIN e b ON a.node_id = b.node_id AND a.way_id < b.way_id
 GROUP BY a.way_id, b.way_id""",
+        "osm_integrity_audit": f"""
+WITH locs AS (SELECT id FROM read_parquet('{d}/locations.parquet')),
+wayt AS (SELECT id, nodes FROM read_parquet('{d}/ways.parquet')),
+relt AS (SELECT id, members FROM read_parquet('{d}/relations.parquet')),
+wrefs AS (SELECT unnest(nodes) AS ref FROM wayt),
+mem AS (
+  SELECT struct_extract(unnest(members), 'type') AS mtype,
+         struct_extract(unnest(members), 'ref') AS ref
+  FROM relt
+)
+SELECT 'way_node' AS category, CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(sum(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dangling
+FROM wrefs r LEFT JOIN locs l ON r.ref = l.id
+UNION ALL
+SELECT 'relation_node', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT ref FROM mem WHERE mtype = 'node') r
+LEFT JOIN locs l ON r.ref = l.id
+UNION ALL
+SELECT 'relation_way', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN w.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT ref FROM mem WHERE mtype = 'way') r
+LEFT JOIN wayt w ON r.ref = w.id
+UNION ALL
+SELECT 'relation_relation', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN t.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT ref FROM mem WHERE mtype = 'relation') r
+LEFT JOIN relt t ON r.ref = t.id""",
     }
 
 
@@ -839,3 +868,16 @@ def osm_way_intersections(spark, sf_dir):
 
     ds = _dataset(spark)
     return way_intersections(ds.table("node_way"))
+
+
+@defq("osm_integrity_audit")
+def osm_integrity_audit(spark, sf_dir):
+    """Referential-integrity census (operators/audit.py): dangling
+    reference counts per category — the QA report the reference's
+    extract silently works around (src/extract.cpp:253-255)."""
+    from .operators.audit import integrity_audit
+
+    ds = _dataset(spark)
+    return integrity_audit(
+        ds.table("locations"), ds.table("ways"), ds.relations()
+    )

@@ -214,3 +214,48 @@ def test_way_intersections_counts_and_degree_cap(spark):
               for r in way_intersections(edges, max_node_degree=2).collect()}
     assert capped == {(10, 11): 2, (10, 12): 1}
     assert way_intersections(edges, min_shared=2).count() == 2
+
+
+# --- ANN recall report -----------------------------------------------------
+def test_ann_recall_counts_overlap(spark):
+    from osmexpress_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 77), (2, 78), (2, 79)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: (r["n_exact"], r["n_overlap"])
+           for r in similarity.ann_recall(exact, approx).collect()}
+    assert got == {1: (3, 2), 2: (3, 0)}
+
+
+# --- integrity audit -------------------------------------------------------
+def test_integrity_audit_counts_dangling_refs(spark):
+    from osmexpress_spark.operators.audit import integrity_audit
+
+    locs = spark.createDataFrame([(1,), (2,)], "id long")
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 999]), (11, [2, 2])], "id long, nodes array<long>"
+    )
+    rels = spark.createDataFrame(
+        [(20,
+          [{"ref": 1, "type": "node", "role": ""},
+           {"ref": 555, "type": "node", "role": ""},
+           {"ref": 10, "type": "way", "role": ""},
+           {"ref": 777, "type": "way", "role": ""},
+           {"ref": 21, "type": "relation", "role": ""}]),
+         (21, [{"ref": 888, "type": "relation", "role": ""}])],
+        "id long, members array<struct<ref:long,type:string,role:string>>",
+    )
+    got = {r["category"]: (r["n_refs"], r["n_dangling"])
+           for r in integrity_audit(locs, ways, rels).collect()}
+    assert got == {
+        "way_node": (5, 1),          # 999 dangling; duplicate 2 counts twice
+        "relation_node": (2, 1),     # 555
+        "relation_way": (2, 1),      # 777
+        "relation_relation": (2, 1), # 888 (21 exists)
+    }
