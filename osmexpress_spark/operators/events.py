@@ -1,0 +1,88 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Classic product-analytics operators over an (id, user, ts, type)
+event stream — the workloads every warehouse bolts next to its OLAP
+core. Both are pure DataFrame compositions:
+
+- funnel: each stage is the MIN timestamp of a qualifying event
+  STRICTLY AFTER the previous stage's timestamp (ordered progression,
+  not mere membership), computed as one filtered aggregate per stage
+  joined back on the user key. k stages = k map-side-combined
+  aggregates + k-1 broadcast-or-shuffle joins on user_id; no windows,
+  no per-user event sorting.
+- cohort retention: users keyed by first-activity day, activity
+  bucketed into integer week offsets — two aggregates and one join.
+
+Scale shape: everything aggregates BEFORE joining (per-user rows, not
+per-event), so the joins carry |users| rows regardless of event
+volume; the event table is scanned once per stage with a pushed type
+predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user, stage) where stage = number of funnel steps completed IN
+    ORDER: step i+1 counts only if a qualifying event happens strictly
+    after the user's step-i completion time. Users completing zero
+    steps are absent (an event stream has no roster of non-users)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.where(steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("t"))
+        .select("user", "t", F.lit(1).alias("stage"))
+    )
+    out = cur
+    for i, pred in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(pred)
+            .select(F.col(user_col).alias("user"), F.col(ts_col).alias("__ts"))
+            .join(cur.select("user", "t"), "user")
+            .where(F.col("__ts") > F.col("t"))
+            .groupBy("user")
+            .agg(F.min("__ts").alias("t"))
+            .select("user", "t", F.lit(i).alias("stage"))
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    # a user's stage is the deepest stage reached
+    return out.groupBy("user").agg(F.max("stage").cast("int").alias("stage"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day STRING, week_offset INT, n_users BIGINT): users
+    grouped by their first-activity day; each later activity week
+    (integer floor((day - cohort_day) / 7)) counts the user once.
+    cohort_day is emitted as 'yyyy-MM-dd' text (engine-portable)."""
+    days = events.select(
+        F.col(user_col).alias("user"), F.to_date(ts_col).alias("day")
+    )
+    first = days.groupBy("user").agg(F.min("day").alias("c0"))
+    active = (
+        days.distinct()
+        .join(first, "user")
+        .select(
+            "user",
+            F.col("c0"),
+            F.floor(F.datediff("day", "c0") / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -241,16 +241,23 @@ def frame_sample(
 RESIZE_SCHEMA = "item_id long, resized binary, n_bytes_out long"
 
 
-def resize_bytes(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Resize/downsample stub: keep every `factor`-th byte of the
-    payload. The real op is an image resize (PIL/opencv) with the same
-    (payload in) -> (payload out) mapInPandas contract; the byte
-    decimation keeps the plumbing deterministic and testable without
-    codec libraries."""
+def resize_bytes(
+    df: DataFrame,
+    factor: int = 2,
+    resizer: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize/downsample over the (payload in) -> (payload out)
+    mapInPandas contract. The default keeps every `factor`-th byte
+    (format-agnostic deterministic stub); pass `resizer=bmp_resize`
+    for a REAL nearest-neighbor image downsample of 24-bit BMP
+    columns, or a PIL/opencv closure in production."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [bytes(p)[::factor] for p in pdf["payload"]]
+            if resizer is None:
+                resized = [bytes(p)[::factor] for p in pdf["payload"]]
+            else:
+                resized = [resizer(bytes(p), factor) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
@@ -262,3 +269,92 @@ def resize_bytes(df: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def wav_decoder(payload: bytes) -> list[float]:
+    """REAL audio decode for PCM WAV via the stdlib wave module (no
+    codec library needed): [n_channels, sample_rate, n_frames,
+    mean_abs, peak] with amplitudes normalized to [0, 1]. Integer
+    sample sums stay exact; the two divisions are single IEEE ops.
+    Compressed audio (mp3/ogg/flac) raises NotImplementedError (the
+    honest-stub branch); a malformed RIFF header raises ValueError —
+    both per-row decode_ok=False through extract_features."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes in-container; swap in torchaudio/ffmpeg "
+            "via decoder= for compressed audio"
+        )
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, width, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+    if width not in (1, 2):
+        raise NotImplementedError(f"sample width {width} not supported")
+    n = nch * nframes
+    if len(raw) < n * width:
+        raise ValueError("WAV data chunk truncated")
+    if width == 1:  # unsigned 8-bit, midpoint 128
+        samples = [b - 128 for b in raw[: n]]
+        full = 128.0
+    else:  # signed 16-bit little-endian
+        import struct
+
+        samples = struct.unpack(f"<{n}h", raw[: n * 2])
+        full = 32768.0
+    tot_abs = sum(abs(s) for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    denom = n * full
+    return [
+        float(nch),
+        float(rate),
+        float(nframes),
+        tot_abs / denom if n else 0.0,
+        peak / full,
+    ]
+
+
+def bmp_resize(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image downsample for uncompressed 24-bit BMP: keep every
+    `factor`-th pixel on both axes (nearest-neighbor decimation) and
+    re-encode a valid BMP. The stdlib-only counterpart of a PIL
+    resize, usable as `resize_bytes`' resizer= for BMP columns."""
+    import struct
+
+    feats = _decode_bmp24(payload)  # validates header + bounds
+    width, height = int(feats[0]), int(feats[1])
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    (raw_h,) = struct.unpack_from("<i", payload, 22)
+    stride = ((width * 3 + 3) // 4) * 4
+    nw = (width + factor - 1) // factor
+    nh = (height + factor - 1) // factor
+    nstride = ((nw * 3 + 3) // 4) * 4
+    top_down = raw_h < 0
+    # sample IMAGE rows 0, f, 2f, ... (top-left anchored) regardless of
+    # storage order: bottom-up files store image row r at storage row
+    # height-1-r, and the output keeps the input's storage order
+    rows = []
+    for img_row in range(0, height, factor):
+        srow = img_row if top_down else height - 1 - img_row
+        base = pixel_off + srow * stride
+        out = bytearray()
+        for x in range(0, width, factor):
+            o = base + x * 3
+            out += payload[o : o + 3]
+        out += b"\x00" * (nstride - len(out))
+        rows.append(bytes(out))
+    if not top_down:
+        rows.reverse()
+    body = b"".join(rows)
+    new_h = -nh if raw_h < 0 else nh
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, nw, new_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + info + body

@@ -845,3 +845,77 @@ def q_band_join(spark, sf_dir):
         "user_id",
         (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+@defq(
+    "q_event_funnel",
+    """
+    WITH f1 AS (
+      SELECT user_id AS "user", min(ts) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    f2 AS (
+      SELECT e.user_id AS "user", min(e.ts) AS t
+      FROM events e JOIN f1 ON e.user_id = f1."user"
+      WHERE e.event_type = 'click' AND e.ts > f1.t
+      GROUP BY e.user_id
+    ),
+    f3 AS (
+      SELECT e.user_id AS "user", min(e.ts) AS t
+      FROM events e JOIN f2 ON e.user_id = f2."user"
+      WHERE e.event_type = 'purchase' AND e.ts > f2.t
+      GROUP BY e.user_id
+    ),
+    stages AS (
+      SELECT "user", 1 AS stage FROM f1
+      UNION ALL SELECT "user", 2 FROM f2
+      UNION ALL SELECT "user", 3 FROM f3
+    )
+    SELECT "user", CAST(max(stage) AS INTEGER) AS stage
+    FROM stages GROUP BY "user"
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/events.py:funnel_stages): stage i+1 counts only events
+    strictly after the user's stage-i completion — per-user aggregates
+    join, the event table never self-joins row-to-row."""
+    from .operators.events import funnel_stages
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+@defq(
+    "q_cohort_retention",
+    """
+    WITH days AS (
+      SELECT user_id AS "user", CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (SELECT "user", min(day) AS c0 FROM days GROUP BY "user"),
+    active AS (
+      SELECT DISTINCT d."user", f.c0,
+             CAST((day - c0) // 7 AS INTEGER) AS week_offset
+      FROM (SELECT DISTINCT "user", day FROM days) d
+      JOIN first f ON d."user" = f."user"
+    )
+    SELECT strftime(c0, '%Y-%m-%d') AS cohort_day, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active GROUP BY c0, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention grid (operators/events.py:cohort_retention):
+    first-activity-day cohorts x integer week offsets; per-user
+    aggregates join so the join carries |users| rows, not events."""
+    from .operators.events import cohort_retention
+
+    ev = t(spark, sf_dir, "events")
+    return cohort_retention(ev)

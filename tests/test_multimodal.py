@@ -188,3 +188,79 @@ def test_extract_features_real_images_distributed(spark):
     assert not got[3].decode_ok and got[3].feat is None
     assert not got[4].decode_ok and got[4].feat is None
     assert got[1].modality == "image"
+
+
+# --- real WAV decode (stdlib wave) -----------------------------------------
+def _wav(samples, rate=8000, nch=1, width=2):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes(bytes(s + 128 for s in samples))
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_wav_decoder_golden():
+    pcm = [0, 16384, -16384, 32767]
+    nch, rate, nframes, mean_abs, peak = multimodal.wav_decoder(_wav(pcm))
+    assert (nch, rate, nframes) == (1.0, 8000.0, 4.0)
+    assert mean_abs == (0 + 16384 + 16384 + 32767) / (4 * 32768.0)
+    assert peak == 32767 / 32768.0
+    # 8-bit path
+    feats = multimodal.wav_decoder(_wav([0, 64, -64], width=1))
+    assert feats[3] == (0 + 64 + 64) / (3 * 128.0)
+
+
+def test_wav_decoder_failure_shapes():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.wav_decoder(b"ID3\x04mp3-like-bytes")
+    w = _wav([1, 2, 3])
+    with pytest.raises(ValueError):
+        multimodal.wav_decoder(w[:-3])  # truncated data chunk
+
+
+def test_wav_decode_distributed(spark):
+    rows = [(i, bytearray(_wav([i * 100, -i * 100]))) for i in range(1, 5)]
+    rows.append((99, bytearray(b"OggS-not-wav")))
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {
+        r.item_id: r
+        for r in multimodal.extract_features(
+            df, decoder=multimodal.wav_decoder, modality="audio"
+        ).collect()
+    }
+    assert all(got[i].decode_ok for i in range(1, 5))
+    assert got[3].feat[4] == 300 / 32768.0
+    assert not got[99].decode_ok
+
+
+# --- real BMP resize -------------------------------------------------------
+def test_bmp_resize_nearest_neighbor():
+    # 4x4 with distinct pixels; factor 2 keeps rows 0,2 x cols 0,2
+    pix = [[(r * 16 + c, 0, 255 - r * 16 - c) for c in range(4)]
+           for r in range(4)]
+    small = multimodal.bmp_resize(_bmp24(pix), 2)
+    w, h, mr, mg, mb = multimodal.image_decoder(small)
+    assert (w, h) == (2.0, 2.0)
+    kept = [pix[0][0], pix[0][2], pix[2][0], pix[2][2]]
+    assert mr == sum(p[0] for p in kept) / (4 * 255.0)
+    assert mb == sum(p[2] for p in kept) / (4 * 255.0)
+
+
+def test_resize_bytes_with_real_resizer(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp24(PIXELS)))], "item_id long, payload binary"
+    )
+    r = multimodal.resize_bytes(df, 2, resizer=multimodal.bmp_resize).collect()[0]
+    w, h, *_ = multimodal.image_decoder(bytes(r.resized))
+    assert (w, h) == (2.0, 1.0)

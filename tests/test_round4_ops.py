@@ -259,3 +259,59 @@ def test_integrity_audit_counts_dangling_refs(spark):
         "relation_way": (2, 1),      # 777
         "relation_relation": (2, 1), # 888 (21 exists)
     }
+
+
+# --- funnel / cohort -------------------------------------------------------
+def test_funnel_requires_ordered_progression(spark):
+    from osmexpress_spark.operators.events import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase, fully ordered
+            (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+            # user 2: purchase BEFORE click: stops at stage 2
+            (2, "view", ts(0)), (2, "purchase", ts(1)), (2, "click", ts(2)),
+            # user 3: click only, never viewed: no funnel entry at all
+            (3, "click", ts(0)),
+            # user 4: view only
+            (4, "view", ts(5)),
+            # user 5: click at the SAME instant as view: strict > excludes
+            (5, "view", ts(0)), (5, "click", ts(0)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {r["user"]: r["stage"] for r in funnel_stages(
+        ev,
+        [F.col("event_type") == "view",
+         F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+    ).collect()}
+    assert got == {1: 3, 2: 2, 4: 1, 5: 1}
+    with pytest.raises(ValueError):
+        funnel_stages(ev, [])
+
+
+def test_cohort_retention_week_buckets(spark):
+    from osmexpress_spark.operators.events import cohort_retention
+
+    d0 = dt.datetime(2024, 3, 4)
+    ev = spark.createDataFrame(
+        [
+            (1, d0), (1, d0 + dt.timedelta(days=3)),      # week 0 twice
+            (1, d0 + dt.timedelta(days=8)),               # week 1
+            (2, d0 + dt.timedelta(days=1)),               # own cohort, week 0
+            (2, d0 + dt.timedelta(days=15)),              # week 2
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {(r.cohort_day, r.week_offset): r.n_users
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-03-04", 0): 1, ("2024-03-04", 1): 1,
+        ("2024-03-05", 0): 1, ("2024-03-05", 2): 1,
+    }
