@@ -2859,3 +2859,30 @@ def q_ann_recall(spark, sf_dir):
     exact = similarity.topk_bruteforce(q, emb, k=3)
     approx = similarity.topk_bucketed(q, emb, dim=EMB_DIM, k=3)
     return similarity.ann_recall(exact, approx)
+
+
+@defq(
+    "q_stream_topk",
+    """
+    SELECT user_id, event_id, value,
+           CAST(r AS INTEGER) AS topk_rank
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS r
+      FROM events
+    ) WHERE r <= 3
+    """,
+)
+def q_stream_topk(spark, sf_dir):
+    """Streaming per-user top-3 leaderboard (streaming/stateful.py:
+    topk_stream): a custom bounded-state aggregator over
+    applyInPandasWithState — exactly k (value, id) pairs per key where
+    built-in streaming aggs would hold unbounded collect_list state.
+    The oracle is the batch TakeOrdered equivalent; the contract run
+    drains the single-file source in one micro-batch so the emission
+    is the final leaderboard."""
+    from .streaming import stateful
+
+    stream = _events_stream(spark, sf_dir)
+    return _drain(stateful.topk_stream(stream, k=3), "append")

@@ -121,3 +121,69 @@ def sessionize_stream(
         if close_on_timeout
         else GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, value double, topk_rank int"
+)
+TOPK_STATE_SCHEMA = "vals array<double>, ids array<long>"
+
+
+def _topk_fn(k: int):
+    def fn(key, pdfs, state):
+        if state.exists:
+            vals, ids = state.get
+            best = list(zip(vals, ids))
+        else:
+            best = []
+        for pdf in pdfs:
+            best.extend(zip(pdf["value"], pdf["event_id"]))
+        # keep k best by (value desc, id asc) — a bounded heap's worth
+        # of state per key, exactly the TakeOrdered contract
+        best.sort(key=lambda t: (-t[0], t[1]))
+        best = best[:k]
+        state.update(([v for v, _ in best], [i for _, i in best]))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(best), dtype="int64"),
+                "event_id": pd.Series([i for _, i in best], dtype="int64"),
+                "value": pd.Series([v for v, _ in best], dtype="float64"),
+                "topk_rank": pd.Series(range(1, len(best) + 1), dtype="int32"),
+            }
+        )
+
+    return fn
+
+
+def topk_stream(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming per-key top-k: the custom stateful aggregator Spark's
+    built-in streaming aggregations can't express (collect_list + slice
+    is unbounded state; this keeps exactly k (value, id) pairs per
+    key). Each micro-batch merges its rows into the k-best state and
+    emits the key's refreshed top-k (value desc, id tie-break), so
+    after the final batch the last emission per key IS the global
+    top-k — the streaming analog of TakeOrdered.
+
+    State is O(k) per key — watermark-free by design (a running
+    leaderboard never expires); bound key cardinality upstream the way
+    any keyed-state operator requires."""
+    prepared = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(val_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _topk_fn(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

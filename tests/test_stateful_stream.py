@@ -80,3 +80,56 @@ def test_sessionize_stream_closes_on_watermark(spark, tmp_path):
         assert s2.n_events == 2
     finally:
         q.stop()
+
+
+def test_topk_stream_merges_state_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the second emission
+    per key must be the MERGED top-k (state carries batch 1's best),
+    and state stays bounded at k pairs."""
+    feed = str(tmp_path / "topk_feed")
+    os.makedirs(feed, exist_ok=True)
+    s1 = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 101, 9.0), (1, 102, 1.0), (2, 200, 4.0)],
+        "user_id long, event_id long, value double",
+    )
+    s1.coalesce(1).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(feed)
+    )
+    out = stateful.topk_stream(stream, k=2)
+    name = "topk_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.user_id, r.topk_rank): r.event_id
+            for r in spark.table(name).collect()
+        }
+        # batch 1: user 1 top-2 = 101 (9.0), 100 (5.0)
+        assert first[(1, 1)] == 101 and first[(1, 2)] == 100
+        # batch 2: a new global best for user 1, a tie-by-id for user 2
+        s2 = spark.createDataFrame(
+            [(1, 103, 9.5), (2, 199, 4.0)],
+            "user_id long, event_id long, value double",
+        )
+        s2.coalesce(1).write.mode("append").parquet(feed)
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        # keep only each key's LAST emission (rank rows re-emitted)
+        latest = {}
+        for r in rows:
+            latest[(r.user_id, r.topk_rank)] = r.event_id
+        assert latest[(1, 1)] == 103   # merged: 9.5 beats stored 9.0
+        assert latest[(1, 2)] == 101   # 9.0 survives, 5.0 evicted
+        assert latest[(2, 1)] == 199   # tie at 4.0 -> lower id wins
+        assert latest[(2, 2)] == 200
+    finally:
+        q.stop()
