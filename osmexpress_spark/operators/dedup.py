@@ -853,3 +853,62 @@ def remove_dup_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         F.size(cov).cast("int").alias("n_removed"),
     )
+
+
+def fuzzy_token_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    min_len: int = 4,
+) -> DataFrame:
+    """Edit-distance string-similarity self-join: distinct values of
+    `col` paired when levenshtein(a, b) <= max_dist — the typo/variant
+    detection join (near-duplicate keys, OCR noise, tag misspellings).
+
+    Candidate generation is BLOCKED, not all-pairs: a pair must share
+    its first OR its last character (two equi-join blocks, unioned and
+    deduped) and sit within max_dist of each other in length — the
+    exact-arithmetic prefilter every edit-distance join needs at
+    scale. Documented recall bound: a pair whose edits change BOTH end
+    characters (possible only when max_dist >= 2, e.g. 'xabcy'/'zabcw')
+    is not generated; within-block results are exact. min_len drops
+    short tokens whose distance-2 neighborhoods are semantically
+    meaningless ('a' ~ 'of').
+
+    100 TB shape: the distinct() collapses the corpus to its
+    vocabulary first; each block is an equi-join on one character
+    (with the length band as a join-side filter), and levenshtein runs
+    only on block-local candidates."""
+    toks = (
+        df.select(F.col(col).alias("s"))
+        .where(F.length("s") >= min_len)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def block(keyf):
+        a = toks.select(
+            F.col("s").alias("a"), keyf(F.col("s")).alias("__k"),
+            F.length("s").alias("__la"),
+        )
+        b = toks.select(
+            F.col("s").alias("b"), keyf(F.col("s")).alias("__k"),
+            F.length("s").alias("__lb"),
+        )
+        return (
+            a.join(b, "__k")
+            .where(
+                (F.col("a") < F.col("b"))
+                & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+            )
+            .select("a", "b")
+        )
+
+    cands = block(lambda s: F.substring(s, 1, 1)).unionByName(
+        block(lambda s: F.substring(s, -1, 1))
+    ).distinct()
+    return cands.where(
+        F.levenshtein("a", "b") <= max_dist
+    ).select(
+        "a", "b", F.levenshtein("a", "b").cast("int").alias("dist")
+    )

@@ -86,3 +86,27 @@ def cohort_retention(
     return active.groupBy(
         F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"), "week_offset"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition matrix of the event stream: (prev_type,
+    next_type, n) over consecutive events per user (ordered by ts with
+    id tie-break) — the input to path/attribution analysis. One window
+    (= one hash shuffle on the user key) + one map-side-combined
+    count; state per key is a single lag row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

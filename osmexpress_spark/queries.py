@@ -919,3 +919,60 @@ def q_cohort_retention(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+@defq(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping_id — the general form under rollup/
+    cube (one Expand + one aggregate in Catalyst; DuckDB plans the
+    same shape). Declared via Spark SQL over a temp view: grouping
+    sets have no DataFrame-API spelling."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM q_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@defq(
+    "q_event_transitions",
+    """
+    WITH s AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    )
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """Markov transition matrix over the event stream (operators/
+    events.py:transition_counts): one lag window per user + one
+    map-side-combined count — the path-analysis primitive."""
+    from .operators.events import transition_counts
+
+    return transition_counts(t(spark, sf_dir, "events"))

@@ -2886,3 +2886,35 @@ def q_stream_topk(spark, sf_dir):
 
     stream = _events_stream(spark, sf_dir)
     return _drain(stateful.topk_stream(stream, k=3), "append")
+
+
+@defq(
+    "q_fuzzy_token_pairs",
+    """
+    WITH ftok AS (
+      SELECT DISTINCT s FROM (
+        SELECT unnest(string_split(text, ' ')) AS s FROM documents
+      ) WHERE length(s) >= 4
+    ),
+    fcand AS (
+      SELECT a.s AS a, b.s AS b
+      FROM ftok a JOIN ftok b ON substring(a.s, 1, 1) = substring(b.s, 1, 1)
+      WHERE a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+      UNION
+      SELECT a.s, b.s
+      FROM ftok a JOIN ftok b
+        ON substring(a.s, -1, 1) = substring(b.s, -1, 1)
+      WHERE a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+    )
+    SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
+    FROM fcand WHERE levenshtein(a, b) <= 2
+    """,
+)
+def q_fuzzy_token_pairs(spark, sf_dir):
+    """Edit-distance similarity self-join over the corpus vocabulary
+    (dedup.py:fuzzy_token_pairs): first/last-character blocking +
+    length band, exact levenshtein refine — typo/variant detection
+    without an all-pairs join."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return dedup.fuzzy_token_pairs(toks, "tok", max_dist=2, min_len=4)

@@ -315,3 +315,38 @@ def test_cohort_retention_week_buckets(spark):
         ("2024-03-04", 0): 1, ("2024-03-04", 1): 1,
         ("2024-03-05", 0): 1, ("2024-03-05", 2): 1,
     }
+
+
+# --- fuzzy token pairs -----------------------------------------------------
+def test_fuzzy_token_pairs_blocking_and_distance(spark):
+    from osmexpress_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("spark",), ("spork",), ("sprk",), ("spark",), ("quartz",),
+         ("park",), ("abc",)],
+        "tok string",
+    )
+    got = {(r.a, r.b): r.dist
+           for r in dedup.fuzzy_token_pairs(df, "tok").collect()}
+    assert got[("spark", "spork")] == 1
+    assert got[("spark", "sprk")] == 1   # deletion
+    assert got[("park", "spark")] == 1   # shares last char block
+    assert ("abc", "spark") not in got   # min_len drops 'abc'
+    assert all(d <= 2 for d in got.values())
+    assert not any("quartz" in p for p in got)
+
+
+def test_event_transitions_lag_per_user(spark):
+    from osmexpress_spark.operators.events import transition_counts
+
+    t0 = dt.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, "a", t0), (2, 1, "b", t0 + dt.timedelta(seconds=1)),
+         (3, 1, "a", t0 + dt.timedelta(seconds=2)),
+         (4, 2, "a", t0),  # other user: no cross-user transition
+         (5, 2, "a", t0 + dt.timedelta(seconds=5))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {(r.prev_type, r.next_type): r.n
+           for r in transition_counts(ev).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
