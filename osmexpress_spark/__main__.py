@@ -318,6 +318,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Referential-integrity report (operators/audit.py): dangling
+    reference counts per category. Exit 1 when --strict and anything
+    dangles, so CI pipelines can gate on snapshot health."""
+    from .operators.audit import integrity_audit
+
+    tables = _tables(_spark(), args.dataset)
+    rows = integrity_audit(
+        tables["locations"], tables["ways"], tables["relations"]
+    ).collect()
+    bad = 0
+    for r in sorted(rows, key=lambda r: r["category"]):
+        print(f"{r['category']}: {r['n_refs']} refs, "
+              f"{r['n_dangling']} dangling")
+        bad += r["n_dangling"]
+    if args.strict and bad:
+        print(f"audit: {bad} dangling references", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="osmexpress_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -368,6 +389,12 @@ def main(argv: list[str] | None = None) -> int:
                     choices=("node", "way", "relation"))
     pq.add_argument("id", nargs="?", type=int)
     pq.set_defaults(fn=cmd_query)
+
+    pa = sub.add_parser("audit", help="referential-integrity report")
+    pa.add_argument("dataset")
+    pa.add_argument("--strict", action="store_true",
+                    help="exit 1 if any reference dangles")
+    pa.set_defaults(fn=cmd_audit)
 
     args = p.parse_args(argv)
     return args.fn(args)

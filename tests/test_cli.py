@@ -186,3 +186,15 @@ def test_geojson_server_parity(spark, tmp_path):
                 assert e.code == code, bad
     finally:
         srv.shutdown()
+
+
+def test_cli_audit_reports_and_strict_gates(spark, tmp_path, capsys):
+    work = str(tmp_path)
+    fx = testing.ensure_fixture_dataset(spark, f"{work}/fx", n_nodes=200, seed=7)
+    # the fixture plants one dangling way ref inside a relation
+    assert main(["audit", fx]) == 0
+    out = capsys.readouterr().out
+    assert "way_node:" in out and "relation_way:" in out
+    assert "1 dangling" in out
+    # strict mode gates on it
+    assert main(["audit", fx, "--strict"]) == 1
