@@ -558,6 +558,23 @@ def osm_user_edit_stats(spark, sf_dir):
         )
     )
 
+_WAY_GRAPH_SQL = """e0 AS (
+  SELECT DISTINCT node_id, way_id FROM (
+    SELECT unnest(nodes) AS node_id, id AS way_id
+    FROM read_parquet('{d}/ways.parquet')
+  )
+),
+pairs AS (
+  SELECT a.way_id AS wa, b.way_id AS wb
+  FROM e0 a JOIN e0 b ON a.node_id = b.node_id AND a.way_id < b.way_id
+  GROUP BY a.way_id, b.way_id
+),
+ge AS (
+  SELECT wa AS src, wb AS dst FROM pairs
+  UNION ALL SELECT wb, wa FROM pairs
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _ensure_oracle_fixture()
     coord = f"{_fmt_coord_sql('lon')} || ' ' || {_fmt_coord_sql('lat')}"
@@ -798,6 +815,36 @@ SELECT 'relation_relation', CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN t.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM (SELECT ref FROM mem WHERE mtype = 'relation') r
 LEFT JOIN relt t ON r.ref = t.id""",
+        "osm_pagerank": f"""
+WITH {_WAY_GRAPH_SQL.format(d=d)},
+deg AS (SELECT src, count(*) AS deg FROM ge GROUP BY src),
+verts AS (SELECT DISTINCT src AS id FROM ge),
+pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM verts),
+c1 AS (
+  SELECT ge.dst AS id, CAST(sum(pr0.pr // deg.deg) AS BIGINT) AS s
+  FROM ge JOIN pr0 ON ge.src = pr0.id JOIN deg ON ge.src = deg.src
+  GROUP BY ge.dst
+),
+pr1 AS (
+  SELECT v.id, CAST(150000 + (17 * COALESCE(c1.s, 0)) // 20 AS BIGINT) AS pr
+  FROM verts v LEFT JOIN c1 ON v.id = c1.id
+),
+c2 AS (
+  SELECT ge.dst AS id, CAST(sum(pr1.pr // deg.deg) AS BIGINT) AS s
+  FROM ge JOIN pr1 ON ge.src = pr1.id JOIN deg ON ge.src = deg.src
+  GROUP BY ge.dst
+),
+pr2 AS (
+  SELECT v.id, CAST(150000 + (17 * COALESCE(c2.s, 0)) // 20 AS BIGINT) AS pr
+  FROM verts v LEFT JOIN c2 ON v.id = c2.id
+)
+SELECT id, pr AS pr_micro FROM pr2""",
+        "osm_triangle_count": f"""
+WITH {_WAY_GRAPH_SQL.format(d=d)}
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs x
+JOIN pairs y ON x.wb = y.wa
+JOIN pairs z ON z.wa = x.wa AND z.wb = y.wb""",
     }
 
 
@@ -881,3 +928,42 @@ def osm_integrity_audit(spark, sf_dir):
     return integrity_audit(
         ds.table("locations"), ds.table("ways"), ds.relations()
     )
+
+
+def _way_graph(spark) -> DataFrame:
+    """Symmetric directed edge list of the fixture's way-intersection
+    graph (both orientations of each junction pair)."""
+    from .operators.spatial_join import way_intersections
+
+    ds = _dataset(spark)
+    pairs = way_intersections(ds.table("node_way")).select("way_a", "way_b")
+    return pairs.select(
+        F.col("way_a").alias("src"), F.col("way_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("way_b").alias("src"), F.col("way_a").alias("dst"))
+    )
+
+
+@defq("osm_pagerank")
+def osm_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the way-intersection graph
+    (operators/graph.py:pagerank_micro, 2 damped power iterations):
+    junction-importance ranking with pure-BIGINT state, so the oracle
+    unrolls the same arithmetic bit-for-bit."""
+    from .operators.graph import pagerank_micro
+
+    return pagerank_micro(_way_graph(spark), iterations=2)
+
+
+@defq("osm_triangle_count")
+def osm_triangle_count(spark, sf_dir):
+    """Triangle census of the way-intersection graph (operators/
+    graph.py:triangle_count): rank-oriented wedge join + closing
+    semi-join — the clustering-coefficient numerator without a graph
+    library."""
+    from .operators.graph import triangle_count
+    from .operators.spatial_join import way_intersections
+
+    ds = _dataset(spark)
+    pairs = way_intersections(ds.table("node_way"))
+    return triangle_count(pairs, "way_a", "way_b")

@@ -350,3 +350,39 @@ def test_event_transitions_lag_per_user(spark):
     got = {(r.prev_type, r.next_type): r.n
            for r in transition_counts(ev).collect()}
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+# --- graph analytics -------------------------------------------------------
+def test_pagerank_micro_integer_exact_star(spark):
+    from osmexpress_spark.operators.graph import pagerank_micro
+
+    # star: 1 <-> {2, 3, 4} (symmetric edges)
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    e = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {r["id"]: r["pr_micro"] for r in pagerank_micro(e, iterations=2).collect()}
+    # iter 1: center gets 150000 + 17*3_000_000//20 = 2_700_000,
+    # each leaf 150000 + 17*(1_000_000//3)//20 = 433_333
+    # iter 2: center 150000 + 17*(3*433_333)//20 = 1_254_999
+    #         leaf 150000 + 17*(2_700_000//3)//20 = 915_000
+    assert got[1] == 150_000 + (17 * (3 * (150_000 + (17 * (1_000_000 // 3)) // 20))) // 20
+    assert got[2] == got[3] == got[4] == 150_000 + (17 * ((150_000 + (17 * 3_000_000) // 20) // 3)) // 20
+    # total mass is conserved up to integer truncation (strictly below)
+    assert sum(got.values()) <= 4_000_000
+
+
+def test_triangle_count_closed_wedges_only(spark):
+    from osmexpress_spark.operators.graph import triangle_count
+
+    e = spark.createDataFrame(
+        # triangle {1,2,3}; path 3-4-5 (open); duplicate + reversed edges
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 1), (1, 2)],
+        "id_a long, id_b long",
+    )
+    assert triangle_count(e).collect()[0]["n_triangles"] == 1
+    # two triangles sharing an edge: {1,2,3} + {2,3,6}
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 6), (3, 6)], "id_a long, id_b long"
+    )
+    assert triangle_count(e2).collect()[0]["n_triangles"] == 2
