@@ -67,6 +67,10 @@ HEADLINE = [
     "q_band_join",
     "osm_way_areas",
     "osm_way_intersections",
+    "q_event_funnel",
+    "q_fuzzy_token_pairs",
+    "osm_pagerank",
+    "osm_triangle_count",
 ]
 
 

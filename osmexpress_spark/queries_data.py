@@ -2918,3 +2918,40 @@ def q_fuzzy_token_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     return dedup.fuzzy_token_pairs(toks, "tok", max_dist=2, min_len=4)
+
+
+@defq(
+    "q_langid_confusion",
+    f"""
+    WITH lcs AS (
+      SELECT lang,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents
+    ),
+    lcp AS (
+      SELECT lang,
+             CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted
+      FROM lcs
+    )
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM lcp GROUP BY lang, predicted
+    """,
+)
+def q_langid_confusion(spark, sf_dir):
+    """Classifier-evaluation confusion matrix for the n-gram language
+    identifier (text.py:lang_id): labeled lang x predicted lang counts
+    — the accuracy report a curation pipeline runs before trusting a
+    lang filter. One scan + map-side-combined count on top of the
+    existing deterministic predictor."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "lang", text.lang_id(F.col("text")).alias("predicted")
+    ).groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
