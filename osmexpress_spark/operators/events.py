@@ -110,3 +110,40 @@ def transition_counts(
     return steps.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def resample_counts(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user time-spine resampling with gap fill: (user, bucket_ts,
+    n) for EVERY bucket between the user's first and last event —
+    zero-filled where nothing happened, the dense series every
+    charting/forecasting consumer wants (sparse group-bys silently
+    drop empty buckets).
+
+    Plan: one aggregate for per-user (min, max) epochs, one
+    `sequence()` explode to build the spine (rows = active span /
+    bucket, not global span x users), one left join against the
+    bucketed counts. The spine explode is the only row amplification
+    and is proportional to the real output."""
+    b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    bucketed = events.select(
+        F.col(user_col).alias("user"), b.alias("bucket")
+    )
+    counts = bucketed.groupBy("user", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = bucketed.groupBy("user").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = span.select(
+        "user", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    return spine.join(counts, ["user", "bucket"], "left_outer").select(
+        "user",
+        (F.col("bucket") * bucket_seconds).alias("bucket_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )

@@ -976,3 +976,34 @@ def q_event_transitions(spark, sf_dir):
     from .operators.events import transition_counts
 
     return transition_counts(t(spark, sf_dir, "events"))
+
+
+@defq(
+    "q_time_resample",
+    """
+    WITH rb AS (
+      SELECT user_id AS "user",
+             -- NB epoch() is DOUBLE and duckdb's // does NOT floor
+             -- doubles (and CAST double->BIGINT rounds): floor first
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket
+      FROM events
+    ),
+    rc AS (SELECT "user", bucket, count(*) AS n FROM rb GROUP BY 1, 2),
+    rs AS (SELECT "user", min(bucket) AS b0, max(bucket) AS b1
+           FROM rb GROUP BY "user"),
+    spine AS (
+      SELECT "user", unnest(range(b0, b1 + 1)) AS bucket FROM rs
+    )
+    SELECT s."user", CAST(s.bucket * 3600 AS BIGINT) AS bucket_epoch,
+           CAST(COALESCE(rc.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN rc ON s."user" = rc."user" AND s.bucket = rc.bucket
+    """,
+)
+def q_time_resample(spark, sf_dir):
+    """Dense per-user hourly series with zero-filled gaps (operators/
+    events.py:resample_counts): sequence()-generated time spine (rows
+    proportional to each user's active span) + one left join — the
+    resampling step under any charting/forecasting consumer."""
+    from .operators.events import resample_counts
+
+    return resample_counts(t(spark, sf_dir, "events"))

@@ -386,3 +386,21 @@ def test_triangle_count_closed_wedges_only(spark):
         [(1, 2), (2, 3), (1, 3), (2, 6), (3, 6)], "id_a long, id_b long"
     )
     assert triangle_count(e2).collect()[0]["n_triangles"] == 2
+
+
+def test_resample_counts_zero_fills_gaps(spark):
+    from osmexpress_spark.operators.events import resample_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [(1, t0), (1, t0), (1, t0 + dt.timedelta(hours=3)),  # gap hours 1,2
+         (2, t0)],                                            # single bucket
+        "user_id long, ts timestamp",
+    )
+    got = {(r["user"], r["bucket_epoch"]): r["n"]
+           for r in resample_counts(ev).collect()}
+    e0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        (1, e0): 2, (1, e0 + 3600): 0, (1, e0 + 7200): 0, (1, e0 + 10800): 1,
+        (2, e0): 1,
+    }
