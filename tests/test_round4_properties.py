@@ -1,0 +1,191 @@
+"""Property-based checks of the round-4 operators against independent
+Python models (the test strategy SURVEY §5 prescribes: small random
+inputs, exact expected values computed by straight-line Python)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- band join vs brute force ----------------------------------------------
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user
+        st.integers(0, 20_000),       # seconds offset
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SET
+@given(left=_events, right=_events, band=st.integers(1, 7200))
+def test_band_join_matches_bruteforce(spark, left, right, band):
+    from osmexpress_spark.operators.asof import band_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [(i, u, t0 + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(left)]
+    rrows = [(i, u, t0 + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, user long, ts timestamp") \
+        if lrows else spark.createDataFrame([], "lid long, user long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, user long, ts timestamp") \
+        if rrows else spark.createDataFrame([], "rid long, user long, ts timestamp")
+    got = {
+        (r["lid"], r["r_rid"])
+        for r in band_join(ldf, rdf, "user", "ts", "ts", band).collect()
+    }
+    want = {
+        (li, ri)
+        for li, lu, lt in lrows
+        for ri, ru, rt in rrows
+        if lu == ru and lt < rt <= lt + dt.timedelta(seconds=band)
+    }
+    assert got == want
+
+
+# --- shoelace areas vs python model ----------------------------------------
+_ring = st.lists(
+    st.tuples(st.integers(-10_000, 10_000), st.integers(-10_000, 10_000)),
+    min_size=3,
+    max_size=8,
+)
+
+
+@SET
+@given(rings=st.lists(_ring, min_size=1, max_size=4))
+def test_way_areas_match_python_shoelace(spark, rings):
+    from osmexpress_spark import functions as fn
+
+    locs, ways, nid = [], [], 0
+    for wid, ring in enumerate(rings):
+        ids = []
+        for lon, lat in ring:
+            locs.append((nid, lon, lat))
+            ids.append(nid)
+            nid += 1
+        ways.append((wid, ids + [ids[0]]))  # close the ring
+    ldf = spark.createDataFrame(locs, "id long, lon int, lat int")
+    wdf = spark.createDataFrame(ways, "id long, nodes array<long>")
+    got = {r["id"]: r["area2"] for r in fn.way_areas(wdf, ldf).collect()}
+    for wid, ring in enumerate(rings):
+        pts = ring + [ring[0]]
+        want = sum(
+            pts[i][0] * pts[i + 1][1] - pts[i + 1][0] * pts[i][1]
+            for i in range(len(pts) - 1)
+        )
+        assert got[wid] == want, (wid, ring)
+
+
+# --- integer pagerank vs python model --------------------------------------
+_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(edges=_edges, iters=st.integers(1, 3))
+def test_pagerank_micro_matches_python(spark, edges, iters):
+    from osmexpress_spark.operators.graph import pagerank_micro
+
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["pr_micro"] for r in pagerank_micro(df, iters).collect()}
+
+    verts = sorted({v for e in edges for v in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {v: 1_000_000 for v in verts}
+    for _ in range(iters):
+        s = {v: 0 for v in verts}
+        for a, b in edges:
+            s[b] += pr[a] // deg[a]
+        pr = {v: 150_000 + (17 * s[v]) // 20 for v in verts}
+    assert got == pr
+
+
+# --- KMV vs hashlib model --------------------------------------------------
+@SET
+@given(items=st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=60),
+       k=st.integers(2, 16))
+def test_kmv_matches_hashlib_model(spark, items, k):
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame([(s,) for s in items], "s string")
+    row = sketch.kmv_distinct_estimate(df, F.col("s"), k=k).collect()[0]
+    hs = sorted({
+        int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in items
+    })[:k]
+    assert row.k_used == len(hs)
+    assert row.kth_hash == max(hs)
+    if len(hs) < k:
+        assert row.est_distinct == float(len(hs))
+    else:
+        assert row.est_distinct == (k - 1) * float(1 << 48) / hs[-1]
+
+
+# --- CMS upper bound -------------------------------------------------------
+@SET
+@given(items=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=80),
+       w=st.integers(4, 64))
+def test_cms_estimates_upper_bound_true_counts(spark, items, w):
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame([(s,) for s in items], "s string")
+    cms = sketch.cms_build(df, F.col("s"), w=w, d=3)
+    probes = sorted(set(items)) + ["zz"]
+    got = {r["item"]: r["est_count"]
+           for r in sketch.cms_estimate(cms, probes, w=w, d=3).collect()}
+    true = {s: items.count(s) for s in set(items)}
+    for s, n in true.items():
+        assert got[s] >= n
+    assert got["zz"] >= 0
+
+
+# --- fuzzy pairs vs python blocked model -----------------------------------
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SET
+@given(toks=st.lists(st.text(alphabet="abcd", min_size=4, max_size=7),
+                     min_size=0, max_size=20))
+def test_fuzzy_pairs_match_blocked_model(spark, toks):
+    from osmexpress_spark.operators import dedup
+
+    df = spark.createDataFrame([(s,) for s in toks], "tok string") \
+        if toks else spark.createDataFrame([], "tok string")
+    got = {(r.a, r.b): r.dist
+           for r in dedup.fuzzy_token_pairs(df, "tok").collect()}
+    uniq = sorted(set(toks))
+    want = {}
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            if abs(len(a) - len(b)) > 2:
+                continue
+            if a[0] != b[0] and a[-1] != b[-1]:
+                continue  # the documented blocking bound
+            d = _lev(a, b)
+            if d <= 2:
+                want[(a, b)] = d
+    assert got == want
