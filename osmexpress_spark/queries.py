@@ -1007,3 +1007,98 @@ def q_time_resample(spark, sf_dir):
     from .operators.events import resample_counts
 
     return resample_counts(t(spark, sf_dir, "events"))
+
+
+def _tt_batch(df, mod: int, bump: int):
+    """Deterministic upsert batch: rows whose id % mod == 0 get
+    val + bump at the next version, plus one new id (2_000_000 + bump)."""
+    upd = (
+        df.where(F.col("id") % mod == 0)
+        .select("id", (F.col("val") + bump).alias("val"))
+    )
+    ins = df.sparkSession.createDataFrame(
+        [(2_000_000 + bump, bump)], "id long, val long"
+    )
+    return upd.unionByName(ins)
+
+
+@defq(
+    "q_store_time_travel",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS id,
+             CAST(o_custkey AS BIGINT) AS val
+      FROM orders
+    ),
+    b1 AS (
+      SELECT id, val + 1000 AS val FROM base WHERE id % 7 = 0
+      UNION ALL SELECT 2001000, 1000
+    ),
+    v1 AS (
+      SELECT id, COALESCE(b1.val, base.val) AS val
+      FROM base LEFT JOIN b1 USING (id)
+      UNION ALL SELECT id, val FROM b1 WHERE id NOT IN (SELECT id FROM base)
+    ),
+    b2 AS (
+      SELECT id, val + 5000 AS val FROM v1 WHERE id % 11 = 0
+      UNION ALL SELECT 2005000, 5000
+    ),
+    v2 AS (
+      SELECT id, COALESCE(b2.val, v1.val) AS val
+      FROM v1 LEFT JOIN b2 USING (id)
+      UNION ALL SELECT id, val FROM b2 WHERE id NOT IN (SELECT id FROM v1)
+    )
+    SELECT * FROM (
+      SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(val) AS BIGINT) AS sum_val FROM base
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(val) AS BIGINT) FROM v1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(val) AS BIGINT) FROM v2
+    )
+    """,
+)
+def q_store_time_travel(spark, sf_dir):
+    """MVCC time travel through the real SnapshotStore (store.py:
+    read_table(version=), the LMDB-snapshot / Delta-versionAsOf
+    analog): commit a base table and two deterministic upsert batches,
+    then aggregate EVERY version through the immutable manifests. The
+    oracle replays the three versions relationally, so a torn or
+    wrongly-resolved manifest read shows up as a hash mismatch.
+
+    The store directory is content-keyed per sf and rebuilt only when
+    absent (contract queries must be idempotent across runs)."""
+    import hashlib as _h
+    import os as _os
+
+    from .store import SnapshotStore
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("val"),
+    )
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".fixtures",
+        "store_tt_" + _h.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    store = SnapshotStore(spark, root)
+    if store.latest_version() is None or store.latest_version() < 2:
+        store.commit({"rows": base}, sort_by={"rows": "id"})
+        cur = base
+        for mod, bump in ((7, 1000), (11, 5000)):
+            batch = _tt_batch(cur, mod, bump)
+            cur = (
+                cur.join(batch.select("id"), "id", "left_anti")
+                .unionByName(batch)
+            )
+            store.commit({"rows": cur}, sort_by={"rows": "id"})
+    out = None
+    for v in (0, 1, 2):
+        row = store.read_table("rows", version=v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
