@@ -129,9 +129,11 @@ def cms_estimate(
         .cast("int")
         .alias("bucket"),
     )
+    # broadcast the SKETCH: it is the bounded side (<= d*w rows), and
+    # Spark cannot broadcast the preserved (left) side of a left-outer
+    # join anyway — a hint there is silently ignored
     return (
-        F.broadcast(probes)
-        .join(sketch, ["j", "bucket"], "left_outer")
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left_outer")
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
