@@ -137,3 +137,39 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def kmv_merge(minima_frames: list[DataFrame], k: int = 256) -> DataFrame:
+    """Merge KMV sketches (the property that makes sketches usable for
+    distributed rollups: per-partition/per-day sketches combine into
+    the corpus sketch without touching raw data). Union the minima,
+    dedup hashes, keep the k smallest — identical to sketching the
+    concatenated inputs, because min-k of a union is min-k of the
+    per-input min-ks."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not minima_frames:
+        raise ValueError("kmv_merge needs at least one sketch")
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [m.select("h") for m in minima_frames],
+    )
+    mins = u.distinct().orderBy("h").limit(k)
+    win = Window.orderBy("h")
+    return mins.select(
+        F.row_number().over(win).cast("int").alias("rank"), "h"
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME (w, d): cell-wise
+    count addition — exactly the sketch of the concatenated streams.
+    One union + one map-side-combined sum over <= d*w keys."""
+    from functools import reduce
+
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -404,3 +404,34 @@ def test_resample_counts_zero_fills_gaps(spark):
         (1, e0): 2, (1, e0 + 3600): 0, (1, e0 + 7200): 0, (1, e0 + 10800): 1,
         (2, e0): 1,
     }
+
+
+# --- sketch mergeability ---------------------------------------------------
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from osmexpress_spark.operators import sketch
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "s string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "s string")
+    k = 64
+    merged = sketch.kmv_merge(
+        [sketch.kmv_minima(a, F.col("s"), k),
+         sketch.kmv_minima(b, F.col("s"), k)], k,
+    )
+    direct = sketch.kmv_minima(a.unionByName(b), F.col("s"), k)
+    assert [r["h"] for r in merged.collect()] == \
+           [r["h"] for r in direct.collect()]
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    from osmexpress_spark.operators import sketch
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "s string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, "s string")
+    w, d = 64, 3
+    merged = sketch.cms_merge([
+        sketch.cms_build(a, F.col("s"), w=w, d=d),
+        sketch.cms_build(b, F.col("s"), w=w, d=d),
+    ])
+    got = {r["item"]: r["est_count"]
+           for r in sketch.cms_estimate(merged, ["x", "y", "z"], w=w, d=d).collect()}
+    assert got == {"x": 8, "y": 2, "z": 4}
