@@ -28,12 +28,14 @@ def _category(
         "ref",
         "left_outer",
     )
+    # coalesce: F.sum over ZERO rows is NULL, and an empty category
+    # (e.g. a snapshot with no relations) must report 0, not None
     return joined.agg(
         F.lit(category).alias("category"),
         F.count(F.lit(1)).alias("n_refs"),
-        F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dangling"),
+        F.coalesce(
+            F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_dangling"),
     )
 
 

@@ -907,8 +907,8 @@ def fuzzy_token_pairs(
     cands = block(lambda s: F.substring(s, 1, 1)).unionByName(
         block(lambda s: F.substring(s, -1, 1))
     ).distinct()
-    return cands.where(
-        F.levenshtein("a", "b") <= max_dist
-    ).select(
-        "a", "b", F.levenshtein("a", "b").cast("int").alias("dist")
+    # compute the (dominant-cost) DP once: project, then filter on it
+    return (
+        cands.select("a", "b", F.levenshtein("a", "b").cast("int").alias("dist"))
+        .where(F.col("dist") <= max_dist)
     )

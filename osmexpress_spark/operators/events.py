@@ -129,7 +129,9 @@ def resample_counts(
     bucket, not global span x users), one left join against the
     bucketed counts. The spine explode is the only row amplification
     and is proportional to the real output."""
-    b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    # floor, not cast: cast("long") truncates toward zero and diverges
+    # from the oracle's floor() on pre-1970 timestamps
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
     bucketed = events.select(
         F.col(user_col).alias("user"), b.alias("bucket")
     )

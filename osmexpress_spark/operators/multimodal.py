@@ -163,7 +163,14 @@ def extract_features(
     decoder: Callable[[bytes], list[float]] = fake_decoder,
     modality: str = "demo",
 ) -> DataFrame:
-    """Arrow-batched feature extraction over (item_id, payload, meta)."""
+    """Arrow-batched feature extraction over (item_id, payload, meta).
+
+    Decoder exception contract: NotImplementedError = format needs an
+    absent codec; ValueError = corrupt/truncated payload. Both are
+    per-row decode_ok=False. Decoders must RESERVE ValueError for
+    payload problems — any other exception type (a decoder programming
+    bug, a bad config argument) propagates and fails the stage loudly
+    instead of silently yielding an all-False feature table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

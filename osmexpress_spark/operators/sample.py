@@ -438,9 +438,9 @@ def priority_sample(
     TakeOrdered (no global sort); the rank window runs AFTER the limit
     over exactly k rows. Zero-weight/null rows are excluded (their
     priority would be infinite)."""
-    u = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
-    ).cast("long")
+    from .sketch import hash48
+
+    u = hash48(F.col(id_col).cast("string"))
     pri = u.cast("double") / F.col(weight_col).cast("double")
     keep = (
         df.where(F.col(weight_col).cast("double") > 0)

@@ -40,26 +40,24 @@ def hash48(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
-def kmv_minima(df: DataFrame, item: Column, k: int = 256) -> DataFrame:
-    """The k smallest distinct 48-bit item hashes, as (rank, h).
-
-    Plan: hash -> distinct (map-side partial dedup, the shuffle carries
-    only per-partition-distinct 8-byte hashes) -> global k-smallest
-    (TakeOrdered, no full sort materialization). Duplicate items share
-    a hash, so the distinct is the multiset->set step of the sketch.
-    """
+def _rank_minima(hashes: DataFrame, k: int) -> DataFrame:
+    """hashes(h) -> the k smallest distinct, as (rank, h): distinct
+    (map-side partial dedup) -> global k-smallest (TakeOrdered, no full
+    sort materialization) -> rank window over exactly k rows."""
     from pyspark.sql import Window
 
-    mins = (
-        df.select(hash48(item).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-    )
+    mins = hashes.select("h").distinct().orderBy("h").limit(k)
     win = Window.orderBy("h")
     return mins.select(
         F.row_number().over(win).cast("int").alias("rank"), "h"
     )
+
+
+def kmv_minima(df: DataFrame, item: Column, k: int = 256) -> DataFrame:
+    """The k smallest distinct 48-bit item hashes, as (rank, h).
+    Duplicate items share a hash, so the distinct inside _rank_minima
+    is the multiset->set step of the sketch."""
+    return _rank_minima(df.select(hash48(item).alias("h")), k)
 
 
 def kmv_distinct_estimate(df: DataFrame, item: Column, k: int = 256) -> DataFrame:
@@ -148,19 +146,13 @@ def kmv_merge(minima_frames: list[DataFrame], k: int = 256) -> DataFrame:
     per-input min-ks."""
     from functools import reduce
 
-    from pyspark.sql import Window
-
     if not minima_frames:
         raise ValueError("kmv_merge needs at least one sketch")
     u = reduce(
         lambda a, b: a.unionByName(b),
         [m.select("h") for m in minima_frames],
     )
-    mins = u.distinct().orderBy("h").limit(k)
-    win = Window.orderBy("h")
-    return mins.select(
-        F.row_number().over(win).cast("int").alias("rank"), "h"
-    )
+    return _rank_minima(u, k)
 
 
 def cms_merge(sketches: list[DataFrame]) -> DataFrame:

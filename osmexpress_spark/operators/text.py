@@ -302,7 +302,7 @@ def quality_logreg(
     Zero shuffle, whole-stage codegen; at 100 TB this is a scan-side
     predicate like gopher_flags.
     """
-    w = weights_micro or LOGREG_WEIGHTS_MICRO
+    w = LOGREG_WEIGHTS_MICRO if weights_micro is None else weights_micro
     if len(w) != 6:
         raise ValueError("quality_logreg expects 6 weights (bias + 5)")
     ws = tokens(text)

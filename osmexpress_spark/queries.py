@@ -1083,7 +1083,17 @@ def q_store_time_travel(spark, sf_dir):
         "store_tt_" + _h.md5(sf_dir.encode()).hexdigest()[:8],
     )
     store = SnapshotStore(spark, root)
-    if store.latest_version() is None or store.latest_version() < 2:
+    latest = store.latest_version()
+    if latest is not None and latest < 2:
+        # a partially built store (crash between commits) must be
+        # REBUILT, not appended to: commit() always writes prev+1, so
+        # appending would shift the version->content mapping forever
+        import shutil as _sh
+
+        _sh.rmtree(root)
+        store = SnapshotStore(spark, root)
+        latest = None
+    if latest is None:
         store.commit({"rows": base}, sort_by={"rows": "id"})
         cur = base
         for mod, bump in ((7, 1000), (11, 5000)):

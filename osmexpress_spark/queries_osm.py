@@ -711,7 +711,14 @@ FROM ways WHERE id = (SELECT min(id) FROM ways)""",
 ) ORDER BY rank""",
         "osm_augmented_diff": _augdiff_oracle_sql(d),
         "osm_relation_geojson": f"""
-WITH RECURSIVE rels AS (SELECT * FROM read_parquet('{d}/relations.parquet')),
+-- level-unrolled BFS with a per-root visited set: mirrors
+-- relation_member_leaves EXACTLY (a (root, relation) pair is
+-- descended only at its first-reached level; within-level
+-- duplicates both descend). Plain WITH RECURSIVE would
+-- re-descend pairs re-reached at deeper levels and diverge on
+-- asymmetric-depth member sharing. Unroll depth 6 >= fixture
+-- nesting; completeness asserted in tests/test_functions.py.
+WITH rels AS (SELECT * FROM read_parquet('{d}/relations.parquet')),
 memp AS (
   SELECT id AS rel_id,
          struct_extract(unnest(members), 'type') AS mtype,
@@ -719,19 +726,85 @@ memp AS (
          generate_subscripts(members, 1) - 1 AS pos
   FROM rels
 ),
-dsc AS (
-  SELECT id AS root, id AS rel_id, CAST('' AS VARCHAR) AS path FROM rels
-  UNION ALL
-  SELECT dsc.root, m.ref,
-         CASE WHEN dsc.path = '' THEN CAST(m.pos AS VARCHAR)
-              ELSE dsc.path || '/' || CAST(m.pos AS VARCHAR) END
-  FROM dsc JOIN memp m ON m.rel_id = dsc.rel_id AND m.mtype = 'relation'
+f0 AS (SELECT id AS root, id AS rel_id, CAST('' AS VARCHAR) AS path FROM rels),
+s0 AS (SELECT root, rel_id FROM f0),
+x0 AS (
+  SELECT f.root, m.mtype, m.ref,
+         CASE WHEN f.path = '' THEN CAST(m.pos AS VARCHAR)
+              ELSE f.path || '/' || CAST(m.pos AS VARCHAR) END AS path
+  FROM f0 f JOIN memp m ON m.rel_id = f.rel_id
+),
+f1 AS (
+  SELECT x.root, x.ref AS rel_id, x.path FROM x0 x
+  WHERE x.mtype = 'relation' AND NOT EXISTS (
+    SELECT 1 FROM s0 s WHERE s.root = x.root AND s.rel_id = x.ref)
+),
+s1 AS (SELECT * FROM s0 UNION SELECT root, rel_id FROM f1),
+x1 AS (
+  SELECT f.root, m.mtype, m.ref,
+         CASE WHEN f.path = '' THEN CAST(m.pos AS VARCHAR)
+              ELSE f.path || '/' || CAST(m.pos AS VARCHAR) END AS path
+  FROM f1 f JOIN memp m ON m.rel_id = f.rel_id
+),
+f2 AS (
+  SELECT x.root, x.ref AS rel_id, x.path FROM x1 x
+  WHERE x.mtype = 'relation' AND NOT EXISTS (
+    SELECT 1 FROM s1 s WHERE s.root = x.root AND s.rel_id = x.ref)
+),
+s2 AS (SELECT * FROM s1 UNION SELECT root, rel_id FROM f2),
+x2 AS (
+  SELECT f.root, m.mtype, m.ref,
+         CASE WHEN f.path = '' THEN CAST(m.pos AS VARCHAR)
+              ELSE f.path || '/' || CAST(m.pos AS VARCHAR) END AS path
+  FROM f2 f JOIN memp m ON m.rel_id = f.rel_id
+),
+f3 AS (
+  SELECT x.root, x.ref AS rel_id, x.path FROM x2 x
+  WHERE x.mtype = 'relation' AND NOT EXISTS (
+    SELECT 1 FROM s2 s WHERE s.root = x.root AND s.rel_id = x.ref)
+),
+s3 AS (SELECT * FROM s2 UNION SELECT root, rel_id FROM f3),
+x3 AS (
+  SELECT f.root, m.mtype, m.ref,
+         CASE WHEN f.path = '' THEN CAST(m.pos AS VARCHAR)
+              ELSE f.path || '/' || CAST(m.pos AS VARCHAR) END AS path
+  FROM f3 f JOIN memp m ON m.rel_id = f.rel_id
+),
+f4 AS (
+  SELECT x.root, x.ref AS rel_id, x.path FROM x3 x
+  WHERE x.mtype = 'relation' AND NOT EXISTS (
+    SELECT 1 FROM s3 s WHERE s.root = x.root AND s.rel_id = x.ref)
+),
+s4 AS (SELECT * FROM s3 UNION SELECT root, rel_id FROM f4),
+x4 AS (
+  SELECT f.root, m.mtype, m.ref,
+         CASE WHEN f.path = '' THEN CAST(m.pos AS VARCHAR)
+              ELSE f.path || '/' || CAST(m.pos AS VARCHAR) END AS path
+  FROM f4 f JOIN memp m ON m.rel_id = f.rel_id
+),
+f5 AS (
+  SELECT x.root, x.ref AS rel_id, x.path FROM x4 x
+  WHERE x.mtype = 'relation' AND NOT EXISTS (
+    SELECT 1 FROM s4 s WHERE s.root = x.root AND s.rel_id = x.ref)
+),
+s5 AS (SELECT * FROM s4 UNION SELECT root, rel_id FROM f5),
+x5 AS (
+  SELECT f.root, m.mtype, m.ref,
+         CASE WHEN f.path = '' THEN CAST(m.pos AS VARCHAR)
+              ELSE f.path || '/' || CAST(m.pos AS VARCHAR) END AS path
+  FROM f5 f JOIN memp m ON m.rel_id = f.rel_id
 )
-SELECT dsc.root AS id,
-       CASE WHEN dsc.path = '' THEN CAST(m.pos AS VARCHAR)
-            ELSE dsc.path || '/' || CAST(m.pos AS VARCHAR) END AS path,
-       m.mtype, m.ref
-FROM dsc JOIN memp m ON m.rel_id = dsc.rel_id AND m.mtype <> 'relation'
+SELECT root AS id, path, mtype, ref FROM x0 WHERE mtype <> 'relation'
+UNION ALL
+SELECT root, path, mtype, ref FROM x1 WHERE mtype <> 'relation'
+UNION ALL
+SELECT root, path, mtype, ref FROM x2 WHERE mtype <> 'relation'
+UNION ALL
+SELECT root, path, mtype, ref FROM x3 WHERE mtype <> 'relation'
+UNION ALL
+SELECT root, path, mtype, ref FROM x4 WHERE mtype <> 'relation'
+UNION ALL
+SELECT root, path, mtype, ref FROM x5 WHERE mtype <> 'relation'
 ORDER BY id, path""",
         "osm_tag_stats": f"""
 WITH el AS (
@@ -856,9 +929,12 @@ def osm_relation_geojson(spark, sf_dir):
 
     Driver contract: the descent core — (root id, member-index path,
     leaf type, leaf ref) for every relation root — which is the part of
-    the pipeline that is actual query logic, oracled by a WITH
-    RECURSIVE unroll over the fixture (the relation graph is a DAG, so
-    the operator's visited-set BFS equals plain recursion). The JSON
+    the pipeline that is actual query logic. The oracle is a
+    level-unrolled BFS carrying the operator's per-root visited set
+    (NOT plain WITH RECURSIVE, which would re-descend a relation
+    re-reached at a deeper level and diverge on asymmetric-depth
+    member sharing); the unroll depth exceeds the fixture's nesting,
+    asserted in tests/test_functions.py. The JSON
     Feature text on top is asserted in tests/test_functions.py to be a
     deterministic serialization of exactly these leaves, so the oracle
     transitively pins the full `relation_geojson` output."""

@@ -171,7 +171,7 @@ def test_relation_geojson_matches_python_model(spark):
 def test_relation_geojson_serializes_member_leaves(spark):
     """Bridges the driver oracle to the JSON output: the
     `osm_relation_geojson` CORRECTNESS row checks the descent core
-    (relation_member_leaves) against a WITH RECURSIVE oracle; this test
+    (relation_member_leaves) against a visited-set BFS oracle; this test
     asserts the Feature text is a deterministic serialization of
     exactly those leaves — together they pin the full pipeline."""
     import json
@@ -240,3 +240,50 @@ def test_way_lengths_integer_micro_sums(spark):
     assert got[1] == (2, 5_000_000 + 4_000_000)
     assert got[2] == (1, round(2 ** 0.5 * 1e6))
     assert got[3] == (0, 0)
+
+
+def test_relation_member_leaves_asymmetric_depth_sharing(spark):
+    """The visited-set contract on ASYMMETRIC-depth sharing: root A
+    holds C directly (depth 1) and via B (depth 2). C is descended at
+    its first-reached level only, so C's leaves appear once under the
+    direct path — plain recursion would emit them under both paths
+    (the divergence the level-unrolled oracle mirrors). Within-level
+    duplicates (the classic equal-depth diamond) still both descend."""
+    from osmexpress_spark.functions import relation_member_leaves
+
+    m = lambda ref, t: {"ref": ref, "type": t, "role": ""}  # noqa: E731
+    rels = spark.createDataFrame(
+        [
+            (1, [m(3, "relation"), m(2, "relation")]),   # A: C direct + B
+            (2, [m(3, "relation")]),                     # B: C
+            (3, [m(100, "node")]),                       # C: one leaf
+            # equal-depth diamond: D -> (E, F) -> G
+            (10, [m(11, "relation"), m(12, "relation")]),
+            (11, [m(13, "relation")]),
+            (12, [m(13, "relation")]),
+            (13, [m(200, "node")]),
+        ],
+        "id long, members array<struct<ref:long,type:string,role:string>>",
+    )
+    got = {}
+    for r in relation_member_leaves(rels, rels.select("id")).collect():
+        got.setdefault(r["root"], []).append((list(r["path"]), r["ref"]))
+    # A: C first reached at depth 1 (path [0]); the depth-2 route via B
+    # is pruned
+    assert sorted(got[1]) == [([0, 0], 100)]
+    # D: G reached twice at the SAME level -> both paths descend
+    assert sorted(got[10]) == [([0, 0, 0], 200), ([1, 0, 0], 200)]
+
+
+def test_fixture_nesting_within_oracle_unroll_depth(spark):
+    """The osm_relation_geojson oracle unrolls the visited-set BFS to 6
+    levels; the fixture's descent must be complete within that bound
+    (max_depth=6 equals the unbounded operator)."""
+    from osmexpress_spark import queries_osm as QO
+    from osmexpress_spark.functions import relation_member_leaves
+
+    ds = QO._dataset(spark)
+    rels = ds.relations()
+    full = relation_member_leaves(rels, rels.select("id")).count()
+    bounded = relation_member_leaves(rels, rels.select("id"), max_depth=6).count()
+    assert full == bounded

@@ -435,3 +435,45 @@ def test_cms_merge_equals_sketch_of_union(spark):
     got = {r["item"]: r["est_count"]
            for r in sketch.cms_estimate(merged, ["x", "y", "z"], w=w, d=d).collect()}
     assert got == {"x": 8, "y": 2, "z": 4}
+
+
+def test_integrity_audit_empty_categories_report_zero(spark):
+    from osmexpress_spark.operators.audit import integrity_audit
+
+    locs = spark.createDataFrame([(1,)], "id long")
+    ways = spark.createDataFrame([(10, [1])], "id long, nodes array<long>")
+    rels = spark.createDataFrame(
+        [], "id long, members array<struct<ref:long,type:string,role:string>>"
+    )
+    got = {r["category"]: (r["n_refs"], r["n_dangling"])
+           for r in integrity_audit(locs, ways, rels).collect()}
+    # no relations at all: every relation_* category must be (0, 0),
+    # never (0, None) — the CLI sums n_dangling
+    assert got == {
+        "way_node": (1, 0), "relation_node": (0, 0),
+        "relation_way": (0, 0), "relation_relation": (0, 0),
+    }
+
+
+def test_store_time_travel_rebuilds_partial_store(spark, tmp_path, monkeypatch):
+    """A crash between commits leaves the store at v0; the contract
+    query must wipe and rebuild, not append (commit() always writes
+    prev+1, so appending would shift every version's content)."""
+    import os
+    import shutil
+
+    from osmexpress_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    import hashlib
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__))),
+        ".fixtures", "store_tt_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    full = {tuple(r) for r in Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
+    # simulate the crash: drop v1 and v2 manifests, keep v0
+    for v in (1, 2):
+        os.remove(os.path.join(root, "_versions", f"v{v:012d}.json"))
+    again = {tuple(r) for r in Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
+    assert again == full
+    shutil.rmtree(root)  # leave no half-state for other tests
