@@ -149,3 +149,52 @@ def resample_counts(
         (F.col("bucket") * bucket_seconds).alias("bucket_epoch"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
     )
+
+
+def trend_slopes(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-group least-squares trend slope of `val_col` over time —
+    the closed-form regression every metrics dashboard fits, computed
+    ENGINE-EXACTLY: x = whole minutes since the group's first event
+    (exact BIGINT), y = value in millis (exact BIGINT; the 0.5-ulp
+    rounding boundary cannot fire on 2-decimal inputs), and
+    slope = (n*Σxy - Σx*Σy) / (n*Σx² - (Σx)²) with the four sums as
+    exact BIGINTs and the two final products in DECIMAL(38,0) so
+    nothing overflows before the one double division. Output
+    (group, n BIGINT, slope DOUBLE millis-per-minute, rounded to 6).
+
+    Scale shape: two map-side-combined aggregates (per-group min, then
+    the moment sums) + one broadcast join of the tiny min table; no
+    window, no per-row state. Groups with a single distinct minute
+    (den = 0) emit NULL slope rather than dividing by zero."""
+    e = events.select(
+        F.col(group_col).alias("g"),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+        F.round(F.col(val_col) * 1000).cast("long").alias("y"),
+    )
+    t0 = e.groupBy("g").agg(F.min("epoch").alias("t0"))
+    xy = e.join(F.broadcast(t0), "g").select(
+        "g", F.expr("(epoch - t0) DIV 60").alias("x"), "y"
+    )
+    sums = xy.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("slope_milli_per_min"),
+    )

@@ -1112,3 +1112,46 @@ def q_store_time_travel(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@defq(
+    "q_trend_slopes",
+    """
+    WITH te AS (
+      SELECT event_type AS g,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+             CAST(round(value * 1000, 0) AS BIGINT) AS y
+      FROM events
+    ),
+    tt0 AS (SELECT g, min(epoch) AS t0 FROM te GROUP BY g),
+    txy AS (
+      SELECT te.g, (te.epoch - tt0.t0) // 60 AS x, te.y
+      FROM te JOIN tt0 ON te.g = tt0.g
+    ),
+    ts2 AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM txy GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                THEN round(
+                  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                       AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                         AS DOUBLE), 6)
+           END AS slope_milli_per_min
+    FROM ts2
+    """,
+)
+def q_trend_slopes(spark, sf_dir):
+    """Per-event-type least-squares trend slope (operators/events.py:
+    trend_slopes): integer-exact moment sums (x in minutes since the
+    group's first event, y in millis), DECIMAL(38,0)/HUGEINT products,
+    one double division at the very end — regression analytics without
+    float accumulation anywhere."""
+    from .operators.events import trend_slopes
+
+    return trend_slopes(t(spark, sf_dir, "events"))

@@ -477,3 +477,26 @@ def test_store_time_travel_rebuilds_partial_store(spark, tmp_path, monkeypatch):
     again = {tuple(r) for r in Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
     assert again == full
     shutil.rmtree(root)  # leave no half-state for other tests
+
+
+def test_trend_slopes_hand_computed(spark):
+    from osmexpress_spark.operators.events import trend_slopes
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # group 'up': y = 2.0 + 0.001 * minutes -> slope 1 milli/min
+        ("up", t0, 2.0),
+        ("up", t0 + dt.timedelta(minutes=10), 2.010),
+        ("up", t0 + dt.timedelta(minutes=20), 2.020),
+        # group 'flat': constant
+        ("flat", t0, 5.0),
+        ("flat", t0 + dt.timedelta(minutes=30), 5.0),
+        # group 'solo': one point -> den 0 -> NULL slope
+        ("solo", t0, 9.9),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r.event_type: (r.n, r.slope_milli_per_min)
+           for r in trend_slopes(ev).collect()}
+    assert got["up"] == (3, 1.0)
+    assert got["flat"] == (2, 0.0)
+    assert got["solo"] == (1, None)
