@@ -194,18 +194,25 @@ def bigram_nll_scores(
     determinism contract), so nll_micro is an exact BIGINT and mean
     NLL is the rational nll_micro / (1e6 * n_bigrams).
 
-    100 TB shape: the bigram model is <= B^2 = 65536 rows — still a
-    broadcast; the corpus shuffles only (doc, b1, b2, count) partials
-    (<= 65536 rows per doc, in practice ~doc length), never text.
+    100 TB shape: the model trains from ONE aggregate over the
+    lm-subset's pairs (map-side combine collapses to <= B^2 = 65536
+    rows before the shuffle) and broadcasts; scoring then joins the
+    exploded pair stream against the broadcast model BEFORE any
+    shuffle, so the only corpus-sized shuffle carries per-doc partial
+    sums (one row per doc per partition after map-side combine) —
+    never per-pair rows. Pairs absent from the lm model fall back to
+    the broadcast 256-row context table (-ln(1/(ctx+B^2))), the same
+    value the dense formula gives them.
     """
     ws = F.split(F.col(text_col), " ")
+    pair_len = F.greatest(F.size(ws) - 1, F.lit(0))
     pairs = df.select(
         F.col(id_col).alias("id"),
         lm_subset.alias("is_lm"),
         F.explode(
             F.zip_with(
-                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 1, pair_len),
+                F.slice(ws, 2, pair_len),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p"),
@@ -215,27 +222,43 @@ def bigram_nll_scores(
         token_bucket(F.col("p.w1")).alias("b1"),
         token_bucket(F.col("p.w2")).alias("b2"),
     )
-    per_doc = pairs.groupBy("id", "is_lm", "b1", "b2").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    dist = per_doc.groupBy("b1", "b2").agg(
-        F.sum(F.when(F.col("is_lm"), F.col("n")).otherwise(0)).alias("lm_n")
+    bsq = float(N_BUCKETS * N_BUCKETS)
+    dist = (
+        pairs.where(F.col("is_lm"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("lm_n"))
     )
     ctx = dist.groupBy("b1").agg(F.sum("lm_n").alias("ctx_n"))
     # -ln((lm_n + 1) / (ctx_n + B^2)); formula text mirrored in the
     # oracle so the double association order matches before the round
-    nll = -F.log(
-        (F.col("lm_n") + F.lit(1.0))
-        / (F.col("ctx_n") + F.lit(float(N_BUCKETS * N_BUCKETS)))
-    )
+    micro = lambda e: F.round(-F.log(e) * F.lit(1e6)).cast("long")  # noqa: E731
     model = dist.join(ctx, "b1").select(
-        "b1", "b2", F.round(nll * F.lit(1e6)).cast("long").alias("nll_micro_b")
+        "b1",
+        "b2",
+        micro((F.col("lm_n") + F.lit(1.0)) / (F.col("ctx_n") + F.lit(bsq))).alias(
+            "nll_micro_b"
+        ),
     )
-    return (
-        per_doc.join(F.broadcast(model), ["b1", "b2"])
-        .groupBy("id")
-        .agg(
-            F.sum("n").cast("int").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("nll_micro_b")).alias("nll_micro"),
+    # unseen-pair fallback per context; contexts absent from the lm
+    # subset entirely cost -ln(1/B^2)
+    ctx_fallback = ctx.select(
+        "b1",
+        micro(F.lit(1.0) / (F.col("ctx_n") + F.lit(bsq))).alias("nll_micro_ctx"),
+    )
+    nll_cold = int(round(-__import__("math").log(1.0 / bsq) * 1e6))
+    scored = (
+        pairs.join(F.broadcast(model), ["b1", "b2"], "left_outer")
+        .join(F.broadcast(ctx_fallback), "b1", "left_outer")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("nll_micro_b"),
+                F.col("nll_micro_ctx"),
+                F.lit(nll_cold).cast("long"),
+            ).alias("nll"),
         )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("nll").alias("nll_micro"),
     )
