@@ -83,22 +83,42 @@ def kmv_distinct_estimate(df: DataFrame, item: Column, k: int = 256) -> DataFram
     )
 
 
+def _cms_buckets(item: Column, w: int, d: int) -> list[Column]:
+    """The d bucket ids of an item from ONE md5: row j reads the j-th
+    40-bit (10-hex) slice of md5(item) mod w — the minhash design rule
+    (one md5 feeds every permutation) applied to the CMS rows. Caps
+    d at 3 (3 x 10 hex <= the 32-hex digest)."""
+    if not 1 <= d <= 3:
+        raise ValueError("d must be 1..3 (one 10-hex md5 slice per row)")
+    m = F.md5(item)
+    return [
+        (
+            F.conv(F.substring(m, 1 + 10 * j, 10), 16, 10).cast("long") % w
+        ).cast("int")
+        for j in range(d)
+    ]
+
+
 def cms_build(
     df: DataFrame, item: Column, w: int = 1024, d: int = 3
 ) -> DataFrame:
     """Count-Min sketch of item frequencies: (j, bucket, cnt) for
-    j in [0, d), bucket in [0, w). Row j's bucket of an item is the
-    48-bit md5 of ``"j:item"`` mod w. One explode to d rows per item +
-    one map-side-combined count; the result is at most d*w rows."""
-    rows = df.select(item.alias("item")).select(
-        "item", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
-    )
-    bucket = (
-        hash48(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("item")))
-        % w
+    j in [0, d), bucket in [0, w). One md5 per item (sliced per row),
+    one explode to d rows + one map-side-combined count; the result is
+    at most d*w rows."""
+    bs = _cms_buckets(item, w, d)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), b.alias("bucket"))
+                    for j, b in enumerate(bs)
+                ]
+            )
+        ).alias("e")
     )
     return (
-        rows.select("j", bucket.cast("int").alias("bucket"))
+        rows.select(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -113,20 +133,19 @@ def cms_estimate(
     empty). The probe list broadcasts; the sketch is already bounded
     at d*w rows."""
     spark = sketch.sparkSession
-    probes = spark.createDataFrame(
-        [(it, j) for it in items for j in range(d)], "item string, j int"
-    ).select(
+    probe_items = spark.createDataFrame([(it,) for it in items], "item string")
+    bs = _cms_buckets(F.col("item"), w, d)
+    probes = probe_items.select(
         "item",
-        "j",
-        (
-            hash48(
-                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("item"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), b.alias("bucket"))
+                    for j, b in enumerate(bs)
+                ]
             )
-            % w
-        )
-        .cast("int")
-        .alias("bucket"),
-    )
+        ).alias("e"),
+    ).select("item", F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
     # broadcast the SKETCH: it is the bounded side (<= d*w rows), and
     # Spark cannot broadcast the preserved (left) side of a left-outer
     # join anyway — a hint there is silently ignored

@@ -2576,9 +2576,11 @@ CMS_PROBES = ["spark", "table", "row", "merge", "window", "zzz_absent"]
 
 
 def _cms_bucket_sql(j: str, item: str) -> str:
+    # row j reads the j-th 10-hex slice of ONE md5(item) (sketch.py:
+    # _cms_buckets — the one-md5-feeds-all-rows rule)
     return (
-        f"CAST(CAST('0x' || substring(md5(CAST({j} AS VARCHAR) || ':' "
-        f"|| {item}), 1, 12) AS BIGINT) % {CMS_W} AS INTEGER)"
+        f"CAST(CAST('0x' || substring(md5({item}), 1 + 10 * {j}, 10) "
+        f"AS BIGINT) % {CMS_W} AS INTEGER)"
     )
 
 
