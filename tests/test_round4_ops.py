@@ -500,3 +500,35 @@ def test_trend_slopes_hand_computed(spark):
     assert got["up"] == (3, 1.0)
     assert got["flat"] == (2, 0.0)
     assert got["solo"] == (1, None)
+
+
+# --- observe-based health metrics ------------------------------------------
+def test_observe_curation_counts_ride_one_action(spark):
+    from osmexpress_spark.operators import metrics, text
+
+    docs = spark.createDataFrame(
+        [(1, "the fox and the dog ran to a tree in one of the yards "
+             "over and over again " * 2),
+         (2, "short"),
+         (3, "mail me at a@b.com please " + "the a of and to in " * 5)],
+        "doc_id long, text string",
+    )
+    obs, out = metrics.observe_curation(docs)
+    got_rows = out.count()  # ONE action; metrics ride it
+    m = obs.get
+    assert got_rows == 3 and m["n_rows"] == 3
+    # cross-check each counter against an explicit second pass
+    c = text.gopher_flags(out["text"])["keep"]
+    assert m["n_gate_pass"] == out.where(c).count()
+    assert m["n_with_pii"] == 1
+    assert m["n_tokens"] == sum(
+        r[0] for r in out.select(text.token_count(out["text"])).collect()
+    )
+
+
+def test_observe_metrics_requires_metrics(spark):
+    from osmexpress_spark.operators import metrics
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        metrics.observe_metrics(df, "x")
