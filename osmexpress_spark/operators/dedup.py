@@ -912,3 +912,115 @@ def fuzzy_token_pairs(
         cands.select("a", "b", F.levenshtein("a", "b").cast("int").alias("dist"))
         .where(F.col("dist") <= max_dist)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_pct_num: int = 1,
+    min_pct_den: int = 4,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL containment detection: (id_a, id_b, n_common, n_a)
+    for every ordered pair where at least min_pct_num/min_pct_den of
+    A's distinct word k-shingles also appear in B — the
+    quote/subset/version-of signal Jaccard misses (a paragraph fully
+    contained in a long doc has high containment but tiny Jaccard).
+    The threshold is the integer inequality
+    ``n_common * min_pct_den >= n_a * min_pct_num`` (no rounded
+    rationals).
+
+    Plan: the jaccard_pairs inverted-index shape — distinct shingles
+    explode, self-join on the shingle, count per pair — then each
+    unordered pair emits up to two directional rows against the two
+    sizes. `max_shingle_freq` is the same stop-shingle cap (drops
+    ubiquitous shingles before pair expansion; biases containment
+    DOWN)."""
+    docs = df.where(F.size(F.split(F.col(text_col), " ")) >= k).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    sizes = docs.select("id", F.size("sh").alias("n"))
+    inv = docs.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("s")
+    )
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+        inv = (
+            inv.join(freq.where(F.col("__f") <= max_shingle_freq), "s")
+            .drop("__f")
+        )
+    a = inv.select(F.col("id").alias("id_a"), "s")
+    b = inv.select(F.col("id").alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("n", "n_a"), "id_a")
+        .where(
+            F.col("n_common") * min_pct_den >= F.col("n_a") * min_pct_num
+        )
+        .select("id_a", "id_b", "n_common", "n_a")
+    )
+
+
+def incremental_dedup_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    k: int = 2,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Daily-ingest dedup: candidate pairs (new_id, corpus_id) between
+    an incoming batch and the EXISTING corpus via banded MinHash — the
+    incremental form of minhash_lsh_pairs. The critical scale property
+    is what this join is NOT: the corpus never self-joins (its
+    signatures are computed once — persist them in practice — and the
+    band join is |new| x bucket, so daily cost scales with the batch,
+    not the corpus). Within-batch duplicates are minhash_lsh_pairs on
+    new_docs alone; the standard pipeline runs both."""
+    rows_per_band = n_hashes // bands
+    sig_c = minhash_signatures_df(corpus, id_col, text_col, n_hashes, k)
+    sig_n = minhash_signatures_df(new_docs, id_col, text_col, n_hashes, k)
+
+    def bandify(sigs, name):
+        keys = F.array(
+            *[
+                F.concat(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(name),
+            F.posexplode(keys).alias("band_idx", "band_key"),
+        )
+
+    bc = bandify(sig_c, "corpus_id")
+    bn = bandify(sig_n, "new_id")
+    if max_bucket_size is not None:
+        size = bc.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        bc = (
+            bc.join(size, ["band_idx", "band_key"])
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    return (
+        bn.join(bc, ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

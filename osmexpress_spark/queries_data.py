@@ -2957,3 +2957,79 @@ def q_langid_confusion(spark, sf_dir):
     return d.select(
         "lang", text.lang_id(F.col("text")).alias("predicted")
     ).groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+@defq(
+    "q_containment_pairs",
+    """
+    WITH cw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    csh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(w) - 4),
+                           i -> array_to_string(w[i+1:i+5], ' '))) AS sh
+      FROM cw
+    ),
+    csz AS (SELECT doc_id, len(sh) AS n FROM csh),
+    cinv AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+    ccom AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common, CAST(z.n AS INTEGER) AS n_a
+    FROM ccom JOIN csz z ON ccom.id_a = z.doc_id
+    WHERE n_common * 4 >= z.n * 1
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Directional shingle containment >= 25% (dedup.py:
+    containment_pairs): the quote/subset/version-of signal Jaccard
+    misses — a paragraph fully inside a long doc has high containment
+    but tiny Jaccard. Inverted-index pair generation, integer
+    threshold inequality."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", k=5, min_pct_num=1, min_pct_den=4
+    )
+
+
+@defq(
+    "q_incremental_dedup",
+    f"""
+    WITH iws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), ish AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                           i -> w[i+1] || ' ' || w[i+2])) AS sh
+      FROM iws WHERE len(w) >= {SHINGLE_K}
+    ), imh AS (
+      SELECT doc_id,
+             {_minhash_sql_columns()}
+      FROM ish
+    ), ibands AS (
+      {_band_selects_sql().replace('FROM mh', 'FROM imh')}
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM ibands n JOIN ibands c
+      ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+    WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (dedup.py:incremental_dedup_pairs):
+    MinHash band candidates between an incoming batch (doc_id % 5 = 0)
+    and the existing corpus — the corpus NEVER self-joins, so daily
+    cost scales with the batch. Within-batch dups are the existing
+    q_minhash_lsh_pairs; production runs both."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_dedup_pairs(
+        corpus, new, "doc_id", "text", n_hashes=N_HASHES,
+        k=SHINGLE_K, bands=N_BANDS,
+    )

@@ -532,3 +532,43 @@ def test_observe_metrics_requires_metrics(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         metrics.observe_metrics(df, "x")
+
+
+# --- containment / incremental dedup ---------------------------------------
+def test_containment_is_directional(spark):
+    from osmexpress_spark.operators import dedup as dd
+
+    big = "w" + " w".join(str(i) for i in range(40))  # w0..w39 spaced
+    small = " ".join(f"w{i}" for i in range(10))      # fully inside big
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40))), (2, small),
+         (3, "x y z q r s t u v")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): (r.n_common, r.n_a)
+           for r in dd.containment_pairs(df, "doc_id", "text", k=5).collect()}
+    # small's 6 shingles are all in big: containment(2 in 1) = 100%
+    assert got[(2, 1)] == (6, 6)
+    # big in small is 6/36 = 16.7% < 25%: directional row absent
+    assert (1, 2) not in got
+    assert not any(3 in p for p in got)
+    _ = big
+
+
+def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
+    from osmexpress_spark.operators import dedup as dd
+
+    dup = "same text repeated here for the minhash bands to match fully"
+    df_corpus = spark.createDataFrame(
+        [(1, dup), (2, "another completely different document body")],
+        "doc_id long, text string",
+    )
+    df_new = spark.createDataFrame(
+        [(10, dup), (11, "nothing like anything in the corpus at all")],
+        "doc_id long, text string",
+    )
+    got = {(r.new_id, r.corpus_id)
+           for r in dd.incremental_dedup_pairs(
+               df_corpus, df_new, "doc_id", "text").collect()}
+    assert (10, 1) in got
+    assert all(n in (10, 11) and c in (1, 2) for n, c in got)
