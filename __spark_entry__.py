@@ -4,11 +4,12 @@ entry(spark)      -> flagship query on /root/testdata/sf0.001
 queries()         -> {name: (spark, sf_dir) -> DataFrame} per SURVEY.md §2
 oracle_sql()      -> {name: DuckDB SQL} for every SQL-expressible query
 
-Implementations live in osmexpress_spark.queries (relational inventory)
-and osmexpress_spark.queries_data (LLM-pipeline operators); OSM-domain
-pipelines (extract/closure/WKT over the fixture dataset) are registered
-as rows-only checks — their semantics are golden-tested in tests/
-against an independent Python model instead of SQL.
+Implementations live in osmexpress_spark.queries (relational inventory
++ events analytics), queries_data (LLM-pipeline operators),
+queries_osm (fixture-dataset OSM pipelines), and queries_update
+(update/diff family). EVERY registered query carries a DuckDB oracle —
+including the OSM-domain pipelines, whose oracles run over an
+independent pyarrow copy of the deterministic fixture.
 """
 
 from __future__ import annotations

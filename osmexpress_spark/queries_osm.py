@@ -4,16 +4,15 @@ These exercise the reference-specific pipelines — spatial extract,
 fixpoint closure, WKT assembly, point lookup — over the deterministic
 fixture dataset (seeded; built lazily under .fixtures/).
 
-Most now carry full DuckDB oracles (ORACLE_SQL below): the fixture is
+All carry full DuckDB oracles (oracle_sql() below): the fixture is
 pure-Python deterministic, so `oracle_sql()` writes an independent
 pyarrow copy of it and emits self-contained SQL over `read_parquet`,
 with the (deterministic, driver-side) covering ranges inlined as
-literal BETWEEN predicates and the super-relation fixpoint expressed
-as a recursive CTE. Only the recursive-GeoJSON and augmented-diff
-queries stay rows-only (JSON/className formatting is not worth
-byte-matching in SQL; their semantics are golden-tested in tests/
-against independent Python models, and the augmented-diff semantics
-are separately hash-checked by queries_update.q_augmented_diff_analog).
+literal BETWEEN predicates, the super-relation fixpoint expressed as a
+recursive CTE, and the relation-member descent as a level-unrolled BFS
+carrying the operator's visited set. The GeoJSON Feature text itself
+is pinned by tests/test_functions.py as a deterministic serialization
+of the oracled leaves.
 """
 
 from __future__ import annotations
@@ -107,9 +106,10 @@ def osm_stats(spark, sf_dir):
 def osm_augmented_diff(spark, sf_dir):
     """U6 capstone: classify a deterministic OsmChange batch against the
     fixture snapshot and propagate node moves to parent ways/relations
-    (python/examples/augmented_diff.py:17-305). Rows-only: the
-    classification + propagation semantics are golden-tested in
-    tests/test_streaming_diff.py against an independent model."""
+    (python/examples/augmented_diff.py:17-305). Oracled via
+    _augdiff_oracle_sql (replaying classification + propagation
+    relationally over the fixture copy); the semantics are ALSO
+    golden-tested in tests/test_streaming_diff.py."""
     from .operators.diff import augmented_diff
 
     ds = _dataset(spark)
