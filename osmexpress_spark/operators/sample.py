@@ -453,3 +453,29 @@ def priority_sample(
         keep.withColumn(rank_name, F.row_number().over(w).cast("int"))
         .drop("__pri")
     )
+
+
+def priority_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    rank_name: str = "sample_rank",
+) -> DataFrame:
+    """Weighted k-row sample PER KEY (the weighted sibling of
+    reservoir_per_key): priority = md5-uniform(id) / weight, keep each
+    key's k smallest. One window (= one hash shuffle on the key),
+    state per key is k rows; zero-weight/null rows are excluded."""
+    from .sketch import hash48
+
+    pri = (
+        hash48(F.col(id_col).cast("string")).cast("double")
+        / F.col(weight_col).cast("double")
+    )
+    w = Window.partitionBy(key_col).orderBy(pri, F.col(id_col))
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn(rank_name, F.row_number().over(w).cast("int"))
+        .where(F.col(rank_name) <= k)
+    )

@@ -572,3 +572,20 @@ def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
                df_corpus, df_new, "doc_id", "text").collect()}
     assert (10, 1) in got
     assert all(n in (10, 11) and c in (1, 2) for n, c in got)
+
+
+def test_priority_sample_per_key_bounded_and_weighted(spark):
+    from osmexpress_spark.operators import sample
+
+    rows = [(g, i, 1 if i < 50 else 100)
+            for g in ("a", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = sample.priority_sample_per_key(df, "grp", "id", "w", k=10).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["grp"], []).append(r)
+    for g, rs in per.items():
+        assert len(rs) == 10
+        assert sorted(r["sample_rank"] for r in rs) == list(range(1, 11))
+        heavy = sum(1 for r in rs if r["id"] >= 50)
+        assert heavy >= 8, (g, heavy)  # weight-100 rows dominate

@@ -189,3 +189,41 @@ def test_fuzzy_pairs_match_blocked_model(spark, toks):
             if d <= 2:
                 want[(a, b)] = d
     assert got == want
+
+
+# --- as-of join vs brute-force model ---------------------------------------
+@SET
+@given(left=_events, right=_events,
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_bruteforce(spark, left, right, direction):
+    from osmexpress_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [(i, u, t0 + dt.timedelta(seconds=s))
+             for i, (u, s) in enumerate(left)]
+    rrows = [(i, u, t0 + dt.timedelta(seconds=s))
+             for i, (u, s) in enumerate(right)]
+    schema_l = "lid long, user long, ts timestamp"
+    schema_r = "rid long, user long, rts timestamp"
+    ldf = (spark.createDataFrame(lrows, schema_l)
+           if lrows else spark.createDataFrame([], schema_l))
+    rdf = (spark.createDataFrame([(i, u, t) for i, u, t in rrows], schema_r)
+           if rrows else spark.createDataFrame([], schema_r))
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on="user", left_time="ts", right_time="rts",
+            right_cols=["rid"], right_order="rid", direction=direction,
+        ).collect()
+    }
+    assert set(got) == {i for i, _, _ in lrows}
+    for li, lu, lt in lrows:
+        if direction == "backward":
+            cands = [(rt, ri) for ri, ru, rt in rrows if ru == lu and rt <= lt]
+            # latest time wins; ties -> HIGHEST right_order (rid)
+            want = max(cands)[1] if cands else None
+        else:
+            cands = [(rt, ri) for ri, ru, rt in rrows if ru == lu and rt >= lt]
+            # earliest time; ties -> LOWEST rid
+            want = min(cands)[1] if cands else None
+        assert got[li] == want, (li, direction, cands)
