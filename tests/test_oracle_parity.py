@@ -76,6 +76,15 @@ def strict_rowset(pdf):
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, con, name):
     sdf = ALL_QUERIES[name](spark, SF_DIR)
+    # the driver's canonicalizer factorizes cells through pandas and
+    # CRASHES on list values (q_pq_encode, r03) and hash-fails on
+    # decimals: every contract column must be a scalar non-decimal type
+    hostile = [
+        (c, dt)
+        for c, dt in sdf.dtypes
+        if any(t in dt for t in ("array", "map", "struct", "decimal"))
+    ]
+    assert not hostile, f"{name}: canonicalizer-hostile columns {hostile}"
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     res = con.execute(ALL_ORACLES[name])
