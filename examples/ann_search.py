@@ -30,6 +30,9 @@ def main() -> None:
     exact = similarity.topk_bruteforce(queries, emb, k=5)
     tiers = {
         "lsh": similarity.topk_bucketed(queries, emb, dim=DIM, k=5),
+        "lsh x3 probes": similarity.topk_bucketed(
+            queries, emb, dim=DIM, k=5, probes=3
+        ),
         "ivf": similarity.topk_ivf(queries, emb, dim=DIM, k=5),
         "ivfpq": similarity.topk_ivfpq(queries, emb, dim=DIM, k=5),
         "ivfpq+rerank": similarity.topk_ivfpq_rerank(

@@ -96,6 +96,47 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def lsh_probe_buckets(
+    vec: Column, dim: int, n_planes: int = N_PLANES, probes: int = 1
+) -> Column:
+    """Multi-probe bucket list (Lv et al. 2007): the home bucket plus
+    the buckets reached by flipping the planes with the SMALLEST
+    absolute projection (the hyperplanes the point sits closest to —
+    where its true neighbors most likely fell on the other side).
+    `probes` = total buckets returned (1 = exact single-bucket
+    hashing). Pure column expression; projections computed once and
+    shared between the sign test and the flip ranking."""
+    projs = [
+        F.round(
+            dot(vec, F.array(*[F.lit(float(plane_weight(i, k))) for i in range(dim)])),
+            6,
+        )
+        for k in range(n_planes)
+    ]
+    bucket = None
+    for k, pk in enumerate(projs):
+        bit = F.when(pk > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    if probes <= 1:
+        return F.array(bucket)
+    flips = F.array(
+        *[
+            F.struct(
+                F.abs(pk).alias("a"),
+                F.lit(k).alias("k"),
+                bucket.bitwiseXOR(F.lit(1 << k)).alias("b"),
+            )
+            for k, pk in enumerate(projs)
+        ]
+    )
+    nearest = F.slice(
+        F.transform(F.array_sort(flips), lambda st: st["b"]),
+        1,
+        min(probes - 1, len(projs)),
+    )
+    return F.concat(F.array(bucket), nearest)
+
+
 def topk_bucketed(
     queries: DataFrame,
     candidates: DataFrame,
@@ -104,14 +145,22 @@ def topk_bucketed(
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = N_PLANES,
+    probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket — the candidate
-    set shrinks ~2^n_planes-fold; recall is traded for a bucket-equi
-    join that scales linearly."""
+    """ANN top-k restricted to the query's LSH bucket(s) — the
+    candidate set shrinks ~2^n_planes-fold; recall is traded for a
+    bucket-equi join that scales linearly. `probes > 1` enables
+    multi-probe (lsh_probe_buckets): the QUERY side fans out to its
+    nearest flip buckets (probe-factor rows on the tiny broadcast
+    side only — the candidate scan is untouched), recovering most of
+    the recall a single bucket loses. probes=1 is the oracle-checked
+    contract configuration."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), dim, n_planes, probes)
+        ).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),

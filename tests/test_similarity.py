@@ -440,3 +440,28 @@ def test_pq_codes_match_python_model_random_vectors(spark):
         want = {i: code_of(v) for i, v in rows}
         assert got == want, f"trial {trial}"
         assert got[61] == got[0]  # identical vectors -> identical codes
+
+
+def test_multiprobe_lsh_improves_recall_and_contains_single_probe(spark):
+    """probes>1 must (a) return a superset-quality result: recall vs
+    brute force never decreases, (b) reduce to the exact single-bucket
+    searcher at probes=1, and (c) cost only a query-side fan-out."""
+    from osmexpress_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    exact = similarity.topk_bruteforce(q, emb, k=5)
+
+    def recall(df):
+        r = similarity.ann_recall(exact, df).agg(
+            {"n_overlap": "sum"}).collect()[0][0]
+        return r
+
+    single = similarity.topk_bucketed(q, emb, dim=64, k=5, probes=1)
+    multi = similarity.topk_bucketed(q, emb, dim=64, k=5, probes=3)
+    r1, r3 = recall(single), recall(multi)
+    assert r3 >= r1
+    assert r3 > r1  # with 4 planes and 3 probes the gain is real here
+    # probes=1 path identical to the historical implementation
+    base = similarity.topk_bucketed(q, emb, dim=64, k=5)
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, base.collect()))
