@@ -95,3 +95,29 @@ def read_documents(
             else F.length("text").cast("long")
         ).alias("n_chars"),
     )
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    fmt: str = "jsonl",
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+) -> None:
+    """Export a documents frame for interchange: 'jsonl' (the corpus
+    lingua franca; gzip-compressed member files by default — one file
+    per partition, so downstream splittability comes from file COUNT,
+    the same rule the reader documents) or 'parquet' (the internal
+    format; compression managed by the writer). No coalesce(1):
+    single-file exports belong to the caller's cat step, not the
+    cluster's."""
+    out = df.repartition(partitions) if partitions else df
+    if fmt == "jsonl":
+        w = out.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path)
+    elif fmt == "parquet":
+        out.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"unsupported export format: {fmt!r}")

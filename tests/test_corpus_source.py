@@ -46,3 +46,22 @@ def test_missing_required_column_raises(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="text"):
         read_documents(spark, str(p))
+
+
+def test_write_documents_jsonl_roundtrip(spark, tmp_path):
+    from osmexpress_spark.sources import corpus
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", "s0", 11), (2, "bonjour", "fr", "s1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "export")
+    corpus.write_documents(df, out, fmt="jsonl", partitions=2)
+    back = corpus.read_documents(spark, out + "/*.json.gz", fmt="json")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    import glob
+    files = glob.glob(out + "/part-*.json.gz")
+    assert len(files) == 2  # many member files, no coalesce(1)
+    import pytest
+    with pytest.raises(ValueError):
+        corpus.write_documents(df, out, fmt="xml")
