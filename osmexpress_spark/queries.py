@@ -1009,6 +1009,32 @@ def q_time_resample(spark, sf_dir):
     return resample_counts(t(spark, sf_dir, "events"))
 
 
+def _tt_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the time-travel input: the driver
+    REGENERATES /root/testdata each round in the SAME checkout, so a
+    store keyed only by path would serve version-0 data built from a
+    previous round's orders.parquet and hash-fail against the oracle
+    (which always reads the current file). Size + head/tail bytes of
+    the parquet change whenever the writer reruns (row-group stats and
+    footer metadata differ even for identical logical content)."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    h = hashlib.md5(sf_dir.encode())
+    try:
+        st = os.stat(path)
+        h.update(str(st.st_size).encode())
+        with open(path, "rb") as f:
+            h.update(f.read(65536))
+            if st.st_size > 65536:
+                f.seek(-65536, os.SEEK_END)
+                h.update(f.read(65536))
+    except OSError:
+        pass
+    return h.hexdigest()[:12]
+
+
 def _tt_batch(df, mod: int, bump: int):
     """Deterministic upsert batch: rows whose id % mod == 0 get
     val + bump at the next version, plus one new id (2_000_000 + bump)."""
@@ -1080,7 +1106,7 @@ def q_store_time_travel(spark, sf_dir):
     root = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         ".fixtures",
-        "store_tt_" + _h.md5(sf_dir.encode()).hexdigest()[:8],
+        "store_tt_" + _tt_fingerprint(sf_dir),
     )
     store = SnapshotStore(spark, root)
     latest = store.latest_version()

@@ -465,10 +465,9 @@ def test_store_time_travel_rebuilds_partial_store(spark, tmp_path, monkeypatch):
     from osmexpress_spark import queries as Q
 
     sf = "/root/testdata/sf0.001"
-    import hashlib
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__))),
-        ".fixtures", "store_tt_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+        ".fixtures", "store_tt_" + Q._tt_fingerprint(sf),
     )
     full = {tuple(r) for r in Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
     # simulate the crash: drop v1 and v2 manifests, keep v0
@@ -589,3 +588,28 @@ def test_priority_sample_per_key_bounded_and_weighted(spark):
         assert sorted(r["sample_rank"] for r in rs) == list(range(1, 11))
         heavy = sum(1 for r in rs if r["id"] >= 50)
         assert heavy >= 8, (g, heavy)  # weight-100 rows dominate
+
+
+def test_store_time_travel_rekeys_on_testdata_regeneration(spark, tmp_path):
+    """The driver regenerates /root/testdata each round in the SAME
+    checkout: the fingerprint must change when orders.parquet content
+    changes, so a stale store from the previous round's data is never
+    served."""
+    import shutil
+
+    from osmexpress_spark import queries as Q
+
+    d1 = str(tmp_path / "sfA"); d2 = str(tmp_path / "sfA")  # same path
+    import os
+    os.makedirs(d1, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/orders.parquet",
+                os.path.join(d1, "orders.parquet"))
+    f1 = Q._tt_fingerprint(d1)
+    # regenerate: different content at the same path
+    shutil.copy("/root/testdata/sf0.01/orders.parquet",
+                os.path.join(d2, "orders.parquet"))
+    f2 = Q._tt_fingerprint(d2)
+    assert f1 != f2
+    # and a missing file still yields a stable (path-only) key
+    assert Q._tt_fingerprint(str(tmp_path / "nope")) == \
+           Q._tt_fingerprint(str(tmp_path / "nope"))
