@@ -1010,26 +1010,22 @@ def q_time_resample(spark, sf_dir):
 
 
 def _tt_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the time-travel input: the driver
-    REGENERATES /root/testdata each round in the SAME checkout, so a
-    store keyed only by path would serve version-0 data built from a
-    previous round's orders.parquet and hash-fail against the oracle
-    (which always reads the current file). Size + head/tail bytes of
-    the parquet change whenever the writer reruns (row-group stats and
-    footer metadata differ even for identical logical content)."""
+    """Content key of the time-travel input: the driver REGENERATES
+    /root/testdata each round in the SAME checkout, so a store keyed
+    only by path would serve version-0 data built from a previous
+    round's orders.parquet and hash-fail against the oracle (which
+    always reads the current file). Reuses queries_data's
+    _path_fingerprint (size + newest mtime), the same invalidation the
+    on-disk IVF index caches use."""
     import hashlib
     import os
+
+    from .queries_data import _path_fingerprint
 
     path = os.path.join(sf_dir, "orders.parquet")
     h = hashlib.md5(sf_dir.encode())
     try:
-        st = os.stat(path)
-        h.update(str(st.st_size).encode())
-        with open(path, "rb") as f:
-            h.update(f.read(65536))
-            if st.st_size > 65536:
-                f.seek(-65536, os.SEEK_END)
-                h.update(f.read(65536))
+        h.update(_path_fingerprint(path).encode())
     except OSError:
         pass
     return h.hexdigest()[:12]
