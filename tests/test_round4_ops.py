@@ -613,3 +613,32 @@ def test_store_time_travel_rekeys_on_testdata_regeneration(spark, tmp_path):
     # and a missing file still yields a stable (path-only) key
     assert Q._tt_fingerprint(str(tmp_path / "nope")) == \
            Q._tt_fingerprint(str(tmp_path / "nope"))
+
+
+# --- Visvalingam simplification --------------------------------------------
+def test_visvalingam_model_and_invariants(spark):
+    from osmexpress_spark.operators.geometry import simplify_ways, visvalingam
+
+    # collinear interior vertex has area 0: always removed first
+    pts = [(0, 0), (5, 0), (10, 0), (10, 10)]
+    assert visvalingam(pts, 1) == [0, 2, 3]
+    # high threshold collapses to endpoints
+    assert visvalingam(pts, 10**9) == [0, 3]
+    # threshold 0 keeps everything (strict <)
+    assert visvalingam(pts, 0) == [0, 1, 2, 3]
+    # distributed form matches the model and keeps endpoints
+    locs = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(
+            [(0, 0), (5, 1), (10, 0), (10, 10), (20, 10)])],
+        "id long, lon int, lat int",
+    )
+    ways = spark.createDataFrame(
+        [(1, [0, 1, 2, 3, 4]), (2, [0, 4])], "id long, nodes array<long>"
+    )
+    got = {r["id"]: (list(r["nodes"]), r["n_before"], r["n_after"])
+           for r in simplify_ways(ways, locs, min_area2=25).collect()}
+    coords = [(0, 0), (5, 1), (10, 0), (10, 10), (20, 10)]
+    keep = visvalingam(coords, 25)
+    assert got[1] == ([k for k in keep], 5, len(keep))
+    assert got[1][0][0] == 0 and got[1][0][-1] == 4
+    assert got[2] == ([0, 4], 2, 2)
