@@ -53,3 +53,16 @@ def observe_curation(
         n_with_pii=F.sum(F.when(text.pii_count(c) > 0, 1).otherwise(0)),
         n_tokens=F.sum(text.token_count(c).cast("long")),
     )
+
+
+def observe_stream(df: DataFrame, name: str, **metrics: Column) -> DataFrame:
+    """Streaming twin of observe_metrics: attach per-micro-batch
+    aggregate metrics to a STREAMING DataFrame. Metrics surface in
+    every StreamingQueryProgress under observedMetrics[name] (and to
+    any StreamingQueryListener) — the per-batch health counters
+    (rows ingested, late-data heuristics, gate pass rates) without a
+    second pass or a side aggregation stream. Streaming observe takes
+    a plain name, not an Observation object."""
+    if not metrics:
+        raise ValueError("observe_stream needs at least one metric")
+    return df.observe(name, *[m.alias(k) for k, m in metrics.items()])

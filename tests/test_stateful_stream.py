@@ -133,3 +133,43 @@ def test_topk_stream_merges_state_across_batches(spark, tmp_path):
         assert latest[(2, 2)] == 200
     finally:
         q.stop()
+
+
+def test_observe_stream_reports_per_batch_metrics(spark, tmp_path):
+    """Streaming observe: per-micro-batch counters appear in
+    StreamingQueryProgress.observedMetrics without any extra pass."""
+    import json
+
+    from osmexpress_spark.operators import metrics as M
+
+    feed = str(tmp_path / "obs_feed")
+    os.makedirs(feed, exist_ok=True)
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 2.0)], "id long, v double"
+    ).coalesce(1).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .format("parquet")
+        .load(feed)
+    )
+    observed = M.observe_stream(
+        stream, "health",
+        n_rows=F.count(F.lit(1)),
+        n_neg=F.sum(F.when(F.col("v") < 0, 1).otherwise(0)),
+    )
+    name = "obs_" + uuid.uuid4().hex[:8]
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = None
+        for p in q.recentProgress:
+            om = p["observedMetrics"] if isinstance(p, dict) else json.loads(p.json)["observedMetrics"]
+            if "health" in om:
+                got = om["health"]
+        assert got is not None
+        assert got["n_rows"] == 3 and got["n_neg"] == 1
+    finally:
+        q.stop()
