@@ -123,6 +123,30 @@ def lsh_bands(
     )
 
 
+def _band_rows(
+    sigs: DataFrame, id_col: str, out_name: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(out_name, band_idx, band_key) rows from a signatures frame —
+    the ONE definition of the band-key layout (concatenated fixed-width
+    4-hex slices), shared by the self-join and incremental LSH passes
+    and mirrored by the oracles' _band_selects_sql."""
+    keys = F.array(
+        *[
+            F.concat(
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias(out_name),
+        F.posexplode(keys).alias("band_idx", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -147,15 +171,7 @@ def minhash_lsh_pairs(
     contract semantics, which is what the oracle checks."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures_df(df, id_col, text_col, n_hashes, k)
-    band_keys = F.array(
-        *[
-            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
-    )
-    b = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    b = _band_rows(sigs, id_col, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         size = b.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("__bsz")
@@ -951,6 +967,12 @@ def containment_pairs(
             inv.join(freq.where(F.col("__f") <= max_shingle_freq), "s")
             .drop("__f")
         )
+    # same AQE pin as jaccard_pairs: the shuffle is tiny 8-byte keys but
+    # the join OUTPUT is the expanded pair list — keep it parallel
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    inv = inv.repartition(n_part, "s")
     a = inv.select(F.col("id").alias("id_a"), "s")
     b = inv.select(F.col("id").alias("id_b"), "s")
     common = (
@@ -990,26 +1012,8 @@ def incremental_dedup_pairs(
     rows_per_band = n_hashes // bands
     sig_c = minhash_signatures_df(corpus, id_col, text_col, n_hashes, k)
     sig_n = minhash_signatures_df(new_docs, id_col, text_col, n_hashes, k)
-
-    def bandify(sigs, name):
-        keys = F.array(
-            *[
-                F.concat(
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                )
-                for b in range(bands)
-            ]
-        )
-        return sigs.select(
-            F.col(id_col).alias(name),
-            F.posexplode(keys).alias("band_idx", "band_key"),
-        )
-
-    bc = bandify(sig_c, "corpus_id")
-    bn = bandify(sig_n, "new_id")
+    bc = _band_rows(sig_c, id_col, "corpus_id", bands, rows_per_band)
+    bn = _band_rows(sig_n, id_col, "new_id", bands, rows_per_band)
     if max_bucket_size is not None:
         size = bc.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("__bsz")

@@ -85,15 +85,30 @@ def plane_weight(i: int, k: int) -> int:
     return 1 if (i * 7 + k * 13) % 3 < 2 else -1
 
 
+def _plane_projections(vec: Column, dim: int, n_planes: int) -> list[Column]:
+    """Rounded hyperplane projections — the ONE definition shared by
+    the sign-bucket id and the multi-probe flip ranking, so the two
+    sides of the bucket equi-join can never drift apart."""
+    return [
+        F.round(
+            dot(vec, F.array(*[F.lit(float(plane_weight(i, k))) for i in range(dim)])),
+            6,
+        )
+        for k in range(n_planes)
+    ]
+
+
+def _bucket_of(projs: list[Column]) -> Column:
+    bucket = F.lit(0)
+    for k, pk in enumerate(projs):
+        bucket = bucket + F.when(pk > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     """Sign-bucket id in [0, 2^n_planes): bit k = (vec . plane_k) > 0.
     Projections rounded to 6 before the sign test (fold-order safety)."""
-    bucket = F.lit(0)
-    for k in range(n_planes):
-        weights = F.array(*[F.lit(float(plane_weight(i, k))) for i in range(dim)])
-        proj = F.round(dot(vec, weights), 6)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    return bucket
+    return _bucket_of(_plane_projections(vec, dim, n_planes))
 
 
 def lsh_probe_buckets(
@@ -103,20 +118,15 @@ def lsh_probe_buckets(
     the buckets reached by flipping the planes with the SMALLEST
     absolute projection (the hyperplanes the point sits closest to —
     where its true neighbors most likely fell on the other side).
-    `probes` = total buckets returned (1 = exact single-bucket
-    hashing). Pure column expression; projections computed once and
-    shared between the sign test and the flip ranking."""
-    projs = [
-        F.round(
-            dot(vec, F.array(*[F.lit(float(plane_weight(i, k))) for i in range(dim)])),
-            6,
-        )
-        for k in range(n_planes)
-    ]
-    bucket = None
-    for k, pk in enumerate(projs):
-        bit = F.when(pk > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    `probes` = total buckets returned, CAPPED at n_planes + 1 (the
+    home bucket plus one single-bit flip per plane; deeper probe
+    sequences would need multi-bit flips). 1 = exact single-bucket
+    hashing. Pure column expression; projections computed once and
+    shared between the sign test and the flip ranking (the same
+    _plane_projections that lsh_bucket uses, so the candidate side's
+    bucket id can never drift from the probe side's)."""
+    projs = _plane_projections(vec, dim, n_planes)
+    bucket = _bucket_of(projs)
     if probes <= 1:
         return F.array(bucket)
     flips = F.array(

@@ -1010,13 +1010,12 @@ def q_time_resample(spark, sf_dir):
 
 
 def _tt_fingerprint(sf_dir: str) -> str:
-    """Content key of the time-travel input: the driver REGENERATES
-    /root/testdata each round in the SAME checkout, so a store keyed
-    only by path would serve version-0 data built from a previous
-    round's orders.parquet and hash-fail against the oracle (which
-    always reads the current file). Reuses queries_data's
-    _path_fingerprint (size + newest mtime), the same invalidation the
-    on-disk IVF index caches use."""
+    """Content key of the time-travel input (size + newest mtime of
+    orders.parquet via queries_data._path_fingerprint, the same
+    invalidation the on-disk ANN index caches use): the driver
+    REGENERATES /root/testdata each round in the SAME checkout, so a
+    store trusted only by path would serve version-0 data built from a
+    previous round's file and hash-fail against the oracle."""
     import hashlib
     import os
 
@@ -1090,7 +1089,6 @@ def q_store_time_travel(spark, sf_dir):
 
     The store directory is content-keyed per sf and rebuilt only when
     absent (contract queries must be idempotent across runs)."""
-    import hashlib as _h
     import os as _os
 
     from .store import SnapshotStore
@@ -1099,23 +1097,36 @@ def q_store_time_travel(spark, sf_dir):
         F.col("o_orderkey").cast("long").alias("id"),
         F.col("o_custkey").cast("long").alias("val"),
     )
+    # FIXED directory per sf tag + fingerprint FILE (the _fixture_index
+    # pattern): regeneration rebuilds in place instead of stranding one
+    # store_tt_<fp> directory per round
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
     root = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         ".fixtures",
-        "store_tt_" + _tt_fingerprint(sf_dir),
+        f"store_tt_{sf_tag}",
     )
+    fp = _tt_fingerprint(sf_dir)
+    fp_file = _os.path.join(root, "src.fp")
     store = SnapshotStore(spark, root)
     latest = store.latest_version()
-    if latest is not None and latest < 2:
-        # a partially built store (crash between commits) must be
-        # REBUILT, not appended to: commit() always writes prev+1, so
-        # appending would shift the version->content mapping forever
+    stale = True
+    if latest is not None and _os.path.exists(fp_file):
+        with open(fp_file) as f:
+            stale = f.read().strip() != fp
+    if latest is not None and (stale or latest < 2):
+        # stale input (testdata regenerated) or a partially built store
+        # (crash between commits) must be REBUILT, not appended to:
+        # commit() always writes prev+1, so appending would shift the
+        # version->content mapping forever
         import shutil as _sh
 
         _sh.rmtree(root)
         store = SnapshotStore(spark, root)
         latest = None
     if latest is None:
+        with open(fp_file, "w") as f:
+            f.write(fp)
         store.commit({"rows": base}, sort_by={"rows": "id"})
         cur = base
         for mod, bump in ((7, 1000), (11, 5000)):

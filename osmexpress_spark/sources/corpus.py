@@ -107,10 +107,10 @@ def write_documents(
     """Export a documents frame for interchange: 'jsonl' (the corpus
     lingua franca; gzip-compressed member files by default — one file
     per partition, so downstream splittability comes from file COUNT,
-    the same rule the reader documents) or 'parquet' (the internal
-    format; compression managed by the writer). No coalesce(1):
-    single-file exports belong to the caller's cat step, not the
-    cluster's."""
+    the same rule the reader documents) or 'parquet'. `compression`
+    applies to BOTH formats (parquet accepts snappy/zstd/gzip/none);
+    None keeps each writer's own default. No coalesce(1): single-file
+    exports belong to the caller's cat step, not the cluster's."""
     out = df.repartition(partitions) if partitions else df
     if fmt == "jsonl":
         w = out.write.mode("overwrite")
@@ -118,6 +118,9 @@ def write_documents(
             w = w.option("compression", compression)
         w.json(path)
     elif fmt == "parquet":
-        out.write.mode("overwrite").parquet(path)
+        w = out.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(path)
     else:
         raise ValueError(f"unsupported export format: {fmt!r}")

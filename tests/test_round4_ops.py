@@ -467,7 +467,7 @@ def test_store_time_travel_rebuilds_partial_store(spark, tmp_path, monkeypatch):
     sf = "/root/testdata/sf0.001"
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__))),
-        ".fixtures", "store_tt_" + Q._tt_fingerprint(sf),
+        ".fixtures", "store_tt_sf0.001",
     )
     full = {tuple(r) for r in Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
     # simulate the crash: drop v1 and v2 manifests, keep v0
@@ -642,3 +642,30 @@ def test_visvalingam_model_and_invariants(spark):
     assert got[1] == ([k for k in keep], 5, len(keep))
     assert got[1][0][0] == 0 and got[1][0][-1] == 4
     assert got[2] == ([0, 4], 2, 2)
+
+
+def test_store_time_travel_rebuilds_in_place_on_stale_fingerprint(spark):
+    """Regeneration invalidation must rebuild the FIXED directory in
+    place (the _fixture_index pattern) — no stranded store_tt_<fp>
+    directories accumulating across rounds."""
+    import glob
+    import os
+
+    from osmexpress_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__))),
+        ".fixtures",
+    )
+    full = {tuple(r) for r in
+            Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
+    root = os.path.join(fixtures, "store_tt_sf0.001")
+    with open(os.path.join(root, "src.fp"), "w") as f:
+        f.write("stale-from-last-round")
+    again = {tuple(r) for r in
+             Q.SPARK_QUERIES["q_store_time_travel"](spark, sf).collect()}
+    assert again == full
+    with open(os.path.join(root, "src.fp")) as f:
+        assert f.read().strip() == Q._tt_fingerprint(sf)  # refreshed
+    assert glob.glob(os.path.join(fixtures, "store_tt_sf0.001*")) == [root]
