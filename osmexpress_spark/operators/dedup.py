@@ -882,19 +882,25 @@ def fuzzy_token_pairs(
     detection join (near-duplicate keys, OCR noise, tag misspellings).
 
     Candidate generation is BLOCKED, not all-pairs: a pair must share
-    its first OR its last character (two equi-join blocks, unioned and
-    deduped) and sit within max_dist of each other in length — the
-    exact-arithmetic prefilter every edit-distance join needs at
-    scale. Documented recall bound: a pair whose edits change BOTH end
-    characters (possible only when max_dist >= 2, e.g. 'xabcy'/'zabcw')
-    is not generated; within-block results are exact. min_len drops
-    short tokens whose distance-2 neighborhoods are semantically
-    meaningless ('a' ~ 'of').
+    its first OR its last character (two blocks, unioned and deduped)
+    and sit within max_dist of each other in length. Documented recall
+    bound: a pair whose edits change BOTH end characters (possible
+    only when max_dist >= 2, e.g. 'xabcy'/'zabcw') is not generated;
+    within-block results are exact. min_len drops short tokens whose
+    distance-2 neighborhoods are semantically meaningless ('a' ~ 'of').
 
     100 TB shape: the distinct() collapses the corpus to its
-    vocabulary first; each block is an equi-join on one character
-    (with the length band as a join-side filter), and levenshtein runs
-    only on block-local candidates."""
+    vocabulary first, and the LENGTH BUCKET IS PART OF THE EQUI-JOIN
+    KEY, not a post-join filter: both sides key on
+    ``(char, floor(len / (max_dist+1)))`` and the probe side explodes
+    to its <= 3 length-band-reachable neighbor buckets. Initial/final
+    characters are Zipf-skewed, so a character-only key would put an
+    entire head-letter vocabulary slice on ONE join key (O(block^2)
+    enumeration in one task, unsplittable by AQE); bucketing by length
+    caps every key at one character x one (max_dist+1)-wide length
+    class with identical recall. levenshtein runs only on block-local,
+    band-true candidates."""
+    width = max_dist + 1
     toks = (
         df.select(F.col(col).alias("s"))
         .where(F.length("s") >= min_len)
@@ -906,13 +912,28 @@ def fuzzy_token_pairs(
         a = toks.select(
             F.col("s").alias("a"), keyf(F.col("s")).alias("__k"),
             F.length("s").alias("__la"),
+            F.floor(F.length("s") / width).cast("int").alias("__bk"),
         )
+        # probe side fans out to every bucket a band-mate could occupy:
+        # |la-lb| <= max_dist < width bounds it to own-bucket +- 1, and
+        # array_distinct collapses the overlap so a pair matches the
+        # (char, bucket) key exactly once per block
+        lb = F.length("s")
         b = toks.select(
             F.col("s").alias("b"), keyf(F.col("s")).alias("__k"),
-            F.length("s").alias("__lb"),
+            lb.alias("__lb"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((lb - max_dist) / width).cast("int"),
+                        F.floor(lb / width).cast("int"),
+                        F.floor((lb + max_dist) / width).cast("int"),
+                    )
+                )
+            ).alias("__bk"),
         )
         return (
-            a.join(b, "__k")
+            a.join(b, ["__k", "__bk"])
             .where(
                 (F.col("a") < F.col("b"))
                 & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)

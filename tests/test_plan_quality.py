@@ -207,3 +207,17 @@ def test_band_join_is_equi_join(spark):
     plan = _final_plan(Q.SPARK_QUERIES["q_band_join"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_join_key_includes_length_bucket(spark):
+    # the anti-skew guarantee: candidate blocks are keyed on
+    # (end_char, length_bucket), never on the Zipf-skewed character
+    # alone — both block joins must carry __bk in their equi-key
+    plan = _final_plan(QD.SPARK_QUERIES["q_fuzzy_token_pairs"](spark, SF_DIR))
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines, "expected equi-joins in the fuzzy-pairs plan"
+    assert all("__bk" in ln and "__k" in ln for ln in join_lines)
+    assert "CartesianProduct" not in plan
