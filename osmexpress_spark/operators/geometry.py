@@ -14,6 +14,7 @@ need 10k-vertex coastline ways); the reference has no analog.
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,12 +27,19 @@ def visvalingam(points: list[tuple[int, int]], min_area2: int) -> list[int]:
     vertex whose effective triangle has 2*area < min_area2 (integer
     scaled-coord^2 units, exact arithmetic). Endpoints always survive;
     removal order is smallest-area-first with index tie-break, so the
-    result is deterministic. O(n^2) worst case — fine for per-way
-    vertex counts; swap in a heap for pathological inputs."""
+    result is deterministic.
+
+    O(n log n) via a lazy-invalidation min-heap over (area, index) — a
+    popped entry is live only if it matches the vertex's CURRENT area
+    and the vertex is still alive; removing a vertex re-pushes its two
+    neighbors with recomputed areas (stale entries stay in the heap and
+    are skipped on pop). heapq's lexicographic order makes equal areas
+    resolve to the smallest index, identical to the former linear-scan
+    implementation; a 50k-vertex way costs ~n log n area evaluations,
+    not the scan's n^2/2."""
     n = len(points)
     if n <= 2:
         return list(range(n))
-    alive = list(range(n))
 
     def area2(i_prev: int, i: int, i_next: int) -> int:
         (x0, y0), (x1, y1), (x2, y2) = (
@@ -39,16 +47,32 @@ def visvalingam(points: list[tuple[int, int]], min_area2: int) -> list[int]:
         )
         return abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
 
-    while len(alive) > 2:
-        best_pos, best_area = None, None
-        for pos in range(1, len(alive) - 1):
-            a = area2(alive[pos - 1], alive[pos], alive[pos + 1])
-            if best_area is None or a < best_area:
-                best_pos, best_area = pos, a
-        if best_area is None or best_area >= min_area2:
-            break
-        alive.pop(best_pos)
-    return alive
+    prev = list(range(-1, n - 1))
+    nxt = list(range(1, n + 1))
+    removed = [False] * n
+    cur = [0] * n  # current effective area of each interior vertex
+    heap: list[tuple[int, int]] = []
+    for i in range(1, n - 1):
+        cur[i] = area2(i - 1, i, i + 1)
+        heap.append((cur[i], i))
+    heapq.heapify(heap)
+
+    alive_ct = n
+    while heap and alive_ct > 2:
+        a, i = heapq.heappop(heap)
+        if removed[i] or a != cur[i]:
+            continue  # stale: vertex gone, or its area was re-pushed
+        if a >= min_area2:
+            break  # live minimum clears the threshold: done
+        removed[i] = True
+        alive_ct -= 1
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        for j in (p, q):
+            if 0 < j < n - 1 and not removed[j]:
+                cur[j] = area2(prev[j], j, nxt[j])
+                heapq.heappush(heap, (cur[j], j))
+    return [i for i in range(n) if not removed[i]]
 
 
 def simplify_ways(

@@ -1,0 +1,88 @@
+"""Round-5 operator tests.
+
+Covers the heap-based Visvalingam rewrite (VERDICT r04 next-round #4):
+identical output to the former O(n^2) linear-scan implementation
+(re-stated here as the model), and an O(n log n) wall-clock sanity on
+a pathological 50k-vertex way that the scan could not finish.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import pytest
+
+from osmexpress_spark.operators.geometry import visvalingam
+
+
+def _visvalingam_scan_model(points, min_area2):
+    """The pre-round-5 linear-scan implementation, verbatim semantics:
+    repeatedly remove the smallest-effective-area interior vertex
+    (first-index tie-break) while its doubled area < min_area2."""
+    n = len(points)
+    if n <= 2:
+        return list(range(n))
+    alive = list(range(n))
+
+    def area2(i_prev, i, i_next):
+        (x0, y0), (x1, y1), (x2, y2) = (
+            points[i_prev], points[i], points[i_next]
+        )
+        return abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+
+    while len(alive) > 2:
+        best_pos, best_area = None, None
+        for pos in range(1, len(alive) - 1):
+            a = area2(alive[pos - 1], alive[pos], alive[pos + 1])
+            if best_area is None or a < best_area:
+                best_pos, best_area = pos, a
+        if best_area is None or best_area >= min_area2:
+            break
+        alive.pop(best_pos)
+    return alive
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_visvalingam_heap_matches_scan_model_random(seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 120)
+    # small coordinate range on purpose: many exact area ties, so the
+    # smallest-index tie-break is genuinely exercised
+    pts = [(rng.randint(0, 12), rng.randint(0, 12)) for _ in range(n)]
+    for min_area2 in (0, 1, 2, 5, 30, 10**6):
+        assert visvalingam(pts, min_area2) == _visvalingam_scan_model(
+            pts, min_area2
+        ), f"seed={seed} min_area2={min_area2}"
+
+
+def test_visvalingam_heap_matches_scan_model_collinear_runs():
+    # long collinear runs: every interior vertex has area 0 and the
+    # removal ORDER (all ties) determines neighbor areas downstream
+    pts = [(i, 0) for i in range(50)] + [(49, i) for i in range(1, 40)]
+    for min_area2 in (1, 7, 10**9):
+        assert visvalingam(pts, min_area2) == _visvalingam_scan_model(
+            pts, min_area2
+        )
+
+
+def test_visvalingam_50k_vertices_is_nlogn_fast():
+    """A 50k-vertex jittered way. The former scan was O(n^2) —
+    ~1.2e9 area evaluations (minutes in CPython); the heap form must
+    finish in seconds."""
+    rng = random.Random(42)
+    x = y = 0
+    pts = []
+    for _ in range(50_000):
+        x += rng.randint(1, 3)
+        y += rng.randint(-2, 2)
+        pts.append((x, y))
+    t0 = time.monotonic()
+    keep = visvalingam(pts, 9)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 20.0, f"50k-vertex simplify took {elapsed:.1f}s"
+    assert keep[0] == 0 and keep[-1] == len(pts) - 1
+    assert 2 <= len(keep) < len(pts)
+    # spot-check against the model on a slice small enough for O(n^2)
+    sl = pts[:400]
+    assert visvalingam(sl, 9) == _visvalingam_scan_model(sl, 9)
