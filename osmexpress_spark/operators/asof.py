@@ -121,6 +121,14 @@ def band_join(
     prefixed for the refinement and the caller."""
     if band_seconds <= 0:
         raise ValueError("band_seconds must be positive")
+    clash = sorted(
+        {prefix + c for c in right.columns if c != on} & set(left.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"band_join: prefixed right columns collide with left "
+            f"columns {clash}; pass a different prefix="
+        )
     b0 = F.floor(F.unix_timestamp(F.col(left_time)) / band_seconds)
     l_probe = left.select(
         *left.columns,

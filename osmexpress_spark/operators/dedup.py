@@ -1036,14 +1036,20 @@ def incremental_dedup_pairs(
     bc = _band_rows(sig_c, id_col, "corpus_id", bands, rows_per_band)
     bn = _band_rows(sig_n, id_col, "new_id", bands, rows_per_band)
     if max_bucket_size is not None:
-        size = bc.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("__bsz")
-        )
-        bc = (
-            bc.join(size, ["band_idx", "band_key"])
-            .where(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        # cap BOTH sides: a hot bucket can be driven by the corpus OR by
+        # the batch (mass-duplicate ingest), and either one uncapped
+        # still joins |new-bucket| x |corpus-bucket| rows
+        def _cap(side):
+            size = side.groupBy("band_idx", "band_key").agg(
+                F.count(F.lit(1)).alias("__bsz")
+            )
+            return (
+                side.join(size, ["band_idx", "band_key"])
+                .where(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+            )
+
+        bc, bn = _cap(bc), _cap(bn)
     return (
         bn.join(bc, ["band_idx", "band_key"])
         .select("new_id", "corpus_id")

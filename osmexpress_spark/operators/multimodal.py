@@ -73,6 +73,19 @@ def image_decoder(payload: bytes) -> list[float]:
 def _decode_bmp24(payload: bytes) -> list[float]:
     import struct
 
+    if len(payload) < 18:
+        raise ValueError("BMP truncated before the info-header size field")
+    # the fixed offsets below (18/28/30) are BITMAPINFOHEADER layout; a
+    # valid BITMAPCOREHEADER (size 12) packs int16 dims at 18 and would
+    # be misread, so gate on the info-header size field first — a core
+    # BMP is legitimately < 54 bytes, so this check precedes the length
+    # check
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"only BITMAPINFOHEADER(+) BMPs supported (header size "
+            f"{hdr_size} < 40, e.g. BITMAPCOREHEADER)"
+        )
     if len(payload) < 54:
         raise ValueError("BMP truncated before BITMAPINFOHEADER")
     (pixel_off,) = struct.unpack_from("<I", payload, 10)

@@ -86,3 +86,70 @@ def test_visvalingam_50k_vertices_is_nlogn_fast():
     # spot-check against the model on a slice small enough for O(n^2)
     sl = pts[:400]
     assert visvalingam(sl, 9) == _visvalingam_scan_model(sl, 9)
+
+
+# --- ADVICE r04 regression fixes -------------------------------------------
+def test_bmp_coreheader_rejected_not_misread():
+    """A BITMAPCOREHEADER (12-byte info header) packs int16 dims at
+    offset 18; reading it with BITMAPINFOHEADER offsets yields garbage.
+    The decoder must reject on the header-size field, not decode."""
+    import struct
+
+    from osmexpress_spark.operators import multimodal
+
+    width, height = 3, 2
+    stride = ((width * 3 + 3) // 4) * 4
+    body = bytes(stride * height)
+    core = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 14 + 12 + len(body), 0, 0, 14 + 12)
+        + core
+        + body
+    )
+    with pytest.raises(NotImplementedError, match="header size"):
+        multimodal.image_decoder(payload)
+
+
+def test_band_join_rejects_prefix_collision(spark):
+    from osmexpress_spark.operators.asof import band_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "boom")], "user int, ts string, r_ts string"
+    ).selectExpr("user", "cast(ts as timestamp) ts", "r_ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "user int, ts string"
+    ).selectExpr("user", "cast(ts as timestamp) ts")
+    with pytest.raises(ValueError, match="collide"):
+        band_join(left, right, "user", "ts", "ts", 3600)
+    # a non-colliding prefix proceeds
+    out = band_join(left, right, "user", "ts", "ts", 3600, prefix="rr_")
+    assert out.count() == 1 and "rr_ts" in out.columns
+
+
+def test_incremental_dedup_caps_batch_side_hot_buckets(spark):
+    """A mass-duplicate ingest (many identical new docs) drives a hot
+    band bucket from the BATCH side; max_bucket_size must cap it just
+    like corpus-side hot buckets."""
+    from osmexpress_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog")
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.incremental_dedup_pairs(
+        corpus, new, "doc_id", "text", n_hashes=8, k=2, bands=4
+    )
+    assert uncapped.count() == 40 * 3
+    capped = dedup.incremental_dedup_pairs(
+        corpus, new, "doc_id", "text", n_hashes=8, k=2, bands=4,
+        max_bucket_size=10,
+    )
+    # every band bucket on the batch side holds all 40 identical docs
+    # (> 10), so the capped join produces nothing
+    assert capped.count() == 0
