@@ -1,0 +1,82 @@
+"""bench.py registry hygiene (VERDICT r04 next-round #8).
+
+HEADLINE is a hand-maintained list; these guards make a rename or a
+registry refactor fail loudly instead of silently dropping perf
+coverage for a query family.
+"""
+
+from __future__ import annotations
+
+import bench
+from osmexpress_spark import queries as Q
+from osmexpress_spark import queries_data as QD
+from osmexpress_spark import queries_osm as QO
+from osmexpress_spark import queries_update as QU
+
+
+def _registry():
+    return {
+        **Q.SPARK_QUERIES,
+        **QD.SPARK_QUERIES,
+        **QO.SPARK_QUERIES,
+        **QU.SPARK_QUERIES,
+    }
+
+
+def test_every_headline_name_is_registered():
+    reg = _registry()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+
+
+# Each SURVEY §2.9 family must keep >= 1 benched line. Members list the
+# registry queries belonging to the family (update when renaming);
+# the assertion is on the intersection with HEADLINE, so any ONE
+# surviving member keeps the family covered.
+FAMILIES = {
+    "relational-core": ["q1_pricing_summary", "q_star_join_revenue",
+                        "q_topk_per_group", "q_count_distinct"],
+    "windows-sessions": ["q_sessionize", "q_window_tumbling",
+                         "q_asof_join"],
+    "dedup-minhash": ["q_minhash_lsh_pairs", "q_ngram_jaccard",
+                      "q_dup_clusters", "q_semantic_dedup",
+                      "q_fuzzy_token_pairs"],
+    "retrieval-ranking": ["q_bm25_topk", "q_doc_token_stats"],
+    "embeddings-ann": ["q_embedding_topk", "q_embedding_ann_bucketed",
+                       "q_quantized_ann", "q_pq_topk", "q_kmeans_assign"],
+    "sampling-curation": ["q_stratified_sample", "q_importance_resample",
+                          "q_gopher_rules", "q_curation_pipeline",
+                          "q_contamination"],
+    "profiling-quality": ["q_profile_documents", "q_quality_buckets",
+                          "q_doc_dup_spans"],
+    "sketches": ["q_kmv_distinct", "q_cms_heavy_hitters"],
+    "model-scoring": ["q_quality_logreg", "q_bigram_perplexity"],
+    "events-funnels": ["q_event_funnel"],
+    "range-band-joins": ["q_band_join", "q_range_scan"],
+    "graph": ["osm_pagerank", "osm_triangle_count",
+              "q_transitive_closure"],
+    "osm-spatial": ["osm_extract_bbox", "osm_radius_pairs",
+                    "osm_way_lengths", "osm_tile_counts",
+                    "osm_way_areas", "osm_way_intersections"],
+    "update-diff": ["q_augmented_diff_analog", "q_last_version_wins"],
+}
+
+
+def test_every_family_keeps_a_bench_line():
+    reg = _registry()
+    head = set(bench.HEADLINE)
+    for fam, members in FAMILIES.items():
+        stale = [m for m in members if m not in reg]
+        assert not stale, f"family {fam} lists unregistered queries {stale}"
+        assert head & set(members), f"family {fam} has no bench line"
+
+
+def test_family_map_covers_headline_registry_queries():
+    # every HEADLINE registry query belongs to some family, so a new
+    # bench line must be classified (keeps the map from rotting)
+    classified = {m for members in FAMILIES.values() for m in members}
+    reg = set(_registry())
+    unclassified = [n for n in bench.HEADLINE
+                    if n in reg and n not in classified]
+    assert not unclassified, f"bench lines missing a family: {unclassified}"
