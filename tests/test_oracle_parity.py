@@ -99,3 +99,42 @@ def test_query_matches_oracle(spark, con, name):
     ss, oo = strict_rowset(spdf), strict_rowset(opdf)
     diff = next(((a, b) for a, b in zip(ss, oo) if a != b), None)
     assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
+
+
+def test_simplify_ways_golden_fixture(spark):
+    """simplify_ways pinned at fixture scale (VERDICT r04 #6). Not a
+    DuckDB oracle: Visvalingam is an iterative smallest-area-first
+    LOOP whose every removal changes the neighbors' areas — SQL has no
+    ordered fixpoint to express it, so the pin is a golden checksum of
+    the full 1250-way output (deterministic seed-42 fixture) at two
+    thresholds, plus explicit survivor lists for spot ways."""
+    import hashlib
+
+    from osmexpress_spark import testing
+    from osmexpress_spark import queries_osm as QO
+    from osmexpress_spark.operators.geometry import simplify_ways
+
+    testing.ensure_fixture_dataset(
+        spark, QO.FIXTURE_DIR, n_nodes=QO.FIXTURE_NODES, seed=42
+    )
+    ways = spark.read.parquet(os.path.join(QO.FIXTURE_DIR, "ways"))
+    locs = spark.read.parquet(os.path.join(QO.FIXTURE_DIR, "locations"))
+    golden = {
+        10**10: ("42658083612c78423cd88e5878f16ab3", 9058, 8917),
+        10**12: ("90c19a65ee90d579f4fc606a37dca9b1", 9058, 8610),
+    }
+    for thr, (md5, tot_before, tot_after) in golden.items():
+        out = sorted(
+            (r["id"], tuple(r["nodes"]), r["n_before"], r["n_after"])
+            for r in simplify_ways(ways, locs, min_area2=thr).collect()
+        )
+        assert len(out) == 1250
+        assert sum(r[2] for r in out) == tot_before
+        assert sum(r[3] for r in out) == tot_after
+        assert hashlib.md5(repr(out).encode()).hexdigest() == md5, thr
+    # spot ways: a closed ring losing interior vertices as the
+    # threshold rises, and an untouched short way
+    by_id = {r[0]: r for r in out}  # thr=10**12 iteration result
+    assert by_id[1][1] == (13915, 11659, 7129, 2578, 13930, 13990, 1939, 13915)
+    assert by_id[3] == (3, (11371, 12166, 6313, 1924), 4, 4)
+    assert by_id[5] == (5, (12841, 4216, 13042, 9187, 10471), 6, 5)
