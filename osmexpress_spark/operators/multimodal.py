@@ -64,9 +64,12 @@ def image_decoder(payload: bytes) -> list[float]:
         return _decode_bmp24(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP and binary PPM decode in-container; "
-        "swap in PIL/opencv via decoder= for other formats"
+        "only uncompressed 24-bit BMP, binary PPM and non-interlaced "
+        "8-bit RGB(A) PNG decode in-container; swap in PIL/opencv via "
+        "decoder= for other formats"
     )
 
 
@@ -156,6 +159,90 @@ def _decode_ppm(payload: bytes) -> list[float]:
         sum(pixels[1::3]) / n,
         sum(pixels[2::3]) / n,
     ]
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """Pure-stdlib PNG decode (zlib ships in-container): non-interlaced
+    8-bit-depth truecolor (color type 2) and truecolor-with-alpha (6),
+    all five scanline filters (None/Sub/Up/Average/Paeth). Channel
+    means cover R/G/B only; alpha is ignored. Palette, grayscale,
+    16-bit and Adam7-interlaced variants need real codec work and stay
+    on the honest NotImplementedError branch."""
+    import struct
+    import zlib
+
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln  # length + type + data + crc (crc not verified)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    if not ended or not idat:
+        raise ValueError("PNG truncated before IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit RGB(A) PNG supported (depth="
+            f"{depth}, color_type={color}, interlace={interlace})"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with nonstandard compression/filter method")
+    if width <= 0 or height <= 0:
+        raise ValueError("PNG with non-positive dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
+    bpp = 3 if color == 2 else 4
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG decompressed size mismatch")
+    prior = bytearray(stride)
+    tot = [0, 0, 0]
+    for row in range(height):
+        base = row * (1 + stride)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG unknown scanline filter {ftype}")
+        tot[0] += sum(line[0::bpp])
+        tot[1] += sum(line[1::bpp])
+        tot[2] += sum(line[2::bpp])
+        prior = line
+    n = width * height * 255.0
+    return [float(width), float(height), tot[0] / n, tot[1] / n, tot[2] / n]
 
 
 def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -155,6 +155,10 @@ def test_image_decoder_failure_shapes():
     import pytest
 
     with pytest.raises(NotImplementedError):
+        multimodal.image_decoder(b"\xff\xd8\xff\xe0jpeg-like")
+    with pytest.raises(ValueError):
+        # PNG container is now supported, so garbage after the magic is
+        # a CORRUPT payload (ValueError), not an absent codec
         multimodal.image_decoder(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         multimodal.image_decoder(_bmp24(PIXELS)[:-4])  # truncated pixels
@@ -188,6 +192,123 @@ def test_extract_features_real_images_distributed(spark):
     assert not got[3].decode_ok and got[3].feat is None
     assert not got[4].decode_ok and got[4].feat is None
     assert got[1].modality == "image"
+
+
+# --- real PNG decode (stdlib zlib) -----------------------------------------
+def _png(pixels, alpha=None, filters=None, color_type=None, depth=8,
+         interlace=0):
+    """Independent test-side PNG encoder. `filters` picks the scanline
+    filter per row (default all-0/None); filtering is applied FORWARD
+    here so the decoder must invert it."""
+    import struct
+    import zlib
+
+    height, width = len(pixels), len(pixels[0])
+    bpp = 4 if alpha is not None else 3
+    if color_type is None:
+        color_type = 6 if alpha is not None else 2
+    filters = filters or [0] * height
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    raw = bytearray()
+    prior = bytearray(width * bpp)
+    for rowi, row in enumerate(pixels):
+        line = bytearray()
+        for x, (r, g, b) in enumerate(row):
+            line += bytes((r, g, b))
+            if alpha is not None:
+                line.append(alpha[rowi][x])
+        f = filters[rowi]
+        out = bytearray(line)
+        if f == 1:
+            for i in range(len(line) - 1, bpp - 1, -1):
+                out[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(len(line)):
+                out[i] = (line[i] - prior[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                out[i] = (line[i] - (left + prior[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                out[i] = (line[i] - pred) & 0xFF
+        raw.append(f)
+        raw += out
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                       interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_decoder_png_golden_all_filters():
+    # enough rows to give every filter type a turn, including Paeth
+    import random
+
+    rng = random.Random(3)
+    pixels = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(7)] for _ in range(5)]
+    means = tuple(
+        sum(px[c] for row in pixels for px in row) / (35 * 255.0)
+        for c in range(3)
+    )
+    for filters in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [4] * 5):
+        w, h, r, g, b = multimodal.image_decoder(_png(pixels, filters=filters))
+        assert (w, h) == (7.0, 5.0)
+        assert (r, g, b) == means, filters
+    # RGBA: alpha is carried per-pixel but excluded from the means
+    al = [[rng.randrange(256) for _ in range(7)] for _ in range(5)]
+    w, h, r, g, b = multimodal.image_decoder(
+        _png(pixels, alpha=al, filters=[0, 1, 2, 3, 4])
+    )
+    assert (w, h, r, g, b) == (7.0, 5.0, *means)
+
+
+def test_image_decoder_png_unsupported_and_corrupt():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="interlace"):
+        multimodal.image_decoder(_png(PIXELS, interlace=1))
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        multimodal.image_decoder(_png(PIXELS, depth=16))
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        multimodal.image_decoder(_png(PIXELS, color_type=3))
+    good = _png(PIXELS)
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(good[:-16])  # IEND lost
+    # flip a byte inside the IDAT zlib stream -> corrupt, not crash
+    bad = bytearray(good)
+    bad[45] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(bytes(bad))
+
+
+def test_extract_features_png_distributed(spark):
+    png = _png(PIXELS, filters=[2, 4])
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(_png(PIXELS, interlace=1)))],
+        "item_id long, payload binary",
+    ).repartition(2)
+    got = {r.item_id: r for r in multimodal.extract_features(
+        df, decoder=multimodal.image_decoder, modality="image").collect()}
+    assert got[1].decode_ok and list(got[1].feat) == [3.0, 2.0, *MEANS]
+    assert not got[2].decode_ok and got[2].feat is None
 
 
 # --- real WAV decode (stdlib wave) -----------------------------------------
