@@ -1012,8 +1012,92 @@ def containment_pairs(
     )
 
 
-def incremental_dedup_pairs(
+def save_signature_store(
     corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    k: int = 2,
+    fingerprint: str = "",
+) -> None:
+    """Persist the corpus MinHash signature table (parquet + meta.json)
+    so daily incremental dedup never re-shingles the corpus. The meta
+    sidecar pins (id_col, n_hashes, k) — a load with different
+    parameters would silently generate wrong band keys, so it raises —
+    and carries the caller's source fingerprint for invalidation (the
+    same contract as the ANN index caches' src.fp)."""
+    import json
+    import os
+
+    sig = minhash_signatures_df(corpus, id_col, text_col, n_hashes, k)
+    sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"id_col": id_col, "n_hashes": n_hashes, "k": k,
+             "fingerprint": fingerprint},
+            f,
+        )
+
+
+def load_signature_store(
+    spark, path: str, id_col: str, n_hashes: int = 8, k: int = 2
+) -> DataFrame:
+    """Read a persisted signature table, validating that the requested
+    parameters match the ones it was built with."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    want = {"id_col": id_col, "n_hashes": n_hashes, "k": k}
+    have = {kk: meta.get(kk) for kk in want}
+    if have != want:
+        raise ValueError(
+            f"signature store at {path} was built with {have}, "
+            f"requested {want}"
+        )
+    return spark.read.parquet(os.path.join(path, "signatures"))
+
+
+def ensure_signature_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    k: int = 2,
+    fingerprint: str = "",
+) -> DataFrame:
+    """Build-or-reuse: rebuild when meta.json is absent or its
+    fingerprint differs from the caller's (corpus content changed);
+    otherwise serve the persisted signatures without touching corpus
+    text."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        stale = (
+            meta.get("fingerprint") != fingerprint
+            or meta.get("id_col") != id_col
+            or meta.get("n_hashes") != n_hashes
+            or meta.get("k") != k
+        )
+    if stale:
+        save_signature_store(
+            corpus, path, id_col, text_col, n_hashes, k, fingerprint
+        )
+    return load_signature_store(
+        corpus.sparkSession, path, id_col, n_hashes, k
+    )
+
+
+def incremental_dedup_pairs(
+    corpus: DataFrame | None,
     new_docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -1021,17 +1105,25 @@ def incremental_dedup_pairs(
     k: int = 2,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: candidate pairs (new_id, corpus_id) between
     an incoming batch and the EXISTING corpus via banded MinHash — the
     incremental form of minhash_lsh_pairs. The critical scale property
-    is what this join is NOT: the corpus never self-joins (its
-    signatures are computed once — persist them in practice — and the
-    band join is |new| x bucket, so daily cost scales with the batch,
-    not the corpus). Within-batch duplicates are minhash_lsh_pairs on
-    new_docs alone; the standard pipeline runs both."""
+    is what this join is NOT: the corpus never self-joins, and with
+    `corpus_signatures` (a persisted signature table from
+    save/ensure_signature_store) the corpus TEXT is never even
+    scanned — the daily job reads |corpus| signature rows plus the
+    batch, so cost scales with the batch. Within-batch duplicates are
+    minhash_lsh_pairs on new_docs alone; the standard pipeline runs
+    both."""
     rows_per_band = n_hashes // bands
-    sig_c = minhash_signatures_df(corpus, id_col, text_col, n_hashes, k)
+    if corpus_signatures is not None:
+        sig_c = corpus_signatures
+    elif corpus is not None:
+        sig_c = minhash_signatures_df(corpus, id_col, text_col, n_hashes, k)
+    else:
+        raise ValueError("pass corpus or corpus_signatures")
     sig_n = minhash_signatures_df(new_docs, id_col, text_col, n_hashes, k)
     bc = _band_rows(sig_c, id_col, "corpus_id", bands, rows_per_band)
     bn = _band_rows(sig_n, id_col, "new_id", bands, rows_per_band)

@@ -153,3 +153,67 @@ def test_incremental_dedup_caps_batch_side_hot_buckets(spark):
     # every band bucket on the batch side holds all 40 identical docs
     # (> 10), so the capped join produces nothing
     assert capped.count() == 0
+
+
+# --- persisted corpus signatures (VERDICT r04 next-round #7) ---------------
+def test_incremental_dedup_two_batch_e2e_never_rescans_corpus(
+    spark, tmp_path
+):
+    """Two-day ingest: day 1 builds the signature store; day 2 runs
+    against the PERSISTED signatures with the corpus text parquet
+    DELETED from disk — the run still succeeding is the proof that the
+    daily path never re-shingles (or even opens) corpus text."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import dedup
+
+    corpus_path = str(tmp_path / "corpus")
+    store = str(tmp_path / "sigstore")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    docs.where(F.col("doc_id") % 5 != 0).write.parquet(corpus_path)
+
+    corpus = spark.read.parquet(corpus_path)
+    batch1 = docs.where(F.col("doc_id") % 5 == 0)
+    sigs = dedup.ensure_signature_store(
+        corpus, store, "doc_id", "text", n_hashes=8, k=2, fingerprint="day1"
+    )
+    expected = sorted(
+        map(tuple, dedup.incremental_dedup_pairs(
+            corpus, batch1, "doc_id", "text", 8, 2, 4).collect())
+    )
+    got1 = sorted(
+        map(tuple, dedup.incremental_dedup_pairs(
+            None, batch1, "doc_id", "text", 8, 2, 4,
+            corpus_signatures=sigs).collect())
+    )
+    assert got1 == expected and expected  # same pairs, text not needed
+
+    # day 2: corpus text is GONE; only the signature store remains
+    shutil.rmtree(corpus_path)
+    sigs2 = dedup.load_signature_store(spark, store, "doc_id", 8, 2)
+    batch2 = docs.where(F.col("doc_id") % 7 == 0)
+    got2 = dedup.incremental_dedup_pairs(
+        None, batch2, "doc_id", "text", 8, 2, 4, corpus_signatures=sigs2
+    )
+    assert got2.count() > 0  # executes with corpus text deleted
+    # plan hygiene: the only file inputs are the signature store and
+    # the batch's source table — never the (deleted) corpus directory
+    inputs = got2.inputFiles()
+    assert any("sigstore" in f for f in inputs), inputs
+    assert not any(corpus_path in f for f in inputs), inputs
+
+    # parameter-mismatch loads fail loudly instead of mis-banding
+    with pytest.raises(ValueError, match="built with"):
+        dedup.load_signature_store(spark, store, "doc_id", n_hashes=16, k=2)
+
+    # fingerprint change rebuilds (needs corpus text again)
+    corpus2 = batch2.limit(50)
+    rebuilt = dedup.ensure_signature_store(
+        corpus2, store, "doc_id", "text", n_hashes=8, k=2,
+        fingerprint="day3",
+    )
+    assert rebuilt.count() == 50
