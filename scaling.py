@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Empirical scale-sensitivity harness: run a family-representative
+query subset at sf0.001 / sf0.01 / sf0.1 (100x data growth end to
+end) in ONE Spark session and report per-query wall time plus the
+marginal scaling factor over the top decade (sf0.01 -> sf0.1, 10x
+rows).
+
+Interpretation contract (written into SCALING.md): a factor near 1x
+means the line is still fixed-overhead-bound at sf0.1 (per-query
+planning + task dispatch dominate; the data term has headroom);
+near 10x means the data term dominates and growth is linear — the
+shape that extrapolates safely to cluster scale. Anything clearly
+super-linear (>> 10x over one decade) is a scale bug. OSM queries are
+excluded: they read the fixed-size deterministic fixture, not the
+sf-scaled tables.
+
+Usage: python scaling.py [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmexpress_spark import get_spark  # noqa: E402
+
+SF_DIRS = [
+    ("0.001", "/root/testdata/sf0.001"),
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+]
+
+# one line per §2.9 family, chosen for data-term visibility (documents/
+# embeddings/events/lineitem all scale with sf)
+SUBSET = [
+    "q1_pricing_summary",      # relational core: scan + agg
+    "q_star_join_revenue",     # multi-table join
+    "q_sessionize",            # events window
+    "q_band_join",             # bucketed range join
+    "q_minhash_lsh_pairs",     # banded self-join dedup
+    "q_fuzzy_token_pairs",     # blocked edit-distance join
+    "q_doc_dup_spans",         # positional window hashes
+    "q_bm25_topk",             # zero-shuffle scoring scan
+    "q_embedding_topk",        # brute-force ANN
+    "q_quality_logreg",        # broadcast model inference
+    "q_cms_heavy_hitters",     # sketch fold
+    "q_stratified_sample",     # scan-side sampling
+]
+
+
+def main() -> None:
+    from osmexpress_spark import queries as Q
+    from osmexpress_spark import queries_data as QD
+
+    registry = {**Q.SPARK_QUERIES, **QD.SPARK_QUERIES}
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="osmx-scaling", cpus=cpus, shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup at every sf so first-touch parquet footer reads don't
+    # pollute the smallest scale's numbers
+    for _, d in SF_DIRS:
+        Q.SPARK_QUERIES["q1_pricing_summary"](spark, d).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {name: {} for name in SUBSET}
+    for tag, d in SF_DIRS:
+        for name in SUBSET:
+            t0 = time.monotonic()
+            registry[name](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[name][tag] = round(time.monotonic() - t0, 3)
+
+    out = {"cpus": int(cpus), "subset": results}
+    for name, r in results.items():
+        r["x_last_decade"] = round(r["0.1"] / max(r["0.01"], 1e-9), 2)
+    print(json.dumps(out))
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
