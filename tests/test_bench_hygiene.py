@@ -72,6 +72,17 @@ def test_every_family_keeps_a_bench_line():
         assert head & set(members), f"family {fam} has no bench line"
 
 
+def test_scaling_subset_is_registered():
+    import scaling
+
+    reg = _registry()
+    missing = [n for n in scaling.SUBSET if n not in reg]
+    assert not missing, f"scaling.py SUBSET names not in registry: {missing}"
+    # all scaling lines read sf-scaled tables (no fixed-size OSM fixture
+    # lines, which an sf sweep cannot exercise)
+    assert not [n for n in scaling.SUBSET if n.startswith("osm_")]
+
+
 def test_family_map_covers_headline_registry_queries():
     # every HEADLINE registry query belongs to some family, so a new
     # bench line must be classified (keeps the map from rotting)
