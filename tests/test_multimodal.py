@@ -299,6 +299,39 @@ def test_image_decoder_png_unsupported_and_corrupt():
         multimodal.image_decoder(bytes(bad))
 
 
+def test_image_decoder_png_property_random_images():
+    """Random sizes x pixels x per-row filter choices x RGB/RGBA,
+    decoded against the independent forward-filtering encoder: the
+    means must be exact (integer sums over /255 — no float drift)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 12), label="w")
+        h = data.draw(st.integers(1, 10), label="h")
+        pixels = [
+            [tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        use_alpha = data.draw(st.booleans(), label="alpha")
+        al = (
+            [[data.draw(st.integers(0, 255)) for _ in range(w)]
+             for _ in range(h)]
+            if use_alpha else None
+        )
+        exp = tuple(
+            sum(px[c] for row in pixels for px in row) / (w * h * 255.0)
+            for c in range(3)
+        )
+        got = multimodal.image_decoder(_png(pixels, alpha=al, filters=filters))
+        assert got == [float(w), float(h), *exp], (filters, use_alpha)
+
+    run()
+
+
 def test_extract_features_png_distributed(spark):
     png = _png(PIXELS, filters=[2, 4])
     df = spark.createDataFrame(
