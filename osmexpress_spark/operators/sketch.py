@@ -184,3 +184,136 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
         raise ValueError("cms_merge needs at least one sketch")
     u = reduce(lambda a, b: a.unionByName(b), sketches)
     return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Integer-log quantile sketch (DDSketch-shaped, Masson et al. 2019, but
+# with PURE-INTEGER bucketing so every bucket id, bound, and rank is
+# reproducible bit-for-bit on any engine — the same determinism contract
+# as KMV/CMS above; DDSketch's log-gamma index is transcendental and
+# would 1-ulp-diverge across engines at bucket boundaries).
+#
+# Bucketing of a nonnegative BIGINT v with m = 2^sub_bits linear
+# sub-buckets per octave:
+#   v <= 0          -> bucket 0
+#   v >= 1          -> oct = floor(log2 v) = length(bin(v)) - 1
+#                      sh  = max(oct - sub_bits, 0)
+#                      bucket = 1 + oct*m + ((v - 2^oct) >> sh)
+# Bucket width is 2^sh <= 2^oct / m while every value in the octave is
+# >= 2^oct, so the relative error of answering with a bucket bound is
+# <= 1/m (6.25% at the default sub_bits=4); for oct < sub_bits buckets
+# are single-valued (exact). floor(log2) is computed as the length of
+# the binary-string rendering — a string op, not a float op — because
+# both Spark and DuckDB expose `bin()` and agree on it exactly.
+#
+# Scale shape: the sketch is a groupBy over at most 1 + 64*m bucket ids
+# (map-side combine), so the corpus folds to a <=1025-row object no
+# matter its size; merge is cell-wise count addition; quantile queries
+# run a window over the bounded sketch only.
+
+QS_SUB_BITS = 4  # m = 16 sub-buckets/octave -> <= 6.25% relative error
+
+
+def quantile_bucket(v: Column, sub_bits: int = QS_SUB_BITS) -> Column:
+    """Bucket id (INT) of a nonnegative BIGINT value; values <= 0 fold
+    to bucket 0. Pure integer/string ops (bin-length floor-log2 + shifts)
+    so DuckDB computes the identical id."""
+    m = 1 << sub_bits
+    v = v.cast("long")
+    octv = (F.length(F.bin(v)) - F.lit(1)).cast("int")
+    sh = F.greatest(octv - F.lit(sub_bits), F.lit(0))
+    sub = F.call_function(
+        "shiftright", v - F.call_function("shiftleft", F.lit(1).cast("long"), octv), sh
+    )
+    return (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(F.lit(1) + octv * m + sub)
+        .cast("int")
+    )
+
+
+def quantile_bucket_bounds(bucket: Column, sub_bits: int = QS_SUB_BITS) -> list[Column]:
+    """[lo, hi] inclusive BIGINT bounds of a bucket id (bucket 0 ->
+    [0, 0]). Inverts quantile_bucket with the same shift arithmetic."""
+    m = 1 << sub_bits
+    b1 = (bucket.cast("long") - F.lit(1)).cast("long")
+    octv = F.floor(b1 / F.lit(m)).cast("int")
+    sub = (b1 % m).cast("long")
+    sh = F.greatest(octv - F.lit(sub_bits), F.lit(0))
+    one = F.lit(1).cast("long")
+    lo = F.call_function("shiftleft", one, octv) + F.call_function("shiftleft", sub, sh)
+    hi = lo + F.call_function("shiftleft", one, sh) - F.lit(1)
+    zero = bucket.cast("long") <= 0
+    return [
+        F.when(zero, F.lit(0).cast("long")).otherwise(lo).alias("lo"),
+        F.when(zero, F.lit(0).cast("long")).otherwise(hi).alias("hi"),
+    ]
+
+
+def quantile_sketch_build(
+    df: DataFrame, value: Column, sub_bits: int = QS_SUB_BITS
+) -> DataFrame:
+    """Quantile sketch of a nonnegative integer measure: (bucket INT,
+    cnt BIGINT), at most 1 + 64*2^sub_bits rows. One map-side-combined
+    count — the only shuffle carries <=1025 partial rows per task."""
+    return (
+        df.select(quantile_bucket(value, sub_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge sketches built with the SAME sub_bits: cell-wise count
+    addition == the sketch of the concatenated inputs (bucket ids are
+    value-determined, so equal buckets mean equal value ranges)."""
+    from functools import reduce
+
+    if not sketches:
+        raise ValueError("quantile_sketch_merge needs at least one sketch")
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_sketch_query(
+    sketch: DataFrame,
+    quantiles: list[tuple[int, int]],
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Answer rational quantiles (num, den) from a sketch: one row per
+    quantile with (q_num, q_den, rank, bucket, lo, hi) where rank =
+    ceil(num*n/den) (integer arithmetic: (num*n + den - 1) div den) and
+    bucket is the first bucket whose cumulative count reaches the rank.
+    The true q-quantile lies in [lo, hi], so the relative error is
+    <= 2^-sub_bits. Runs entirely over the bounded sketch: a window
+    cumsum on <=1025 rows + a broadcast probe join."""
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("quantile_sketch_query needs at least one quantile")
+    for num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    spark = sketch.sparkSession
+    cum = sketch.select(
+        "bucket",
+        F.sum("cnt").over(Window.orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    probes = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in quantiles], "q_num long, q_den long"
+    )
+    hit = (
+        cum.join(F.broadcast(probes))
+        .withColumn(
+            "rank", F.expr("(q_num * n + q_den - 1) div q_den").cast("long")
+        )
+        .where(F.col("cum") >= F.col("rank"))
+        .groupBy("q_num", "q_den", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    lo, hi = quantile_bucket_bounds(F.col("bucket"), sub_bits)
+    return hit.select("q_num", "q_den", "rank", "bucket", lo, hi)

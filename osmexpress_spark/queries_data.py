@@ -3033,3 +3033,81 @@ def q_incremental_dedup(spark, sf_dir):
         corpus, new, "doc_id", "text", n_hashes=N_HASHES,
         k=SHINGLE_K, bands=N_BANDS,
     )
+
+
+# --- staged round-6 contract queries ---------------------------------------
+# The round-5 driver window must stay exactly the 42 r02-aged + 8 oldest
+# r03 rows (VERDICT r04 ask #1), so NOTHING may be added to
+# SPARK_QUERIES this round: a never-green entry sorts to the head of
+# priority_order() and evicts an aged row from the 50-slot window.
+# New operators therefore stage here; tests/test_oracle_parity.py runs
+# them through the SAME strict gate, and round 6 promotes them with a
+# one-line merge into SPARK_QUERIES/ORACLE_SQL.
+PENDING_SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PENDING_ORACLE_SQL: dict[str, str] = {}
+
+
+def defq_pending(name: str, oracle: str | None = None):
+    def wrap(fn):
+        PENDING_SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            PENDING_ORACLE_SQL[name] = oracle
+        return fn
+
+    return wrap
+
+
+_QSK_QUANTILES = [(50, 100), (90, 100), (99, 100), (999, 1000)]
+
+
+@defq_pending(
+    "q_quantile_sketch",
+    f"""
+    WITH b AS (
+      SELECT CASE WHEN n_chars <= 0 THEN 0
+             ELSE 1 + (length(bin(n_chars)) - 1) * 16
+                  + ((n_chars - (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1)))
+                     >> greatest(length(bin(n_chars)) - 1 - 4, 0)) END AS bucket
+      FROM documents
+    ),
+    c AS (SELECT CAST(bucket AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+    cum AS (SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+    probes(q_num, q_den) AS (
+      VALUES {', '.join(f'(CAST({n} AS BIGINT), CAST({d} AS BIGINT))' for n, d in _QSK_QUANTILES)}
+    ),
+    hit AS (
+      SELECT p.q_num, p.q_den,
+             (p.q_num * cum.n + p.q_den - 1) // p.q_den AS rank,
+             MIN(cum.bucket) AS bucket
+      FROM probes p
+      JOIN cum ON cum.cum >= (p.q_num * cum.n + p.q_den - 1) // p.q_den
+      GROUP BY 1, 2, 3
+    )
+    SELECT q_num, q_den, CAST(rank AS BIGINT) AS rank, bucket,
+      CAST(CASE WHEN bucket <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << ((bucket-1)//16))
+                + (CAST((bucket-1)%16 AS BIGINT) << greatest((bucket-1)//16 - 4, 0))
+           END AS BIGINT) AS lo,
+      CAST(CASE WHEN bucket <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << ((bucket-1)//16))
+                + (CAST((bucket-1)%16 AS BIGINT) << greatest((bucket-1)//16 - 4, 0))
+                + (CAST(1 AS BIGINT) << greatest((bucket-1)//16 - 4, 0)) - 1
+           END AS BIGINT) AS hi
+    FROM hit
+    """,
+)
+def q_quantile_sketch(spark, sf_dir):
+    """Integer-log quantile sketch (operators/sketch.py, the
+    DDSketch shape of Masson et al. 2019 with pure-integer octave
+    bucketing): doc-length p50/p90/p99/p999 answered from a <=1025-row
+    mergeable sketch — one map-side-combined count over bucket ids, a
+    window cumsum over the bounded sketch only. Every rank, bucket id,
+    and bound is integer arithmetic shared bit-for-bit with DuckDB;
+    the true quantile lies in [lo, hi] (relative error <= 1/16)."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    sk = sketch.quantile_sketch_build(d, F.col("n_chars"))
+    return sketch.quantile_sketch_query(sk, _QSK_QUANTILES)

@@ -101,6 +101,34 @@ def test_query_matches_oracle(spark, con, name):
     assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
 
 
+@pytest.mark.parametrize("name", sorted(QD.PENDING_ORACLE_SQL))
+def test_pending_query_matches_oracle(spark, con, name):
+    """Round-6 staged contract queries (queries_data.py
+    PENDING_SPARK_QUERIES) run through the SAME strict gate as the
+    registered 140 — the round-5 registry must stay frozen so the
+    driver's evidence-age window re-greens the r02-aged rows, but the
+    staged queries are already proven before promotion."""
+    sdf = QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR)
+    hostile = [
+        (c, dt)
+        for c, dt in sdf.dtypes
+        if any(t in dt for t in ("array", "map", "struct", "decimal"))
+    ]
+    assert not hostile, f"{name}: canonicalizer-hostile columns {hostile}"
+    spdf = sdf.toPandas()
+    opdf = con.execute(QD.PENDING_ORACLE_SQL[name]).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), name
+    ss, oo = strict_rowset(spdf), strict_rowset(opdf)
+    diff = next(((a, b) for a, b in zip(ss, oo) if a != b), None)
+    assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
+
+
+def test_pending_not_registered():
+    """Staged queries must NOT leak into the live registry this round
+    (they would evict aged rows from the driver's 50-slot window)."""
+    assert not set(QD.PENDING_SPARK_QUERIES) & set(ALL_QUERIES)
+
+
 def test_simplify_ways_golden_fixture(spark):
     """simplify_ways pinned at fixture scale (VERDICT r04 #6). Not a
     DuckDB oracle: Visvalingam is an iterative smallest-area-first

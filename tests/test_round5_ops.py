@@ -217,3 +217,130 @@ def test_incremental_dedup_two_batch_e2e_never_rescans_corpus(
         fingerprint="day3",
     )
     assert rebuilt.count() == 50
+
+
+# --- integer-log quantile sketch (operators/sketch.py) ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _bucket_model(v: int, sub_bits: int = 4) -> int:
+    """Python model of sketch.quantile_bucket (bin-length floor-log2 +
+    shift): the distributed column expression must match this exactly."""
+    if v <= 0:
+        return 0
+    octv = v.bit_length() - 1
+    sh = max(octv - sub_bits, 0)
+    return 1 + octv * (1 << sub_bits) + ((v - (1 << octv)) >> sh)
+
+
+def _bounds_model(bucket: int, sub_bits: int = 4) -> tuple[int, int]:
+    if bucket <= 0:
+        return (0, 0)
+    m = 1 << sub_bits
+    octv, sub = (bucket - 1) // m, (bucket - 1) % m
+    sh = max(octv - sub_bits, 0)
+    lo = (1 << octv) + (sub << sh)
+    return (lo, lo + (1 << sh) - 1)
+
+
+# boundary-heavy values: around every power of two and bucket edge
+_TRICKY = sorted(
+    {0, 1, 2, 3, 15, 16, 17}
+    | {(1 << o) + d for o in range(1, 62) for d in (-1, 0, 1)}
+    | {(1 << o) + (s << max(o - 4, 0)) - 1 for o in range(4, 62) for s in (1, 8, 16)}
+)
+
+
+def test_quantile_bucket_matches_model_on_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame([(v,) for v in _TRICKY], "v long")
+    got = {
+        r["v"]: (r["bucket"], r["lo"], r["hi"])
+        for r in df.select(
+            "v",
+            sketch.quantile_bucket(F.col("v")).alias("bucket"),
+            *sketch.quantile_bucket_bounds(
+                sketch.quantile_bucket(F.col("v"))
+            ),
+        ).collect()
+    }
+    for v in _TRICKY:
+        b = _bucket_model(v)
+        assert got[v] == (b, *_bounds_model(b)), v
+
+
+@given(st.integers(min_value=0, max_value=(1 << 62) - 1))
+@settings(max_examples=500, deadline=None)
+def test_quantile_bucket_model_contains_value(v):
+    """Every value lands in its bucket's [lo, hi], buckets are
+    monotone in v, and the bucket width gives <= 1/16 relative error."""
+    b = _bucket_model(v)
+    lo, hi = _bounds_model(b)
+    assert lo <= v <= hi
+    if v >= 1:
+        assert _bucket_model(v - 1) <= b
+        # width/lo <= 1/16 for octaves past the exact region
+        assert (hi - lo) * 16 <= lo or hi == lo
+
+
+def test_quantile_sketch_merge_equals_union(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    vals = [int(x) for x in range(0, 3000, 7)] + [2**40 + 3, 2**40 + 4] * 5
+    parts = [vals[0::3], vals[1::3], vals[2::3]]
+    frames = [
+        spark.createDataFrame([(v,) for v in p], "v long") for p in parts
+    ]
+    merged = sketch.quantile_sketch_merge(
+        [sketch.quantile_sketch_build(f, F.col("v")) for f in frames]
+    )
+    whole = sketch.quantile_sketch_build(
+        spark.createDataFrame([(v,) for v in vals], "v long"), F.col("v")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_quantile_query_brackets_true_quantile(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    rng = random.Random(7)
+    vals = sorted(rng.randrange(0, 10**9) for _ in range(5000))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = sketch.quantile_sketch_build(df, F.col("v"))
+    qs = [(1, 2), (9, 10), (99, 100)]
+    out = {
+        (r["q_num"], r["q_den"]): r
+        for r in sketch.quantile_sketch_query(sk, qs).collect()
+    }
+    for num, den in qs:
+        rank = (num * len(vals) + den - 1) // den
+        true = vals[rank - 1]
+        r = out[(num, den)]
+        assert r["lo"] <= true <= r["hi"], (num, den, true, r)
+        assert r["rank"] == rank
+
+
+def test_quantile_query_rejects_bad_quantile(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame([(1,)], "v long")
+    sk = sketch.quantile_sketch_build(df, F.col("v"))
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch_query(sk, [])
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch_query(sk, [(0, 100)])
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch_query(sk, [(101, 100)])
