@@ -665,6 +665,116 @@ def kmeans_assign_step(
     )
 
 
+KM_MICRO = 1_000_000
+KM_OFFSET = 2_000_000  # shifts micro coords nonnegative for x >= -2
+
+
+def _km_quantize(vec_col: Column) -> Column:
+    """Integer-micro quantization of a float vector: floor(x * 1e6) +
+    KM_OFFSET per coordinate. floor (not round) because its decision
+    boundary sits on integers, where the double product either hits
+    exactly (identical IEEE bits -> identical floor on every engine)
+    or doesn't — Spark's HALF_UP round vs DuckDB's HALF_EVEN can
+    diverge on .5 boundaries, floor cannot. The offset keeps every
+    coordinate nonnegative so integer division floors identically
+    everywhere; distances are offset-invariant."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(KM_MICRO))).cast(
+            "long"
+        )
+        + F.lit(KM_OFFSET),
+    )
+
+
+def kmeans_train_distributed(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Fully-distributed Lloyd training with ENGINE-EXACT arithmetic:
+    every iteration assigns the whole corpus and recomputes centroids
+    from the whole corpus (vs ivf_train's bounded-sample driver loop —
+    use that when a sample suffices; use this when the full corpus
+    must vote, e.g. heavily skewed cluster mass).
+
+    Determinism contract: coordinates quantize once to integer micros
+    (_km_quantize — floor boundary, nonnegative offset), so squared
+    distances, per-cluster coordinate sums, and floor-divided means
+    are pure BIGINT arithmetic — order-independent, bit-reproducible,
+    and DuckDB-oracle-checkable (float sums would vary with partition
+    fold order). Seeds are the k smallest ids; ties in the argmin
+    break toward the lower centroid id; a cluster that loses all
+    members keeps its previous centroid.
+
+    100 TB shape: centroids are expression LITERALS, so assignment is
+    scan-side whole-stage codegen (k*dim subtract-square terms, no
+    join, no window) and each iteration is ONE corpus pass: the
+    posexplode update agg map-side-combines to <= k*dim partial rows
+    per task, and only the k*dim (cluster, dim, sum, cnt) aggregate
+    ever reaches the driver. Overflow bound: offset micros <= 3.1e6,
+    so coordinate sums stay under 2^63 up to ~3e12 rows per cluster.
+
+    Returns the final assignment (id, cluster) under the trained
+    centroids.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k must be >= 1 and iters >= 0")
+    q = df.select(F.col(id_col), _km_quantize(F.col(vec_col)).alias("qv"))
+    seed_rows = q.orderBy(F.col(id_col)).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
+    cents: list[tuple[int, list[int]]] = [
+        (r[id_col], list(r["qv"])) for r in seed_rows
+    ]
+
+    def assigned() -> DataFrame:
+        """(id, qv, cluster): scan-side argmin over centroid literals
+        (least() over (d2, cid) structs — lexicographic min)."""
+        structs = []
+        for cid, cv in cents:
+            terms = [
+                (F.element_at(F.col("qv"), j + 1) - F.lit(cv[j]))
+                * (F.element_at(F.col("qv"), j + 1) - F.lit(cv[j]))
+                for j in range(dim)
+            ]
+            d2 = terms[0]
+            for t in terms[1:]:
+                d2 = d2 + t
+            structs.append(
+                F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("cid"))
+            )
+        best = F.least(*structs) if len(structs) > 1 else structs[0]
+        return q.select(
+            F.col(id_col), F.col("qv"), best.getField("cid").alias("cluster")
+        )
+
+    for _ in range(iters):
+        sums = (
+            assigned()
+            .select("cluster", F.posexplode("qv").alias("j", "v"))
+            .groupBy("cluster", "j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["j"]] = (r["s"], r["n"])
+        cents = [
+            (
+                cid,
+                [by_cluster[cid][j][0] // by_cluster[cid][j][1] for j in range(dim)]
+                if cid in by_cluster
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return assigned().select(F.col(id_col), F.col("cluster"))
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,

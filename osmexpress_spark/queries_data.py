@@ -3111,3 +3111,69 @@ def q_quantile_sketch(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sk = sketch.quantile_sketch_build(d, F.col("n_chars"))
     return sketch.quantile_sketch_query(sk, _QSK_QUANTILES)
+
+
+_KMT_K = 8
+_KMT_DIM = 64
+
+
+@defq_pending(
+    "q_kmeans_train",
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000e0) AS BIGINT)
+                    + 2000000) AS v
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, v AS c FROM qv ORDER BY vec_id LIMIT {_KMT_K}),
+    a1 AS (
+      SELECT q.vec_id, s.cid,
+             list_sum(list_transform(range({_KMT_DIM}),
+               i -> (q.v[i+1] - s.c[i+1]) * (q.v[i+1] - s.c[i+1]))) AS d2
+      FROM qv q CROSS JOIN seeds s
+    ),
+    best1 AS (
+      SELECT vec_id, cid AS cluster FROM a1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    dims AS (SELECT unnest(range({_KMT_DIM})) AS j),
+    upd AS (
+      SELECT b.cluster AS cid, d.j,
+             CAST(SUM(q.v[d.j + 1]) // COUNT(*) AS BIGINT) AS coord
+      FROM best1 b JOIN qv q USING (vec_id) CROSS JOIN dims d
+      GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT s.cid,
+             CASE WHEN count(u.j) = 0 THEN s.c
+                  ELSE list(u.coord ORDER BY u.j) END AS c
+      FROM seeds s LEFT JOIN upd u ON u.cid = s.cid
+      GROUP BY s.cid, s.c
+    ),
+    a2 AS (
+      SELECT q.vec_id, s.cid,
+             list_sum(list_transform(range({_KMT_DIM}),
+               i -> (q.v[i+1] - s.c[i+1]) * (q.v[i+1] - s.c[i+1]))) AS d2
+      FROM qv q CROSS JOIN c2 s
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    """,
+)
+def q_kmeans_train(spark, sf_dir):
+    """Fully-distributed Lloyd k-means training
+    (similarity.py:kmeans_train_distributed): ONE update round over
+    integer-micro coordinates, then the final whole-corpus assignment.
+    Centroids are expression literals, so each iteration is a single
+    scan-side codegen pass + one map-side-combined k x dim update agg;
+    all arithmetic is BIGINT (floor-quantized micros), which is what
+    makes a distributed mean engine-exact — the oracle unrolls the
+    identical iteration in DuckDB list lambdas."""
+    from .operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train_distributed(
+        e, dim=_KMT_DIM, k=_KMT_K, iters=1
+    )

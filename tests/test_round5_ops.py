@@ -487,3 +487,84 @@ def test_bpe_training_loop_is_jvm_side(spark):
     plan = bpe._pair_counts(syms)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+# --- distributed Lloyd k-means training (similarity.py) --------------------
+
+def test_kmeans_train_distributed_matches_integer_model(spark):
+    """kmeans_train_distributed == a numpy model with the identical
+    integer semantics (floor-micro quantization, lowest-cid tie-break,
+    floor-divided means, empty clusters keep their centroid)."""
+    import numpy as np
+
+    from osmexpress_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    n, dim, k, iters = 120, 6, 4, 3
+    data = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in S.kmeans_train_distributed(
+            df, dim=dim, k=k, iters=iters
+        ).collect()
+    }
+
+    M = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for _, v in data]
+    )
+    V = np.floor(M * np.float64(1e6)).astype(np.int64) + 2_000_000
+    ids = np.array([i for i, _ in data])
+    cents = [(int(ids[i]), V[i].copy()) for i in range(k)]
+
+    def assign(cents):
+        D = np.stack(
+            [((V - c[None, :]) ** 2).sum(axis=1) for _, c in cents], axis=1
+        )
+        order = np.array([cid for cid, _ in cents])
+        return np.array(
+            [order[np.lexsort((order, D[i]))[0]] for i in range(len(V))]
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = [
+            (cid, V[a == cid].sum(axis=0) // (a == cid).sum())
+            if (a == cid).any()
+            else (cid, old)
+            for cid, old in cents
+        ]
+    a = assign(cents)
+    assert got == {int(i): int(c) for i, c in zip(ids, a)}
+
+
+def test_kmeans_train_distributed_validation(spark):
+    from osmexpress_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        S.kmeans_train_distributed(df, dim=2, k=0)
+    with pytest.raises(ValueError):
+        S.kmeans_train_distributed(df, dim=2, k=5)
+    # iters=0 degenerates to seed assignment and still returns every row
+    out = S.kmeans_train_distributed(df, dim=2, k=2, iters=0)
+    assert sorted(map(tuple, out.collect())) == [(0, 0), (1, 1)]
+
+
+def test_kmeans_train_assignment_plan_has_no_join(spark):
+    """The assignment pass must be scan-side codegen: centroid
+    literals mean NO join/exchange before the update aggregation."""
+    from osmexpress_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.kmeans_train_distributed(df, dim=2, k=2, iters=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    assert "Python" not in plan
