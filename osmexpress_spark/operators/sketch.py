@@ -317,3 +317,70 @@ def quantile_sketch_query(
     )
     lo, hi = quantile_bucket_bounds(F.col("bucket"), sub_bits)
     return hit.select("q_num", "q_den", "rank", "bucket", lo, hi)
+
+
+def quantile_sketch_build_by(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Per-group quantile sketch: (key, bucket, cnt) — the grouped
+    sibling of quantile_sketch_build. Still one map-side-combined
+    count; the shuffle carries at most |keys| * 1025 partial rows per
+    task, so per-source/per-language length profiles of a 100 TB
+    corpus cost one pass."""
+    return (
+        df.select(
+            key.alias("key"), quantile_bucket(value, sub_bits).alias("bucket")
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_sketch_query_by(
+    sketch: DataFrame,
+    quantiles: list[tuple[int, int]],
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Per-group quantile answers: one row per (key, quantile) with
+    the same (rank, bucket, lo, hi) contract as quantile_sketch_query.
+    The cumsum window partitions by key (no single-partition global
+    window), so the query scales with the number of groups."""
+    from pyspark.sql import Window
+
+    if not quantiles:
+        raise ValueError("quantile_sketch_query_by needs at least one quantile")
+    for num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    spark = sketch.sparkSession
+    cum = sketch.select(
+        "key",
+        "bucket",
+        F.sum("cnt")
+        .over(Window.partitionBy("key").orderBy("bucket"))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    probes = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in quantiles], "q_num long, q_den long"
+    )
+    hit = (
+        cum.join(F.broadcast(probes))
+        .withColumn(
+            "rank", F.expr("(q_num * n + q_den - 1) div q_den").cast("long")
+        )
+        .where(F.col("cum") >= F.col("rank"))
+        .groupBy("key", "q_num", "q_den", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    lo, hi = quantile_bucket_bounds(F.col("bucket"), sub_bits)
+    return hit.select("key", "q_num", "q_den", "rank", "bucket", lo, hi)

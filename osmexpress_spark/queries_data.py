@@ -3177,3 +3177,58 @@ def q_kmeans_train(spark, sf_dir):
     return similarity.kmeans_train_distributed(
         e, dim=_KMT_DIM, k=_KMT_K, iters=1
     )
+
+
+@defq_pending(
+    "q_quantile_by_group",
+    f"""
+    WITH b AS (
+      SELECT source AS key,
+             CASE WHEN n_chars <= 0 THEN 0
+             ELSE 1 + (length(bin(n_chars)) - 1) * 16
+                  + ((n_chars - (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1)))
+                     >> greatest(length(bin(n_chars)) - 1 - 4, 0)) END AS bucket
+      FROM documents
+    ),
+    c AS (SELECT key, CAST(bucket AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (SELECT key, bucket,
+                   CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY bucket) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n FROM c),
+    probes(q_num, q_den) AS (
+      VALUES (CAST(50 AS BIGINT), CAST(100 AS BIGINT)), (99, 100)
+    ),
+    hit AS (
+      SELECT cum.key, p.q_num, p.q_den,
+             (p.q_num * cum.n + p.q_den - 1) // p.q_den AS rank,
+             MIN(cum.bucket) AS bucket
+      FROM probes p
+      JOIN cum ON cum.cum >= (p.q_num * cum.n + p.q_den - 1) // p.q_den
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT key, q_num, q_den, CAST(rank AS BIGINT) AS rank, bucket,
+      CAST(CASE WHEN bucket <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << ((bucket-1)//16))
+                + (CAST((bucket-1)%16 AS BIGINT) << greatest((bucket-1)//16 - 4, 0))
+           END AS BIGINT) AS lo,
+      CAST(CASE WHEN bucket <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << ((bucket-1)//16))
+                + (CAST((bucket-1)%16 AS BIGINT) << greatest((bucket-1)//16 - 4, 0))
+                + (CAST(1 AS BIGINT) << greatest((bucket-1)//16 - 4, 0)) - 1
+           END AS BIGINT) AS hi
+    FROM hit
+    """,
+)
+def q_quantile_by_group(spark, sf_dir):
+    """Per-source length quantiles from the grouped integer-log sketch
+    (operators/sketch.py:quantile_sketch_build_by): p50/p99 of n_chars
+    for every document source in one map-side-combined pass; the
+    cumsum window partitions by key, so the query scales with group
+    count, not corpus size."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    sk = sketch.quantile_sketch_build_by(
+        d, F.col("source"), F.col("n_chars")
+    )
+    return sketch.quantile_sketch_query_by(sk, [(50, 100), (99, 100)])

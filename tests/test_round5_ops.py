@@ -568,3 +568,36 @@ def test_kmeans_train_assignment_plan_has_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
     assert "Python" not in plan
+
+
+def test_quantile_sketch_by_group_brackets_true_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    rng = random.Random(3)
+    data = [
+        (k, rng.randrange(0, 10**6 if k == "a" else 10**3))
+        for k in ("a", "b", "c")
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(data, "k string, v long")
+    sk = sketch.quantile_sketch_build_by(df, F.col("k"), F.col("v"))
+    out = {
+        (r["key"], r["q_num"], r["q_den"]): r
+        for r in sketch.quantile_sketch_query_by(
+            sk, [(1, 2), (99, 100)]
+        ).collect()
+    }
+    by_key = {}
+    for k, v in data:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        vals.sort()
+        for num, den in [(1, 2), (99, 100)]:
+            rank = (num * len(vals) + den - 1) // den
+            true = vals[rank - 1]
+            r = out[(k, num, den)]
+            assert r["lo"] <= true <= r["hi"], (k, num, den, true, r)
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch_query_by(sk, [])
