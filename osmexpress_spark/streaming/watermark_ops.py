@@ -137,3 +137,42 @@ def curate_docs_stream(
             .drop("__rn")
         )
     return deduped.drop("__h")
+
+
+def windowed_quantile_sketch(
+    df: DataFrame,
+    value,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    delay: str = "10 minutes",
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-event-time-window quantile sketch of a nonnegative integer
+    measure: (window_start, window_end, bucket, cnt). Composes the
+    integer-log sketch (operators/sketch.py) with a watermarked tumbling
+    window, so a live ingest stream maintains mergeable length/latency
+    profiles with bounded state: at most 1 + 64*2^sub_bits counter rows
+    per open window, freed when the watermark closes it (append mode).
+    The emitted rows ARE sketches — quantile_sketch_query / _merge read
+    them directly (group by window, or merge windows into coarser
+    spans without touching raw events). On a batch DataFrame the same
+    call degrades to the identical groupBy with no watermark."""
+    from ..operators.sketch import quantile_bucket
+
+    src = df
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, delay)
+    return (
+        src.select(
+            F.window(F.col(ts_col), window).alias("w"),
+            quantile_bucket(value, sub_bits).alias("bucket"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "cnt",
+        )
+    )
