@@ -384,3 +384,117 @@ def quantile_sketch_query_by(
     )
     lo, hi = quantile_bucket_bounds(F.col("bucket"), sub_bits)
     return hit.select("key", "q_num", "q_den", "rank", "bucket", lo, hi)
+
+
+# --- sketch-guided EXACT quantiles (distributed selection) -----------------
+#
+# The sketch answers "p99 is in [lo, hi]" in one pass; when the exact
+# value is required (SLA cutoffs, dataset split thresholds), classic
+# distributed selection refines the bracket with equal-width integer
+# histograms — each round is one filtered corpus pass that collects a
+# bounded 1024-bin count vector, shrinking the bracket ~1000x, until
+# few enough distinct values remain to enumerate. Total passes:
+# 1 (sketch) + ceil(log1024(width)) per quantile (<=5 for 2^62-wide
+# domains, 1-2 in practice since the sketch bracket is already narrow).
+# Nothing unbounded ever reaches the driver: the sketch (<=1025 rows),
+# one 1024-bin histogram per round, and the final <=65536 distinct
+# values with counts.
+
+_XQ_BINS = 1024
+_XQ_ENUM_WIDTH = 65536
+
+
+def _exact_rank_value(vals: DataFrame, k: int, lo: int, hi: int) -> int:
+    """The k-th smallest (1-based) of vals.v restricted to [lo, hi],
+    by histogram-refinement selection. Caller guarantees the restricted
+    multiset has >= k elements."""
+    while hi - lo + 1 > _XQ_ENUM_WIDTH:
+        step = (hi - lo + _XQ_BINS) // _XQ_BINS  # ceil(width/bins)
+        # integer div, not float: (v - lo) can exceed 2^53 where double
+        # division would misplace boundary values into the wrong bin
+        hist = dict(
+            vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
+            .groupBy(
+                F.expr(f"(v - {lo}L) div {step}L").cast("long").alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        cum = 0
+        for b in range(_XQ_BINS):
+            c = hist.get(b, 0)
+            if cum + c >= k:
+                k -= cum
+                lo, hi = lo + b * step, min(lo + (b + 1) * step - 1, hi)
+                break
+            cum += c
+        else:  # pragma: no cover - caller contract violated
+            raise ValueError("rank exceeds bracket population")
+    counts = sorted(
+        vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    cum = 0
+    for r in counts:
+        cum += r["cnt"]
+        if cum >= k:
+            return r["v"]
+    raise ValueError("rank exceeds bracket population")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value: Column,
+    quantiles: list[tuple[int, int]],
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """EXACT rational quantiles of a nonnegative integer measure:
+    one row per quantile with (q_num, q_den, rank, value) where value
+    is the rank-th smallest element (rank = ceil(num*n/den)).
+
+    The sketch provides the initial bracket and — because its bucket
+    counts are exact — the exact rank offset below the bracket;
+    _exact_rank_value then refines distributively. Deterministic and
+    engine-exact by construction: the answer is an actual data value.
+    """
+    if not quantiles:
+        raise ValueError("exact_quantiles needs at least one quantile")
+    spark = df.sparkSession
+    vals = df.select(value.cast("long").alias("v"))
+    sk = sorted(
+        (r["bucket"], r["cnt"])
+        for r in quantile_sketch_build(vals, F.col("v"), sub_bits).collect()
+    )
+    n = sum(c for _, c in sk)
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty input")
+    out = []
+    for num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+        rank = (num * n + den - 1) // den
+        cum = 0
+        for bucket, cnt in sk:
+            if cum + cnt >= rank:
+                below = cum
+                break
+            cum += cnt
+        m = 1 << sub_bits
+        if bucket <= 0:
+            lo = hi = 0
+        else:
+            octv, sub = (bucket - 1) // m, (bucket - 1) % m
+            sh = max(octv - sub_bits, 0)
+            lo = (1 << octv) + (sub << sh)
+            hi = lo + (1 << sh) - 1
+        v = (
+            0
+            if bucket <= 0
+            else _exact_rank_value(vals, rank - below, lo, hi)
+        )
+        out.append((num, den, rank, v))
+    return spark.createDataFrame(
+        out, "q_num long, q_den long, rank long, value long"
+    )

@@ -3232,3 +3232,35 @@ def q_quantile_by_group(spark, sf_dir):
         d, F.col("source"), F.col("n_chars")
     )
     return sketch.quantile_sketch_query_by(sk, [(50, 100), (99, 100)])
+
+
+@defq_pending(
+    "q_exact_quantiles",
+    f"""
+    WITH ranked AS (
+      SELECT n_chars, CAST(row_number() OVER (ORDER BY n_chars) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ),
+    probes(q_num, q_den) AS (
+      VALUES {', '.join(f'(CAST({n} AS BIGINT), CAST({d} AS BIGINT))' for n, d in _QSK_QUANTILES)}
+    )
+    SELECT p.q_num, p.q_den,
+           CAST((p.q_num * r.n + p.q_den - 1) // p.q_den AS BIGINT) AS rank,
+           CAST(r.n_chars AS BIGINT) AS value
+    FROM probes p JOIN ranked r
+      ON r.rn = (p.q_num * r.n + p.q_den - 1) // p.q_den
+    """,
+)
+def q_exact_quantiles(spark, sf_dir):
+    """Sketch-guided EXACT quantiles (operators/sketch.py:
+    exact_quantiles): the integer-log sketch brackets each rank in one
+    pass, then histogram-refinement selection (the classic distributed
+    selection algorithm) narrows ~1000x per filtered pass until the
+    value is enumerable — exact p50/p90/p99/p999 of a 100 TB measure
+    with nothing unbounded at the driver. The oracle is the definition
+    itself: the rank-th smallest value."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.exact_quantiles(d, F.col("n_chars"), _QSK_QUANTILES)

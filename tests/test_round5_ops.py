@@ -601,3 +601,44 @@ def test_quantile_sketch_by_group_brackets_true_quantiles(spark):
             assert r["lo"] <= true <= r["hi"], (k, num, den, true, r)
     with pytest.raises(ValueError):
         sketch.quantile_sketch_query_by(sk, [])
+
+
+def test_exact_quantiles_match_sorted_model(spark):
+    """exact_quantiles == the rank-th smallest element, on a domain
+    wide enough (> 2^53) to force multiple histogram-refinement rounds
+    and to break any float-division shortcut."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    rng = random.Random(13)
+    vals = (
+        [rng.randrange(0, 100) for _ in range(400)]
+        + [rng.randrange(0, 2**60) for _ in range(400)]
+        + [0, 0, 2**60 + 12345]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [(1, 1000), (1, 2), (9, 10), (999, 1000), (1, 1)]
+    out = {
+        (r["q_num"], r["q_den"]): (r["rank"], r["value"])
+        for r in sketch.exact_quantiles(df, F.col("v"), qs).collect()
+    }
+    svals = sorted(vals)
+    for num, den in qs:
+        rank = (num * len(vals) + den - 1) // den
+        assert out[(num, den)] == (rank, svals[rank - 1]), (num, den)
+
+
+def test_exact_quantiles_validation(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles(df, F.col("v"), [])
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles(df, F.col("v"), [(3, 2)])
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles(empty, F.col("v"), [(1, 2)])
