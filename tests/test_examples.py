@@ -87,3 +87,10 @@ def test_example_event_analytics():
     r = _run([os.path.join(EX, "event_analytics.py"), SF], timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "funnel:" in r.stdout
+
+
+def test_example_corpus_profile():
+    r = _run([os.path.join(EX, "corpus_profile.py"), SF], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PROFILE OK" in r.stdout
+    assert "chars/token" in r.stdout
