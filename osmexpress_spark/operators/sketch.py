@@ -255,9 +255,14 @@ def quantile_sketch_build(
 ) -> DataFrame:
     """Quantile sketch of a nonnegative integer measure: (bucket INT,
     cnt BIGINT), at most 1 + 64*2^sub_bits rows. One map-side-combined
-    count — the only shuffle carries <=1025 partial rows per task."""
+    count — the only shuffle carries <=1025 partial rows per task.
+    Null measures are dropped (standard aggregate semantics); a null
+    bucket row would otherwise sort FIRST in the cumsum window and
+    silently shift every rank."""
     return (
-        df.select(quantile_bucket(value, sub_bits).alias("bucket"))
+        df.select(value.cast("long").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(quantile_bucket(F.col("_v"), sub_bits).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -331,8 +336,10 @@ def quantile_sketch_build_by(
     task, so per-source/per-language length profiles of a 100 TB
     corpus cost one pass."""
     return (
-        df.select(
-            key.alias("key"), quantile_bucket(value, sub_bits).alias("bucket")
+        df.select(key.alias("key"), value.cast("long").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(
+            "key", quantile_bucket(F.col("_v"), sub_bits).alias("bucket")
         )
         .groupBy("key", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -462,7 +469,9 @@ def exact_quantiles(
     if not quantiles:
         raise ValueError("exact_quantiles needs at least one quantile")
     spark = df.sparkSession
-    vals = df.select(value.cast("long").alias("v"))
+    vals = df.select(value.cast("long").alias("v")).where(
+        F.col("v").isNotNull()
+    )
     sk = sorted(
         (r["bucket"], r["cnt"])
         for r in quantile_sketch_build(vals, F.col("v"), sub_bits).collect()

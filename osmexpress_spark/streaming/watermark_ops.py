@@ -163,7 +163,8 @@ def windowed_quantile_sketch(
     if src.isStreaming:
         src = src.withWatermark(ts_col, delay)
     return (
-        src.select(
+        src.where(value.cast("long").isNotNull())
+        .select(
             F.window(F.col(ts_col), window).alias("w"),
             quantile_bucket(value, sub_bits).alias("bucket"),
         )

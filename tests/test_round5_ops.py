@@ -642,3 +642,26 @@ def test_exact_quantiles_validation(spark):
     empty = spark.createDataFrame([], "v long")
     with pytest.raises(ValueError):
         sketch.exact_quantiles(empty, F.col("v"), [(1, 2)])
+
+
+def test_quantile_sketch_drops_null_measures(spark):
+    """Nulls must be dropped at build time: a null bucket row sorts
+    first in the cumsum window and would silently shift every rank."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (100,), (None,), (10000,)], "v long"
+    )
+    sk = sketch.quantile_sketch_build(df, F.col("v"))
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 3
+    assert all(r["bucket"] is not None for r in sk.collect())
+    r = sketch.quantile_sketch_query(sk, [(1, 1)]).collect()[0]
+    assert r["rank"] == 3 and r["lo"] <= 10000 <= r["hi"]
+    out = sketch.exact_quantiles(df, F.col("v"), [(1, 1)]).collect()[0]
+    assert (out["rank"], out["value"]) == (3, 10000)
+    by = sketch.quantile_sketch_build_by(
+        df.withColumn("k", F.lit("g")), F.col("k"), F.col("v")
+    )
+    assert by.agg(F.sum("cnt")).collect()[0][0] == 3
