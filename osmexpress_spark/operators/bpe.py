@@ -233,3 +233,12 @@ def bpe_encode(
             yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks})
 
     return prepared.mapInPandas(run, schema)
+
+
+def pair_counts(words: DataFrame, eow: str | None = EOW) -> DataFrame:
+    """(a, b, total): weighted adjacent-pair counts over the initial
+    character segmentation of a (word, cnt) vocabulary — the first
+    training iteration's aggregation, exposed for corpus diagnostics
+    and the driver contract (the full train loop is not
+    SQL-expressible, but any single iteration is)."""
+    return _pair_counts(_initial_symbols(words, eow))

@@ -3264,3 +3264,90 @@ def q_exact_quantiles(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return sketch.exact_quantiles(d, F.col("n_chars"), _QSK_QUANTILES)
+
+
+@defq_pending(
+    "q_bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY 1
+    ),
+    syms AS (
+      SELECT list_append(
+               list_transform(range(length(word)), i -> word[i+1]),
+               '▁') AS s,
+             cnt
+      FROM w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(len(s) - 1),
+               i -> struct_pack(a := s[i+1], b := s[i+2]))) AS p,
+             cnt
+      FROM syms WHERE len(s) >= 2
+    ),
+    agg AS (
+      SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT a, b, total,
+           CAST(row_number() OVER (ORDER BY total DESC, a, b) AS INTEGER) AS rank
+    FROM agg
+    QUALIFY row_number() OVER (ORDER BY total DESC, a, b) <= 20
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """The first BPE training iteration's aggregation (operators/
+    bpe.py:pair_counts): top-20 weighted adjacent symbol pairs over
+    the corpus vocabulary's character segmentation, with the trainer's
+    deterministic (total desc, a, b) tie-break. The full merge LOOP is
+    not SQL-expressible (it is model-pinned in tests instead), but any
+    single iteration is — this row keeps the distributed trainer's
+    hot aggregation oracle-checked."""
+    from .operators import bpe
+
+    d = t(spark, sf_dir, "documents")
+    words = bpe.word_counts(d, F.col("text"))
+    w = Window.orderBy(F.desc("total"), "a", "b")
+    return (
+        bpe.pair_counts(words)
+        .select(
+            "a", "b", "total",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+    )
+
+
+@defq_pending(
+    "q_stream_quantile_sketch",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS win_start,
+           CAST(CASE WHEN length(props) <= 0 THEN 0
+                ELSE 1 + (length(bin(length(props))) - 1) * 16
+                     + ((length(props) - (CAST(1 AS BIGINT) << (length(bin(length(props))) - 1)))
+                        >> greatest(length(bin(length(props))) - 1 - 4, 0)) END
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE props IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_quantile_sketch(spark, sf_dir):
+    """Per-window quantile sketches maintained by Structured Streaming
+    (streaming/watermark_ops.py:windowed_quantile_sketch): the events
+    file-stream folds into <=1025 bucket counters per 5-minute window
+    (bounded state), drained complete-mode; the oracle recomputes the
+    same integer-log buckets relationally."""
+    from .streaming import watermark_ops
+
+    stream = _events_stream(spark, sf_dir)
+    sk = watermark_ops.windowed_quantile_sketch(
+        stream, F.length("props").cast("long"), ts_col="ts",
+        window="5 minutes",
+    )
+    agg = sk.select(
+        F.unix_timestamp("window_start").alias("win_start"), "bucket", "cnt"
+    )
+    return _drain(agg, "complete")
