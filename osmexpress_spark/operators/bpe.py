@@ -30,8 +30,8 @@ with localCheckpoint every few merges so the fold stack never deepens
 past a bound. Encoding (`bpe_encode`) is the one sanctioned Python
 step: a rank-dict greedy merge per word is data-dependent branching
 that SQL folds can't express per-merge-table, so it runs as an
-Arrow-batched mapInPandas with an LRU word cache — never row-at-a-time
-Python UDFs.
+Arrow-batched mapInPandas with a bounded per-partition word cache —
+never row-at-a-time Python UDFs.
 """
 
 from __future__ import annotations
@@ -46,6 +46,10 @@ EOW = "▁"  # end-of-word marker symbol (its own final symbol)
 # truncate the fold lineage every this many merges (same device as the
 # pagerank/closure iteration loops)
 _CHECKPOINT_EVERY = 8
+
+# encoder word-cache bound per partition (distinct segmentations kept;
+# ~100 bytes each -> <=~25 MB of Python-worker memory)
+_ENCODE_CACHE_MAX = 262_144
 
 
 def word_counts(df: DataFrame, text: Column) -> DataFrame:
@@ -179,11 +183,14 @@ def bpe_encode(
     eow: str | None = EOW,
 ) -> DataFrame:
     """(id, tokens array<string>): encode documents with a trained
-    merge table. The rank-dict greedy algorithm (always merge the
-    lowest-rank adjacent pair present) is data-dependent branching per
-    word, so this is the sanctioned Arrow path: mapInPandas with a
-    per-batch word cache — each distinct word in a batch is segmented
-    once, and the merge table broadcasts by closure."""
+    merge table; the id column keeps its input type. The rank-dict
+    greedy algorithm (always merge the lowest-rank adjacent pair
+    present) is data-dependent branching per word, so this is the
+    sanctioned Arrow path: mapInPandas with a bounded per-partition
+    word cache (capped at _ENCODE_CACHE_MAX entries; past the cap,
+    unseen words are segmented without being stored, so Python-worker
+    memory stays bounded at web-scale vocabularies) — each cached word
+    is segmented once, and the merge table broadcasts by closure."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     marker = eow
 
@@ -210,12 +217,19 @@ def bpe_encode(
                     out.append(syms[i])
                     i += 1
             syms = out
-        cache[word] = syms
+        if len(cache) < _ENCODE_CACHE_MAX:
+            cache[word] = syms
         return syms
 
     import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    schema = f"{id_col} long, tokens array<string>"
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("tokens", ArrayType(StringType())),
+        ]
+    )
     prepared = df.select(F.col(id_col), text.alias("_t"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

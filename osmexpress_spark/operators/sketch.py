@@ -214,6 +214,22 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
 QS_SUB_BITS = 4  # m = 16 sub-buckets/octave -> <= 6.25% relative error
 
 
+def _nonneg_checked(v: Column) -> Column:
+    """Scan-side guard: raise on negative measures instead of folding
+    them into bucket 0 and silently shifting every rank/bound. NULLs
+    pass through (assert_true throws on a null condition, and the
+    callers drop nulls with their own filter — whose plan placement
+    relative to this select Catalyst may reorder). assert_true returns
+    NULL on success, so the when() collapses to the value."""
+    return F.when(
+        F.assert_true(
+            (v >= 0) | v.isNull(),
+            "quantile sketch requires a nonnegative measure",
+        ).isNull(),
+        v,
+    )
+
+
 def quantile_bucket(v: Column, sub_bits: int = QS_SUB_BITS) -> Column:
     """Bucket id (INT) of a nonnegative BIGINT value; values <= 0 fold
     to bucket 0. Pure integer/string ops (bin-length floor-log2 + shifts)
@@ -262,7 +278,11 @@ def quantile_sketch_build(
     return (
         df.select(value.cast("long").alias("_v"))
         .where(F.col("_v").isNotNull())
-        .select(quantile_bucket(F.col("_v"), sub_bits).alias("bucket"))
+        .select(
+            quantile_bucket(
+                _nonneg_checked(F.col("_v")), sub_bits
+            ).alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -339,7 +359,10 @@ def quantile_sketch_build_by(
         df.select(key.alias("key"), value.cast("long").alias("_v"))
         .where(F.col("_v").isNotNull())
         .select(
-            "key", quantile_bucket(F.col("_v"), sub_bits).alias("bucket")
+            "key",
+            quantile_bucket(
+                _nonneg_checked(F.col("_v")), sub_bits
+            ).alias("bucket"),
         )
         .groupBy("key", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -469,9 +492,9 @@ def exact_quantiles(
     if not quantiles:
         raise ValueError("exact_quantiles needs at least one quantile")
     spark = df.sparkSession
-    vals = df.select(value.cast("long").alias("v")).where(
-        F.col("v").isNotNull()
-    )
+    vals = df.select(
+        _nonneg_checked(value.cast("long")).alias("v")
+    ).where(F.col("v").isNotNull())
     sk = sorted(
         (r["bucket"], r["cnt"])
         for r in quantile_sketch_build(vals, F.col("v"), sub_bits).collect()

@@ -157,7 +157,7 @@ def windowed_quantile_sketch(
     them directly (group by window, or merge windows into coarser
     spans without touching raw events). On a batch DataFrame the same
     call degrades to the identical groupBy with no watermark."""
-    from ..operators.sketch import quantile_bucket
+    from ..operators.sketch import _nonneg_checked, quantile_bucket
 
     src = df
     if src.isStreaming:
@@ -166,7 +166,9 @@ def windowed_quantile_sketch(
         src.where(value.cast("long").isNotNull())
         .select(
             F.window(F.col(ts_col), window).alias("w"),
-            quantile_bucket(value, sub_bits).alias("bucket"),
+            quantile_bucket(
+                _nonneg_checked(value.cast("long")), sub_bits
+            ).alias("bucket"),
         )
         .groupBy("w", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -73,9 +73,11 @@ def strict_rowset(pdf):
     )
 
 
-@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
-def test_query_matches_oracle(spark, con, name):
-    sdf = ALL_QUERIES[name](spark, SF_DIR)
+def _assert_driver_gate(spark, con, name, query_fn, oracle):
+    """The full driver-style gate, shared by the registered and the
+    staged (pending) parametrizations so the canonicalization rules can
+    never diverge between the two."""
+    sdf = query_fn(spark, SF_DIR)
     # the driver's canonicalizer factorizes cells through pandas and
     # CRASHES on list values (q_pq_encode, r03) and hash-fails on
     # decimals: every contract column must be a scalar non-decimal type
@@ -87,18 +89,23 @@ def test_query_matches_oracle(spark, con, name):
     assert not hostile, f"{name}: canonicalizer-hostile columns {hostile}"
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(ALL_ORACLES[name])
+    res = con.execute(oracle)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
     assert rowset(scols, srows) == rowset(dcols, drows), f"{name}: values differ"
     # strict driver-style hash parity (pandas stringification both sides)
-    spdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
-    opdf = con.execute(ALL_ORACLES[name]).df()
+    spdf = query_fn(spark, SF_DIR).toPandas()
+    opdf = con.execute(oracle).df()
     ss, oo = strict_rowset(spdf), strict_rowset(opdf)
     diff = next(((a, b) for a, b in zip(ss, oo) if a != b), None)
     assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    _assert_driver_gate(spark, con, name, ALL_QUERIES[name], ALL_ORACLES[name])
 
 
 @pytest.mark.parametrize("name", sorted(QD.PENDING_ORACLE_SQL))
@@ -108,19 +115,10 @@ def test_pending_query_matches_oracle(spark, con, name):
     registered 140 — the round-5 registry must stay frozen so the
     driver's evidence-age window re-greens the r02-aged rows, but the
     staged queries are already proven before promotion."""
-    sdf = QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR)
-    hostile = [
-        (c, dt)
-        for c, dt in sdf.dtypes
-        if any(t in dt for t in ("array", "map", "struct", "decimal"))
-    ]
-    assert not hostile, f"{name}: canonicalizer-hostile columns {hostile}"
-    spdf = sdf.toPandas()
-    opdf = con.execute(QD.PENDING_ORACLE_SQL[name]).df()
-    assert sorted(spdf.columns) == sorted(opdf.columns), name
-    ss, oo = strict_rowset(spdf), strict_rowset(opdf)
-    diff = next(((a, b) for a, b in zip(ss, oo) if a != b), None)
-    assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
+    _assert_driver_gate(
+        spark, con, name,
+        QD.PENDING_SPARK_QUERIES[name], QD.PENDING_ORACLE_SQL[name],
+    )
 
 
 def test_pending_not_registered():

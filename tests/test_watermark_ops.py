@@ -161,9 +161,7 @@ def test_windowed_quantile_sketch_stream_and_batch(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, n long, ts timestamp").json(
         str(src)
     )
-    sk = windowed_quantile_sketch = __import__(
-        "osmexpress_spark.streaming.watermark_ops", fromlist=["x"]
-    ).windowed_quantile_sketch
+    sk = watermark_ops.windowed_quantile_sketch
     out = sk(stream, F.col("n"), window="5 minutes")
     q = (
         out.writeStream.outputMode("append")
