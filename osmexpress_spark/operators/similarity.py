@@ -732,22 +732,37 @@ def kmeans_train_distributed(
     ]
 
     def assigned() -> DataFrame:
-        """(id, qv, cluster): scan-side argmin over centroid literals
-        (least() over (d2, cid) structs — lexicographic min)."""
-        structs = []
-        for cid, cv in cents:
-            terms = [
-                (F.element_at(F.col("qv"), j + 1) - F.lit(cv[j]))
-                * (F.element_at(F.col("qv"), j + 1) - F.lit(cv[j]))
-                for j in range(dim)
+        """(id, qv, cluster): scan-side argmin over a centroid MATRIX
+        literal — array_min over (d2, cid) structs where each d2 is a
+        zip_with/aggregate fold. The fold keeps the generated code a
+        LOOP: the k*dim unrolled subtract-square expression this
+        replaced compiled ~15s of codegen per action and risked the
+        JIT method limit (the round-1 expression-size rule)."""
+        cent_mat = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.array(*[F.lit(v).cast("long") for v in cv]).alias("cv"),
+                )
+                for cid, cv in cents
             ]
-            d2 = terms[0]
-            for t in terms[1:]:
-                d2 = d2 + t
-            structs.append(
-                F.struct(d2.alias("d2"), F.lit(cid).cast("long").alias("cid"))
-            )
-        best = F.least(*structs) if len(structs) > 1 else structs[0]
+        )
+        scored = F.transform(
+            cent_mat,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        c.getField("cv"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+        best = F.array_min(scored)
         return q.select(
             F.col(id_col), F.col("qv"), best.getField("cid").alias("cluster")
         )

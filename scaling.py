@@ -49,6 +49,11 @@ SUBSET = [
     "q_quality_logreg",        # broadcast model inference
     "q_cms_heavy_hitters",     # sketch fold
     "q_stratified_sample",     # scan-side sampling
+    # round-5 staged queries (PENDING registry; promoted in r06)
+    "q_quantile_sketch",       # integer-log sketch fold
+    "q_exact_quantiles",       # multi-pass histogram selection
+    "q_kmeans_train",          # whole-corpus Lloyd iteration
+    "q_bpe_pair_counts",       # vocabulary pair aggregation
 ]
 
 
@@ -56,7 +61,9 @@ def main() -> None:
     from osmexpress_spark import queries as Q
     from osmexpress_spark import queries_data as QD
 
-    registry = {**Q.SPARK_QUERIES, **QD.SPARK_QUERIES}
+    registry = {
+        **Q.SPARK_QUERIES, **QD.SPARK_QUERIES, **QD.PENDING_SPARK_QUERIES
+    }
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="osmx-scaling", cpus=cpus, shuffle_partitions=int(cpus)

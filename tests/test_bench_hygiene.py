@@ -75,7 +75,9 @@ def test_every_family_keeps_a_bench_line():
 def test_scaling_subset_is_registered():
     import scaling
 
-    reg = _registry()
+    # staged round-6 queries participate in the scaling sweep before
+    # promotion (scaling.py merges the pending registry)
+    reg = {**_registry(), **QD.PENDING_SPARK_QUERIES}
     missing = [n for n in scaling.SUBSET if n not in reg]
     assert not missing, f"scaling.py SUBSET names not in registry: {missing}"
     # all scaling lines read sf-scaled tables (no fixed-size OSM fixture
