@@ -694,6 +694,7 @@ def kmeans_train_distributed(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Fully-distributed Lloyd training with ENGINE-EXACT arithmetic:
     every iteration assigns the whole corpus and recomputes centroids
@@ -719,7 +720,10 @@ def kmeans_train_distributed(
     so coordinate sums stay under 2^63 up to ~3e12 rows per cluster.
 
     Returns the final assignment (id, cluster) under the trained
-    centroids.
+    centroids; with return_centroids=True, returns
+    (assignments, centroids) where centroids is the bounded
+    [(cid, [offset-micro coords])] list (k * dim values — already
+    driver-side from the last update aggregate).
     """
     if k < 1 or iters < 0:
         raise ValueError("k must be >= 1 and iters >= 0")
@@ -787,7 +791,10 @@ def kmeans_train_distributed(
             )
             for cid, old in cents
         ]
-    return assigned().select(F.col(id_col), F.col("cluster"))
+    out = assigned().select(F.col(id_col), F.col("cluster"))
+    if return_centroids:
+        return out, [(cid, list(cv)) for cid, cv in cents]
+    return out
 
 
 def semantic_dedup(

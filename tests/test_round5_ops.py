@@ -704,3 +704,52 @@ def test_bpe_encode_preserves_id_type(spark):
     got = {r["name"]: list(r["tokens"]) for r in out.collect()}
     assert got["doc-a"] == ["low", "▁", "low", "▁"]
     assert got["doc-b"] == ["low", "e", "r", "▁"]
+
+
+def test_kmeans_train_returns_centroids_and_combines_map_side(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    out, cents = S.kmeans_train_distributed(
+        df, dim=2, k=3, iters=2, return_centroids=True
+    )
+    assert len(cents) == 3 and all(len(cv) == 2 for _, cv in cents)
+    # centroids are genuinely the trained ones: re-assigning with them
+    # reproduces the returned assignment (closed-loop consistency)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    import numpy as np
+
+    M = np.stack(
+        [
+            np.asarray(v, dtype=np.float32).astype(np.float64)
+            for _, v in sorted(
+                ((r["vec_id"], r["embedding"]) for r in df.collect())
+            )
+        ]
+    )
+    V = np.floor(M * 1e6).astype(np.int64) + 2_000_000
+    D = np.stack(
+        [((V - np.array(cv)[None, :]) ** 2).sum(axis=1) for _, cv in cents],
+        axis=1,
+    )
+    order = np.array([cid for cid, _ in cents])
+    for i in range(len(V)):
+        want = order[np.lexsort((order, D[i]))[0]]
+        assert got[i] == want, i
+    # the per-iteration update aggregation must partial-aggregate
+    # (map-side combine) before its exchange
+    q = df.select(
+        "vec_id", F.col("embedding").alias("qv"), F.lit(0).alias("cluster")
+    )
+    plan = (
+        q.select("cluster", F.posexplode("qv").alias("j", "v"))
+        .groupBy("cluster", "j")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
