@@ -3351,3 +3351,64 @@ def q_stream_quantile_sketch(spark, sf_dir):
         F.unix_timestamp("window_start").alias("win_start"), "bucket", "cnt"
     )
     return _drain(agg, "complete")
+
+
+_QSM_QUANTILES = [(25, 100), (75, 100)]
+
+
+@defq_pending(
+    "q_quantile_sketch_merge",
+    f"""
+    WITH b AS (
+      SELECT CASE WHEN n_chars <= 0 THEN 0
+             ELSE 1 + (length(bin(n_chars)) - 1) * 16
+                  + ((n_chars - (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1)))
+                     >> greatest(length(bin(n_chars)) - 1 - 4, 0)) END AS bucket
+      FROM documents
+    ),
+    c AS (SELECT CAST(bucket AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+    cum AS (SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+    probes(q_num, q_den) AS (
+      VALUES {', '.join(f'(CAST({n} AS BIGINT), CAST({d} AS BIGINT))' for n, d in _QSM_QUANTILES)}
+    ),
+    hit AS (
+      SELECT p.q_num, p.q_den,
+             (p.q_num * cum.n + p.q_den - 1) // p.q_den AS rank,
+             MIN(cum.bucket) AS bucket
+      FROM probes p
+      JOIN cum ON cum.cum >= (p.q_num * cum.n + p.q_den - 1) // p.q_den
+      GROUP BY 1, 2, 3
+    )
+    SELECT q_num, q_den, CAST(rank AS BIGINT) AS rank, bucket,
+      CAST(CASE WHEN bucket <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << ((bucket-1)//16))
+                + (CAST((bucket-1)%16 AS BIGINT) << greatest((bucket-1)//16 - 4, 0))
+           END AS BIGINT) AS lo,
+      CAST(CASE WHEN bucket <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << ((bucket-1)//16))
+                + (CAST((bucket-1)%16 AS BIGINT) << greatest((bucket-1)//16 - 4, 0))
+                + (CAST(1 AS BIGINT) << greatest((bucket-1)//16 - 4, 0)) - 1
+           END AS BIGINT) AS hi
+    FROM hit
+    """,
+)
+def q_quantile_sketch_merge(spark, sf_dir):
+    """Sketch merge algebra THROUGH the driver gate: three per-shard
+    sketches (doc_id mod 3 — the daily-partition shape) merged
+    cell-wise, then queried; the oracle computes the GLOBAL sketch
+    directly, so a green row proves merge(shards) == sketch(union)
+    exactly — the property that lets per-day sketches roll up into
+    corpus profiles without raw data."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    shards = [
+        sketch.quantile_sketch_build(
+            d.where(F.col("doc_id") % 3 == i), F.col("n_chars")
+        )
+        for i in range(3)
+    ]
+    merged = sketch.quantile_sketch_merge(shards)
+    return sketch.quantile_sketch_query(merged, _QSM_QUANTILES)

@@ -753,3 +753,20 @@ def test_kmeans_train_returns_centroids_and_combines_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_bpe_train_empty_and_single_char_vocab(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import bpe
+
+    empty = spark.createDataFrame([], "word string, cnt long")
+    assert bpe.bpe_train(empty, n_merges=3) == []
+    # single-char words still pair with the EOW marker
+    single = spark.createDataFrame([("a", 5)], "word string, cnt long")
+    assert bpe.bpe_train(single, n_merges=2) == [("a", bpe.EOW)]
+    # without a marker there is nothing to merge
+    assert bpe.bpe_train(single, n_merges=2, eow=None) == []
+    # empty corpus -> empty vocabulary
+    docs = spark.createDataFrame([("",)], "text string")
+    assert bpe.word_counts(docs, F.col("text")).count() == 0
