@@ -530,3 +530,166 @@ def exact_quantiles(
     return spark.createDataFrame(
         out, "q_num long, q_den long, rank long, value long"
     )
+
+
+_XQ_MAX_GROUPS = 4096
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    quantiles: list[tuple[int, int]],
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """EXACT per-group quantiles: (key, q_num, q_den, rank, value) —
+    the grouped sibling of exact_quantiles, refined for ALL
+    (group, quantile) brackets JOINTLY so the pass count does not
+    multiply by the group count.
+
+    Round structure: the grouped sketch (one pass) brackets every
+    (group, quantile) rank exactly; then each refinement round is ONE
+    corpus pass — the open brackets broadcast as (key, qid, lo, hi),
+    values join their group's brackets, bin by integer div, and the
+    per-bracket 1024-bin histograms come back together (bounded:
+    open_brackets * 1024 counter rows, group count capped at
+    {_XQ_MAX_GROUPS}). Brackets narrow ~1000x per round, so total
+    passes stay 1 + ceil(log1024(width)) (<=6) regardless of how many
+    groups there are. The final selection is one joint pass too, and
+    it stays DISTRIBUTED: a cumulative window per (key, quantile) over
+    that bracket's <=65536 distinct values picks the answer, so the
+    driver never collects value lists (brackets * 65536 rows could
+    reach millions with many groups). Keys are cast to string (the
+    broadcast bracket table keys on it; output column `key` is string).
+
+    The 100 TB shape this buys: exact per-source/per-language p99s of
+    a corpus in ~6 scans total, with nothing unbounded at the driver —
+    the sketch (<=1025 rows/group, 4096-group cap), one histogram
+    vector per open bracket per round, and the k result rows.
+    """
+    if not quantiles:
+        raise ValueError("exact_quantiles_by needs at least one quantile")
+    for num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    spark = df.sparkSession
+    vals = df.select(
+        key.cast("string").alias("key"),
+        _nonneg_checked(value.cast("long")).alias("v"),
+    ).where(F.col("v").isNotNull())
+
+    sk_rows = quantile_sketch_build_by(
+        vals, F.col("key"), F.col("v"), sub_bits
+    ).collect()
+    groups: dict = {}
+    for r in sk_rows:
+        groups.setdefault(r["key"], []).append((r["bucket"], r["cnt"]))
+    if len(groups) > _XQ_MAX_GROUPS:
+        raise ValueError(
+            f"{len(groups)} groups exceeds the {_XQ_MAX_GROUPS} cap; "
+            "pre-aggregate or shard the key space"
+        )
+
+    m = 1 << sub_bits
+    # bracket state per (key, qid): [lo, hi, k] with k the remaining
+    # rank inside [lo, hi]
+    brackets: dict = {}
+    ranks: dict = {}
+    for g, rows in groups.items():
+        rows.sort()
+        n = sum(c for _, c in rows)
+        for qid, (num, den) in enumerate(quantiles):
+            rank = (num * n + den - 1) // den
+            cum = 0
+            for bucket, cnt in rows:
+                if cum + cnt >= rank:
+                    break
+                cum += cnt
+            if bucket <= 0:
+                lo = hi = 0
+            else:
+                octv, sub = (bucket - 1) // m, (bucket - 1) % m
+                sh = max(octv - sub_bits, 0)
+                lo = (1 << octv) + (sub << sh)
+                hi = lo + (1 << sh) - 1
+            brackets[(g, qid)] = [lo, hi, rank - cum]
+            ranks[(g, qid)] = rank
+
+    def open_brackets():
+        return {
+            gk: b
+            for gk, b in brackets.items()
+            if b[1] - b[0] + 1 > _XQ_ENUM_WIDTH
+        }
+
+    while open_brackets():
+        ob = open_brackets()
+        rows = [
+            (g, qid, lo, hi, (hi - lo + _XQ_BINS) // _XQ_BINS)
+            for (g, qid), (lo, hi, _) in ob.items()
+        ]
+        bdf = spark.createDataFrame(
+            rows, "key string, qid int, lo long, hi long, step long"
+        )
+        hist = (
+            vals.join(F.broadcast(bdf), "key")
+            .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .groupBy(
+                "key", "qid", F.expr("(v - lo) div step").alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_gq: dict = {}
+        for r in hist:
+            by_gq.setdefault((r["key"], r["qid"]), {})[r["bin"]] = r["cnt"]
+        for (g, qid), (lo, hi, k) in ob.items():
+            step = (hi - lo + _XQ_BINS) // _XQ_BINS
+            h = by_gq.get((g, qid), {})
+            cum = 0
+            for b in range(_XQ_BINS):
+                c = h.get(b, 0)
+                if cum + c >= k:
+                    brackets[(g, qid)] = [
+                        lo + b * step,
+                        min(lo + (b + 1) * step - 1, hi),
+                        k - cum,
+                    ]
+                    break
+                cum += c
+            else:  # pragma: no cover - sketch counts guarantee coverage
+                raise ValueError("rank exceeds bracket population")
+
+    from pyspark.sql import Window
+
+    rows = [
+        (
+            g,
+            qid,
+            int(quantiles[qid][0]),
+            int(quantiles[qid][1]),
+            lo,
+            hi,
+            k,
+            ranks[(g, qid)],
+        )
+        for (g, qid), (lo, hi, k) in brackets.items()
+    ]
+    bdf = spark.createDataFrame(
+        rows,
+        "key string, qid int, q_num long, q_den long, "
+        "lo long, hi long, k long, rank long",
+    )
+    cand = (
+        vals.join(F.broadcast(bdf), "key")
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .groupBy("key", "qid", "q_num", "q_den", "k", "rank", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = Window.partitionBy("key", "qid").orderBy("v")
+    return (
+        cand.withColumn("cum", F.sum("cnt").over(win))
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("key", "q_num", "q_den", "rank")
+        .agg(F.min("v").alias("value"))
+    )

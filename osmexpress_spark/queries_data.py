@@ -3412,3 +3412,39 @@ def q_quantile_sketch_merge(spark, sf_dir):
     ]
     merged = sketch.quantile_sketch_merge(shards)
     return sketch.quantile_sketch_query(merged, _QSM_QUANTILES)
+
+
+@defq_pending(
+    "q_exact_quantiles_by",
+    """
+    WITH ranked AS (
+      SELECT source AS key, n_chars,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM documents
+    ),
+    probes(q_num, q_den) AS (
+      VALUES (CAST(50 AS BIGINT), CAST(100 AS BIGINT)), (99, 100)
+    )
+    SELECT r.key, p.q_num, p.q_den,
+           CAST((p.q_num * r.n + p.q_den - 1) // p.q_den AS BIGINT) AS rank,
+           CAST(r.n_chars AS BIGINT) AS value
+    FROM probes p JOIN ranked r
+      ON r.rn = (p.q_num * r.n + p.q_den - 1) // p.q_den
+    """,
+)
+def q_exact_quantiles_by(spark, sf_dir):
+    """Per-source EXACT length quantiles (operators/sketch.py:
+    exact_quantiles_by): the grouped sketch brackets every
+    (source, quantile) rank in one pass, joint histogram refinement
+    narrows all open brackets together (pass count independent of
+    group count), and a distributed per-bracket cumulative window
+    picks the value — exact per-group p50/p99 of a 100 TB corpus in
+    ~6 scans. Oracle is definitional: the partitioned rank-th value."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.exact_quantiles_by(
+        d, F.col("source"), F.col("n_chars"), [(50, 100), (99, 100)]
+    )

@@ -770,3 +770,48 @@ def test_bpe_train_empty_and_single_char_vocab(spark):
     # empty corpus -> empty vocabulary
     docs = spark.createDataFrame([("",)], "text string")
     assert bpe.word_counts(docs, F.col("text")).count() == 0
+
+
+def test_exact_quantiles_by_group_matches_sorted_model(spark):
+    """Joint per-group selection == the per-group rank-th smallest,
+    on groups with wildly different scales (one > 2^53 to force the
+    multi-round joint refinement)."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    rng = random.Random(23)
+    data = (
+        [("small", rng.randrange(0, 50)) for _ in range(500)]
+        + [("mid", rng.randrange(0, 10**6)) for _ in range(700)]
+        + [("huge", rng.randrange(0, 2**60)) for _ in range(600)]
+    )
+    df = spark.createDataFrame(data, "k string, v long")
+    qs = [(1, 2), (99, 100)]
+    out = {
+        (r["key"], r["q_num"], r["q_den"]): (r["rank"], r["value"])
+        for r in sketch.exact_quantiles_by(
+            df, F.col("k"), F.col("v"), qs
+        ).collect()
+    }
+    by_key = {}
+    for k, v in data:
+        by_key.setdefault(k, []).append(v)
+    assert len(out) == len(by_key) * len(qs)
+    for k, vals in by_key.items():
+        vals.sort()
+        for num, den in qs:
+            rank = (num * len(vals) + den - 1) // den
+            assert out[(k, num, den)] == (rank, vals[rank - 1]), (k, num, den)
+
+
+def test_exact_quantiles_by_group_validation(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), [])
+    with pytest.raises(ValueError):
+        sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), [(0, 1)])
