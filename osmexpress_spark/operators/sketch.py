@@ -693,3 +693,48 @@ def exact_quantiles_by(
         .groupBy("key", "q_num", "q_den", "rank")
         .agg(F.min("v").alias("value"))
     )
+
+
+def exact_frequent_items(
+    df: DataFrame,
+    item: Column,
+    min_count: int,
+    w: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """EXACT frequent items — (item, cnt) for every item occurring at
+    least min_count times — with a Count-Min prune doing the heavy
+    lifting: pass 1 folds the stream to the d*w sketch; pass 2 filters
+    scan-side on the CMS estimate (a constant-folded array literal
+    lookup per hash row — the estimate is an UPPER bound, so no true
+    frequent item can be pruned) and only the surviving candidates
+    reach the exact count aggregation, whose HAVING removes the
+    collision false positives.
+
+    The 100 TB shape: the expensive item-key shuffle shrinks from the
+    whole vocabulary to items that plausibly pass the support
+    threshold (typically orders of magnitude fewer for Zipfian
+    streams); the sketch itself is the only driver transfer (d*w
+    rows). This is the exact-answer sibling of cms_estimate's
+    probe-list upper bounds."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    sel = df.select(item.alias("item"))
+    rows = cms_build(sel, F.col("item"), w, d).collect()
+    counts = [[0] * w for _ in range(d)]
+    for r in rows:
+        counts[r["j"]][r["bucket"]] = r["cnt"]
+    bs = _cms_buckets(F.col("item"), w, d)
+    ests = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in counts[j]]), bs[j] + F.lit(1)
+        )
+        for j in range(d)
+    ]
+    est = F.least(*ests) if d > 1 else ests[0]
+    return (
+        sel.where(est >= F.lit(min_count))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

@@ -3448,3 +3448,29 @@ def q_exact_quantiles_by(spark, sf_dir):
     return sketch.exact_quantiles_by(
         d, F.col("source"), F.col("n_chars"), [(50, 100), (99, 100)]
     )
+
+
+_FREQ_MIN = 200
+
+
+@defq_pending(
+    "q_frequent_tokens",
+    f"""
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+    GROUP BY item HAVING COUNT(*) >= {_FREQ_MIN}
+    """,
+)
+def q_frequent_tokens(spark, sf_dir):
+    """Exact frequent tokens with the Count-Min prune
+    (operators/sketch.py:exact_frequent_items): only tokens whose CMS
+    upper bound reaches the support threshold enter the exact count
+    shuffle — no false negatives (the estimate never undercounts), and
+    the exact HAVING removes collision false positives, so the result
+    equals the plain GROUP BY ... HAVING oracle exactly while the
+    vocabulary-sized shuffle shrinks to the candidate set."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return sketch.exact_frequent_items(toks, F.col("tok"), _FREQ_MIN)

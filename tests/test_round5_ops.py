@@ -815,3 +815,50 @@ def test_exact_quantiles_by_group_validation(spark):
         sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), [])
     with pytest.raises(ValueError):
         sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), [(0, 1)])
+
+
+def test_exact_frequent_items_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(300)]
+    # Zipf-ish: low ids much more frequent
+    items = [vocab[min(int(rng.expovariate(0.03)), 299)] for _ in range(8000)]
+    df = spark.createDataFrame([(x,) for x in items], "tok string")
+    got = sorted(
+        map(
+            tuple,
+            sketch.exact_frequent_items(df, F.col("tok"), min_count=60).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy(F.col("tok").alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 60)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError):
+        sketch.exact_frequent_items(df, F.col("tok"), min_count=0)
+
+
+def test_exact_frequent_items_prunes_before_the_shuffle(spark):
+    """The CMS filter must sit scan-side (before the exact count's
+    Exchange) — that IS the operator's 100 TB value."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [(f"rare{i}",) for i in range(200)], "tok string"
+    )
+    out = sketch.exact_frequent_items(df, F.col("tok"), min_count=40)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pre_exchange = plan.split("Exchange")[-1]  # bottom-most section
+    assert "Filter" in pre_exchange, plan
+    assert sorted(map(tuple, out.collect())) == [("a", 50)]
