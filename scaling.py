@@ -54,6 +54,8 @@ SUBSET = [
     "q_exact_quantiles",       # multi-pass histogram selection
     "q_kmeans_train",          # whole-corpus Lloyd iteration
     "q_bpe_pair_counts",       # vocabulary pair aggregation
+    "q_exact_quantiles_by",    # joint multi-bracket selection
+    "q_frequent_tokens",       # CMS-pruned exact counts
 ]
 
 
