@@ -434,6 +434,19 @@ _XQ_BINS = 1024
 _XQ_ENUM_WIDTH = 65536
 
 
+def _bucket_bounds_py(bucket: int, sub_bits: int) -> tuple[int, int]:
+    """Driver-side inversion of quantile_bucket — the ONE Python copy
+    of the bounds formula (quantile_bucket_bounds is its Column twin),
+    shared by exact_quantiles and exact_quantiles_by."""
+    if bucket <= 0:
+        return (0, 0)
+    m = 1 << sub_bits
+    octv, sub = (bucket - 1) // m, (bucket - 1) % m
+    sh = max(octv - sub_bits, 0)
+    lo = (1 << octv) + (sub << sh)
+    return (lo, lo + (1 << sh) - 1)
+
+
 def _exact_rank_value(vals: DataFrame, k: int, lo: int, hi: int) -> int:
     """The k-th smallest (1-based) of vals.v restricted to [lo, hi],
     by histogram-refinement selection. Caller guarantees the restricted
@@ -513,14 +526,7 @@ def exact_quantiles(
                 below = cum
                 break
             cum += cnt
-        m = 1 << sub_bits
-        if bucket <= 0:
-            lo = hi = 0
-        else:
-            octv, sub = (bucket - 1) // m, (bucket - 1) % m
-            sh = max(octv - sub_bits, 0)
-            lo = (1 << octv) + (sub << sh)
-            hi = lo + (1 << sh) - 1
+        lo, hi = _bucket_bounds_py(bucket, sub_bits)
         v = (
             0
             if bucket <= 0
@@ -552,8 +558,11 @@ def exact_quantiles_by(
     corpus pass — the open brackets broadcast as (key, qid, lo, hi),
     values join their group's brackets, bin by integer div, and the
     per-bracket 1024-bin histograms come back together (bounded:
-    open_brackets * 1024 counter rows, group count capped at
-    {_XQ_MAX_GROUPS}). Brackets narrow ~1000x per round, so total
+    open_brackets * 1024 counter rows; group count capped at 4096
+    via a countDistinct pre-pass BEFORE the sketch collect, so a
+    runaway key can never flood the driver; null keys are dropped —
+    the broadcast bracket join on string equality could never match
+    them). Brackets narrow ~1000x per round, so total
     passes stay 1 + ceil(log1024(width)) (<=6) regardless of how many
     groups there are. The final selection is one joint pass too, and
     it stays DISTRIBUTED: a cumulative window per (key, quantile) over
@@ -576,21 +585,21 @@ def exact_quantiles_by(
     vals = df.select(
         key.cast("string").alias("key"),
         _nonneg_checked(value.cast("long")).alias("v"),
-    ).where(F.col("v").isNotNull())
+    ).where(F.col("v").isNotNull() & F.col("key").isNotNull())
 
+    n_groups = vals.select(F.countDistinct("key")).collect()[0][0]
+    if n_groups > _XQ_MAX_GROUPS:
+        raise ValueError(
+            f"{n_groups} groups exceeds the {_XQ_MAX_GROUPS} cap; "
+            "pre-aggregate or shard the key space"
+        )
     sk_rows = quantile_sketch_build_by(
         vals, F.col("key"), F.col("v"), sub_bits
     ).collect()
     groups: dict = {}
     for r in sk_rows:
         groups.setdefault(r["key"], []).append((r["bucket"], r["cnt"]))
-    if len(groups) > _XQ_MAX_GROUPS:
-        raise ValueError(
-            f"{len(groups)} groups exceeds the {_XQ_MAX_GROUPS} cap; "
-            "pre-aggregate or shard the key space"
-        )
 
-    m = 1 << sub_bits
     # bracket state per (key, qid): [lo, hi, k] with k the remaining
     # rank inside [lo, hi]
     brackets: dict = {}
@@ -605,13 +614,7 @@ def exact_quantiles_by(
                 if cum + cnt >= rank:
                     break
                 cum += cnt
-            if bucket <= 0:
-                lo = hi = 0
-            else:
-                octv, sub = (bucket - 1) // m, (bucket - 1) % m
-                sh = max(octv - sub_bits, 0)
-                lo = (1 << octv) + (sub << sh)
-                hi = lo + (1 << sh) - 1
+            lo, hi = _bucket_bounds_py(bucket, sub_bits)
             brackets[(g, qid)] = [lo, hi, rank - cum]
             ranks[(g, qid)] = rank
 
@@ -622,8 +625,10 @@ def exact_quantiles_by(
             if b[1] - b[0] + 1 > _XQ_ENUM_WIDTH
         }
 
-    while open_brackets():
+    while True:
         ob = open_brackets()
+        if not ob:
+            break
         rows = [
             (g, qid, lo, hi, (hi - lo + _XQ_BINS) // _XQ_BINS)
             for (g, qid), (lo, hi, _) in ob.items()
@@ -716,10 +721,12 @@ def exact_frequent_items(
     threshold (typically orders of magnitude fewer for Zipfian
     streams); the sketch itself is the only driver transfer (d*w
     rows). This is the exact-answer sibling of cms_estimate's
-    probe-list upper bounds."""
+    probe-list upper bounds. Null items are dropped (a null md5 would
+    otherwise emit a null-bucket sketch row and crash the driver-side
+    grid fill)."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    sel = df.select(item.alias("item"))
+    sel = df.select(item.alias("item")).where(F.col("item").isNotNull())
     rows = cms_build(sel, F.col("item"), w, d).collect()
     counts = [[0] * w for _ in range(d)]
     for r in rows:

@@ -862,3 +862,45 @@ def test_exact_frequent_items_prunes_before_the_shuffle(spark):
     pre_exchange = plan.split("Exchange")[-1]  # bottom-most section
     assert "Filter" in pre_exchange, plan
     assert sorted(map(tuple, out.collect())) == [("a", 50)]
+
+
+def test_exact_quantiles_by_drops_null_keys_and_caps_groups(spark):
+    """Null keys drop cleanly (review finding: the broadcast bracket
+    join can never match null — previously a silent vanish or a
+    misleading error on wide brackets), and the group cap fires BEFORE
+    the sketch collect."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), (None, 2**40), (None, 7)],
+        "k string, v long",
+    )
+    out = sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), [(1, 2)])
+    assert [(r["key"], r["value"]) for r in out.collect()] == [("a", 10)]
+
+    import osmexpress_spark.operators.sketch as sk_mod
+
+    many = spark.createDataFrame(
+        [(str(i), i) for i in range(50)], "k string, v long"
+    )
+    old = sk_mod._XQ_MAX_GROUPS
+    sk_mod._XQ_MAX_GROUPS = 10
+    try:
+        with pytest.raises(ValueError, match="exceeds the 10"):
+            sketch.exact_quantiles_by(many, F.col("k"), F.col("v"), [(1, 2)])
+    finally:
+        sk_mod._XQ_MAX_GROUPS = old
+
+
+def test_exact_frequent_items_drops_null_items(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 3, "tok string"
+    )
+    got = sketch.exact_frequent_items(df, F.col("tok"), min_count=4)
+    assert sorted(map(tuple, got.collect())) == [("a", 5)]
