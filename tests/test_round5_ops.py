@@ -904,3 +904,56 @@ def test_exact_frequent_items_drops_null_items(spark):
     )
     got = sketch.exact_frequent_items(df, F.col("tok"), min_count=4)
     assert sorted(map(tuple, got.collect())) == [("a", 5)]
+
+
+def test_pending_promotion_mechanics():
+    """Simulates the round-6 promotion (merge PENDING_* into the live
+    dicts) without mutating anything: every staged query would be
+    never-green and sort to the head of the evidence-age window, every
+    one has an oracle, and no name collides with the live registry."""
+    from osmexpress_spark import queries as Q
+    from osmexpress_spark import queries_data as QD
+    from osmexpress_spark import queries_osm as QO
+    from osmexpress_spark import queries_update as QU
+
+    live = {
+        **Q.SPARK_QUERIES, **QD.SPARK_QUERIES,
+        **QO.SPARK_QUERIES, **QU.SPARK_QUERIES,
+    }
+    assert not set(QD.PENDING_SPARK_QUERIES) & set(live)
+    assert set(QD.PENDING_ORACLE_SQL) == set(QD.PENDING_SPARK_QUERIES)
+    promoted = {**live, **QD.PENDING_SPARK_QUERIES}
+    assert len(promoted) == len(live) + len(QD.PENDING_SPARK_QUERIES)
+    # evidence files know nothing of the staged names -> never-green
+    import __spark_entry__ as e
+
+    green = e._latest_green_round()
+    assert not set(QD.PENDING_SPARK_QUERIES) & set(green)
+
+
+def test_exact_quantiles_degenerate_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    # constant column: every quantile IS the constant
+    const = spark.createDataFrame([(7,)] * 100, "v long")
+    out = {
+        (r["q_num"], r["q_den"]): r["value"]
+        for r in sketch.exact_quantiles(
+            const, F.col("v"), [(1, 100), (1, 2), (1, 1)]
+        ).collect()
+    }
+    assert set(out.values()) == {7}
+    # all zeros
+    zeros = spark.createDataFrame([(0,)] * 10, "v long")
+    assert (
+        sketch.exact_quantiles(zeros, F.col("v"), [(1, 2)]).collect()[0]["value"]
+        == 0
+    )
+    # single row
+    one = spark.createDataFrame([(2**55,)], "v long")
+    assert (
+        sketch.exact_quantiles(one, F.col("v"), [(1, 1)]).collect()[0]["value"]
+        == 2**55
+    )
