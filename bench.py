@@ -73,6 +73,20 @@ HEADLINE = [
     "osm_triangle_count",
 ]
 
+# Round-6 continuity: when the staged queries promote out of
+# queries_data.PENDING_SPARK_QUERIES, extend HEADLINE with these so
+# every new §2.9 family gets a perf line the same round it goes live
+# (tests/test_bench_hygiene.py checks this list against the pending
+# registry until then).
+PENDING_HEADLINE = [
+    "q_quantile_sketch",
+    "q_exact_quantiles",
+    "q_exact_quantiles_by",
+    "q_kmeans_train",
+    "q_bpe_pair_counts",
+    "q_frequent_tokens",
+]
+
 
 def main() -> None:
     from osmexpress_spark import queries as Q

@@ -93,3 +93,17 @@ def test_family_map_covers_headline_registry_queries():
     unclassified = [n for n in bench.HEADLINE
                     if n in reg and n not in classified]
     assert not unclassified, f"bench lines missing a family: {unclassified}"
+
+
+def test_pending_headline_names_are_staged():
+    """PENDING_HEADLINE (the bench lines round 6 adds at promotion)
+    must reference actual staged queries — a rename before promotion
+    would otherwise silently drop the planned perf coverage."""
+    import bench
+
+    missing = [
+        n for n in bench.PENDING_HEADLINE
+        if n not in QD.PENDING_SPARK_QUERIES
+    ]
+    assert not missing, f"PENDING_HEADLINE not in pending registry: {missing}"
+    assert len(set(bench.PENDING_HEADLINE)) == len(bench.PENDING_HEADLINE)
