@@ -54,6 +54,17 @@ def main() -> None:
         key=lambda r: r["key"],
     ):
         print(f"len p99[{r['key']}] in [{r['lo']}, {r['hi']}]")
+    for r in sorted(
+        sketch.exact_quantiles_by(
+            docs, F.col("source"), F.col("n_chars"), [(99, 100)]
+        ).collect(),
+        key=lambda r: r["key"],
+    )[:3]:
+        print(f"len p99[{r['key']}] = {r['value']} (exact)")
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = sketch.exact_frequent_items(toks, F.col("tok"), min_count=200)
+    print("frequent tokens (>=200):", freq.count(), "(CMS-pruned exact)")
 
     words = bpe.word_counts(docs, F.col("text")).localCheckpoint()
     merges = bpe.bpe_train(words, n_merges=40)

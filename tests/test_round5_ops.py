@@ -957,3 +957,23 @@ def test_exact_quantiles_degenerate_distributions(spark):
         sketch.exact_quantiles(one, F.col("v"), [(1, 1)]).collect()[0]["value"]
         == 2**55
     )
+
+
+def test_exact_quantiles_by_degenerate_groups(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("c", 9)] * 50 + [("z", 0)] * 5 + [("one", 2**50)],
+        "k string, v long",
+    )
+    out = {
+        (r["key"], r["q_num"], r["q_den"]): (r["rank"], r["value"])
+        for r in sketch.exact_quantiles_by(
+            df, F.col("k"), F.col("v"), [(1, 2), (1, 1)]
+        ).collect()
+    }
+    assert out[("c", 1, 2)] == (25, 9) and out[("c", 1, 1)] == (50, 9)
+    assert out[("z", 1, 2)] == (3, 0)
+    assert out[("one", 1, 1)] == (1, 2**50)
