@@ -71,14 +71,7 @@ HEADLINE = [
     "q_fuzzy_token_pairs",
     "osm_pagerank",
     "osm_triangle_count",
-]
-
-# Round-6 continuity: when the staged queries promote out of
-# queries_data.PENDING_SPARK_QUERIES, extend HEADLINE with these so
-# every new §2.9 family gets a perf line the same round it goes live
-# (tests/test_bench_hygiene.py checks this list against the pending
-# registry until then).
-PENDING_HEADLINE = [
+    # round 6: the promoted sketch/exact-quantile/kmeans/BPE family
     "q_quantile_sketch",
     "q_exact_quantiles",
     "q_exact_quantiles_by",
@@ -86,6 +79,13 @@ PENDING_HEADLINE = [
     "q_bpe_pair_counts",
     "q_frequent_tokens",
 ]
+
+# Staged-but-not-yet-promoted queries get their planned bench lines
+# listed here so promotion cannot silently drop perf coverage
+# (tests/test_bench_hygiene.py checks this list against the pending
+# registry). Round 6 promoted the round-5 staging set; empty until the
+# next staged family.
+PENDING_HEADLINE: list[str] = []
 
 
 def main() -> None:

@@ -3035,14 +3035,16 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
-# --- staged round-6 contract queries ---------------------------------------
-# The round-5 driver window must stay exactly the 42 r02-aged + 8 oldest
-# r03 rows (VERDICT r04 ask #1), so NOTHING may be added to
-# SPARK_QUERIES this round: a never-green entry sorts to the head of
-# priority_order() and evicts an aged row from the 50-slot window.
-# New operators therefore stage here; tests/test_oracle_parity.py runs
-# them through the SAME strict gate, and round 6 promotes them with a
-# one-line merge into SPARK_QUERIES/ORACLE_SQL.
+# --- staging area for new contract queries ---------------------------------
+# A never-green entry sorts to the head of priority_order() and evicts
+# an aged row from the driver's 50-slot window, so when the window must
+# stay stable for a round, new queries register here via defq_pending
+# instead of defq; tests/test_oracle_parity.py runs them through the
+# SAME strict gate, and the following round promotes them with the
+# SPARK_QUERIES.update(...) merge at the bottom of this file.
+# Round-5 staged nine queries (quantile sketch family, exact quantiles,
+# k-means training, CMS-pruned frequent items, BPE pair counts,
+# streaming sketch); round 6 promoted all nine — see the merge below.
 PENDING_SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 PENDING_ORACLE_SQL: dict[str, str] = {}
 
@@ -3474,3 +3476,14 @@ def q_frequent_tokens(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     return sketch.exact_frequent_items(toks, F.col("tok"), _FREQ_MIN)
+
+
+# --- round-6 promotion ------------------------------------------------------
+# Merge the round-5 staging set into the live registry (VERDICT r05 ask
+# #1). The nine queries are never-green in the committed CORRECTNESS
+# evidence, so priority_order() serves them in the first window slots,
+# followed by the 40 r03-aged rows + the oldest r04 row — exactly 50.
+SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
+ORACLE_SQL.update(PENDING_ORACLE_SQL)
+PENDING_SPARK_QUERIES = {}
+PENDING_ORACLE_SQL = {}

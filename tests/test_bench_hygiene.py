@@ -51,6 +51,11 @@ FAMILIES = {
     "profiling-quality": ["q_profile_documents", "q_quality_buckets",
                           "q_doc_dup_spans"],
     "sketches": ["q_kmv_distinct", "q_cms_heavy_hitters"],
+    "sketch-quantiles": ["q_quantile_sketch", "q_quantile_by_group",
+                         "q_exact_quantiles", "q_exact_quantiles_by",
+                         "q_quantile_sketch_merge"],
+    "tokenizer-vocab": ["q_bpe_pair_counts", "q_frequent_tokens"],
+    "kmeans-training": ["q_kmeans_train"],
     "model-scoring": ["q_quality_logreg", "q_bigram_perplexity"],
     "events-funnels": ["q_event_funnel"],
     "range-band-joins": ["q_band_join", "q_range_scan"],
