@@ -3487,3 +3487,107 @@ SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
 ORACLE_SQL.update(PENDING_ORACLE_SQL)
 PENDING_SPARK_QUERIES = {}
 PENDING_ORACLE_SQL = {}
+
+
+# --- round-6 staged queries (promote in round 7) ----------------------------
+# defq_pending now appends to the fresh (empty) pending dicts above, so
+# anything registered below stays OUT of the live registry until next
+# round's promotion merge — the round-6 driver window must stay exactly
+# the 9 promoted + 40 r03-aged + 1 r04 rows (VERDICT r05 ask #2).
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_iteration_sql(k: int) -> str:
+    """One unrolled BPE training iteration as DuckDB CTEs: pair count +
+    deterministic argmax, then the leftmost-nonoverlapping merge applied
+    positionally. Greedy-scan equivalence: two (a,b) matches overlap only
+    when a == b (a run of equal symbols), so islands of consecutive
+    matched positions pair off at even offsets from the island start —
+    exactly the trainer's fold (operators/bpe.py:_apply_merge). syms CTEs
+    are MATERIALIZED: each is referenced twice (pair count + position
+    explode) and DuckDB would otherwise inline the chain exponentially."""
+    return f"""
+    pairs{k} AS (
+      SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM (SELECT unnest(list_transform(range(len(s) - 1),
+               i -> struct_pack(a := s[i+1], b := s[i+2]))) AS p, cnt
+            FROM syms{k} WHERE len(s) >= 2) GROUP BY 1, 2
+    ),
+    best{k} AS (SELECT a, b FROM pairs{k} ORDER BY total DESC, a, b LIMIT 1),
+    pos{k} AS (
+      SELECT word, cnt, i, s[i+1] AS sym, s[i+2] AS nxt
+      FROM (SELECT word, cnt, s, unnest(range(len(s))) AS i FROM syms{k})
+    ),
+    mk{k} AS (
+      SELECT word, cnt, i, sym,
+             COALESCE(sym = b.a AND nxt = b.b, FALSE) AS m,
+             b.a || b.b AS mrg
+      FROM pos{k} CROSS JOIN best{k} b
+    ),
+    isl{k} AS (
+      SELECT word, cnt, i, sym, m, mrg,
+             CASE WHEN m THEN i - ROW_NUMBER()
+                  OVER (PARTITION BY word, m ORDER BY i) END AS isl
+      FROM mk{k}
+    ),
+    st{k} AS (
+      SELECT word, cnt, i, sym, mrg,
+             m AND ((i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0) AS st
+      FROM isl{k}
+    ),
+    cons{k} AS (
+      SELECT word, cnt, i, sym, mrg, st,
+             COALESCE(LAG(st) OVER (PARTITION BY word ORDER BY i),
+                      FALSE) AS consumed
+      FROM st{k}
+    ),
+    syms{k + 1} AS MATERIALIZED (
+      SELECT word, MAX(cnt) AS cnt,
+             list(CASE WHEN st THEN mrg ELSE sym END ORDER BY i)
+               FILTER (WHERE NOT consumed) AS s
+      FROM cons{k} GROUP BY word
+    )"""
+
+
+_BPE_MERGES_ORACLE = (
+    """
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY 1
+    ),
+    syms0 AS MATERIALIZED (
+      SELECT word, cnt,
+             list_append(list_transform(range(length(word)), i -> word[i+1]),
+                         '▁') AS s
+      FROM w
+    ),"""
+    + ",".join(_bpe_iteration_sql(k) for k in range(_BPE_N_MERGES))
+    + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, a, b FROM (
+      {' UNION ALL '.join(f'SELECT {k + 1} AS rank, a, b FROM best{k}'
+                          for k in range(_BPE_N_MERGES))}
+    ) ORDER BY rank
+    """
+)
+
+
+@defq_pending("q_bpe_merges", _BPE_MERGES_ORACLE)
+def q_bpe_merges(spark, sf_dir):
+    """The BPE training LOOP behind the driver gate (VERDICT r05 ask
+    #3): 8 full merge iterations of operators/bpe.py:bpe_train over the
+    corpus vocabulary — each iteration one vocabulary-sized map-side-
+    combined pair count + TakeOrdered(1) argmax, the winning merge
+    applied with the JVM-side fold. The oracle unrolls the identical 8
+    iterations as a materialized CTE chain (the Lloyd/IVF unroll
+    pattern); at sf0.01 merges 4+ consume previously-merged symbols
+    ('er'+'▁', 'ow'+'▁'), so the loop's feedback — not just one
+    iteration — is hash-checked. Returns the ordered merge table."""
+    from .operators import bpe
+
+    d = t(spark, sf_dir, "documents")
+    words = bpe.word_counts(d, F.col("text"))
+    merges = bpe.bpe_train(words, n_merges=_BPE_N_MERGES)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, a string, b string")
