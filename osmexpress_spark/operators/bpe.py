@@ -191,6 +191,11 @@ def bpe_encode(
     unseen words are segmented without being stored, so Python-worker
     memory stays bounded at web-scale vocabularies) — each cached word
     is segmented once, and the merge table broadcasts by closure."""
+    if id_col in ("tokens", "_t"):
+        raise ValueError(
+            "id_col must not be 'tokens' (the output column) or '_t' "
+            "(the internal text alias); rename the id column first"
+        )
     ranks = {pair: i for i, pair in enumerate(merges)}
     marker = eow
 

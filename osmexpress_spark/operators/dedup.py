@@ -1012,6 +1012,44 @@ def containment_pairs(
     )
 
 
+def _store_fs(spark, path_str: str):
+    """(Hadoop FileSystem, Path) for a store path. The meta.json
+    sidecar must live on the SAME filesystem as the signature parquet
+    (hdfs://, s3a://, file:/...), so it goes through Spark's Hadoop FS
+    layer rather than local open() — otherwise a remote store would
+    silently split (parquet remote, sidecar on the driver's disk) and
+    the fingerprint-invalidation contract would break."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _store_write_text(spark, path_str: str, text: str) -> None:
+    fs, hpath = _store_fs(spark, path_str)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _store_read_text(spark, path_str: str) -> str:
+    fs, hpath = _store_fs(spark, path_str)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _store_exists(spark, path_str: str) -> bool:
+    fs, hpath = _store_fs(spark, path_str)
+    return bool(fs.exists(hpath))
+
+
 def save_signature_store(
     corpus: DataFrame,
     path: str,
@@ -1026,18 +1064,21 @@ def save_signature_store(
     sidecar pins (id_col, n_hashes, k) — a load with different
     parameters would silently generate wrong band keys, so it raises —
     and carries the caller's source fingerprint for invalidation (the
-    same contract as the ANN index caches' src.fp)."""
+    same contract as the ANN index caches' src.fp). Both the parquet
+    and the sidecar go through the Hadoop FS layer, so remote store
+    paths (hdfs://, s3a://) work."""
     import json
-    import os
 
     sig = minhash_signatures_df(corpus, id_col, text_col, n_hashes, k)
-    sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(
+    sig.write.mode("overwrite").parquet(path.rstrip("/") + "/signatures")
+    _store_write_text(
+        corpus.sparkSession,
+        path.rstrip("/") + "/meta.json",
+        json.dumps(
             {"id_col": id_col, "n_hashes": n_hashes, "k": k,
-             "fingerprint": fingerprint},
-            f,
-        )
+             "fingerprint": fingerprint}
+        ),
+    )
 
 
 def load_signature_store(
@@ -1046,10 +1087,8 @@ def load_signature_store(
     """Read a persisted signature table, validating that the requested
     parameters match the ones it was built with."""
     import json
-    import os
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(_store_read_text(spark, path.rstrip("/") + "/meta.json"))
     want = {"id_col": id_col, "n_hashes": n_hashes, "k": k}
     have = {kk: meta.get(kk) for kk in want}
     if have != want:
@@ -1057,7 +1096,7 @@ def load_signature_store(
             f"signature store at {path} was built with {have}, "
             f"requested {want}"
         )
-    return spark.read.parquet(os.path.join(path, "signatures"))
+    return spark.read.parquet(path.rstrip("/") + "/signatures")
 
 
 def ensure_signature_store(
@@ -1074,13 +1113,12 @@ def ensure_signature_store(
     otherwise serve the persisted signatures without touching corpus
     text."""
     import json
-    import os
 
-    meta_path = os.path.join(path, "meta.json")
+    spark = corpus.sparkSession
+    meta_path = path.rstrip("/") + "/meta.json"
     stale = True
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    if _store_exists(spark, meta_path):
+        meta = json.loads(_store_read_text(spark, meta_path))
         stale = (
             meta.get("fingerprint") != fingerprint
             or meta.get("id_col") != id_col

@@ -677,13 +677,32 @@ def _km_quantize(vec_col: Column) -> Column:
     or doesn't — Spark's HALF_UP round vs DuckDB's HALF_EVEN can
     diverge on .5 boundaries, floor cannot. The offset keeps every
     coordinate nonnegative so integer division floors identically
-    everywhere; distances are offset-invariant."""
+    everywhere; distances are offset-invariant.
+
+    The nonnegativity PRECONDITION (x >= -2, i.e. KM_OFFSET covers the
+    coordinate range) is enforced scan-side with the sketch module's
+    assert_true idiom: a coordinate below -2 would yield negative
+    micros, where driver-side Python // (floor) and DuckDB // (truncate
+    toward zero) diverge on centroid means — silently voiding the
+    engine-exact claim instead of failing loudly."""
+
+    def checked(q: Column) -> Column:
+        return F.when(
+            F.assert_true(
+                (q >= 0) | q.isNull(),
+                "kmeans coordinate < -2: outside the KM_OFFSET range "
+                "that keeps quantized micros nonnegative (rescale the "
+                "embedding or raise KM_OFFSET)",
+            ).isNull(),
+            q,
+        )
+
     return F.transform(
         vec_col,
-        lambda x: F.floor(x.cast("double") * F.lit(float(KM_MICRO))).cast(
-            "long"
-        )
-        + F.lit(KM_OFFSET),
+        lambda x: checked(
+            F.floor(x.cast("double") * F.lit(float(KM_MICRO))).cast("long")
+            + F.lit(KM_OFFSET)
+        ),
     )
 
 
@@ -695,7 +714,7 @@ def kmeans_train_distributed(
     k: int = 8,
     iters: int = 2,
     return_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Fully-distributed Lloyd training with ENGINE-EXACT arithmetic:
     every iteration assigns the whole corpus and recomputes centroids
     from the whole corpus (vs ivf_train's bounded-sample driver loop —
