@@ -591,7 +591,8 @@ def exact_quantiles_by(
     if n_groups > _XQ_MAX_GROUPS:
         raise ValueError(
             f"{n_groups} groups exceeds the {_XQ_MAX_GROUPS} cap; "
-            "pre-aggregate or shard the key space"
+            "use exact_quantiles_by_sharded (hash-sharded sequential "
+            "refinement) or pre-aggregate the key space"
         )
     sk_rows = quantile_sketch_build_by(
         vals, F.col("key"), F.col("v"), sub_bits
@@ -745,3 +746,47 @@ def exact_frequent_items(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+def exact_quantiles_by_sharded(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    quantiles: list[tuple[int, int]],
+    sub_bits: int = QS_SUB_BITS,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """exact_quantiles_by past the 4096-group driver cap: hash-shard
+    the KEY SPACE and run the joint refinement once per shard,
+    sequentially. Every shard keeps the parent's bounded-driver
+    contract (its own <=4096-group sketch, histogram vectors, result
+    rows); the trade is pass count — total scans multiply by the shard
+    count — which is the honest cost of exactness at unbounded group
+    cardinality (each group's bracket state is driver-resident by
+    design; a million-group profile belongs in quantile_sketch_by's
+    mergeable form instead).
+
+    n_shards defaults to ceil(n_groups / 2048): half the cap as the
+    per-shard target leaves 2x headroom for hash imbalance, and the
+    per-shard cap check still backstops a pathological key set (raise,
+    never a silent driver flood). Group-to-shard routing is
+    pmod(xxhash64(key), n_shards) — computed scan-side, so each shard
+    pass prunes to ~1/n_shards of the corpus before any shuffle."""
+    keyed = df.select(
+        key.cast("string").alias("__k"), value.alias("__v")
+    ).where(F.col("__k").isNotNull())
+    if n_shards is None:
+        n_groups = keyed.select(F.countDistinct("__k")).collect()[0][0]
+        n_shards = max(1, -(-n_groups // (_XQ_MAX_GROUPS // 2)))
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    out: DataFrame | None = None
+    for s in range(n_shards):
+        shard = keyed.where(
+            F.pmod(F.xxhash64(F.col("__k")), F.lit(n_shards)) == F.lit(s)
+        )
+        part = exact_quantiles_by(
+            shard, F.col("__k"), F.col("__v"), quantiles, sub_bits
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -96,3 +96,37 @@ def test_bpe_merges_query_matches_train_loop(spark):
     # the loop feedback is actually exercised at this SF: some merge
     # consumes a previously-merged (multi-char) symbol
     assert any(len(a) > 1 or len(b) > 1 for _, a, b in got)
+
+
+def test_exact_quantiles_by_sharded_past_group_cap(spark):
+    """VERDICT r05 ask #5: >4096 groups, exact results. The unsharded
+    operator must refuse; the sharded escape hatch must agree with the
+    sorted-list model on every group while each shard keeps the
+    bounded-driver contract (its own <=4096-group refinement)."""
+    import random
+
+    from osmexpress_spark.operators import sketch
+
+    rng = random.Random(66)
+    rows, model = [], {}
+    qs = [(50, 100), (9, 10)]
+    for g in range(5000):
+        key = f"g{g:04d}"
+        vals = [rng.randrange(0, 10_000) for _ in range(rng.randrange(3, 8))]
+        rows.extend((key, v) for v in vals)
+        sv, n = sorted(vals), len(vals)
+        for num, den in qs:
+            rank = -(-num * n // den)
+            model[(key, num, den)] = (rank, sv[rank - 1])
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+
+    with pytest.raises(ValueError, match="sharded"):
+        sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), qs)
+
+    got = sketch.exact_quantiles_by_sharded(
+        df, F.col("k"), F.col("v"), qs
+    ).collect()
+    assert len(got) == len(model)
+    for r in got:
+        rank, value = model[(r["key"], r["q_num"], r["q_den"])]
+        assert (r["rank"], r["value"]) == (rank, value), r
