@@ -3,11 +3,12 @@
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode/feature-extraction runs as Arrow-batched `mapInPandas` so the
 bytes never round-trip through Python row-by-row. The decode step is
-pluggable via `decoder=`: `image_decoder` REALLY decodes the two
-formats that need no codec library (uncompressed 24-bit BMP, binary
-PPM) and raises NotImplementedError for formats whose codecs are
-absent in this container (the honest-stub branch, recorded as
-decode_ok=False); `fake_decoder` is a deterministic byte-statistics
+pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
+24-bit BMP, binary PPM, non-interlaced 8-bit RGB(A) PNG and baseline
+sequential JPEG in pure stdlib(+numpy), and raises NotImplementedError
+for the remaining variants (progressive/arithmetic JPEG, palette PNG,
+GIF, ... — the honest-stub branch, recorded as decode_ok=False);
+`fake_decoder` is a deterministic byte-statistics
 stand-in that keeps the whole Spark-side contract (schema, batching,
 partitioning) testable for arbitrary bytes. Swap in PIL/torchaudio/
 ffmpeg in production with the same signature.
@@ -49,27 +50,31 @@ def fake_decoder(payload: bytes) -> list[float]:
 
 
 def image_decoder(payload: bytes) -> list[float]:
-    """REAL pure-stdlib image decode for the two container formats that
-    need no codec library: uncompressed 24-bit BMP (BITMAPINFOHEADER,
-    BI_RGB) and binary PPM (P6). Returns the fixed 5-float feature
+    """REAL pure-stdlib(+numpy) image decode: uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), non-interlaced 8-bit
+    RGB(A) PNG, and baseline sequential JPEG (SOF0/SOF1, Huffman,
+    any sampling factors <= 4). Returns the fixed 5-float feature
     vector [width, height, mean_r, mean_g, mean_b] with channel means
     normalized to [0, 1].
 
-    Anything else (PNG/JPEG/...) needs a codec not present in this
-    container and raises NotImplementedError — the honest-stub branch
-    that extract_features records as decode_ok=False. A corrupt payload
-    of a SUPPORTED format raises ValueError (also decode_ok=False):
-    truncation must not silently produce features."""
+    Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
+    palette/grayscale/16-bit/Adam7 PNG, GIF/WebP/TIFF/...) raise
+    NotImplementedError — the honest-stub branch that extract_features
+    records as decode_ok=False. A corrupt payload of a SUPPORTED
+    format raises ValueError (also decode_ok=False): truncation must
+    not silently produce features."""
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP, binary PPM and non-interlaced "
-        "8-bit RGB(A) PNG decode in-container; swap in PIL/opencv via "
-        "decoder= for other formats"
+        "only uncompressed 24-bit BMP, binary PPM, non-interlaced "
+        "8-bit RGB(A) PNG and baseline sequential JPEG decode "
+        "in-container; swap in PIL/opencv via decoder= for other formats"
     )
 
 
@@ -243,6 +248,379 @@ def _decode_png(payload: bytes) -> list[float]:
         prior = line
     n = width * height * 255.0
     return [float(width), float(height), tot[0] / n, tot[1] / n, tot[2] / n]
+
+
+# --- baseline JPEG (ITU-T T.81) --------------------------------------------
+#
+# The one mainstream codec whose container-feasible subset is the
+# DOMINANT real-world variant: baseline sequential DCT (SOF0/SOF1,
+# 8-bit, Huffman) covers the overwhelming majority of JPEGs in web
+# corpora. Pure stdlib + numpy: marker parse, canonical Huffman decode
+# with byte-stuffing and restart markers, dequantize, 8x8 matrix IDCT,
+# sampling-factor chroma upsample (4:4:4 / 4:2:2 / 4:2:0 / any h,v <=
+# 4), JFIF YCbCr -> RGB. Progressive (SOF2), arithmetic (SOF9+),
+# hierarchical, 12-bit, and 4-component (Adobe CMYK) streams stay on
+# the honest NotImplementedError branch; malformed streams raise
+# ValueError per the extract_features decoder contract.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn handling at
+    restart boundaries, and marker detection (a non-RST marker inside
+    entropy data ends the segment; reading past it is a truncation
+    error)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker_hit: int | None = None
+        # bits of REAL entropy data still buffered when the terminating
+        # marker was reached; consuming far past it means truncation
+        self.real_bits: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker_hit is not None:
+                # past a marker: pad with zeros (T.81 F.2.2.5 allows the
+                # final EOB's code to be completed with 1-bits/zeros; a
+                # decoder that still NEEDS real bits afterwards errors
+                # in receive/extend via the block loop)
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is None:
+                    raise ValueError("JPEG entropy data truncated at 0xFF")
+                else:
+                    self.marker_hit = nxt
+                    self.real_bits = self.nbits
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        if self.real_bits is not None:
+            self.real_bits -= n
+            if self.real_bits < -16:  # > 2 bytes past EOB-completion pad
+                raise ValueError(
+                    "JPEG entropy data ends before the last MCU"
+                )
+        return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.acc, self.nbits = 0, 0
+        if self.marker_hit is None:
+            # scan forward to the marker (discard pad bits/bytes)
+            while self.pos + 1 < len(self.d):
+                if self.d[self.pos] == 0xFF and self.d[self.pos + 1] != 0x00:
+                    self.marker_hit = self.d[self.pos + 1]
+                    break
+                self.pos += 1
+            else:
+                raise ValueError("JPEG truncated before restart marker")
+        m = self.marker_hit
+        if m != 0xD0 + (expected & 7):
+            raise ValueError(
+                f"JPEG restart marker mismatch: got {m:#x}, "
+                f"expected {0xD0 + (expected & 7):#x}"
+            )
+        self.pos += 2
+        self.marker_hit = None
+        self.real_bits = None
+
+
+class _JpegHuff:
+    """Canonical Huffman table (T.81 Annex C): per-length min/max codes
+    + symbol offsets; decode walks one length at a time."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        if k != len(symbols):
+            raise ValueError("JPEG Huffman table count/symbol mismatch")
+
+    def decode(self, bits: _JpegBits) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | bits.get(1)
+            if code <= self.maxcode[ln]:
+                return self.symbols[self.valptr[ln] + code - self.mincode[ln]]
+        raise ValueError("JPEG invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t raw bits to the signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    j, k = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = np.cos((2 * j + 1) * k * np.pi / 16.0) / 2.0
+    m[:, 0] /= np.sqrt(2.0)
+    return m
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Baseline sequential JPEG -> [width, height, mean_r, mean_g,
+    mean_b] (channel means over the clamped RGB image, normalized to
+    [0, 1]; grayscale streams replicate Y into all three means)."""
+    import struct
+
+    import numpy as np
+
+    d = payload
+    if len(d) < 4 or d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _JpegHuff] = {}
+    frame = None
+    restart_interval = 0
+
+    def seg_len(p: int) -> int:
+        if p + 2 > len(d):
+            raise ValueError("JPEG segment length truncated")
+        (ln,) = struct.unpack_from(">H", d, p)
+        if ln < 2 or p + ln > len(d):
+            raise ValueError("JPEG segment overruns stream")
+        return ln
+
+    while True:
+        # seek marker: skip fill bytes (0xFF runs)
+        while pos < len(d) and d[pos] != 0xFF:
+            raise ValueError("JPEG expected marker, found data byte")
+        while pos < len(d) and d[pos] == 0xFF:
+            pos += 1
+        if pos >= len(d):
+            raise ValueError("JPEG truncated before SOS/EOI")
+        marker = d[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG ended before a scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RST: no payload
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            ln = seg_len(pos)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", d, pos + 2)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG not supported (baseline is 8-bit)"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK/unknown) not supported"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("JPEG zero dimension")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", d, pos + 8 + 3 * i
+                )
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"JPEG bad sampling factors {ch}x{cv}")
+                comps.append(
+                    {"id": cid, "h": ch, "v": cv, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+            pos += ln
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) not supported in-container"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) not supported in-container"
+            )
+        elif marker == 0xC4:  # DHT
+            ln = seg_len(pos)
+            p, end = pos + 2, pos + ln
+            while p < end:
+                tc_th = d[p]
+                tc, th = tc_th >> 4, tc_th & 15
+                if tc > 1 or th > 3:
+                    raise ValueError("JPEG bad DHT class/id")
+                counts = list(d[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = d[p + 17 : p + 17 + n]
+                if len(symbols) < n:
+                    raise ValueError("JPEG DHT truncated")
+                huff[(tc, th)] = _JpegHuff(counts, symbols)
+                p += 17 + n
+            pos += ln
+        elif marker == 0xDB:  # DQT
+            ln = seg_len(pos)
+            p, end = pos + 2, pos + ln
+            while p < end:
+                pq, tq_id = d[p] >> 4, d[p] & 15
+                if pq not in (0, 1) or tq_id > 3:
+                    raise ValueError("JPEG bad DQT precision/id")
+                if pq == 0:
+                    vals = list(d[p + 1 : p + 65])
+                    p += 65
+                else:
+                    vals = [
+                        struct.unpack_from(">H", d, p + 1 + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    p += 129
+                if len(vals) < 64 or p > end:
+                    raise ValueError("JPEG DQT truncated")
+                qt[tq_id] = vals
+            pos += ln
+        elif marker == 0xDD:  # DRI
+            ln = seg_len(pos)
+            (restart_interval,) = struct.unpack_from(">H", d, pos + 2)
+            pos += ln
+        elif marker == 0xDA:  # SOS
+            ln = seg_len(pos)
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = d[pos + 2]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan JPEG (non-interleaved scans) not supported"
+                )
+            scan = {}
+            for i in range(ns):
+                cs, tdta = struct.unpack_from(">BB", d, pos + 3 + 2 * i)
+                scan[cs] = (tdta >> 4, tdta & 15)
+            pos += ln
+            break
+        else:  # APPn, COM, DNL, anything else with a length field
+            pos += seg_len(pos)
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idct = _jpeg_idct_mat()
+    dezig = np.argsort(np.array(_JPEG_ZIGZAG))  # natural <- zigzag
+
+    planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        if c["id"] not in scan:
+            raise ValueError(f"JPEG scan missing component {c['id']}")
+        td, ta = scan[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        c["q"] = np.array(qt[c["tq"]], dtype=np.float64)[dezig].reshape(8, 8)
+        c["dc"] = huff[(0, td)]
+        c["ac"] = huff[(1, ta)]
+        c["pred"] = 0
+        c["plane"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        planes.append(c)
+
+    bits = _JpegBits(d, pos)
+    zz = np.empty(64, dtype=np.float64)
+    mcu_count, rst_idx = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bits.restart(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz[:] = 0.0
+                        t = c["dc"].decode(bits)
+                        if t > 11:
+                            raise ValueError("JPEG DC category > 11")
+                        c["pred"] += _jpeg_extend(bits.get(t), t)
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = c["ac"].decode(bits)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _jpeg_extend(bits.get(s), s)
+                            k += 1
+                        block = zz[dezig].reshape(8, 8) * c["q"]
+                        px = idct @ block @ idct.T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample to full resolution by index replication and crop
+    full = []
+    for c in comps:
+        ys = (np.arange(h) * c["v"]) // vmax
+        xs = (np.arange(w) * c["h"]) // hmax
+        full.append(c["plane"][np.ix_(ys, xs)])
+    if len(full) == 1:
+        y = np.clip(full[0], 0.0, 255.0)
+        m = float(y.mean() / 255.0)
+        return [float(w), float(h), m, m, m]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = np.clip(y + 1.402 * cr, 0.0, 255.0)
+    g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0.0, 255.0)
+    b = np.clip(y + 1.772 * cb, 0.0, 255.0)
+    return [
+        float(w),
+        float(h),
+        float(r.mean() / 255.0),
+        float(g.mean() / 255.0),
+        float(b.mean() / 255.0),
+    ]
 
 
 def attach_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

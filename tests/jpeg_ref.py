@@ -1,0 +1,279 @@
+"""Independent minimal baseline JPEG ENCODER for testing the decoder in
+osmexpress_spark/operators/multimodal.py (the same independent-model
+strategy as the PNG work: the decoder is checked against bytes produced
+by code that shares none of its tables or transforms beyond the public
+T.81 spec).
+
+Supports: 8-bit baseline sequential, grayscale or YCbCr, 4:4:4 and
+4:2:0 sampling, optional restart intervals, per-call quality (uniform
+quant scale). Deliberately simple — correctness over speed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K.3 typical Huffman tables: (bits[16], huffval)
+DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _codes(bits, vals):
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits
+
+    def raw_marker(self, m: int) -> None:
+        self.align()
+        self.buf += bytes([0xFF, m])
+
+
+def _fdct_mat():
+    x, u = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+    m[:, 0] /= np.sqrt(2.0)
+    return m  # spatial rows, freq cols; F = M.T @ f @ M
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amp(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_block(w, block, q, pred, dc_codes, ac_codes):
+    m = _fdct_mat()
+    coef = m.T @ (block - 128.0) @ m
+    qc = np.rint(coef / q).astype(int)
+    zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    t = _cat(diff)
+    c, ln = dc_codes[t]
+    w.put(c, ln)
+    if t:
+        w.put(_amp(diff, t), t)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            w.put(c, ln)
+            run -= 16
+        s = _cat(zz[k])
+        c, ln = ac_codes[(run << 4) | s]
+        w.put(c, ln)
+        w.put(_amp(zz[k], s), s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]
+        w.put(c, ln)
+    return zz[0]
+
+
+def _pad_to(plane, mh, mw):
+    h, w = plane.shape
+    ph = -(-h // mh) * mh
+    pw = -(-w // mw) * mw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality_q: int = 1,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """img: HxW (grayscale) or HxWx3 (RGB) uint8. quality_q = the
+    uniform quantization step (1 = near-lossless). subsample: '444' or
+    '420' (ignored for grayscale)."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full((8, 8), float(quality_q))
+
+    if gray:
+        planes = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        elif subsample == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb2 = cbp.reshape(cbp.shape[0] // 2, 2,
+                              cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(crp.shape[0] // 2, 2,
+                              crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(subsample)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_to(p, mcuy * sv * 8 // 1, mcux * sh * 8 // 1)[: mcuy * sv * 8,
+                                                           : mcux * sh * 8]
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+    # _pad_to pads up to multiples; force exact MCU-grid dims
+    padded = [
+        np.pad(
+            p,
+            ((0, mcuy * sv * 8 - p.shape[0]), (0, mcux * sh * 8 - p.shape[1])),
+            mode="edge",
+        )
+        if p.shape != (mcuy * sv * 8, mcux * sh * 8)
+        else p
+        for p, (sh, sv) in zip(padded, samp)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (table 0; chroma reuses it — uniform step anyway)
+    zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    for tc, th, (bits, vals) in (
+        (0, 0, DC_LUM), (1, 0, AC_LUM), (0, 1, DC_CHR), (1, 1, AC_CHR)
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        tbl = 0 if i == 0 else 1
+        sos += bytes([i + 1, (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_tabs = [_codes(*DC_LUM), _codes(*DC_CHR), _codes(*DC_CHR)]
+    ac_tabs = [_codes(*AC_LUM), _codes(*AC_CHR), _codes(*AC_CHR)]
+    preds = [0] * ncomp
+    bw = _BitWriter()
+    mcu_count, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, blk, q, preds[ci],
+                            dc_tabs[ci], ac_tabs[ci],
+                        )
+            mcu_count += 1
+    bw.align()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -154,12 +154,15 @@ def test_image_decoder_ppm_golden():
 def test_image_decoder_failure_shapes():
     import pytest
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        # JPEG and PNG containers are now supported, so garbage after
+        # the magic is a CORRUPT payload (ValueError), not an absent
+        # codec; only genuinely uncovered formats hit the stub branch
         multimodal.image_decoder(b"\xff\xd8\xff\xe0jpeg-like")
     with pytest.raises(ValueError):
-        # PNG container is now supported, so garbage after the magic is
-        # a CORRUPT payload (ValueError), not an absent codec
         multimodal.image_decoder(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        multimodal.image_decoder(b"GIF89a......")
     with pytest.raises(ValueError):
         multimodal.image_decoder(_bmp24(PIXELS)[:-4])  # truncated pixels
     with pytest.raises(ValueError):
