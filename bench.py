@@ -83,9 +83,16 @@ HEADLINE = [
 # Staged-but-not-yet-promoted queries get their planned bench lines
 # listed here so promotion cannot silently drop perf coverage
 # (tests/test_bench_hygiene.py checks this list against the pending
-# registry). Round 6 promoted the round-5 staging set; empty until the
-# next staged family.
-PENDING_HEADLINE: list[str] = []
+# registry). At the r07 promotion these move into HEADLINE, with
+# planned families: q_bpe_merges -> tokenizer-vocab;
+# q_dist_drift/q_mad_outliers -> a new drift-outliers family;
+# q_rrf_fusion -> retrieval-ranking.
+PENDING_HEADLINE: list[str] = [
+    "q_bpe_merges",
+    "q_dist_drift",
+    "q_mad_outliers",
+    "q_rrf_fusion",
+]
 
 
 def main() -> None:

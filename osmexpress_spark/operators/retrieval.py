@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 K1 = 1.2
@@ -258,5 +258,165 @@ def tfidf_oracle_sql(
     FROM base, stats
     WHERE {n_hit} > 0
     ORDER BY score DESC, {id_col}
+    LIMIT {k}
+    """
+
+
+RRF_C = 60
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 20,
+    c: int = RRF_C,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al. 2009):
+    fuse the BM25 lexical top-k_each with the exact-cosine vector
+    top-k_each for one query, score = sum over rankers of
+    1/(c + rank), missing ranker contributes 0.
+
+    Output: (doc_id, lex_rank, vec_rank, rrf_score DOUBLE) ordered by
+    (rrf_score DESC, doc_id), limit k. Ranks are NULL where the doc is
+    absent from that ranker's list. The query's own document may rank
+    lexically (RRF fuses heterogeneous rankers as-is); the vector
+    ranker excludes self-matches by construction.
+
+    Scale shape: ALL heavy work happens inside the two upstream
+    scorers, each already a bounded-top-k scan (bm25_topk: two
+    column-pruned corpus scans + TakeOrdered; topk_bruteforce: one
+    broadcast-query candidate scan + per-query rank window). The
+    fusion itself joins two <=k_each-row frames — driver-free, and at
+    cluster scale a trivially broadcast join.
+
+    Determinism contract: ranks are integers; 1/(c+rank) is a single
+    IEEE division of exact integers and the final score adds exactly
+    two such doubles — bit-identical on any engine, like the BM25
+    score expression above (rrf_oracle_sql is the DuckDB twin).
+    """
+    if c <= 0:
+        raise ValueError("rrf c must be positive")
+    from . import similarity
+
+    lex_w = Window.orderBy(F.desc("score"), F.col(id_col))
+    lex = (
+        bm25_topk(docs, query_terms, id_col=id_col, text_col=text_col, k=k_each)
+        .select(id_col, F.row_number().over(lex_w).alias("lex_rank"))
+    )
+    vec = (
+        similarity.topk_bruteforce(
+            embeddings.where(F.col(vec_id_col) == query_vec_id),
+            embeddings,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            k=k_each,
+        )
+        .select(F.col("neighbor_id").alias(id_col), F.col("rank").alias("vec_rank"))
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731 - tiny local twin-use lambda
+        F.lit(1.0) / (F.lit(c) + F.col(r)).cast("double"), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, id_col, "full_outer")
+        .select(
+            id_col,
+            "lex_rank",
+            "vec_rank",
+            (contrib("lex_rank") + contrib("vec_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rrf_oracle_sql(
+    query_terms: list[str],
+    query_vec_id: int,
+    dim: int,
+    k: int = 10,
+    k_each: int = 20,
+    c: int = RRF_C,
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB SQL computing rrf_fusion bit-for-bit (same rank windows,
+    same single-division contributions; cosine rounded to 6 decimals
+    exactly as similarity.cosine does)."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(string_split({text_col}, ' '), w -> w = '{t}'))"
+        f" AS tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    c0 = 1.0 - b
+    term_scores = " + ".join(
+        f"(((n_docs - df{i} + 0.5e0) / (df{i} + 0.5e0)) * "
+        f"((tf{i} * {k1 + 1.0!r}e0) / "
+        f"(tf{i} + {k1!r}e0 * ({c0!r}e0 + {b!r}e0 * dl / (sum_dl / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(query_terms))
+    )
+    n_hit = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(query_terms))
+    )
+
+    def dot(a: str, bb: str) -> str:
+        return (
+            f"list_sum(list_transform(range({dim}), "
+            f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({bb}[i+1] AS DOUBLE)))"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, len(string_split({text_col}, ' ')) AS dl,
+         {tf_cols}
+      FROM {doc_table}
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM base
+    ), lex AS (
+      SELECT {id_col} AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {id_col})
+                  AS INTEGER) AS lex_rank
+      FROM (SELECT {id_col}, {term_scores} AS score
+            FROM base, stats WHERE {n_hit} > 0) s
+      QUALIFY lex_rank <= {k_each}
+    ), qv AS (
+      SELECT {vec_col} AS qvec FROM {emb_table}
+      WHERE {vec_id_col} = {query_vec_id}
+    ), vec AS (
+      SELECT neighbor_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS vec_rank
+      FROM (
+        SELECT {vec_id_col} AS neighbor_id,
+               round({dot('qvec', vec_col)} /
+                     (sqrt({dot('qvec', 'qvec')}) *
+                      sqrt({dot(vec_col, vec_col)})), 6) AS sim
+        FROM {emb_table}, qv WHERE {vec_id_col} != {query_vec_id}
+      ) s
+      QUALIFY vec_rank <= {k_each}
+    )
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS {id_col},
+           lex_rank, vec_rank,
+           COALESCE(1e0 / CAST({c} + lex_rank AS DOUBLE), 0e0)
+           + COALESCE(1e0 / CAST({c} + vec_rank AS DOUBLE), 0e0) AS rrf_score
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, {id_col}
     LIMIT {k}
     """

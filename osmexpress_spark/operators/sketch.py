@@ -790,3 +790,146 @@ def exact_quantiles_by_sharded(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def drift_census(
+    old: DataFrame,
+    new: DataFrame,
+    value: Column,
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Distribution-drift census between two corpus snapshots: the
+    integer-log sketch of each side, full-outer-joined on bucket id —
+    (bucket, old_n, new_n, lo, hi), absent buckets count 0.
+
+    This is the exact, engine-checkable core of drift monitoring
+    (PSI / KL between yesterday's corpus and today's): each side folds
+    to <=1025 integer bucket counts via map-side combine (one scan per
+    side, the quantile_sketch_build plan), and the join runs over two
+    bounded sketches. psi_drift() turns the census into the standard
+    population-stability-index scalar driver-side — the only
+    transcendental (ln) stays OUT of the distributed, oracle-checked
+    part."""
+    a = quantile_sketch_build(old, value, sub_bits).withColumnRenamed(
+        "cnt", "old_n"
+    )
+    b = quantile_sketch_build(new, value, sub_bits).withColumnRenamed(
+        "cnt", "new_n"
+    )
+    j = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("old_n", F.lit(0)).alias("old_n"),
+        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+    )
+    lo, hi = quantile_bucket_bounds(F.col("bucket"), sub_bits)
+    return j.select(
+        "bucket", "old_n", "new_n", lo.alias("lo"), hi.alias("hi")
+    )
+
+
+def psi_drift(census: DataFrame, floor: float = 1e-6) -> float:
+    """Population stability index over a drift_census frame:
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b), with each side's bucket
+    share floored at `floor` so empty buckets contribute finitely
+    (the standard PSI smoothing). Collects the census — bounded at
+    <=2*1025 rows by construction — and computes the ln driver-side,
+    keeping the distributed plan transcendental-free."""
+    import math
+
+    rows = census.select("bucket", "old_n", "new_n").collect()
+    n_old = sum(r["old_n"] for r in rows)
+    n_new = sum(r["new_n"] for r in rows)
+    if n_old == 0 or n_new == 0:
+        raise ValueError("psi_drift needs non-empty snapshots on both sides")
+    psi = 0.0
+    for r in rows:
+        p = max(r["old_n"] / n_old, floor)
+        q = max(r["new_n"] / n_new, floor)
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: Column,
+    keep_cols: list[str],
+    scale_num: int = 3,
+    scale_den: int = 1,
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Robust outlier detection by the median-absolute-deviation rule:
+    flag rows where |v - median(v)| * scale_den > scale_num * MAD,
+    MAD = median(|v - median(v)|). Output: (*keep_cols, v, abs_dev,
+    med, mad) — every column an exact integer, so the rule is an
+    integer inequality with no distribution assumptions (the classic
+    3-sigma rule's robust sibling; median/MAD have a 50% breakdown
+    point where mean/stddev have 0%).
+
+    Scale shape: two exact_quantiles calls (each <=6 bounded
+    histogram-refinement passes, <=1025-row driver transfers) produce
+    the two scalars; the flag itself is one scan-side predicate — the
+    corpus never shuffles. Medians use the same rank = ceil(n/2)
+    convention as exact_quantiles, so the whole output is
+    oracle-checkable. Caveat (standard for MAD): when >half the values
+    are identical, MAD = 0 and every v != med flags; pick the
+    scale ratio with that in mind for quantized measures."""
+    if scale_num < 0 or scale_den <= 0:
+        raise ValueError("scale must be a nonnegative rational")
+    vals = df.select(
+        *keep_cols, _nonneg_checked(value.cast("long")).alias("v")
+    ).where(F.col("v").isNotNull())
+    med = exact_quantiles(vals, F.col("v"), [(1, 2)], sub_bits).collect()[0][
+        "value"
+    ]
+    dev = vals.withColumn("abs_dev", F.abs(F.col("v") - F.lit(med)))
+    mad = exact_quantiles(dev, F.col("abs_dev"), [(1, 2)], sub_bits).collect()[
+        0
+    ]["value"]
+    return dev.where(
+        F.col("abs_dev") * F.lit(scale_den) > F.lit(scale_num * mad)
+    ).select(
+        *keep_cols,
+        "v",
+        "abs_dev",
+        F.lit(med).cast("long").alias("med"),
+        F.lit(mad).cast("long").alias("mad"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value: Column,
+    group: Column,
+    lo_q: tuple[int, int] = (1, 20),
+    hi_q: tuple[int, int] = (19, 20),
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Winsorized per-group aggregates: clip the measure to the GLOBAL
+    exact [lo_q, hi_q] quantile values, then aggregate per group —
+    (key, n, win_sum, win_min, win_max), all exact integers. The
+    outlier-robust mean is win_sum/n, one division away.
+
+    Scale shape: one exact_quantiles call (<=6 bounded passes) yields
+    the two clip scalars; the aggregate is a single map-side-combined
+    scan with the clip as a scan-side greatest/least expression —
+    no join, no second shuffle beyond the group-by."""
+    qs = exact_quantiles(df, value, [lo_q, hi_q], sub_bits).collect()
+    by_q = {(r["q_num"], r["q_den"]): r["value"] for r in qs}
+    lo, hi = by_q[lo_q], by_q[hi_q]
+    if lo > hi:
+        raise ValueError("lo_q quantile exceeds hi_q quantile")
+    clipped = F.greatest(
+        F.lit(lo), F.least(F.lit(hi), value.cast("long"))
+    )
+    return (
+        df.where(value.isNotNull())
+        .groupBy(group.alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(clipped).alias("win_sum"),
+            F.min(clipped).alias("win_min"),
+            F.max(clipped).alias("win_max"),
+        )
+        .withColumn("clip_lo", F.lit(lo).cast("long"))
+        .withColumn("clip_hi", F.lit(hi).cast("long"))
+    )

@@ -3591,3 +3591,171 @@ def q_bpe_merges(spark, sf_dir):
     merges = bpe.bpe_train(words, n_merges=_BPE_N_MERGES)
     rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank int, a string, b string")
+
+
+# --- round-6 session additions (stay PENDING until the r07 promotion) -------
+
+
+def _qsk_bucket_sql(col: str) -> str:
+    """The integer-log bucket id of quantile_bucket (sub_bits=4) as a
+    DuckDB expression — the same pure-integer formula the
+    q_quantile_sketch oracle inlines."""
+    return f"""CASE WHEN {col} <= 0 THEN 0
+             ELSE 1 + (length(bin({col})) - 1) * 16
+                  + (({col} - (CAST(1 AS BIGINT) << (length(bin({col})) - 1)))
+                     >> greatest(length(bin({col})) - 1 - 4, 0)) END"""
+
+
+def _qsk_bounds_sql(bucket: str) -> tuple[str, str]:
+    """(lo, hi) DuckDB expressions inverting _qsk_bucket_sql."""
+    lo = f"""CAST(CASE WHEN {bucket} <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << (({bucket}-1)//16))
+                + (CAST(({bucket}-1)%16 AS BIGINT)
+                   << greatest(({bucket}-1)//16 - 4, 0))
+           END AS BIGINT)"""
+    hi = f"""CAST(CASE WHEN {bucket} <= 0 THEN 0
+           ELSE (CAST(1 AS BIGINT) << (({bucket}-1)//16))
+                + (CAST(({bucket}-1)%16 AS BIGINT)
+                   << greatest(({bucket}-1)//16 - 4, 0))
+                + (CAST(1 AS BIGINT) << greatest(({bucket}-1)//16 - 4, 0)) - 1
+           END AS BIGINT)"""
+    return lo, hi
+
+
+_DRIFT_LO, _DRIFT_HI = _qsk_bounds_sql("bucket")
+
+
+@defq_pending(
+    "q_dist_drift",
+    f"""
+    WITH ob AS (SELECT {_qsk_bucket_sql('n_chars')} AS bucket
+                FROM documents WHERE doc_id % 2 = 0),
+    nb AS (SELECT {_qsk_bucket_sql('n_chars')} AS bucket
+           FROM documents WHERE doc_id % 2 = 1),
+    oc AS (SELECT CAST(bucket AS INTEGER) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS old_n FROM ob GROUP BY 1),
+    nc AS (SELECT CAST(bucket AS INTEGER) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS new_n FROM nb GROUP BY 1),
+    j AS (SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+                 COALESCE(old_n, CAST(0 AS BIGINT)) AS old_n,
+                 COALESCE(new_n, CAST(0 AS BIGINT)) AS new_n
+          FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket)
+    SELECT bucket, old_n, new_n, {_DRIFT_LO} AS lo, {_DRIFT_HI} AS hi FROM j
+    """,
+)
+def q_dist_drift(spark, sf_dir):
+    """Distribution-drift census (operators/sketch.py:drift_census)
+    between two corpus snapshots — here the even/odd doc_id halves
+    standing in for yesterday/today — over the doc-length measure:
+    each side folds to the <=1025-bucket integer-log sketch via
+    map-side combine, and the full-outer bucket join is over two
+    bounded sketches. Every count and bound is exact integer
+    arithmetic; psi_drift() derives the PSI scalar driver-side so the
+    transcendental ln never enters the oracle-checked plan."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.drift_census(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        F.col("n_chars"),
+    )
+
+
+_MAD_SCALE = (2, 1)
+
+
+@defq_pending(
+    "q_mad_outliers",
+    f"""
+    WITH v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    medv AS (SELECT v AS med
+             FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v) t,
+                  cnt WHERE rn = (n + 1) // 2),
+    dev AS (SELECT doc_id, v, abs(v - med) AS abs_dev, med FROM v, medv),
+    madv AS (SELECT abs_dev AS mad
+             FROM (SELECT abs_dev,
+                          ROW_NUMBER() OVER (ORDER BY abs_dev) AS rn
+                   FROM dev) t, cnt WHERE rn = (n + 1) // 2)
+    SELECT doc_id, v, abs_dev, med, mad FROM dev, madv
+    WHERE abs_dev * {_MAD_SCALE[1]} > {_MAD_SCALE[0]} * mad
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection (operators/sketch.py:mad_outliers):
+    docs whose length deviates from the corpus median by more than
+    {2}x the median absolute deviation. Median and MAD come from two
+    exact_quantiles calls (bounded histogram-refinement passes,
+    rank = ceil(n/2) — the identical ROW_NUMBER selection the oracle
+    runs); the flag is a scan-side integer inequality, so the corpus
+    never shuffles and the whole row set is engine-exact."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.mad_outliers(
+        d, F.col("n_chars"), ["doc_id"],
+        scale_num=_MAD_SCALE[0], scale_den=_MAD_SCALE[1],
+    )
+
+
+@defq_pending(
+    "q_winsorized_stats",
+    """
+    WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    loq AS (SELECT v AS lo
+            FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v) t,
+                 cnt WHERE rn = (n + 19) // 20),
+    hiq AS (SELECT v AS hi
+            FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v) t,
+                 cnt WHERE rn = (19 * n + 19) // 20)
+    SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(greatest(lo, least(hi, v))) AS BIGINT) AS win_sum,
+           CAST(MIN(greatest(lo, least(hi, v))) AS BIGINT) AS win_min,
+           CAST(MAX(greatest(lo, least(hi, v))) AS BIGINT) AS win_max,
+           CAST(lo AS BIGINT) AS clip_lo, CAST(hi AS BIGINT) AS clip_hi
+    FROM v, loq, hiq GROUP BY lang, lo, hi
+    """,
+)
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized per-language length stats
+    (operators/sketch.py:winsorized_stats): clip doc lengths to the
+    global exact [p05, p95] (rank-selected, engine-exact), then one
+    map-side-combined group-by — the outlier-robust profile a
+    curation dashboard wants. One exact_quantiles call for the two
+    clip scalars + one aggregate scan; no join, no second shuffle."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.winsorized_stats(
+        d, F.col("n_chars"), F.col("lang"), (1, 20), (19, 20)
+    )
+
+
+_RRF_TERMS = ["hash", "join", "spark"]
+_RRF_QID = 7
+
+
+@defq_pending(
+    "q_rrf_fusion",
+    retrieval.rrf_oracle_sql(
+        _RRF_TERMS, query_vec_id=_RRF_QID, dim=EMB_DIM, k=10, k_each=20
+    ),
+)
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid lexical+vector retrieval fused by reciprocal rank
+    (operators/retrieval.py:rrf_fusion, Cormack et al. 2009): the BM25
+    top-20 and the exact-cosine top-20 for one query combine as
+    sum(1/(60+rank)); docs found by both rankers float to the top.
+    All heavy work stays in the two bounded-top-k scans already
+    audited for scale; the fusion joins two 20-row frames. Scores are
+    one IEEE division per ranker over exact integer ranks — engine-
+    exact, like every retrieval score in this module."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return retrieval.rrf_fusion(
+        d, e, _RRF_TERMS, query_vec_id=_RRF_QID, k=10, k_each=20
+    )

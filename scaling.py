@@ -56,6 +56,12 @@ SUBSET = [
     "q_bpe_pair_counts",       # vocabulary pair aggregation
     "q_exact_quantiles_by",    # joint multi-bracket selection
     "q_frequent_tokens",       # CMS-pruned exact counts
+    # round-6 staged queries (PENDING registry; promote in r07)
+    "q_bpe_merges",            # 8 full BPE training iterations
+    "q_dist_drift",            # two-snapshot sketch census
+    "q_mad_outliers",          # two exact medians + scan-side flag
+    "q_winsorized_stats",      # exact clip bounds + grouped agg
+    "q_rrf_fusion",            # BM25 + cosine rank fusion
 ]
 
 

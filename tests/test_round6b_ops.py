@@ -1,0 +1,215 @@
+"""Round-6 session operator tests: drift census + PSI, MAD outliers,
+winsorized stats, and RRF hybrid retrieval fusion. The contract
+queries for all four run through the strict pending oracle gate in
+test_oracle_parity.py; these tests pin the API-level semantics and
+the edge cases the gate's fixed corpus cannot reach."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import retrieval, sketch
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, v long")
+
+
+# --- drift census + PSI ------------------------------------------------------
+
+
+def test_drift_census_identical_snapshots(spark):
+    d = _docs(spark, [(i, (i % 7 + 1) * 13) for i in range(100)])
+    cen = sketch.drift_census(d, d, F.col("v"))
+    rows = cen.collect()
+    assert rows, "census must be non-empty"
+    for r in rows:
+        assert r["old_n"] == r["new_n"] > 0
+        assert r["lo"] <= r["hi"]
+    assert sketch.psi_drift(cen) == 0.0
+
+
+def test_drift_census_disjoint_buckets(spark):
+    old = _docs(spark, [(i, 4) for i in range(50)])
+    new = _docs(spark, [(i, 4096) for i in range(50)])
+    cen = sketch.drift_census(old, new, F.col("v"))
+    rows = {r["bucket"]: r for r in cen.collect()}
+    assert len(rows) == 2
+    counts = sorted((r["old_n"], r["new_n"]) for r in rows.values())
+    assert counts == [(0, 50), (50, 0)]
+    # fully disjoint mass: PSI is large and positive
+    assert sketch.psi_drift(cen) > 10.0
+
+
+def test_drift_census_bounds_cover_values(spark):
+    vals = [1, 2, 3, 15, 16, 17, 1000, 65535]
+    d = _docs(spark, list(enumerate(vals)))
+    for r in sketch.drift_census(d, d, F.col("v")).collect():
+        covered = [v for v in vals if r["lo"] <= v <= r["hi"]]
+        assert len(covered) * 2 == r["old_n"] + r["new_n"]
+
+
+def test_psi_drift_empty_side_raises(spark):
+    d = _docs(spark, [(1, 5)])
+    empty = _docs(spark, []).where(F.lit(False))
+    cen = sketch.drift_census(d, empty, F.col("v"))
+    with pytest.raises(ValueError, match="non-empty"):
+        sketch.psi_drift(cen)
+
+
+def test_psi_drift_matches_hand_computation(spark):
+    # one shared bucket with different shares: check the formula
+    old = _docs(spark, [(i, 4) for i in range(30)] + [(100 + i, 4096) for i in range(10)])
+    new = _docs(spark, [(i, 4) for i in range(10)] + [(100 + i, 4096) for i in range(30)])
+    cen = sketch.drift_census(old, new, F.col("v"))
+    expect = (0.75 - 0.25) * math.log(0.75 / 0.25) + (
+        0.25 - 0.75
+    ) * math.log(0.25 / 0.75)
+    assert sketch.psi_drift(cen) == pytest.approx(expect, rel=1e-12)
+
+
+# --- MAD outliers -------------------------------------------------------------
+
+
+def test_mad_outliers_small_known(spark):
+    # values: median 10, abs devs {0,0,1,1,2,8,90} -> MAD = 1
+    vals = [10, 10, 9, 11, 12, 2, 100]
+    d = _docs(spark, list(enumerate(vals)))
+    out = sketch.mad_outliers(d, F.col("v"), ["doc_id"], scale_num=3, scale_den=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {5, 6}  # |2-10|=8 > 3, |100-10|=90 > 3
+    for r in rows.values():
+        assert r["med"] == 10 and r["mad"] == 1
+        assert r["abs_dev"] > 3 * r["mad"]
+
+
+def test_mad_outliers_zero_mad_flags_everything_off_median(spark):
+    vals = [7] * 10 + [8, 6]
+    d = _docs(spark, list(enumerate(vals)))
+    out = sketch.mad_outliers(d, F.col("v"), ["doc_id"], scale_num=3, scale_den=1)
+    assert out.count() == 2  # MAD = 0: every v != med flags
+
+
+def test_mad_outliers_scale_validation(spark):
+    d = _docs(spark, [(1, 5)])
+    with pytest.raises(ValueError, match="scale"):
+        sketch.mad_outliers(d, F.col("v"), ["doc_id"], scale_num=-1)
+    with pytest.raises(ValueError, match="scale"):
+        sketch.mad_outliers(d, F.col("v"), ["doc_id"], scale_den=0)
+
+
+def test_mad_outliers_rational_scale(spark):
+    # scale 1/2: flag |v - med| * 2 > mad
+    vals = [10, 10, 9, 11, 12, 2, 100]
+    d = _docs(spark, list(enumerate(vals)))
+    out = sketch.mad_outliers(d, F.col("v"), ["doc_id"], scale_num=1, scale_den=2)
+    got = {r["doc_id"] for r in out.collect()}
+    # mad=1: flags where 2*abs_dev > 1, i.e. abs_dev >= 1
+    assert got == {2, 3, 4, 5, 6}
+
+
+# --- winsorized stats ---------------------------------------------------------
+
+
+def test_winsorized_stats_clips_exactly(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", i + 1) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, v long")
+    out = sketch.winsorized_stats(
+        d, F.col("v"), F.col("lang"), (1, 20), (19, 20)
+    ).collect()
+    # n=100: lo rank ceil(100/20)=5 -> value 5; hi rank ceil(1900/20)=95 -> 95
+    by_key = {r["key"]: r for r in out}
+    assert set(by_key) == {"a", "b"}
+    for r in out:
+        assert (r["clip_lo"], r["clip_hi"]) == (5, 95)
+        assert r["win_min"] >= 5 and r["win_max"] <= 95
+        assert r["n"] == 50
+    # clipped sum, lang a holds odd values v=1,3,...,99
+    exp_a = sum(min(95, max(5, v)) for v in range(1, 101, 2))
+    assert by_key["a"]["win_sum"] == exp_a
+
+
+def test_winsorized_stats_inverted_quantiles_raise(spark):
+    d = _docs(spark, [(i, i) for i in range(1, 50)])
+    with pytest.raises(ValueError, match="exceeds"):
+        sketch.winsorized_stats(
+            d, F.col("v"), F.col("doc_id"), (19, 20), (1, 20)
+        )
+
+
+# --- RRF fusion ---------------------------------------------------------------
+
+
+def _tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join hash"),
+            (1, "join join join"),
+            (2, "nothing relevant here"),
+            (3, "hash hash spark"),
+            (4, "filler words only"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.3, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return docs, vecs
+
+
+def test_rrf_fusion_both_rankers_beat_single(spark):
+    docs, vecs = _tiny_corpus(spark)
+    out = retrieval.rrf_fusion(
+        docs, vecs, ["spark", "hash"], query_vec_id=0, k=5, k_each=3
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # docs 1 and 3 appear in both rankers' lists; doc 2/4 in neither or one
+    top = out[0]
+    assert top["lex_rank"] is not None and top["vec_rank"] is not None
+    for r in out:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60 + r["vec_rank"])
+        assert r["rrf_score"] == expect
+    # every fused score sorted descending, id tie-break ascending
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    assert rows  # non-empty
+
+
+def test_rrf_fusion_vec_only_docs_present(spark):
+    docs, vecs = _tiny_corpus(spark)
+    out = retrieval.rrf_fusion(
+        docs, vecs, ["nothing"], query_vec_id=0, k=5, k_each=3
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    # lexical list is only doc 2; vector list has 1, 3 (+1 more)
+    assert 2 in ids and 1 in ids and 3 in ids
+    vec_only = next(r for r in out if r["doc_id"] in (1, 3))
+    assert vec_only["lex_rank"] is None and vec_only["vec_rank"] is not None
+
+
+def test_rrf_fusion_c_validation(spark):
+    docs, vecs = _tiny_corpus(spark)
+    with pytest.raises(ValueError, match="positive"):
+        retrieval.rrf_fusion(docs, vecs, ["spark"], query_vec_id=0, c=0)
+
+
+def test_rrf_fusion_plan_has_no_python(spark):
+    docs, vecs = _tiny_corpus(spark)
+    plan = retrieval.rrf_fusion(
+        docs, vecs, ["spark"], query_vec_id=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
