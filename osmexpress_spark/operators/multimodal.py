@@ -4,10 +4,12 @@ Images/audio/video ride as `binary` columns with a metadata struct;
 decode/feature-extraction runs as Arrow-batched `mapInPandas` so the
 bytes never round-trip through Python row-by-row. The decode step is
 pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
-24-bit BMP, binary PPM, non-interlaced 8-bit RGB(A) PNG and baseline
-sequential JPEG in pure stdlib(+numpy), and raises NotImplementedError
-for the remaining variants (progressive/arithmetic JPEG, palette PNG,
-GIF, ... — the honest-stub branch, recorded as decode_ok=False);
+24-bit BMP, binary PPM, non-interlaced 8-bit PNG of every color type
+(grayscale/truecolor/palette/with-alpha; palette also at 1/2/4-bit)
+and baseline sequential JPEG in pure stdlib(+numpy), and raises
+NotImplementedError for the remaining variants (progressive/arithmetic
+JPEG, 16-bit or Adam7 PNG, GIF, ... — the honest-stub branch,
+recorded as decode_ok=False);
 `fake_decoder` is a deterministic byte-statistics
 stand-in that keeps the whole Spark-side contract (schema, batching,
 partitioning) testable for arbitrary bytes. Swap in PIL/torchaudio/
@@ -52,13 +54,15 @@ def fake_decoder(payload: bytes) -> list[float]:
 def image_decoder(payload: bytes) -> list[float]:
     """REAL pure-stdlib(+numpy) image decode: uncompressed 24-bit BMP
     (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), non-interlaced 8-bit
-    RGB(A) PNG, and baseline sequential JPEG (SOF0/SOF1, Huffman,
-    any sampling factors <= 4). Returns the fixed 5-float feature
-    vector [width, height, mean_r, mean_g, mean_b] with channel means
+    PNG of every color type (grayscale / truecolor / palette / each
+    with alpha; palette also at 1/2/4-bit depth), and baseline
+    sequential JPEG (SOF0/SOF1, Huffman, any sampling factors <= 4).
+    Returns the fixed 5-float feature vector
+    [width, height, mean_r, mean_g, mean_b] with channel means
     normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    palette/grayscale/16-bit/Adam7 PNG, GIF/WebP/TIFF/...) raise
+    16-bit/Adam7-interlaced PNG, GIF/WebP/TIFF/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -73,7 +77,7 @@ def image_decoder(payload: bytes) -> list[float]:
         return _decode_jpeg(payload)
     raise NotImplementedError(
         "only uncompressed 24-bit BMP, binary PPM, non-interlaced "
-        "8-bit RGB(A) PNG and baseline sequential JPEG decode "
+        "8-bit PNG (any color type) and baseline sequential JPEG decode "
         "in-container; swap in PIL/opencv via decoder= for other formats"
     )
 
@@ -167,16 +171,18 @@ def _decode_ppm(payload: bytes) -> list[float]:
 
 
 def _decode_png(payload: bytes) -> list[float]:
-    """Pure-stdlib PNG decode (zlib ships in-container): non-interlaced
-    8-bit-depth truecolor (color type 2) and truecolor-with-alpha (6),
-    all five scanline filters (None/Sub/Up/Average/Paeth). Channel
-    means cover R/G/B only; alpha is ignored. Palette, grayscale,
+    """Pure-stdlib PNG decode (zlib ships in-container): every
+    non-interlaced 8-bit-depth color type — grayscale (0), truecolor
+    (2), palette (3, also at bit depths 1/2/4 via PLTE), grayscale
+    with alpha (4), truecolor with alpha (6) — and all five scanline
+    filters (None/Sub/Up/Average/Paeth). Channel means cover R/G/B
+    only; alpha (including tRNS palette transparency) is ignored.
     16-bit and Adam7-interlaced variants need real codec work and stay
     on the honest NotImplementedError branch."""
     import struct
     import zlib
 
-    pos, ihdr, idat, ended = 8, None, [], False
+    pos, ihdr, plte, idat, ended = 8, None, None, [], False
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -185,6 +191,8 @@ def _decode_png(payload: bytes) -> list[float]:
             raise ValueError("PNG chunk truncated")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -198,25 +206,38 @@ def _decode_png(payload: bytes) -> list[float]:
     width, height, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color not in (2, 6) or interlace != 0:
+    if color not in (0, 2, 3, 4, 6):
+        raise ValueError(f"PNG invalid color type {color}")
+    ok_depth = (1, 2, 4, 8) if color == 3 else (8,)
+    if depth not in ok_depth or interlace != 0:
         raise NotImplementedError(
-            f"only non-interlaced 8-bit RGB(A) PNG supported (depth="
-            f"{depth}, color_type={color}, interlace={interlace})"
+            f"only non-interlaced 8-bit (palette: 1/2/4/8-bit) PNG "
+            f"supported (depth={depth}, color_type={color}, "
+            f"interlace={interlace})"
         )
     if comp != 0 or filt != 0:
         raise ValueError("PNG with nonstandard compression/filter method")
     if width <= 0 or height <= 0:
         raise ValueError("PNG with non-positive dimensions")
+    if color == 3:
+        if plte is None or len(plte) < 3 or len(plte) % 3:
+            raise ValueError("palette PNG with missing/malformed PLTE")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
-    bpp = 3 if color == 2 else 4
-    stride = width * bpp
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits = depth * channels
+    stride = (width * bits + 7) // 8
+    # filtering operates on BYTES; sub-byte pixels filter at 1-byte lag
+    bpp = max(1, bits // 8)
     if len(raw) != height * (1 + stride):
         raise ValueError("PNG decompressed size mismatch")
     prior = bytearray(stride)
     tot = [0, 0, 0]
+    # palette/grayscale fold through a value histogram (one palette
+    # multiply at the end instead of one per pixel)
+    hist = [0] * 256
     for row in range(height):
         base = row * (1 + stride)
         ftype = raw[base]
@@ -242,10 +263,40 @@ def _decode_png(payload: bytes) -> list[float]:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"PNG unknown scanline filter {ftype}")
-        tot[0] += sum(line[0::bpp])
-        tot[1] += sum(line[1::bpp])
-        tot[2] += sum(line[2::bpp])
+        if color in (2, 6):
+            tot[0] += sum(line[0::channels])
+            tot[1] += sum(line[1::channels])
+            tot[2] += sum(line[2::channels])
+        elif depth == 8:  # grayscale / gray+alpha / 8-bit palette
+            for v in line[0::channels]:
+                hist[v] += 1
+        else:  # sub-byte palette indices, MSB-first, row-end pad bits
+            mask = (1 << depth) - 1
+            done = 0
+            for byte in line:
+                for shift in range(8 - depth, -1, -depth):
+                    hist[(byte >> shift) & mask] += 1
+                    done += 1
+                    if done == width:
+                        break
+                if done == width:
+                    break
         prior = line
+    if color == 3:
+        n_pal = len(plte) // 3
+        top = max((i for i, c in enumerate(hist) if c), default=0)
+        if top >= n_pal:
+            raise ValueError(
+                f"palette index {top} out of range (palette has {n_pal})"
+            )
+        for i, c in enumerate(hist):
+            if c:
+                tot[0] += c * plte[3 * i]
+                tot[1] += c * plte[3 * i + 1]
+                tot[2] += c * plte[3 * i + 2]
+    elif color in (0, 4):
+        gray = sum(i * c for i, c in enumerate(hist))
+        tot = [gray, gray, gray]
     n = width * height * 255.0
     return [float(width), float(height), tot[0] / n, tot[1] / n, tot[2] / n]
 

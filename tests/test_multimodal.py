@@ -290,7 +290,8 @@ def test_image_decoder_png_unsupported_and_corrupt():
         multimodal.image_decoder(_png(PIXELS, interlace=1))
     with pytest.raises(NotImplementedError, match="depth=16"):
         multimodal.image_decoder(_png(PIXELS, depth=16))
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    # palette PNGs decode since round 6, but only with a PLTE present
+    with pytest.raises(ValueError, match="PLTE"):
         multimodal.image_decoder(_png(PIXELS, color_type=3))
     good = _png(PIXELS)
     with pytest.raises(ValueError):
@@ -421,3 +422,169 @@ def test_resize_bytes_with_real_resizer(spark):
     r = multimodal.resize_bytes(df, 2, resizer=multimodal.bmp_resize).collect()[0]
     w, h, *_ = multimodal.image_decoder(bytes(r.resized))
     assert (w, h) == (2.0, 1.0)
+
+
+# --- palette / grayscale PNG decode (round-6 addition) ----------------------
+def _png2(byte_rows, width, color_type, depth, bpp, plte=None, filters=None):
+    """Second independent encoder: arbitrary pre-packed scanline bytes
+    (palette indices / gray / gray+alpha), forward-filtered at byte
+    lag `bpp` exactly as the spec prescribes for sub-byte depths."""
+    import struct
+    import zlib
+
+    height = len(byte_rows)
+    filters = filters or [0] * height
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    raw = bytearray()
+    prior = bytearray(len(byte_rows[0]))
+    for f, row in zip(filters, byte_rows):
+        line = bytearray(row)
+        out = bytearray(line)
+        if f == 1:
+            for i in range(len(line) - 1, bpp - 1, -1):
+                out[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(len(line)):
+                out[i] = (line[i] - prior[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                out[i] = (line[i] - (left + prior[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                out[i] = (line[i] - pred) & 0xFF
+        raw.append(f)
+        raw += out
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", bytes(b for c in plte for b in c))
+    return body + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def _pack_indices(row, depth):
+    if depth == 8:
+        return bytearray(row)
+    line, acc, nb = bytearray(), 0, 0
+    for v in row:
+        acc, nb = (acc << depth) | v, nb + depth
+        if nb == 8:
+            line.append(acc)
+            acc, nb = 0, 0
+    if nb:
+        line.append(acc << (8 - nb))
+    return line
+
+
+def _pal_means(indices, palette):
+    n = sum(len(r) for r in indices) * 255.0
+    return tuple(
+        sum(palette[v][c] for r in indices for v in r) / n for c in range(3)
+    )
+
+
+def test_image_decoder_png_palette_depth8_all_filters():
+    import random
+
+    rng = random.Random(11)
+    palette = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(17)]
+    idx = [[rng.randrange(17) for _ in range(9)] for _ in range(5)]
+    rows = [_pack_indices(r, 8) for r in idx]
+    for filters in ([0, 1, 2, 3, 4], [4, 4, 4, 4, 4]):
+        got = multimodal.image_decoder(
+            _png2(rows, 9, 3, 8, 1, plte=palette, filters=filters)
+        )
+        assert got == [9.0, 5.0, *_pal_means(idx, palette)], filters
+
+
+def test_image_decoder_png_palette_subbyte_depths_with_padding():
+    import random
+
+    rng = random.Random(12)
+    for depth, ncol in ((1, 2), (2, 4), (4, 13)):
+        palette = [(rng.randrange(256),) * 3 for _ in range(ncol)]
+        # odd widths on purpose: the last byte of each row carries pad
+        # bits that must NOT be counted as pixels
+        for width in (1, 3, 7, 11):
+            idx = [[rng.randrange(ncol) for _ in range(width)]
+                   for _ in range(4)]
+            rows = [_pack_indices(r, depth) for r in idx]
+            filters = [rng.randrange(5) for _ in range(4)]
+            got = multimodal.image_decoder(
+                _png2(rows, width, 3, depth, 1, plte=palette, filters=filters)
+            )
+            exp = [float(width), 4.0, *_pal_means(idx, palette)]
+            assert got == exp, (depth, width, filters)
+
+
+def test_image_decoder_png_grayscale_and_gray_alpha():
+    import random
+
+    rng = random.Random(13)
+    gray = [[rng.randrange(256) for _ in range(6)] for _ in range(4)]
+    mean = sum(v for r in gray for v in r) / (24 * 255.0)
+    got = multimodal.image_decoder(
+        _png2([bytearray(r) for r in gray], 6, 0, 8, 1,
+              filters=[0, 1, 2, 4])
+    )
+    assert got == [6.0, 4.0, mean, mean, mean]
+    # gray+alpha (color 4, bpp 2): alpha bytes excluded from the mean
+    ga_rows = [
+        bytearray(b for v in r for b in (v, rng.randrange(256)))
+        for r in gray
+    ]
+    got = multimodal.image_decoder(
+        _png2(ga_rows, 6, 4, 8, 2, filters=[4, 3, 2, 1])
+    )
+    assert got == [6.0, 4.0, mean, mean, mean]
+
+
+def test_image_decoder_png_palette_index_out_of_range():
+    import pytest
+
+    palette = [(10, 20, 30), (40, 50, 60)]
+    rows = [_pack_indices([0, 1, 5], 8)]  # index 5 > palette size 2
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.image_decoder(_png2(rows, 3, 3, 8, 1, plte=palette))
+
+
+def test_image_decoder_png_palette_property_random():
+    """Random palette images across all four depths x random per-row
+    filters vs the independent encoder: means must be exact."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        depth = data.draw(st.sampled_from([1, 2, 4, 8]), label="depth")
+        ncol = data.draw(st.integers(1, 1 << depth), label="ncol")
+        w = data.draw(st.integers(1, 11), label="w")
+        h = data.draw(st.integers(1, 6), label="h")
+        palette = [
+            tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+            for _ in range(ncol)
+        ]
+        idx = [[data.draw(st.integers(0, ncol - 1)) for _ in range(w)]
+               for _ in range(h)]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        rows = [_pack_indices(r, depth) for r in idx]
+        got = multimodal.image_decoder(
+            _png2(rows, w, 3, depth, 1, plte=palette, filters=filters)
+        )
+        assert got == [float(w), float(h), *_pal_means(idx, palette)]
+
+    run()
