@@ -4,12 +4,12 @@ Images/audio/video ride as `binary` columns with a metadata struct;
 decode/feature-extraction runs as Arrow-batched `mapInPandas` so the
 bytes never round-trip through Python row-by-row. The decode step is
 pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
-24-bit BMP, binary PPM, non-interlaced 8-bit PNG of every color type
-(grayscale/truecolor/palette/with-alpha; palette also at 1/2/4-bit)
+24-bit BMP, binary PPM, the complete PNG still-image matrix (every
+color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7)
 and baseline sequential JPEG in pure stdlib(+numpy), and raises
 NotImplementedError for the remaining variants (progressive/arithmetic
-JPEG, 16-bit or Adam7 PNG, GIF, ... — the honest-stub branch,
-recorded as decode_ok=False);
+JPEG, GIF, WebP, ... — the honest-stub branch, recorded as
+decode_ok=False);
 `fake_decoder` is a deterministic byte-statistics
 stand-in that keeps the whole Spark-side contract (schema, batching,
 partitioning) testable for arbitrary bytes. Swap in PIL/torchaudio/
@@ -53,16 +53,16 @@ def fake_decoder(payload: bytes) -> list[float]:
 
 def image_decoder(payload: bytes) -> list[float]:
     """REAL pure-stdlib(+numpy) image decode: uncompressed 24-bit BMP
-    (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), non-interlaced 8-bit
-    PNG of every color type (grayscale / truecolor / palette / each
-    with alpha; palette also at 1/2/4-bit depth), and baseline
-    sequential JPEG (SOF0/SOF1, Huffman, any sampling factors <= 4).
-    Returns the fixed 5-float feature vector
-    [width, height, mean_r, mean_g, mean_b] with channel means
-    normalized to [0, 1].
+    (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), the complete PNG
+    still-image matrix (grayscale / truecolor / palette / each with
+    alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
+    Adam7-interlaced), and baseline sequential JPEG (SOF0/SOF1,
+    Huffman, any sampling factors <= 4). Returns the fixed 5-float
+    feature vector [width, height, mean_r, mean_g, mean_b] with
+    channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    16-bit/Adam7-interlaced PNG, GIF/WebP/TIFF/...) raise
+    GIF/WebP/TIFF/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -76,8 +76,8 @@ def image_decoder(payload: bytes) -> list[float]:
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP, binary PPM, non-interlaced "
-        "8-bit PNG (any color type) and baseline sequential JPEG decode "
+        "only uncompressed 24-bit BMP, binary PPM, PNG (full "
+        "still-image matrix) and baseline sequential JPEG decode "
         "in-container; swap in PIL/opencv via decoder= for other formats"
     )
 
@@ -171,14 +171,16 @@ def _decode_ppm(payload: bytes) -> list[float]:
 
 
 def _decode_png(payload: bytes) -> list[float]:
-    """Pure-stdlib PNG decode (zlib ships in-container): every
-    non-interlaced 8-bit-depth color type — grayscale (0), truecolor
-    (2), palette (3, also at bit depths 1/2/4 via PLTE), grayscale
-    with alpha (4), truecolor with alpha (6) — and all five scanline
-    filters (None/Sub/Up/Average/Paeth). Channel means cover R/G/B
-    only; alpha (including tRNS palette transparency) is ignored.
-    16-bit and Adam7-interlaced variants need real codec work and stay
-    on the honest NotImplementedError branch."""
+    """Pure-stdlib PNG decode (zlib ships in-container): the COMPLETE
+    PNG still-image matrix — color types grayscale (0), truecolor (2),
+    palette (3, bit depths 1/2/4/8 via PLTE), grayscale+alpha (4),
+    truecolor+alpha (6); bit depths 8 and 16 (palette 1/2/4/8); both
+    sequential and Adam7-interlaced layouts; all five scanline filters
+    (None/Sub/Up/Average/Paeth). Channel means cover R/G/B only; alpha
+    (including tRNS palette transparency) is ignored. Adam7 costs
+    nothing extra for means: each of the seven passes is an
+    independent sub-image whose pixels accumulate into the same sums,
+    so no deinterleave buffer is ever built."""
     import struct
     import zlib
 
@@ -208,12 +210,11 @@ def _decode_png(payload: bytes) -> list[float]:
     )
     if color not in (0, 2, 3, 4, 6):
         raise ValueError(f"PNG invalid color type {color}")
-    ok_depth = (1, 2, 4, 8) if color == 3 else (8,)
-    if depth not in ok_depth or interlace != 0:
+    ok_depth = (1, 2, 4, 8) if color == 3 else (8, 16)
+    if depth not in ok_depth or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only non-interlaced 8-bit (palette: 1/2/4/8-bit) PNG "
-            f"supported (depth={depth}, color_type={color}, "
-            f"interlace={interlace})"
+            f"unsupported PNG shape (depth={depth}, color_type={color}, "
+            f"interlace={interlace}) — outside the spec'd matrix"
         )
     if comp != 0 or filt != 0:
         raise ValueError("PNG with nonstandard compression/filter method")
@@ -227,61 +228,99 @@ def _decode_png(payload: bytes) -> list[float]:
     except zlib.error as e:
         raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    bits = depth * channels
-    stride = (width * bits + 7) // 8
-    # filtering operates on BYTES; sub-byte pixels filter at 1-byte lag
-    bpp = max(1, bits // 8)
-    if len(raw) != height * (1 + stride):
-        raise ValueError("PNG decompressed size mismatch")
-    prior = bytearray(stride)
     tot = [0, 0, 0]
-    # palette/grayscale fold through a value histogram (one palette
-    # multiply at the end instead of one per pixel)
+    # palette / 8-bit grayscale fold through a value histogram (one
+    # palette multiply at the end instead of one per pixel)
     hist = [0] * 256
-    for row in range(height):
-        base = row * (1 + stride)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                c = prior[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG unknown scanline filter {ftype}")
-        if color in (2, 6):
-            tot[0] += sum(line[0::channels])
-            tot[1] += sum(line[1::channels])
-            tot[2] += sum(line[2::channels])
-        elif depth == 8:  # grayscale / gray+alpha / 8-bit palette
-            for v in line[0::channels]:
-                hist[v] += 1
-        else:  # sub-byte palette indices, MSB-first, row-end pad bits
-            mask = (1 << depth) - 1
-            done = 0
-            for byte in line:
-                for shift in range(8 - depth, -1, -depth):
-                    hist[(byte >> shift) & mask] += 1
-                    done += 1
-                    if done == width:
+
+    def consume(off: int, w_p: int, h_p: int) -> int:
+        """Unfilter + accumulate one sub-image (the whole image when
+        sequential; one Adam7 pass when interlaced) starting at `off`
+        in the decompressed stream; returns the next offset."""
+        bits = depth * channels
+        stride = (w_p * bits + 7) // 8
+        # filtering operates on BYTES; sub-byte pixels filter at
+        # 1-byte lag
+        bpp = max(1, bits // 8)
+        if len(raw) < off + h_p * (1 + stride):
+            raise ValueError("PNG decompressed size mismatch")
+        prior = bytearray(stride)
+        for _row in range(h_p):
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prior[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prior[i]
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"PNG unknown scanline filter {ftype}")
+            if depth == 16:
+                # big-endian 16-bit samples; channel = sample index mod
+                # channels; grayscale accumulates channel 0 three ways
+                # at the end via tot[0]
+                vals = [
+                    (line[i] << 8) | line[i + 1]
+                    for i in range(0, stride, 2)
+                ]
+                if color in (2, 6):
+                    tot[0] += sum(vals[0::channels])
+                    tot[1] += sum(vals[1::channels])
+                    tot[2] += sum(vals[2::channels])
+                else:
+                    tot[0] += sum(vals[0::channels])
+            elif color in (2, 6):
+                tot[0] += sum(line[0::channels])
+                tot[1] += sum(line[1::channels])
+                tot[2] += sum(line[2::channels])
+            elif depth == 8:  # grayscale / gray+alpha / 8-bit palette
+                for v in line[0::channels]:
+                    hist[v] += 1
+            else:  # sub-byte palette indices, MSB-first, row-end pads
+                mask = (1 << depth) - 1
+                done = 0
+                for byte in line:
+                    for shift in range(8 - depth, -1, -depth):
+                        hist[(byte >> shift) & mask] += 1
+                        done += 1
+                        if done == w_p:
+                            break
+                    if done == w_p:
                         break
-                if done == width:
-                    break
-        prior = line
+            prior = line
+        return off
+
+    if interlace == 0:
+        end = consume(0, width, height)
+    else:  # Adam7: seven passes, each an independent filtered image
+        end = 0
+        for xs, ys, xstep, ystep in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            w_p = (width - xs + xstep - 1) // xstep
+            h_p = (height - ys + ystep - 1) // ystep
+            if w_p > 0 and h_p > 0:
+                end = consume(end, w_p, h_p)
+    if end != len(raw):
+        raise ValueError("PNG decompressed size mismatch")
     if color == 3:
         n_pal = len(plte) // 3
         top = max((i for i, c in enumerate(hist) if c), default=0)
@@ -295,9 +334,10 @@ def _decode_png(payload: bytes) -> list[float]:
                 tot[1] += c * plte[3 * i + 1]
                 tot[2] += c * plte[3 * i + 2]
     elif color in (0, 4):
-        gray = sum(i * c for i, c in enumerate(hist))
-        tot = [gray, gray, gray]
-    n = width * height * 255.0
+        if depth == 8:
+            tot[0] = sum(i * c for i, c in enumerate(hist))
+        tot = [tot[0], tot[0], tot[0]]
+    n = width * height * (255.0 if depth <= 8 else 65535.0)
     return [float(width), float(height), tot[0] / n, tot[1] / n, tot[2] / n]
 
 

@@ -286,10 +286,16 @@ def test_image_decoder_png_golden_all_filters():
 def test_image_decoder_png_unsupported_and_corrupt():
     import pytest
 
-    with pytest.raises(NotImplementedError, match="interlace"):
+    # interlace=1 and depth=16 DECODE since round 6; here the payload
+    # lies about its layout, so the stream-size check must catch it
+    with pytest.raises(ValueError, match="size mismatch"):
         multimodal.image_decoder(_png(PIXELS, interlace=1))
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(ValueError, match="size mismatch"):
         multimodal.image_decoder(_png(PIXELS, depth=16))
+    with pytest.raises(NotImplementedError, match="interlace=2"):
+        multimodal.image_decoder(_png(PIXELS, interlace=2))
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        multimodal.image_decoder(_png(PIXELS, depth=4))  # truecolor 4-bit
     # palette PNGs decode since round 6, but only with a PLTE present
     with pytest.raises(ValueError, match="PLTE"):
         multimodal.image_decoder(_png(PIXELS, color_type=3))
@@ -586,5 +592,171 @@ def test_image_decoder_png_palette_property_random():
             _png2(rows, w, 3, depth, 1, plte=palette, filters=filters)
         )
         assert got == [float(w), float(h), *_pal_means(idx, palette)]
+
+    run()
+
+
+# --- 16-bit and Adam7-interlaced PNG (round-6 completion) -------------------
+def _filter_fwd(byte_rows, bpp, filters):
+    """Forward-filter pre-packed scanlines (independent of the decoder's
+    inverse); prior resets at the first row — callers concatenate one
+    call per Adam7 pass."""
+    raw = bytearray()
+    prior = bytearray(len(byte_rows[0]) if byte_rows else 0)
+    for f, row in zip(filters, byte_rows):
+        line = bytearray(row)
+        out = bytearray(line)
+        if f == 1:
+            for i in range(len(line) - 1, bpp - 1, -1):
+                out[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(len(line)):
+                out[i] = (line[i] - prior[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                out[i] = (line[i] - (left + prior[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                out[i] = (line[i] - pred) & 0xFF
+        raw.append(f)
+        raw += out
+        prior = line
+    return raw
+
+
+def _png_wrap(width, height, depth, color_type, interlace, raw, plte=None):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                    interlace),
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(b for c in plte for b in c))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _pack16(samples):
+    return bytearray(b for v in samples for b in ((v >> 8) & 0xFF, v & 0xFF))
+
+
+def test_image_decoder_png_16bit_truecolor_and_gray(rng_seed=21):
+    import random
+
+    rng = random.Random(rng_seed)
+    w, h = 5, 4
+    px = [[tuple(rng.randrange(65536) for _ in range(3)) for _ in range(w)]
+          for _ in range(h)]
+    rows = [_pack16([s for p in row for s in p]) for row in px]
+    raw = _filter_fwd(rows, 6, [0, 1, 3, 4])
+    got = multimodal.image_decoder(_png_wrap(w, h, 16, 2, 0, raw))
+    exp = [sum(p[c] for row in px for p in row) / (w * h * 65535.0)
+           for c in range(3)]
+    assert got == [float(w), float(h), *exp]
+    # 16-bit gray+alpha: alpha halves excluded
+    gray = [[rng.randrange(65536) for _ in range(w)] for _ in range(h)]
+    ga_rows = [
+        _pack16([s for v in row for s in (v, rng.randrange(65536))])
+        for row in gray
+    ]
+    raw = _filter_fwd(ga_rows, 4, [4, 2, 1, 0])
+    got = multimodal.image_decoder(_png_wrap(w, h, 16, 4, 0, raw))
+    m = sum(v for row in gray for v in row) / (w * h * 65535.0)
+    assert got == [float(w), float(h), m, m, m]
+
+
+def _adam7_raw(pixels_to_bytes, width, height, bpp, rng):
+    """Build an Adam7 stream: per pass, select the pass's pixels, pack
+    rows via pixels_to_bytes, filter with a fresh prior."""
+    raw = bytearray()
+    for xs, ys, xst, yst in ADAM7:
+        rows = []
+        for y in range(ys, height, yst):
+            rows.append(pixels_to_bytes(y, list(range(xs, width, xst))))
+        rows = [r for r in rows if r is not None]
+        if not rows or not rows[0]:
+            continue
+        raw += _filter_fwd(rows, bpp, [rng.randrange(5) for _ in rows])
+    return raw
+
+
+def test_image_decoder_png_adam7_truecolor():
+    import random
+
+    rng = random.Random(31)
+    for w, h in ((11, 9), (1, 1), (3, 10), (8, 8)):
+        px = [[tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+              for _ in range(h)]
+
+        def row_bytes(y, xcols):
+            return bytearray(b for x in xcols for b in px[y][x])
+
+        raw = _adam7_raw(row_bytes, w, h, 3, rng)
+        got = multimodal.image_decoder(_png_wrap(w, h, 8, 2, 1, raw))
+        exp = [sum(p[c] for row in px for p in row) / (w * h * 255.0)
+               for c in range(3)]
+        assert got == [float(w), float(h), *exp], (w, h)
+
+
+def test_image_decoder_png_adam7_subbyte_palette():
+    import random
+
+    rng = random.Random(32)
+    depth, ncol = 2, 4
+    palette = [tuple(rng.randrange(256) for _ in range(3))
+               for _ in range(ncol)]
+    w, h = 13, 6  # odd width: per-pass rows carry pad bits
+    idx = [[rng.randrange(ncol) for _ in range(w)] for _ in range(h)]
+
+    def row_bytes(y, xcols):
+        return _pack_indices([idx[y][x] for x in xcols], depth)
+
+    raw = _adam7_raw(row_bytes, w, h, 1, rng)
+    got = multimodal.image_decoder(
+        _png_wrap(w, h, depth, 3, 1, raw, plte=palette)
+    )
+    assert got == [float(w), float(h), *_pal_means(idx, palette)]
+
+
+def test_image_decoder_png_adam7_16bit_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def run(data):
+        import random
+
+        w = data.draw(st.integers(1, 10), label="w")
+        h = data.draw(st.integers(1, 10), label="h")
+        px = [[data.draw(st.integers(0, 65535)) for _ in range(w)]
+              for _ in range(h)]
+        rng = random.Random(data.draw(st.integers(0, 999)))
+
+        def row_bytes(y, xcols):
+            return _pack16([px[y][x] for x in xcols])
+
+        raw = _adam7_raw(row_bytes, w, h, 2, rng)
+        got = multimodal.image_decoder(_png_wrap(w, h, 16, 0, 1, raw))
+        m = sum(v for row in px for v in row) / (w * h * 65535.0)
+        assert got == [float(w), float(h), m, m, m]
 
     run()
