@@ -92,6 +92,8 @@ PENDING_HEADLINE: list[str] = [
     "q_dist_drift",
     "q_mad_outliers",
     "q_rrf_fusion",
+    "q_html_strip",
+    "q_token_budget",
 ]
 
 

@@ -66,6 +66,37 @@ def main() -> None:
     freq = sketch.exact_frequent_items(toks, F.col("tok"), min_count=200)
     print("frequent tokens (>=200):", freq.count(), "(CMS-pruned exact)")
 
+    # drift between the even/odd halves (a stand-in for two snapshots)
+    cen = sketch.drift_census(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        F.col("n_chars"),
+    )
+    print(f"length-distribution PSI even/odd = {sketch.psi_drift(cen):.4f}")
+    for lang, psi in sorted(
+        sketch.psi_drift_by(
+            sketch.drift_census_by(
+                docs.where(F.col("doc_id") % 2 == 0),
+                docs.where(F.col("doc_id") % 2 == 1),
+                F.col("lang"), F.col("n_chars"),
+            )
+        ).items()
+    )[:3]:
+        print(f"  PSI[{lang}] = {psi:.4f}")
+
+    out = sketch.mad_outliers(docs, F.col("n_chars"), ["doc_id"], 2, 1)
+    print(f"MAD length outliers (2x): {out.count()}")
+
+    from osmexpress_spark.operators import sample as smp
+    sel = smp.budget_select(
+        docs.select(
+            "doc_id", "n_chars",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        ),
+        F.col("n_chars"), F.col("n_tok"), 1500, "doc_id",
+    )
+    print(f"token-budget(1500) selects {sel.count()} docs")
+
     words = bpe.word_counts(docs, F.col("text")).localCheckpoint()
     merges = bpe.bpe_train(words, n_merges=40)
     enc = bpe.bpe_encode(docs, "doc_id", F.col("text"), merges)

@@ -479,3 +479,60 @@ def priority_sample_per_key(
         .withColumn(rank_name, F.row_number().over(w).cast("int"))
         .where(F.col(rank_name) <= k)
     )
+
+
+def budget_select(
+    df: DataFrame,
+    order_col: Column,
+    weight: Column,
+    budget: int,
+    id_col: str,
+) -> DataFrame:
+    """Greedy token-budget selection (the data-mixing step that turns
+    'we want the best N-billion-token subset' into rows): rank the
+    corpus by (order_col DESC, id ASC) and keep every document whose
+    running weight total — ITSELF INCLUDED — still fits the budget.
+    Output: the selected rows + cum_w (the running total, exact
+    integers). Deterministic: ties break on id, membership is a pure
+    function of the data.
+
+    Scale shape: the contract form is one global ordered window cumsum
+    (the q_global_shuffle / pack_sequences shape); at 100 TB use
+    budget_select_sharded — hash shards with proportional sub-budgets,
+    each a parallel independent window, no global sort."""
+    if budget < 0:
+        raise ValueError("budget must be nonnegative")
+    w = Window.orderBy(order_col.desc(), F.col(id_col))
+    return (
+        df.withColumn("cum_w", F.sum(weight.cast("long")).over(w))
+        .where(F.col("cum_w") <= budget)
+    )
+
+
+def budget_select_sharded(
+    df: DataFrame,
+    order_col: Column,
+    weight: Column,
+    budget: int,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """budget_select's at-scale form: deterministic id-hash shards,
+    each greedily filling budget//n_shards with its own ordered window
+    — fully parallel (windows partition by shard), no global sort.
+    The union honors the total budget exactly (each shard under-fills
+    at worst by one document) and approximates the global greedy
+    order: a shard can keep a locally-best document that global greedy
+    would have cut, which is the standard trade for removing the
+    global-order bottleneck. Adds shard + cum_w columns."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(
+        F.abs(F.hash(F.col(id_col).cast("string"))), F.lit(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy(order_col.desc(), F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("cum_w", F.sum(weight.cast("long")).over(w))
+        .where(F.col("cum_w") <= budget // n_shards)
+    )

@@ -933,3 +933,70 @@ def winsorized_stats(
         .withColumn("clip_lo", F.lit(lo).cast("long"))
         .withColumn("clip_hi", F.lit(hi).cast("long"))
     )
+
+
+def drift_census_by(
+    old: DataFrame,
+    new: DataFrame,
+    key: Column,
+    value: Column,
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Per-group drift_census: (key, bucket, old_n, new_n, lo, hi) —
+    the per-language/per-source form of snapshot drift monitoring.
+    Same exact-integer contract; each side is one grouped sketch scan
+    (quantile_sketch_build_by's plan), the join is over two bounded
+    grouped sketches (<=1025 rows per group per side)."""
+    a = quantile_sketch_build_by(
+        old.select(key.cast("string").alias("key"), value.alias("_v")),
+        F.col("key"), F.col("_v"), sub_bits,
+    ).withColumnRenamed("cnt", "old_n")
+    b = quantile_sketch_build_by(
+        new.select(key.cast("string").alias("key"), value.alias("_v")),
+        F.col("key"), F.col("_v"), sub_bits,
+    ).withColumnRenamed("cnt", "new_n")
+    j = a.join(b, ["key", "bucket"], "full_outer").select(
+        "key",
+        "bucket",
+        F.coalesce("old_n", F.lit(0)).alias("old_n"),
+        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+    )
+    lo, hi = quantile_bucket_bounds(F.col("bucket"), sub_bits)
+    return j.select(
+        "key", "bucket", "old_n", "new_n", lo.alias("lo"), hi.alias("hi")
+    )
+
+
+def psi_drift_by(
+    census: DataFrame, floor: float = 1e-6, max_groups: int = _XQ_MAX_GROUPS
+) -> dict[str, float]:
+    """Per-key PSI over a drift_census_by frame; groups whose old or
+    new side is empty map to float('inf') (total drift — the group
+    appeared or vanished). Collects the census — bounded by the same
+    max_groups cap as exact_quantiles_by (checked BEFORE the collect,
+    so a runaway key space cannot flood the driver)."""
+    import math
+
+    n_groups = census.select(F.countDistinct("key")).collect()[0][0]
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{n_groups} groups exceeds the {max_groups} cap; "
+            "pre-aggregate the key space"
+        )
+    per: dict[str, list] = {}
+    for r in census.select("key", "old_n", "new_n").collect():
+        per.setdefault(r["key"], []).append((r["old_n"], r["new_n"]))
+    out: dict[str, float] = {}
+    for k, rows in per.items():
+        n_old = sum(o for o, _ in rows)
+        n_new = sum(nn for _, nn in rows)
+        if n_old == 0 or n_new == 0:
+            out[k] = float("inf")
+            continue
+        psi = 0.0
+        for o, nn in rows:
+            p = max(o / n_old, floor)
+            q = max(nn / n_new, floor)
+            psi += (p - q) * math.log(p / q)
+        out[k] = psi
+    return out

@@ -326,3 +326,67 @@ def quality_logreg(
     return F.struct(
         logit.alias("logit_micro"), (logit > 0).alias("keep")
     )
+
+
+# --- HTML -> text extraction (web-crawl ingest) ------------------------------
+#
+# The CommonCrawl-shaped ingest step: crawled documents arrive as HTML
+# and every downstream curation operator (dedup, quality, lang-id,
+# tokenization) wants visible text. The extraction is a fixed chain of
+# RE2-compatible regexp_replace passes — no backreferences, explicit
+# whitespace classes — so Spark (Java regex) and DuckDB (RE2) agree
+# byte-for-byte and the operator stays a pure scan-side column
+# expression: zero shuffle, zero Python, pipelines with every other
+# gate in the same Catalyst stage.
+
+_HTML_PASSES = [
+    # script/style payloads vanish entirely (their text is not content);
+    # two passes because RE2 has no backreferences to share one
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),        # comments
+    (r"(?s)<[^>]*>", " "),           # every remaining tag
+]
+
+# decoded AFTER tag removal, &amp; strictly last (standard order, so
+# '&amp;lt;' decodes to the literal '&lt;' and never to '<')
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_strip(html: Column) -> Column:
+    """Visible text of an HTML document: drop script/style/comments,
+    strip tags, decode the six ubiquitous entities, collapse
+    whitespace. Returns trimmed single-spaced text.
+
+    This is extraction, not parsing: malformed HTML degrades to 'tags
+    removed where recognizable' instead of erroring, which is the
+    behavior a 100 TB crawl actually needs (a parser that throws on
+    tag soup stops the job; regex extraction is total). The whitespace
+    class is written out explicitly ([ \\t\\n\\r\\f]) because Java and
+    RE2 disagree on whether \\s includes \\x0B."""
+    out = html
+    for pat, repl in _HTML_PASSES:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"[ \t\n\r\f]+", " "))
+
+
+def html_strip_sql(expr: str) -> str:
+    """The DuckDB twin of html_strip over SQL expression `expr` —
+    identical pass order; DuckDB regexp_replace needs the explicit 'g'
+    flag where Spark's is always global."""
+    out = expr
+    for pat, repl in _HTML_PASSES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"

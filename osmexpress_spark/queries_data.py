@@ -3759,3 +3759,87 @@ def q_rrf_fusion(spark, sf_dir):
     return retrieval.rrf_fusion(
         d, e, _RRF_TERMS, query_vec_id=_RRF_QID, k=10, k_each=20
     )
+
+
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+    '<style>p { color: red; }</style></head><body><!-- crawl artifact -->'
+    '<h1 class="title">'
+)
+_HTML_MID = '</h1><p id="c">'
+_HTML_POST = ' &amp; more &lt;tags&gt;</p></body></html>'
+
+_HTML_DOC_SQL = (
+    f"'{_HTML_PRE}' || lang || '{_HTML_MID}' || text || '{_HTML_POST}'"
+)
+
+
+@defq_pending(
+    "q_html_strip",
+    f"""
+    SELECT doc_id,
+           {text.html_strip_sql(_HTML_DOC_SQL)} AS clean,
+           CAST(length({text.html_strip_sql(_HTML_DOC_SQL)}) AS INTEGER)
+             AS n_chars_clean
+    FROM documents
+    """,
+)
+def q_html_strip(spark, sf_dir):
+    """HTML -> visible text extraction (operators/text.py:html_strip),
+    the web-crawl ingest step: every document wrapped in a realistic
+    tag-soup shell (script with a '<' INSIDE it, style, comment,
+    entities) and stripped back to clean text by the fixed RE2-safe
+    regexp_replace chain. Pure scan-side column expression — zero
+    shuffle, zero Python, byte-identical across engines (the oracle
+    runs the same pass chain via html_strip_sql)."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE), F.col("lang"), F.lit(_HTML_MID),
+        F.col("text"), F.lit(_HTML_POST),
+    )
+    clean = text.html_strip(html)
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).alias("n_chars_clean"),
+    )
+
+
+_BUDGET_TOKENS = 1500
+
+
+@defq_pending(
+    "q_token_budget",
+    f"""
+    WITH v AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS cum_w
+      FROM v
+    )
+    SELECT doc_id, n_chars, n_tok, cum_w FROM c
+    WHERE cum_w <= {_BUDGET_TOKENS}
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Greedy token-budget selection (operators/sample.py:
+    budget_select): documents ranked by length keep filling the
+    training-mix budget while the running token total — selection
+    included — still fits. One ordered window cumsum (the contract
+    shape; budget_select_sharded is the no-global-sort scale path),
+    exact integers throughout, deterministic id tie-break."""
+    from .operators import sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return sample.budget_select(
+        d, F.col("n_chars"), F.col("n_tok"), _BUDGET_TOKENS, "doc_id"
+    )

@@ -62,6 +62,8 @@ SUBSET = [
     "q_mad_outliers",          # two exact medians + scan-side flag
     "q_winsorized_stats",      # exact clip bounds + grouped agg
     "q_rrf_fusion",            # BM25 + cosine rank fusion
+    "q_html_strip",            # scan-side regex extraction chain
+    "q_token_budget",          # ordered window cumsum selection
 ]
 
 

@@ -213,3 +213,160 @@ def test_rrf_fusion_plan_has_no_python(spark):
         docs, vecs, ["spark"], query_vec_id=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- HTML -> text extraction --------------------------------------------------
+
+
+def test_html_strip_tag_soup_cases(spark):
+    from osmexpress_spark.operators import text as TX
+
+    cases = [
+        # script containing '<' must vanish whole, not truncate at it
+        ('<p>a</p><script>if (1 < 2) { alert("<b>x</b>"); }</script>b',
+         "a b"),
+        ('<style media="all">p > span { x: 1; }</style>hi', "hi"),
+        ("<!-- <p>not content</p> -->only this", "only this"),
+        ("no markup at all", "no markup at all"),
+        ("<div><br/><img src='x.png'>text</div>", "text"),
+        # entity order: &amp;lt; is the LITERAL string '&lt;', not '<'
+        ("a &amp;lt; b &lt; c &amp; d", "a &lt; b < c & d"),
+        ("x&nbsp;&nbsp;y", "x y"),
+        ("  <p>  spaced \t out \n lines  </p>  ", "spaced out lines"),
+        # malformed tag soup degrades, never errors
+        ("<p unclosed <b>bold</b", "bold</b"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["clean"]
+        for r in df.select(
+            "i", TX.html_strip(F.col("html")).alias("clean")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_html_strip_sql_twin_agrees(spark):
+    """html_strip_sql must produce the identical bytes through DuckDB
+    for every tag-soup case — the same contract the driver gate checks
+    on the fixed corpus, here on adversarial inputs."""
+    import duckdb
+
+    from osmexpress_spark.operators import text as TX
+
+    cases = [
+        '<p>a</p><script>if (1 < 2) { alert("<b>x</b>"); }</script>b',
+        "a &amp;lt; b &lt; c &amp; d",
+        "<p unclosed <b>bold</b",
+        "<style>p{}</style><!-- x -->ok &nbsp; &#39;q&#39;",
+    ]
+    df = spark.createDataFrame([(h,) for h in cases], "html string")
+    got_spark = [
+        r["clean"]
+        for r in df.select(TX.html_strip(F.col("html")).alias("clean"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {TX.html_strip_sql('?')} AS clean", [h]
+        ).fetchone()[0]
+        for h in cases
+    ]
+    assert got_spark == got_duck
+
+
+def test_html_strip_is_scan_side_only(spark):
+    from osmexpress_spark.operators import text as TX
+
+    df = spark.createDataFrame([("<p>x</p>",)], "html string")
+    plan = (
+        df.select(TX.html_strip(F.col("html")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# --- token-budget selection ----------------------------------------------------
+
+
+def test_budget_select_greedy_boundary(spark):
+    from osmexpress_spark.operators import sample
+
+    rows = [(1, 10, 100), (2, 9, 100), (3, 8, 100), (4, 7, 100)]
+    d = spark.createDataFrame(rows, "doc_id long, q long, w long")
+    got = sample.budget_select(
+        d, F.col("q"), F.col("w"), 250, "doc_id"
+    ).collect()
+    # greedy by q desc: docs 1, 2 fit (100, 200); doc 3 would hit 300
+    assert sorted(r["doc_id"] for r in got) == [1, 2]
+    assert {r["doc_id"]: r["cum_w"] for r in got} == {1: 100, 2: 200}
+    # exact-boundary inclusion: budget 300 admits doc 3
+    got = sample.budget_select(d, F.col("q"), F.col("w"), 300, "doc_id")
+    assert got.count() == 3
+    with pytest.raises(ValueError, match="budget"):
+        sample.budget_select(d, F.col("q"), F.col("w"), -1, "doc_id")
+
+
+def test_budget_select_sharded_parallel_and_bounded(spark):
+    from osmexpress_spark.operators import sample
+
+    rows = [(i, i % 17, 10) for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, q long, w long")
+    got = sample.budget_select_sharded(
+        d, F.col("q"), F.col("w"), 800, "doc_id", n_shards=8
+    )
+    rows_out = got.collect()
+    # every shard independently honors its proportional sub-budget
+    per_shard: dict = {}
+    for r in rows_out:
+        per_shard[r["shard"]] = max(
+            per_shard.get(r["shard"], 0), r["cum_w"]
+        )
+    assert per_shard and all(v <= 100 for v in per_shard.values())
+    # total stays within the global budget
+    assert sum(10 for _ in rows_out) <= 800
+    # plan: windows partition by shard -> no global single-partition sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+# --- per-group drift ------------------------------------------------------------
+
+
+def test_drift_census_by_and_psi(spark):
+    from osmexpress_spark.operators import sketch
+
+    old = spark.createDataFrame(
+        [(i, "a", 4) for i in range(20)]
+        + [(i, "b", 4) for i in range(20)],
+        "doc_id long, k string, v long",
+    )
+    new = spark.createDataFrame(
+        [(i, "a", 4) for i in range(20)]          # group a: unchanged
+        + [(i, "b", 4096) for i in range(20)]     # group b: fully moved
+        + [(i, "c", 7) for i in range(5)],        # group c: appeared
+        "doc_id long, k string, v long",
+    )
+    cen = sketch.drift_census_by(old, new, F.col("k"), F.col("v"))
+    psi = sketch.psi_drift_by(cen)
+    assert psi["a"] == 0.0
+    assert psi["b"] > 10.0
+    assert psi["c"] == float("inf")  # no old-side mass at all
+    rows = [r for r in cen.collect() if r["key"] == "b"]
+    assert sorted((r["old_n"], r["new_n"]) for r in rows) == [(0, 20), (20, 0)]
+
+
+def test_psi_drift_by_group_cap(spark):
+    from osmexpress_spark.operators import sketch
+
+    cen = spark.createDataFrame(
+        [(f"k{i}", 1, 1, 1) for i in range(50)],
+        "key string, bucket int, old_n long, new_n long",
+    )
+    with pytest.raises(ValueError, match="cap"):
+        sketch.psi_drift_by(cen, max_groups=10)
