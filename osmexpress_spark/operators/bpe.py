@@ -134,6 +134,14 @@ def bpe_train(
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     syms = _initial_symbols(words, eow)
+    if n_merges > 0:
+        # truncate the corpus lineage BEFORE the loop: without this,
+        # every iteration's collect re-runs whatever produced `words`
+        # (typically the corpus-sized word count) — measured 53s for 8
+        # merges at sf0.1 vs ~3s with the one-time vocabulary-sized
+        # materialization (SCALING.md round 6). The periodic checkpoint
+        # below then only has to bound the merge-fold expression growth.
+        syms = syms.localCheckpoint()
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         top = (

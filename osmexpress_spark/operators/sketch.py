@@ -946,13 +946,18 @@ def drift_census_by(
     the per-language/per-source form of snapshot drift monitoring.
     Same exact-integer contract; each side is one grouped sketch scan
     (quantile_sketch_build_by's plan), the join is over two bounded
-    grouped sketches (<=1025 rows per group per side)."""
+    grouped sketches (<=1025 rows per group per side). Null keys are
+    dropped on BOTH sides — a null group would never equi-join in the
+    full-outer and the two sides' null rows would report as two
+    phantom appeared/vanished groups (the exact_quantiles_by rule)."""
     a = quantile_sketch_build_by(
-        old.select(key.cast("string").alias("key"), value.alias("_v")),
+        old.select(key.cast("string").alias("key"), value.alias("_v"))
+        .where(F.col("key").isNotNull()),
         F.col("key"), F.col("_v"), sub_bits,
     ).withColumnRenamed("cnt", "old_n")
     b = quantile_sketch_build_by(
-        new.select(key.cast("string").alias("key"), value.alias("_v")),
+        new.select(key.cast("string").alias("key"), value.alias("_v"))
+        .where(F.col("key").isNotNull()),
         F.col("key"), F.col("_v"), sub_bits,
     ).withColumnRenamed("cnt", "new_n")
     j = a.join(b, ["key", "bucket"], "full_outer").select(

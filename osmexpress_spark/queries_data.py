@@ -3686,7 +3686,7 @@ _MAD_SCALE = (2, 1)
 def q_mad_outliers(spark, sf_dir):
     """Robust outlier detection (operators/sketch.py:mad_outliers):
     docs whose length deviates from the corpus median by more than
-    {2}x the median absolute deviation. Median and MAD come from two
+    2x the median absolute deviation. Median and MAD come from two
     exact_quantiles calls (bounded histogram-refinement passes,
     rank = ceil(n/2) — the identical ROW_NUMBER selection the oracle
     runs); the flag is a scan-side integer inequality, so the corpus

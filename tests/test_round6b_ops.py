@@ -370,3 +370,21 @@ def test_psi_drift_by_group_cap(spark):
     )
     with pytest.raises(ValueError, match="cap"):
         sketch.psi_drift_by(cen, max_groups=10)
+
+
+def test_drift_census_by_drops_null_keys(spark):
+    """Null keys would never equi-join in the full-outer and would
+    surface as two phantom appeared/vanished groups — both sides drop
+    them instead (the exact_quantiles_by rule)."""
+    from osmexpress_spark.operators import sketch
+
+    old = spark.createDataFrame(
+        [(1, None, 4), (2, "a", 4)], "doc_id long, k string, v long"
+    )
+    new = spark.createDataFrame(
+        [(3, None, 4), (4, "a", 4)], "doc_id long, k string, v long"
+    )
+    cen = sketch.drift_census_by(old, new, F.col("k"), F.col("v"))
+    keys = {r["key"] for r in cen.collect()}
+    assert keys == {"a"}
+    assert sketch.psi_drift_by(cen) == {"a": 0.0}
