@@ -641,13 +641,28 @@ def doc_dup_spans(
     text_col: str,
     k: int = 5,
     min_docs: int = 2,
+    hot_hash_cap: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-window counts (doc_id, n_spans,
     n_dup_spans) — the removal signal: n_dup_spans/n_spans is the
     fraction of the document covered by cross-document duplicate
     windows (emitted as exact integers per the no-rounded-rationals
     rule). Two scans of the span stream + one join on the window hash;
-    document text itself never shuffles."""
+    document text itself never shuffles.
+
+    hot_hash_cap closes the one skew exposure of the single-shuffle
+    plan: a ubiquitous boilerplate hash concentrates its occurrence
+    list in one reducer. With the cap set, a Count-Min sketch over the
+    span hashes (one extra bounded pass; the d*w grid is the only
+    driver transfer) becomes a SCAN-SIDE occurrence-count upper-bound
+    predicate, and any window whose bound exceeds the cap never
+    reaches the aggregate at all. The bound only over-counts, so no
+    genuinely hot hash can slip through; borderline hashes sharing a
+    CMS cell with a hot one may be screened too (they are boilerplate
+    neighbors by construction — acceptable for a dedup *signal*).
+    Screened windows still count in n_spans, they just cannot count as
+    duplicated — the same semantics as pre-screening with
+    text.boilerplate_ngrams, but self-contained and cheaper."""
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -657,13 +672,32 @@ def doc_dup_spans(
         F.col(id_col).alias("doc_id"),
         F.explode(span_hashes(F.col(text_col), k)).alias("h"),
     )
+    if hot_hash_cap is not None:
+        if hot_hash_cap < min_docs:
+            raise ValueError("hot_hash_cap below min_docs screens everything")
+        from . import sketch
+
+        cms_rows = sketch.cms_build(sp, F.col("h")).collect()
+        grid = [[0] * 1024 for _ in range(3)]
+        for r in cms_rows:
+            grid[r["j"]][r["bucket"]] = r["cnt"]
+        bs = sketch._cms_buckets(F.col("h"), 1024, 3)
+        est = F.least(
+            *[
+                F.element_at(
+                    F.array(*[F.lit(c) for c in grid[j]]), bs[j] + F.lit(1)
+                )
+                for j in range(3)
+            ]
+        )
+        sp = sp.where(est <= F.lit(hot_hash_cap))
     # ONE evaluation of the span-hash expression and ONE shuffle on h:
     # each hash group carries its occurrence list out of the aggregate,
     # so no second pass joins back against the span stream (the join
     # form re-ran the md5 fold per DAG branch — measured 8.5s -> ~3s at
     # sf0.1). Occurrence lists are the same rows the join would have
-    # shuffled; a pathologically hot boilerplate hash concentrates its
-    # list in one reducer — screen such hashes out up front with
+    # shuffled; hot_hash_cap (above) bounds the largest possible list
+    # scan-side; without it, screen boilerplate up front with
     # text.boilerplate_ngrams at real scale.
     occ = (
         sp.groupBy("h")

@@ -388,3 +388,55 @@ def test_drift_census_by_drops_null_keys(spark):
     keys = {r["key"] for r in cen.collect()}
     assert keys == {"a"}
     assert sketch.psi_drift_by(cen) == {"a": 0.0}
+
+
+# --- doc_dup_spans hot-hash skew guard ----------------------------------------
+
+
+def test_doc_dup_spans_hot_hash_cap_screens_boilerplate(spark):
+    from osmexpress_spark.operators import dedup
+
+    boiler = "all rights reserved by the"          # 6 words -> hot 5-grams
+    rows = [(i, f"{boiler} unique{i} word{i} tail{i} extra{i}")
+            for i in range(60)]
+    # two true near-dup docs sharing a non-boilerplate window
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in dedup.doc_dup_spans(d, "doc_id", "text").collect()
+    }
+    capped = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in dedup.doc_dup_spans(
+            d, "doc_id", "text", hot_hash_cap=10
+        ).collect()
+    }
+    # uncapped: every boilerplate doc shows dup windows; capped: the
+    # 60-doc boilerplate hashes are screened scan-side
+    assert uncapped[0] > 0 and capped[0] == 0
+    # the genuine 2-doc duplicate window survives the cap untouched
+    assert capped[100] == uncapped[100] > 0
+    assert capped[101] == uncapped[101] > 0
+    # denominators (n_spans) are unchanged by screening
+    n_spans = {
+        r["doc_id"]: r["n_spans"]
+        for r in dedup.doc_dup_spans(d, "doc_id", "text").collect()
+    }
+    n_spans_capped = {
+        r["doc_id"]: r["n_spans"]
+        for r in dedup.doc_dup_spans(
+            d, "doc_id", "text", hot_hash_cap=10
+        ).collect()
+    }
+    assert n_spans == n_spans_capped
+
+
+def test_doc_dup_spans_hot_hash_cap_validation(spark):
+    from osmexpress_spark.operators import dedup
+
+    d = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="screens everything"):
+        dedup.doc_dup_spans(d, "doc_id", "text", hot_hash_cap=1)
