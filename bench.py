@@ -94,6 +94,7 @@ PENDING_HEADLINE: list[str] = [
     "q_rrf_fusion",
     "q_html_strip",
     "q_token_budget",
+    "q_dist_drift_by",
 ]
 
 

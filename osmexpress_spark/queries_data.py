@@ -3843,3 +3843,42 @@ def q_token_budget(spark, sf_dir):
     return sample.budget_select(
         d, F.col("n_chars"), F.col("n_tok"), _BUDGET_TOKENS, "doc_id"
     )
+
+
+@defq_pending(
+    "q_dist_drift_by",
+    f"""
+    WITH ob AS (SELECT lang AS key, {_qsk_bucket_sql('n_chars')} AS bucket
+                FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+    nb AS (SELECT lang AS key, {_qsk_bucket_sql('n_chars')} AS bucket
+           FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+    oc AS (SELECT key, CAST(bucket AS INTEGER) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS old_n FROM ob GROUP BY 1, 2),
+    nc AS (SELECT key, CAST(bucket AS INTEGER) AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS new_n FROM nb GROUP BY 1, 2),
+    j AS (SELECT COALESCE(oc.key, nc.key) AS key,
+                 COALESCE(oc.bucket, nc.bucket) AS bucket,
+                 COALESCE(old_n, CAST(0 AS BIGINT)) AS old_n,
+                 COALESCE(new_n, CAST(0 AS BIGINT)) AS new_n
+          FROM oc FULL OUTER JOIN nc
+            ON oc.key = nc.key AND oc.bucket = nc.bucket)
+    SELECT key, bucket, old_n, new_n, {_DRIFT_LO} AS lo, {_DRIFT_HI} AS hi
+    FROM j
+    """,
+)
+def q_dist_drift_by(spark, sf_dir):
+    """Per-language drift census (operators/sketch.py:drift_census_by):
+    the grouped form of q_dist_drift — each side one grouped sketch
+    scan, the full-outer join over two bounded grouped sketches, null
+    keys dropped on both sides (they could never equi-join).
+    psi_drift_by folds this census to per-language PSI driver-side
+    under the 4096-group cap."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.drift_census_by(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        F.col("lang"),
+        F.col("n_chars"),
+    )

@@ -64,6 +64,7 @@ SUBSET = [
     "q_rrf_fusion",            # BM25 + cosine rank fusion
     "q_html_strip",            # scan-side regex extraction chain
     "q_token_budget",          # ordered window cumsum selection
+    "q_dist_drift_by",         # grouped two-snapshot census
 ]
 
 
