@@ -221,3 +221,43 @@ def test_fuzzy_pairs_join_key_includes_length_bucket(spark):
     assert join_lines, "expected equi-joins in the fuzzy-pairs plan"
     assert all("__bk" in ln and "__k" in ln for ln in join_lines)
     assert "CartesianProduct" not in plan
+
+
+def test_staged_round6_plans_stay_jvm_side(spark):
+    """Every round-7-staged query's hot path must be Python-free (the
+    fusion/drift/outlier/budget/html family is pure column expressions
+    + bounded driver transfers by design)."""
+    for name in ("q_dist_drift", "q_dist_drift_by", "q_mad_outliers",
+                 "q_winsorized_stats", "q_rrf_fusion", "q_html_strip",
+                 "q_token_budget"):
+        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_html_strip_is_one_scan_no_exchange(spark):
+    """The crawl-extraction chain must pipeline inside the scan stage —
+    any Exchange would mean the regex chain broke whole-stage fusion."""
+    plan = _final_plan(QD.PENDING_SPARK_QUERIES["q_html_strip"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_drift_census_aggregates_map_side(spark):
+    """Both snapshot sketches must partial-aggregate before their
+    shuffle (two HashAggregate levels), so the shuffle carries bucket
+    partials, never raw rows."""
+    plan = _final_plan(QD.PENDING_SPARK_QUERIES["q_dist_drift"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "partial_count" in plan
+
+
+def test_rrf_fusion_scans_prune_columns(spark):
+    """The BM25 side must read only (doc_id, text); the vector side
+    only (vec_id, embedding) — fusion cannot drag wide columns."""
+    plan = _final_plan(QD.PENDING_SPARK_QUERIES["q_rrf_fusion"](spark, SF_DIR))
+    for schema_line in [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]:
+        assert "lang" not in schema_line and "source" not in schema_line
+        assert "label" not in schema_line
