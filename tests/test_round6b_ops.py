@@ -440,3 +440,153 @@ def test_doc_dup_spans_hot_hash_cap_validation(spark):
     d = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with pytest.raises(ValueError, match="screens everything"):
         dedup.doc_dup_spans(d, "doc_id", "text", hot_hash_cap=1)
+
+
+# --- property pins vs independent Python models -------------------------------
+
+
+def _py_bucket(v: int, sub_bits: int = 4) -> int:
+    """Independent model of sketch.quantile_bucket (restated, not
+    imported from the bounds helper)."""
+    if v <= 0:
+        return 0
+    octv = v.bit_length() - 1
+    sub = (v - (1 << octv)) >> max(octv - sub_bits, 0)
+    return 1 + octv * (1 << sub_bits) + sub
+
+
+def test_property_drift_census_matches_bucket_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from osmexpress_spark.operators import sketch
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        old = data.draw(
+            st.lists(st.integers(0, 1 << 40), min_size=1, max_size=40)
+        )
+        new = data.draw(
+            st.lists(st.integers(0, 1 << 40), min_size=1, max_size=40)
+        )
+        a = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(old)], "i long, v long"
+        )
+        b = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(new)], "i long, v long"
+        )
+        got = {
+            r["bucket"]: (r["old_n"], r["new_n"])
+            for r in sketch.drift_census(a, b, F.col("v")).collect()
+        }
+        model: dict = {}
+        for v in old:
+            k = _py_bucket(v)
+            model[k] = (model.get(k, (0, 0))[0] + 1, model.get(k, (0, 0))[1])
+        for v in new:
+            k = _py_bucket(v)
+            model[k] = (model.get(k, (0, 0))[0], model.get(k, (0, 0))[1] + 1)
+        assert got == model
+
+    run()
+
+
+def test_property_mad_outliers_matches_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from osmexpress_spark.operators import sketch
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        vals = data.draw(
+            st.lists(st.integers(0, 10_000), min_size=1, max_size=60)
+        )
+        sn = data.draw(st.integers(0, 4))
+        sd = data.draw(st.integers(1, 3))
+        d = spark.createDataFrame(list(enumerate(vals)), "doc_id long, v long")
+        got = {
+            r["doc_id"]: (r["abs_dev"], r["med"], r["mad"])
+            for r in sketch.mad_outliers(
+                d, F.col("v"), ["doc_id"], sn, sd
+            ).collect()
+        }
+        sv = sorted(vals)
+        med = sv[(len(sv) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        model = {
+            i: (abs(v - med), med, mad)
+            for i, v in enumerate(vals)
+            if abs(v - med) * sd > sn * mad
+        }
+        assert got == model, (vals, sn, sd, med, mad)
+
+    run()
+
+
+def test_property_budget_select_matches_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from osmexpress_spark.operators import sample
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(1, 40))
+        rows = [
+            (i, data.draw(st.integers(0, 50)), data.draw(st.integers(1, 99)))
+            for i in range(n)
+        ]
+        budget = data.draw(st.integers(0, 1500))
+        d = spark.createDataFrame(rows, "doc_id long, q long, w long")
+        got = {
+            r["doc_id"]: r["cum_w"]
+            for r in sample.budget_select(
+                d, F.col("q"), F.col("w"), budget, "doc_id"
+            ).collect()
+        }
+        model, cum = {}, 0
+        for i, q, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += w
+            if cum > budget:
+                break
+            model[i] = cum
+        assert got == model, (rows, budget)
+
+    run()
+
+
+def test_property_winsorized_matches_model(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from osmexpress_spark.operators import sketch
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(2, 60))
+        rows = [
+            (i, data.draw(st.sampled_from(["a", "b"])),
+             data.draw(st.integers(0, 10_000)))
+            for i in range(n)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, k string, v long")
+        got = {
+            r["key"]: (r["n"], r["win_sum"], r["clip_lo"], r["clip_hi"])
+            for r in sketch.winsorized_stats(
+                d, F.col("v"), F.col("k"), (1, 20), (19, 20)
+            ).collect()
+        }
+        sv = sorted(v for _, _, v in rows)
+        lo = sv[(len(sv) + 19) // 20 - 1]
+        hi = sv[(19 * len(sv) + 19) // 20 - 1]
+        model: dict = {}
+        for _, k, v in rows:
+            cnt, tot = model.get(k, (0, 0))
+            model[k] = (cnt + 1, tot + min(hi, max(lo, v)))
+        assert got == {
+            k: (c, s, lo, hi) for k, (c, s) in model.items()
+        }, (rows, lo, hi)
+
+    run()
