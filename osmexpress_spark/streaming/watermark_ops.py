@@ -179,3 +179,76 @@ def windowed_quantile_sketch(
             "cnt",
         )
     )
+
+
+def dedup_docs_stream_vs_corpus(
+    stream_docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    k: int = 2,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    append_signatures: bool = True,
+):
+    """Continuous-ingest near-dup dedup against the persisted corpus:
+    each micro-batch MinHash-band-joins against the signature STORE
+    (operators/dedup.py:ensure_signature_store — corpus text is never
+    scanned), survivors land in out_path/epoch=<id>/, and (by default)
+    the survivors' signatures append to the store so later batches
+    dedup against everything already admitted. This is the streaming
+    form of the daily incremental_dedup_pairs job: per-trigger cost
+    scales with the batch, corpus cost is |corpus| signature rows.
+
+    Exactly-once notes: the survivor write is per-epoch overwrite
+    (idempotent on foreachBatch retries); the signature append is
+    at-least-once — a retried epoch can duplicate signature rows,
+    which only re-creates candidate pairs that the band join's
+    distinct() absorbs, so admission decisions never change.
+
+    Returns the started StreamingQuery (availableNow trigger: drains
+    what is present, then stops — the daily-drop shape; rerun per
+    drop, or swap the trigger for a live feed)."""
+    from ..operators import dedup as dedup_ops
+
+    spark = stream_docs.sparkSession
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf = bdf.localCheckpoint()  # one materialization per trigger
+        if not bdf.take(1):
+            return
+        sig_c = dedup_ops.load_signature_store(
+            spark, store_path, id_col, n_hashes, k
+        )
+        pairs = dedup_ops.incremental_dedup_pairs(
+            None,
+            bdf,
+            id_col,
+            text_col,
+            n_hashes,
+            k,
+            bands,
+            max_bucket_size,
+            corpus_signatures=sig_c,
+        )
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = bdf.join(dup_ids, id_col, "left_anti").localCheckpoint()
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path.rstrip('/')}/epoch={epoch_id}"
+        )
+        if append_signatures:
+            dedup_ops.minhash_signatures_df(
+                survivors, id_col, text_col, n_hashes, k
+            ).write.mode("append").parquet(
+                store_path.rstrip("/") + "/signatures"
+            )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,3 +215,62 @@ def test_windowed_quantile_sketch_stream_and_batch(spark, tmp_path):
         r50 = sketch.quantile_sketch_query(skdf, [(1, 2)]).collect()[0]
         true = rows_w[(len(rows_w) + 1) // 2 - 1]
         assert r50["lo"] <= true <= r50["hi"]
+
+
+def test_dedup_docs_stream_vs_corpus_e2e(spark, tmp_path):
+    """Continuous-ingest dedup against the persisted signature store:
+    batch-1 drop admits the novel doc and rejects the corpus near-dup;
+    after the survivor signatures append, a batch-2 drop duplicating a
+    BATCH-1 survivor is rejected too — the store grows with admissions.
+    Corpus text is never read by the stream (only the signature
+    parquet)."""
+    import json
+
+    from osmexpress_spark.operators import dedup
+    from osmexpress_spark.streaming import watermark_ops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "totally different words here now then")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    dedup.ensure_signature_store(
+        corpus, store, "doc_id", "text", n_hashes=8, k=2, fingerprint="v1"
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    novel = "completely fresh content nothing shares these tokens"
+    with open(src / "day1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")     # corpus dup
+        f.write(json.dumps({"doc_id": 2, "text": novel}) + "\n")    # admit
+
+    out = str(tmp_path / "out")
+
+    def run_drop():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = watermark_ops.dedup_docs_stream_vs_corpus(
+            stream, store, out, str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run_drop()
+    admitted = {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    }
+    assert admitted == {2}
+
+    # day 2: a near-dup of the DAY-1 SURVIVOR and one more novel doc
+    with open(src / "day2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": novel}) + "\n")    # dup of 2
+        f.write(json.dumps(
+            {"doc_id": 4, "text": "yet another disjoint vocabulary set"}
+        ) + "\n")
+    run_drop()
+    admitted = {
+        r.doc_id for r in spark.read.parquet(out).collect()
+    }
+    assert admitted == {2, 4}, admitted
