@@ -95,6 +95,7 @@ PENDING_HEADLINE: list[str] = [
     "q_html_strip",
     "q_token_budget",
     "q_dist_drift_by",
+    "q_nb_confusion",
 ]
 
 

@@ -3882,3 +3882,94 @@ def q_dist_drift_by(spark, sf_dir):
         F.col("lang"),
         F.col("n_chars"),
     )
+
+
+_NB_TOKS_SQL = """
+    toks AS (
+      SELECT label, doc_id, substring(md5(token), 1, 2) AS b
+      FROM (SELECT lang AS label, doc_id,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE length(token) > 0
+    )"""
+
+
+@defq_pending(
+    "q_nb_token_counts",
+    f"""
+    WITH {_NB_TOKS_SQL}
+    SELECT label, b, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q_nb_token_counts(spark, sf_dir):
+    """Naive Bayes TRAINING aggregate (operators/classify.py:
+    nb_token_counts): per-class token-bucket counts — training a
+    corpus classifier is one map-side-combined count, nothing more.
+    The (classes x 256)-row output IS the model's sufficient
+    statistics."""
+    from .operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    return classify.nb_token_counts(d, F.col("lang"), F.col("text"))
+
+
+@defq_pending(
+    "q_nb_confusion",
+    f"""
+    WITH {_NB_TOKS_SQL},
+    counts AS (SELECT label, b, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY 1, 2),
+    tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot
+            FROM counts GROUP BY 1),
+    model AS (SELECT label, b,
+                     CAST(round(ln((cnt + 1e0) / (tot + 256e0))
+                                * 1000000e0) AS BIGINT) AS micro
+              FROM counts JOIN tot USING(label)),
+    dflt AS (SELECT label,
+                    CAST(round(ln(1e0 / (tot + 256e0))
+                               * 1000000e0) AS BIGINT) AS micro0
+             FROM tot),
+    priors AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    ntot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt FROM priors),
+    prior_micro AS (SELECT label,
+                           CAST(round(ln(CAST(n_docs AS DOUBLE) / nt)
+                                      * 1000000e0) AS BIGINT) AS pm
+                    FROM priors, ntot),
+    per_doc AS (SELECT doc_id AS id, b, CAST(COUNT(*) AS BIGINT) AS n
+                FROM toks GROUP BY 1, 2),
+    scored AS (
+      SELECT pd.id, d.label,
+             CAST(SUM(pd.n * COALESCE(m.micro, d.micro0)) AS BIGINT) AS ll
+      FROM per_doc pd CROSS JOIN dflt d
+      LEFT JOIN model m ON m.label = d.label AND m.b = pd.b
+      GROUP BY 1, 2
+    ),
+    finals AS (SELECT s.id, s.label, s.ll + p.pm AS score
+               FROM scored s JOIN prior_micro p USING(label)),
+    pred AS (SELECT id, label AS pred
+             FROM (SELECT id, label,
+                          ROW_NUMBER() OVER (PARTITION BY id
+                                             ORDER BY score DESC, label) AS rn
+                   FROM finals) WHERE rn = 1),
+    truth AS (SELECT doc_id AS id, lang AS label FROM documents)
+    SELECT t.label, p.pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM truth t JOIN pred p USING(id) GROUP BY 1, 2
+    """,
+)
+def q_nb_confusion(spark, sf_dir):
+    """Distributed Naive Bayes TRAIN + CLASSIFY as one Catalyst plan
+    (operators/classify.py:nb_self_confusion): the corpus trains a
+    hashed-bucket multinomial NB on its own language labels and
+    classifies itself; output is the (label, pred, n) confusion
+    matrix. Every document score is an exact BIGINT micro-nat sum
+    (the importance.py idiom — ln rounded to integer micro-nats with
+    identical formula text both engines), so the whole
+    train-plus-infer pipeline sits behind the value-hash gate."""
+    from .operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    return classify.nb_self_confusion(
+        d, "doc_id", F.col("lang"), F.col("text")
+    )

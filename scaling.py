@@ -65,6 +65,7 @@ SUBSET = [
     "q_html_strip",            # scan-side regex extraction chain
     "q_token_budget",          # ordered window cumsum selection
     "q_dist_drift_by",         # grouped two-snapshot census
+    "q_nb_confusion",          # NB train + classify, one plan
 ]
 
 

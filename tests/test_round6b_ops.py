@@ -590,3 +590,70 @@ def test_property_winsorized_matches_model(spark):
         }, (rows, lo, hi)
 
     run()
+
+
+# --- Naive Bayes train + classify ----------------------------------------------
+
+
+def test_nb_separable_corpus_classifies_perfectly(spark):
+    from osmexpress_spark.operators import classify
+
+    rows = (
+        [(i, "en", "the cat sat on the mat today") for i in range(20)]
+        + [(100 + i, "fr", "le chat est sur le tapis aujourd hui")
+           for i in range(20)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    conf = {
+        (r["label"], r["pred"]): r["n"]
+        for r in classify.nb_self_confusion(
+            d, "doc_id", F.col("lang"), F.col("text")
+        ).collect()
+    }
+    assert conf == {("en", "en"): 20, ("fr", "fr"): 20}
+
+
+def test_nb_predict_unseen_bucket_uses_default_mass(spark):
+    from osmexpress_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(1, "a", "xx yy zz"), (2, "b", "pp qq rr")],
+        "doc_id long, lang string, text string",
+    )
+    counts = classify.nb_token_counts(train, F.col("lang"), F.col("text"))
+    priors = train.groupBy(F.col("lang").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # a doc made of tokens NEITHER class ever saw: both classes score
+    # pure default mass; the deterministic tie-break (label asc) wins
+    probe = spark.createDataFrame(
+        [(9, "unseen tokens entirely")], "doc_id long, text string"
+    )
+    got = classify.nb_predict(
+        probe, "doc_id", F.col("text"), counts, priors
+    ).collect()
+    assert len(got) == 1 and got[0]["pred"] == "a"
+
+
+def test_nb_token_counts_drops_null_labels(spark):
+    from osmexpress_spark.operators import classify
+
+    d = spark.createDataFrame(
+        [(1, None, "aa bb"), (2, "x", "aa")],
+        "doc_id long, lang string, text string",
+    )
+    rows = classify.nb_token_counts(
+        d, F.col("lang"), F.col("text")
+    ).collect()
+    assert {r["label"] for r in rows} == {"x"}
+
+
+def test_nb_plan_is_python_free_and_broadcasts_model(spark):
+    from osmexpress_spark.operators import classify
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = classify.nb_self_confusion(d, "doc_id", F.col("lang"), F.col("text"))
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the model joins broadcast-side
