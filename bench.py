@@ -96,6 +96,7 @@ PENDING_HEADLINE: list[str] = [
     "q_token_budget",
     "q_dist_drift_by",
     "q_nb_confusion",
+    "q_shard_manifest",
 ]
 
 

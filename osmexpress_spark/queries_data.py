@@ -3973,3 +3973,31 @@ def q_nb_confusion(spark, sf_dir):
     return classify.nb_self_confusion(
         d, "doc_id", F.col("lang"), F.col("text")
     )
+
+
+@defq_pending(
+    "q_shard_manifest",
+    f"""
+    SELECT {sample.hash_bucket_sql('doc_id', 8)} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           bit_xor(CAST('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')),
+               1, 15) AS BIGINT)) AS checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard integrity manifest (operators/shards.py:
+    shard_manifest): the sink side of the pipeline. Shard membership
+    is the scan-side Knuth hash (deterministic under retries/AQE);
+    each shard's row is (n_docs, n_tokens, checksum) from ONE
+    map-side-combined aggregate, where the checksum is bit_xor over a
+    60-bit md5 prefix of id:text — order-independent and
+    overflow-free, so it pins shard CONTENT independent of partition
+    layout. write_training_shards/verify_training_shards build on
+    exactly this aggregate (e2e-tested in tests/test_shards.py)."""
+    from .operators import shards
+
+    d = t(spark, sf_dir, "documents")
+    return shards.shard_manifest(d, "doc_id", "text", "n_chars", 8)

@@ -66,6 +66,7 @@ SUBSET = [
     "q_token_budget",          # ordered window cumsum selection
     "q_dist_drift_by",         # grouped two-snapshot census
     "q_nb_confusion",          # NB train + classify, one plan
+    "q_shard_manifest",        # sink manifest: one map-side agg + XOR checksum
 ]
 
 

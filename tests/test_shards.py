@@ -1,0 +1,144 @@
+"""Training-shard sink (operators/shards.py): manifest exactness,
+write/verify round-trip, tamper localization, order-independence of
+the checksum, and plan quality (Python-free, map-side combined)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import shards as SH
+from osmexpress_spark.operators.sample import KNUTH
+
+SF_DIR = os.environ.get("OSMX_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _hand_manifest(rows, n_shards):
+    """Independent Python model of the manifest."""
+    out = {}
+    for doc_id, text, w in rows:
+        shard = (doc_id * KNUTH) % n_shards
+        digest = hashlib.md5(
+            f"{doc_id}:{text if text is not None else ''}".encode()
+        ).hexdigest()
+        h = int(digest[:15], 16)
+        d, t, c = out.get(shard, (0, 0, 0))
+        out[shard] = (d + 1, t + w, c ^ h)
+    return out
+
+
+def test_manifest_matches_hand_model(spark):
+    rows = [(i, f"doc number {i} body", 10 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["checksum"])
+        for r in SH.shard_manifest(df, "doc_id", "text", "w", 4).collect()
+    }
+    assert got == _hand_manifest(rows, 4)
+
+
+def test_checksum_invariant_to_partition_layout(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = SH.shard_manifest(df, "doc_id", "text", "n_chars", 8)
+    scrambled = SH.shard_manifest(
+        df.repartition(13, F.md5(F.col("text"))),
+        "doc_id", "text", "n_chars", 8,
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, scrambled.collect())
+    )
+
+
+def test_null_text_and_null_id(spark):
+    ok = spark.createDataFrame(
+        [(1, None, 5)], "doc_id long, text string, w long"
+    )
+    [row] = SH.shard_manifest(ok, "doc_id", "text", "w", 4).collect()
+    # NULL content folds to '' (still checksummed), never to a NULL row
+    assert row["n_docs"] == 1 and row["checksum"] is not None
+    bad = spark.createDataFrame(
+        [(None, "x", 5)], "doc_id long, text string, w long"
+    )
+    with pytest.raises(Exception, match="NULL id"):
+        SH.shard_manifest(bad, "doc_id", "text", "w", 4).collect()
+
+
+def test_write_verify_roundtrip_and_tamper(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "sink")
+    manifest = sorted(
+        map(
+            tuple,
+            SH.write_training_shards(
+                df, path, "doc_id", "text", "n_chars", 8
+            ).collect(),
+        )
+    )
+    assert len(manifest) == 8
+    # every row landed in the directory its hash names
+    data = spark.read.parquet(os.path.join(path, "shards"))
+    stray = data.where(
+        (F.col("doc_id") * F.lit(KNUTH)) % 8 != F.col("shard")
+    ).count()
+    assert stray == 0
+    assert (
+        SH.verify_training_shards(
+            spark, path, "doc_id", "text", "n_chars"
+        ).count()
+        == 0
+    )
+    # idempotent re-run: overwrite produces the identical manifest
+    again = SH.write_training_shards(
+        df, path, "doc_id", "text", "n_chars", 8
+    )
+    assert sorted(map(tuple, again.collect())) == manifest
+    # tamper: rewrite shard 3 with one document dropped (re-list the
+    # directory — the overwrite above replaced the files `data` saw)
+    s3 = spark.read.parquet(os.path.join(path, "shards")).where("shard = 3")
+    victim = s3.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    tampered = s3.where(F.col("doc_id") != victim).drop("shard")
+    tmp = str(tmp_path / "tampered")
+    tampered.write.mode("overwrite").parquet(tmp)
+    shard_dir = os.path.join(path, "shards", "shard=3")
+    shutil.rmtree(shard_dir)
+    os.makedirs(shard_dir)
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        shutil.copy(f, shard_dir)
+    bad = SH.verify_training_shards(
+        spark, path, "doc_id", "text", "n_chars"
+    ).collect()
+    assert [r["shard"] for r in bad] == [3]
+    assert bad[0]["a_docs"] == bad[0]["e_docs"] - 1
+    assert bad[0]["a_checksum"] != bad[0]["e_checksum"]
+
+
+def test_verify_catches_missing_and_extra_shard(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    path = str(tmp_path / "sink")
+    SH.write_training_shards(df, path, "doc_id", "text", "n_chars", 4)
+    shutil.rmtree(os.path.join(path, "shards", "shard=2"))
+    bad = SH.verify_training_shards(
+        spark, path, "doc_id", "text", "n_chars"
+    ).collect()
+    assert [r["shard"] for r in bad] == [2]
+    assert bad[0]["a_docs"] is None and bad[0]["e_docs"] is not None
+
+
+def test_manifest_plan_python_free_and_map_side(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        SH.shard_manifest(df, "doc_id", "text", "n_chars", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial + final HashAggregate around one shards-keyed exchange:
+    # the corpus never shuffles, only per-map-task partial rows do
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
