@@ -97,6 +97,7 @@ PENDING_HEADLINE: list[str] = [
     "q_dist_drift_by",
     "q_nb_confusion",
     "q_shard_manifest",
+    "q_source_overlap",
 ]
 
 

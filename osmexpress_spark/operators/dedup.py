@@ -1219,3 +1219,78 @@ def incremental_dedup_pairs(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """Dataset-to-dataset n-gram overlap matrix: for every source pair
+    ``(src_a < src_b)``, the exact distinct-shingle intersection size,
+    both set sizes, and containment ``n_common / min(n_a, n_b)``.
+
+    Doc-level contamination (contamination_pairs) answers "is THIS
+    document leaked"; this answers the provenance question one level
+    up — "how much of source A is a re-crawl / re-package of source
+    B" — which decides whether two feeds should be deduped against
+    each other at all before any doc-level pass runs.
+
+    Scale shape (S = number of sources, a handful even at 100 TB):
+    - one corpus scan explodes shingles to 60-bit md5-prefix ints
+      (shuffle carries 8-byte keys, not strings), distinct on
+      (source, h) — map-side combine applies;
+    - the self-join on h fans out at most S^2 rows per shingle hash
+      (bounded by construction, no hot-key blowup possible);
+    - set sizes are an S-row aggregate, the pair skeleton is a cross
+      join of two S-row frames (broadcast both ways), and zero-overlap
+      pairs survive via the left join — the output is the full
+      S*(S-1)/2 matrix, never silently sparse.
+    """
+    words = F.split(F.col(text_col), " ")
+    sh = (
+        df.where(F.size(words) >= k)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles(F.col(text_col), k)).alias("s"),
+        )
+        .select(
+            "src",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    skeleton = (
+        sizes.alias("sa")
+        .crossJoin(sizes.alias("sb"))
+        .where(F.col("sa.src") < F.col("sb.src"))
+        .select(
+            F.col("sa.src").alias("src_a"),
+            F.col("sb.src").alias("src_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    return skeleton.join(common, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.coalesce("n_common", F.lit(0)).cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+            6,
+        ).alias("containment"),
+    )

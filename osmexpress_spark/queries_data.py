@@ -4001,3 +4001,50 @@ def q_shard_manifest(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return shards.shard_manifest(d, "doc_id", "text", "n_chars", 8)
+
+
+@defq_pending(
+    "q_source_overlap",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT src, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT source AS src,
+               unnest(list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS s
+        FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+      )
+    ),
+    sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    skel AS (
+      SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS n_a, sb.n AS n_b
+      FROM sizes sa JOIN sizes sb ON sa.src < sb.src
+    )
+    SELECT s.src_a, s.src_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           s.n_a, s.n_b,
+           round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                 / CAST(least(s.n_a, s.n_b) AS DOUBLE), 6) AS containment
+    FROM skel s
+    LEFT JOIN common c ON c.src_a = s.src_a AND c.src_b = s.src_b
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Dataset-provenance overlap matrix (operators/dedup.py:
+    source_overlap): exact distinct-bigram intersection, set sizes,
+    and containment for every source pair — the "should these two
+    feeds even be cross-deduped" census one level above doc-level
+    contamination. Shingles travel as 60-bit md5-prefix ints; the
+    self-join fan-out is bounded at S^2 rows per shingle by
+    construction; zero-overlap pairs survive via the size-matrix
+    skeleton so the output is always the full S*(S-1)/2 matrix."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.source_overlap(d, "source", "text", k=SHINGLE_K)

@@ -67,6 +67,7 @@ SUBSET = [
     "q_dist_drift_by",         # grouped two-snapshot census
     "q_nb_confusion",          # NB train + classify, one plan
     "q_shard_manifest",        # sink manifest: one map-side agg + XOR checksum
+    "q_source_overlap",        # S^2-bounded shingle self-join, int keys
 ]
 
 

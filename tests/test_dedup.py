@@ -347,3 +347,57 @@ def test_remove_dup_spans_matches_python_model_random(spark):
         got = {r.doc_id: (r.clean_text, r.n_removed)
                for r in remove_dup_spans(df, "doc_id", "text", k=k).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_source_overlap_hand_model(spark):
+    # A: {"a b","b c"}; B: {"b c","c d"}; C: {"x y"}; D: one word -> no
+    # shingles at all (absent from sizes, so absent from the matrix)
+    docs = [
+        (1, "A", "a b c"),
+        (2, "B", "b c d"),
+        (3, "C", "x y"),
+        (4, "D", "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    from osmexpress_spark.operators.dedup import source_overlap
+
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.n_a, r.n_b, r.containment)
+        for r in source_overlap(df, "source", "text", k=2).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 2, 2, 0.5),
+        ("A", "C"): (0, 2, 1, 0.0),
+        ("B", "C"): (0, 2, 1, 0.0),
+    }
+
+
+def test_source_overlap_distinct_within_source(spark):
+    # the same shingle repeated inside one source counts ONCE (set
+    # semantics), and identical corpora give containment 1.0
+    docs = [
+        (1, "A", "p q p q"),
+        (2, "A", "p q"),
+        (3, "B", "p q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    from osmexpress_spark.operators.dedup import source_overlap
+
+    [r] = source_overlap(df, "source", "text", k=2).collect()
+    # A's distinct bigrams: {"p q","q p"}; B's: {"p q"}
+    assert (r.src_a, r.src_b) == ("A", "B")
+    assert (r.n_common, r.n_a, r.n_b) == (1, 2, 1)
+    assert r.containment == 1.0
+
+
+def test_source_overlap_plan_python_free(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from osmexpress_spark.operators.dedup import source_overlap
+
+    plan = (
+        source_overlap(df, "source", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
