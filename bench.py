@@ -98,6 +98,7 @@ PENDING_HEADLINE: list[str] = [
     "q_nb_confusion",
     "q_shard_manifest",
     "q_source_overlap",
+    "q_kcenter_select",
 ]
 
 

@@ -1354,3 +1354,110 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
             .alias("n_overlap"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    return_centers: bool = False,
+) -> DataFrame | tuple[DataFrame, list[tuple[int, int, int]]]:
+    """Greedy farthest-point k-center selection (Gonzalez 1985, a
+    2-approximation of the k-center optimum): the coreset/diversity
+    picker — choose k maximally spread exemplars, then report every
+    vector's nearest exemplar. Where SemDeDup REMOVES redundancy and
+    DSIR reweights toward a target, this SELECTS a small cover:
+    eval-set seeding, annotation budgets, prototype browsing.
+
+    Determinism contract (the kmeans_train_distributed idiom):
+    coordinates quantize once to integer micros (_km_quantize), so
+    every distance is a pure BIGINT squared-L2 — order-independent and
+    DuckDB-oracle-checkable. The seed is the smallest id; each round
+    picks max min-distance with ties toward the smaller id; the final
+    assignment breaks distance ties toward the earlier-selected center
+    (lower rank).
+
+    100 TB shape: the selected centers live as an expression LITERAL
+    (<= k*dim longs), so each of the k rounds is ONE scan-side codegen
+    pass over the corpus ending in TakeOrdered(1) — no join, no
+    window, no shuffle beyond the k-row top-1; driver state is k ids +
+    k quantized vectors. Overflow: offset micros <= ~3.1e6, so a
+    squared diff is < 1e13 and a dim-64 sum < 2^50.
+
+    Returns the assignment ``(id, center, d2)``; with
+    ``return_centers=True``, also the bounded selection trace
+    ``[(rank, center_id, d2_at_selection)]`` (the d2 sequence is
+    non-increasing — each value is the covering radius before that
+    center was added; the seed's is 0 by convention).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = df.select(F.col(id_col), _km_quantize(F.col(vec_col)).alias("qv"))
+    seed = q.orderBy(F.col(id_col)).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: empty input")
+    centers: list[tuple[int, int, list[int], int]] = [
+        (0, seed[0][id_col], list(seed[0]["qv"]), 0)
+    ]
+
+    def _best() -> Column:
+        """(d2, rank, cid) of the nearest selected center — min over a
+        center-matrix literal, each d2 a zip_with/aggregate fold (the
+        kmeans codegen-loop rule: never unroll k*dim terms)."""
+        cent_mat = F.array(
+            *[
+                F.struct(
+                    F.lit(rank).cast("long").alias("rank"),
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.array(*[F.lit(v).cast("long") for v in cv]).alias(
+                        "cv"
+                    ),
+                )
+                for rank, cid, cv, _ in centers
+            ]
+        )
+        scored = F.transform(
+            cent_mat,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        c.getField("cv"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c.getField("rank").alias("rank"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+        return F.array_min(scored)
+
+    for r in range(1, k):
+        sel_ids = [cid for _, cid, _, _ in centers]
+        row = (
+            q.where(~F.col(id_col).isin(sel_ids))
+            .select(
+                F.col(id_col),
+                F.col("qv"),
+                _best().getField("d2").alias("d2"),
+            )
+            .orderBy(F.col("d2").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break  # fewer than k rows: the selection IS the corpus
+        centers.append((r, row[0][id_col], list(row[0]["qv"]), row[0]["d2"]))
+
+    best = _best()
+    assign = q.select(
+        F.col(id_col),
+        best.getField("cid").alias("center"),
+        best.getField("d2").alias("d2"),
+    )
+    if return_centers:
+        return assign, [(rank, cid, d2) for rank, cid, _, d2 in centers]
+    return assign

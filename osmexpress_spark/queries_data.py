@@ -4048,3 +4048,79 @@ def q_source_overlap(spark, sf_dir):
     skeleton so the output is always the full S*(S-1)/2 matrix."""
     d = t(spark, sf_dir, "documents")
     return dedup.source_overlap(d, "source", "text", k=SHINGLE_K)
+
+
+_KC_K = 5
+
+
+def _kc_l2(a: str, b: str) -> str:
+    """Integer squared-L2 between two quantized-micro lists (BIGINT)."""
+    return (
+        f"CAST(list_sum(list_transform(range({_KMT_DIM}), "
+        f"i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1]))) AS BIGINT)"
+    )
+
+
+def _kc_round_sql(r: int) -> str:
+    """One greedy k-center round: c{r} = argmax of the running min
+    distance (ties to the smaller id, already-selected excluded), then
+    d{r+1} folds c{r} into the running min. d CTEs are MATERIALIZED:
+    each is referenced twice (the argmax and the next fold)."""
+    prior = " UNION ALL ".join(f"SELECT cid FROM c{j}" for j in range(r))
+    return f"""
+    c{r} AS (
+      SELECT vec_id AS cid, v FROM d{r}
+      WHERE vec_id NOT IN ({prior})
+      ORDER BY md DESC, vec_id LIMIT 1
+    ),
+    d{r + 1} AS MATERIALIZED (
+      SELECT d.vec_id, d.v, least(d.md, {_kc_l2('d.v', 'c.v')}) AS md
+      FROM d{r} d CROSS JOIN c{r} c
+    )"""
+
+
+_KC_ORACLE = (
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000e0) AS BIGINT)
+                    + 2000000) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v FROM qv ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT q.vec_id, q.v, {_kc_l2('q.v', 'c.v')} AS md
+      FROM qv q CROSS JOIN c0 c
+    ),"""
+    + ",".join(_kc_round_sql(r) for r in range(1, _KC_K))
+    + f""",
+    cents AS ({' UNION ALL '.join(
+        f'SELECT {r} AS rnk, cid, v FROM c{r}' for r in range(_KC_K))}),
+    scored AS (
+      SELECT q.vec_id, c.rnk, c.cid, {_kc_l2('q.v', 'c.v')} AS d2
+      FROM qv q CROSS JOIN cents c
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS center, CAST(d2 AS BIGINT) AS d2
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, rnk) = 1
+    """
+)
+
+
+@defq_pending("q_kcenter_select", _KC_ORACLE)
+def q_kcenter_select(spark, sf_dir):
+    """Greedy farthest-point k-center coreset selection
+    (similarity.py:kcenter_select, Gonzalez 1985): five maximally
+    spread exemplars chosen by four feedback rounds of
+    max-min-distance argmax, then every vector assigned to its nearest
+    exemplar. All distances are BIGINT squared-L2 over floor-quantized
+    micros (the kmeans determinism idiom), so the greedy LOOP itself —
+    each round's pick depends on every earlier pick — sits behind the
+    value-hash gate against a 5-round materialized-CTE DuckDB unroll.
+    Each round is one scan-side codegen pass ending in TakeOrdered(1);
+    driver state is k ids + k quantized vectors."""
+    from .operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(e, k=_KC_K)

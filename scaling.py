@@ -68,6 +68,7 @@ SUBSET = [
     "q_nb_confusion",          # NB train + classify, one plan
     "q_shard_manifest",        # sink manifest: one map-side agg + XOR checksum
     "q_source_overlap",        # S^2-bounded shingle self-join, int keys
+    "q_kcenter_select",        # k scan-side passes + TakeOrdered(1) each
 ]
 
 

@@ -468,3 +468,84 @@ def test_multiprobe_lsh_improves_recall_and_contains_single_probe(spark):
     # probes=1 path identical to the historical implementation
     base = similarity.topk_bucketed(q, emb, dim=64, k=5)
     assert sorted(map(tuple, single.collect())) == sorted(map(tuple, base.collect()))
+
+
+def _kc_model(vecs, k):
+    """Independent greedy k-center model over quantized micros."""
+    q = {
+        i: [math.floor(float(x) * 1_000_000) + 2_000_000 for x in v]
+        for i, v in vecs
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sel = [min(q)]
+    trace = [(0, sel[0], 0)]
+    while len(sel) < k and len(sel) < len(q):
+        best = max(
+            ((min(d2(q[i], q[c]) for c in sel), -i), i)
+            for i in q if i not in sel
+        )[1]
+        trace.append((len(sel), best, min(d2(q[best], q[c]) for c in sel)))
+        sel.append(best)
+    assign = {}
+    for i in q:
+        assign[i] = min((d2(q[i], q[c]), r, c) for r, c, _ in trace)
+    return trace, {i: (c, d) for i, (d, r, c) in assign.items()}
+
+
+def test_kcenter_matches_python_model_random(spark):
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got, centers = similarity.kcenter_select(
+        df, k=6, return_centers=True
+    )
+    trace, assign = _kc_model(vecs, 6)
+    assert centers == trace
+    assert {r.vec_id: (r.center, r.d2) for r in got.collect()} == assign
+    # covering radius is non-increasing after the seed
+    radii = [d for _, _, d in centers[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_k_exceeds_corpus(spark):
+    vecs = [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.2])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got, centers = similarity.kcenter_select(df, k=10, return_centers=True)
+    # selection saturates at the corpus: every point is its own center
+    assert sorted(cid for _, cid, _ in centers) == [1, 2, 3]
+    assert all(r.d2 == 0 and r.center == r.vec_id for r in got.collect())
+
+
+def test_kcenter_picks_farthest_first(spark):
+    # seed is id 0 at the origin; the far outlier must be picked next
+    vecs = [
+        (0, [0.0, 0.0]),
+        (1, [0.01, 0.0]),
+        (2, [0.02, 0.0]),
+        (3, [0.9, 0.9]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    _, centers = similarity.kcenter_select(df, k=2, return_centers=True)
+    assert [cid for _, cid, _ in centers] == [0, 3]
+
+
+def test_kcenter_assignment_plan_python_free(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assign = similarity.kcenter_select(df, k=3)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # nearest-center assignment is scan-side: no join, no exchange
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_kcenter_empty_and_bad_k(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.kcenter_select(empty, k=2)
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.kcenter_select(empty, k=0)
