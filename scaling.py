@@ -79,6 +79,13 @@ def main() -> None:
     registry = {
         **Q.SPARK_QUERIES, **QD.SPARK_QUERIES, **QD.PENDING_SPARK_QUERIES
     }
+    subset = SUBSET
+    if "--only" in sys.argv:  # sweep a few lines without the full run
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        subset = names
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="osmx-scaling", cpus=cpus, shuffle_partitions=int(cpus)
@@ -92,9 +99,9 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    results: dict[str, dict[str, float]] = {name: {} for name in SUBSET}
+    results: dict[str, dict[str, float]] = {name: {} for name in subset}
     for tag, d in SF_DIRS:
-        for name in SUBSET:
+        for name in subset:
             t0 = time.monotonic()
             registry[name](spark, d).write.format("noop").mode(
                 "overwrite"
