@@ -252,3 +252,96 @@ def dedup_docs_stream_vs_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def shard_sink_stream(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    weight_col: str = "n_chars",
+    shards: int = 8,
+):
+    """Continuous training-shard sink: each micro-batch materializes as
+    its own verifiable epoch — ``path/epoch=<id>/{shards,manifest}``
+    via operators/shards.py:write_training_shards, so the corpus a
+    trainer reads is append-only at epoch granularity and every epoch
+    carries its own integrity manifest (XOR content checksums).
+
+    Exactly-once notes: the epoch write is mode("overwrite") under the
+    epoch directory, so a foreachBatch retry of the same epoch_id is
+    idempotent; shard membership inside the epoch is the deterministic
+    Knuth hash, so a retry reproduces byte-identical shard contents.
+    A verifier (verify_shard_epochs) needs no job-success flag — the
+    manifest travels with the data.
+
+    Returns the started StreamingQuery (availableNow trigger: drains
+    what is present, then stops — the daily-drop shape; rerun per
+    drop, or swap the trigger for a live feed)."""
+    from ..operators import shards as shards_ops
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf = bdf.localCheckpoint()  # one materialization per trigger
+        if not bdf.take(1):
+            return
+        shards_ops.write_training_shards(
+            bdf,
+            f"{path.rstrip('/')}/epoch={epoch_id}",
+            id_col,
+            content_col,
+            weight_col,
+            shards,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def verify_shard_epochs(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Verify every epoch the shard sink has written: per-epoch
+    recompute-and-diff (operators/shards.py:verify_training_shards)
+    unioned with an ``epoch`` column. Empty result == every shard of
+    every epoch intact; a row names (epoch, shard, both sides).
+
+    The epoch listing goes through the Hadoop FS layer (cluster-path
+    safe, the dedup-store lesson); the driver loop is bounded at one
+    directory per trigger ever fired — epochs are few by construction.
+    Raises FileNotFoundError when no epoch has been written (an empty
+    sink is indistinguishable from a wrong path — fail loudly)."""
+    from ..operators.dedup import _store_fs
+    from ..operators import shards as shards_ops
+
+    fs, hpath = _store_fs(spark, path.rstrip("/"))
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"verify_shard_epochs: no sink at {path}")
+    epochs = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+    )
+    if not epochs:
+        raise FileNotFoundError(
+            f"verify_shard_epochs: no epoch=* directories under {path}"
+        )
+    out = None
+    for e in epochs:
+        bad = shards_ops.verify_training_shards(
+            spark,
+            f"{path.rstrip('/')}/epoch={e}",
+            id_col,
+            content_col,
+            weight_col,
+        ).select(F.lit(e).cast("long").alias("epoch"), "*")
+        out = bad if out is None else out.unionByName(bad)
+    return out

@@ -274,3 +274,76 @@ def test_dedup_docs_stream_vs_corpus_e2e(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out).collect()
     }
     assert admitted == {2, 4}, admitted
+
+
+def test_shard_sink_stream_epochs_and_verify(spark, tmp_path):
+    """Continuous shard sink: each drop lands as its own verifiable
+    epoch; verify_shard_epochs is clean over both, localizes a
+    tampered file to (epoch, shard), and fails loudly on an empty
+    sink path."""
+    import glob
+    import json
+    import shutil
+
+    from osmexpress_spark.streaming import watermark_ops
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    with open(src / "day1.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps(
+                {"doc_id": i, "text": f"day one doc {i}", "n_chars": 10 + i}
+            ) + "\n")
+    sink = str(tmp_path / "sink")
+
+    def run_drop():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, n_chars long"
+        ).json(str(src))
+        q = watermark_ops.shard_sink_stream(
+            stream, sink, str(tmp_path / "ckpt"), shards=4
+        )
+        q.awaitTermination(120)
+
+    run_drop()
+    with open(src / "day2.json", "w") as f:
+        for i in range(20, 35):
+            f.write(json.dumps(
+                {"doc_id": i, "text": f"day two doc {i}", "n_chars": 10 + i}
+            ) + "\n")
+    run_drop()
+
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{sink}/epoch=*")
+    )
+    assert len(epochs) == 2
+    # all rows across all epochs, exactly once
+    from functools import reduce
+
+    total = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(f"{sink}/epoch={e}/shards") for e in epochs],
+    )
+    assert sorted(r.doc_id for r in total.collect()) == list(range(35))
+    assert watermark_ops.verify_shard_epochs(spark, sink).count() == 0
+
+    # tamper: drop a row from one shard of epoch 0
+    e0 = f"{sink}/epoch={epochs[0]}"
+    s = spark.read.parquet(f"{e0}/shards").where("shard = 1")
+    victim = s.first()["doc_id"]
+    rewrite = s.where(f"doc_id != {victim}").drop("shard")
+    tmp = str(tmp_path / "rw")
+    rewrite.write.mode("overwrite").parquet(tmp)
+    shard_dir = f"{e0}/shards/shard=1"
+    shutil.rmtree(shard_dir)
+    import os as _os
+    _os.makedirs(shard_dir)
+    for f in glob.glob(f"{tmp}/*.parquet"):
+        shutil.copy(f, shard_dir)
+    bad = watermark_ops.verify_shard_epochs(spark, sink).collect()
+    assert [(r.epoch, r.shard) for r in bad] == [(epochs[0], 1)]
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no sink"):
+        watermark_ops.verify_shard_epochs(spark, str(tmp_path / "nowhere"))
