@@ -99,6 +99,7 @@ PENDING_HEADLINE: list[str] = [
     "q_shard_manifest",
     "q_source_overlap",
     "q_kcenter_select",
+    "q_nb_reliability",
 ]
 
 

@@ -93,22 +93,21 @@ def _micro_default(counts: DataFrame) -> DataFrame:
     )
 
 
-def nb_predict(
+def _nb_scored(
     df: DataFrame,
     id_col: str,
     text: Column,
     counts: DataFrame,
     priors: DataFrame,
 ) -> DataFrame:
-    """(id, pred, score_micro): argmax-class per document under the
-    trained model. `counts` is nb_token_counts' output; `priors` is
-    (label, n_docs). Ties break on label ASC — deterministic.
+    """(id, label, score_micro) for EVERY (document, class) pair —
+    the shared TRAIN + SCORE plan nb_predict and nb_reliability read
+    out differently (argmax vs top-2 margin).
 
     Plan: per-doc bucket counts (ONE corpus shuffle, map-side
     combined, <= 256 rows/doc) x broadcast model on b, summed per
     (doc, class), plus the per-class unseen-bucket default for the
-    buckets the doc has but the class never saw; argmax is a
-    |classes|-row window per doc."""
+    buckets the doc has but the class never saw."""
     per_doc = (
         df.select(
             F.col(id_col).alias("id"),
@@ -134,7 +133,7 @@ def nb_predict(
     # per (doc, class): seen buckets score model.micro, unseen buckets
     # score the class default — join per-doc rows with every class's
     # default (broadcast), overlay the model where (label, b) matches
-    scored = (
+    return (
         per_doc.crossJoin(F.broadcast(dflt))
         .join(F.broadcast(model), ["label", "b"], "left_outer")
         .groupBy("id", "label")
@@ -150,6 +149,20 @@ def nb_predict(
             (F.col("ll") + F.col("prior_micro")).alias("score_micro"),
         )
     )
+
+
+def nb_predict(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    counts: DataFrame,
+    priors: DataFrame,
+) -> DataFrame:
+    """(id, pred, score_micro): argmax-class per document under the
+    trained model. `counts` is nb_token_counts' output; `priors` is
+    (label, n_docs). Ties break on label ASC — deterministic. The
+    argmax is a |classes|-row window per doc over _nb_scored's plan."""
+    scored = _nb_scored(df, id_col, text, counts, priors)
     w = Window.partitionBy("id").orderBy(
         F.col("score_micro").desc(), F.col("label")
     )
@@ -183,4 +196,67 @@ def nb_self_confusion(
         truth.join(preds, "id")
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def nb_reliability(
+    df: DataFrame,
+    id_col: str,
+    label: Column,
+    text: Column,
+) -> DataFrame:
+    """Reliability (calibration) table for the self-trained classifier:
+    ``(bucket, n, n_correct)`` where ``bucket`` is the integer-log
+    bucket (sketch.quantile_bucket) of the top-1-minus-top-2 score
+    MARGIN in micro-nats. This is the table that sets an auto-label
+    threshold: pick the lowest margin bucket whose n_correct/n clears
+    the target precision, then the threshold is that bucket's lower
+    bound — without it a confusion matrix says how good the classifier
+    is on average, not WHICH predictions to trust.
+
+    Engine-exact end to end: scores and margins are BIGINT micro-nats
+    (a top-2 tie gives margin 0; a single-class corpus has no runner-up
+    and folds to margin 0 too), and the bucketing is the pure-integer
+    sketch binning — so the whole train + score + margin + bin pipeline
+    sits behind the value-hash gate. Scale shape: _nb_scored's one
+    corpus shuffle, a |classes|-row window per doc for the top-2, and
+    a <= 1025-row output aggregate."""
+    from .sketch import quantile_bucket
+
+    counts = nb_token_counts(df, label, text)
+    priors = (
+        df.where(label.isNotNull())
+        .groupBy(label.alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = _nb_scored(df, id_col, text, counts, priors)
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("label")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    top1 = ranked.where(F.col("rn") == 1).select(
+        "id", F.col("label").alias("pred"), F.col("score_micro").alias("s1")
+    )
+    top2 = ranked.where(F.col("rn") == 2).select(
+        "id", F.col("score_micro").alias("s2")
+    )
+    margins = top1.join(top2, "id", "left_outer").select(
+        "id",
+        "pred",
+        (F.col("s1") - F.coalesce(F.col("s2"), F.col("s1"))).alias("margin"),
+    )
+    truth = df.select(F.col(id_col).alias("id"), label.alias("truth"))
+    return (
+        truth.join(margins, "id")
+        .select(
+            quantile_bucket(F.col("margin")).alias("bucket"),
+            F.when(F.col("pred") == F.col("truth"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ok"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ok").cast("long").alias("n_correct"),
+        )
     )

@@ -3893,31 +3893,11 @@ _NB_TOKS_SQL = """
       WHERE length(token) > 0
     )"""
 
-
-@defq_pending(
-    "q_nb_token_counts",
-    f"""
-    WITH {_NB_TOKS_SQL}
-    SELECT label, b, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM toks GROUP BY 1, 2
-    """,
-)
-def q_nb_token_counts(spark, sf_dir):
-    """Naive Bayes TRAINING aggregate (operators/classify.py:
-    nb_token_counts): per-class token-bucket counts — training a
-    corpus classifier is one map-side-combined count, nothing more.
-    The (classes x 256)-row output IS the model's sufficient
-    statistics."""
-    from .operators import classify
-
-    d = t(spark, sf_dir, "documents")
-    return classify.nb_token_counts(d, F.col("lang"), F.col("text"))
-
-
-@defq_pending(
-    "q_nb_confusion",
-    f"""
-    WITH {_NB_TOKS_SQL},
+# shared NB TRAIN + SCORE chain: token counts -> micro-nat model ->
+# per-(doc, class) exact BIGINT scores (`finals`); q_nb_confusion and
+# q_nb_reliability both append their readout CTEs to this one text so
+# the model arithmetic can never diverge between the two oracles
+_NB_FINALS_SQL = """
     counts AS (SELECT label, b, CAST(COUNT(*) AS BIGINT) AS cnt
                FROM toks GROUP BY 1, 2),
     tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot
@@ -3947,7 +3927,34 @@ def q_nb_token_counts(spark, sf_dir):
       GROUP BY 1, 2
     ),
     finals AS (SELECT s.id, s.label, s.ll + p.pm AS score
-               FROM scored s JOIN prior_micro p USING(label)),
+               FROM scored s JOIN prior_micro p USING(label))"""
+
+
+@defq_pending(
+    "q_nb_token_counts",
+    f"""
+    WITH {_NB_TOKS_SQL}
+    SELECT label, b, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q_nb_token_counts(spark, sf_dir):
+    """Naive Bayes TRAINING aggregate (operators/classify.py:
+    nb_token_counts): per-class token-bucket counts — training a
+    corpus classifier is one map-side-combined count, nothing more.
+    The (classes x 256)-row output IS the model's sufficient
+    statistics."""
+    from .operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    return classify.nb_token_counts(d, F.col("lang"), F.col("text"))
+
+
+@defq_pending(
+    "q_nb_confusion",
+    f"""
+    WITH {_NB_TOKS_SQL},
+    {_NB_FINALS_SQL},
     pred AS (SELECT id, label AS pred
              FROM (SELECT id, label,
                           ROW_NUMBER() OVER (PARTITION BY id
@@ -4124,3 +4131,51 @@ def q_kcenter_select(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return similarity.kcenter_select(e, k=_KC_K)
+
+
+_NB_MARGIN_BUCKET_SQL = """
+    CAST(CASE WHEN mg <= 0 THEN 0
+         ELSE 1 + (length(bin(mg)) - 1) * 16
+              + ((mg - (CAST(1 AS BIGINT) << (length(bin(mg)) - 1)))
+                 >> greatest(length(bin(mg)) - 1 - 4, 0)) END AS INTEGER)"""
+
+
+@defq_pending(
+    "q_nb_reliability",
+    f"""
+    WITH {_NB_TOKS_SQL},
+    {_NB_FINALS_SQL},
+    pick AS (SELECT id, label, score,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY score DESC, label) AS rn
+             FROM finals),
+    top1 AS (SELECT id, label AS pred, score AS s1 FROM pick WHERE rn = 1),
+    top2 AS (SELECT id, score AS s2 FROM pick WHERE rn = 2),
+    marg AS (SELECT t1.id, t1.pred,
+                    CAST(t1.s1 - COALESCE(t2.s2, t1.s1) AS BIGINT) AS mg
+             FROM top1 t1 LEFT JOIN top2 t2 USING (id)),
+    lab AS (SELECT m.mg,
+                   CASE WHEN d.lang = m.pred THEN 1 ELSE 0 END AS ok
+            FROM marg m JOIN documents d ON d.doc_id = m.id)
+    SELECT {_NB_MARGIN_BUCKET_SQL} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ok) AS BIGINT) AS n_correct
+    FROM lab GROUP BY 1
+    """,
+)
+def q_nb_reliability(spark, sf_dir):
+    """Classifier reliability table (operators/classify.py:
+    nb_reliability): the self-trained NB's top-2 score margin, binned
+    with the integer-log sketch bucketing, against per-bin accuracy —
+    the table that turns a trained classifier into an auto-label
+    THRESHOLD (lowest bucket clearing the target precision). Margins
+    are exact BIGINT micro-nat differences and the binning is
+    pure-integer, so train + score + margin + bin all sit behind the
+    value-hash gate; the oracle shares the model CTE chain with
+    q_nb_confusion byte-for-byte."""
+    from .operators import classify
+
+    d = t(spark, sf_dir, "documents")
+    return classify.nb_reliability(
+        d, "doc_id", F.col("lang"), F.col("text")
+    )

@@ -69,6 +69,7 @@ SUBSET = [
     "q_shard_manifest",        # sink manifest: one map-side agg + XOR checksum
     "q_source_overlap",        # S^2-bounded shingle self-join, int keys
     "q_kcenter_select",        # k scan-side passes + TakeOrdered(1) each
+    "q_nb_reliability",        # NB margin calibration, <=1025-row output
 ]
 
 

@@ -11,7 +11,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from osmexpress_spark.operators import retrieval, sketch
+from osmexpress_spark.operators import classify, retrieval, sketch
 
 
 def _docs(spark, rows):
@@ -657,3 +657,78 @@ def test_nb_plan_is_python_free_and_broadcasts_model(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the model joins broadcast-side
+
+
+def _qbucket_py(v: int) -> int:
+    if v <= 0:
+        return 0
+    octv = v.bit_length() - 1
+    sub = (v - (1 << octv)) >> max(octv - 4, 0)
+    return 1 + octv * 16 + sub
+
+
+def test_nb_reliability_matches_scored_model(spark):
+    """The reliability table must equal the readout computed in plain
+    Python from _nb_scored's (trusted, separately pinned) output."""
+    docs = [
+        (1, "en", "the quick brown fox jumps"),
+        (2, "en", "the lazy dog sleeps here"),
+        (3, "de", "der schnelle braune fuchs springt"),
+        (4, "de", "der faule hund schlaeft hier"),
+        (5, "en", "der quick dog springt"),  # mixed: hard to classify
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    counts = classify.nb_token_counts(df, F.col("lang"), F.col("text"))
+    priors = df.groupBy(F.col("lang").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = classify._nb_scored(
+        df, "doc_id", F.col("text"), counts, priors
+    ).collect()
+    by_id = {}
+    for r in scored:
+        by_id.setdefault(r.id, []).append((-r.score_micro, r.label))
+    want = {}
+    truth = {d: lang for d, lang, _ in docs}
+    for i, scores in by_id.items():
+        scores.sort()
+        pred = scores[0][1]
+        margin = (
+            scores[1][0] - scores[0][0] if len(scores) > 1 else 0
+        )
+        b = _qbucket_py(margin)
+        n, ok = want.get(b, (0, 0))
+        want[b] = (n + 1, ok + (1 if pred == truth[i] else 0))
+
+    got = {
+        r.bucket: (r.n, r.n_correct)
+        for r in classify.nb_reliability(
+            df, "doc_id", F.col("lang"), F.col("text")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_nb_reliability_single_class_margin_zero(spark):
+    docs = [(i, "en", f"doc {i} words here") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = classify.nb_reliability(
+        df, "doc_id", F.col("lang"), F.col("text")
+    ).collect()
+    # one class -> no runner-up -> margin 0 -> single bucket 0, all correct
+    assert [(r.bucket, r.n, r.n_correct) for r in rows] == [(0, 5, 5)]
+
+
+def test_nb_reliability_separable_all_correct(spark):
+    docs = [
+        (i, "aa", "alpha beta gamma delta") for i in range(10)
+    ] + [
+        (i + 10, "bb", "omega psi chi phi") for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = classify.nb_reliability(
+        df, "doc_id", F.col("lang"), F.col("text")
+    ).collect()
+    assert sum(r.n for r in rows) == 20
+    assert all(r.n_correct == r.n for r in rows)
+    assert all(r.bucket > 0 for r in rows)  # separable: positive margins
