@@ -46,6 +46,7 @@ __all__ = [
     "shard_manifest",
     "write_training_shards",
     "verify_training_shards",
+    "manifest_diff",
 ]
 
 
@@ -193,3 +194,48 @@ def verify_training_shards(
         | F.col("a_docs").isNull()
         | F.col("e_docs").isNull()
     ).orderBy("shard")
+
+
+def manifest_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Shard-level delta between two manifests (yesterday's publish vs
+    today's re-publish): one row per shard whose content changed —
+    ``(shard, status, old_docs, new_docs, old_tokens, new_tokens)``
+    with status ``added`` / ``removed`` / ``changed``. Unchanged
+    shards (equal count, weight, AND checksum) are absent.
+
+    This answers the 100 TB rsync question — "which shards does the
+    trainer actually need to refetch" — from two ``shards``-row
+    frames, reading no shard data at all; the checksum makes it safe
+    (a same-size shard with substituted content still diffs)."""
+    o = old.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").alias("old_docs"),
+        F.col("n_tokens").alias("old_tokens"),
+        F.col("checksum").alias("old_checksum"),
+    )
+    n = new.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").alias("new_docs"),
+        F.col("n_tokens").alias("new_tokens"),
+        F.col("checksum").alias("new_checksum"),
+    )
+    j = o.join(n, "shard", "full_outer")
+    status = (
+        F.when(F.col("old_docs").isNull(), F.lit("added"))
+        .when(F.col("new_docs").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.where(
+            F.col("old_docs").isNull()
+            | F.col("new_docs").isNull()
+            | (F.col("old_checksum") != F.col("new_checksum"))
+            | (F.col("old_docs") != F.col("new_docs"))
+            | (F.col("old_tokens") != F.col("new_tokens"))
+        )
+        .select(
+            "shard", status.alias("status"),
+            "old_docs", "new_docs", "old_tokens", "new_tokens",
+        )
+        .orderBy("shard")
+    )

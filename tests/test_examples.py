@@ -94,3 +94,13 @@ def test_example_corpus_profile():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "PROFILE OK" in r.stdout
     assert "chars/token" in r.stdout
+
+
+def test_example_publish_corpus(tmp_path):
+    r = _run(
+        [os.path.join(EX, "publish_corpus.py"), SF, str(tmp_path / "pub")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "verify v1: 0 mismatched shards" in r.stdout
+    assert "shard" in r.stdout and "changed" in r.stdout
+    assert "PUBLISH OK" in r.stdout

@@ -142,3 +142,39 @@ def test_manifest_plan_python_free_and_map_side(spark):
     # the corpus never shuffles, only per-map-task partial rows do
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_manifest_diff_localizes_changes(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = SH.shard_manifest(df, "doc_id", "text", "n_chars", 4)
+    # re-publish: one document's text changed (same id, same shard)
+    changed_id = df.select("doc_id").first()["doc_id"]
+    touched = (changed_id * KNUTH) % 4
+    new_df = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == changed_id, F.lit("REDACTED")).otherwise(
+            F.col("text")
+        ),
+    )
+    new = SH.shard_manifest(new_df, "doc_id", "text", "n_chars", 4)
+    rows = SH.manifest_diff(old, new).collect()
+    # same counts and weights, different checksum: content substitution
+    assert [(r.shard, r.status) for r in rows] == [(touched, "changed")]
+    assert rows[0].old_docs == rows[0].new_docs
+    assert rows[0].old_tokens == rows[0].new_tokens
+
+
+def test_manifest_diff_added_removed_identical(spark):
+    a = spark.createDataFrame(
+        [(0, "x", 1), (1, "y", 1)], "doc_id long, text string, w long"
+    )
+    b = spark.createDataFrame(
+        [(0, "x", 1)], "doc_id long, text string, w long"
+    )
+    ma = SH.shard_manifest(a, "doc_id", "text", "w", 64)
+    mb = SH.shard_manifest(b, "doc_id", "text", "w", 64)
+    assert SH.manifest_diff(ma, ma.alias("copy")).count() == 0
+    [r] = SH.manifest_diff(ma, mb).collect()
+    assert r.status == "removed" and r.shard == (1 * KNUTH) % 64
+    [r2] = SH.manifest_diff(mb, ma).collect()
+    assert r2.status == "added" and r2.shard == (1 * KNUTH) % 64
