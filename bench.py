@@ -100,6 +100,7 @@ PENDING_HEADLINE: list[str] = [
     "q_source_overlap",
     "q_kcenter_select",
     "q_nb_reliability",
+    "q_embedding_drift",
 ]
 
 

@@ -1461,3 +1461,80 @@ def kcenter_select(
     if return_centers:
         return assign, [(rank, cid, d2) for rank, cid, _, d2 in centers]
     return assign
+
+
+def embedding_drift_census(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Vector-space drift census between two corpus snapshots:
+    ``(bucket, old_n, new_n)`` where bucket is a shared coarse-quantizer
+    cell — the embedding-space sibling of sketch.drift_census, and
+    sketch.psi_drift consumes this frame unchanged for the PSI scalar.
+
+    The quantizer is anchored in the OLD snapshot (seeds = its k
+    smallest ids): today's corpus must be binned in yesterday's
+    geometry, or the census measures quantizer movement, not data
+    movement. Distances are BIGINT squared-L2 over floor-quantized
+    micros (the kmeans idiom), ties toward the lower seed id — the
+    whole census is engine-exact.
+
+    Scale shape: one scan per snapshot, assignment scan-side over a
+    k*dim centroid literal (no join), census map-side-combines to <= k
+    rows per side; the join compares two k-row frames. Every seed cell
+    contains at least its own seed row on the old side, so all k
+    buckets appear."""
+    qo = old.select(F.col(id_col), _km_quantize(F.col(vec_col)).alias("qv"))
+    qn = new.select(F.col(id_col), _km_quantize(F.col(vec_col)).alias("qv"))
+    seed_rows = qo.orderBy(F.col(id_col)).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"embedding_drift_census: old snapshot has {len(seed_rows)} "
+            f"rows, need k={k} seeds"
+        )
+    cents = [(r[id_col], list(r["qv"])) for r in seed_rows]
+    cent_mat = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(v).cast("long") for v in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    scored = F.transform(
+        cent_mat,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    c.getField("cv"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    bucket = F.array_min(scored).getField("cid").alias("bucket")
+
+    def census(q: DataFrame, out: str) -> DataFrame:
+        return (
+            q.select(bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    return (
+        census(qo, "old_n")
+        .join(census(qn, "new_n"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("old_n", F.lit(0)).alias("old_n"),
+            F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        )
+    )

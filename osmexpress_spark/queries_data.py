@@ -4179,3 +4179,51 @@ def q_nb_reliability(spark, sf_dir):
     return classify.nb_reliability(
         d, "doc_id", F.col("lang"), F.col("text")
     )
+
+
+_ED_K = 8
+
+
+@defq_pending(
+    "q_embedding_drift",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, vec_id % 2 = 1 AS is_new,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000e0) AS BIGINT)
+                    + 2000000) AS v
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, v AS c FROM qv
+              WHERE NOT is_new ORDER BY vec_id LIMIT {_ED_K}),
+    a AS (
+      SELECT q.vec_id, q.is_new, s.cid,
+             list_sum(list_transform(range({_KMT_DIM}),
+               i -> (q.v[i+1] - s.c[i+1]) * (q.v[i+1] - s.c[i+1]))) AS d2
+      FROM qv q CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, is_new, cid FROM a
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    )
+    SELECT CAST(cid AS BIGINT) AS bucket,
+           CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS old_n,
+           CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS new_n
+    FROM best GROUP BY 1
+    """,
+)
+def q_embedding_drift(spark, sf_dir):
+    """Vector-space drift census (similarity.py:embedding_drift_census):
+    both snapshot halves binned by a coarse quantizer ANCHORED IN THE
+    OLD snapshot (seeds = its k smallest ids), per-cell exact counts —
+    the embedding-space sibling of q_dist_drift, consumed unchanged by
+    sketch.psi_drift for the PSI scalar. BIGINT squared-L2 over
+    floor-quantized micros end to end; assignment is scan-side over a
+    centroid literal, the census map-side-combines to <= k rows per
+    side."""
+    from .operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    old = e.where(F.col("vec_id") % 2 == 0)
+    new = e.where(F.col("vec_id") % 2 == 1)
+    return similarity.embedding_drift_census(old, new, k=_ED_K)

@@ -70,6 +70,7 @@ SUBSET = [
     "q_source_overlap",        # S^2-bounded shingle self-join, int keys
     "q_kcenter_select",        # k scan-side passes + TakeOrdered(1) each
     "q_nb_reliability",        # NB margin calibration, <=1025-row output
+    "q_embedding_drift",       # scan-side quantizer census, <=k rows/side
 ]
 
 

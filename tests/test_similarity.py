@@ -549,3 +549,45 @@ def test_kcenter_empty_and_bad_k(spark):
         similarity.kcenter_select(empty, k=2)
     with pytest.raises(ValueError, match="k must be"):
         similarity.kcenter_select(empty, k=0)
+
+
+def test_embedding_drift_census_identical_and_shifted(spark):
+    rng = random.Random(11)
+    base = [
+        (i, [rng.uniform(-0.4, 0.4) for _ in range(8)]) for i in range(60)
+    ]
+    old = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    # identical snapshots: counts equal per bucket, PSI ~ 0
+    census = similarity.embedding_drift_census(old, old, k=4)
+    rows = census.collect()
+    assert all(r.old_n == r.new_n for r in rows)
+    assert sum(r.old_n for r in rows) == 60
+    from osmexpress_spark.operators import sketch
+
+    assert abs(sketch.psi_drift(census)) < 1e-12
+    # shifted snapshot: mass moves, PSI strictly positive
+    shifted = spark.createDataFrame(
+        [(i, [x + 0.3 for x in v]) for i, v in base],
+        "vec_id long, embedding array<double>",
+    )
+    census2 = similarity.embedding_drift_census(old, shifted, k=4)
+    assert sketch.psi_drift(census2) > 0.01
+    # quantizer anchored in OLD: bucket ids are old-snapshot seed ids
+    assert {r.bucket for r in census2.collect()} == {0, 1, 2, 3}
+
+
+def test_embedding_drift_census_needs_k_seeds(spark):
+    small = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="need k="):
+        similarity.embedding_drift_census(small, small, k=4)
+
+
+def test_embedding_drift_census_plan_python_free(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = e.where(F.col("vec_id") % 2 == 0)
+    new = e.where(F.col("vec_id") % 2 == 1)
+    census = similarity.embedding_drift_census(old, new, k=8)
+    plan = census._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
