@@ -47,6 +47,8 @@ __all__ = [
     "write_training_shards",
     "verify_training_shards",
     "manifest_diff",
+    "manifest_merge",
+    "compact_epochs",
 ]
 
 
@@ -239,3 +241,108 @@ def manifest_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def manifest_merge(manifests: list[DataFrame]) -> DataFrame:
+    """Combine per-epoch (or per-partition-of-work) manifests into the
+    manifest of the union corpus: per shard, counts and weights ADD and
+    checksums XOR — the same merge algebra as the sketches
+    (sketch.quantile_sketch_merge), and for the same reason: XOR over
+    disjoint row sets composes exactly, so
+    ``manifest_merge(epoch manifests) == shard_manifest(union of
+    epochs)`` holds bit-for-bit WITHOUT rereading any data. This is
+    what lets epoch compaction verify itself from metadata alone.
+
+    Caveat (inherent to XOR, documented not hidden): the algebra is
+    over DISJOINT row sets — feeding the same epoch twice cancels its
+    checksum contribution while doubling its counts, so the count
+    column, not the checksum, is what catches double-merges."""
+    if not manifests:
+        raise ValueError("manifest_merge: need at least one manifest")
+    u = manifests[0]
+    for m in manifests[1:]:
+        u = u.unionByName(m)
+    return u.groupBy("shard").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr("bit_xor(checksum)").alias("checksum"),
+    )
+
+
+def compact_epochs(
+    spark: SparkSession,
+    sink_path: str,
+    out_path: str,
+    id_col: str,
+    content_col: str,
+    weight_col: str,
+    shards: int,
+) -> DataFrame:
+    """Compact a streaming shard sink's epochs (watermark_ops.
+    shard_sink_stream layout: ``sink/epoch=N/{shards,manifest}``) into
+    ONE training sink at ``out_path``, verified by manifest ALGEBRA —
+    a metadata-only proof that the rewrite lost and invented nothing,
+    costing a <= epochs*shards-row fold instead of a second corpus
+    scan. Raises ValueError if the algebra does not hold.
+
+    Two levels of check, both free: the GLOBAL fold (total docs, total
+    weight, XOR of all checksums) is grouping-invariant — regrouping
+    rows into any shard count preserves all three — so it always
+    applies, even when ``shards`` differs from the epochs' shard
+    count; when the compacted manifest happens to be row-compatible
+    with the epoch merge (same shard count), the per-shard diff runs
+    too and localizes any disagreement.
+
+    The rewrite itself is the one unavoidable corpus read (small epoch
+    files -> consolidated shard files, the classic small-file
+    compaction); rows re-hash deterministically under the new count."""
+    from .dedup import _store_fs
+
+    fs, hpath = _store_fs(spark, sink_path.rstrip("/"))
+    epoch_dirs = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+    )
+    if not epoch_dirs:
+        raise FileNotFoundError(
+            f"compact_epochs: no epoch=* directories under {sink_path}"
+        )
+    base = sink_path.rstrip("/")
+    epoch_manifests = [
+        spark.read.parquet(f"{base}/{e}/manifest") for e in epoch_dirs
+    ]
+    data = None
+    for e in epoch_dirs:
+        part = spark.read.parquet(f"{base}/{e}/shards").drop("shard")
+        data = part if data is None else data.unionByName(part)
+    compacted = write_training_shards(
+        data, out_path, id_col, content_col, weight_col, shards
+    )
+    merged = manifest_merge(epoch_manifests)
+
+    def _fold(m: DataFrame) -> tuple:
+        [r] = m.agg(
+            F.sum("n_docs").alias("d"),
+            F.sum("n_tokens").alias("t"),
+            F.expr("bit_xor(checksum)").alias("c"),
+        ).collect()
+        return (r["d"], r["t"], r["c"])
+
+    want, got = _fold(merged), _fold(compacted)
+    if want != got:
+        raise ValueError(
+            "compact_epochs: compacted manifest disagrees with the "
+            f"epoch-manifest merge: merged (docs, weight, xor)={want}, "
+            f"compacted={got}"
+        )
+    if sorted(r["shard"] for r in merged.collect()) == sorted(
+        r["shard"] for r in compacted.collect()
+    ):
+        bad = manifest_diff(merged, compacted).collect()
+        if bad:
+            raise ValueError(
+                "compact_epochs: per-shard manifest disagreement on "
+                f"shards {[r['shard'] for r in bad]}"
+            )
+    return spark.read.parquet(os.path.join(out_path, "manifest"))

@@ -178,3 +178,99 @@ def test_manifest_diff_added_removed_identical(spark):
     assert r.status == "removed" and r.shard == (1 * KNUTH) % 64
     [r2] = SH.manifest_diff(mb, ma).collect()
     assert r2.status == "added" and r2.shard == (1 * KNUTH) % 64
+
+
+def test_manifest_merge_equals_manifest_of_union(spark):
+    """The merge algebra: manifest_merge(per-part manifests) must be
+    bit-identical to shard_manifest(union) — counts add, XOR composes."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = [df.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    merged = SH.manifest_merge(
+        [SH.shard_manifest(p, "doc_id", "text", "n_chars", 8) for p in parts]
+    )
+    whole = SH.shard_manifest(df, "doc_id", "text", "n_chars", 8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        SH.manifest_merge([])
+
+
+def _write_epochs(spark, tmp_path, n_epochs=2, shards=4):
+    import json
+
+    from osmexpress_spark.streaming import watermark_ops
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    n = 0
+    for e in range(n_epochs):
+        with open(src / f"day{e}.json", "w") as f:
+            for i in range(n, n + 15):
+                f.write(json.dumps(
+                    {"doc_id": i, "text": f"epoch {e} doc {i}",
+                     "n_chars": 7 + i}
+                ) + "\n")
+        n += 15
+        stream = spark.readStream.schema(
+            "doc_id long, text string, n_chars long"
+        ).json(str(src))
+        watermark_ops.shard_sink_stream(
+            stream, sink, str(tmp_path / "ckpt"), shards=shards
+        ).awaitTermination(120)
+    return sink, n
+
+
+def test_compact_epochs_same_and_rehashed_shard_count(spark, tmp_path):
+    sink, n = _write_epochs(spark, tmp_path, n_epochs=2, shards=4)
+    # same shard count: per-shard algebra holds, result verifies clean
+    out1 = str(tmp_path / "compact4")
+    man = SH.compact_epochs(
+        spark, sink, out1, "doc_id", "text", "n_chars", 4
+    )
+    assert man.agg(F.sum("n_docs")).collect()[0][0] == n
+    assert (
+        SH.verify_training_shards(
+            spark, out1, "doc_id", "text", "n_chars"
+        ).count()
+        == 0
+    )
+    # different shard count: the grouping-invariant global fold still
+    # proves the rewrite, and the new sink verifies clean
+    out2 = str(tmp_path / "compact8")
+    man8 = SH.compact_epochs(
+        spark, sink, out2, "doc_id", "text", "n_chars", 8
+    )
+    assert man8.agg(F.sum("n_docs")).collect()[0][0] == n
+    assert (
+        SH.verify_training_shards(
+            spark, out2, "doc_id", "text", "n_chars"
+        ).count()
+        == 0
+    )
+
+
+def test_compact_epochs_catches_manifest_data_disagreement(spark, tmp_path):
+    """A corrupted epoch manifest (data says one thing, metadata says
+    another) must fail the compaction's algebra check loudly."""
+    sink, _ = _write_epochs(spark, tmp_path, n_epochs=1, shards=4)
+    mpath = f"{sink}/epoch=0/manifest"
+    m = spark.read.parquet(mpath)
+    forged = m.withColumn(
+        "n_docs",
+        F.when(F.col("shard") == 0, F.col("n_docs") + 1).otherwise(
+            F.col("n_docs")
+        ),
+    )
+    tmp = str(tmp_path / "forged")
+    forged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(mpath)
+    shutil.copytree(tmp, mpath)
+    with pytest.raises(ValueError, match="disagrees"):
+        SH.compact_epochs(
+            spark, sink, str(tmp_path / "out"),
+            "doc_id", "text", "n_chars", 4,
+        )
