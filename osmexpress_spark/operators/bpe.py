@@ -269,3 +269,46 @@ def pair_counts(words: DataFrame, eow: str | None = EOW) -> DataFrame:
     and the driver contract (the full train loop is not
     SQL-expressible, but any single iteration is)."""
     return _pair_counts(_initial_symbols(words, eow))
+
+
+def bpe_fertility(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    merges: list[tuple[str, str]],
+    group: Column,
+    eow: str | None = EOW,
+) -> DataFrame:
+    """Tokenizer-evaluation census per group (language, source):
+    ``(group, n_docs, n_words, n_tokens, n_chars)`` — the integer
+    sufficient statistics from which fertility (tokens/word) and
+    compression (chars/token) derive. This is the table that says
+    whether a trained vocabulary under-serves a language (fertility
+    creeping toward characters-per-word means its merges never fire)
+    BEFORE a trainer pays for the imbalance. Rationals stay with the
+    caller (the no-rounded-rational rule).
+
+    Plan: the Arrow-batched encode (bpe_encode's bounded-cache
+    mapInPandas — the one sanctioned Python stage) feeds a broadcast
+    join back to the group column and one map-side-combined aggregate;
+    output is |groups| rows."""
+    keyed = df.select(
+        F.col(id_col),
+        text.alias("_ft_text"),
+        group.alias("grp"),
+    )
+    enc = bpe_encode(keyed, id_col, F.col("_ft_text"), merges, eow)
+    joined = keyed.join(enc, id_col)
+    words = F.filter(
+        F.split(F.col("_ft_text"), " "), lambda w: F.length(w) > 0
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words)).alias("n_words"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+            F.sum(F.length("_ft_text")).alias("n_chars"),
+        )
+        .withColumnRenamed("grp", "group")
+    )

@@ -251,3 +251,43 @@ def test_jpeg_distributed_extract_features(spark):
         direct = multimodal.image_decoder(bytes(p))
         assert feat == pytest.approx(direct, abs=1e-12)
         assert feat[0] == 24.0 and feat[1] == 16.0 + i
+
+
+def test_bpe_fertility_census_matches_recount(spark):
+    """The fertility census must equal a plain-Python recount over
+    bpe_encode's own output (which is separately model-pinned)."""
+    from osmexpress_spark.operators import bpe
+
+    docs = [
+        (1, "en", "low lower lowest"),
+        (2, "en", "new newer newest"),
+        (3, "de", "neu neuer neuestes wort"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    merges = bpe.bpe_train(bpe.word_counts(df, F.col("text")), n_merges=6)
+    got = {
+        r["group"]: (r.n_docs, r.n_words, r.n_tokens, r.n_chars)
+        for r in bpe.bpe_fertility(
+            df, "doc_id", F.col("text"), merges, F.col("lang")
+        ).collect()
+    }
+    enc = {
+        r.doc_id: r.tokens
+        for r in bpe.bpe_encode(
+            df, "doc_id", F.col("text"), merges
+        ).collect()
+    }
+    want = {}
+    for i, lang, text in docs:
+        d, w, t, c = want.get(lang, (0, 0, 0, 0))
+        want[lang] = (
+            d + 1,
+            w + len(text.split()),
+            t + len(enc[i]),
+            c + len(text),
+        )
+    assert got == want
+    # fertility sanity: every word yields at least one token, at most
+    # its characters + the end-of-word marker
+    for lang, (_, w, t, _) in got.items():
+        assert t >= w
