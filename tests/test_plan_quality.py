@@ -261,3 +261,36 @@ def test_rrf_fusion_scans_prune_columns(spark):
     ]:
         assert "lang" not in schema_line and "source" not in schema_line
         assert "label" not in schema_line
+
+
+def test_staged_round6c_plans_stay_jvm_side(spark):
+    """This session's staged queries: Python-free hot paths. (No
+    CartesianProduct assertion here: q_source_overlap's size-matrix
+    skeleton intentionally cross-joins two S-row aggregates, and the
+    NB scorer cross-joins the per-class default — both bounded by
+    design, never corpus-sized.)"""
+    for name in ("q_shard_manifest", "q_source_overlap",
+                 "q_kcenter_select", "q_nb_reliability",
+                 "q_embedding_drift"):
+        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_shard_manifest_single_exchange_map_side(spark):
+    """The sink manifest is ONE map-side-combined aggregate: the
+    corpus never shuffles, only <= shards partial rows per task do."""
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_shard_manifest"](spark, SF_DIR)
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_bit_xor" in plan and "partial_count" in plan
+
+
+def test_kcenter_assignment_no_join_no_exchange(spark):
+    """k-center's final assignment is scan-side over a centroid
+    literal: zero joins, zero exchanges in the returned plan."""
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_kcenter_select"](spark, SF_DIR)
+    )
+    assert "Join" not in plan and "Exchange" not in plan
