@@ -227,3 +227,91 @@ def test_asof_join_matches_bruteforce(spark, left, right, direction):
             # earliest time; ties -> LOWEST rid
             want = min(cands)[1] if cands else None
         assert got[li] == want, (li, direction, cands)
+
+
+# --- shard-manifest algebra vs Python model ---------------------------------
+_docs = st.lists(
+    st.tuples(
+        st.integers(0, 60),                  # doc id pool (dups possible)
+        st.text(
+            alphabet="ab xy", min_size=0, max_size=12
+        ),                                   # content incl. spaces/empty
+        st.integers(0, 9),                   # weight
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@SET
+@given(docs=_docs, n_shards=st.integers(1, 6), n_parts=st.integers(1, 4))
+def test_manifest_merge_equals_union_property(spark, docs, n_shards, n_parts):
+    """merge(per-part manifests) == manifest(union) for ANY disjoint
+    split — the algebra compact_epochs' metadata proof rests on."""
+    from osmexpress_spark.operators import shards as SH
+    from osmexpress_spark.operators.sample import KNUTH
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, w long")
+    parts = [
+        df.where(F.col("doc_id") % n_parts == i) for i in range(n_parts)
+    ]
+    merged = SH.manifest_merge(
+        [SH.shard_manifest(p, "doc_id", "text", "w", n_shards) for p in parts]
+    )
+    whole = SH.shard_manifest(df, "doc_id", "text", "w", n_shards)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # and the whole manifest matches the straight-line Python model
+    want = {}
+    for i, text, w in docs:
+        s = (i * KNUTH) % n_shards
+        h = int(hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:15], 16)
+        d, t, c = want.get(s, (0, 0, 0))
+        want[s] = (d + 1, t + w, c ^ h)
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["checksum"])
+        for r in whole.collect()
+    }
+    assert got == want
+
+
+# --- source overlap vs Python set model -------------------------------------
+_srcdocs = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.lists(
+            st.sampled_from(["p", "q", "r", "s"]), min_size=0, max_size=6
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SET
+@given(docs=_srcdocs)
+def test_source_overlap_matches_set_model(spark, docs):
+    from osmexpress_spark.operators.dedup import source_overlap
+
+    rows = [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sets: dict[str, set] = {}
+    for _, src, ws in ((i, s, w) for (i, (s, w)) in enumerate(docs)):
+        sh = {
+            " ".join(ws[j : j + 2]) for j in range(len(ws) - 1)
+        }
+        if sh:
+            sets.setdefault(src, set()).update(sh)
+    want = {}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.n_a, r.n_b)
+        for r in source_overlap(df, "source", "text", k=2).collect()
+    }
+    assert got == want
