@@ -101,6 +101,7 @@ PENDING_HEADLINE: list[str] = [
     "q_kcenter_select",
     "q_nb_reliability",
     "q_embedding_drift",
+    "q_hard_negatives",
 ]
 
 

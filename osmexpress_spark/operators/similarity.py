@@ -1538,3 +1538,55 @@ def embedding_drift_census(
             F.coalesce("new_n", F.lit(0)).alias("new_n"),
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.1,
+    hi: float = 0.3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most similar candidates whose cosine lies in ``(lo, hi]`` —
+    near enough to be informative, capped below the near-duplicate
+    line so the "negative" is actually negative (a near-dup labeled
+    negative poisons the contrastive loss; the hi cutoff is the same
+    threshold semantic_dedup removes at).
+
+    Returns (query_id, neighbor_id, sim, neg_rank); sim is the rounded
+    cosine (the cosine() 6-decimal contract). This brute-force form is
+    the exact baseline and the oracle target; at 100 TB compose the
+    band with a pruned searcher instead — NOT by post-filtering a
+    plain top-k (band members need not be in the unfiltered top-k) but
+    by applying the band inside the probed cells of topk_ivf*/
+    topk_bucketed's scored stage, where pruning has already bounded
+    the candidates."""
+    if not lo < hi:
+        raise ValueError("hard_negatives: need lo < hi")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .where((F.col("sim") > F.lit(lo)) & (F.col("sim") <= F.lit(hi)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "neg_rank")
+    )

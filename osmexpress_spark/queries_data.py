@@ -4227,3 +4227,44 @@ def q_embedding_drift(spark, sf_dir):
     old = e.where(F.col("vec_id") % 2 == 0)
     new = e.where(F.col("vec_id") % 2 == 1)
     return similarity.embedding_drift_census(old, new, k=_ED_K)
+
+
+@defq_pending(
+    "q_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_dot_sql('qv', 'cv')} /
+                   (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})),
+                   6) AS sim
+      FROM q, c WHERE neighbor_id != query_id
+    ),
+    banded AS (SELECT * FROM scored
+               WHERE sim > 0.1e0 AND sim <= 0.3e0),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS neg_rank
+      FROM banded
+    )
+    SELECT query_id, neighbor_id, sim, neg_rank
+    FROM ranked WHERE neg_rank <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.py:hard_negatives): per anchor
+    the top-5 candidates in the (0.1, 0.3] cosine band — informative
+    negatives for contrastive training with the near-duplicate ceiling
+    that keeps a positive from being labeled negative. Rounded-cosine
+    band bounds are evaluated on identical 6-decimal values both
+    engines, so the cutoffs are exact."""
+    from .operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        e.where(F.col("vec_id") < 10), e, k=5, lo=0.1, hi=0.3
+    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))

@@ -71,6 +71,7 @@ SUBSET = [
     "q_kcenter_select",        # k scan-side passes + TakeOrdered(1) each
     "q_nb_reliability",        # NB margin calibration, <=1025-row output
     "q_embedding_drift",       # scan-side quantizer census, <=k rows/side
+    "q_hard_negatives",        # banded brute-force, broadcast anchors
 ]
 
 

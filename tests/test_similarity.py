@@ -591,3 +591,44 @@ def test_embedding_drift_census_plan_python_free(spark):
     census = similarity.embedding_drift_census(old, new, k=8)
     plan = census._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_band_and_rank(spark):
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 5)
+    got = similarity.hard_negatives(
+        queries, df, k=3, lo=0.0, hi=0.5
+    ).collect()
+
+    # independent model: rounded cosine, band filter, rank by (-sim, id)
+    import math as m
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(y * y for y in b))),
+            6,
+        )
+
+    want = {}
+    by_id = dict(vecs)
+    for qid in range(5):
+        cand = [
+            (cos(by_id[qid], v), i)
+            for i, v in vecs
+            if i != qid and 0.0 < cos(by_id[qid], v) <= 0.5
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for r, (s, i) in enumerate(cand[:3], 1):
+            want[(qid, i)] = (s, r)
+    assert {
+        (r.query_id, r.neighbor_id): (r.sim, r.neg_rank) for r in got
+    } == want
+    # every returned sim is inside the band
+    assert all(0.0 < r.sim <= 0.5 for r in got)
+    with pytest.raises(ValueError, match="lo < hi"):
+        similarity.hard_negatives(queries, df, lo=0.5, hi=0.5)
