@@ -810,12 +810,24 @@ def drift_census(
     population-stability-index scalar driver-side — the only
     transcendental (ln) stays OUT of the distributed, oracle-checked
     part."""
-    a = quantile_sketch_build(old, value, sub_bits).withColumnRenamed(
-        "cnt", "old_n"
+    return drift_census_from_sketches(
+        quantile_sketch_build(old, value, sub_bits),
+        quantile_sketch_build(new, value, sub_bits),
+        sub_bits,
     )
-    b = quantile_sketch_build(new, value, sub_bits).withColumnRenamed(
-        "cnt", "new_n"
-    )
+
+
+def drift_census_from_sketches(
+    old_sketch: DataFrame,
+    new_sketch: DataFrame,
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """drift_census over PREBUILT (bucket, cnt) sketches — the
+    monitoring-loop form: the reference side is a persisted <=1025-row
+    sketch read back from parquet, so comparing every incoming batch
+    against it never rescans the reference corpus."""
+    a = old_sketch.withColumnRenamed("cnt", "old_n")
+    b = new_sketch.withColumnRenamed("cnt", "new_n")
     j = a.join(b, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("old_n", F.lit(0)).alias("old_n"),

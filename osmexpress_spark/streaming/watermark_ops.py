@@ -345,3 +345,57 @@ def verify_shard_epochs(
         ).select(F.lit(e).cast("long").alias("epoch"), "*")
         out = bad if out is None else out.unionByName(bad)
     return out
+
+
+def drift_monitor_stream(
+    stream_docs: DataFrame,
+    ref_sketch_path: str,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "n_chars",
+    threshold: float = 0.2,
+):
+    """Continuous data-quality drift monitor: every micro-batch's
+    value distribution is sketched (<= 1025 integer buckets,
+    sketch.quantile_sketch_build) and compared against a PERSISTED
+    reference sketch via the PSI scalar; each epoch writes one
+    ``(n_rows, psi, alert)`` row to ``out_path/epoch=<id>/`` — the
+    alarm a pipeline checks before admitting a drop into curation
+    (a upstream format change shows up here as a length-distribution
+    shift before it shows up as bad training data).
+
+    The reference corpus is NEVER rescanned: the reference side is the
+    bounded sketch parquet (write one with
+    ``quantile_sketch_build(ref, col).write.parquet(path)``), so the
+    per-trigger cost is one batch scan + a <= 1025-row join. PSI's ln
+    runs driver-side over the bounded census (the psi_drift contract);
+    the only distributed work stays integer-exact. Epoch overwrite
+    keeps retries idempotent. availableNow trigger — the daily-drop
+    shape."""
+    from ..operators import sketch as sketch_ops
+
+    spark = stream_docs.sparkSession
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf = bdf.localCheckpoint()
+        n = bdf.count()
+        if n == 0:
+            return
+        ref = spark.read.parquet(ref_sketch_path)
+        census = sketch_ops.drift_census_from_sketches(
+            ref, sketch_ops.quantile_sketch_build(bdf, F.col(value_col))
+        )
+        psi = sketch_ops.psi_drift(census)
+        spark.createDataFrame(
+            [(int(n), float(psi), bool(psi > threshold))],
+            "n_rows long, psi double, alert boolean",
+        ).write.mode("overwrite").parquet(
+            f"{out_path.rstrip('/')}/epoch={epoch_id}"
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -347,3 +347,55 @@ def test_shard_sink_stream_epochs_and_verify(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="no sink"):
         watermark_ops.verify_shard_epochs(spark, str(tmp_path / "nowhere"))
+
+
+def test_drift_monitor_stream_alerts_on_shift(spark, tmp_path):
+    """Drift monitor: an in-distribution drop stays quiet, a shifted
+    drop (x100 lengths) raises the alert; the reference corpus is read
+    only once, at sketch-build time."""
+    import glob
+    import json
+
+    from osmexpress_spark.operators import sketch
+    from osmexpress_spark.streaming import watermark_ops
+
+    rng = __import__("random").Random(5)
+    ref = spark.createDataFrame(
+        [(i, rng.randint(200, 800)) for i in range(400)],
+        "doc_id long, n_chars long",
+    )
+    ref_path = str(tmp_path / "ref_sketch")
+    sketch.quantile_sketch_build(ref, F.col("n_chars")).write.parquet(
+        ref_path
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    out = str(tmp_path / "alerts")
+
+    def drop(name, rows):
+        with open(src / name, "w") as f:
+            for i, v in rows:
+                f.write(json.dumps({"doc_id": i, "n_chars": v}) + "\n")
+        stream = spark.readStream.schema("doc_id long, n_chars long").json(
+            str(src)
+        )
+        watermark_ops.drift_monitor_stream(
+            stream, ref_path, out, str(tmp_path / "ckpt"),
+            value_col="n_chars", threshold=0.5,
+        ).awaitTermination(120)
+
+    drop("day1.json", [(i, rng.randint(200, 800)) for i in range(300)])
+    drop("day2.json", [(1000 + i, rng.randint(20000, 80000))
+                       for i in range(300)])
+
+    epochs = sorted(glob.glob(f"{out}/epoch=*"))
+    assert len(epochs) == 2
+    rows = [spark.read.parquet(e).collect()[0] for e in epochs]
+    quiet, shifted = rows
+    # a 300-row sample against a 400-row reference carries real PSI
+    # sampling noise at octave-bucket granularity (~0.28 here) — the
+    # threshold separates regimes, it does not chase zero
+    assert quiet.alert is False and quiet.psi < 0.5
+    assert shifted.alert is True and shifted.psi > 1.0
+    assert quiet.n_rows == 300 and shifted.n_rows == 300
