@@ -56,13 +56,14 @@ def image_decoder(payload: bytes) -> list[float]:
     (BITMAPINFOHEADER, BI_RGB), binary PPM (P6), the complete PNG
     still-image matrix (grayscale / truecolor / palette / each with
     alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
-    Adam7-interlaced), and baseline sequential JPEG (SOF0/SOF1,
-    Huffman, any sampling factors <= 4). Returns the fixed 5-float
-    feature vector [width, height, mean_r, mean_g, mean_b] with
-    channel means normalized to [0, 1].
+    Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
+    any sampling factors <= 4), and GIF87a/89a (full LZW,
+    global/local palettes, interlace, first frame). Returns the fixed
+    5-float feature vector [width, height, mean_r, mean_g, mean_b]
+    with channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    GIF/WebP/TIFF/...) raise
+    WebP/TIFF/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -75,10 +76,13 @@ def image_decoder(payload: bytes) -> list[float]:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
         "only uncompressed 24-bit BMP, binary PPM, PNG (full "
-        "still-image matrix) and baseline sequential JPEG decode "
-        "in-container; swap in PIL/opencv via decoder= for other formats"
+        "still-image matrix), baseline sequential JPEG and GIF87a/89a "
+        "decode in-container; swap in PIL/opencv via decoder= for "
+        "other formats (WebP/TIFF/...)"
     )
 
 
@@ -339,6 +343,144 @@ def _decode_png(payload: bytes) -> list[float]:
         tot = [tot[0], tot[0], tot[0]]
     n = width * height * (255.0 if depth <= 8 else 65535.0)
     return [float(width), float(height), tot[0] / n, tot[1] / n, tot[2] / n]
+
+
+def _gif_lzw(min_code: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW decode (variable 3..12-bit codes, LSB-first,
+    clear/end codes, dictionary regrowth after clear). Returns palette
+    indices; raises ValueError on out-of-range codes or truncation."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    if not 2 <= min_code <= 8:
+        raise ValueError("GIF LZW minimum code size out of range")
+
+    out: list[int] = []
+    width = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no end code)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("GIF LZW code beyond dictionary")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _decode_gif(payload: bytes) -> list[float]:
+    """Pure-stdlib GIF87a/GIF89a decode of the FIRST image (animation
+    frames beyond it are skipped — frame policy belongs to
+    frame_sample, not the feature probe): logical screen descriptor,
+    global/local color tables, extension skip, full LZW. The interlace
+    flag is accepted and needs NO deinterleave: interlacing permutes
+    ROW ORDER only, and channel means are position-blind — the same
+    reason Adam7 was free for PNG. Transparency (GCE) is ignored like
+    every other alpha channel here; means cover all pixels."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF header")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        if len(gct) < n:
+            raise ValueError("GIF global color table truncated")
+        pos += n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-blocks truncated")
+            ln = payload[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image descriptor")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        w, h = struct.unpack_from("<HH", payload, pos + 5)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = payload[pos : pos + n]
+            if len(pal) < n:
+                raise ValueError("GIF local color table truncated")
+            pos += n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if w == 0 or h == 0:
+            raise ValueError("GIF image has zero dimension")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF image data truncated")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(payload[pos : pos + ln])
+            if len(chunks[-1]) < ln:
+                raise ValueError("GIF image data truncated")
+            pos += ln
+        idx = _gif_lzw(min_code, b"".join(chunks))
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short of width*height")
+        n_colors = len(pal) // 3
+        tot = [0, 0, 0]
+        for i in idx[: w * h]:
+            if i >= n_colors:
+                raise ValueError("GIF index outside color table")
+            tot[0] += pal[3 * i]
+            tot[1] += pal[3 * i + 1]
+            tot[2] += pal[3 * i + 2]
+        n = w * h * 255.0
+        return [float(w), float(h), tot[0] / n, tot[1] / n, tot[2] / n]
+    raise ValueError("GIF truncated before any image descriptor")
 
 
 # --- baseline JPEG (ITU-T T.81) --------------------------------------------

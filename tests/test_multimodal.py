@@ -161,8 +161,12 @@ def test_image_decoder_failure_shapes():
         multimodal.image_decoder(b"\xff\xd8\xff\xe0jpeg-like")
     with pytest.raises(ValueError):
         multimodal.image_decoder(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        # GIF is now a supported container: garbage after the magic is
+        # a CORRUPT payload, not an absent codec
         multimodal.image_decoder(b"GIF89a......")
+    with pytest.raises(NotImplementedError):
+        multimodal.image_decoder(b"RIFFxxxxWEBPVP8 ")
     with pytest.raises(ValueError):
         multimodal.image_decoder(_bmp24(PIXELS)[:-4])  # truncated pixels
     with pytest.raises(ValueError):
@@ -760,3 +764,200 @@ def test_image_decoder_png_adam7_16bit_property():
         assert got == [float(w), float(h), m, m, m]
 
     run()
+
+
+# --- GIF: independent encoder (real LZW, the inverse algorithm) ------------
+
+
+def _gif_lzw_encode(min_code, indices):
+    """Proper GIF LZW encoder (dictionary growth, width bumps, clear +
+    end codes) written independently of the decoder."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(clear)}
+    # code widths tracked in lockstep with the DECODER's view: it adds
+    # its table entry one code after ours, so it widens when OUR entry
+    # count (minus that one-code lag) hits the width boundary
+    out_bits = []
+    w = [min_code + 1]
+
+    def put(code):
+        out_bits.append((code, w[0]))
+
+    put(clear)
+    prev = ()
+    n_entries = end + 1
+    for sym in indices:
+        cur = prev + (sym,)
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev])
+        table[cur] = n_entries
+        n_entries += 1
+        if n_entries - 1 == (1 << w[0]) and w[0] < 12:
+            w[0] += 1
+        prev = (sym,)
+    if prev:
+        put(table[prev])
+    put(end)
+    # pack LSB-first
+    buf = bytearray()
+    acc_v = acc_n = 0
+    for code, width in out_bits:
+        acc_v |= code << acc_n
+        acc_n += width
+        while acc_n >= 8:
+            buf.append(acc_v & 0xFF)
+            acc_v >>= 8
+            acc_n -= 8
+    if acc_n:
+        buf.append(acc_v & 0xFF)
+    return bytes(buf)
+
+
+def _make_gif(w, h, palette, indices, min_code=None, interlace=False,
+              local_table=False, version=b"GIF89a", extension=False):
+    import struct
+
+    n_colors = len(palette)
+    depth = max(2, (n_colors - 1).bit_length())
+    if min_code is None:
+        min_code = max(2, depth)
+    pal = b"".join(bytes(c) for c in palette)
+    pal += b"\x00\x00\x00" * ((1 << depth) - n_colors)
+    out = bytearray(version)
+    gct_flag = 0 if local_table else 0x80
+    out += struct.pack("<HHBBB", w, h, gct_flag | (depth - 1), 0, 0)
+    if not local_table:
+        out += pal
+    if extension:  # a GCE the decoder must skip
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ipacked = (0x80 | (depth - 1) if local_table else 0) | (
+        0x40 if interlace else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_table:
+        out += pal
+    out.append(min_code)
+    data = _gif_lzw_encode(min_code, indices)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_want(w, h, palette, indices):
+    tot = [0, 0, 0]
+    for i in indices:
+        for c in range(3):
+            tot[c] += palette[i][c]
+    n = w * h * 255.0
+    return [float(w), float(h), tot[0] / n, tot[1] / n, tot[2] / n]
+
+
+def test_image_decoder_gif_golden():
+    from osmexpress_spark.operators.multimodal import image_decoder
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3]
+    gif = _make_gif(4, 3, palette, idx, extension=True)
+    got = image_decoder(gif)
+    want = _gif_want(4, 3, palette, idx)
+    assert got[:2] == want[:2]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got[2:], want[2:]))
+
+
+def test_image_decoder_gif_variants():
+    from osmexpress_spark.operators.multimodal import image_decoder
+
+    palette = [(i, 255 - i, (i * 7) % 256) for i in range(16)]
+    idx = [(i * 11) % 16 for i in range(64)]
+    want = _gif_want(8, 8, palette, idx)
+    for kwargs in (
+        {"interlace": True},             # row permutation: means unchanged
+        {"local_table": True},           # LCT instead of GCT
+        {"version": b"GIF87a"},          # legacy header
+    ):
+        got = image_decoder(_make_gif(8, 8, palette, idx, **kwargs))
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), kwargs
+
+
+def test_image_decoder_gif_lzw_growth_property():
+    """Random images large enough to force dictionary growth and width
+    bumps through several sizes; encoder is the independent inverse."""
+    import random
+
+    from osmexpress_spark.operators.multimodal import image_decoder
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_colors = rng.choice([4, 8, 16, 64])
+        palette = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(n_colors)
+        ]
+        w, h = rng.randrange(3, 40), rng.randrange(3, 40)
+        idx = [rng.randrange(n_colors) for _ in range(w * h)]
+        got = image_decoder(_make_gif(w, h, palette, idx))
+        want = _gif_want(w, h, palette, idx)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), seed
+
+
+def test_image_decoder_gif_failure_shapes():
+    import pytest
+
+    from osmexpress_spark.operators.multimodal import image_decoder
+
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (0, 0, 0)]
+    idx = [0, 1, 2, 3]
+    good = _make_gif(2, 2, palette, idx)
+    with pytest.raises(ValueError, match="truncated|no image"):
+        image_decoder(good[:20])
+    with pytest.raises(ValueError, match="trailer|no image"):
+        image_decoder(good[:13] + good[13:13 + 12] + b"\x3b")
+    # pixel data short of width*height: claim a taller image
+    import struct
+
+    tall = bytearray(good)
+    struct.pack_into("<H", tall, 8, 50)  # screen height
+    # image descriptor height field sits after 0x2c marker
+    m = good.index(b"\x2c")
+    struct.pack_into("<H", tall, m + 7, 50)
+    with pytest.raises(ValueError, match="short of"):
+        image_decoder(bytes(tall))
+    # WebP stays honestly stubbed
+    with pytest.raises(NotImplementedError):
+        image_decoder(b"RIFF0000WEBPVP8 ")
+
+
+def test_extract_features_gif_distributed(spark):
+    import random
+
+    rng = random.Random(42)
+    rows, wants = [], {}
+    for i in range(12):
+        n = rng.choice([4, 16])
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(n)
+        ]
+        w, h = rng.randrange(2, 20), rng.randrange(2, 20)
+        idx = [rng.randrange(n) for _ in range(w * h)]
+        rows.append(
+            (i, bytes(_make_gif(w, h, pal, idx, interlace=bool(i % 2))),
+             ("image/gif", w * h))
+        )
+        wants[i] = _gif_want(w, h, pal, idx)
+    df = spark.createDataFrame(
+        rows, "item_id long, payload binary, meta struct<mime:string,n_bytes:int>"
+    )
+    feats = multimodal.extract_features(
+        df, decoder=multimodal.image_decoder
+    ).collect()
+    assert all(r.decode_ok for r in feats) and len(feats) == 12
+    for r in feats:
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(r.feat, wants[r.item_id])
+        )
