@@ -102,6 +102,7 @@ PENDING_HEADLINE: list[str] = [
     "q_nb_reliability",
     "q_embedding_drift",
     "q_hard_negatives",
+    "q_manifest_merge",
 ]
 
 

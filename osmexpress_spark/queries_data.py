@@ -4268,3 +4268,35 @@ def q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(
         e.where(F.col("vec_id") < 10), e, k=5, lo=0.1, hi=0.3
     ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
+@defq_pending(
+    "q_manifest_merge",
+    f"""
+    SELECT {sample.hash_bucket_sql('doc_id', 8)} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           bit_xor(CAST('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')),
+               1, 15) AS BIGINT)) AS checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_manifest_merge(spark, sf_dir):
+    """The manifest MERGE ALGEBRA behind the driver gate: the corpus
+    splits into three disjoint parts, each part builds its own
+    manifest, and manifest_merge folds them (counts add, checksums
+    XOR) — the oracle is the SINGLE-PASS manifest over the whole
+    corpus, so the gate proves merge(parts) == manifest(union)
+    bit-for-bit. This identity is what lets compact_epochs prove a
+    rewrite from metadata alone (operators/shards.py)."""
+    from .operators import shards
+
+    d = t(spark, sf_dir, "documents")
+    parts = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    return shards.manifest_merge(
+        [
+            shards.shard_manifest(p, "doc_id", "text", "n_chars", 8)
+            for p in parts
+        ]
+    )

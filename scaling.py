@@ -72,6 +72,7 @@ SUBSET = [
     "q_nb_reliability",        # NB margin calibration, <=1025-row output
     "q_embedding_drift",       # scan-side quantizer census, <=k rows/side
     "q_hard_negatives",        # banded brute-force, broadcast anchors
+    "q_manifest_merge",        # 3-part manifest fold == union manifest
 ]
 
 
