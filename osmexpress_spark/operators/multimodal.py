@@ -57,13 +57,14 @@ def image_decoder(payload: bytes) -> list[float]:
     still-image matrix (grayscale / truecolor / palette / each with
     alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
-    any sampling factors <= 4), and GIF87a/89a (full LZW,
-    global/local palettes, interlace, first frame). Returns the fixed
-    5-float feature vector [width, height, mean_r, mean_g, mean_b]
-    with channel means normalized to [0, 1].
+    any sampling factors <= 4), GIF87a/89a (full LZW, global/local
+    palettes, interlace, first frame), and uncompressed baseline TIFF
+    (II/MM, 8-bit gray/RGB(A)/palette, any strip layout). Returns the
+    fixed 5-float feature vector [width, height, mean_r, mean_g,
+    mean_b] with channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    WebP/TIFF/...) raise
+    compressed/tiled/planar TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -78,11 +79,13 @@ def image_decoder(payload: bytes) -> list[float]:
         return _decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     raise NotImplementedError(
         "only uncompressed 24-bit BMP, binary PPM, PNG (full "
-        "still-image matrix), baseline sequential JPEG and GIF87a/89a "
-        "decode in-container; swap in PIL/opencv via decoder= for "
-        "other formats (WebP/TIFF/...)"
+        "still-image matrix), baseline sequential JPEG, GIF87a/89a "
+        "and uncompressed baseline TIFF decode in-container; swap in "
+        "PIL/opencv via decoder= for other formats (WebP/...)"
     )
 
 
@@ -481,6 +484,121 @@ def _decode_gif(payload: bytes) -> list[float]:
         n = w * h * 255.0
         return [float(w), float(h), tot[0] / n, tot[1] / n, tot[2] / n]
     raise ValueError("GIF truncated before any image descriptor")
+
+
+def _decode_tiff(payload: bytes) -> list[float]:
+    """Pure-stdlib baseline TIFF 6.0 decode: both byte orders (II/MM),
+    first IFD, UNCOMPRESSED (Compression=1) chunky (PlanarConfig=1)
+    8-bit grayscale (photometric 0 MinIsWhite — inverted — and 1
+    MinIsBlack), RGB(A) (photometric 2; extra samples beyond the
+    first three are ignored like every alpha here), and palette
+    (photometric 3, 16-bit ColorMap scaled /65535), with any strip
+    layout. LZW/PackBits/JPEG-compressed, tiled, planar, and sub-8-bit
+    TIFFs raise NotImplementedError (the honest-stub branch);
+    structural damage raises ValueError."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF header")
+    if len(payload) < 8:
+        raise ValueError("TIFF truncated before IFD offset")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("TIFF IFD entry truncated")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+        if typ not in type_size:  # RATIONAL etc.: not needed here
+            continue
+        sz = type_size[typ] * cnt
+        voff = off + 8 if sz <= 4 else struct.unpack_from(
+            e + "I", payload, off + 8
+        )[0]
+        if voff + sz > len(payload):
+            raise ValueError("TIFF tag value out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack_from(e + fmt * cnt, payload, voff)
+        )
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    width, height = one(256), one(257)
+    if width == 0 or height == 0:
+        raise ValueError("TIFF zero dimension")
+    comp = one(259, 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (uncompressed only)"
+        )
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    strips = b"".join(
+        payload[o : o + c]
+        if o + c <= len(payload)
+        else (_ for _ in ()).throw(ValueError("TIFF strip out of range"))
+        for o, c in zip(tags[273], tags[279])
+    )
+    need = width * height * spp
+    if len(strips) < need:
+        raise ValueError("TIFF pixel data short of width*height")
+    tot = [0, 0, 0]
+    n = width * height
+    if photo in (0, 1):
+        inv = photo == 0
+        for p in range(n):
+            v = strips[p * spp]
+            if inv:
+                v = 255 - v
+            tot[0] += v
+        tot[1] = tot[2] = tot[0]
+        scale = 255.0
+    elif photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples")
+        for p in range(n):
+            b0 = p * spp
+            tot[0] += strips[b0]
+            tot[1] += strips[b0 + 1]
+            tot[2] += strips[b0 + 2]
+        scale = 255.0
+    elif photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing 256-entry ColorMap")
+        for p in range(n):
+            i = strips[p * spp]
+            tot[0] += cmap[i]
+            tot[1] += cmap[256 + i]
+            tot[2] += cmap[512 + i]
+        scale = 65535.0
+    else:
+        raise NotImplementedError(
+            f"TIFF photometric {photo} not supported"
+        )
+    d = n * scale
+    return [float(width), float(height), tot[0] / d, tot[1] / d, tot[2] / d]
 
 
 # --- baseline JPEG (ITU-T T.81) --------------------------------------------

@@ -961,3 +961,135 @@ def test_extract_features_gif_distributed(spark):
         assert all(
             abs(a - b) < 1e-9 for a, b in zip(r.feat, wants[r.item_id])
         )
+
+
+# --- TIFF: independent encoder ----------------------------------------------
+
+
+def _make_tiff(w, h, photo, samples, endian="<", rows_per_strip=None,
+               colormap=None, compression=1):
+    """Independent baseline-TIFF writer: header, strips, then one IFD
+    with values > 4 bytes placed after it."""
+    import struct
+
+    spp = len(samples[0][0]) if photo == 2 else 1
+    if photo in (0, 1, 3):
+        flat = bytes(px for row in samples for px in row)
+    else:
+        flat = bytes(c for row in samples for px in row for c in px)
+    rps = rows_per_strip or h
+    row_bytes = w * spp
+    strips = [
+        flat[r * row_bytes : min(r + rps, h) * row_bytes]
+        for r in range(0, h, rps)
+    ]
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    # layout: 8-byte header | strip data | IFD | overflow values
+    data_off = 8
+    offsets, counts = [], []
+    body = b""
+    for s in strips:
+        offsets.append(data_off + len(body))
+        counts.append(len(s))
+        body += s
+    ifd_off = data_off + len(body)
+
+    entries = []
+    overflow = b""
+
+    def entry(tag, typ, values):
+        nonlocal overflow
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(values)
+        if sz <= 4:
+            raw = struct.pack(endian + fmt * len(values), *values)
+            raw += b"\x00" * (4 - sz)
+            entries.append((tag, typ, len(values), raw))
+        else:
+            entries.append((tag, typ, len(values), None, values, fmt))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photo])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, counts)
+    if colormap is not None:
+        entry(320, 3, colormap)
+
+    entries.sort(key=lambda t: t[0])
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    over_off = ifd_off + ifd_size
+    ifd = struct.pack(endian + "H", n)
+    for ent in entries:
+        if ent[3] is not None:
+            tag, typ, cnt, raw = ent
+            ifd += struct.pack(endian + "HHI", tag, typ, cnt) + raw
+        else:
+            tag, typ, cnt, _, values, fmt = ent
+            ifd += struct.pack(endian + "HHII", tag, typ, cnt,
+                               over_off + len(overflow))
+            overflow += struct.pack(endian + fmt * cnt, *values)
+    ifd += struct.pack(endian + "I", 0)
+    return (magic + struct.pack(endian + "I", ifd_off) + body + ifd
+            + overflow)
+
+
+def test_image_decoder_tiff_rgb_both_endians_multistrip():
+    rgb = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)],
+           [(1, 2, 3), (4, 5, 6)]]
+    want_r = sum(px[0] for row in rgb for px in row) / (6 * 255.0)
+    for endian in ("<", ">"):
+        for rps in (None, 1, 2):
+            got = multimodal.image_decoder(
+                _make_tiff(2, 3, 2, rgb, endian=endian, rows_per_strip=rps)
+            )
+            assert got[:2] == [2.0, 3.0]
+            assert abs(got[2] - want_r) < 1e-12, (endian, rps)
+
+
+def test_image_decoder_tiff_gray_palette_rgba():
+    gray = [[0, 100], [200, 255]]
+    got = multimodal.image_decoder(_make_tiff(2, 2, 1, gray))
+    m = (0 + 100 + 200 + 255) / (4 * 255.0)
+    assert got[2:] == [m, m, m]
+    # MinIsWhite inverts
+    got0 = multimodal.image_decoder(_make_tiff(2, 2, 0, gray))
+    m0 = sum(255 - v for r in gray for v in r) / (4 * 255.0)
+    assert got0[2:] == [m0, m0, m0]
+    # palette: 16-bit colormap, scaled /65535
+    cmap = ([0] * 256, [0] * 256, [0] * 256)
+    cmap[0][5], cmap[1][5], cmap[2][5] = 65535, 32768, 0
+    cmap[0][9], cmap[1][9], cmap[2][9] = 256, 512, 1024
+    pal = [[5, 9], [5, 5]]
+    got3 = multimodal.image_decoder(
+        _make_tiff(2, 2, 3, pal, colormap=cmap[0] + cmap[1] + cmap[2])
+    )
+    wr = (3 * 65535 + 256) / (4 * 65535.0)
+    assert abs(got3[2] - wr) < 1e-12
+    # RGBA: alpha ignored
+    rgba = [[(10, 20, 30, 0), (40, 50, 60, 255)]]
+    got4 = multimodal.image_decoder(_make_tiff(2, 1, 2, rgba))
+    assert abs(got4[2] - (10 + 40) / (2 * 255.0)) < 1e-12
+
+
+def test_image_decoder_tiff_failure_and_stub_shapes():
+    import pytest
+
+    rgb = [[(1, 2, 3)]]
+    good = _make_tiff(1, 1, 2, rgb)
+    with pytest.raises(NotImplementedError, match="compression"):
+        multimodal.image_decoder(_make_tiff(1, 1, 2, rgb, compression=5))
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(good[:14])  # truncated IFD
+    with pytest.raises(ValueError):
+        multimodal.image_decoder(b"II*\x00")  # no IFD offset
+    # pixel data short: claim a taller image via a forged IFD
+    tall = _make_tiff(1, 5, 2, rgb)
+    # (encoder writes only 1 row of strip data when samples has 1 row)
+    with pytest.raises(ValueError, match="short of|out of range"):
+        multimodal.image_decoder(tall)
