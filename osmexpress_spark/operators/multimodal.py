@@ -486,16 +486,40 @@ def _decode_gif(payload: bytes) -> list[float]:
     raise ValueError("GIF truncated before any image descriptor")
 
 
+def _packbits(data: bytes) -> bytes:
+    """PackBits RLE decode (TIFF Compression=32773): n in 0..127 means
+    copy n+1 literal bytes; n in -127..-1 means repeat the next byte
+    1-n times; -128 is a no-op."""
+    out = bytearray()
+    p = 0
+    while p < len(data):
+        n = data[p] - 256 if data[p] > 127 else data[p]
+        p += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if p + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[p : p + n + 1]
+            p += n + 1
+        else:
+            if p >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[p]]) * (1 - n)
+            p += 1
+    return bytes(out)
+
+
 def _decode_tiff(payload: bytes) -> list[float]:
     """Pure-stdlib baseline TIFF 6.0 decode: both byte orders (II/MM),
-    first IFD, UNCOMPRESSED (Compression=1) chunky (PlanarConfig=1)
-    8-bit grayscale (photometric 0 MinIsWhite — inverted — and 1
-    MinIsBlack), RGB(A) (photometric 2; extra samples beyond the
-    first three are ignored like every alpha here), and palette
-    (photometric 3, 16-bit ColorMap scaled /65535), with any strip
-    layout. LZW/PackBits/JPEG-compressed, tiled, planar, and sub-8-bit
-    TIFFs raise NotImplementedError (the honest-stub branch);
-    structural damage raises ValueError."""
+    first IFD, uncompressed (Compression=1) or PackBits (32773)
+    chunky (PlanarConfig=1) 8-bit grayscale (photometric 0 MinIsWhite
+    — inverted — and 1 MinIsBlack), RGB(A) (photometric 2; extra
+    samples beyond the first three are ignored like every alpha
+    here), and palette (photometric 3, 16-bit ColorMap scaled /65535),
+    with any strip layout. LZW/JPEG-compressed, tiled, planar, and
+    sub-8-bit TIFFs raise NotImplementedError (the honest-stub
+    branch); structural damage raises ValueError."""
     import struct
 
     if payload[:4] == b"II*\x00":
@@ -541,9 +565,10 @@ def _decode_tiff(payload: bytes) -> list[float]:
     if width == 0 or height == 0:
         raise ValueError("TIFF zero dimension")
     comp = one(259, 1)
-    if comp != 1:
+    if comp not in (1, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (uncompressed only)"
+            f"TIFF compression {comp} not supported "
+            "(uncompressed and PackBits only)"
         )
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
@@ -554,12 +579,14 @@ def _decode_tiff(payload: bytes) -> list[float]:
         raise NotImplementedError("only 8-bit TIFF samples supported")
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip offsets/byte counts")
-    strips = b"".join(
-        payload[o : o + c]
-        if o + c <= len(payload)
-        else (_ for _ in ()).throw(ValueError("TIFF strip out of range"))
-        for o, c in zip(tags[273], tags[279])
-    )
+    raw_strips = []
+    for o, c in zip(tags[273], tags[279]):
+        if o + c > len(payload):
+            raise ValueError("TIFF strip out of range")
+        raw_strips.append(payload[o : o + c])
+    if comp == 32773:  # PackBits RLE, decoded per strip
+        raw_strips = [_packbits(s) for s in raw_strips]
+    strips = b"".join(raw_strips)
     need = width * height * spp
     if len(strips) < need:
         raise ValueError("TIFF pixel data short of width*height")
