@@ -103,6 +103,7 @@ PENDING_HEADLINE: list[str] = [
     "q_embedding_drift",
     "q_hard_negatives",
     "q_manifest_merge",
+    "q_event_spikes",
 ]
 
 

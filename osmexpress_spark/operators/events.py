@@ -198,3 +198,56 @@ def trend_slopes(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("slope_milli_per_min"),
     )
+
+
+def rate_spikes(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "hour",
+    k: int = 3,
+) -> DataFrame:
+    """Event-rate anomaly flags: per (type, window) counts whose
+    absolute deviation from the type's MEDIAN count exceeds ``k`` x
+    the type's MAD — the robust operational alarm (a stuck producer or
+    a replay storm moves the mean and stddev it would be judged by;
+    median/MAD have a 50% breakdown point). Output: (event_type,
+    window_start, n, med, mad) for flagged windows only.
+
+    Engine-exact: counts are integers; both medians are LOWER medians
+    selected by row_number rank (m+1) div 2 over integer sort keys —
+    no interpolation, no floats anywhere, so the whole alarm sits
+    behind the value-hash gate. A type where >= half the windows share
+    one count has MAD 0 and flags every deviating window — the
+    conventional degenerate-MAD reading.
+
+    Scale shape: one map-side-combined count to |types| x |windows|
+    rows; everything after runs on that bounded frame (two windows +
+    two broadcast-sized joins). Wide time ranges cost rows, not
+    scans."""
+    from pyspark.sql import Window as W
+
+    c = df.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc(window, F.col(ts_col)).alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def lower_median(frame: DataFrame, key: str, out: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(F.col(key))
+        ranked = frame.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_m", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+        )
+        return ranked.where(
+            F.col("_rn") == F.expr("(_m + 1) div 2")
+        ).select("event_type", F.col(key).alias(out))
+
+    med = lower_median(c, "n", "med")
+    d = c.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = lower_median(d, "dev", "mad")
+    return (
+        d.join(mad, "event_type")
+        .where(F.col("dev") > F.lit(k) * F.col("mad"))
+        .select("event_type", "window_start", "n", "med", "mad")
+    )

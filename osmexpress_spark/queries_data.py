@@ -4300,3 +4300,40 @@ def q_manifest_merge(spark, sf_dir):
             for p in parts
         ]
     )
+
+
+@defq_pending(
+    "q_event_spikes",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS m FROM c),
+    med AS (SELECT event_type, n AS med FROM r WHERE rn = (m + 1) // 2),
+    d AS (SELECT c.event_type, c.window_start, c.n, med.med,
+                 abs(c.n - med.med) AS dev
+          FROM c JOIN med USING (event_type)),
+    r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS m FROM d),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (m + 1) // 2)
+    SELECT d.event_type, d.window_start, d.n, d.med, m.mad
+    FROM d JOIN mad m USING (event_type)
+    WHERE d.dev > 3 * m.mad
+    """,
+)
+def q_event_spikes(spark, sf_dir):
+    """Event-rate anomaly alarm (operators/events.py:rate_spikes):
+    hourly counts per event type flagged where the deviation from the
+    type's median exceeds 3x its MAD — median/MAD, not mean/stddev,
+    because the anomaly being hunted is exactly what corrupts the
+    latter. Integer counts, lower-median selection by row_number rank
+    both engines, zero floats — the alarm itself is value-hash
+    checkable. One map-side count to |types|x|hours| rows; all
+    statistics run on that bounded frame."""
+    from .operators import events
+
+    d = t(spark, sf_dir, "events")
+    return events.rate_spikes(d)

@@ -73,6 +73,7 @@ SUBSET = [
     "q_embedding_drift",       # scan-side quantizer census, <=k rows/side
     "q_hard_negatives",        # banded brute-force, broadcast anchors
     "q_manifest_merge",        # 3-part manifest fold == union manifest
+    "q_event_spikes",          # bounded median/MAD alarm over window counts
 ]
 
 

@@ -669,3 +669,55 @@ def test_store_time_travel_rebuilds_in_place_on_stale_fingerprint(spark):
     with open(os.path.join(root, "src.fp")) as f:
         assert f.read().strip() == Q._tt_fingerprint(sf)  # refreshed
     assert glob.glob(os.path.join(fixtures, "store_tt_sf0.001*")) == [root]
+
+
+def test_rate_spikes_flags_planted_anomaly(spark):
+    """10 quiet hours (~5 events) + one 50-event storm for type 'a';
+    type 'b' is flat and must not flag. Median/MAD computed by hand."""
+    import datetime as dt
+
+    from osmexpress_spark.operators import events as EV
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    counts_a = [5, 6, 5, 4, 5, 50, 5, 6, 4, 5, 5]
+    for h, n in enumerate(counts_a):
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=1), "a"))
+            eid += 1
+    for h in range(11):
+        for _ in range(7):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=2), "b"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = EV.rate_spikes(df).collect()
+    # hand model: sorted counts_a -> lower median 5; devs sorted ->
+    # lower median (MAD) 0? devs = [0,1,0,1,0,45,0,1,1,0,0] sorted
+    # [0,0,0,0,0,0,1,1,1,1,45] -> (11+1)//2 = 6th -> 0. MAD 0 flags
+    # every deviating hour of 'a'; 'b' flat -> never flags.
+    assert all(r.event_type == "a" for r in got)
+    storm = [r for r in got if r.n == 50]
+    assert len(storm) == 1 and storm[0].med == 5 and storm[0].mad == 0
+    # deviating quiet hours flagged too under the degenerate-MAD reading
+    assert {r.n for r in got} == {4, 6, 50}
+
+
+def test_rate_spikes_mad_nonzero_suppresses_noise(spark):
+    """With a genuinely spread baseline (nonzero MAD), small jitter is
+    NOT flagged and only the planted storm survives the 3x bar."""
+    import datetime as dt
+
+    from osmexpress_spark.operators import events as EV
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # counts 1..9 then 100: median 5; devs [4,3,2,1,0,1,2,3,4,95]
+    # sorted devs -> lower median (10+1)//2=5th -> 2 => MAD 2; bar 6
+    for h, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100]):
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = EV.rate_spikes(df).collect()
+    assert [(r.n, r.med, r.mad) for r in got] == [(100, 5, 2)]
