@@ -104,6 +104,7 @@ PENDING_HEADLINE: list[str] = [
     "q_hard_negatives",
     "q_manifest_merge",
     "q_event_spikes",
+    "q_split_leakage",
 ]
 
 

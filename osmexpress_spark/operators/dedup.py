@@ -1294,3 +1294,47 @@ def source_overlap(
             6,
         ).alias("containment"),
     )
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    n_hashes: int = 8,
+    k: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """Train/eval LEAKAGE check: the near-duplicate candidate pairs
+    that CROSS the split — an eval document with a near-dup in train
+    is contamination the eval score silently inherits, and it is
+    invisible to both per-split dedup and the train/eval split itself
+    (deterministic splits ensure stability, not independence).
+
+    Composes the MinHash-LSH candidate join with the split labels:
+    output (id_a, id_b, split_a, split_b) where the splits differ. An
+    empty result is the launch gate for an eval set. Same scale shape
+    as minhash_lsh_pairs (banded candidate join, never all-pairs);
+    the split labels join back on id."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes=n_hashes, k=k, bands=bands
+    )
+    labels = df.select(
+        F.col(id_col).alias("_lid"), F.col(split_col).alias("_lsplit")
+    )
+    return (
+        pairs.join(
+            labels.withColumnRenamed("_lid", "id_a").withColumnRenamed(
+                "_lsplit", "split_a"
+            ),
+            "id_a",
+        )
+        .join(
+            labels.withColumnRenamed("_lid", "id_b").withColumnRenamed(
+                "_lsplit", "split_b"
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )

@@ -4337,3 +4337,36 @@ def q_event_spikes(spark, sf_dir):
 
     d = t(spark, sf_dir, "events")
     return events.rate_spikes(d)
+
+
+@defq_pending(
+    "q_split_leakage",
+    f"""
+    WITH {_minhash_pairs_ctes()},
+    labels AS (
+      SELECT doc_id,
+             CASE WHEN {sample.hash_bucket_sql('doc_id')} < 9500
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, la.split AS split_a, lb.split AS split_b
+    FROM pairs p
+    JOIN labels la ON la.doc_id = p.id_a
+    JOIN labels lb ON lb.doc_id = p.id_b
+    WHERE la.split != lb.split
+    """,
+)
+def q_split_leakage(spark, sf_dir):
+    """Train/eval leakage gate (operators/dedup.py:
+    split_leakage_pairs): near-duplicate candidate pairs that CROSS
+    the deterministic 95/5 split — contamination an eval score
+    silently inherits, invisible to per-split dedup and to the split
+    rule itself. Empty result == the eval set is launchable. Same
+    banded LSH shape as q_minhash_lsh_pairs; labels join back on
+    id."""
+    d = t(spark, sf_dir, "documents")
+    labeled = sample.train_eval_split(d, "doc_id", eval_permille=50)
+    return dedup.split_leakage_pairs(
+        labeled, "doc_id", "text", "split",
+        n_hashes=N_HASHES, k=SHINGLE_K, bands=N_BANDS,
+    )

@@ -74,6 +74,7 @@ SUBSET = [
     "q_hard_negatives",        # banded brute-force, broadcast anchors
     "q_manifest_merge",        # 3-part manifest fold == union manifest
     "q_event_spikes",          # bounded median/MAD alarm over window counts
+    "q_split_leakage",         # banded LSH pairs crossing the split
 ]
 
 

@@ -401,3 +401,29 @@ def test_source_overlap_plan_python_free(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_leakage_pairs_planted(spark):
+    """Plant one near-dup pair crossing a synthetic split and one
+    inside a split: only the crossing pair is reported, with its
+    labels; a leakage-free corpus returns empty."""
+    from osmexpress_spark.operators.dedup import split_leakage_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base, "train"),
+        (2, base + " lambda", "eval"),       # cross-split near-dup
+        (3, base + " mu", "train"),          # in-split near-dup of 1
+        (4, "totally different words entirely here now", "eval"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, split string")
+    got = split_leakage_pairs(df, "doc_id", "text", "split").collect()
+    pairs = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] == ("train", "eval")
+    assert (2, 3) in pairs  # eval doc 2 also collides with train doc 3
+    assert (1, 3) not in pairs  # same split: not leakage
+    clean = spark.createDataFrame(
+        [(1, base, "train"), (4, "totally different words entirely", "eval")],
+        "doc_id long, text string, split string",
+    )
+    assert split_leakage_pairs(clean, "doc_id", "text", "split").count() == 0
