@@ -5,10 +5,11 @@ decode/feature-extraction runs as Arrow-batched `mapInPandas` so the
 bytes never round-trip through Python row-by-row. The decode step is
 pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
 24-bit BMP, binary PPM, the complete PNG still-image matrix (every
-color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7)
-and baseline sequential JPEG in pure stdlib(+numpy), and raises
+color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7),
+baseline sequential JPEG, GIF87a/89a, and baseline TIFF
+(uncompressed/LZW/PackBits) in pure stdlib(+numpy), and raises
 NotImplementedError for the remaining variants (progressive/arithmetic
-JPEG, GIF, WebP, ... — the honest-stub branch, recorded as
+JPEG, WebP, ... — the honest-stub branch, recorded as
 decode_ok=False);
 `fake_decoder` is a deterministic byte-statistics
 stand-in that keeps the whole Spark-side contract (schema, batching,
@@ -58,13 +59,14 @@ def image_decoder(payload: bytes) -> list[float]:
     alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
     any sampling factors <= 4), GIF87a/89a (full LZW, global/local
-    palettes, interlace, first frame), and uncompressed baseline TIFF
-    (II/MM, 8-bit gray/RGB(A)/palette, any strip layout). Returns the
+    palettes, interlace, first frame), and baseline TIFF (II/MM,
+    uncompressed/LZW/PackBits, 8-bit gray/RGB(A)/palette, horizontal
+    predictor, any strip layout). Returns the
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    compressed/tiled/planar TIFF, WebP/...) raise
+    JPEG/Deflate-compressed, tiled or planar TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -84,7 +86,7 @@ def image_decoder(payload: bytes) -> list[float]:
     raise NotImplementedError(
         "only uncompressed 24-bit BMP, binary PPM, PNG (full "
         "still-image matrix), baseline sequential JPEG, GIF87a/89a "
-        "and uncompressed baseline TIFF decode in-container; swap in "
+        "and baseline TIFF decode in-container; swap in "
         "PIL/opencv via decoder= for other formats (WebP/...)"
     )
 
@@ -486,6 +488,52 @@ def _decode_gif(payload: bytes) -> list[float]:
     raise ValueError("GIF truncated before any image descriptor")
 
 
+def _tiff_lzw(data: bytes) -> bytes:
+    """TIFF-flavor LZW decode (Compression=5): MSB-first bit packing,
+    Clear=256 / EOI=257, 9..12-bit codes with the spec's EARLY CHANGE
+    (the width bumps one code sooner than GIF's variant — at table
+    size 2^width - 1)."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated (no EOI)")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code beyond dictionary")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+
+
 def _packbits(data: bytes) -> bytes:
     """PackBits RLE decode (TIFF Compression=32773): n in 0..127 means
     copy n+1 literal bytes; n in -127..-1 means repeat the next byte
@@ -512,12 +560,14 @@ def _packbits(data: bytes) -> bytes:
 
 def _decode_tiff(payload: bytes) -> list[float]:
     """Pure-stdlib baseline TIFF 6.0 decode: both byte orders (II/MM),
-    first IFD, uncompressed (Compression=1) or PackBits (32773)
-    chunky (PlanarConfig=1) 8-bit grayscale (photometric 0 MinIsWhite
+    first IFD, uncompressed (Compression=1), LZW (5, MSB-first with
+    the spec's early change, Predictor 1 or 2 horizontal
+    differencing) or PackBits (32773) chunky (PlanarConfig=1) 8-bit
+    grayscale (photometric 0 MinIsWhite
     — inverted — and 1 MinIsBlack), RGB(A) (photometric 2; extra
     samples beyond the first three are ignored like every alpha
     here), and palette (photometric 3, 16-bit ColorMap scaled /65535),
-    with any strip layout. LZW/JPEG-compressed, tiled, planar, and
+    with any strip layout. JPEG/Deflate-compressed, tiled, planar, and
     sub-8-bit TIFFs raise NotImplementedError (the honest-stub
     branch); structural damage raises ValueError."""
     import struct
@@ -565,11 +615,14 @@ def _decode_tiff(payload: bytes) -> list[float]:
     if width == 0 or height == 0:
         raise ValueError("TIFF zero dimension")
     comp = one(259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported "
-            "(uncompressed and PackBits only)"
+            "(uncompressed, LZW and PackBits only)"
         )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if one(284, 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
     photo = one(262)
@@ -586,10 +639,19 @@ def _decode_tiff(payload: bytes) -> list[float]:
         raw_strips.append(payload[o : o + c])
     if comp == 32773:  # PackBits RLE, decoded per strip
         raw_strips = [_packbits(s) for s in raw_strips]
+    elif comp == 5:  # LZW, decoded per strip
+        raw_strips = [_tiff_lzw(s) for s in raw_strips]
     strips = b"".join(raw_strips)
     need = width * height * spp
     if len(strips) < need:
         raise ValueError("TIFF pixel data short of width*height")
+    if predictor == 2:  # horizontal differencing: cumsum per channel
+        buf = bytearray(strips[:need])
+        row_bytes = width * spp
+        for r0 in range(0, need, row_bytes):
+            for p in range(r0 + spp, r0 + row_bytes):
+                buf[p] = (buf[p] + buf[p - spp]) & 0xFF
+        strips = bytes(buf)
     tot = [0, 0, 0]
     n = width * height
     if photo in (0, 1):

@@ -1083,7 +1083,7 @@ def test_image_decoder_tiff_failure_and_stub_shapes():
     rgb = [[(1, 2, 3)]]
     good = _make_tiff(1, 1, 2, rgb)
     with pytest.raises(NotImplementedError, match="compression"):
-        multimodal.image_decoder(_make_tiff(1, 1, 2, rgb, compression=5))
+        multimodal.image_decoder(_make_tiff(1, 1, 2, rgb, compression=7))
     with pytest.raises(ValueError):
         multimodal.image_decoder(good[:14])  # truncated IFD
     with pytest.raises(ValueError):
@@ -1172,3 +1172,136 @@ def test_image_decoder_tiff_packbits():
         from osmexpress_spark.operators.multimodal import _packbits
 
         _packbits(bytes([255]))
+
+
+def _tiff_lzw_encode(data):
+    """Independent TIFF-LZW encoder: MSB-first packing, Clear/EOI,
+    EARLY width change (bump one code before the table fills)."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits = [(CLEAR, width)]
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        out_bits.append((table[prev], width))
+        table[cur] = next_code
+        next_code += 1
+        # the encoder runs one table entry AHEAD of the decoder, so its
+        # bump lands at 2^w exactly when the decoder's early-change
+        # bump lands at 2^w - 1 — both after the same code position
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:  # 12-bit table nearly full: spec CLEAR
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        out_bits.append((table[prev], width))
+    out_bits.append((EOI, width))
+    buf = bytearray()
+    acc = nbits = 0
+    for code, w in out_bits:
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            buf.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        buf.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(buf)
+
+
+def _retiff_compressed(w, h, rgb, comp_code, strip_encoder, rps=2,
+                       predictor=1):
+    """Rebuild a chunky RGB TIFF with per-strip compressed data."""
+    import struct
+
+    spp = 3
+    flat = bytearray(c for row in rgb for px in row for c in px)
+    if predictor == 2:
+        row_bytes = w * spp
+        for r0 in range(0, len(flat), row_bytes):
+            for p in range(r0 + row_bytes - 1, r0 + spp - 1, -1):
+                flat[p] = (flat[p] - flat[p - spp]) & 0xFF
+    row_bytes = w * spp
+    strips = [bytes(flat[r * row_bytes:min(r + rps, h) * row_bytes])
+              for r in range(0, h, rps)]
+    enc = [strip_encoder(s) for s in strips]
+    body = b"".join(enc)
+    offsets, counts, off = [], [], 8
+    for e in enc:
+        offsets.append(off)
+        counts.append(len(e))
+        off += len(e)
+    ifd_off = 8 + len(body)
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]),
+        (259, 3, [comp_code]), (262, 3, [2]), (273, 4, offsets),
+        (277, 3, [3]), (278, 4, [rps]), (279, 4, counts),
+        (317, 3, [predictor]),
+    ]
+    overflow = b""
+    ifd = struct.pack("<H", len(entries))
+    over_off = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, values in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(values)
+        if sz <= 4:
+            raw = struct.pack("<" + fmt * len(values), *values)
+            ifd += struct.pack("<HHI", tag, typ, len(values)) + raw + b"\x00" * (4 - sz)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, len(values),
+                               over_off + len(overflow))
+            overflow += struct.pack("<" + fmt * len(values), *values)
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + body + ifd + overflow
+
+
+def test_image_decoder_tiff_lzw_and_predictor():
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        w, h = rng.randrange(2, 30), rng.randrange(2, 30)
+        rgb = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(w)] for _ in range(h)]
+        want = multimodal.image_decoder(_make_tiff(w, h, 2, rgb))
+        for predictor in (1, 2):
+            got = multimodal.image_decoder(_retiff_compressed(
+                w, h, rgb, 5, _tiff_lzw_encode,
+                rps=rng.choice([1, 3, h]), predictor=predictor,
+            ))
+            assert got == want, (trial, predictor)
+
+
+def test_image_decoder_tiff_lzw_wide_forces_width_growth():
+    """An image long enough to push the LZW table past 511 and 1023
+    entries exercises both early-change boundaries."""
+    import random
+
+    rng = random.Random(29)
+    w, h = 64, 48  # 9216 bytes -> the table crosses 511/1023/2047 AND
+    # the 4094 full-table CLEAR, so every width and the mid-stream
+    # reset are all exercised
+    rgb = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w)] for _ in range(h)]
+    want = multimodal.image_decoder(_make_tiff(w, h, 2, rgb))
+    got = multimodal.image_decoder(
+        _retiff_compressed(w, h, rgb, 5, _tiff_lzw_encode, rps=h)
+    )
+    assert got == want
+    # truncated stream (no EOI) raises
+    import pytest
+
+    full = _tiff_lzw_encode(bytes(range(100)))
+    from osmexpress_spark.operators.multimodal import _tiff_lzw
+
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_lzw(full[:10])
