@@ -7,7 +7,7 @@ pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
 24-bit BMP, binary PPM, the complete PNG still-image matrix (every
 color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7),
 baseline sequential JPEG, GIF87a/89a, and baseline TIFF
-(uncompressed/LZW/PackBits) in pure stdlib(+numpy), and raises
+(uncompressed/LZW/Deflate/PackBits) in pure stdlib(+numpy), and raises
 NotImplementedError for the remaining variants (progressive/arithmetic
 JPEG, WebP, ... — the honest-stub branch, recorded as
 decode_ok=False);
@@ -60,13 +60,13 @@ def image_decoder(payload: bytes) -> list[float]:
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
     any sampling factors <= 4), GIF87a/89a (full LZW, global/local
     palettes, interlace, first frame), and baseline TIFF (II/MM,
-    uncompressed/LZW/PackBits, 8-bit gray/RGB(A)/palette, horizontal
+    uncompressed/LZW/Deflate/PackBits, 8-bit gray/RGB(A)/palette, horizontal
     predictor, any strip layout). Returns the
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    JPEG/Deflate-compressed, tiled or planar TIFF, WebP/...) raise
+    JPEG-compressed, tiled or planar TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -561,13 +561,14 @@ def _packbits(data: bytes) -> bytes:
 def _decode_tiff(payload: bytes) -> list[float]:
     """Pure-stdlib baseline TIFF 6.0 decode: both byte orders (II/MM),
     first IFD, uncompressed (Compression=1), LZW (5, MSB-first with
-    the spec's early change, Predictor 1 or 2 horizontal
-    differencing) or PackBits (32773) chunky (PlanarConfig=1) 8-bit
+    the spec's early change), Deflate (8 Adobe / 32946 old, zlib per
+    strip) or PackBits (32773) — LZW/Deflate with Predictor 1 or 2
+    horizontal differencing — chunky (PlanarConfig=1) 8-bit
     grayscale (photometric 0 MinIsWhite
     — inverted — and 1 MinIsBlack), RGB(A) (photometric 2; extra
     samples beyond the first three are ignored like every alpha
     here), and palette (photometric 3, 16-bit ColorMap scaled /65535),
-    with any strip layout. JPEG/Deflate-compressed, tiled, planar, and
+    with any strip layout. JPEG-compressed, tiled, planar, and
     sub-8-bit TIFFs raise NotImplementedError (the honest-stub
     branch); structural damage raises ValueError."""
     import struct
@@ -615,10 +616,10 @@ def _decode_tiff(payload: bytes) -> list[float]:
     if width == 0 or height == 0:
         raise ValueError("TIFF zero dimension")
     comp = one(259, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported "
-            "(uncompressed, LZW and PackBits only)"
+            "(uncompressed, LZW, Deflate and PackBits only)"
         )
     predictor = one(317, 1)
     if predictor not in (1, 2):
@@ -641,6 +642,13 @@ def _decode_tiff(payload: bytes) -> list[float]:
         raw_strips = [_packbits(s) for s in raw_strips]
     elif comp == 5:  # LZW, decoded per strip
         raw_strips = [_tiff_lzw(s) for s in raw_strips]
+    elif comp in (8, 32946):  # Adobe/old Deflate: zlib per strip
+        import zlib
+
+        try:
+            raw_strips = [zlib.decompress(s) for s in raw_strips]
+        except zlib.error as exc:
+            raise ValueError(f"TIFF deflate strip corrupt: {exc}") from exc
     strips = b"".join(raw_strips)
     need = width * height * spp
     if len(strips) < need:

@@ -1305,3 +1305,27 @@ def test_image_decoder_tiff_lzw_wide_forces_width_growth():
 
     with pytest.raises(ValueError, match="truncated"):
         _tiff_lzw(full[:10])
+
+
+def test_image_decoder_tiff_deflate():
+    import random
+    import zlib
+
+    import pytest
+
+    rng = random.Random(31)
+    w, h = rng.randrange(2, 30), rng.randrange(2, 30)
+    rgb = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w)] for _ in range(h)]
+    want = multimodal.image_decoder(_make_tiff(w, h, 2, rgb))
+    for code in (8, 32946):
+        for predictor in (1, 2):
+            got = multimodal.image_decoder(_retiff_compressed(
+                w, h, rgb, code, zlib.compress, rps=3,
+                predictor=predictor,
+            ))
+            assert got == want, (code, predictor)
+    # corrupt stream raises ValueError, not a zlib traceback
+    bad = _retiff_compressed(w, h, rgb, 8, lambda s: b"\x00" * 8, rps=h)
+    with pytest.raises(ValueError, match="deflate"):
+        multimodal.image_decoder(bad)
