@@ -78,16 +78,9 @@ HEADLINE = [
     "q_kmeans_train",
     "q_bpe_pair_counts",
     "q_frequent_tokens",
-]
-
-# Staged-but-not-yet-promoted queries get their planned bench lines
-# listed here so promotion cannot silently drop perf coverage
-# (tests/test_bench_hygiene.py checks this list against the pending
-# registry). At the r07 promotion these move into HEADLINE, with
-# planned families: q_bpe_merges -> tokenizer-vocab;
-# q_dist_drift/q_mad_outliers -> a new drift-outliers family;
-# q_rrf_fusion -> retrieval-ranking.
-PENDING_HEADLINE: list[str] = [
+    # round 7: the promoted round-6 staging set (tokenizer-vocab,
+    # drift-outliers, retrieval-ranking, text, classifier, shard-sink,
+    # dedup-decontamination, embedding-similarity, events, curation)
     "q_bpe_merges",
     "q_dist_drift",
     "q_mad_outliers",
@@ -106,6 +99,13 @@ PENDING_HEADLINE: list[str] = [
     "q_event_spikes",
     "q_split_leakage",
 ]
+
+# Staged-but-not-yet-promoted queries get their planned bench lines
+# listed here so promotion cannot silently drop perf coverage
+# (tests/test_bench_hygiene.py checks this list against the pending
+# registry). At the next promotion these move into HEADLINE with a
+# family assignment in tests/test_bench_hygiene.py FAMILIES.
+PENDING_HEADLINE: list[str] = []
 
 
 def main() -> None:

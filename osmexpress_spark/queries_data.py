@@ -4370,3 +4370,25 @@ def q_split_leakage(spark, sf_dir):
         labeled, "doc_id", "text", "split",
         n_hashes=N_HASHES, k=SHINGLE_K, bands=N_BANDS,
     )
+
+
+# --- round-7 promotion ------------------------------------------------------
+# Merge the round-6 staging set into the live registry (VERDICT r06 ask
+# #1). The nineteen queries are never-green in the committed
+# CORRECTNESS evidence, so priority_order() serves them in the first
+# window slots, followed by the 31 oldest r04-aged rows — exactly 50.
+# The registry holds at 168 for the round (ask #2): new round-7 work
+# stages through the fresh pending dicts below.
+SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
+ORACLE_SQL.update(PENDING_ORACLE_SQL)
+PENDING_SPARK_QUERIES = {}
+PENDING_ORACLE_SQL = {}
+
+
+# --- round-7 staged queries (promote in round 8) ----------------------------
+# defq_pending now appends to the fresh (empty) pending dicts above, so
+# anything registered below stays OUT of the live registry until next
+# round's promotion merge — the round-7 driver window must stay exactly
+# the 19 promoted + 31 oldest-r04 rows (VERDICT r06 asks #1/#2), and
+# round 8 keeps the registry frozen so the remaining ~18 r04 rows
+# rotate through (ask #3).

@@ -42,22 +42,33 @@ FAMILIES = {
     "dedup-minhash": ["q_minhash_lsh_pairs", "q_ngram_jaccard",
                       "q_dup_clusters", "q_semantic_dedup",
                       "q_fuzzy_token_pairs"],
-    "retrieval-ranking": ["q_bm25_topk", "q_doc_token_stats"],
+    "dedup-decontamination": ["q_source_overlap", "q_split_leakage"],
+    "retrieval-ranking": ["q_bm25_topk", "q_doc_token_stats",
+                          "q_rrf_fusion"],
     "embeddings-ann": ["q_embedding_topk", "q_embedding_ann_bucketed",
                        "q_quantized_ann", "q_pq_topk", "q_kmeans_assign"],
+    "embedding-similarity": ["q_kcenter_select", "q_embedding_drift",
+                             "q_hard_negatives"],
     "sampling-curation": ["q_stratified_sample", "q_importance_resample",
                           "q_gopher_rules", "q_curation_pipeline",
-                          "q_contamination"],
+                          "q_contamination", "q_token_budget"],
+    "drift-outliers": ["q_dist_drift", "q_dist_drift_by",
+                       "q_mad_outliers", "q_winsorized_stats"],
+    "classifier": ["q_nb_token_counts", "q_nb_confusion",
+                   "q_nb_reliability"],
+    "shard-sink": ["q_shard_manifest", "q_manifest_merge"],
+    "text-normalize": ["q_html_strip"],
     "profiling-quality": ["q_profile_documents", "q_quality_buckets",
                           "q_doc_dup_spans"],
     "sketches": ["q_kmv_distinct", "q_cms_heavy_hitters"],
     "sketch-quantiles": ["q_quantile_sketch", "q_quantile_by_group",
                          "q_exact_quantiles", "q_exact_quantiles_by",
                          "q_quantile_sketch_merge"],
-    "tokenizer-vocab": ["q_bpe_pair_counts", "q_frequent_tokens"],
+    "tokenizer-vocab": ["q_bpe_pair_counts", "q_frequent_tokens",
+                        "q_bpe_merges"],
     "kmeans-training": ["q_kmeans_train"],
     "model-scoring": ["q_quality_logreg", "q_bigram_perplexity"],
-    "events-funnels": ["q_event_funnel"],
+    "events-funnels": ["q_event_funnel", "q_event_spikes"],
     "range-band-joins": ["q_band_join", "q_range_scan"],
     "graph": ["osm_pagerank", "osm_triangle_count",
               "q_transitive_closure"],

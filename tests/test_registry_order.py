@@ -96,24 +96,36 @@ def test_priority_order_is_computed_and_exact():
 def test_evidence_age_report():
     """Ask #7 (VERDICT r03): print per-query evidence age so stale
     greens visibly rotate back into the window. Fails if any green row
-    is older than 2 rounds AND sits outside the next driver window
-    (i.e. the rotation cannot catch it next round)."""
+    is older than 2 rounds AND the rotation cannot catch it NEXT round
+    either. Rows outside this round's window keep their age while the
+    window rows get re-stamped to the new round, so next round's window
+    is the oldest-first prefix of today's outside-window rows — a stale
+    row is unreachable only if it misses THAT window too (can happen
+    when a promotion floods the window with never-green rows two rounds
+    running)."""
     order = list(entry.queries().keys())
     ages = entry._latest_green_round()
     current = max(ages.values(), default=0)
     lines = []
-    stale_unreachable = []
     for pos, name in enumerate(order):
         age = ages.get(name, -1)
         label = "never" if age < 0 else f"r{age:02d}"
         lines.append(f"  {pos:3d}  {label}  {name}")
-        if age >= 0 and current - age >= 2 and pos >= DRIVER_WINDOW:
-            stale_unreachable.append(name)
     print("\nregistry evidence age (pos / last green round / query):")
     print("\n".join(lines))
+    outside = order[DRIVER_WINDOW:]
+    next_window = set(
+        sorted(outside, key=lambda n: ages.get(n, -1))[:DRIVER_WINDOW]
+    )
+    stale_unreachable = [
+        n for n in outside
+        if ages.get(n, -1) >= 0
+        and current - ages[n] >= 2
+        and n not in next_window
+    ]
     assert not stale_unreachable, (
-        "green rows older than 2 rounds sit outside the next driver "
-        f"window: {stale_unreachable}"
+        "green rows older than 2 rounds sit outside BOTH this round's "
+        f"and next round's driver window: {stale_unreachable}"
     )
 
 
