@@ -633,6 +633,13 @@ def _decode_tiff(payload: bytes) -> list[float]:
         raise NotImplementedError("only 8-bit TIFF samples supported")
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip offsets/byte counts")
+    if len(tags[273]) != len(tags[279]):
+        # ADVICE r06: zip() would silently truncate to the shorter tag
+        # and only surface later as a misleading short-pixel-data error
+        raise ValueError(
+            "TIFF StripOffsets/StripByteCounts length mismatch "
+            f"({len(tags[273])} vs {len(tags[279])})"
+        )
     raw_strips = []
     for o, c in zip(tags[273], tags[279]):
         if o + c > len(payload):

@@ -115,6 +115,33 @@ def shard_manifest(
     )
 
 
+def _manifest_from_shard_col(
+    data: DataFrame,
+    id_col: str,
+    content_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Manifest rows for a frame that already carries a ``shard``
+    column (the on-disk partition column after a read-back): no
+    re-hashing, so a row sitting in the WRONG directory changes that
+    directory's checksum instead of being silently re-derived into the
+    right one. Shared by the writer (manifest-from-written-files) and
+    the verifier (recompute side)."""
+    return (
+        data.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col(weight_col).cast("long").alias("_w"),
+            shard_checksum(id_col, content_col).alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_tokens"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -136,14 +163,25 @@ def write_training_shards(
     filesystem). ``mode("overwrite")`` makes a re-run idempotent — the
     retry story is "overwrite the epoch", the same shape as the
     streaming sinks (watermark_ops epoch writes).
+
+    The manifest is computed FROM THE FILES JUST WRITTEN (grouping by
+    the on-disk ``shard`` partition column), never from a second scan
+    of ``df`` — a non-deterministic input (``rand()`` columns, a source
+    mutated between actions, an uncached sample) would otherwise yield
+    a manifest that silently disagrees with the shards on disk
+    (ADVICE r06). One extra read of the epoch is the price of a
+    manifest that describes what a verifier will actually see.
     """
     with_shard = df.withColumn("shard", _checked_shard(id_col, shards))
     with_shard.write.partitionBy("shard").mode("overwrite").parquet(
         os.path.join(path, "shards")
     )
-    manifest = shard_manifest(df, id_col, content_col, weight_col, shards)
-    manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
     spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(path, "shards"))
+    manifest = _manifest_from_shard_col(
+        written, id_col, content_col, weight_col
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
     return spark.read.parquet(os.path.join(path, "manifest"))
 
 
@@ -167,18 +205,13 @@ def verify_training_shards(
     vanishing); the only corpus-sized work is the one recompute scan.
     """
     data = spark.read.parquet(os.path.join(path, "shards"))
-    actual = (
-        data.select(
-            F.col("shard").cast("long").alias("shard"),
-            F.col(weight_col).cast("long").alias("_w"),
-            shard_checksum(id_col, content_col).alias("_h"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("a_docs"),
-            F.sum("_w").alias("a_tokens"),
-            F.expr("bit_xor(_h)").alias("a_checksum"),
-        )
+    actual = _manifest_from_shard_col(
+        data, id_col, content_col, weight_col
+    ).select(
+        F.col("shard"),
+        F.col("n_docs").alias("a_docs"),
+        F.col("n_tokens").alias("a_tokens"),
+        F.col("checksum").alias("a_checksum"),
     )
     expected = spark.read.parquet(os.path.join(path, "manifest")).select(
         F.col("shard").cast("long").alias("shard"),

@@ -1382,7 +1382,11 @@ def kcenter_select(
     (<= k*dim longs), so each of the k rounds is ONE scan-side codegen
     pass over the corpus ending in TakeOrdered(1) — no join, no
     window, no shuffle beyond the k-row top-1; driver state is k ids +
-    k quantized vectors. Overflow: offset micros <= ~3.1e6, so a
+    k quantized vectors. Cost model: k SEQUENTIAL Spark jobs, i.e.
+    k full corpus scans — greedy farthest-point is inherently
+    iterative, so this is for small k (coreset picking, eval-set
+    seeding, annotation budgets), not k in the thousands; for large k
+    use kmeans_train_distributed + per-cluster exemplars instead. Overflow: offset micros <= ~3.1e6, so a
     squared diff is < 1e13 and a dim-64 sum < 2^50.
 
     Returns the assignment ``(id, center, d2)``; with
@@ -1393,7 +1397,19 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    q = df.select(F.col(id_col), _km_quantize(F.col(vec_col)).alias("qv"))
+    # NULL-id guard (ADVICE r06): Spark sorts NULLs first ascending, so
+    # a NULL id would become the seed and the later ~isin(sel_ids)
+    # filter would null-poison every subsequent round — fail loudly at
+    # the seed scan instead (the shards._checked_shard idiom).
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"kcenter_select: NULL id (id_col={id_col!r})")
+        ).cast(df.schema[id_col].dataType),
+    ).otherwise(F.col(id_col))
+    q = df.select(
+        checked_id.alias(id_col), _km_quantize(F.col(vec_col)).alias("qv")
+    )
     seed = q.orderBy(F.col(id_col)).limit(1).collect()
     if not seed:
         raise ValueError("kcenter_select: empty input")

@@ -4010,6 +4010,14 @@ def q_shard_manifest(spark, sf_dir):
     return shards.shard_manifest(d, "doc_id", "text", "n_chars", 8)
 
 
+# The k-gram join expression is GENERATED from SHINGLE_K (ADVICE r06:
+# a hardcoded [i+1] || ' ' || [i+2] would silently diverge from
+# dedup.source_overlap(k=SHINGLE_K) if the constant ever changed).
+_SHINGLE_JOIN_EXPR = " || ' ' || ".join(
+    f"string_split(text, ' ')[i+{j + 1}]" for j in range(SHINGLE_K)
+)
+
+
 @defq_pending(
     "q_source_overlap",
     f"""
@@ -4019,8 +4027,7 @@ def q_shard_manifest(spark, sf_dir):
         SELECT source AS src,
                unnest(list_distinct(list_transform(
                  range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
-                 i -> string_split(text, ' ')[i+1] || ' ' ||
-                      string_split(text, ' ')[i+2]))) AS s
+                 i -> {_SHINGLE_JOIN_EXPR}))) AS s
         FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
       )
     ),

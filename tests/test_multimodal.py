@@ -1329,3 +1329,30 @@ def test_image_decoder_tiff_deflate():
     bad = _retiff_compressed(w, h, rgb, 8, lambda s: b"\x00" * 8, rps=h)
     with pytest.raises(ValueError, match="deflate"):
         multimodal.image_decoder(bad)
+
+
+def test_image_decoder_tiff_strip_tag_length_mismatch():
+    """ADVICE r06: zip(StripOffsets, StripByteCounts) silently
+    truncated mismatched tag lengths; the decoder must instead raise a
+    specific mismatch error. Forge the mismatch by shrinking the
+    StripByteCounts entry's count in an otherwise valid 3-strip IFD."""
+    import struct
+
+    import pytest
+
+    rgb = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)],
+           [(1, 2, 3), (4, 5, 6)]]
+    payload = bytearray(_make_tiff(2, 3, 2, rgb, rows_per_strip=1))
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n_entries,) = struct.unpack_from("<H", payload, ifd_off)
+    patched = False
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", payload, off)
+        if tag == 279:
+            assert cnt == 3
+            struct.pack_into("<I", payload, off + 4, cnt - 1)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="length mismatch"):
+        multimodal.image_decoder(bytes(payload))

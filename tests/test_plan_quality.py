@@ -224,13 +224,13 @@ def test_fuzzy_pairs_join_key_includes_length_bucket(spark):
 
 
 def test_staged_round6_plans_stay_jvm_side(spark):
-    """Every round-7-staged query's hot path must be Python-free (the
+    """Every round-6-staged (now promoted) query's hot path must be Python-free (the
     fusion/drift/outlier/budget/html family is pure column expressions
     + bounded driver transfers by design)."""
     for name in ("q_dist_drift", "q_dist_drift_by", "q_mad_outliers",
                  "q_winsorized_stats", "q_rrf_fusion", "q_html_strip",
                  "q_token_budget"):
-        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
@@ -239,7 +239,7 @@ def test_staged_round6_plans_stay_jvm_side(spark):
 def test_html_strip_is_one_scan_no_exchange(spark):
     """The crawl-extraction chain must pipeline inside the scan stage —
     any Exchange would mean the regex chain broke whole-stage fusion."""
-    plan = _final_plan(QD.PENDING_SPARK_QUERIES["q_html_strip"](spark, SF_DIR))
+    plan = _final_plan(QD.SPARK_QUERIES["q_html_strip"](spark, SF_DIR))
     assert "Exchange" not in plan
 
 
@@ -247,7 +247,7 @@ def test_drift_census_aggregates_map_side(spark):
     """Both snapshot sketches must partial-aggregate before their
     shuffle (two HashAggregate levels), so the shuffle carries bucket
     partials, never raw rows."""
-    plan = _final_plan(QD.PENDING_SPARK_QUERIES["q_dist_drift"](spark, SF_DIR))
+    plan = _final_plan(QD.SPARK_QUERIES["q_dist_drift"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 4  # partial+final per side
     assert "partial_count" in plan
 
@@ -255,7 +255,7 @@ def test_drift_census_aggregates_map_side(spark):
 def test_rrf_fusion_scans_prune_columns(spark):
     """The BM25 side must read only (doc_id, text); the vector side
     only (vec_id, embedding) — fusion cannot drag wide columns."""
-    plan = _final_plan(QD.PENDING_SPARK_QUERIES["q_rrf_fusion"](spark, SF_DIR))
+    plan = _final_plan(QD.SPARK_QUERIES["q_rrf_fusion"](spark, SF_DIR))
     for schema_line in [
         seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
     ]:
@@ -272,7 +272,7 @@ def test_staged_round6c_plans_stay_jvm_side(spark):
     for name in ("q_shard_manifest", "q_source_overlap",
                  "q_kcenter_select", "q_nb_reliability",
                  "q_embedding_drift"):
-        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
 
@@ -281,7 +281,7 @@ def test_shard_manifest_single_exchange_map_side(spark):
     """The sink manifest is ONE map-side-combined aggregate: the
     corpus never shuffles, only <= shards partial rows per task do."""
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_shard_manifest"](spark, SF_DIR)
+        QD.SPARK_QUERIES["q_shard_manifest"](spark, SF_DIR)
     )
     assert plan.count("Exchange") == 1
     assert "partial_bit_xor" in plan and "partial_count" in plan
@@ -291,6 +291,6 @@ def test_kcenter_assignment_no_join_no_exchange(spark):
     """k-center's final assignment is scan-side over a centroid
     literal: zero joins, zero exchanges in the returned plan."""
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_kcenter_select"](spark, SF_DIR)
+        QD.SPARK_QUERIES["q_kcenter_select"](spark, SF_DIR)
     )
     assert "Join" not in plan and "Exchange" not in plan

@@ -274,3 +274,33 @@ def test_compact_epochs_catches_manifest_data_disagreement(spark, tmp_path):
             spark, sink, str(tmp_path / "out"),
             "doc_id", "text", "n_chars", 4,
         )
+
+
+def test_manifest_describes_disk_under_nondeterministic_input(
+    spark, tmp_path
+):
+    """ADVICE r06: the manifest must be computed from the files just
+    written, not from a second scan of the input — a non-deterministic
+    content column (here a per-row random payload) yields different
+    values on every scan, so a writer that re-scanned df would publish
+    a manifest whose checksums disagree with the shards on disk."""
+    path = str(tmp_path / "epoch_nondet")
+    # a Python UDF drawing fresh OS entropy per call, declared
+    # nondeterministic so Catalyst cannot fold or cache it — test
+    # scaffolding only, modelling "source mutated between actions"
+    fresh = F.udf(
+        lambda: os.urandom(8).hex(), "string"
+    ).asNondeterministic()
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload "), fresh()).alias("text"),
+        F.lit(1).alias("w"),
+    )
+    # sanity: the input really is scan-nondeterministic (rand re-draws)
+    a = {r["doc_id"]: r["text"] for r in df.collect()}
+    b = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert a != b
+    manifest = SH.write_training_shards(df, path, "doc_id", "text", "w", 4)
+    assert manifest.count() == 4
+    mism = SH.verify_training_shards(spark, path, "doc_id", "text", "w")
+    assert mism.count() == 0

@@ -632,3 +632,17 @@ def test_hard_negatives_band_and_rank(spark):
     assert all(0.0 < r.sim <= 0.5 for r in got)
     with pytest.raises(ValueError, match="lo < hi"):
         similarity.hard_negatives(queries, df, lo=0.5, hi=0.5)
+
+
+def test_kcenter_rejects_null_ids(spark):
+    """ADVICE r06: a NULL id would sort first (Spark NULLS FIRST asc)
+    and seed the selection, then null-poison every ~isin round; the
+    guard fails the seed scan loudly instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (None, [1.0, 1.0]), (3, [2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL id"):
+        similarity.kcenter_select(df, k=2)
