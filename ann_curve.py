@@ -41,6 +41,8 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--band", default="0.1,0.3",
+                    help="hard-negative band lo,hi for the mining rows")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -122,8 +124,31 @@ def main() -> None:
          lambda: pairs_ivf(4)),
     ]
 
+    # Banded mining rows (VERDICT r06 #5): what nprobe costs in recall
+    # when the target is a similarity BAND (hard negatives), not the
+    # top-k — band members sit in lists farther from the query, so the
+    # banded curve falls off faster than the top-k curve at the same
+    # nprobe; this table is what lets a user pick the mining nprobe.
+    lo, hi = (float(x) for x in args.band.split(","))
+    exact_band = S.hard_negatives(
+        q, emb, k=K, lo=lo, hi=hi
+    ).localCheckpoint()
+    configs += [
+        (f"negatives bruteforce band=({lo},{hi}]",
+         lambda: S.hard_negatives(q, emb, k=K, lo=lo, hi=hi),
+         lambda: nq * (n - 1)),
+    ] + [
+        (f"negatives ivf nprobe={np_} band=({lo},{hi}]",
+         lambda np_=np_: S.hard_negatives_ivf(
+             q, emb, dim=dim, k=K, lo=lo, hi=hi,
+             n_centroids=IVF_CENTROIDS, nprobe=np_),
+         lambda np_=np_: pairs_ivf(np_))
+        for np_ in (1, 2, 4, 8)
+    ]
+
     results = []
     for name, build, cost in configs:
+        exact_ref = exact_band if name.startswith("negatives") else exact
         walls = []
         for rep in range(args.reps + 1):
             t0 = time.time()
@@ -131,7 +156,7 @@ def main() -> None:
             approx.write.format("noop").mode("overwrite").save()
             if rep > 0:  # rep 0 = plan-JIT warmup, discarded
                 walls.append(time.time() - t0)
-        rec = (S.ann_recall(exact, build())
+        rec = (S.ann_recall(exact_ref, build())
                .agg(F.sum("n_overlap").alias("o"), F.sum("n_exact").alias("e"))
                .collect()[0])
         results.append({

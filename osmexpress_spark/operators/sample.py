@@ -516,23 +516,66 @@ def budget_select_sharded(
     budget: int,
     id_col: str,
     n_shards: int = 32,
+    leftover_pass: bool = False,
+    frontier: int = 64,
 ) -> DataFrame:
     """budget_select's at-scale form: deterministic id-hash shards,
     each greedily filling budget//n_shards with its own ordered window
     — fully parallel (windows partition by shard), no global sort.
-    The union honors the total budget exactly (each shard under-fills
-    at worst by one document) and approximates the global greedy
-    order: a shard can keep a locally-best document that global greedy
-    would have cut, which is the standard trade for removing the
-    global-order bottleneck. Adds shard + cum_w columns."""
+    The union never exceeds the total budget, and approximates the
+    global greedy order: a shard can keep a locally-best document that
+    global greedy would have cut, which is the standard trade for
+    removing the global-order bottleneck. Adds shard + cum_w columns.
+
+    Approximation bound, stated precisely (VERDICT r06 #6): each
+    shard's under-fill is against its OWN ``budget // n_shards``
+    sub-budget (strictly less than that shard's first rejected
+    document's weight), so under a skewed weight distribution the
+    UNION can under-fill the total budget by up to the SUM of those
+    per-shard gaps — this does NOT bound drift from global greedy.
+    ``leftover_pass=True`` recovers it: a second, bounded global
+    greedy pass over each shard's next ``frontier`` rejected documents
+    (<= n_shards * frontier rows — a driver-safe window, never
+    corpus-sized) fills ``budget - sum(selected weights)``. After the
+    pass the total under-fill is strictly less than the weight of the
+    first pass-2 candidate that did not fit — the same single-document
+    bound global budget_select itself has — provided the frontier was
+    not exhausted (property-tested under Zipf weights in
+    tests/test_sample.py). The leftover scalar is one bounded
+    driver-side agg; both windows share the shard shuffle."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     shard = F.pmod(
         F.abs(F.hash(F.col(id_col).cast("string"))), F.lit(n_shards)
     )
     w = Window.partitionBy("shard").orderBy(order_col.desc(), F.col(id_col))
-    return (
+    cum = (
         df.withColumn("shard", shard)
         .withColumn("cum_w", F.sum(weight.cast("long")).over(w))
-        .where(F.col("cum_w") <= budget // n_shards)
     )
+    first = cum.where(F.col("cum_w") <= budget // n_shards)
+    if not leftover_pass:
+        return first
+    # recompute-stable across the two passes: window ranks are pure
+    # functions of the data (hash shard, deterministic order)
+    cum = cum.localCheckpoint()
+    first = cum.where(F.col("cum_w") <= budget // n_shards)
+    used = first.agg(
+        F.coalesce(F.sum(weight.cast("long")), F.lit(0)).alias("u")
+    ).collect()[0]["u"]
+    leftover = budget - int(used)
+    rejected = cum.where(F.col("cum_w") > budget // n_shards)
+    wr = Window.partitionBy("shard").orderBy(
+        order_col.desc(), F.col(id_col)
+    )
+    candidates = (
+        rejected.withColumn("__fr", F.row_number().over(wr))
+        .where(F.col("__fr") <= frontier)
+        .drop("__fr", "cum_w")
+    )
+    w2 = Window.orderBy(order_col.desc(), F.col(id_col))
+    second = (
+        candidates.withColumn("cum_w", F.sum(weight.cast("long")).over(w2))
+        .where(F.col("cum_w") <= leftover)
+    )
+    return first.unionByName(second)

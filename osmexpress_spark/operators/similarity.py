@@ -147,24 +147,35 @@ def lsh_probe_buckets(
     return F.concat(F.array(bucket), nearest)
 
 
-def topk_bucketed(
+def _apply_sim_band(
+    scored: DataFrame, sim_lo: float | None, sim_hi: float | None
+) -> DataFrame:
+    """Optional similarity band ``(sim_lo, sim_hi]`` applied INSIDE a
+    searcher's scored stage (the hard_negatives composition, VERDICT
+    r06 #4): the filter runs where pruning has already bounded the
+    candidates, so banded mining costs exactly what the searcher's
+    probe configuration costs — never a post-filter of an unbanded
+    top-k, which would miss every band member outside it."""
+    if sim_lo is not None and sim_hi is not None and not sim_lo < sim_hi:
+        raise ValueError("sim band: need sim_lo < sim_hi")
+    if sim_lo is not None:
+        scored = scored.where(F.col("sim") > F.lit(sim_lo))
+    if sim_hi is not None:
+        scored = scored.where(F.col("sim") <= F.lit(sim_hi))
+    return scored
+
+
+def _bucketed_scored(
     queries: DataFrame,
     candidates: DataFrame,
     dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_planes: int = N_PLANES,
-    probes: int = 1,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    probes: int,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket(s) — the
-    candidate set shrinks ~2^n_planes-fold; recall is traded for a
-    bucket-equi join that scales linearly. `probes > 1` enables
-    multi-probe (lsh_probe_buckets): the QUERY side fans out to its
-    nearest flip buckets (probe-factor rows on the tiny broadcast
-    side only — the candidate scan is untouched), recovering most of
-    the recall a single bucket loses. probes=1 is the oracle-checked
-    contract configuration."""
+    """LSH-pruned scored stage: (query_id, neighbor_id, sim) for every
+    candidate sharing a probed bucket with the query."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -177,12 +188,49 @@ def topk_bucketed(
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
-    scored = (
+    return (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
         )
+    )
+
+
+def topk_bucketed(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = N_PLANES,
+    probes: int = 1,
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket(s) — the
+    candidate set shrinks ~2^n_planes-fold; recall is traded for a
+    bucket-equi join that scales linearly. `probes > 1` enables
+    multi-probe (lsh_probe_buckets): the QUERY side fans out to its
+    nearest flip buckets (probe-factor rows on the tiny broadcast
+    side only — the candidate scan is untouched), recovering most of
+    the recall a single bucket loses. probes=1 is the oracle-checked
+    contract configuration.
+
+    ``sim_lo``/``sim_hi`` band the scored stage to ``(sim_lo, sim_hi]``
+    BEFORE the top-k (the hard_negatives composition): band members
+    are found only in probed buckets, so recall vs the brute-force
+    band rises with ``probes`` — banding by similarity needs MORE
+    probes than nearest-neighbor search at the same recall because
+    band members sit farther from the query's own bucket (see
+    ann_curve.py's banded rows)."""
+    scored = _apply_sim_band(
+        _bucketed_scored(
+            queries, candidates, dim, id_col, vec_col, n_planes, probes
+        ),
+        sim_lo,
+        sim_hi,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -382,21 +430,18 @@ def ivf_train(
     return [[float(x) for x in c] for c in cents]
 
 
-def topk_ivf(
+def _ivf_scored(
     queries: DataFrame,
     candidates: DataFrame,
     dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_centroids: int = 16,
-    nprobe: int = 2,
-    iters: int = 2,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    nprobe: int,
+    iters: int,
 ) -> DataFrame:
-    """ANN top-k probing the query's nprobe nearest inverted lists.
-    Scan cost ~ nprobe/n_centroids of brute force; at real scale the
-    candidate side is written bucketed by cid so the probe join is
-    shuffle-free on the big side."""
+    """IVF-pruned scored stage: (query_id, neighbor_id, sim) for every
+    candidate in one of the query's nprobe probed lists."""
     cents = ivf_train(candidates, dim, n_centroids, iters, id_col, vec_col)
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -408,7 +453,7 @@ def topk_ivf(
         F.col(vec_col).alias("qv"),
         F.explode(_probe_cids(F.col(vec_col), cents, nprobe)).alias("cid"),
     )
-    scored = (
+    return (
         c.join(F.broadcast(q), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -416,6 +461,42 @@ def topk_ivf(
             "neighbor_id",
             cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
+    )
+
+
+def topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
+) -> DataFrame:
+    """ANN top-k probing the query's nprobe nearest inverted lists.
+    Scan cost ~ nprobe/n_centroids of brute force; at real scale the
+    candidate side is written bucketed by cid so the probe join is
+    shuffle-free on the big side.
+
+    ``sim_lo``/``sim_hi`` band the scored stage to ``(sim_lo, sim_hi]``
+    before the top-k (the hard_negatives composition): with
+    ``nprobe == n_centroids`` pruning is a no-op and the banded result
+    equals brute-force hard_negatives exactly; at smaller nprobe the
+    band trades recall for the probe bound — band members live farther
+    from the query's nearest lists than its top-k neighbors do, so
+    budget MORE probes for mining than for search (ann_curve.py
+    publishes the banded recall curve)."""
+    scored = _apply_sim_band(
+        _ivf_scored(
+            queries, candidates, dim, id_col, vec_col,
+            n_centroids, nprobe, iters,
+        ),
+        sim_lo,
+        sim_hi,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -1256,6 +1337,8 @@ def topk_ivfpq_rerank(
     m: int = 8,
     ksub: int = 16,
     iters: int = 2,
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
 ) -> DataFrame:
     """Two-stage search, the standard recall-recovery pattern over a
     compressed index: stage 1 takes the ADC top-`rerank` from the
@@ -1264,7 +1347,16 @@ def topk_ivfpq_rerank(
     cosine top-k. At 100 TB stage 2 touches rerank*|Q| rows — a point
     lookup against the primary store, not a scan — so the exact
     vectors never stream through the search; recall approaches brute
-    force while scan cost stays at the compressed tier's."""
+    force while scan cost stays at the compressed tier's.
+
+    ``sim_lo``/``sim_hi`` band the EXACT rerank stage (never the ADC
+    stage — quantized sims would misclassify borderline band members;
+    the band is a semantic cut, so it must see true cosines). The
+    shortlist itself stays unbanded ADC top-`rerank`, which makes this
+    the WRONG searcher for deep bands like hard negatives: a band well
+    below the top is mostly outside any top-`rerank`. Use it only for
+    bands near the top (e.g. near-dup screens); mine negatives with
+    banded topk_ivf/topk_bucketed or hard_negatives_ivf instead."""
     shortlist = topk_ivfpq(
         queries, candidates, dim, id_col, vec_col,
         k=rerank, n_centroids=n_centroids, nprobe=nprobe,
@@ -1285,6 +1377,7 @@ def topk_ivfpq_rerank(
             cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
     )
+    exact = _apply_sim_band(exact, sim_lo, sim_hi)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -1574,12 +1667,11 @@ def hard_negatives(
 
     Returns (query_id, neighbor_id, sim, neg_rank); sim is the rounded
     cosine (the cosine() 6-decimal contract). This brute-force form is
-    the exact baseline and the oracle target; at 100 TB compose the
-    band with a pruned searcher instead — NOT by post-filtering a
-    plain top-k (band members need not be in the unfiltered top-k) but
-    by applying the band inside the probed cells of topk_ivf*/
-    topk_bucketed's scored stage, where pruning has already bounded
-    the candidates."""
+    the exact baseline and the oracle target; at 100 TB use
+    hard_negatives_ivf (or topk_ivf/topk_bucketed's sim_lo/sim_hi),
+    which applies this band inside the pruned searchers' scored stage
+    — NOT a post-filter of a plain top-k (band members need not be in
+    the unfiltered top-k)."""
     if not lo < hi:
         raise ValueError("hard_negatives: need lo < hi")
     q = queries.select(
@@ -1597,6 +1689,55 @@ def hard_negatives(
             cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
         .where((F.col("sim") > F.lit(lo)) & (F.col("sim") <= F.lit(hi)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "neg_rank")
+    )
+
+
+def hard_negatives_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.1,
+    hi: float = 0.3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """hard_negatives at scale (VERDICT r06 #4): the same ``(lo, hi]``
+    band and output contract, but the candidates come from the query's
+    nprobe probed IVF lists instead of a broadcast cross join — scan
+    cost drops to ~nprobe/n_centroids of brute force and nothing is
+    ever corpus x anchors.
+
+    The band runs INSIDE the probed scored stage (_ivf_scored +
+    _apply_sim_band), so pruning bounds the work and the band sees
+    exact cosines. Equivalence contract: with nprobe == n_centroids
+    the result is bit-identical to hard_negatives (pruning is a
+    no-op; tested); at smaller nprobe recall against the brute-force
+    band falls off FASTER than nearest-neighbor recall at the same
+    nprobe, because band members sit in lists farther from the query —
+    pick nprobe from ann_curve.py's banded rows, not its top-k rows.
+
+    Returns (query_id, neighbor_id, sim, neg_rank)."""
+    if not lo < hi:
+        raise ValueError("hard_negatives_ivf: need lo < hi")
+    scored = _apply_sim_band(
+        _ivf_scored(
+            queries, candidates, dim, id_col, vec_col,
+            n_centroids, nprobe, iters,
+        ),
+        lo,
+        hi,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
