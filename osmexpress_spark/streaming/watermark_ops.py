@@ -399,3 +399,57 @@ def drift_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_census_stream(
+    stream_docs: DataFrame,
+    ref_sketch_path: str,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "n_chars",
+    epoch_col: str = "epoch",
+):
+    """drift_monitor_stream's oracle-checkable sibling (VERDICT r06
+    #7): instead of the PSI scalar, each micro-batch writes the full
+    integer-exact drift CENSUS — (bucket, old_n, new_n, lo, hi) — for
+    every data epoch it carries, keyed by the ``epoch_col`` LABEL in
+    the data (never the trigger id, which depends on file-listing
+    order and so is not a stable contract key). The transcendental-
+    free census is exactly what q_stream_drift's DuckDB oracle can
+    recompute, putting the streaming read path itself behind the
+    strict gate; the PSI/alert form (drift_monitor_stream) composes
+    psi_drift over these same rows.
+
+    The reference corpus is never rescanned: the reference side is the
+    persisted <=1025-row sketch parquet. ``epoch_col`` must have
+    bounded cardinality per batch (epochs arrive as file drops, so a
+    batch carries one — the distinct-collect is a bounded driver
+    transfer either way); epoch overwrite keeps retries idempotent.
+    availableNow trigger — the daily-drop shape."""
+    from ..operators import sketch as sketch_ops
+
+    spark = stream_docs.sparkSession
+
+    def _batch(bdf: DataFrame, _batch_id: int) -> None:
+        bdf = bdf.localCheckpoint()
+        epochs = [r[0] for r in bdf.select(epoch_col).distinct().collect()]
+        if not epochs:
+            return
+        ref = spark.read.parquet(ref_sketch_path)
+        for e in epochs:
+            census = sketch_ops.drift_census_from_sketches(
+                ref,
+                sketch_ops.quantile_sketch_build(
+                    bdf.where(F.col(epoch_col) == e), F.col(value_col)
+                ),
+            )
+            census.write.mode("overwrite").parquet(
+                f"{out_path.rstrip('/')}/epoch={e}"
+            )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -75,6 +75,8 @@ SUBSET = [
     "q_manifest_merge",        # 3-part manifest fold == union manifest
     "q_event_spikes",          # bounded median/MAD alarm over window counts
     "q_split_leakage",         # banded LSH pairs crossing the split
+    # round-7 staged queries (PENDING registry; promote in r08)
+    "q_stream_drift",          # streaming read path -> bounded census
 ]
 
 

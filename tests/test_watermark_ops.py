@@ -399,3 +399,55 @@ def test_drift_monitor_stream_alerts_on_shift(spark, tmp_path):
     assert quiet.alert is False and quiet.psi < 0.5
     assert shifted.alert is True and shifted.psi > 1.0
     assert quiet.n_rows == 300 and shifted.n_rows == 300
+
+
+def test_drift_census_stream_epoch_label_keying(spark, tmp_path):
+    """drift_census_stream keys output by the epoch LABEL in the data,
+    not the trigger id: two epochs arriving in ONE micro-batch still
+    produce two correct per-epoch census directories, each matching
+    the batch census of that epoch's rows alone."""
+    from osmexpress_spark.operators import sketch
+    from osmexpress_spark.streaming import watermark_ops
+
+    rng = __import__("random").Random(11)
+    ref = spark.createDataFrame(
+        [(i, rng.randint(100, 900)) for i in range(300)],
+        "doc_id long, n_chars long",
+    )
+    ref_path = str(tmp_path / "ref_sketch")
+    sketch.quantile_sketch_build(ref, F.col("n_chars")).write.parquet(
+        ref_path
+    )
+    feed_rows = [
+        (i, 1 if i % 2 == 0 else 2, rng.randint(100, 2000))
+        for i in range(200)
+    ]
+    feed = spark.createDataFrame(
+        feed_rows, "doc_id long, epoch long, n_chars long"
+    )
+    feed_path = str(tmp_path / "feed")
+    # ONE file -> one micro-batch carrying both epochs
+    feed.coalesce(1).write.parquet(feed_path)
+    out = str(tmp_path / "census")
+    stream = spark.readStream.schema(feed.schema).parquet(feed_path)
+    watermark_ops.drift_census_stream(
+        stream, ref_path, out, str(tmp_path / "ckpt"),
+        value_col="n_chars", epoch_col="epoch",
+    ).awaitTermination(120)
+
+    for e in (1, 2):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{out}/epoch={e}").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                sketch.drift_census_from_sketches(
+                    spark.read.parquet(ref_path),
+                    sketch.quantile_sketch_build(
+                        feed.where(F.col("epoch") == e), F.col("n_chars")
+                    ),
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0, e
