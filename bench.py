@@ -107,6 +107,10 @@ HEADLINE = [
 # family assignment in tests/test_bench_hygiene.py FAMILIES.
 PENDING_HEADLINE: list[str] = [
     "q_stream_drift",
+    "q_hard_negatives_ivf",
+    "q_embedding_gram",
+    "q_softdedup_weights",
+    "q_vocab_growth",
 ]
 
 

@@ -1338,3 +1338,55 @@ def split_leakage_pairs(
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b")
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates (dedup_survivors),
+    DOWN-WEIGHT every member of a near-dup cluster by the cluster's
+    size, so the cluster as a whole contributes one document's worth
+    of sampling mass — the standard repetition-control alternative
+    when hard removal is too lossy (boilerplate-heavy but individually
+    useful docs, license texts, templated pages). Output: every doc
+    with ``(cluster, dup_count, weight_num, weight_den)`` where
+    dup_count = |cluster| (1 for docs in no candidate pair) and the
+    weight is the EXACT rational 1/dup_count — integer num/den, never
+    a float, so downstream weighted sampling (importance_resample,
+    temperature_mixture) can consume it engine-exactly.
+
+    Scale shape: dup_clusters over the bounded candidate-pair list,
+    one cluster-size count over its output (cluster lists are
+    candidate-sized, not corpus-sized), one broadcast-friendly left
+    join back to the corpus — the corpus itself never shuffles."""
+    clusters = dup_clusters(
+        pairs, id_a, id_b, max_iterations=max_iterations
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    labeled = clusters.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col),
+        F.col("cluster_id").alias("cluster"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+    return (
+        docs.select(id_col)
+        .join(labeled, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+            F.coalesce(F.col("dup_count"), F.lit(1).cast("long")).alias(
+                "dup_count"
+            ),
+            F.lit(1).cast("long").alias("weight_num"),
+            F.coalesce(F.col("dup_count"), F.lit(1).cast("long")).alias(
+                "weight_den"
+            ),
+        )
+    )

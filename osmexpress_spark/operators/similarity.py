@@ -1747,3 +1747,147 @@ def hard_negatives_ivf(
         .where(F.col("neg_rank") <= k)
         .select("query_id", "neighbor_id", "sim", "neg_rank")
     )
+
+
+def _micros(vec_col: Column) -> Column:
+    """Offset-free integer-micro quantization (floor(x * 1e6) per
+    coordinate — the _km_quantize formula without the nonnegativity
+    shift, which second-moment sums neither need nor want: an offset
+    would contaminate every cross term)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(KM_MICRO))).cast(
+            "long"
+        ),
+    )
+
+
+def embedding_gram(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact second-moment (gram) matrix of the quantized embedding
+    corpus: one row per coordinate pair ``(i, j)`` with ``i <= j`` —
+    ``gram = sum_rows q_i * q_j`` over floor-micro integers, plus the
+    row count ``n``. dim*(dim+1)/2 output rows, engine-exact: products
+    accumulate as DECIMAL(38,0) so 1e11 rows of 1e13-sized products
+    cannot overflow (BIGINT would saturate near 1e6 rows).
+
+    This is the input statistic for covariance/PCA (pca_project
+    derives C = (G - s s^T / n) / n driver-side over these bounded
+    rows): the corpus-sized work is ONE scan whose per-row cost is the
+    inherent dim^2/2 products, map-side-combined to at most 2,080
+    partial rows per task — nothing corpus-sized shuffles, and the
+    whole statistic is DuckDB-oracle-checkable (q_embedding_gram).
+    """
+    q = df.select(_micros(F.col(vec_col)).alias("q"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda x, i: F.transform(
+                F.slice(F.col("q"), i + 1, F.lit(dim) - i),
+                lambda y, j2: F.struct(
+                    i.cast("int").alias("i"),
+                    (i + j2).cast("int").alias("j"),
+                    (x * y).cast("decimal(38,0)").alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        q.select(F.explode(pairs).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").alias("gram"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    return_basis: bool = False,
+) -> DataFrame | tuple[DataFrame, list[list[float]], list[float]]:
+    """Distributed PCA by exact accumulation + driver eigensolve: the
+    corpus contributes ONE gram pass (embedding_gram) and one
+    coordinate-sum pass (both bounded, integer/decimal-exact); the
+    dim x dim covariance eigendecomposition runs driver-side in numpy
+    (dim is model-sized, never corpus-sized); the projection onto the
+    top-k components is a scan-side zip_with fold against the basis
+    LITERAL — the kmeans codegen rule, no join, no shuffle, no Python
+    in the projection plan.
+
+    Determinism: the accumulated moments are exact integers, and each
+    eigenvector's sign is fixed by convention (largest-|coordinate|
+    entry positive), so reruns project identically. Components order
+    by descending eigenvalue; ties (rare, exact-degenerate spectra)
+    fall back to numpy's ascending-eigh order reversed.
+
+    The training-pipeline uses: embedding whitening/decorrelation
+    before PQ (OPQ's cheap cousin), dim reduction before ANN index
+    build, drift diagnosis in principal-component space. Returns
+    (id, proj array<double>); with return_basis, also the basis
+    [k][dim] and eigenvalues [k] (micro^2 units)."""
+    import numpy as np
+
+    if not 1 <= k <= dim:
+        raise ValueError("pca_project: need 1 <= k <= dim")
+    gram_rows = embedding_gram(df, dim, vec_col).collect()
+    if not gram_rows:
+        raise ValueError("pca_project: empty input")
+    n = gram_rows[0]["n"]
+    sums_rows = (
+        df.select(
+            F.posexplode(_micros(F.col(vec_col))).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    s = np.zeros(dim)
+    for r in sums_rows:
+        s[r["i"]] = float(r["s"])
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = float(r["gram"])
+    cov = (g - np.outer(s, s) / n) / n
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    basis = []
+    eigenvalues = []
+    for idx in order:
+        v = evecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        basis.append([float(x) for x in v])
+        eigenvalues.append(float(evals[idx]))
+    mean = [float(x) / n / KM_MICRO for x in s]
+    basis_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in comp])
+            for comp in basis
+        ]
+    )
+    mean_lit = F.array(*[F.lit(x) for x in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    proj = F.transform(
+        basis_lit,
+        lambda comp: F.aggregate(
+            F.zip_with(centered, comp, lambda x, b: x * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    out = df.select(F.col(id_col), proj.alias("proj"))
+    if return_basis:
+        return out, basis, eigenvalues
+    return out

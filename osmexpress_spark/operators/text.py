@@ -390,3 +390,55 @@ def html_strip_sql(expr: str) -> str:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
     return f"trim(regexp_replace({out}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth census: split the corpus into
+    ``n_buckets`` equal id-RANGE buckets (bucket = floor(id * B /
+    (max_id + 1)) — a scan-side expression, never a global-order
+    window, so there is no single-partition sort at any scale), and
+    report per bucket how many distinct tokens appear there for the
+    FIRST time (``new_tokens``) alongside the bucket's total token
+    occurrences (``total_tokens``). The tokenizer-design diagnostic:
+    a healthy crawl's new_tokens decays like a power law; a flat or
+    rising tail means unbounded vocabulary (serial numbers, hashes,
+    boilerplate mutations) that will bloat any learned vocab.
+
+    Scale shape: one token explode -> min-bucket aggregate (the only
+    shuffle, vocabulary-sized with map-side combine), one map-side
+    total count, one <= n_buckets-row outer join; max_id is a single
+    scalar agg. Exact integers throughout — oracle-checkable."""
+    if n_buckets < 1:
+        raise ValueError("vocab_growth: n_buckets must be >= 1")
+    max_id = df.agg(F.max(F.col(id_col)).cast("long")).collect()[0][0]
+    if max_id is None:
+        raise ValueError("vocab_growth: empty input")
+    # floor() explicitly (not a truncating cast) so the formula is the
+    # same expression both engines evaluate; ids are nonnegative so
+    # floor == truncate anyway, but the oracle should match textually
+    bucket = F.floor(
+        F.col(id_col).cast("long") * n_buckets / F.lit(int(max_id) + 1)
+    ).cast("long")
+    toks = df.select(
+        bucket.alias("bucket"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    totals = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("total_tokens")
+    )
+    return totals.join(first, "bucket", "left_outer").select(
+        "bucket",
+        F.coalesce("new_tokens", F.lit(0).cast("long")).alias("new_tokens"),
+        "total_tokens",
+    )

@@ -4483,3 +4483,154 @@ def q_stream_drift(spark, sf_dir):
         "lo",
         "hi",
     )
+
+
+@defq_pending(
+    "q_hard_negatives_ivf",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_dot_sql('qv', 'cv')} /
+                   (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})),
+                   6) AS sim
+      FROM q, c WHERE neighbor_id != query_id
+    ),
+    banded AS (SELECT * FROM scored
+               WHERE sim > 0.1e0 AND sim <= 0.3e0),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS neg_rank
+      FROM banded
+    )
+    SELECT query_id, neighbor_id, sim, neg_rank
+    FROM ranked WHERE neg_rank <= 5
+    """,
+)
+def q_hard_negatives_ivf(spark, sf_dir):
+    """The at-scale banded miner behind the gate (similarity.py:
+    hard_negatives_ivf, VERDICT r06 #4): the SAME band and contract as
+    q_hard_negatives but candidates arrive through the IVF probe join
+    — run here at nprobe == n_centroids, where pruning is provably a
+    no-op, so the pruned code path itself (probe fan-out, cid
+    equi-join, in-stage band) is oracle-checked bit-for-bit against
+    the brute-force SQL. The nprobe < n_centroids recall trade is
+    measured, not oracled: ann_curve.py's banded rows + the
+    monotone-recall property test."""
+    from .operators import similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_ivf(
+        e.where(F.col("vec_id") < 10), e, dim=EMB_DIM,
+        k=5, lo=0.1, hi=0.3, n_centroids=8, nprobe=8,
+    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
+@defq_pending(
+    "q_embedding_gram",
+    f"""
+    WITH qv AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000e0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    grid AS (
+      SELECT a.range AS i, b.range AS j
+      FROM range({EMB_DIM}) a, range({EMB_DIM}) b
+      WHERE a.range <= b.range
+    )
+    SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+           CAST(SUM(CAST(q.v[g.i+1] * q.v[g.j+1] AS DECIMAL(38,0)))
+                AS VARCHAR) AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM qv q CROSS JOIN grid g
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram(spark, sf_dir):
+    """Exact second-moment matrix of the embedding corpus
+    (similarity.py:embedding_gram) — the accumulation statistic behind
+    distributed PCA/whitening (pca_project): dim*(dim+1)/2 rows of
+    floor-micro integer products summed as DECIMAL(38,0) (BIGINT would
+    overflow near 1e6 rows; decimal holds to 1e11+). One scan, one
+    map-side-combined aggregate to 2,080 rows — the eigensolve that
+    consumes it is driver-side numpy over this bounded frame, tested
+    against the projected-variance identity in tests/. The gate row
+    serializes the decimal as its digit string (the driver's pandas
+    canonicalizer rejects decimal columns; the digits are the same
+    exact integer either way)."""
+    from .operators import similarity
+
+    return similarity.embedding_gram(
+        t(spark, sf_dir, "embeddings"), EMB_DIM
+    ).withColumn("gram", F.col("gram").cast("string"))
+
+
+@defq_pending(
+    "q_softdedup_weights",
+    f"""
+    WITH RECURSIVE {_dup_cluster_ctes()},
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+           FROM clus GROUP BY 1),
+    lab AS (SELECT c.id, c.cluster_id, s.dup_count
+            FROM clus c JOIN sz s ON s.cluster_id = c.cluster_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster,
+           COALESCE(l.dup_count, CAST(1 AS BIGINT)) AS dup_count,
+           CAST(1 AS BIGINT) AS weight_num,
+           COALESCE(l.dup_count, CAST(1 AS BIGINT)) AS weight_den
+    FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    """,
+)
+def q_softdedup_weights(spark, sf_dir):
+    """Soft dedup (operators/dedup.py:soft_dedup_weights): every doc
+    down-weighted by its near-dup cluster size as the EXACT rational
+    1/dup_count (integer num/den — no float enters the gate), so a
+    boilerplate cluster contributes one document's sampling mass
+    instead of being dropped outright. Composes the oracled LSH pair
+    join + connected components with one candidate-sized count and a
+    left join back to the corpus; singleton docs pass through with
+    weight 1/1."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.soft_dedup_weights(d, _lsh_pairs(spark, sf_dir), "doc_id")
+
+
+_VG_BUCKETS = 10
+
+
+@defq_pending(
+    "q_vocab_growth",
+    f"""
+    WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+    tk AS (SELECT CAST(floor(CAST(doc_id AS BIGINT) * {_VG_BUCKETS}
+                             / (m + 1)) AS BIGINT) AS bucket,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents, mx),
+    fst AS (SELECT tok, MIN(bucket) AS bucket FROM tk GROUP BY tok),
+    nw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+           FROM fst GROUP BY 1),
+    tt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS total_tokens
+           FROM tk GROUP BY 1)
+    SELECT tt.bucket,
+           COALESCE(nw.new_tokens, CAST(0 AS BIGINT)) AS new_tokens,
+           tt.total_tokens
+    FROM tt LEFT JOIN nw ON nw.bucket = tt.bucket
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth census (operators/text.py:
+    vocab_growth): per equal id-range bucket, how many distinct tokens
+    appear for the FIRST time vs total occurrences — the
+    tokenizer-design diagnostic whose tail shape says whether the
+    vocabulary saturates or bloats. Bucket assignment is a scan-side
+    floor expression off one max-id scalar (never a global-order
+    window); the only shuffle is the vocabulary-sized min-bucket
+    aggregate with map-side combine."""
+    from .operators import text as text_ops
+
+    d = t(spark, sf_dir, "documents")
+    return text_ops.vocab_growth(d, "text", "doc_id", _VG_BUCKETS)

@@ -77,6 +77,10 @@ SUBSET = [
     "q_split_leakage",         # banded LSH pairs crossing the split
     # round-7 staged queries (PENDING registry; promote in r08)
     "q_stream_drift",          # streaming read path -> bounded census
+    "q_hard_negatives_ivf",    # banded miner through the IVF probe join
+    "q_embedding_gram",        # dim^2/2 exact second moments, one scan
+    "q_softdedup_weights",     # cluster-size rational down-weighting
+    "q_vocab_growth",          # heaps-law census, vocab-sized shuffle
 ]
 
 

@@ -427,3 +427,34 @@ def test_split_leakage_pairs_planted(spark):
         "doc_id long, text string, split string",
     )
     assert split_leakage_pairs(clean, "doc_id", "text", "split").count() == 0
+
+
+def test_soft_dedup_weights_model(spark):
+    """Soft dedup: cluster members carry the exact rational
+    1/|cluster|; singletons pass through at 1/1; the weights sum to
+    the deduplicated document count (each cluster contributes exactly
+    one document's mass)."""
+    from fractions import Fraction
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["dup_count"],
+                      r["weight_num"], r["weight_den"])
+        for r in dedup.soft_dedup_weights(docs, pairs).collect()
+    }
+    assert len(got) == 10
+    # cluster {1,2,3} -> size 3, label 1; cluster {5,6} -> size 2
+    for d in (1, 2, 3):
+        assert got[d] == (1, 3, 1, 3)
+    for d in (5, 6):
+        assert got[d] == (5, 2, 1, 2)
+    for d in (0, 4, 7, 8, 9):
+        assert got[d] == (d, 1, 1, 1)
+    total = sum(Fraction(n, m) for _, _, n, m in got.values())
+    # 5 singletons + 2 clusters = 7 documents' worth of mass
+    assert total == 7

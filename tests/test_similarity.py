@@ -773,3 +773,76 @@ def test_banded_rerank_band_applies_to_exact_sims(spark, vectors):
     for r in got:
         s = cos(rows[r.query_id], rows[r.neighbor_id])
         assert 0.95 < s <= 1.0, (r, s)
+
+
+def test_embedding_gram_matches_python_model(spark):
+    import math
+    import random as _r
+
+    rng = _r.Random(13)
+    dim, n = 6, 120
+    rows = [
+        (i, [rng.uniform(-1.5, 1.5) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): (int(r["gram"]), r["n"])
+        for r in similarity.embedding_gram(df, dim).collect()
+    }
+    want = {}
+    for _, v in rows:
+        q = [math.floor(x * 1e6) for x in v]
+        for i in range(dim):
+            for j in range(i, dim):
+                g, _ = want.get((i, j), (0, n))
+                want[(i, j)] = (g + q[i] * q[j], n)
+    assert got == want
+    assert len(got) == dim * (dim + 1) // 2
+
+
+def test_pca_project_variance_identity_and_determinism(spark):
+    """The projected per-component variance must equal the covariance
+    eigenvalues (micros^2 scaled), the basis must be orthonormal with
+    the positive-pivot sign convention, reruns must be bit-identical,
+    and the projection plan must be scan-side (no shuffle, no
+    Python)."""
+    import random as _r
+
+    import numpy as np
+
+    rng = _r.Random(21)
+    dim, n, k = 8, 400, 3
+    # anisotropic blob so the spectrum is unambiguous
+    rows = [
+        (
+            i,
+            [rng.gauss(0, 3.0), rng.gauss(5, 2.0)]
+            + [rng.gauss(0, 0.5) for _ in range(dim - 2)],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, basis, ev = similarity.pca_project(
+        df, dim, k, return_basis=True
+    )
+    P = np.array(
+        [r["proj"] for r in out.orderBy("vec_id").collect()]
+    )
+    var = P.var(axis=0, ddof=0)
+    for c in range(k):
+        assert abs(var[c] - ev[c] / 1e12) < max(1e-6, ev[c] / 1e12 * 1e-6)
+    assert ev[0] >= ev[1] >= ev[2]
+    B = np.array(basis)
+    assert np.abs(B @ B.T - np.eye(k)).max() < 1e-9
+    for comp in basis:
+        pivot = int(np.argmax(np.abs(comp)))
+        assert comp[pivot] > 0
+    out2, basis2, ev2 = similarity.pca_project(
+        df, dim, k, return_basis=True
+    )
+    assert basis == basis2 and ev == ev2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError, match="1 <= k <= dim"):
+        similarity.pca_project(df, dim, 0)

@@ -51,3 +51,31 @@ def test_gopher_stopword_rule_requires_distinct_words(spark):
     assert not g["ok_stopwords"] and not g["keep"]
     two = " ".join(["the", "of"] + ["token"] * 20)
     assert _flags(spark, two)["ok_stopwords"]
+
+
+def test_vocab_growth_model(spark):
+    """Heaps-law census vs a hand model: first-occurrence counting by
+    id-range bucket, totals per bucket, empty-bucket-safe."""
+    rows = [
+        (0, "a b c"),
+        (1, "a b"),
+        (4, "a d"),
+        (5, "d e f"),
+        (9, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["new_tokens"], r["total_tokens"])
+        for r in text.vocab_growth(df, "text", "doc_id", n_buckets=2).collect()
+    }
+    # max_id 9 -> bucket = floor(id*2/10): ids 0,1,4 -> 0; 5,9 -> 1
+    # bucket 0 tokens: a b c a b a d -> new {a,b,c,d}=4, total 7
+    # bucket 1 tokens: d e f a -> new {e,f}=2, total 4
+    assert got == {0: (4, 7), 1: (2, 4)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        text.vocab_growth(df, n_buckets=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty"):
+        text.vocab_growth(empty)
