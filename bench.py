@@ -111,6 +111,8 @@ PENDING_HEADLINE: list[str] = [
     "q_embedding_gram",
     "q_softdedup_weights",
     "q_vocab_growth",
+    "q_ngram_novelty",
+    "q_rank_blend",
 ]
 
 

@@ -1390,3 +1390,64 @@ def soft_dedup_weights(
             ),
         )
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: how many
+    of the doc's distinct k-shingles have never been seen in the
+    reference — ``(id, n_shingles, n_novel)``, novelty ratio =
+    n_novel / n_shingles downstream (kept as exact integers here so
+    the whole row is engine-exact). The curation signal between
+    doc-level contamination (is THIS doc leaked) and source-level
+    overlap (are these FEEDS redundant): score every incoming doc by
+    how much genuinely new text it adds before paying to store or
+    train on it.
+
+    Scale shape: shingles travel as 60-bit md5-prefix ints (8-byte
+    shuffle keys); the reference side reduces to its DISTINCT shingle
+    set, so the membership join has at most ONE match per probe row —
+    no fan-out, no hot-key blowup possible; per-doc counts are one
+    map-side-combined aggregate. Docs with fewer than k words pass
+    through the skeleton join with (0, 0)."""
+    h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 15), 16, 10
+    ).cast("long")
+    doc_sh = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    ).select(id_col, h(F.col("s")).alias("h"))
+    ref_sh = (
+        reference.select(
+            F.explode(shingles(F.col(text_col), k)).alias("s")
+        )
+        .select(h(F.col("s")).alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    counts = (
+        doc_sh.join(ref_sh, "h", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(counts, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+    )

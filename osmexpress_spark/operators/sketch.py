@@ -1017,3 +1017,75 @@ def psi_drift_by(
             psi += (p - q) * math.log(p / q)
         out[k] = psi
     return out
+
+
+def quantile_ranks(
+    df: DataFrame,
+    values: dict[str, Column],
+    keep_cols: list[str],
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Bucket-granular quantile rank for each named measure:
+    ``<name>_rank`` = the exact count of corpus rows falling in
+    strictly LOWER sketch buckets — a deterministic integer rank in
+    ``[0, n)`` that normalizes heterogeneous measures onto one scale
+    WITHOUT a global sort. percent_rank()/ntile() over a corpus is a
+    single-partition window (the classic scale killer); this is one
+    <=1025-row sketch per measure plus a broadcast bucket join, so the
+    corpus never shuffles at all. Resolution is the sketch's (<=6.25%
+    relative at sub_bits=4): ranks are for BLENDING and bucketing, not
+    for total ordering — ties within a bucket share a rank by design.
+
+    Rows with a NULL measure are dropped (the sketch drops them, so a
+    joined rank would be meaningless). All values must satisfy the
+    sketch's nonnegative-integer contract (_nonneg_checked)."""
+    if not values:
+        raise ValueError("quantile_ranks: need at least one measure")
+    from pyspark.sql import Window
+
+    out = df
+    rank_cols = []
+    for name, value in values.items():
+        out = out.withColumn(
+            f"__b_{name}",
+            quantile_bucket(
+                _nonneg_checked(value.cast("long")), sub_bits
+            ),
+        ).where(F.col(f"__b_{name}").isNotNull())
+    for name in values:
+        sk = (
+            out.groupBy(F.col(f"__b_{name}").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.orderBy("bucket")  # bounded: <=1025 sketch rows
+        cum = sk.select(
+            "bucket",
+            (F.sum("cnt").over(w) - F.col("cnt")).alias(f"{name}_rank"),
+        )
+        out = out.join(
+            F.broadcast(cum),
+            out[f"__b_{name}"] == cum["bucket"],
+        ).drop("bucket", f"__b_{name}")
+        rank_cols.append(f"{name}_rank")
+    return out.select(*keep_cols, *rank_cols)
+
+
+def rank_blend(
+    df: DataFrame,
+    values: dict[str, Column],
+    keep_cols: list[str],
+    sub_bits: int = QS_SUB_BITS,
+) -> DataFrame:
+    """Rank-based score fusion for curation: quantile_ranks over every
+    measure, plus ``blend_rank`` = the sum of the per-measure ranks —
+    the scale-free way to combine heterogeneous quality signals
+    (length, logreg quality, perplexity, novelty) into one ordering
+    when their raw scales are incomparable (the same argument as RRF
+    for retrieval, applied to corpus curation; sums of exact integer
+    ranks keep the whole frame oracle-checkable)."""
+    ranked = quantile_ranks(df, values, keep_cols, sub_bits)
+    blend = None
+    for name in values:
+        c = F.col(f"{name}_rank")
+        blend = c if blend is None else blend + c
+    return ranked.withColumn("blend_rank", blend)

@@ -4634,3 +4634,108 @@ def q_vocab_growth(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return text_ops.vocab_growth(d, "text", "doc_id", _VG_BUCKETS)
+
+
+@defq_pending(
+    "q_ngram_novelty",
+    f"""
+    WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+    refd AS (SELECT text FROM documents WHERE doc_id % 4 = 0),
+    ch AS (
+      SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+                 i -> {_SHINGLE_JOIN_EXPR}))) AS s
+        FROM corp WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+      )
+    ),
+    rh AS (
+      SELECT DISTINCT CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+                 i -> {_SHINGLE_JOIN_EXPR}))) AS s
+        FROM refd WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+      )
+    ),
+    cnt AS (
+      SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN rh.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM ch LEFT JOIN rh ON rh.h = ch.h
+      GROUP BY 1
+    )
+    SELECT c.doc_id,
+           COALESCE(t.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+           COALESCE(t.n_novel, CAST(0 AS BIGINT)) AS n_novel
+    FROM corp c LEFT JOIN cnt t ON t.doc_id = c.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty against a reference corpus
+    (operators/dedup.py:ngram_novelty) — how much genuinely NEW text
+    each incoming doc adds: distinct-shingle count and how many of
+    those shingles the reference (here the doc_id % 4 == 0 quarter)
+    has never seen. The curation signal between doc-level
+    contamination and source-level overlap. Shingles travel as 60-bit
+    md5-prefix ints; the reference reduces to its distinct shingle set
+    so the membership join has at most one match per probe row — no
+    fan-out; short docs pass through the skeleton with (0, 0)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_novelty(
+        d.where(F.col("doc_id") % 4 != 0),
+        d.where(F.col("doc_id") % 4 == 0),
+        "doc_id", "text", k=SHINGLE_K,
+    )
+
+
+_RB_TOKENS = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+@defq_pending(
+    "q_rank_blend",
+    f"""
+    WITH v AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS m1, {_RB_TOKENS} AS m2
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    b AS (SELECT doc_id, {_qsk_bucket_sql('m1')} AS b1,
+                 {_qsk_bucket_sql('m2')} AS b2 FROM v),
+    s1 AS (SELECT b1 AS bucket, COUNT(*) AS cnt FROM b GROUP BY 1),
+    c1 AS (SELECT bucket,
+                  CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT)
+                    AS n_chars_rank FROM s1),
+    s2 AS (SELECT b2 AS bucket, COUNT(*) AS cnt FROM b GROUP BY 1),
+    c2 AS (SELECT bucket,
+                  CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT)
+                    AS n_tokens_rank FROM s2)
+    SELECT b.doc_id, c1.n_chars_rank, c2.n_tokens_rank,
+           c1.n_chars_rank + c2.n_tokens_rank AS blend_rank
+    FROM b
+    JOIN c1 ON c1.bucket = b.b1
+    JOIN c2 ON c2.bucket = b.b2
+    """,
+)
+def q_rank_blend(spark, sf_dir):
+    """Rank-based score fusion WITHOUT a global sort (operators/
+    sketch.py:rank_blend): each measure (doc length in chars, doc
+    length in tokens) maps to its bucket-granular quantile rank — the
+    exact count of corpus rows in strictly lower sketch buckets — and
+    the blend is the integer rank sum. percent_rank/ntile over a
+    corpus is a single-partition window; this is one <=1025-row
+    sketch per measure plus broadcast bucket joins, so the corpus
+    never shuffles. The RRF argument applied to curation: combine
+    incomparable quality signals on a shared scale-free axis."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    return sketch.rank_blend(
+        d,
+        {
+            "n_chars": F.col("n_chars"),
+            "n_tokens": F.size(F.split(F.col("text"), " ")).cast("long"),
+        },
+        ["doc_id"],
+    )

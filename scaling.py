@@ -81,6 +81,8 @@ SUBSET = [
     "q_embedding_gram",        # dim^2/2 exact second moments, one scan
     "q_softdedup_weights",     # cluster-size rational down-weighting
     "q_vocab_growth",          # heaps-law census, vocab-sized shuffle
+    "q_ngram_novelty",         # distinct-ref membership join, no fan-out
+    "q_rank_blend",            # sketch-rank fusion, zero corpus shuffle
 ]
 
 

@@ -458,3 +458,32 @@ def test_soft_dedup_weights_model(spark):
     total = sum(Fraction(n, m) for _, _, n, m in got.values())
     # 5 singletons + 2 clusters = 7 documents' worth of mass
     assert total == 7
+
+
+def test_ngram_novelty_model(spark):
+    """Novelty counts vs a hand model: distinct bigrams per doc, novel
+    = absent from the reference's distinct bigram set; short docs pass
+    through with (0, 0)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c"),        # bigrams {a b, b c}
+            (2, "x y"),          # {x y}
+            (3, "a"),            # too short -> (0, 0)
+            (4, "b c b c"),      # distinct {b c, c b}
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "a b z"), (11, "q r")],  # ref bigrams {a b, b z, q r}
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in dedup.ngram_novelty(corpus, ref).collect()
+    }
+    assert got == {
+        1: (2, 1),   # 'a b' seen, 'b c' novel
+        2: (1, 1),
+        3: (0, 0),
+        4: (2, 2),
+    }

@@ -783,3 +783,36 @@ def test_budget_select_sharded_leftover_pass_zipf(spark):
         leftover_pass=True,
     )
     assert sorted(ids) == sorted(r["doc_id"] for r in rerun.collect())
+
+
+def test_quantile_ranks_and_blend_model(spark):
+    """Sketch-granular quantile ranks vs a hand model: rank = count of
+    rows in strictly lower buckets; blend = integer sum; rows with a
+    NULL measure drop; negative measures raise."""
+    from osmexpress_spark.operators import sketch
+
+    rows = [(1, 1, 100), (2, 2, 100), (3, 100, 2), (4, 101, 1),
+            (5, None, 5)]
+    d = spark.createDataFrame(rows, "doc_id long, a long, b long")
+    got = {
+        r["doc_id"]: (r["a_rank"], r["b_rank"], r["blend_rank"])
+        for r in sketch.rank_blend(
+            d, {"a": F.col("a"), "b": F.col("b")}, ["doc_id"]
+        ).collect()
+    }
+    assert 5 not in got and len(got) == 4
+    # buckets at sub_bits=4: value 1 and 2 land in different buckets,
+    # 100 and 101 share one (same octave/sub-bucket)
+    assert got[1] == (0, 2, 2)
+    assert got[2] == (1, 2, 3)
+    assert got[3][0] == 2 and got[4][0] == 2       # shared bucket rank
+    assert got[3] == (2, 1, 3) and got[4] == (2, 0, 2)
+    import pytest as _p
+
+    neg = spark.createDataFrame([(1, -5, 1)], "doc_id long, a long, b long")
+    with _p.raises(Exception, match="nonnegative"):
+        sketch.rank_blend(
+            neg, {"a": F.col("a"), "b": F.col("b")}, ["doc_id"]
+        ).collect()
+    with _p.raises(ValueError, match="at least one"):
+        sketch.quantile_ranks(d, {}, ["doc_id"])
