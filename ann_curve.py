@@ -43,6 +43,8 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     ap.add_argument("--band", default="0.1,0.3",
                     help="hard-negative band lo,hi for the mining rows")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on config names")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -145,6 +147,30 @@ def main() -> None:
          lambda np_=np_: pairs_ivf(np_))
         for np_ in (1, 2, 4, 8)
     ]
+
+    # PCA-composition rows: project to pca_dims first (pca_project,
+    # basis from the candidate corpus), search the projected space —
+    # what dimension reduction costs in recall at the same nprobe.
+    # The projection is timed inside the build, like ivf_train is.
+    def build_pca_ivf(pca_dims: int):
+        proj = S.pca_project(emb, dim, pca_dims).withColumnRenamed(
+            "proj", "embedding"
+        )
+        pq = proj.where(F.col("vec_id") < N_QUERIES)
+        return S.topk_ivf(
+            pq, proj, dim=pca_dims, k=K,
+            n_centroids=IVF_CENTROIDS, nprobe=4,
+        )
+
+    configs += [
+        (f"ivf nprobe=4 pca-{d_}",
+         lambda d_=d_: build_pca_ivf(d_),
+         lambda: pairs_ivf(4))
+        for d_ in (32, 16)
+    ]
+
+    if args.only:
+        configs = [c for c in configs if args.only in c[0]]
 
     results = []
     for name, build, cost in configs:

@@ -294,3 +294,73 @@ def test_kcenter_assignment_no_join_no_exchange(spark):
         QD.SPARK_QUERIES["q_kcenter_select"](spark, SF_DIR)
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_staged_round7_plans_stay_jvm_side(spark):
+    """Round-7 staged queries: Python-free hot paths, no cartesian
+    corpus products. (q_stream_drift is excluded — its work happens
+    inside a foreachBatch sink, exercised by its gate + e2e test.)"""
+    for name in ("q_hard_negatives_ivf", "q_embedding_gram",
+                 "q_softdedup_weights", "q_vocab_growth",
+                 "q_ngram_novelty", "q_rank_blend"):
+        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_embedding_gram_single_mapside_exchange(spark):
+    """The gram matrix is ONE map-side-combined aggregate: the corpus
+    never shuffles, only <= dim*(dim+1)/2 partial rows per task do,
+    and there is no window or join anywhere in the plan."""
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_embedding_gram"](spark, SF_DIR)
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_vocab_growth_no_global_order_window(spark):
+    """Bucket assignment must be the scan-side floor expression, never
+    a global-order window (ntile/percent_rank would plan a
+    single-partition sort)."""
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_vocab_growth"](spark, SF_DIR)
+    )
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ngram_novelty_no_fanout_join(spark):
+    """The reference-membership join must be an equi-join against the
+    DISTINCT reference shingle set (at most one match per probe row) —
+    never a nested-loop or cartesian shape."""
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_ngram_novelty"](spark, SF_DIR)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan  # the distinct + the per-doc counts
+
+
+def test_rank_blend_corpus_never_sorts(spark):
+    """Windows in the rank-blend plan may run only over the bounded
+    sketch aggregates: the corpus side reaches its output through
+    broadcast bucket joins, so no corpus-sized global sort exists.
+    The bounded windows sit AFTER full aggregation (their input is
+    <=1025 rows), which the plan shows as the window's child being an
+    aggregate, never the raw scan."""
+    df = QD.PENDING_SPARK_QUERIES["q_rank_blend"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # one per measure
+    # every Window in the tree must descend from a HashAggregate,
+    # not directly from a file scan
+    import re
+
+    for seg in plan.split("Window")[1:]:
+        # the scan marker inside this window's subtree indicates order:
+        # an aggregate boundary must appear before any scan below it
+        agg_pos = seg.find("HashAggregate")
+        scan_pos = seg.find("Scan parquet")
+        assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos)
