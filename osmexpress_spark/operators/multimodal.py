@@ -1298,3 +1298,90 @@ def bmp_resize(payload: bytes, factor: int = 2) -> bytes:
         "<IiiHHIIiiII", 40, nw, new_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + info + body
+
+
+def wav_segments(
+    payload: bytes,
+    frame_ms: int = 20,
+    threshold_permille: int = 50,
+) -> list[float]:
+    """Frame-energy voice-activity segmentation for PCM WAV — the
+    audio-curation analog of html_strip: before training on an audio
+    drop, measure how much of each clip is actual signal and how it
+    clumps. Frames of ``frame_ms`` are active when their mean |sample|
+    exceeds ``threshold_permille``/1000 of full scale; returns
+    [n_frames, active_frames, n_segments, longest_segment,
+    leading_silence] (all frame counts; a segment is a maximal run of
+    active frames). Integer arithmetic end to end — the activity test
+    cross-multiplies instead of dividing, so the decision is exact and
+    engine/platform-independent.
+
+    Same decoder contract as wav_decoder: compressed containers raise
+    NotImplementedError, malformed RIFF raises ValueError — per-row
+    decode_ok=False through extract_features, never a stage failure.
+    Usable directly as extract_features' decoder=:
+    ``extract_features(df, decoder=wav_segments, modality='audio')``.
+    """
+    import io
+    import struct
+    import wave
+
+    if frame_ms <= 0:
+        raise TypeError("frame_ms must be positive")  # config bug: loud
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes in-container; swap in torchaudio/ffmpeg "
+            "via decoder= for compressed audio"
+        )
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, width, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+    if width not in (1, 2):
+        raise NotImplementedError(f"sample width {width} not supported")
+    n = nch * nframes
+    if len(raw) < n * width:
+        raise ValueError("WAV data chunk truncated")
+    if width == 1:
+        samples = [abs(b - 128) for b in raw[:n]]
+        full = 128
+    else:
+        samples = [
+            abs(s) for s in struct.unpack(f"<{n}h", raw[: n * 2])
+        ]
+        full = 32768
+    spf = max(1, rate * frame_ms // 1000) * nch  # samples per frame
+    n_frames = (n + spf - 1) // spf if n else 0
+    active = []
+    for f in range(n_frames):
+        chunk = samples[f * spf : (f + 1) * spf]
+        # mean|s|/full > thr/1000  <=>  1000*sum > thr*full*len (exact)
+        active.append(
+            1000 * sum(chunk) > threshold_permille * full * len(chunk)
+        )
+    n_active = sum(active)
+    n_segments = longest = cur = 0
+    leading = n_frames
+    for i, a in enumerate(active):
+        if a:
+            if cur == 0:
+                n_segments += 1
+                leading = min(leading, i)
+            cur += 1
+            longest = max(longest, cur)
+        else:
+            cur = 0
+    if n_active == 0:
+        leading = n_frames
+    return [
+        float(n_frames),
+        float(n_active),
+        float(n_segments),
+        float(longest),
+        float(leading),
+    ]

@@ -1356,3 +1356,53 @@ def test_image_decoder_tiff_strip_tag_length_mismatch():
     assert patched
     with pytest.raises(ValueError, match="length mismatch"):
         multimodal.image_decoder(bytes(payload))
+
+
+def test_wav_segments_golden():
+    """Frame-energy VAD vs a hand model: 8 kHz mono, 20 ms frames =
+    160 samples. Layout: 160 silence, 320 loud, 160 silence, 160 loud
+    -> frames [quiet, loud, loud, quiet, loud]: 5 frames, 3 active,
+    2 segments, longest 2, leading silence 1."""
+    loud, quiet = 20000, 100
+    pcm = ([quiet] * 160 + [loud] * 320 + [quiet] * 160 + [loud] * 160)
+    got = multimodal.wav_segments(_wav(pcm), frame_ms=20)
+    assert got == [5.0, 3.0, 2.0, 2.0, 1.0]
+    # all-silence clip: zero segments, leading silence = n_frames
+    silent = multimodal.wav_segments(_wav([quiet] * 480), frame_ms=20)
+    assert silent == [3.0, 0.0, 0.0, 0.0, 3.0]
+    # threshold boundary is exact: mean exactly AT threshold is quiet
+    # (strict >), one sample above flips the frame active
+    thr = 50 * 32768 // 1000  # 1638.4 -> 1638 floor
+    at = multimodal.wav_segments(_wav([1638] * 160), frame_ms=20)
+    assert at[1] == 0.0  # 1000*1638*160 == 50*32768*160? 1638000<1638400
+    above = multimodal.wav_segments(_wav([1639] * 160), frame_ms=20)
+    assert above[1] == 0.0 or above[1] == 1.0  # computed below exactly
+    # exact cross-multiplication check
+    assert (1000 * 1639 * 160 > 50 * 32768 * 160) == (above[1] == 1.0)
+    _ = thr
+
+
+def test_wav_segments_failure_shapes_and_distributed(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.wav_segments(b"OggS-compressed")
+    with pytest.raises(ValueError):
+        multimodal.wav_segments(_wav([1] * 500)[:-7])
+    with pytest.raises(TypeError):  # config bug must fail loudly
+        multimodal.wav_segments(_wav([1] * 10), frame_ms=0)
+    # the extract_features seam: good + stub + corrupt rows in one frame
+    rows = [
+        (1, _wav([20000] * 480)),
+        (2, b"ID3mp3bytes"),
+        (3, _wav([1] * 500)[:-7]),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    out = {
+        r["item_id"]: r
+        for r in multimodal.extract_features(
+            df, decoder=multimodal.wav_segments, modality="audio"
+        ).collect()
+    }
+    assert out[1]["decode_ok"] and out[1]["feat"][1] == 3.0
+    assert not out[2]["decode_ok"] and not out[3]["decode_ok"]
