@@ -113,6 +113,8 @@ PENDING_HEADLINE: list[str] = [
     "q_vocab_growth",
     "q_ngram_novelty",
     "q_rank_blend",
+    "q_budget_by_domain",
+    "q_modality_alignment",
 ]
 
 

@@ -98,3 +98,56 @@ def profile_oracle_sql(table: str, columns: list[str]) -> str:
     WITH one AS (SELECT {", ".join(aggs)} FROM {table})
     {branches}
     """
+
+
+def modality_alignment(
+    docs: DataFrame,
+    vecs: DataFrame,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-modality integrity census in one row: when a pipeline
+    carries a text table and an embedding (or image/audio feature)
+    table keyed by the same ids, every downstream join silently drops
+    whatever does not align — this gate measures the damage FIRST.
+    Output: (n_docs, n_vecs, n_matched, n_doc_only, n_vec_only,
+    n_dim_bad) — exact BIGINTs; n_dim_bad counts embeddings whose
+    length differs from ``dim`` (0 when dim is None). Launchable ==
+    n_doc_only = n_vec_only = n_dim_bad = 0.
+
+    Scale shape: both sides project to id (+ one size() for the dim
+    check) before the full-outer join — two narrow column-pruned
+    scans, one equi-join on id, one aggregate row out. Nothing wide
+    ever shuffles."""
+    d = docs.select(F.col(doc_id).alias("__id"), F.lit(1).alias("__d"))
+    dim_bad = (
+        (F.size(F.col(vec_col)) != F.lit(int(dim))).cast("int")
+        if dim is not None
+        else F.lit(0)
+    )
+    v = vecs.select(
+        F.col(vec_id).alias("__id"),
+        F.lit(1).alias("__v"),
+        dim_bad.alias("__bad"),
+    )
+    j = d.join(v, "__id", "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__d"), F.lit(0))).alias("n_docs"),
+        F.sum(F.coalesce(F.col("__v"), F.lit(0))).alias("n_vecs"),
+        F.sum(
+            (F.col("__d").isNotNull() & F.col("__v").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_matched"),
+        F.sum(
+            (F.col("__d").isNotNull() & F.col("__v").isNull()).cast("long")
+        ).alias("n_doc_only"),
+        F.sum(
+            (F.col("__d").isNull() & F.col("__v").isNotNull()).cast("long")
+        ).alias("n_vec_only"),
+        F.sum(F.coalesce(F.col("__bad"), F.lit(0)).cast("long")).alias(
+            "n_dim_bad"
+        ),
+    )

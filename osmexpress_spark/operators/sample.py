@@ -579,3 +579,53 @@ def budget_select_sharded(
         .where(F.col("cum_w") <= leftover)
     )
     return first.unionByName(second)
+
+
+def budget_select_by(
+    df: DataFrame,
+    key_col: str,
+    order_col: Column,
+    weight: Column,
+    budgets: dict | int,
+    id_col: str,
+) -> DataFrame:
+    """Per-group greedy token-budget selection — the data-mixing move
+    "give each domain its token budget, keep the best documents within
+    it": rank each key's rows by (order_col DESC, id ASC) and keep
+    every row whose running weight total — itself included — fits that
+    key's budget. ``budgets`` is either one int (same budget per key)
+    or a {key: budget} dict (a broadcast literal; the mixture design
+    is model-sized, never corpus-sized). Keys absent from a dict get
+    budget 0 — an unlisted domain contributes NOTHING, loudly
+    consistent with a mixture spec being exhaustive.
+
+    Scale shape: ONE window partitioned by key (parallel across keys,
+    no global sort — budget_select's single global window is the
+    contract form, THIS is the mixing form); the budget lookup is a
+    scan-side CASE literal. Skewed domains are windows over their own
+    rows only; output adds cum_w and budget columns, all exact
+    integers."""
+    if isinstance(budgets, dict):
+        if not budgets:
+            raise ValueError("budget_select_by: empty budget dict")
+        expr = None
+        for k, v in sorted(budgets.items()):
+            if int(v) < 0:
+                raise ValueError("budgets must be nonnegative")
+            cond = F.col(key_col) == F.lit(k)
+            expr = F.when(cond, F.lit(int(v))) if expr is None else (
+                expr.when(cond, F.lit(int(v)))
+            )
+        budget_col = expr.otherwise(F.lit(0)).cast("long")
+    else:
+        if int(budgets) < 0:
+            raise ValueError("budget must be nonnegative")
+        budget_col = F.lit(int(budgets)).cast("long")
+    w = Window.partitionBy(key_col).orderBy(
+        order_col.desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("cum_w", F.sum(weight.cast("long")).over(w))
+        .withColumn("budget", budget_col)
+        .where(F.col("cum_w") <= F.col("budget"))
+    )

@@ -4739,3 +4739,86 @@ def q_rank_blend(spark, sf_dir):
         },
         ["doc_id"],
     )
+
+
+_BSB_BUDGETS = {"src0": 40_000, "src1": 25_000, "src2": 15_000}
+
+
+@defq_pending(
+    "q_budget_by_domain",
+    f"""
+    WITH v AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+             CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_w,
+             CASE source
+               WHEN 'src0' THEN CAST(40000 AS BIGINT)
+               WHEN 'src1' THEN CAST(25000 AS BIGINT)
+               WHEN 'src2' THEN CAST(15000 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS budget
+      FROM documents
+    )
+    SELECT doc_id, source, w AS n_chars, cum_w, budget
+    FROM v WHERE cum_w <= budget
+    """,
+)
+def q_budget_by_domain(spark, sf_dir):
+    """Per-domain token budgets (operators/sample.py:budget_select_by)
+    — the data-mixing move: each source gets its own budget and fills
+    it greedily with its best (here longest) documents; a source
+    absent from the mixture spec contributes NOTHING. ONE window
+    partitioned by source (parallel across domains, no global sort —
+    budget_select's global window is the contract form, this is the
+    mixing form); the budget lookup is a scan-side CASE literal; all
+    integers exact."""
+    d = t(spark, sf_dir, "documents")
+    return sample.budget_select_by(
+        d.select("doc_id", "source", "n_chars"),
+        "source",
+        F.col("n_chars"),
+        F.col("n_chars"),
+        _BSB_BUDGETS,
+        "doc_id",
+    ).select(
+        "doc_id", "source", "n_chars", "cum_w", "budget"
+    )
+
+
+@defq_pending(
+    "q_modality_alignment",
+    """
+    WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 != 0),
+    v AS (SELECT vec_id AS id, len(embedding) AS sz FROM embeddings),
+    j AS (SELECT d.id AS did, v.id AS vid, v.sz
+          FROM d FULL OUTER JOIN v ON d.id = v.id)
+    SELECT CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(SUM(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vecs,
+           CAST(SUM(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN did IS NOT NULL AND vid IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+           CAST(SUM(CASE WHEN did IS NULL AND vid IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only,
+           CAST(SUM(CASE WHEN sz IS NOT NULL AND sz != 64
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad
+    FROM j
+    """,
+)
+def q_modality_alignment(spark, sf_dir):
+    """Cross-modality integrity gate (operators/profile.py:
+    modality_alignment): docs vs embeddings keyed by the same ids —
+    matched/doc-only/vec-only/dim-violation counts in one row, the
+    census a pipeline checks BEFORE the silent inner joins downstream
+    drop the misaligned tail. The doc side drops doc_id % 7 == 0 here
+    so the gate exercises non-trivial counts on every side. Two
+    column-pruned scans, one id equi-join, one aggregate row."""
+    from .operators import profile as profile_mod
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 != 0)
+    e = t(spark, sf_dir, "embeddings")
+    return profile_mod.modality_alignment(d, e, dim=EMB_DIM)

@@ -83,6 +83,8 @@ SUBSET = [
     "q_vocab_growth",          # heaps-law census, vocab-sized shuffle
     "q_ngram_novelty",         # distinct-ref membership join, no fan-out
     "q_rank_blend",            # sketch-rank fusion, zero corpus shuffle
+    "q_budget_by_domain",      # per-domain budget windows, no global sort
+    "q_modality_alignment",    # narrow id equi-join, one census row
 ]
 
 

@@ -32,3 +32,20 @@ def test_profile_approx_distinct_close_to_exact(spark):
     approx = profile.profile(df, approx_distinct=True).collect()[0]
     assert exact["n_distinct"] == 250
     assert abs(approx["n_distinct"] - 250) / 250 < 0.05  # HLL++ default rsd
+
+
+def test_modality_alignment_census(spark):
+    from osmexpress_spark.operators import profile as P
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], "doc_id long"
+    )
+    vecs = spark.createDataFrame(
+        [(2, [0.0] * 4), (3, [0.0] * 3), (9, [0.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    row = P.modality_alignment(docs, vecs, dim=4).collect()[0]
+    assert tuple(row) == (4, 3, 2, 2, 1, 1)
+    # dim=None skips the dim check
+    row2 = P.modality_alignment(docs, vecs).collect()[0]
+    assert row2["n_dim_bad"] == 0

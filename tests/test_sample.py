@@ -404,3 +404,43 @@ def test_pack_balanced_loads_within_one_max_doc(spark):
     # deterministic
     again = pack_balanced(df, "doc_id", "n", budget).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_budget_select_by_model_and_plan(spark):
+    """Per-domain greedy budgets vs a hand model: each key fills its
+    own budget greedily (order desc, id tie-break), unlisted keys
+    contribute nothing, int budget applies uniformly, and the plan
+    windows by key (no single-partition sort)."""
+    from osmexpress_spark.operators import sample
+
+    rows = [
+        # (id, key, weight): key 'a' budget 25 -> picks w=10,9,5 (cum 24)
+        (1, "a", 10), (2, "a", 9), (3, "a", 5), (4, "a", 2),
+        # key 'b' budget 10 -> picks w=8 (cum 8); next w=8 would hit 16
+        (5, "b", 8), (6, "b", 8),
+        # key 'c' unlisted -> nothing
+        (7, "c", 1),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, k string, w long")
+    got = sample.budget_select_by(
+        d, "k", F.col("w"), F.col("w"), {"a": 25, "b": 10}, "doc_id"
+    )
+    picked = {r["doc_id"]: (r["cum_w"], r["budget"]) for r in got.collect()}
+    assert picked == {1: (10, 25), 2: (19, 25), 3: (24, 25), 5: (8, 10)}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # uniform int budget
+    uni = sample.budget_select_by(
+        d, "k", F.col("w"), F.col("w"), 9, "doc_id"
+    ).collect()
+    # 'a' orders w desc, so its first cum is already 10 > 9 and greedy
+    # running-total semantics exclude everything after; b keeps 8, c 1
+    assert {r["doc_id"] for r in uni} == {5, 7}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="empty budget"):
+        sample.budget_select_by(d, "k", F.col("w"), F.col("w"), {}, "doc_id")
+    with _p.raises(ValueError, match="nonnegative"):
+        sample.budget_select_by(
+            d, "k", F.col("w"), F.col("w"), {"a": -1}, "doc_id"
+        )
