@@ -79,3 +79,28 @@ def test_vocab_growth_model(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="empty"):
         text.vocab_growth(empty)
+
+
+def test_compression_stats_pinned_and_ordering(spark):
+    """The zlib census: pinned against a direct zlib call (the op must
+    add nothing beyond utf-8 encode + compress), boilerplate compresses
+    below random-ish text, null text maps to (0, len(zlib('')))."""
+    import zlib
+
+    boiler = "spam ham " * 200
+    mixed = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(1, boiler), (2, mixed), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"])
+        for r in text.compression_stats(df).collect()
+    }
+    for i, t in rows:
+        b = t.encode() if t else b""
+        assert got[i] == (len(b), len(zlib.compress(b, 6))), i
+    ratio = {i: got[i][1] / got[i][0] for i in (1, 2)}
+    assert ratio[1] < ratio[2] < 1.0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="level"):
+        text.compression_stats(df, level=11)
