@@ -104,3 +104,10 @@ def test_example_publish_corpus(tmp_path):
     assert "verify v1: 0 mismatched shards" in r.stdout
     assert "shard" in r.stdout and "changed" in r.stdout
     assert "PUBLISH OK" in r.stdout
+
+
+def test_curate_corpus_example():
+    r = _run([os.path.join(EX, "curate_corpus.py"), SF])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CURATED" in r.stdout
+    assert "per-domain selection" in r.stdout
