@@ -115,6 +115,7 @@ PENDING_HEADLINE: list[str] = [
     "q_rank_blend",
     "q_budget_by_domain",
     "q_modality_alignment",
+    "q_profile_diff",
 ]
 
 

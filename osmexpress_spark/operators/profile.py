@@ -151,3 +151,70 @@ def modality_alignment(
             "n_dim_bad"
         ),
     )
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    rel_tolerance_permille: int = 0,
+) -> DataFrame:
+    """Epoch-over-epoch profile gate: diff two ``profile()`` frames and
+    return one row per column that changed — the ingest-batch alarm for
+    null explosions, cardinality collapse, and range drift, from
+    metadata alone (two bounded per-column frames join; neither corpus
+    is rescanned here). Output: (column, status, old/new n_rows,
+    n_nulls, n_distinct, min/max) with status 'added' / 'removed' /
+    'changed'; an empty result == the new epoch profiles identically.
+
+    ``rel_tolerance_permille`` relaxes the count comparisons (n_rows,
+    n_nulls, n_distinct): a count change within x/1000 of the OLD value
+    does not flag — integer cross-multiplication, no floats — while
+    min/max strings always compare exactly. 0 = exact gate (the
+    oracle-checked contract)."""
+    if rel_tolerance_permille < 0:
+        raise ValueError("rel_tolerance_permille must be nonnegative")
+    o = old.select(
+        F.col("column"),
+        F.col("n_rows").alias("old_n_rows"),
+        F.col("n_nulls").alias("old_n_nulls"),
+        F.col("n_distinct").alias("old_n_distinct"),
+        F.col("min_value").alias("old_min"),
+        F.col("max_value").alias("old_max"),
+    )
+    n = new.select(
+        F.col("column"),
+        F.col("n_rows").alias("new_n_rows"),
+        F.col("n_nulls").alias("new_n_nulls"),
+        F.col("n_distinct").alias("new_n_distinct"),
+        F.col("min_value").alias("new_min"),
+        F.col("max_value").alias("new_max"),
+    )
+    j = o.join(n, "column", "full_outer")
+    tol = F.lit(int(rel_tolerance_permille))
+
+    def count_moved(a: str, b: str):
+        # |new - old| * 1000 > tol * old  (exact integer arithmetic)
+        return (
+            F.abs(F.col(b) - F.col(a)) * F.lit(1000) > tol * F.col(a)
+        )
+
+    changed = (
+        count_moved("old_n_rows", "new_n_rows")
+        | count_moved("old_n_nulls", "new_n_nulls")
+        | count_moved("old_n_distinct", "new_n_distinct")
+        | ~(F.col("old_min").eqNullSafe(F.col("new_min")))
+        | ~(F.col("old_max").eqNullSafe(F.col("new_max")))
+    )
+    status = (
+        F.when(F.col("old_n_rows").isNull(), F.lit("added"))
+        .when(F.col("new_n_rows").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return j.withColumn("status", status).where(
+        F.col("status").isNotNull()
+    ).select(
+        "column", "status",
+        "old_n_rows", "new_n_rows", "old_n_nulls", "new_n_nulls",
+        "old_n_distinct", "new_n_distinct",
+        "old_min", "new_min", "old_max", "new_max",
+    )

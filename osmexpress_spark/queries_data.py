@@ -4822,3 +4822,93 @@ def q_modality_alignment(spark, sf_dir):
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 != 0)
     e = t(spark, sf_dir, "embeddings")
     return profile_mod.modality_alignment(d, e, dim=EMB_DIM)
+
+
+_PD_OLD_COLS = ["doc_id", "lang", "source", "n_chars"]
+_PD_NEW_COLS = ["doc_id", "lang", "n_chars", "text"]
+
+
+def _profile_diff_oracle() -> str:
+    """Two profile_oracle_sql-shaped sides over the even/odd halves,
+    full-outer joined on column with the exact (tolerance 0) change
+    predicate — generated from the same column lists the Spark side
+    profiles, so the two cannot drift."""
+
+    def aggs(cols):
+        out = ["count(*) AS n_rows"]
+        for i, c in enumerate(cols):
+            out += [
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS nn{i}",
+                f"count(DISTINCT {c}) AS nd{i}",
+                f"CAST(min({c}) AS VARCHAR) AS mn{i}",
+                f"CAST(max({c}) AS VARCHAR) AS mx{i}",
+            ]
+        return ", ".join(out)
+
+    def branches(cols, one):
+        return "\n      UNION ALL ".join(
+            f"SELECT '{c}' AS col, n_rows, nn{i} AS n_nulls, "
+            f"nd{i} AS n_distinct, mn{i} AS min_value, mx{i} AS max_value "
+            f"FROM {one}"
+            for i, c in enumerate(cols)
+        )
+
+    return f"""
+    WITH o1 AS (SELECT {aggs(_PD_OLD_COLS)} FROM documents
+                WHERE doc_id % 2 = 0),
+    n1 AS (SELECT {aggs(_PD_NEW_COLS)} FROM documents
+           WHERE doc_id % 2 = 1),
+    op AS ({branches(_PD_OLD_COLS, "o1")}),
+    np AS ({branches(_PD_NEW_COLS, "n1")}),
+    j AS (
+      SELECT COALESCE(op.col, np.col) AS "column",
+             op.n_rows AS old_n_rows, np.n_rows AS new_n_rows,
+             op.n_nulls AS old_n_nulls, np.n_nulls AS new_n_nulls,
+             op.n_distinct AS old_n_distinct,
+             np.n_distinct AS new_n_distinct,
+             op.min_value AS old_min, np.min_value AS new_min,
+             op.max_value AS old_max, np.max_value AS new_max
+      FROM op FULL OUTER JOIN np ON op.col = np.col
+    ),
+    st AS (
+      SELECT *,
+             CASE WHEN old_n_rows IS NULL THEN 'added'
+                  WHEN new_n_rows IS NULL THEN 'removed'
+                  WHEN old_n_rows != new_n_rows
+                    OR old_n_nulls != new_n_nulls
+                    OR old_n_distinct != new_n_distinct
+                    OR old_min IS DISTINCT FROM new_min
+                    OR old_max IS DISTINCT FROM new_max
+                  THEN 'changed' END AS status
+      FROM j
+    )
+    SELECT "column", status,
+           old_n_rows, new_n_rows, old_n_nulls, new_n_nulls,
+           old_n_distinct, new_n_distinct,
+           old_min, new_min, old_max, new_max
+    FROM st WHERE status IS NOT NULL
+    """
+
+
+@defq_pending("q_profile_diff", _profile_diff_oracle())
+def q_profile_diff(spark, sf_dir):
+    """Epoch-over-epoch profile gate (operators/profile.py:
+    profile_diff): diff the even-half profile against the odd-half
+    profile (with one column dropped and one added, so 'removed',
+    'added', 'changed' AND silently-identical columns are all
+    exercised) and return only what moved — the ingest alarm for null
+    explosions, cardinality collapse, and range drift, computed from
+    two bounded per-column frames without rescanning either corpus.
+    The oracle is generated from the SAME column lists the Spark side
+    profiles."""
+    from .operators import profile as profile_mod
+
+    d = t(spark, sf_dir, "documents")
+    old = profile_mod.profile(
+        d.where(F.col("doc_id") % 2 == 0), _PD_OLD_COLS
+    )
+    new = profile_mod.profile(
+        d.where(F.col("doc_id") % 2 == 1), _PD_NEW_COLS
+    )
+    return profile_mod.profile_diff(old, new)

@@ -85,6 +85,7 @@ SUBSET = [
     "q_rank_blend",            # sketch-rank fusion, zero corpus shuffle
     "q_budget_by_domain",      # per-domain budget windows, no global sort
     "q_modality_alignment",    # narrow id equi-join, one census row
+    "q_profile_diff",          # two bounded per-column frames joined
 ]
 
 

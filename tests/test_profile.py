@@ -49,3 +49,32 @@ def test_modality_alignment_census(spark):
     # dim=None skips the dim check
     row2 = P.modality_alignment(docs, vecs).collect()[0]
     assert row2["n_dim_bad"] == 0
+
+
+def test_profile_diff_statuses_and_tolerance(spark):
+    from osmexpress_spark.operators import profile as P
+
+    old_t = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, k string, v long"
+    )
+    new_t = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 21)],
+        "id long, k string, v long",
+    )
+    old = P.profile(old_t, ["id", "k"])
+    new = P.profile(new_t, ["id", "v"])
+    got = {r["column"]: r["status"] for r in P.profile_diff(old, new).collect()}
+    assert got == {"id": "changed", "k": "removed", "v": "added"}
+    # identical profiles diff to empty
+    assert P.profile_diff(old, P.profile(old_t, ["id", "k"])).count() == 0
+    # tolerance: 2 -> 3 rows is a 500-permille move; tol 600 absorbs the
+    # count change, but id's max_value string still differs -> 'changed'
+    loose = {
+        r["column"]: r["status"]
+        for r in P.profile_diff(old, new, rel_tolerance_permille=600).collect()
+    }
+    assert loose["id"] == "changed"  # max 2 -> 3 compares exactly
+    import pytest as _p
+
+    with _p.raises(ValueError, match="nonnegative"):
+        P.profile_diff(old, new, rel_tolerance_permille=-1)
