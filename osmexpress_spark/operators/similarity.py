@@ -560,13 +560,20 @@ def topk_ivf_indexed(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
 ) -> DataFrame:
     """Probe a built index: the query set's probe cids are collected
     (|Q| x nprobe ints — queries are broadcast-sized by assumption, the
     same bound topk_ivf already relies on) and pushed as a LITERAL cid
     filter, so Catalyst prunes non-probed list partitions at planning
     time; no corpus re-quantization, no full scan. Output matches
-    topk_ivf given the same build parameters."""
+    topk_ivf given the same build parameters.
+
+    ``sim_lo``/``sim_hi`` band the scored stage exactly as on topk_ivf
+    (the hard_negatives composition on the PHYSICAL index layout):
+    the band filter composes with the partition pruning, so banded
+    mining over a built index reads only the probed list files."""
     import json
     import os
 
@@ -593,6 +600,7 @@ def topk_ivf_indexed(
             cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
     )
+    scored = _apply_sim_band(scored, sim_lo, sim_hi)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

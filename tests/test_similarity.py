@@ -846,3 +846,26 @@ def test_pca_project_variance_identity_and_determinism(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     with pytest.raises(ValueError, match="1 <= k <= dim"):
         similarity.pca_project(df, dim, 0)
+
+
+def test_banded_indexed_matches_banded_inline(spark, vectors, tmp_path):
+    """The band on the PHYSICAL index layout: banded topk_ivf_indexed
+    must equal banded inline topk_ivf given the same build parameters,
+    and the probed scan must still carry the literal cid partition
+    filter (band composes with pruning, it does not defeat it)."""
+    idx = str(tmp_path / "ivf_band_idx")
+    similarity.ivf_build_index(vectors, idx, DIM, n_centroids=8, iters=2)
+    queries = vectors.where(F.col("vec_id") < 10)
+    lo, hi = 0.1, 0.6
+    inline = similarity.topk_ivf(
+        queries, vectors, DIM, k=4, n_centroids=8, nprobe=2, iters=2,
+        sim_lo=lo, sim_hi=hi,
+    )
+    indexed = similarity.topk_ivf_indexed(
+        spark, idx, queries, k=4, nprobe=2, sim_lo=lo, sim_hi=hi
+    )
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
