@@ -149,13 +149,21 @@ def write_training_shards(
     content_col: str,
     weight_col: str,
     shards: int,
+    data_format: str = "parquet",
 ) -> DataFrame:
-    """Materialize ``df`` as ``path/shards/shard=K/`` parquet plus a
+    """Materialize ``df`` as ``path/shards/shard=K/`` files plus a
     ``path/manifest/`` parquet of per-shard integrity rows; returns the
     manifest re-read from disk (what a verifier will see, not what the
     writer hoped). The returned frame is lazy over the files just
     written — consume it before any later overwrite of the same path
     replaces them.
+
+    ``data_format`` is "parquet" (default) or "json" — json writes one
+    JSON object per line (JSONL), the shape non-Spark trainer loaders
+    stream directly; the manifest stays parquet either way, and the
+    read-back uses the WRITER's schema explicitly so json type
+    inference can never drift the checksum input types. Verification
+    must pass the same format (verify_training_shards(data_format=)).
 
     Both writes go through Spark's Hadoop FS layer, so the layout is
     whole on hdfs:// and s3a:// paths (the ADVICE r05 meta.json lesson:
@@ -172,12 +180,18 @@ def write_training_shards(
     (ADVICE r06). One extra read of the epoch is the price of a
     manifest that describes what a verifier will actually see.
     """
+    if data_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format {data_format!r}")
     with_shard = df.withColumn("shard", _checked_shard(id_col, shards))
-    with_shard.write.partitionBy("shard").mode("overwrite").parquet(
-        os.path.join(path, "shards")
-    )
+    with_shard.write.partitionBy("shard").mode("overwrite").format(
+        data_format
+    ).save(os.path.join(path, "shards"))
     spark = df.sparkSession
-    written = spark.read.parquet(os.path.join(path, "shards"))
+    written = (
+        spark.read.schema(with_shard.schema)
+        .format(data_format)
+        .load(os.path.join(path, "shards"))
+    )
     manifest = _manifest_from_shard_col(
         written, id_col, content_col, weight_col
     )
@@ -191,6 +205,8 @@ def verify_training_shards(
     id_col: str,
     content_col: str,
     weight_col: str,
+    data_format: str = "parquet",
+    schema=None,
 ) -> DataFrame:
     """Recompute the manifest from the written shard files and diff it
     against the stored one. Returns the mismatch rows — empty result ==
@@ -204,7 +220,16 @@ def verify_training_shards(
     missing on either side surfaces as a mismatch row instead of
     vanishing); the only corpus-sized work is the one recompute scan.
     """
-    data = spark.read.parquet(os.path.join(path, "shards"))
+    reader = spark.read.format(data_format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif data_format == "json":
+        raise ValueError(
+            "verify_training_shards: json shards need the writer's "
+            "schema (json type inference could silently change the "
+            "checksum input types)"
+        )
+    data = reader.load(os.path.join(path, "shards"))
     actual = _manifest_from_shard_col(
         data, id_col, content_col, weight_col
     ).select(

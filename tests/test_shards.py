@@ -304,3 +304,70 @@ def test_manifest_describes_disk_under_nondeterministic_input(
     assert manifest.count() == 4
     mism = SH.verify_training_shards(spark, path, "doc_id", "text", "w")
     assert mism.count() == 0
+
+
+def test_jsonl_shards_roundtrip_verify_and_tamper(spark, tmp_path):
+    """The JSONL sink: write/verify round-trip with the writer's
+    schema pinned (json inference must never pick the checksum input
+    types), tamper detection localizes the shard, and the files really
+    are one JSON object per line."""
+    import glob
+    import json as _json
+
+    path = str(tmp_path / "epoch_jsonl")
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    schema = df.withColumn("shard", F.lit(0).cast("long")).schema
+    manifest = SH.write_training_shards(
+        df, path, "doc_id", "text", "n_chars", 4, data_format="json"
+    )
+    assert manifest.count() == 4
+    ok = SH.verify_training_shards(
+        spark, path, "doc_id", "text", "n_chars",
+        data_format="json", schema=schema,
+    )
+    assert ok.count() == 0
+    # files are JSONL
+    a_file = sorted(glob.glob(f"{path}/shards/shard=*/part-*"))[0]
+    with open(a_file) as f:
+        first = f.readline()
+    row = _json.loads(first)
+    assert "doc_id" in row and "text" in row
+    # tamper one line -> exactly that shard flagged
+    with open(a_file) as f:
+        lines = f.readlines()
+    # same-length substitution (compact separators, padded text): the
+    # session's file-status cache pins the pre-tamper file SIZE, and a
+    # length-changing in-place rewrite fails the read instead of
+    # failing the checksum — content corruption with unchanged size is
+    # also the nastier real-world case
+    victim = _json.loads(lines[0])
+    victim["text"] = "X" * len(victim["text"])
+    lines[0] = _json.dumps(victim, separators=(",", ":")) + "\n"
+    with open(a_file, "w") as f:
+        f.writelines(lines)
+    # Hadoop's LocalFileSystem keeps a .crc sidecar that would catch
+    # the rewrite before our checksum can; object stores (the real
+    # deployment) have no such sidecar, so drop it and prove the
+    # MANIFEST catches the corruption
+    crc = os.path.join(
+        os.path.dirname(a_file), f".{os.path.basename(a_file)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    bad = SH.verify_training_shards(
+        spark, path, "doc_id", "text", "n_chars",
+        data_format="json", schema=schema,
+    ).collect()
+    assert len(bad) == 1
+    import pytest as _p
+
+    with _p.raises(ValueError, match="schema"):
+        SH.verify_training_shards(
+            spark, path, "doc_id", "text", "n_chars", data_format="json"
+        )
+    with _p.raises(ValueError, match="unsupported"):
+        SH.write_training_shards(
+            df, path, "doc_id", "text", "n_chars", 4, data_format="csv"
+        )
