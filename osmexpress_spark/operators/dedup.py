@@ -1451,3 +1451,80 @@ def ngram_novelty(
             F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
         )
     )
+
+
+def save_shingle_store(
+    reference: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 2,
+) -> None:
+    """Persist a reference corpus's DISTINCT shingle set as the 8-byte
+    md5-prefix ints ngram_novelty joins against — the production shape
+    for continuous ingest: the reference is scanned ONCE at store-build
+    time, then every incoming batch scores against the bounded store.
+    Grow it with ``mode("append")`` writes of new epochs' shingles (the
+    membership join tolerates duplicate store rows only if re-distinct
+    is applied at read; ngram_novelty_against_store does)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("s")), 1, 15), 16, 10
+    ).cast("long")
+    (
+        reference.select(
+            F.explode(shingles(F.col(text_col), k)).alias("s")
+        )
+        .select(h.alias("h"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ngram_novelty_against_store(
+    corpus: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+) -> DataFrame:
+    """ngram_novelty with the reference side read from a persisted
+    shingle store (save_shingle_store): identical output contract
+    ``(id, n_shingles, n_novel)``, but the reference corpus is never
+    rescanned — the store is the distinct 8-byte hash set, re-distinct
+    at read so appended epochs cannot double-count. Same fan-out-free
+    membership join shape as ngram_novelty."""
+    h = F.conv(
+        F.substring(F.md5(F.col("s")), 1, 15), 16, 10
+    ).cast("long")
+    doc_sh = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    ).select(id_col, h.alias("h"))
+    ref_sh = (
+        spark.read.parquet(store_path)
+        .select("h")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    counts = (
+        doc_sh.join(ref_sh, "h", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(counts, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+    )

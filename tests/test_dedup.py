@@ -487,3 +487,50 @@ def test_ngram_novelty_model(spark):
         3: (0, 0),
         4: (2, 2),
     }
+
+
+def test_ngram_novelty_store_matches_inline(spark, tmp_path):
+    """The persisted-store form must reproduce the inline form exactly,
+    including after an append of a new reference epoch (re-distinct at
+    read keeps duplicate store rows from double-counting)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    ref1 = docs.where(F.col("doc_id") % 8 == 0)
+    ref2 = docs.where(F.col("doc_id") % 8 == 4)
+    store = str(tmp_path / "shingle_store")
+    dedup.save_shingle_store(ref1, store)
+    inline1 = sorted(
+        map(tuple, dedup.ngram_novelty(corpus, ref1).collect())
+    )
+    stored1 = sorted(
+        map(
+            tuple,
+            dedup.ngram_novelty_against_store(
+                corpus, spark, store
+            ).collect(),
+        )
+    )
+    assert inline1 == stored1
+    # append epoch 2's shingles (overlapping epoch 1 is fine)
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    (
+        ref2.select(F.explode(dedup.shingles(F.col("text"))).alias("s"))
+        .select(h.alias("h"))
+        .write.mode("append")
+        .parquet(store)
+    )
+    both = ref1.unionByName(ref2)
+    inline2 = sorted(
+        map(tuple, dedup.ngram_novelty(corpus, both).collect())
+    )
+    stored2 = sorted(
+        map(
+            tuple,
+            dedup.ngram_novelty_against_store(
+                corpus, spark, store
+            ).collect(),
+        )
+    )
+    assert inline2 == stored2

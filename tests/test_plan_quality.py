@@ -364,3 +364,19 @@ def test_rank_blend_corpus_never_sorts(spark):
         agg_pos = seg.find("HashAggregate")
         scan_pos = seg.find("Scan parquet")
         assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos)
+
+
+def test_staged_round7b_plans_stay_jvm_side(spark):
+    """The later round-7 staged queries: Python-free, no cartesian
+    products, and the per-domain budget window partitions by key
+    (never a single-partition global sort)."""
+    for name in ("q_budget_by_domain", "q_modality_alignment",
+                 "q_profile_diff"):
+        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_budget_by_domain"](spark, SF_DIR)
+    )
+    assert "SinglePartition" not in plan
