@@ -144,3 +144,53 @@ def test_ngram_novelty_matches_model(spark, corpus, reference):
         sh = bigrams(ws)
         want[i] = (len(sh), len(sh - ref_set))
     assert got == want
+
+
+# --- wav_segments vs frame-run model ------------------------------------------
+
+_pcm = st.lists(
+    st.sampled_from([0, 50, 1500, 20000, -20000]),
+    min_size=1,
+    max_size=2000,
+)
+
+
+@SET
+@given(_pcm)
+def test_wav_segments_matches_model(spark, samples):
+    """Segmentation counts vs a straight-line model of the exact
+    integer frame-energy rule (8 kHz mono 16-bit, 20 ms frames = 160
+    samples, threshold 50 permille of full scale)."""
+    from tests.test_multimodal import _wav
+
+    from osmexpress_spark.operators import multimodal
+
+    got = multimodal.wav_segments(_wav(samples), frame_ms=20)
+    spf, full, thr = 160, 32768, 50
+    frames = [
+        samples[i : i + spf] for i in range(0, len(samples), spf)
+    ]
+    active = [
+        1000 * sum(abs(s) for s in f) > thr * full * len(f)
+        for f in frames
+    ]
+    n_seg = longest = cur = 0
+    leading = len(frames)
+    for i, a in enumerate(active):
+        if a:
+            if cur == 0:
+                n_seg += 1
+                leading = min(leading, i)
+            cur += 1
+            longest = max(longest, cur)
+        else:
+            cur = 0
+    if not any(active):
+        leading = len(frames)
+    assert got == [
+        float(len(frames)),
+        float(sum(active)),
+        float(n_seg),
+        float(longest),
+        float(leading),
+    ]
