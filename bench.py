@@ -116,6 +116,10 @@ PENDING_HEADLINE: list[str] = [
     "q_budget_by_domain",
     "q_modality_alignment",
     "q_profile_diff",
+    "q_image_near_dup",
+    "q_audio_fingerprint",
+    "q_distinctive_terms",
+    "q_mix_plan",
 ]
 
 

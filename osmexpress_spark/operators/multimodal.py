@@ -1385,3 +1385,449 @@ def wav_segments(
         float(longest),
         float(leading),
     ]
+
+
+# --- perceptual hashing + banded near-duplicate detection -------------------
+#
+# The image-dedup path of a multimodal training pipeline: decode ->
+# grid features (the only Python stage, Arrow-batched) -> average-hash
+# bit-packing (pure JVM integer expressions) -> banded Hamming
+# self-join (pigeonhole-exact for hamming <= n_bands - 1, the standard
+# multi-index LSH trick for larger radii).  All decisions are integer
+# cross-multiplications, so a SQL oracle reproduces every bit.
+
+
+def bmp_gray_grid(payload: bytes, grid: int = 8) -> list[float]:
+    """REAL pixel-grid decode for uncompressed 24-bit BMP: average-pool
+    the image to a ``grid x grid`` grayscale and return
+    ``[width, height, cell_sum_0..grid²-1, cell_npix_0..grid²-1]``.
+
+    gray = 77*R + 150*G + 29*B (BT.601 fixed-point at /256 scale, kept
+    as the integer NUMERATOR — never divided), and pixel (row, col)
+    lands in cell ((row*grid)//height, (col*grid)//width) — integer
+    floor division, so any engine recomputes the pooling exactly.  The
+    sums ride as float64 array elements, exact while each cell sum
+    stays below 2**53 (true for images up to ~0.5 terapixel per cell).
+
+    Same error contract as image_decoder/_decode_bmp24: non-BMP magic
+    raises NotImplementedError (absent-codec branch), truncation or
+    bad dimensions raise ValueError — both per-row decode_ok=False
+    through extract_features; a bad ``grid`` is a config bug and
+    raises TypeError loudly."""
+    import struct
+
+    import numpy as np
+
+    if grid <= 0:
+        raise TypeError("grid must be positive")  # config bug: loud
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "bmp_gray_grid only decodes uncompressed 24-bit BMP; use a "
+            "PIL/opencv closure with the same output contract for "
+            "other formats"
+        )
+    if len(payload) < 18:
+        raise ValueError("BMP truncated before the info-header size field")
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"only BITMAPINFOHEADER(+) BMPs supported (header size "
+            f"{hdr_size} < 40)"
+        )
+    if len(payload) < 54:
+        raise ValueError("BMP truncated before BITMAPINFOHEADER")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24bpp BI_RGB BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("BMP with non-positive dimensions")
+    stride = ((width * 3 + 3) // 4) * 4
+    need = pixel_off + stride * height
+    if len(payload) < need:
+        raise ValueError(
+            f"BMP pixel array truncated: need {need} bytes, have "
+            f"{len(payload)}"
+        )
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:  # bottom-up storage -> image (top-left) order
+        arr = arr[::-1]
+    a = arr.astype(np.int64)
+    gray = 29 * a[:, :, 0] + 150 * a[:, :, 1] + 77 * a[:, :, 2]  # B,G,R
+    ri = (np.arange(height) * grid) // height
+    ci = (np.arange(width) * grid) // width
+    idx = (ri[:, None] * grid + ci[None, :]).ravel()
+    # bincount(weights=) sums in float64: exact for integer values while
+    # every partial sum < 2**53 (documented bound above)
+    sums = np.bincount(
+        idx, weights=gray.ravel().astype(np.float64), minlength=grid * grid
+    )
+    npix = np.bincount(idx, minlength=grid * grid)
+    return (
+        [float(width), float(height)]
+        + [float(s) for s in sums]
+        + [float(n) for n in npix]
+    )
+
+
+def wav_frame_energies(
+    payload: bytes, frame_samples: int = 8, max_frames: int = 64
+) -> list[float]:
+    """REAL audio decode to per-frame energies for PCM WAV:
+    ``[sample_rate, n_frames, e_0 .. e_{n_frames-1}]`` where ``e_f`` is
+    the exact integer sum of |sample - midpoint| over the frame's
+    ``frame_samples`` samples (channel-interleaved, like wav_segments).
+    At most ``max_frames`` frames are emitted (the fingerprint prefix);
+    a trailing partial frame is dropped so every energy covers the same
+    sample count and the delta-sign fingerprint stays well-defined.
+
+    Same decoder contract as wav_decoder: compressed containers raise
+    NotImplementedError, malformed RIFF raises ValueError; bad config
+    arguments raise TypeError loudly."""
+    import io
+    import struct
+    import wave
+
+    if frame_samples <= 0 or max_frames <= 0:
+        raise TypeError("frame_samples and max_frames must be positive")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes in-container; swap in torchaudio/"
+            "ffmpeg via decoder= for compressed audio"
+        )
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, width, rate, nframes = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+    if width not in (1, 2):
+        raise NotImplementedError(f"sample width {width} not supported")
+    n = nch * nframes
+    if len(raw) < n * width:
+        raise ValueError("WAV data chunk truncated")
+    if width == 1:
+        samples = [abs(b - 128) for b in raw[:n]]
+    else:
+        samples = [
+            abs(s) for s in struct.unpack(f"<{n}h", raw[: n * 2])
+        ]
+    n_out = min(n // frame_samples, max_frames)
+    energies = [
+        float(sum(samples[f * frame_samples : (f + 1) * frame_samples]))
+        for f in range(n_out)
+    ]
+    return [float(rate), float(n_out)] + energies
+
+
+def ahash_bands(
+    feat_df: DataFrame,
+    grid: int = 8,
+    n_bands: int = 4,
+    threshold: str = "mean",
+    id_col: str = "item_id",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """Average-hash bit-packing over bmp_gray_grid's feature vector,
+    computed ENTIRELY JVM-side (no Python stage): bit ``i`` is set when
+    cell ``i``'s mean gray exceeds the reference level, compared by
+    exact LONG cross-multiplication, and the grid²-bit hash is packed
+    little-endian into ``n_bands`` integer band columns
+    (``band_0..band_{n_bands-1}``, grid²/n_bands bits each) — the
+    multi-index form the banded Hamming join consumes directly, which
+    also sidesteps 64-bit shift/sign pitfalls entirely.
+
+    threshold='mean' is the classic aHash (cell mean vs image mean:
+    ``cell_sum * total_npix > total_sum * cell_npix``); 'mid' compares
+    against mid-scale gray (``cell_sum > 32640 * cell_npix``, 32640 =
+    half of the 77+150+29=256-weighted max 65280), which LOCALIZES a
+    pixel edit's effect to its own cells — the property that makes a
+    k-pixel perturbation flip at most k bits, so banded recall bounds
+    hold by construction. Rows with decode_ok=false are dropped (their
+    feat is NULL)."""
+    ncells = grid * grid
+    if ncells % n_bands:
+        raise TypeError("n_bands must divide grid*grid")
+    if threshold not in ("mean", "mid"):
+        raise TypeError("threshold must be 'mean' or 'mid'")
+    bits_per = ncells // n_bands
+    cells = f"transform(slice({feat_col}, 3, {ncells}), x -> CAST(x AS LONG))"
+    npix = (
+        f"transform(slice({feat_col}, {3 + ncells}, {ncells}), "
+        f"x -> CAST(x AS LONG))"
+    )
+    base = feat_df.where(F.col("decode_ok")).select(
+        F.col(id_col),
+        F.expr(cells).alias("_c"),
+        F.expr(npix).alias("_n"),
+        F.expr(f"aggregate({cells}, 0L, (a, x) -> a + x)").alias("_ts"),
+        F.expr(f"aggregate({npix}, 0L, (a, x) -> a + x)").alias("_tn"),
+    )
+    if threshold == "mean":
+        bit = (
+            "element_at(_c, {i} + 1) * _tn > _ts * element_at(_n, {i} + 1)"
+        )
+    else:
+        bit = "element_at(_c, {i} + 1) > 32640L * element_at(_n, {i} + 1)"
+    bands = [
+        F.expr(
+            f"aggregate(sequence(0, {bits_per - 1}), 0L, (a, k) -> "
+            f"a + IF({bit.format(i=f'({b} * {bits_per} + k)')}, "
+            f"shiftleft(1L, k), 0L))"
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return base.select(id_col, *bands)
+
+
+def sign_delta_bands(
+    feat_df: DataFrame,
+    n_frames: int = 64,
+    n_bands: int = 4,
+    id_col: str = "item_id",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """Audio fingerprint bit-packing over wav_frame_energies' feature
+    vector, ENTIRELY JVM-side: bit ``i`` (i in 0..n_frames-2) is set
+    when frame ``i+1``'s energy strictly exceeds frame ``i``'s — the
+    classic energy-delta-sign fingerprint (Haitsma-Kalker style,
+    amplitude-scale-free and exact-integer) — packed little-endian into
+    ``n_bands`` band columns of ceil((n_frames-1)/n_bands) bits.  Rows
+    with decode_ok=false or fewer than n_frames decoded frames are
+    dropped (a shorter clip has a different-length fingerprint — never
+    compare it bit-for-bit against a full one)."""
+    n_bits = n_frames - 1
+    bits_per = (n_bits + n_bands - 1) // n_bands
+    en = f"transform(slice({feat_col}, 3, {n_frames}), x -> CAST(x AS LONG))"
+    base = feat_df.where(
+        F.col("decode_ok") & (F.element_at(F.col(feat_col), 2) >= n_frames)
+    ).select(F.col(id_col), F.expr(en).alias("_e"))
+    bands = [
+        F.expr(
+            f"aggregate(sequence(0, {bits_per - 1}), 0L, (a, k) -> "
+            f"a + IF({b} * {bits_per} + k < {n_bits} AND "
+            f"element_at(_e, {b} * {bits_per} + k + 2) > "
+            f"element_at(_e, {b} * {bits_per} + k + 1), "
+            f"shiftleft(1L, k), 0L))"
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return base.select(id_col, *bands)
+
+
+def near_dup_by_bands(
+    bands_df: DataFrame,
+    id_col: str = "item_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming near-duplicate join over packed hash bands
+    (band_0..band_{n_bands-1} from ahash_bands / sign_delta_bands):
+    candidates are pairs sharing at least one band (equi-join on
+    (band_index, band_value) — never an all-pairs comparison), verified
+    by the exact Hamming distance ``Σ bit_count(a.band ^ b.band)``
+    scan-side.  Pigeonhole guarantee: a pair with hamming <= n_bands-1
+    differs in at most n_bands-1 bands, so at least one band matches —
+    recall is EXACT for ``max_hamming <= n_bands - 1``; larger radii
+    are LSH-approximate (add bands to regain the bound).
+
+    Scale notes: the shuffle key is (band_index, band_value); a corpus
+    with many byte-identical items makes those hash buckets hot AND the
+    true output quadratic — run exact dedup (group by all bands) first
+    and pair only distinct hashes, exactly like the MinHash-LSH path's
+    hot-bucket discipline.  Output: (id_a, id_b, hamming), id_a < id_b,
+    one row per pair."""
+    bands = [f"band_{b}" for b in range(n_bands)]
+    melted = bands_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in bands],
+        F.posexplode(F.array(*[F.col(c) for c in bands])).alias(
+            "b_idx", "b_val"
+        ),
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    ham = None
+    for c in bands:
+        term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        ham = term if ham is None else ham + term
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.b_idx") == F.col("b.b_idx"),
+                F.col("a.b_val") == F.col("b.b_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- deterministic synthetic payloads (oracle-reproducible fixtures) --------
+#
+# The contract queries need REAL image/audio bytes whose decoded
+# content a SQL engine can recompute without decoding.  Pixels and
+# samples therefore come from md5 hex pairs of "{base}_{row}_{ch}" /
+# "{base}_a_{block}" keys — the exact strings DuckDB's md5() hashes —
+# so an oracle rebuilds the decoded integers analytically while the
+# Spark side round-trips genuine BMP/WAV payloads through the real
+# decoders.  Consecutive ids share base = id // 2; odd ids get a small
+# deterministic perturbation, making (2k, 2k+1) near-duplicate pairs.
+
+SYNTH_SCHEMA = "item_id long, payload binary"
+
+
+def _encode_bmp24(pix: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode image-ordered (top-left first) RGB rows as a standard
+    bottom-up uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
+    import struct
+
+    h, w = len(pix), len(pix[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for srow in range(h):
+        row = bytearray()
+        for r, g, b in pix[h - 1 - srow]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + info
+        + bytes(body)
+    )
+
+
+def synth_bmp24(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size: int = 16,
+    perturb_mod: int = 97,
+) -> DataFrame:
+    """Per-row deterministic 24-bit BMP: channel ch of image row r is
+    the 16 bytes of md5(f"{base}_{r}_{ch}") (hex pairs, left to right),
+    base = id // 2.  Odd ids flip channel R by +128 (mod 256) at the
+    pixels where (row*size + col) % perturb_mod == 0 — with size=16 and
+    the default 97 that is exactly 3 pixels in 3 distinct 8x8-grid
+    cells, so sibling pairs land within Hamming 3 of each other under
+    the mid-threshold aHash while unrelated bases are ~32 apart.
+    Arrow-batched mapInPandas, zero shuffle; size must be <= 16 (one
+    md5 digest covers one row per channel)."""
+    import hashlib
+
+    if not 0 < size <= 16:
+        raise TypeError("size must be in 1..16 (one md5 digest per row)")
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                base = int(item_id) // 2
+                chans = {
+                    ch: [
+                        hashlib.md5(
+                            f"{base}_{r}_{ch}".encode()
+                        ).digest()[:size]
+                        for r in range(size)
+                    ]
+                    for ch in ("r", "g", "b")
+                }
+                odd = int(item_id) % 2 == 1
+                pix = [
+                    [
+                        (
+                            (chans["r"][r][c] + 128) % 256
+                            if odd and (r * size + c) % perturb_mod == 0
+                            else chans["r"][r][c],
+                            chans["g"][r][c],
+                            chans["b"][r][c],
+                        )
+                        for c in range(size)
+                    ]
+                    for r in range(size)
+                ]
+                payloads.append(_encode_bmp24(pix))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def synth_wav8(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_blocks: int = 32,
+    rate: int = 8000,
+) -> DataFrame:
+    """Per-row deterministic 8-bit mono PCM WAV: sample i is byte
+    i % 16 of md5(f"{base}_a_{i // 16}") (hex pairs), base = id // 2,
+    n_blocks * 16 samples total.  Odd ids shift every sample of block
+    (base % (n_blocks - 2)) + 1 by +64 (mod 256) — one 16-sample block
+    spans exactly two 8-sample energy frames, so at most 3 delta-sign
+    bits differ between siblings and the 4-band pigeonhole bound
+    applies.  Arrow-batched mapInPandas, zero shuffle."""
+    import hashlib
+    import io
+    import wave
+
+    if n_blocks < 4:
+        raise TypeError("n_blocks must be >= 4")
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                base = int(item_id) // 2
+                samples = bytearray()
+                for blk in range(n_blocks):
+                    samples += hashlib.md5(
+                        f"{base}_a_{blk}".encode()
+                    ).digest()
+                if int(item_id) % 2 == 1:
+                    blk = (base % (n_blocks - 2)) + 1
+                    for j in range(blk * 16, blk * 16 + 16):
+                        samples[j] = (samples[j] + 64) % 256
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(bytes(samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)

@@ -629,3 +629,61 @@ def budget_select_by(
         .withColumn("budget", budget_col)
         .where(F.col("cum_w") <= F.col("budget"))
     )
+
+
+def mix_plan(
+    df: DataFrame,
+    strata_col: str,
+    size_col: Column,
+    weights: DataFrame,
+    budget: int | None = None,
+) -> DataFrame:
+    """Training-mix planning — the accounting step that FEEDS
+    domain_mix_quota: given the corpus and a small (domain, weight)
+    table of integer target weights, compute per domain how many
+    tokens the target mix allocates and the repeat factor needed to
+    fill it:
+
+        target_tokens = budget * weight DIV Σweight
+        epochs_ppm    = target_tokens * 1_000_000 DIV available_tokens
+
+    ``budget=None`` reallocates the full corpus (budget = Σ available
+    over the weighted domains).  ``oversampled`` flags domains that
+    must repeat data (epochs_ppm > 1_000_000) — the "4 epochs of
+    Wikipedia" decision made visible before training.  All integer
+    floor division, bit-identical in any engine.
+
+    Shape at scale: one map-side-combined agg to |domains| rows, the
+    weights dim and the 1-row totals broadcast — nothing corpus-sized
+    past the first agg.  Domains missing from ``weights`` are excluded
+    from the plan AND from the default budget (inner join first)."""
+    avail = df.groupBy(strata_col).agg(
+        F.sum(size_col).cast("long").alias("available_tokens")
+    )
+    j = avail.join(F.broadcast(weights), strata_col)
+    totals = j.agg(
+        F.sum("weight").cast("long").alias("_tw"),
+        F.sum("available_tokens").cast("long").alias("_ta"),
+    )
+    budget_expr = (
+        f"CAST({int(budget)} AS BIGINT)" if budget is not None else "_ta"
+    )
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_tokens", F.expr(f"{budget_expr} * weight DIV _tw")
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.expr("target_tokens * 1000000 DIV available_tokens"),
+        )
+        .withColumn("oversampled", F.col("epochs_ppm") > 1000000)
+        .select(
+            strata_col,
+            "available_tokens",
+            "weight",
+            "target_tokens",
+            "epochs_ppm",
+            "oversampled",
+        )
+    )

@@ -495,3 +495,74 @@ def compression_stats(
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} long, n_bytes long, n_compressed long"
     )
+
+
+def distinctive_terms(
+    df,
+    group_col: str,
+    text_col: str,
+    top_k: int = 10,
+):
+    """Per-group distinctive vocabulary (the "what makes this domain
+    different" census behind mixture design and domain tagging): for
+    every (group, token), an add-one-smoothed in-vs-out frequency lift
+
+        lift_ppm = 1_000_000 * k_gt * (N - n_g)
+                   DIV ((k_t - k_gt + 1) * n_g)
+
+    where k_gt = token count inside the group, n_g = group token
+    total, k_t = corpus token count, N = corpus total — the integer
+    cross-multiplied form of (in-rate / out-rate), so the score and
+    therefore the ranking is exact and engine-independent (no log, no
+    float; the log-odds variant orders identically for fixed smoothing
+    because log is monotone).  Top ``top_k`` per group with the
+    deterministic (lift desc, in-count desc, token asc) tie-break.
+
+    Shape at scale: one explode + map-side-combined count to the
+    (group x token) frame; group totals broadcast (|groups| rows); the
+    corpus total is a 1-row broadcast; token totals join shuffles on
+    the token key — vocabulary-sized, not corpus-sized.  The ranking
+    window partitions by group over group-local vocabularies.  The
+    lift numerator is ~N * k_gt: beyond ~2^63/N counts, pre-scale the
+    ppm factor down (ordering is unchanged) or move the internal
+    product to decimal(38,0).
+    """
+    from pyspark.sql import DataFrame, Window  # local: keep module import light
+
+    assert isinstance(df, DataFrame)
+    toks = df.select(
+        F.col(group_col).alias("_grp"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    st = toks.groupBy("_grp", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("in_count")
+    )
+    g_tot = st.groupBy("_grp").agg(F.sum("in_count").alias("_n_g"))
+    t_tot = st.groupBy("token").agg(F.sum("in_count").alias("_k_t"))
+    tot = st.agg(F.sum("in_count").alias("_n_all"))
+    j = (
+        st.join(F.broadcast(g_tot), "_grp")
+        .join(t_tot, "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "1000000 * in_count * (_n_all - _n_g) DIV "
+                "((_k_t - in_count + 1) * _n_g)"
+            ),
+        )
+    )
+    w = Window.partitionBy("_grp").orderBy(
+        F.col("lift_ppm").desc(), F.col("in_count").desc(), F.col("token")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            F.col("_grp").alias(group_col),
+            "token",
+            "in_count",
+            "lift_ppm",
+            "rnk",
+        )
+    )

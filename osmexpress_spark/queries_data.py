@@ -4912,3 +4912,263 @@ def q_profile_diff(spark, sf_dir):
         d.where(F.col("doc_id") % 2 == 1), _PD_NEW_COLS
     )
     return profile_mod.profile_diff(old, new)
+
+
+def _banded_hamming_tail_sql(bands_cte: str, max_hamming: int = 3) -> str:
+    """Shared oracle tail for the banded Hamming near-dup queries: from
+    a CTE ``(doc_id, b_idx, b_val)`` with 4 bands per doc, widen to the
+    per-doc band vector, equi-join candidates on (b_idx, b_val), verify
+    with exact bit_count(xor) Hamming — the same
+    melt/equi-join/verify shape near_dup_by_bands plans, never an
+    all-pairs comparison (the oracle must survive sf0.1 too)."""
+    return f"""
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN b_idx = 0 THEN b_val END) AS b0,
+             MAX(CASE WHEN b_idx = 1 THEN b_val END) AS b1,
+             MAX(CASE WHEN b_idx = 2 THEN b_val END) AS b2,
+             MAX(CASE WHEN b_idx = 3 THEN b_val END) AS b3
+      FROM {bands_cte} GROUP BY 1
+    ),
+    melt AS (
+      SELECT w.doc_id, b.b_idx, b.b_val, w.b0, w.b1, w.b2, w.b3
+      FROM wide w JOIN {bands_cte} b ON w.doc_id = b.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS BIGINT) AS hamming
+      FROM melt a JOIN melt b
+        ON a.b_idx = b.b_idx AND a.b_val = b.b_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+@defq_pending(
+    "q_image_near_dup",
+    f"""
+    WITH rows16 AS (
+      SELECT doc_id, doc_id // 2 AS base, r.range AS row
+      FROM documents, range(16) r
+    ),
+    hx AS (
+      SELECT doc_id, row,
+             md5(base || '_' || row || '_r') AS hr,
+             md5(base || '_' || row || '_g') AS hg,
+             md5(base || '_' || row || '_b') AS hb
+      FROM rows16
+    ),
+    px AS (
+      SELECT doc_id, row, c.range AS col,
+             CAST('0x' || substr(hr, 2 * c.range + 1, 2) AS INTEGER) AS rv,
+             CAST('0x' || substr(hg, 2 * c.range + 1, 2) AS INTEGER) AS gv,
+             CAST('0x' || substr(hb, 2 * c.range + 1, 2) AS INTEGER) AS bv
+      FROM hx, range(16) c
+    ),
+    cells AS (
+      SELECT doc_id,
+             ((row * 8) // 16) * 8 + (col * 8) // 16 AS idx,
+             SUM(77 * (CASE WHEN doc_id % 2 = 1
+                             AND (row * 16 + col) % 97 = 0
+                            THEN (rv + 128) % 256 ELSE rv END)
+                 + 150 * gv + 29 * bv) AS s,
+             COUNT(*) AS np
+      FROM px GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, idx // 16 AS b_idx,
+             CAST(SUM((CASE WHEN s > 32640 * np THEN 1 ELSE 0 END)
+                      << (idx % 16)) AS BIGINT) AS b_val
+      FROM cells GROUP BY 1, 2
+    ),{_banded_hamming_tail_sql('bands')}
+    """,
+)
+def q_image_near_dup(spark, sf_dir):
+    """Image near-duplicate detection end-to-end through the REAL
+    image path (operators/multimodal.py): deterministic md5-pixel
+    24-bit BMPs are encoded per document (consecutive doc_ids share a
+    base image; odd ids perturb 3 pixels), REALLY decoded by
+    bmp_gray_grid inside the Arrow mapInPandas seam, average-hashed
+    into 4x16-bit bands by pure JVM integer expressions (ahash_bands,
+    threshold='mid'), and paired by the banded Hamming join
+    (near_dup_by_bands) — equi-join on (band_idx, band_val), exact
+    bit_count verify, pigeonhole-exact recall at hamming <= 3.  The
+    DuckDB oracle recomputes every pixel from the same md5 hex pairs
+    and replays the pooling, thresholding, packing, banding, and
+    verification bit-for-bit — the first driver gate over the real
+    image decode path (previous multimodal gates used the
+    byte-statistics stub)."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_bmp24(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.bmp_gray_grid, modality="image"
+    )
+    bands = multimodal.ahash_bands(feats, grid=8, threshold="mid")
+    return multimodal.near_dup_by_bands(bands, max_hamming=3)
+
+
+@defq_pending(
+    "q_audio_fingerprint",
+    f"""
+    WITH blocks AS (
+      SELECT doc_id, doc_id // 2 AS base, b.range AS blk
+      FROM documents, range(32) b
+    ),
+    hx AS (
+      SELECT doc_id, base, blk, md5(base || '_a_' || blk) AS h
+      FROM blocks
+    ),
+    samp AS (
+      SELECT doc_id, blk * 16 + j.range AS i,
+             CASE WHEN doc_id % 2 = 1 AND blk = (base % 30) + 1
+                  THEN (CAST('0x' || substr(h, 2 * j.range + 1, 2)
+                             AS INTEGER) + 64) % 256
+                  ELSE CAST('0x' || substr(h, 2 * j.range + 1, 2)
+                            AS INTEGER)
+             END AS s
+      FROM hx, range(16) j
+    ),
+    en AS (
+      SELECT doc_id, i // 8 AS frame, SUM(abs(s - 128)) AS e
+      FROM samp GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.doc_id, a.frame AS i,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM en a JOIN en b
+        ON a.doc_id = b.doc_id AND b.frame = a.frame + 1
+      WHERE a.frame < 63
+    ),
+    bands AS (
+      SELECT doc_id, i // 16 AS b_idx,
+             CAST(SUM(bit << (i % 16)) AS BIGINT) AS b_val
+      FROM bits GROUP BY 1, 2
+    ),{_banded_hamming_tail_sql('bands')}
+    """,
+)
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio near-duplicate detection end-to-end through the REAL
+    audio path: deterministic md5-sample 8-bit PCM WAVs are encoded
+    per document (siblings share a base clip; odd ids shift one
+    16-sample block), REALLY decoded by the stdlib wave module inside
+    wav_frame_energies (the first driver gate over the WAV decode
+    path — previously repo-only), fingerprinted JVM-side as
+    energy-delta signs over 64 8-sample frames packed into 4 bands
+    (sign_delta_bands), and paired by the same banded Hamming join as
+    the image path.  A one-block edit moves two adjacent frames and
+    therefore at most 3 delta bits, so sibling recall is
+    pigeonhole-exact at hamming <= 3; the oracle replays samples,
+    energies, delta signs, packing, and banding from the same md5 hex
+    pairs."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_wav8(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.wav_frame_energies, modality="audio"
+    )
+    bands = multimodal.sign_delta_bands(feats, n_frames=64)
+    return multimodal.near_dup_by_bands(bands, max_hamming=3)
+
+
+@defq_pending(
+    "q_distinctive_terms",
+    """
+    WITH tf AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS in_count
+      FROM tf GROUP BY 1, 2
+    ),
+    g_tot AS (SELECT source, CAST(SUM(in_count) AS BIGINT) AS n_g
+              FROM st GROUP BY 1),
+    t_tot AS (SELECT token, CAST(SUM(in_count) AS BIGINT) AS k_t
+              FROM st GROUP BY 1),
+    tot AS (SELECT CAST(SUM(in_count) AS BIGINT) AS n_all FROM st),
+    sc AS (
+      SELECT st.source, st.token, st.in_count,
+             CAST(1000000 * st.in_count * (tot.n_all - g_tot.n_g)
+               // ((t_tot.k_t - st.in_count + 1) * g_tot.n_g)
+               AS BIGINT) AS lift_ppm
+      FROM st
+      JOIN g_tot USING (source)
+      JOIN t_tot USING (token)
+      CROSS JOIN tot
+    )
+    SELECT source, token, in_count, lift_ppm, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY lift_ppm DESC, in_count DESC, token
+      ) AS rnk
+      FROM sc
+    ) WHERE rnk <= 10
+    """,
+)
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary (text.distinctive_terms): the
+    add-one-smoothed in-vs-out frequency lift in exact integer ppm
+    (cross-multiplied — no log, no float), top 10 per source with the
+    deterministic tie-break.  The domain-characterization census
+    behind mixture design: one explode + map-side count, group totals
+    and the corpus total broadcast, the token-total join
+    vocabulary-sized."""
+    d = t(spark, sf_dir, "documents")
+    return text.distinctive_terms(d, "source", "text", top_k=10)
+
+
+@defq_pending(
+    "q_mix_plan",
+    """
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, available_tokens,
+             CAST(CAST(substr(source, 4) AS INTEGER) + 1 AS BIGINT)
+               AS weight
+      FROM avail
+    ),
+    tot AS (
+      SELECT CAST(SUM(weight) AS BIGINT) AS tw,
+             CAST(SUM(available_tokens) AS BIGINT) AS ta
+      FROM w
+    )
+    SELECT source, available_tokens, weight,
+           CAST(ta * weight // tw AS BIGINT) AS target_tokens,
+           CAST((ta * weight // tw) * 1000000 // available_tokens
+                AS BIGINT) AS epochs_ppm,
+           ((ta * weight // tw) * 1000000 // available_tokens) > 1000000
+             AS oversampled
+    FROM w, tot
+    """,
+)
+def q_mix_plan(spark, sf_dir):
+    """Training-mix planning (sample.mix_plan): reallocate the corpus'
+    token budget across sources by integer target weights (weight =
+    source index + 1, derived from the source name so the contract is
+    self-contained) and report each domain's allocation and repeat
+    factor — epochs_ppm > 1e6 flags data that must repeat.  One
+    map-side agg to |domains| rows; weights and totals broadcast; all
+    integer floor division, bit-identical in both engines."""
+    d = t(spark, sf_dir, "documents")
+    weights = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "weight",
+            (F.substring("source", 4, 10).cast("int") + 1).cast("long"),
+        )
+    )
+    return sample.mix_plan(
+        d,
+        "source",
+        F.size(F.split(F.col("text"), " ")),
+        weights,
+    )

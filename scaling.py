@@ -86,6 +86,10 @@ SUBSET = [
     "q_budget_by_domain",      # per-domain budget windows, no global sort
     "q_modality_alignment",    # narrow id equi-join, one census row
     "q_profile_diff",          # two bounded per-column frames joined
+    "q_image_near_dup",        # real BMP decode + banded Hamming join
+    "q_audio_fingerprint",     # real WAV decode + banded Hamming join
+    "q_distinctive_terms",     # vocab-sized lift join, group windows
+    "q_mix_plan",              # one map-side agg to |domains| rows
 ]
 
 

@@ -1,0 +1,418 @@
+"""Round-7 second-session operators: perceptual-hash image near-dup,
+audio energy fingerprinting, distinctive terms, training-mix planning.
+Each is pinned against an independent straight-line Python model
+(SURVEY §5 strategy) plus error-shape and plan checks."""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import multimodal as M
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _bmp24(pixels, top_down=False):
+    """Independent BMP builder (mirrors test_multimodal's, with
+    top-down support): pixels is image-ordered rows of (r, g, b)."""
+    h, w = len(pixels), len(pixels[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = pixels if top_down else list(reversed(pixels))
+    body = bytearray()
+    for row in rows:
+        rb = bytearray()
+        for r, g, b in row:
+            rb += bytes((b, g, r))
+        rb += b"\x00" * (stride - len(rb))
+        body += rb
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + info
+        + bytes(body)
+    )
+
+
+def _grid_model(pixels, grid):
+    """Straight-line pooling model: exact integer cell sums/counts."""
+    h, w = len(pixels), len(pixels[0])
+    sums, npix = [0] * grid * grid, [0] * grid * grid
+    for r in range(h):
+        for c in range(w):
+            pr, pg, pb = pixels[r][c]
+            idx = ((r * grid) // h) * grid + (c * grid) // w
+            sums[idx] += 77 * pr + 150 * pg + 29 * pb
+            npix[idx] += 1
+    return sums, npix
+
+
+_pix = st.integers(0, 255)
+
+
+@SET
+@given(
+    st.integers(1, 13),
+    st.integers(1, 11),
+    st.integers(1, 5),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_bmp_gray_grid_matches_model(width, height, grid, top_down, rnd):
+    pixels = [
+        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+         for _ in range(width)]
+        for _ in range(height)
+    ]
+    feats = M.bmp_gray_grid(_bmp24(pixels, top_down), grid)
+    assert feats[0] == float(width) and feats[1] == float(height)
+    sums, npix = _grid_model(pixels, grid)
+    assert [int(x) for x in feats[2 : 2 + grid * grid]] == sums
+    assert [int(x) for x in feats[2 + grid * grid :]] == npix
+
+
+def test_bmp_gray_grid_error_shapes():
+    with pytest.raises(NotImplementedError):
+        M.bmp_gray_grid(b"P6 1 1 255\n\x00\x00\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        M.bmp_gray_grid(_bmp24([[(1, 2, 3)]])[:-1])  # truncated pixels
+    with pytest.raises(ValueError):
+        M.bmp_gray_grid(b"BM" + b"\x00" * 10)  # truncated header
+    with pytest.raises(TypeError):
+        M.bmp_gray_grid(_bmp24([[(1, 2, 3)]]), grid=0)  # config bug
+
+
+def _wav8(samples, rate=8000, width=1, nch=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes(bytes(samples))
+        else:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+@SET
+@given(
+    st.lists(st.integers(0, 255), min_size=0, max_size=90),
+    st.integers(1, 7),
+    st.integers(1, 9),
+)
+def test_wav_frame_energies_matches_model(samples, frame_samples, max_frames):
+    feats = M.wav_frame_energies(
+        _wav8(samples), frame_samples, max_frames
+    )
+    n_out = min(len(samples) // frame_samples, max_frames)
+    assert feats[0] == 8000.0 and feats[1] == float(n_out)
+    exp = [
+        sum(abs(s - 128) for s in
+            samples[f * frame_samples : (f + 1) * frame_samples])
+        for f in range(n_out)
+    ]
+    assert [int(x) for x in feats[2:]] == exp
+
+
+def test_wav_frame_energies_16bit_and_errors():
+    feats = M.wav_frame_energies(
+        _wav8([-32768, 100, -100, 0], width=2), 2, 8
+    )
+    assert [int(x) for x in feats[2:]] == [32868, 100]
+    with pytest.raises(NotImplementedError):
+        M.wav_frame_energies(b"ID3\x03mp3 payload")
+    with pytest.raises(ValueError):
+        M.wav_frame_energies(_wav8([1, 2, 3, 4])[:30])  # truncated
+    with pytest.raises(TypeError):
+        M.wav_frame_energies(_wav8([1]), frame_samples=0)
+
+
+# --- JVM band packers vs Python models ---------------------------------------
+
+
+def _ahash_bands_model(sums, npix, threshold):
+    ts, tn = sum(sums), sum(npix)
+    if threshold == "mean":
+        bits = [1 if s * tn > ts * n else 0 for s, n in zip(sums, npix)]
+    else:
+        bits = [1 if s > 32640 * n else 0 for s, n in zip(sums, npix)]
+    return [
+        sum(bits[b * 16 + k] << k for k in range(16)) for b in range(4)
+    ]
+
+
+@pytest.mark.parametrize("threshold", ["mean", "mid"])
+def test_ahash_bands_matches_model(spark, threshold):
+    pixels = [
+        [((r * 37 + c * 11) % 256, (r * 5) % 256, (c * 3) % 256)
+         for c in range(16)]
+        for r in range(16)
+    ]
+    payload = _bmp24(pixels)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "item_id long, payload binary"
+    )
+    feats = M.extract_features(df, decoder=M.bmp_gray_grid)
+    row = M.ahash_bands(feats, threshold=threshold).collect()[0]
+    sums, npix = _grid_model(pixels, 8)
+    exp = _ahash_bands_model(sums, npix, threshold)
+    assert [row[f"band_{b}"] for b in range(4)] == exp
+
+
+def test_ahash_bands_drops_failed_decodes(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a bmp"))], "item_id long, payload binary"
+    )
+    feats = M.extract_features(df, decoder=M.bmp_gray_grid)
+    assert M.ahash_bands(feats).count() == 0
+
+
+def test_sign_delta_bands_matches_model_and_drops_short(spark):
+    long_clip = [(i * 29 + 3) % 256 for i in range(512)]
+    short_clip = [5] * 100  # 12 frames < 64 -> dropped
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav8(long_clip))), (2, bytearray(_wav8(short_clip)))],
+        "item_id long, payload binary",
+    )
+    feats = M.extract_features(df, decoder=M.wav_frame_energies)
+    rows = M.sign_delta_bands(feats, n_frames=64).collect()
+    assert [r["item_id"] for r in rows] == [1]
+    en = [
+        sum(abs(s - 128) for s in long_clip[f * 8 : (f + 1) * 8])
+        for f in range(64)
+    ]
+    bits = [1 if en[i + 1] > en[i] else 0 for i in range(63)]
+    exp = [
+        sum(bits[b * 16 + k] << k for k in range(16) if b * 16 + k < 63)
+        for b in range(4)
+    ]
+    assert [rows[0][f"band_{b}"] for b in range(4)] == exp
+
+
+# --- banded Hamming join: pigeonhole recall + exact verify -------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 65535), st.integers(0, 65535),
+            st.integers(0, 65535), st.integers(0, 65535),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_near_dup_by_bands_matches_brute_force(spark, hashes):
+    df = spark.createDataFrame(
+        [(i, *h) for i, h in enumerate(hashes)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.near_dup_by_bands(df, max_hamming=3).collect()
+    }
+    exp = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            ham = sum(
+                bin(a ^ b).count("1")
+                for a, b in zip(hashes[i], hashes[j])
+            )
+            # the pigeonhole bound: hamming <= 3 pairs ALWAYS share a
+            # band, so the banded join may not miss them
+            if ham <= 3:
+                exp[(i, j)] = ham
+    assert got == exp
+
+
+def test_near_dup_pipeline_finds_sibling_pairs(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    blobs = M.synth_bmp24(df, "doc_id")
+    feats = M.extract_features(blobs, decoder=M.bmp_gray_grid)
+    bands = M.ahash_bands(feats, threshold="mid")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.near_dup_by_bands(bands).collect()
+    }
+    assert {(2 * k, 2 * k + 1) for k in range(6)} <= pairs
+
+
+def test_audio_pipeline_finds_sibling_pairs(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    blobs = M.synth_wav8(df, "doc_id")
+    feats = M.extract_features(blobs, decoder=M.wav_frame_energies)
+    bands = M.sign_delta_bands(feats, n_frames=64)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.near_dup_by_bands(bands).collect()
+    }
+    assert {(2 * k, 2 * k + 1) for k in range(6)} <= pairs
+
+
+def test_synth_payloads_are_real_formats():
+    """The synthetic fixtures must round-trip the REAL decoders (not
+    just bmp_gray_grid): image_decoder and wav_decoder accept them."""
+    base = 3
+    chans = {
+        ch: [hashlib.md5(f"{base}_{r}_{ch}".encode()).digest()
+             for r in range(16)]
+        for ch in ("r", "g", "b")
+    }
+    pix = [
+        [(chans["r"][r][c], chans["g"][r][c], chans["b"][r][c])
+         for c in range(16)]
+        for r in range(16)
+    ]
+    feats = M.image_decoder(M._encode_bmp24(pix))
+    assert feats[0] == 16.0 and feats[1] == 16.0
+    samples = b"".join(
+        hashlib.md5(f"{base}_a_{blk}".encode()).digest()
+        for blk in range(32)
+    )
+    afeats = M.wav_decoder(_wav8(list(samples)))
+    assert afeats[2] == 512.0  # n_frames
+
+
+# --- distinctive terms vs a pandas model --------------------------------------
+
+
+def test_distinctive_terms_matches_model(spark):
+    from osmexpress_spark.operators import text
+
+    docs = [
+        (0, "g0", "alpha alpha beta common common"),
+        (1, "g0", "alpha common"),
+        (2, "g1", "beta beta common common common"),
+        (3, "g1", "gamma common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, grp string, text string")
+    got = {
+        (r["grp"], r["token"]): (r["in_count"], r["lift_ppm"], r["rnk"])
+        for r in text.distinctive_terms(df, "grp", "text", top_k=3).collect()
+    }
+    # straight-line model
+    from collections import Counter
+
+    by_g: dict[str, Counter] = {}
+    for _, g, t in docs:
+        by_g.setdefault(g, Counter()).update(t.split(" "))
+    k_t = Counter()
+    for c in by_g.values():
+        k_t.update(c)
+    n_all = sum(k_t.values())
+    exp = {}
+    for g, c in by_g.items():
+        n_g = sum(c.values())
+        scored = sorted(
+            (
+                (-(1000000 * k * (n_all - n_g)
+                   // ((k_t[tok] - k + 1) * n_g)), -k, tok)
+                for tok, k in c.items()
+            ),
+        )[:3]
+        for rnk, (neg_lift, neg_k, tok) in enumerate(scored, 1):
+            exp[(g, tok)] = (-neg_k, -neg_lift, rnk)
+    assert got == exp
+
+
+# --- mix plan ------------------------------------------------------------------
+
+
+def test_mix_plan_math_and_missing_weights(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 100), (1, "a", 100), (2, "b", 50), (3, "c", 999)],
+        "doc_id long, src string, n_tok long",
+    )
+    weights = spark.createDataFrame(
+        [("a", 1), ("b", 3)], "src string, weight long"
+    )
+    from osmexpress_spark.operators import sample
+
+    rows = {
+        r["src"]: r
+        for r in sample.mix_plan(
+            df, "src", F.col("n_tok"), weights
+        ).collect()
+    }
+    # budget=None -> 250 total over weighted domains; tw=4
+    assert set(rows) == {"a", "b"}  # c has no weight -> excluded
+    a, b = rows["a"], rows["b"]
+    assert (a["available_tokens"], a["target_tokens"]) == (200, 62)
+    assert a["epochs_ppm"] == 62 * 1000000 // 200 and not a["oversampled"]
+    assert (b["available_tokens"], b["target_tokens"]) == (50, 187)
+    assert b["epochs_ppm"] == 187 * 1000000 // 50 and b["oversampled"]
+    # explicit budget
+    rows2 = {
+        r["src"]: r
+        for r in sample.mix_plan(
+            df, "src", F.col("n_tok"), weights, budget=1000
+        ).collect()
+    }
+    assert rows2["a"]["target_tokens"] == 250
+    assert rows2["b"]["target_tokens"] == 750
+
+
+# --- plan shapes ---------------------------------------------------------------
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_near_dup_join_is_equi_join_no_python_past_seam(spark):
+    bands = spark.createDataFrame(
+        [(1, 1, 2, 3, 4), (2, 1, 9, 9, 9)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    plan = _final_plan(M.near_dup_by_bands(bands))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_distinctive_and_mix_queries_stay_jvm_side(spark):
+    from osmexpress_spark import queries_data as QD
+
+    for name in ("q_distinctive_terms", "q_mix_plan"):
+        plan = _final_plan(
+            QD.PENDING_SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
+        )
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_image_query_python_is_only_the_arrow_seam(spark):
+    from osmexpress_spark import queries_data as QD
+
+    plan = _final_plan(
+        QD.PENDING_SPARK_QUERIES["q_image_near_dup"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    # the two sanctioned Arrow seams (synth + decode) are MapInPandas;
+    # no row-at-a-time Python anywhere
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
