@@ -120,6 +120,7 @@ PENDING_HEADLINE: list[str] = [
     "q_audio_fingerprint",
     "q_distinctive_terms",
     "q_mix_plan",
+    "q_image_ingest_dedup",
 ]
 
 

@@ -1831,3 +1831,109 @@ def synth_wav8(
             )
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def save_band_store(
+    bands_df: DataFrame,
+    path: str,
+    id_col: str = "item_id",
+    n_bands: int = 4,
+    fingerprint: str = "",
+) -> None:
+    """Persist a corpus' packed hash bands (parquet + meta.json) so
+    continuous multimodal ingest never re-decodes the reference
+    corpus — the same never-rescan pattern as the MinHash signature
+    store and the drift reference sketch.  The meta sidecar pins
+    (id_col, n_bands): a load with different parameters would silently
+    join wrong band columns, so it raises; the fingerprint field
+    carries the caller's source version for invalidation.  Paths go
+    through the Hadoop FS layer (hdfs:// and s3a:// work)."""
+    import json
+
+    from . import dedup as _dedup
+
+    cols = [id_col] + [f"band_{b}" for b in range(n_bands)]
+    bands_df.select(*cols).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/bands"
+    )
+    _dedup._store_write_text(
+        bands_df.sparkSession,
+        path.rstrip("/") + "/meta.json",
+        json.dumps(
+            {"id_col": id_col, "n_bands": n_bands,
+             "fingerprint": fingerprint}
+        ),
+    )
+
+
+def load_band_store(
+    spark, path: str, id_col: str = "item_id", n_bands: int = 4
+) -> DataFrame:
+    """Read a persisted band store, validating that the requested
+    parameters match the ones it was built with."""
+    import json
+
+    from . import dedup as _dedup
+
+    meta = json.loads(
+        _dedup._store_read_text(spark, path.rstrip("/") + "/meta.json")
+    )
+    want = {"id_col": id_col, "n_bands": n_bands}
+    have = {k: meta.get(k) for k in want}
+    if have != want:
+        raise ValueError(
+            f"band store at {path} was built with {have}, "
+            f"requested {want}"
+        )
+    return spark.read.parquet(path.rstrip("/") + "/bands")
+
+
+def near_dup_against_store(
+    new_bands: DataFrame,
+    store_bands: DataFrame,
+    id_col: str = "item_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Asymmetric banded Hamming join for continuous ingest: every
+    (new item, reference item) pair within ``max_hamming``, computed
+    from the new batch's bands against a persisted corpus band store —
+    the reference corpus is never re-decoded or re-hashed.  Same
+    candidate generation and exactness properties as near_dup_by_bands
+    (equi-join on (band_idx, band_value); pigeonhole-exact recall for
+    max_hamming <= n_bands - 1).  No id ordering or inequality is
+    applied: the two sides are distinct populations by contract, and a
+    shared id (a re-ingested item) SHOULD surface as its own hamming-0
+    match.  Output: (new_id, ref_id, hamming)."""
+    bands = [f"band_{b}" for b in range(n_bands)]
+
+    def melt(df, alias):
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in bands],
+            F.posexplode(F.array(*[F.col(c) for c in bands])).alias(
+                "b_idx", "b_val"
+            ),
+        ).alias(alias)
+
+    n, r = melt(new_bands, "n"), melt(store_bands, "r")
+    ham = None
+    for c in bands:
+        term = F.bit_count(F.col(f"n.{c}").bitwiseXOR(F.col(f"r.{c}")))
+        ham = term if ham is None else ham + term
+    return (
+        n.join(
+            r,
+            on=[
+                F.col("n.b_idx") == F.col("r.b_idx"),
+                F.col("n.b_val") == F.col("r.b_val"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -4914,12 +4914,20 @@ def q_profile_diff(spark, sf_dir):
     return profile_mod.profile_diff(old, new)
 
 
-def _banded_hamming_tail_sql(bands_cte: str, max_hamming: int = 3) -> str:
+def _banded_hamming_tail_sql(
+    bands_cte: str,
+    max_hamming: int = 3,
+    pred: str = "a.doc_id < b.doc_id",
+    a_name: str = "id_a",
+    b_name: str = "id_b",
+) -> str:
     """Shared oracle tail for the banded Hamming near-dup queries: from
     a CTE ``(doc_id, b_idx, b_val)`` with 4 bands per doc, widen to the
-    per-doc band vector, equi-join candidates on (b_idx, b_val), verify
-    with exact bit_count(xor) Hamming — the same
-    melt/equi-join/verify shape near_dup_by_bands plans, never an
+    per-doc band vector, equi-join candidates on (b_idx, b_val) plus
+    the pair predicate (ordered self-join by default; side filters for
+    the asymmetric ingest form), verify with exact bit_count(xor)
+    Hamming — the same melt/equi-join/verify shape
+    near_dup_by_bands / near_dup_against_store plan, never an
     all-pairs comparison (the oracle must survive sf0.1 too)."""
     return f"""
     wide AS (
@@ -4935,21 +4943,23 @@ def _banded_hamming_tail_sql(bands_cte: str, max_hamming: int = 3) -> str:
       FROM wide w JOIN {bands_cte} b ON w.doc_id = b.doc_id
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT DISTINCT a.doc_id AS {a_name}, b.doc_id AS {b_name},
              CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
                AS BIGINT) AS hamming
       FROM melt a JOIN melt b
         ON a.b_idx = b.b_idx AND a.b_val = b.b_val
-       AND a.doc_id < b.doc_id
+       AND {pred}
     )
-    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    SELECT {a_name}, {b_name}, hamming
+    FROM cand WHERE hamming <= {max_hamming}
     """
 
 
-@defq_pending(
-    "q_image_near_dup",
-    f"""
+# the synthetic image's analytic recomputation (synth_bmp24's md5
+# pixels -> bmp_gray_grid's pooling -> ahash_bands' mid-threshold
+# packing), shared by both image near-dup oracles
+_IMAGE_BANDS_SQL = """
     WITH rows16 AS (
       SELECT doc_id, doc_id // 2 AS base, r.range AS row
       FROM documents, range(16) r
@@ -4983,8 +4993,12 @@ def _banded_hamming_tail_sql(bands_cte: str, max_hamming: int = 3) -> str:
              CAST(SUM((CASE WHEN s > 32640 * np THEN 1 ELSE 0 END)
                       << (idx % 16)) AS BIGINT) AS b_val
       FROM cells GROUP BY 1, 2
-    ),{_banded_hamming_tail_sql('bands')}
-    """,
+    ),"""
+
+
+@defq_pending(
+    "q_image_near_dup",
+    _IMAGE_BANDS_SQL + _banded_hamming_tail_sql("bands"),
 )
 def q_image_near_dup(spark, sf_dir):
     """Image near-duplicate detection end-to-end through the REAL
@@ -5172,3 +5186,44 @@ def q_mix_plan(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")),
         weights,
     )
+
+
+@defq_pending(
+    "q_image_ingest_dedup",
+    _IMAGE_BANDS_SQL
+    + _banded_hamming_tail_sql(
+        "bands",
+        pred="a.doc_id % 3 = 0 AND b.doc_id % 3 != 0",
+        a_name="new_id",
+        b_name="ref_id",
+    ),
+)
+def q_image_ingest_dedup(spark, sf_dir):
+    """Continuous-ingest image dedup against a PERSISTED band store
+    (multimodal.save_band_store / near_dup_against_store): the
+    reference corpus (doc_id % 3 != 0) is decoded and hashed ONCE into
+    a parquet band store; the new batch (doc_id % 3 == 0) decodes only
+    itself and asymmetrically band-joins the store — the reference is
+    never re-decoded, the same never-rescan shape as the MinHash
+    signature store and the drift reference sketch, now for the image
+    modality.  The oracle recomputes both sides' bands from the shared
+    md5-pixel CTE and applies the side split in the join predicate —
+    bit-for-bit including the persisted round-trip."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="osmx_q_image_ingest_")
+
+    def bands_of(docs):
+        blobs = multimodal.synth_bmp24(docs, "doc_id")
+        feats = multimodal.extract_features(
+            blobs, decoder=multimodal.bmp_gray_grid, modality="image"
+        )
+        return multimodal.ahash_bands(feats, grid=8, threshold="mid")
+
+    multimodal.save_band_store(
+        bands_of(d.where(F.col("doc_id") % 3 != 0)), store
+    )
+    ref = multimodal.load_band_store(spark, store)
+    new = bands_of(d.where(F.col("doc_id") % 3 == 0))
+    return multimodal.near_dup_against_store(new, ref, max_hamming=3)

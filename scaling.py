@@ -90,6 +90,7 @@ SUBSET = [
     "q_audio_fingerprint",     # real WAV decode + banded Hamming join
     "q_distinctive_terms",     # vocab-sized lift join, group windows
     "q_mix_plan",              # one map-side agg to |domains| rows
+    "q_image_ingest_dedup",    # persisted band store, new batch only decodes
 ]
 
 

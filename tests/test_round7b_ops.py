@@ -416,3 +416,75 @@ def test_image_query_python_is_only_the_arrow_seam(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- persisted band store + asymmetric ingest dedup --------------------------
+
+
+def test_band_store_roundtrip_and_param_pinning(spark, tmp_path):
+    bands = spark.createDataFrame(
+        [(1, 10, 20, 30, 40), (2, 11, 21, 31, 41)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    path = str(tmp_path / "store")
+    M.save_band_store(bands, path, fingerprint="v1")
+    back = M.load_band_store(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in bands.collect()
+    )
+    with pytest.raises(ValueError, match="built with"):
+        M.load_band_store(spark, path, n_bands=2)
+
+
+def test_near_dup_against_store_matches_model(spark):
+    new = spark.createDataFrame(
+        [(100, 1, 2, 3, 4), (101, 9, 9, 9, 9)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    ref = spark.createDataFrame(
+        # 200: equals 100 on band_0 only, hamming = popcount diffs
+        [(200, 1, 2, 3, 5), (201, 7, 7, 7, 7), (100, 1, 2, 3, 4)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    got = {
+        (r["new_id"], r["ref_id"]): r["hamming"]
+        for r in M.near_dup_against_store(new, ref).collect()
+    }
+    # (100,200): xor only band_3 = 4^5 = 1 -> hamming 1
+    # (100,100): re-ingested item surfaces as its own hamming-0 match
+    assert got == {(100, 200): 1, (100, 100): 0}
+
+
+def test_ingest_dedup_never_redecodes_reference(spark, tmp_path):
+    """The composition the staged query pins: reference decoded once
+    into the store; scoring a second batch touches only that batch."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    ref_bands = M.ahash_bands(
+        M.extract_features(
+            M.synth_bmp24(docs.where(F.col("doc_id") % 3 != 0), "doc_id"),
+            decoder=M.bmp_gray_grid,
+        ),
+        threshold="mid",
+    )
+    path = str(tmp_path / "imgstore")
+    M.save_band_store(ref_bands, path)
+    new_bands = M.ahash_bands(
+        M.extract_features(
+            M.synth_bmp24(docs.where(F.col("doc_id") % 3 == 0), "doc_id"),
+            decoder=M.bmp_gray_grid,
+        ),
+        threshold="mid",
+    )
+    pairs = M.near_dup_against_store(
+        new_bands, M.load_band_store(spark, path)
+    )
+    got = {(r["new_id"], r["ref_id"]) for r in pairs.collect()}
+    # sibling pairs where exactly one side is 'new': (0,1), (3,2), (6,7), (9,8)...
+    assert {(0, 1), (3, 2), (6, 7), (9, 8)} <= got
+    # the store path is parquet: no MapInPandas on the reference side —
+    # the final plan's only Python stages are the NEW batch's two Arrow
+    # seams (synth + decode); AQE prints the initial plan too, so cut it
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "Scan parquet" in final  # the reference side reads the store
