@@ -6,8 +6,9 @@ bytes never round-trip through Python row-by-row. The decode step is
 pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
 24-bit BMP, binary PPM, the complete PNG still-image matrix (every
 color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7),
-baseline sequential JPEG, GIF87a/89a, and baseline TIFF
-(uncompressed/LZW/Deflate/PackBits) in pure stdlib(+numpy), and raises
+baseline sequential JPEG, GIF87a/89a, and TIFF
+(uncompressed/LZW/Deflate/PackBits; strip or tile layout; chunky or
+planar; sub-8-bit gray/palette strips) in pure stdlib(+numpy), and raises
 NotImplementedError for the remaining variants (progressive/arithmetic
 JPEG, WebP, ... — the honest-stub branch, recorded as
 decode_ok=False);
@@ -59,14 +60,15 @@ def image_decoder(payload: bytes) -> list[float]:
     alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
     any sampling factors <= 4), GIF87a/89a (full LZW, global/local
-    palettes, interlace, first frame), and baseline TIFF (II/MM,
-    uncompressed/LZW/Deflate/PackBits, 8-bit gray/RGB(A)/palette, horizontal
-    predictor, any strip layout). Returns the
+    palettes, interlace, first frame), and TIFF (II/MM,
+    uncompressed/LZW/Deflate/PackBits, gray/RGB(A)/palette, horizontal
+    predictor, strip OR tile layout, chunky OR planar, sub-8-bit
+    gray/palette strips). Returns the
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    JPEG-compressed, tiled or planar TIFF, WebP/...) raise
+    JPEG-compressed TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -559,17 +561,21 @@ def _packbits(data: bytes) -> bytes:
 
 
 def _decode_tiff(payload: bytes) -> list[float]:
-    """Pure-stdlib baseline TIFF 6.0 decode: both byte orders (II/MM),
-    first IFD, uncompressed (Compression=1), LZW (5, MSB-first with
-    the spec's early change), Deflate (8 Adobe / 32946 old, zlib per
-    strip) or PackBits (32773) — LZW/Deflate with Predictor 1 or 2
-    horizontal differencing — chunky (PlanarConfig=1) 8-bit
-    grayscale (photometric 0 MinIsWhite
-    — inverted — and 1 MinIsBlack), RGB(A) (photometric 2; extra
-    samples beyond the first three are ignored like every alpha
-    here), and palette (photometric 3, 16-bit ColorMap scaled /65535),
-    with any strip layout. JPEG-compressed, tiled, planar, and
-    sub-8-bit TIFFs raise NotImplementedError (the honest-stub
+    """Pure-stdlib TIFF 6.0 decode: both byte orders (II/MM), first
+    IFD, uncompressed (Compression=1), LZW (5, MSB-first with the
+    spec's early change), Deflate (8 Adobe / 32946 old, zlib per
+    segment) or PackBits (32773) — LZW/Deflate with Predictor 1 or 2
+    horizontal differencing — strip OR tile layout (TileWidth/
+    TileLength/TileOffsets/TileByteCounts; edge-tile padding excluded
+    from the means), chunky (PlanarConfig=1) or planar (2, per-plane
+    segments), 8-bit grayscale (photometric 0 MinIsWhite — inverted —
+    and 1 MinIsBlack) / RGB(A) (photometric 2; extra samples beyond
+    the first three are ignored like every alpha here) / palette
+    (photometric 3, 16-bit ColorMap scaled /65535), plus sub-8-bit
+    (1/2/4) grayscale and palette in chunky strip layout (MSB-first
+    row-aligned packing, means normalized by 2^bits-1).
+    JPEG-compressed TIFFs, sub-8-bit tiled/planar/RGB combinations,
+    and other exotica raise NotImplementedError (the honest-stub
     branch); structural damage raises ValueError."""
     import struct
 
@@ -624,83 +630,230 @@ def _decode_tiff(payload: bytes) -> list[float]:
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF not supported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar config {planar} not supported")
     photo = one(262)
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric {photo} not supported")
     spp = one(277, 1)
+    if photo == 2 and spp < 3:
+        raise ValueError("RGB TIFF with fewer than 3 samples")
     bits = tags.get(258, [8])
+    tiled = 322 in tags or 323 in tags or 324 in tags or 325 in tags
     if any(b != 8 for b in bits):
-        raise NotImplementedError("only 8-bit TIFF samples supported")
-    if 273 not in tags or 279 not in tags:
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    if len(tags[273]) != len(tags[279]):
-        # ADVICE r06: zip() would silently truncate to the shorter tag
-        # and only surface later as a misleading short-pixel-data error
-        raise ValueError(
-            "TIFF StripOffsets/StripByteCounts length mismatch "
-            f"({len(tags[273])} vs {len(tags[279])})"
-        )
-    raw_strips = []
-    for o, c in zip(tags[273], tags[279]):
-        if o + c > len(payload):
-            raise ValueError("TIFF strip out of range")
-        raw_strips.append(payload[o : o + c])
-    if comp == 32773:  # PackBits RLE, decoded per strip
-        raw_strips = [_packbits(s) for s in raw_strips]
-    elif comp == 5:  # LZW, decoded per strip
-        raw_strips = [_tiff_lzw(s) for s in raw_strips]
-    elif comp in (8, 32946):  # Adobe/old Deflate: zlib per strip
-        import zlib
+        # sub-8-bit: chunky strip grayscale/palette only (the forms that
+        # occur in practice: fax masks, tiny palette art)
+        if (
+            len(set(bits)) != 1
+            or bits[0] not in (1, 2, 4)
+            or spp != 1
+            or tiled
+            or photo not in (0, 1, 3)
+        ):
+            raise NotImplementedError(
+                f"TIFF bits {bits} supported only as 1/2/4-bit "
+                "single-sample grayscale/palette strips"
+            )
+    depth = bits[0]
 
-        try:
-            raw_strips = [zlib.decompress(s) for s in raw_strips]
-        except zlib.error as exc:
-            raise ValueError(f"TIFF deflate strip corrupt: {exc}") from exc
-    strips = b"".join(raw_strips)
-    need = width * height * spp
-    if len(strips) < need:
-        raise ValueError("TIFF pixel data short of width*height")
-    if predictor == 2:  # horizontal differencing: cumsum per channel
-        buf = bytearray(strips[:need])
-        row_bytes = width * spp
-        for r0 in range(0, need, row_bytes):
-            for p in range(r0 + spp, r0 + row_bytes):
-                buf[p] = (buf[p] + buf[p - spp]) & 0xFF
-        strips = bytes(buf)
-    tot = [0, 0, 0]
+    def segments(off_tag: int, cnt_tag: int) -> list[bytes]:
+        if off_tag not in tags or cnt_tag not in tags:
+            raise ValueError("TIFF missing segment offsets/byte counts")
+        if len(tags[off_tag]) != len(tags[cnt_tag]):
+            # ADVICE r06: zip() would silently truncate to the shorter
+            # tag and only surface later as a misleading short-pixel-
+            # data error
+            raise ValueError(
+                "TIFF segment offsets/byte counts length mismatch "
+                f"({len(tags[off_tag])} vs {len(tags[cnt_tag])})"
+            )
+        raw = []
+        for o, c in zip(tags[off_tag], tags[cnt_tag]):
+            if o + c > len(payload):
+                raise ValueError("TIFF segment out of range")
+            raw.append(payload[o : o + c])
+        if comp == 32773:
+            raw = [_packbits(s) for s in raw]
+        elif comp == 5:
+            raw = [_tiff_lzw(s) for s in raw]
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                raw = [zlib.decompress(s) for s in raw]
+            except zlib.error as exc:
+                raise ValueError(
+                    f"TIFF deflate segment corrupt: {exc}"
+                ) from exc
+        return raw
+
+    def undiff(seg: bytes, row_px: int, stride: int) -> bytes:
+        # Predictor 2: horizontal differencing, cumsum per channel per
+        # row; each segment's rows are row_px pixels of `stride`
+        # interleaved samples
+        if predictor != 2:
+            return seg
+        buf = bytearray(seg)
+        row_bytes = row_px * stride
+        for r0 in range(0, len(buf) - row_bytes + 1, row_bytes):
+            for p in range(r0 + stride, r0 + row_bytes):
+                buf[p] = (buf[p] + buf[p - stride]) & 0xFF
+        return bytes(buf)
+
+    # --- gather per-channel integer sums over the valid image area ---
     n = width * height
-    if photo in (0, 1):
-        inv = photo == 0
-        for p in range(n):
-            v = strips[p * spp]
-            if inv:
-                v = 255 - v
-            tot[0] += v
-        tot[1] = tot[2] = tot[0]
-        scale = 255.0
-    elif photo == 2:
-        if spp < 3:
-            raise ValueError("RGB TIFF with fewer than 3 samples")
-        for p in range(n):
-            b0 = p * spp
-            tot[0] += strips[b0]
-            tot[1] += strips[b0 + 1]
-            tot[2] += strips[b0 + 2]
-        scale = 255.0
-    elif photo == 3:
-        cmap = tags.get(320)
-        if not cmap or len(cmap) < 3 * 256:
-            raise ValueError("palette TIFF missing 256-entry ColorMap")
-        for p in range(n):
-            i = strips[p * spp]
-            tot[0] += cmap[i]
-            tot[1] += cmap[256 + i]
-            tot[2] += cmap[512 + i]
-        scale = 65535.0
+    tot = [0, 0, 0]
+
+    def add_gray_or_palette(values) -> None:
+        # single-sample accumulation honoring the photometric
+        if photo == 0:
+            full = (1 << depth) - 1
+            for v in values:
+                tot[0] += full - v
+        elif photo == 1:
+            for v in values:
+                tot[0] += v
+        else:  # palette
+            cmap = tags.get(320)
+            if not cmap or len(cmap) < 3 * (1 << depth):
+                raise ValueError(
+                    f"palette TIFF missing {1 << depth}-entry ColorMap"
+                )
+            half = 1 << depth
+            for v in values:
+                tot[0] += cmap[v]
+                tot[1] += cmap[half + v]
+                tot[2] += cmap[2 * half + v]
+
+    if tiled:
+        tw, th = one(322), one(323)
+        if tw == 0 or th == 0:
+            raise ValueError("TIFF zero tile dimension")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        per_plane = across * down
+        planes = spp if planar == 2 else 1
+        tile_stride = spp if planar == 1 else 1
+        tiles = segments(324, 325)
+        if len(tiles) < per_plane * planes:
+            raise ValueError(
+                f"TIFF tile count {len(tiles)} short of "
+                f"{per_plane * planes}"
+            )
+        use_planes = min(planes, 3) if photo == 2 else 1
+        for plane in range(use_planes if planar == 2 else 1):
+            for tj in range(down):
+                for ti in range(across):
+                    seg = undiff(
+                        tiles[plane * per_plane + tj * across + ti],
+                        tw,
+                        tile_stride,
+                    )
+                    vr = min(th, height - tj * th)
+                    vc = min(tw, width - ti * tw)
+                    if len(seg) < tw * th * tile_stride:
+                        raise ValueError("TIFF tile data short")
+                    if photo == 2 and planar == 1:
+                        for r in range(vr):
+                            base = r * tw * tile_stride
+                            for c in range(vc):
+                                b0 = base + c * tile_stride
+                                tot[0] += seg[b0]
+                                tot[1] += seg[b0 + 1]
+                                tot[2] += seg[b0 + 2]
+                    elif photo == 2:  # planar RGB: this plane only
+                        for r in range(vr):
+                            base = r * tw
+                            for c in range(vc):
+                                tot[plane] += seg[base + c]
+                    else:  # gray/palette tiles (8-bit, spp==1)
+                        vals = []
+                        for r in range(vr):
+                            base = r * tw * tile_stride
+                            vals.extend(
+                                seg[base + c * tile_stride]
+                                for c in range(vc)
+                            )
+                        add_gray_or_palette(vals)
+        scale = 255.0 if photo != 3 else 65535.0
+        if photo in (0, 1):
+            tot[1] = tot[2] = tot[0]
+    elif planar == 2 and spp > 1:
+        strips = segments(273, 279)
+        if len(strips) % spp:
+            raise ValueError(
+                f"TIFF planar strip count {len(strips)} not a "
+                f"multiple of SamplesPerPixel {spp}"
+            )
+        per_plane = len(strips) // spp
+        use_planes = 3 if photo == 2 else 1
+        for plane in range(use_planes):
+            seg = undiff(
+                b"".join(
+                    strips[plane * per_plane : (plane + 1) * per_plane]
+                ),
+                width,
+                1,
+            )
+            if len(seg) < n:
+                raise ValueError("TIFF pixel data short of width*height")
+            if photo == 2:
+                tot[plane] = sum(seg[:n])
+            else:
+                add_gray_or_palette(seg[:n])
+        scale = 255.0 if photo != 3 else 65535.0
+        if photo in (0, 1):
+            tot[1] = tot[2] = tot[0]
     else:
-        raise NotImplementedError(
-            f"TIFF photometric {photo} not supported"
-        )
+        data = b"".join(segments(273, 279))
+        if depth != 8:
+            # sub-8-bit: rows are byte-aligned, pixels packed MSB-first;
+            # predictor 2 over sub-8 data is not meaningful here
+            if predictor == 2:
+                raise NotImplementedError(
+                    "TIFF predictor 2 with sub-8-bit samples"
+                )
+            row_bytes = (width * depth + 7) // 8
+            if len(data) < row_bytes * height:
+                raise ValueError("TIFF pixel data short of width*height")
+            mask = (1 << depth) - 1
+            vals = []
+            for r in range(height):
+                base = r * row_bytes
+                for c in range(width):
+                    bitpos = c * depth
+                    byte = data[base + (bitpos >> 3)]
+                    shift = 8 - depth - (bitpos & 7)
+                    vals.append((byte >> shift) & mask)
+            add_gray_or_palette(vals)
+            scale = float(mask) if photo != 3 else 65535.0
+            if photo in (0, 1):
+                tot[1] = tot[2] = tot[0]
+        else:
+            data = undiff(data, width, spp)
+            need = n * spp
+            if len(data) < need:
+                raise ValueError("TIFF pixel data short of width*height")
+            if photo in (0, 1):
+                inv = photo == 0
+                for p in range(n):
+                    v = data[p * spp]
+                    if inv:
+                        v = 255 - v
+                    tot[0] += v
+                tot[1] = tot[2] = tot[0]
+                scale = 255.0
+            elif photo == 2:
+                for p in range(n):
+                    b0 = p * spp
+                    tot[0] += data[b0]
+                    tot[1] += data[b0 + 1]
+                    tot[2] += data[b0 + 2]
+                scale = 255.0
+            else:  # palette
+                add_gray_or_palette(data[p * spp] for p in range(n))
+                scale = 65535.0
     d = n * scale
     return [float(width), float(height), tot[0] / d, tot[1] / d, tot[2] / d]
 
