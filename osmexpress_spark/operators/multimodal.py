@@ -7,8 +7,9 @@ pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
 24-bit BMP, binary PPM, the complete PNG still-image matrix (every
 color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7),
 baseline sequential JPEG, GIF87a/89a, and TIFF
-(uncompressed/LZW/Deflate/PackBits; strip or tile layout; chunky or
-planar; sub-8-bit gray/palette strips) in pure stdlib(+numpy), and raises
+(uncompressed/LZW/Deflate/PackBits/new-style-JPEG; strip or tile
+layout; chunky or planar; sub-8-bit gray/palette strips) in pure
+stdlib(+numpy), and raises
 NotImplementedError for the remaining variants (progressive/arithmetic
 JPEG, WebP, ... — the honest-stub branch, recorded as
 decode_ok=False);
@@ -61,14 +62,15 @@ def image_decoder(payload: bytes) -> list[float]:
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
     any sampling factors <= 4), GIF87a/89a (full LZW, global/local
     palettes, interlace, first frame), and TIFF (II/MM,
-    uncompressed/LZW/Deflate/PackBits, gray/RGB(A)/palette, horizontal
-    predictor, strip OR tile layout, chunky OR planar, sub-8-bit
-    gray/palette strips). Returns the
+    uncompressed/LZW/Deflate/PackBits/new-style JPEG incl. shared
+    JPEGTables, gray/RGB(A)/palette, horizontal predictor, strip OR
+    tile layout, chunky OR planar, sub-8-bit gray/palette strips).
+    Returns the
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
     Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
-    JPEG-compressed TIFF, WebP/...) raise
+    old-style-JPEG or edge-padded-JPEG-tiled TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
     format raises ValueError (also decode_ok=False): truncation must
@@ -592,7 +594,7 @@ def _decode_tiff(payload: bytes) -> list[float]:
         raise ValueError("TIFF IFD offset out of range")
     (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
     tags: dict[int, list[int]] = {}
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         if off + 12 > len(payload):
@@ -606,7 +608,7 @@ def _decode_tiff(payload: bytes) -> list[float]:
         )[0]
         if voff + sz > len(payload):
             raise ValueError("TIFF tag value out of range")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(
             struct.unpack_from(e + fmt * cnt, payload, voff)
         )
@@ -622,10 +624,10 @@ def _decode_tiff(payload: bytes) -> list[float]:
     if width == 0 or height == 0:
         raise ValueError("TIFF zero dimension")
     comp = one(259, 1)
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported "
-            "(uncompressed, LZW, Deflate and PackBits only)"
+            f"TIFF compression {comp} not supported (uncompressed, "
+            "LZW, new-style JPEG, Deflate and PackBits only)"
         )
     predictor = one(317, 1)
     if predictor not in (1, 2):
@@ -634,7 +636,7 @@ def _decode_tiff(payload: bytes) -> list[float]:
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar config {planar} not supported")
     photo = one(262)
-    if photo not in (0, 1, 2, 3):
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
     spp = one(277, 1)
     if photo == 2 and spp < 3:
@@ -700,6 +702,79 @@ def _decode_tiff(payload: bytes) -> list[float]:
             for p in range(r0 + stride, r0 + row_bytes):
                 buf[p] = (buf[p] + buf[p - stride]) & 0xFF
         return bytes(buf)
+
+    if comp == 7:
+        # New-style JPEG-in-TIFF (tech note 2): every segment is a
+        # complete baseline JPEG stream, decoded by delegating to
+        # _decode_jpeg; JPEGTables (347) holds shared DQT/DHT segments
+        # spliced after each segment's SOI.  Exactness holds when
+        # segment pixels tile the image exactly, so padded edge tiles
+        # stay on the honest-stub branch (their padding pixels are
+        # inside the JPEG stream and means can't exclude them).
+        if planar == 2:
+            raise NotImplementedError(
+                "planar JPEG-compressed TIFF not supported"
+            )
+        if predictor != 1:
+            raise NotImplementedError(
+                "predictor with JPEG-compressed TIFF not supported"
+            )
+        splice = b""
+        if 347 in tags:
+            tbl = bytes(tags[347])
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError("JPEGTables not a SOI..EOI stream")
+            splice = tbl[2:-2]
+
+        def jseg(seg: bytes) -> list[float]:
+            if seg[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG segment missing SOI")
+            return _decode_jpeg(b"\xff\xd8" + splice + seg[2:])
+
+        sums = [0.0, 0.0, 0.0]
+        if tiled:
+            tw, th = one(322), one(323)
+            if tw == 0 or th == 0:
+                raise ValueError("TIFF zero tile dimension")
+            if width % tw or height % th:
+                raise NotImplementedError(
+                    "JPEG-compressed TIFF with padded edge tiles "
+                    "not supported"
+                )
+            per = (width // tw) * (height // th)
+            tiles = segments(324, 325)
+            if len(tiles) < per:
+                raise ValueError(
+                    f"TIFF tile count {len(tiles)} short of {per}"
+                )
+            for seg in tiles[:per]:
+                f = jseg(seg)
+                if (f[0], f[1]) != (float(tw), float(th)):
+                    raise ValueError(
+                        "TIFF JPEG tile dims disagree with tags"
+                    )
+                for ch in range(3):
+                    sums[ch] += f[2 + ch] * tw * th
+        else:
+            rows_seen = 0
+            for seg in segments(273, 279):
+                f = jseg(seg)
+                if f[0] != float(width):
+                    raise ValueError(
+                        "TIFF JPEG strip width disagrees with tags"
+                    )
+                rows_seen += int(f[1])
+                for ch in range(3):
+                    sums[ch] += f[2 + ch] * width * f[1]
+            if rows_seen != height:
+                raise ValueError(
+                    f"TIFF JPEG strips cover {rows_seen} rows of {height}"
+                )
+        npx = float(width * height)
+        return [
+            float(width), float(height),
+            sums[0] / npx, sums[1] / npx, sums[2] / npx,
+        ]
 
     # --- gather per-channel integer sums over the valid image area ---
     n = width * height

@@ -1082,8 +1082,10 @@ def test_image_decoder_tiff_failure_and_stub_shapes():
 
     rgb = [[(1, 2, 3)]]
     good = _make_tiff(1, 1, 2, rgb)
+    # old-style JPEG (6) stays a stub; new-style (7) is implemented and
+    # covered in test_tiff_extended.py
     with pytest.raises(NotImplementedError, match="compression"):
-        multimodal.image_decoder(_make_tiff(1, 1, 2, rgb, compression=7))
+        multimodal.image_decoder(_make_tiff(1, 1, 2, rgb, compression=6))
     with pytest.raises(ValueError):
         multimodal.image_decoder(good[:14])  # truncated IFD
     with pytest.raises(ValueError):

@@ -35,8 +35,8 @@ def _tiff(w, h, entries, segs, endian="<"):
     ifd = struct.pack(endian + "H", n)
     overflow = b""
     for tag, typ, values in all_entries:
-        fmt = {3: "H", 4: "I"}[typ]
-        sz = {3: 2, 4: 4}[typ] * len(values)
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
+        sz = {3: 2, 4: 4, 7: 1}[typ] * len(values)
         if sz <= 4:
             raw = struct.pack(endian + fmt * len(values), *values)
             raw += b"\x00" * (4 - sz)
@@ -290,3 +290,141 @@ def test_photometric_and_spp_validated_before_decode():
     ]
     with pytest.raises(ValueError, match="fewer than 3"):
         multimodal.image_decoder(_tiff(1, 1, ent, (273, 279, [b"\x00\x00"])))
+
+
+# --- new-style JPEG-in-TIFF (compression 7) ----------------------------------
+
+
+def _rgb_array(w, h):
+    import numpy as np
+
+    return np.array(
+        [[((r * 31 + c * 7) % 256, (r * 3 + c * 17) % 256,
+           (r * 13 + c * 5) % 256) for c in range(w)] for r in range(h)],
+        dtype=np.uint8,
+    )
+
+
+def _split_tables(stream):
+    """Partition a JFIF stream into (tables_stream, stripped_stream):
+    DQT/DHT segments move into a SOI..EOI tables stream (the JPEGTables
+    tag shape), everything else stays in order."""
+    pos = 2
+    tables = b""
+    rest = b""
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            rest += stream[pos:]
+            break
+        ln = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    return (b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + rest)
+
+
+def test_jpeg_tiff_strips_match_direct_decode():
+    from jpeg_ref import encode_jpeg
+
+    w, h = 8, 6
+    img = _rgb_array(w, h)
+    strips = [encode_jpeg(img[:3]), encode_jpeg(img[3:])]
+    ent = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]), (278, 4, [3]),
+    ]
+    got = multimodal.image_decoder(_tiff(w, h, ent, (273, 279, strips)))
+    f1 = multimodal._decode_jpeg(strips[0])
+    f2 = multimodal._decode_jpeg(strips[1])
+    exp = [(f1[2 + ch] + f2[2 + ch]) / 2 for ch in range(3)]
+    assert got[:2] == [float(w), float(h)]
+    assert got[2:] == pytest.approx(exp, abs=1e-12)
+
+
+def test_jpeg_tiff_tiles_and_jpegtables():
+    from jpeg_ref import encode_jpeg
+
+    w, h, tw, th = 8, 8, 4, 4
+    img = _rgb_array(w, h)
+    tile_streams = [
+        encode_jpeg(img[tj * th : (tj + 1) * th, ti * tw : (ti + 1) * tw])
+        for tj in range(2)
+        for ti in range(2)
+    ]
+    exp = [
+        sum(multimodal._decode_jpeg(t)[2 + ch] for t in tile_streams) / 4
+        for ch in range(3)
+    ]
+    # plain tiled
+    ent = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]), (322, 4, [tw]), (323, 4, [th]),
+    ]
+    got = multimodal.image_decoder(_tiff(w, h, ent, (324, 325, tile_streams)))
+    assert got[2:] == pytest.approx(exp, abs=1e-12)
+    # shared JPEGTables: strip DQT/DHT out of every tile, splice via 347
+    tables, _ = _split_tables(tile_streams[0])
+    stripped = [_split_tables(t)[1] for t in tile_streams]
+    ent347 = ent + [(347, 7, list(tables))]
+    got2 = multimodal.image_decoder(
+        _tiff(w, h, ent347, (324, 325, stripped))
+    )
+    assert got2[2:] == pytest.approx(exp, abs=1e-12)
+
+
+def test_jpeg_tiff_grayscale_strip():
+    import numpy as np
+
+    from jpeg_ref import encode_jpeg
+
+    w, h = 8, 8
+    img = np.array(
+        [[(r * 11 + c * 23) % 256 for c in range(w)] for r in range(h)],
+        dtype=np.uint8,
+    )
+    stream = encode_jpeg(img)
+    ent = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [7]),
+        (262, 3, [1]), (277, 3, [1]),
+    ]
+    got = multimodal.image_decoder(_tiff(w, h, ent, (273, 279, [stream])))
+    assert got[2:] == pytest.approx(multimodal._decode_jpeg(stream)[2:],
+                                    abs=1e-12)
+
+
+def test_jpeg_tiff_honest_stubs_and_errors():
+    from jpeg_ref import encode_jpeg
+
+    img = _rgb_array(6, 6)
+    stream = encode_jpeg(img)
+    base = [
+        (256, 4, [6]), (257, 4, [6]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]),
+    ]
+    # padded edge tiles (6 % 4 != 0)
+    ent = base + [(322, 4, [4]), (323, 4, [4])]
+    with pytest.raises(NotImplementedError, match="padded edge"):
+        multimodal.image_decoder(_tiff(6, 6, ent, (324, 325, [stream] * 4)))
+    # planar
+    ent = base + [(284, 3, [2])]
+    with pytest.raises(NotImplementedError, match="planar JPEG"):
+        multimodal.image_decoder(_tiff(6, 6, ent, (273, 279, [stream])))
+    # strip width disagrees with tags
+    ent = [
+        (256, 4, [7]), (257, 4, [6]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]),
+    ]
+    with pytest.raises(ValueError, match="width disagrees"):
+        multimodal.image_decoder(_tiff(7, 6, ent, (273, 279, [stream])))
+    # strips cover fewer rows than ImageLength
+    ent = [
+        (256, 4, [6]), (257, 4, [9]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]),
+    ]
+    with pytest.raises(ValueError, match="cover 6 rows of 9"):
+        multimodal.image_decoder(_tiff(6, 9, ent, (273, 279, [stream])))
