@@ -121,6 +121,7 @@ PENDING_HEADLINE: list[str] = [
     "q_distinctive_terms",
     "q_mix_plan",
     "q_image_ingest_dedup",
+    "q_format_census",
 ]
 
 

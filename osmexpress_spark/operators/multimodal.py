@@ -2165,3 +2165,73 @@ def near_dup_against_store(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def sniff_format(payload: Column) -> Column:
+    """Scan-side container sniffing for opaque binary columns: the
+    "what is actually in this blob drop" primitive that routes rows to
+    decoders and catches mislabeled uploads BEFORE a Python stage ever
+    runs.  A pure JVM expression (binary substring prefix compares in
+    whole-stage codegen, zero shuffle, zero Python) over the magic
+    bytes of the formats the in-container decoders and honest stubs
+    know: bmp, png, jpeg, gif, tiff, ppm, wav, webp, ogg, flac, mp3,
+    mp4, gzip, zip, pdf — else 'unknown'.  RIFF containers are
+    disambiguated by their type field (WAVE vs WEBP) before any
+    generic fallback."""
+
+    def pre(n: int) -> Column:
+        return F.substring(payload, 1, n)
+
+    return (
+        F.when(
+            (pre(4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(
+            (pre(4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(b"WEBP")),
+            F.lit("webp"),
+        )
+        .when(pre(8) == F.lit(b"\x89PNG\r\n\x1a\n"), F.lit("png"))
+        .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))
+        .when(pre(2) == F.lit(b"\xff\xd8"), F.lit("jpeg"))
+        .when(
+            (pre(6) == F.lit(b"GIF87a")) | (pre(6) == F.lit(b"GIF89a")),
+            F.lit("gif"),
+        )
+        .when(
+            (pre(4) == F.lit(b"II*\x00")) | (pre(4) == F.lit(b"MM\x00*")),
+            F.lit("tiff"),
+        )
+        .when(pre(2) == F.lit(b"P6"), F.lit("ppm"))
+        .when(pre(4) == F.lit(b"OggS"), F.lit("ogg"))
+        .when(pre(4) == F.lit(b"fLaC"), F.lit("flac"))
+        .when(pre(3) == F.lit(b"ID3"), F.lit("mp3"))
+        .when(F.substring(payload, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
+        .when(pre(2) == F.lit(b"\x1f\x8b"), F.lit("gzip"))
+        .when(pre(4) == F.lit(b"PK\x03\x04"), F.lit("zip"))
+        .when(pre(4) == F.lit(b"%PDF"), F.lit("pdf"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def format_census(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-format ingest census over a binary column: row count and
+    total bytes by sniffed container — one map-side-combined aggregate
+    over the scan-side sniff expression, nothing corpus-sized shuffles
+    and no byte leaves the executor.  The triage step before pointing
+    decoders (or a quarantine bucket) at a new multimodal drop."""
+    return (
+        df.select(
+            sniff_format(F.col(payload_col)).alias("format"),
+            F.octet_length(F.col(payload_col)).alias("_n"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_n").cast("long").alias("n_bytes"),
+        )
+    )

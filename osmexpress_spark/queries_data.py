@@ -5227,3 +5227,36 @@ def q_image_ingest_dedup(spark, sf_dir):
     ref = multimodal.load_band_store(spark, store)
     new = bands_of(d.where(F.col("doc_id") % 3 == 0))
     return multimodal.near_dup_against_store(new, ref, max_hamming=3)
+
+
+@defq_pending(
+    "q_format_census",
+    """
+    WITH split AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format
+      FROM documents
+    )
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) * CASE format WHEN 'bmp' THEN 822 ELSE 556 END
+                AS BIGINT) AS n_bytes
+    FROM split GROUP BY format
+    """,
+)
+def q_format_census(spark, sf_dir):
+    """Multimodal ingest triage (multimodal.sniff_format /
+    format_census): even docs synthesize real 16x16 BMPs (822 bytes:
+    54-byte header + 16 x 48-byte padded rows), odd docs real PCM WAVs
+    (556 bytes: 44-byte RIFF/fmt/data header + 512 samples); the
+    census sniffs container magic SCAN-SIDE (pure JVM prefix compares,
+    no Python past the synth seam) and aggregates count + bytes per
+    format.  The oracle knows each synthetic format's exact byte size,
+    so a misclassified or mis-sized payload breaks the value hash —
+    the triage step before pointing decoders at a blob drop."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_bmp24(
+        d.where(F.col("doc_id") % 2 == 0), "doc_id"
+    ).unionByName(
+        multimodal.synth_wav8(d.where(F.col("doc_id") % 2 == 1), "doc_id")
+    )
+    return multimodal.format_census(blobs)

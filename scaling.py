@@ -91,6 +91,7 @@ SUBSET = [
     "q_distinctive_terms",     # vocab-sized lift join, group windows
     "q_mix_plan",              # one map-side agg to |domains| rows
     "q_image_ingest_dedup",    # persisted band store, new batch only decodes
+    "q_format_census",         # scan-side magic sniff, map-side agg
 ]
 
 

@@ -488,3 +488,55 @@ def test_ingest_dedup_never_redecodes_reference(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("MapInPandas") == 2
     assert "Scan parquet" in final  # the reference side reads the store
+
+
+# --- format sniffing -----------------------------------------------------------
+
+
+def test_sniff_format_classifies_magic_bytes(spark):
+    samples = [
+        (1, b"BM" + b"\x00" * 60, "bmp"),
+        (2, b"\x89PNG\r\n\x1a\n rest", "png"),
+        (3, b"\xff\xd8\xff\xe0 jfif", "jpeg"),
+        (4, b"GIF89a...", "gif"),
+        (5, b"II*\x00...", "tiff"),
+        (6, b"MM\x00*...", "tiff"),
+        (7, b"P6 1 1 255\n\x00\x00\x00", "ppm"),
+        (8, b"RIFF\x00\x00\x00\x00WAVEfmt ", "wav"),
+        (9, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "webp"),
+        (10, b"OggS....", "ogg"),
+        (11, b"fLaC....", "flac"),
+        (12, b"ID3\x03...", "mp3"),
+        (13, b"\x00\x00\x00\x18ftypisom", "mp4"),
+        (14, b"\x1f\x8b\x08...", "gzip"),
+        (15, b"PK\x03\x04...", "zip"),
+        (16, b"%PDF-1.7", "pdf"),
+        (17, b"just some text", "unknown"),
+        (18, b"RIFF\x00\x00\x00\x00AVI LIST", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _ in samples],
+        "item_id long, payload binary",
+    )
+    got = {
+        r["item_id"]: r["fmt"]
+        for r in df.select(
+            "item_id", M.sniff_format(F.col("payload")).alias("fmt")
+        ).collect()
+    }
+    assert got == {i: f for i, _, f in samples}
+
+
+def test_format_census_is_jvm_side_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BM" + b"\x00" * 10)),
+         (2, bytearray(b"BM" + b"\x00" * 20)),
+         (3, bytearray(b"%PDF-1.4"))],
+        "item_id long, payload binary",
+    )
+    rows = {r["format"]: r for r in M.format_census(df).collect()}
+    assert rows["bmp"]["n_items"] == 2 and rows["bmp"]["n_bytes"] == 34
+    assert rows["pdf"]["n_items"] == 1 and rows["pdf"]["n_bytes"] == 8
+    plan = M.format_census(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan  # sniffing never leaves the JVM
