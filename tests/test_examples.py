@@ -111,3 +111,12 @@ def test_curate_corpus_example():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "CURATED" in r.stdout
     assert "per-domain selection" in r.stdout
+
+
+def test_example_multimodal_dedup(tmp_path):
+    store = str(tmp_path / "band_store")
+    r = _run([os.path.join(EX, "multimodal_dedup.py"), SF, store],
+             timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "format census" in r.stdout
+    assert "hits (re-ingested items match themselves at 0)" in r.stdout
