@@ -453,3 +453,40 @@ def drift_census_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def format_census_stream(
+    stream_blobs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    payload_col: str = "payload",
+    epoch_col: str = "epoch",
+):
+    """Continuous multimodal ingest triage: each micro-batch's payloads
+    are container-sniffed SCAN-SIDE (multimodal.sniff_format — pure
+    JVM prefix compares, no decode, no Python) and the per-format
+    (n_items, n_bytes) census lands per data-epoch label — the monitor
+    that catches an upstream crawler change (an 'unknown' or wrong-
+    format spike) before a decode stage burns a cluster on it.  Same
+    contract as drift_census_stream: keyed by the ``epoch_col`` LABEL
+    in the data (never the trigger id), epoch overwrite keeps retries
+    idempotent, bounded epoch cardinality per batch, availableNow for
+    the daily-drop shape."""
+    from ..operators import multimodal as mm
+
+    def _batch(bdf: DataFrame, _batch_id: int) -> None:
+        bdf = bdf.localCheckpoint()
+        epochs = [r[0] for r in bdf.select(epoch_col).distinct().collect()]
+        for e in epochs:
+            mm.format_census(
+                bdf.where(F.col(epoch_col) == e), payload_col
+            ).write.mode("overwrite").parquet(
+                f"{out_path.rstrip('/')}/epoch={e}"
+            )
+
+    return (
+        stream_blobs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -540,3 +540,44 @@ def test_format_census_is_jvm_side_and_counts(spark):
     plan = M.format_census(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan  # sniffing never leaves the JVM
+
+
+def test_format_census_stream_per_epoch(spark, tmp_path):
+    """The streaming triage monitor: two epochs of blob drops arrive as
+    files; each epoch's census lands under its DATA label with exact
+    counts and byte totals."""
+    from osmexpress_spark.streaming import watermark_ops as W
+
+    base = str(tmp_path)
+    rows = [
+        (1, 1, bytearray(b"BM" + b"\x00" * 8)),
+        (1, 2, bytearray(b"%PDF-1.4")),
+        (2, 3, bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt ")),
+        (2, 4, bytearray(b"garbage")),
+        (2, 5, bytearray(b"garbage2")),
+    ]
+    df = spark.createDataFrame(
+        rows, "epoch long, item_id long, payload binary"
+    )
+    for e in (1, 2):
+        df.where(F.col("epoch") == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(base + "/feed")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+    W.format_census_stream(
+        stream, base + "/out", base + "/ckpt"
+    ).awaitTermination()
+    e1 = {
+        r["format"]: (r["n_items"], r["n_bytes"])
+        for r in spark.read.parquet(base + "/out/epoch=1").collect()
+    }
+    e2 = {
+        r["format"]: (r["n_items"], r["n_bytes"])
+        for r in spark.read.parquet(base + "/out/epoch=2").collect()
+    }
+    assert e1 == {"bmp": (1, 10), "pdf": (1, 8)}
+    assert e2 == {"wav": (1, 16), "unknown": (2, 15)}
