@@ -122,6 +122,7 @@ PENDING_HEADLINE: list[str] = [
     "q_mix_plan",
     "q_image_ingest_dedup",
     "q_format_census",
+    "q_quota_fill",
 ]
 
 

@@ -687,3 +687,52 @@ def mix_plan(
             "oversampled",
         )
     )
+
+
+def quota_fill_report(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: Mapping[str, int],
+) -> DataFrame:
+    """The mixture post-flight check: run domain_mix_quota and report,
+    per REQUESTED domain, requested vs available vs achieved counts,
+    the integer fill rate, and the ``underfilled`` flag (available <
+    requested — the corpus cannot fill this domain's slice and the
+    training mix will silently skew unless re-weighted or repeated).
+    Domains requested but absent from the corpus surface as explicit
+    (available=0, achieved=0) rows instead of vanishing.
+
+    Shape at scale: two map-side-combined counts to |domains| rows
+    (plus the quota selection's per-domain windows), the |quotas|-row
+    spec frame joined broadcast-small — nothing corpus-sized past the
+    aggregates."""
+    spark = df.sparkSession
+    req = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(quotas.items())],
+        f"{strata_col} string, requested long",
+    )
+    avail = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("available")
+    )
+    ach = (
+        domain_mix_quota(df, strata_col, id_col, quotas)
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("achieved"))
+    )
+    return (
+        req.join(avail, strata_col, "left")
+        .join(ach, strata_col, "left")
+        .withColumn(
+            "available", F.coalesce(F.col("available"), F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "achieved", F.coalesce(F.col("achieved"), F.lit(0).cast("long"))
+        )
+        .withColumn("fill_ppm", F.expr("achieved * 1000000 DIV requested"))
+        .withColumn("underfilled", F.col("available") < F.col("requested"))
+        .select(
+            strata_col, "requested", "available", "achieved",
+            "fill_ppm", "underfilled",
+        )
+    )

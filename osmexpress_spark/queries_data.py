@@ -5260,3 +5260,61 @@ def q_format_census(spark, sf_dir):
         multimodal.synth_wav8(d.where(F.col("doc_id") % 2 == 1), "doc_id")
     )
     return multimodal.format_census(blobs)
+
+
+@defq_pending(
+    "q_quota_fill",
+    """
+    WITH req AS (
+      SELECT * FROM (VALUES
+        ('src0', CAST(10 AS BIGINT)),
+        ('src1', CAST(5 AS BIGINT)),
+        ('src3', CAST(7 AS BIGINT)),
+        ('src_absent', CAST(4 AS BIGINT))
+      ) AS t(source, requested)
+    ),
+    av AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS available
+      FROM documents GROUP BY source
+    ),
+    sel AS (
+      SELECT source FROM (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+      )
+      WHERE rn <= CASE source WHEN 'src0' THEN 10
+                              WHEN 'src1' THEN 5
+                              WHEN 'src3' THEN 7
+                              ELSE 0 END
+    ),
+    ach AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS achieved
+      FROM sel GROUP BY source
+    )
+    SELECT r.source, r.requested,
+           COALESCE(av.available, CAST(0 AS BIGINT)) AS available,
+           COALESCE(ach.achieved, CAST(0 AS BIGINT)) AS achieved,
+           CAST(COALESCE(ach.achieved, CAST(0 AS BIGINT)) * 1000000
+                // r.requested AS BIGINT) AS fill_ppm,
+           COALESCE(av.available, CAST(0 AS BIGINT)) < r.requested
+             AS underfilled
+    FROM req r
+    LEFT JOIN av USING (source)
+    LEFT JOIN ach USING (source)
+    """,
+)
+def q_quota_fill(spark, sf_dir):
+    """Mixture post-flight (sample.quota_fill_report): requested vs
+    available vs achieved per domain for the q_domain_mix quota spec
+    plus one deliberately absent domain — achieved is recomputed from
+    an actual domain_mix_quota selection (so the gate re-verifies the
+    quota windows end-to-end), absent domains surface as explicit
+    zero rows, and ``underfilled`` flags where the corpus cannot fill
+    the requested slice.  Integer fill_ppm; all counts exact."""
+    d = t(spark, sf_dir, "documents")
+    return sample.quota_fill_report(
+        d, "source", "doc_id", {**_MIX_QUOTAS, "src_absent": 4}
+    )

@@ -92,6 +92,7 @@ SUBSET = [
     "q_mix_plan",              # one map-side agg to |domains| rows
     "q_image_ingest_dedup",    # persisted band store, new batch only decodes
     "q_format_census",         # scan-side magic sniff, map-side agg
+    "q_quota_fill",            # two |domains|-row counts + quota windows
 ]
 
 

@@ -581,3 +581,28 @@ def test_format_census_stream_per_epoch(spark, tmp_path):
     }
     assert e1 == {"bmp": (1, 10), "pdf": (1, 8)}
     assert e2 == {"wav": (1, 16), "unknown": (2, 15)}
+
+
+def test_quota_fill_report_math(spark):
+    from osmexpress_spark.operators import sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(3)] + [(10 + i, "b") for i in range(8)],
+        "doc_id long, src string",
+    )
+    rows = {
+        r["src"]: r
+        for r in sample.quota_fill_report(
+            df, "src", "doc_id", {"a": 5, "b": 4, "c": 2}
+        ).collect()
+    }
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    # a: wants 5, only 3 exist -> underfilled, achieved 3
+    assert (a["requested"], a["available"], a["achieved"]) == (5, 3, 3)
+    assert a["underfilled"] and a["fill_ppm"] == 600000
+    # b: wants 4 of 8 -> full
+    assert (b["requested"], b["available"], b["achieved"]) == (4, 8, 4)
+    assert not b["underfilled"] and b["fill_ppm"] == 1000000
+    # c: requested but absent -> explicit zero row
+    assert (c["requested"], c["available"], c["achieved"]) == (2, 0, 0)
+    assert c["underfilled"] and c["fill_ppm"] == 0
