@@ -490,3 +490,65 @@ def format_census_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_dup_stream_vs_band_store(
+    stream_blobs: DataFrame,
+    bands_fn,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "item_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    append_bands: bool = True,
+):
+    """Continuous multimodal ingest dedup against the persisted band
+    store — dedup_docs_stream_vs_corpus's image/audio sibling: each
+    micro-batch's payloads run through ``bands_fn`` (decode + hash
+    packing, e.g. synth-free ``lambda df: ahash_bands(extract_features
+    (df, decoder=bmp_gray_grid))``), band-join the STORE
+    (multimodal.near_dup_against_store — the admitted corpus is never
+    re-decoded), survivors (no hit within ``max_hamming``) land in
+    out_path/epoch=<id>/, and by default the survivors' bands append
+    to the store so later batches dedup against everything already
+    admitted.
+
+    Exactly-once notes (same contract as the text form): the survivor
+    write is per-epoch overwrite (idempotent on foreachBatch retries);
+    the band append is at-least-once — a retried epoch can duplicate
+    band rows, which only re-creates candidate pairs the join's
+    distinct() absorbs, so admission decisions never change.  Returns
+    the started StreamingQuery (availableNow — the daily-drop shape).
+    """
+    from ..operators import multimodal as mm
+
+    spark = stream_blobs.sparkSession
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf = bdf.localCheckpoint()
+        if not bdf.take(1):
+            return
+        new_bands = bands_fn(bdf).localCheckpoint()
+        store = mm.load_band_store(spark, store_path, id_col, n_bands)
+        hits = mm.near_dup_against_store(
+            new_bands, store, id_col, n_bands, max_hamming
+        )
+        dup_ids = hits.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = new_bands.join(dup_ids, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path.rstrip('/')}/epoch={epoch_id}"
+        )
+        if append_bands:
+            survivors.select(
+                id_col, *[f"band_{b}" for b in range(n_bands)]
+            ).write.mode("append").parquet(
+                store_path.rstrip("/") + "/bands"
+            )
+
+    return (
+        stream_blobs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

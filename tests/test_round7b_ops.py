@@ -606,3 +606,64 @@ def test_quota_fill_report_math(spark):
     # c: requested but absent -> explicit zero row
     assert (c["requested"], c["available"], c["achieved"]) == (2, 0, 0)
     assert c["underfilled"] and c["fill_ppm"] == 0
+
+
+def test_near_dup_stream_vs_band_store_grows_with_admissions(spark, tmp_path):
+    """Two days of image drops through a real readStream: day 1 rejects
+    a store near-dup and admits a novel image; day 2 rejects a
+    duplicate OF THE DAY-1 SURVIVOR — proving the store grows with
+    admissions (the corpus is never re-decoded)."""
+    from osmexpress_spark.streaming import watermark_ops as W
+
+    base = str(tmp_path)
+
+    def bands_for(ids):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return M.ahash_bands(
+            M.extract_features(
+                M.synth_bmp24(docs, "doc_id"), decoder=M.bmp_gray_grid
+            ),
+            threshold="mid",
+        )
+
+    # seed the store with image 10 (base 5)
+    M.save_band_store(bands_for([10]), base + "/store")
+    # day 1: image 11 (sibling of 10 -> duplicate), image 20 (novel)
+    # day 2: image 21 (sibling of 20, which was ADMITTED on day 1).
+    # FileStreamSource orders new files by modification time, so the
+    # sequential writes below replay in day order.
+    for day, ids in ((1, [11, 20]), (2, [21])):
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        M.synth_bmp24(docs, "doc_id").withColumn(
+            "day", F.lit(day)
+        ).coalesce(1).write.mode("append").parquet(base + "/feed")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+
+    def bands_fn(bdf):
+        return M.ahash_bands(
+            M.extract_features(
+                bdf.select("item_id", "payload"),
+                decoder=M.bmp_gray_grid,
+            ),
+            threshold="mid",
+        )
+
+    W.near_dup_stream_vs_band_store(
+        stream, bands_fn, base + "/store", base + "/out", base + "/ckpt"
+    ).awaitTermination()
+    survivors = {
+        r["item_id"]
+        for r in spark.read.parquet(base + "/out").collect()
+    }
+    # 11 rejected (dup of stored 10); 20 admitted; 21 rejected (dup of
+    # admitted 20) — works only if 20's bands reached the store
+    assert survivors == {20}
+    store_ids = {
+        r["item_id"]
+        for r in M.load_band_store(spark, base + "/store").collect()
+    }
+    assert store_ids == {10, 20}
