@@ -6,7 +6,7 @@ bytes never round-trip through Python row-by-row. The decode step is
 pluggable via `decoder=`: `image_decoder` REALLY decodes uncompressed
 24-bit BMP, binary PPM, the complete PNG still-image matrix (every
 color type, 8/16-bit — palette 1/2/4/8-bit — sequential and Adam7),
-baseline sequential JPEG, GIF87a/89a, and TIFF
+baseline sequential + progressive JPEG, GIF87a/89a, and TIFF
 (uncompressed/LZW/Deflate/PackBits/new-style-JPEG; strip or tile
 layout; chunky or planar; sub-8-bit gray/palette strips) in pure
 stdlib(+numpy), and raises
@@ -60,7 +60,9 @@ def image_decoder(payload: bytes) -> list[float]:
     still-image matrix (grayscale / truecolor / palette / each with
     alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
-    any sampling factors <= 4), GIF87a/89a (full LZW, global/local
+    any sampling factors <= 4) AND progressive JPEG (SOF2: spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs), GIF87a/89a (full LZW, global/local
     palettes, interlace, first frame), and TIFF (II/MM,
     uncompressed/LZW/Deflate/PackBits/new-style JPEG incl. shared
     JPEGTables, gray/RGB(A)/palette, horizontal predictor, strip OR
@@ -69,7 +71,7 @@ def image_decoder(payload: bytes) -> list[float]:
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
-    Remaining variants (progressive/arithmetic/12-bit/CMYK JPEG,
+    Remaining variants (arithmetic/12-bit/CMYK/hierarchical JPEG,
     old-style-JPEG or edge-padded-JPEG-tiled TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
@@ -941,10 +943,16 @@ def _decode_tiff(payload: bytes) -> list[float]:
 # corpora. Pure stdlib + numpy: marker parse, canonical Huffman decode
 # with byte-stuffing and restart markers, dequantize, 8x8 matrix IDCT,
 # sampling-factor chroma upsample (4:4:4 / 4:2:2 / 4:2:0 / any h,v <=
-# 4), JFIF YCbCr -> RGB. Progressive (SOF2), arithmetic (SOF9+),
-# hierarchical, 12-bit, and 4-component (Adobe CMYK) streams stay on
-# the honest NotImplementedError branch; malformed streams raise
-# ValueError per the extract_features decoder contract.
+# 4), JFIF YCbCr -> RGB. Progressive (SOF2) decodes through the
+# multi-scan coefficient-accumulation path (_jpeg_prog_scan /
+# _jpeg_prog_finish): spectral selection, successive approximation,
+# DC/AC first and refinement passes, EOB-run coding — validated
+# against the progressive encoder in tests/jpeg_ref.py which emits the
+# SAME quantized coefficients as its baseline encoder, so both streams
+# must decode to identical means. Arithmetic (SOF9+), hierarchical,
+# 12-bit, and 4-component (Adobe CMYK) streams stay on the honest
+# NotImplementedError branch; malformed streams raise ValueError per
+# the extract_features decoder contract.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1079,10 +1087,241 @@ def _jpeg_idct_mat():
     return m
 
 
+
+
+def _jpeg_prog_scan(
+    d: bytes,
+    pos: int,
+    frame: dict,
+    huff: dict,
+    restart_interval: int,
+    scan_comps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one progressive-JPEG scan (T.81 G.2) into the frame's
+    zigzag-order coefficient arrays: DC first/refine (interleaved or
+    single-component), AC first/refine (single-component per spec)
+    with EOB-run coding and successive-approximation correction bits
+    (the libjpeg-shaped refinement control flow).  Returns the stream
+    position of the scan's terminating marker."""
+    import numpy as np
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    if not frame.get("coef"):
+        frame["coef"] = [
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+            for c in comps
+        ]
+    byid = {c["id"]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, tdta in scan_comps:
+        if cs not in byid:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        sel.append((byid[cs], tdta >> 4, tdta & 15))
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan with Se != 0")
+    if ss > 0 and len(sel) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("JPEG bad spectral selection / point transform")
+    bits = _JpegBits(d, pos)
+    unit, rst_idx = 0, 0
+
+    def maybe_restart(state: dict) -> None:
+        nonlocal rst_idx
+        if restart_interval and unit and unit % restart_interval == 0:
+            bits.restart(rst_idx)
+            rst_idx = (rst_idx + 1) & 7
+            state["eobrun"] = 0
+            for k in state.get("pred", {}):
+                state["pred"][k] = 0
+
+    if ss == 0:  # DC scan
+        state = {"pred": {ci: 0 for ci, _, _ in sel}, "eobrun": 0}
+        tables = {}
+        if ah == 0:
+            for ci, td, _ in sel:
+                if (0, td) not in huff:
+                    raise ValueError("JPEG scan references missing DC table")
+                tables[ci] = huff[(0, td)]
+
+        def dc_unit(ci: int, blk) -> None:
+            if ah == 0:
+                t = tables[ci].decode(bits)
+                if t > 11:
+                    raise ValueError("JPEG DC category > 11")
+                state["pred"][ci] += _jpeg_extend(bits.get(t), t)
+                blk[0] = state["pred"][ci] << al
+            else:
+                blk[0] = int(blk[0]) | (bits.get(1) << al)
+
+        if len(sel) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(state)
+                    for ci, _, _ in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(
+                                    ci,
+                                    frame["coef"][ci][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ],
+                                )
+                    unit += 1
+        else:  # single component: its own (non-interleaved) block grid
+            ci = sel[0][0]
+            c = comps[ci]
+            bw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+            bh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+            for uy in range(bh):
+                for ux in range(bw):
+                    maybe_restart(state)
+                    dc_unit(ci, frame["coef"][ci][uy, ux])
+                    unit += 1
+        return bits.pos
+
+    # AC scan: single component, non-interleaved block grid
+    ci, _, ta = sel[0]
+    if (1, ta) not in huff:
+        raise ValueError("JPEG scan references missing AC table")
+    ac = huff[(1, ta)]
+    c = comps[ci]
+    bw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+    bh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+    coef = frame["coef"][ci]
+    state = {"eobrun": 0}
+    p1 = 1 << al
+    for uy in range(bh):
+        for ux in range(bw):
+            maybe_restart(state)
+            unit += 1
+            blk = coef[uy, ux]
+            if ah == 0:  # AC first pass
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = ac.decode(bits)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        state["eobrun"] = (1 << r) - 1 + (
+                            bits.get(r) if r else 0
+                        )
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overruns band")
+                    blk[k] = _jpeg_extend(bits.get(sz), sz) << al
+                    k += 1
+                continue
+            # AC refinement pass (T.81 G.1.2.3, libjpeg control flow)
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = ac.decode(bits)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r != 15:
+                            state["eobrun"] = (1 << r) + (
+                                bits.get(r) if r else 0
+                            )
+                            break
+                        # r == 15: pass over 15 zero-history coeffs
+                    else:
+                        if sz != 1:
+                            raise ValueError(
+                                "JPEG AC refine magnitude != 1"
+                            )
+                        sz = p1 if bits.get(1) else -p1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if bits.get(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if sz and k <= se:
+                        blk[k] = sz
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if bits.get(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else -p1)
+                    k += 1
+                state["eobrun"] -= 1
+    return bits.pos
+
+
+def _jpeg_prog_finish(frame: dict, qt: dict) -> list[float]:
+    """Reconstruct a progressive JPEG from its accumulated coefficient
+    arrays: dequantize, IDCT every block (vectorized einsum — the same
+    matrix math as the baseline per-block path), upsample by index
+    replication, JFIF color convert, channel means."""
+    import numpy as np
+
+    if not frame.get("coef"):
+        raise ValueError("JPEG ended before a scan")
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    idct = _jpeg_idct_mat()
+    dezig = np.argsort(np.array(_JPEG_ZIGZAG))
+    full = []
+    for c, coef in zip(comps, frame["coef"]):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        q = np.array(qt[c["tq"]], dtype=np.float64)[dezig].reshape(8, 8)
+        by, bx = coef.shape[0], coef.shape[1]
+        blocks = coef[..., dezig].reshape(by, bx, 8, 8).astype(
+            np.float64
+        ) * q
+        px = np.einsum("ab,yxbc,dc->yxad", idct, blocks, idct) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ys = (np.arange(h) * c["v"]) // vmax
+        xs = (np.arange(w) * c["h"]) // hmax
+        full.append(plane[np.ix_(ys, xs)])
+    if len(full) == 1:
+        y = np.clip(full[0], 0.0, 255.0)
+        m = float(y.mean() / 255.0)
+        return [float(w), float(h), m, m, m]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = np.clip(y + 1.402 * cr, 0.0, 255.0)
+    g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0.0, 255.0)
+    b = np.clip(y + 1.772 * cb, 0.0, 255.0)
+    return [
+        float(w),
+        float(h),
+        float(r.mean() / 255.0),
+        float(g.mean() / 255.0),
+        float(b.mean() / 255.0),
+    ]
+
+
 def _decode_jpeg(payload: bytes) -> list[float]:
-    """Baseline sequential JPEG -> [width, height, mean_r, mean_g,
-    mean_b] (channel means over the clamped RGB image, normalized to
-    [0, 1]; grayscale streams replicate Y into all three means)."""
+    """Baseline sequential OR progressive JPEG -> [width, height,
+    mean_r, mean_g, mean_b] (channel means over the clamped RGB image,
+    normalized to [0, 1]; grayscale streams replicate Y into all three
+    means).  Progressive streams route through _jpeg_prog_scan per SOS
+    and reconstruct at EOI."""
     import struct
 
     import numpy as np
@@ -1114,11 +1353,13 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             raise ValueError("JPEG truncated before SOS/EOI")
         marker = d[pos]
         pos += 1
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:
+            if frame is not None and frame.get("progressive") and frame.get("coef"):
+                break  # progressive: all scans consumed, reconstruct
             raise ValueError("JPEG ended before a scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / stray RST: no payload
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / extended / progressive
             ln = seg_len(pos)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", d, pos + 2)
             if prec != 8:
@@ -1142,12 +1383,11 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                 comps.append(
                     {"id": cid, "h": ch, "v": cv, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
             pos += ln
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported in-container"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1199,6 +1439,19 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = d[pos + 2]
+            if frame.get("progressive"):
+                scan_comps = [
+                    struct.unpack_from(">BB", d, pos + 3 + 2 * i)
+                    for i in range(ns)
+                ]
+                ss, se, ahal = struct.unpack_from(
+                    ">BBB", d, pos + 3 + 2 * ns
+                )
+                pos = _jpeg_prog_scan(
+                    d, pos + ln, frame, huff, restart_interval,
+                    scan_comps, ss, se, ahal >> 4, ahal & 15,
+                )
+                continue
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
                     "multi-scan JPEG (non-interleaved scans) not supported"
@@ -1211,6 +1464,9 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             break
         else:  # APPn, COM, DNL, anything else with a length field
             pos += seg_len(pos)
+
+    if frame.get("progressive"):
+        return _jpeg_prog_finish(frame, qt)
 
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]

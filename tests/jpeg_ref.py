@@ -277,3 +277,277 @@ def encode_jpeg(
     out += bw.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# --- progressive (SOF2) encoder ---------------------------------------------
+#
+# Exercises all four progressive scan types against the SAME quantized
+# coefficients encode_jpeg produces, so a correct decoder must return
+# bit-identical channel means for both streams: DC first (Al=1,
+# interleaved), DC refine, then per component AC first (1..63, Al=1)
+# and AC refine (Al=0) with EOB runs and buffered correction bits
+# (the jcphuff.c control flow re-derived from T.81 G.1.2).
+
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the Annex
+# K.3 baseline tables do not define; use a deliberately simple custom
+# canonical table instead: 255 symbols at 9 bits + symbol 0xFF at 10
+# (Kraft < 1, no 16-bit edge cases) covering every possible RS byte.
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(255)) + [255],
+)
+
+
+def _coef_blocks(plane, q):
+    m = _fdct_mat()
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = []
+    for y in range(by):
+        row = []
+        for x in range(bx):
+            blk = plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8]
+            qc = np.rint((m.T @ (blk - 128.0) @ m) / q).astype(int)
+            row.append([int(qc.flat[ZIGZAG[i]]) for i in range(64)])
+        out.append(row)
+    return out
+
+
+def _sos_header(comp_specs, ss, se, ah, al):
+    body = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _ac_first_scan(w, blocks, ac_codes, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            w.put(c, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [abs(blk[k]) >> al for k in range(64)]
+        last = 63
+        while last >= 1 and vals[last] == 0:
+            last -= 1
+        if last < 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for k in range(1, last + 1):
+            v = vals[k]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_codes[0xF0]
+                w.put(c, ln)
+                r -= 16
+            s = v.bit_length()
+            c, ln = ac_codes[(r << 4) | s]
+            w.put(c, ln)
+            w.put(_amp(v if blk[k] >= 0 else -v, s), s)
+            r = 0
+        if last < 63:
+            eobrun += 1
+    flush_eob()
+
+
+def _ac_refine_scan(w, blocks, ac_codes, al):
+    eobrun = 0
+    be: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            w.put(c, ln)
+            if r:
+                w.put(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in be:
+                w.put(b, 1)
+            be = []
+
+    for blk in blocks:
+        vals = [abs(blk[k]) >> al for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if vals[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            temp = vals[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                c, ln = ac_codes[0xF0]
+                w.put(c, ln)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if temp > 1:
+                br.append(temp & 1)
+                continue
+            flush_eob()
+            c, ln = ac_codes[(r << 4) | 1]
+            w.put(c, ln)
+            w.put(0 if blk[k] < 0 else 1, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be += br
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality_q: int = 1,
+    subsample: str = "444",
+) -> bytes:
+    """Progressive (SOF2) encode of the SAME quantized coefficients
+    encode_jpeg emits, as four+ scans: interleaved DC first (Al=1),
+    interleaved DC refine, then per component AC first (Ss=1..Se=63,
+    Al=1) and AC refine (Al=0)."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full((8, 8), float(quality_q))
+    if gray:
+        planes = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        elif subsample == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb2 = cbp.reshape(cbp.shape[0] // 2, 2,
+                              cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(crp.shape[0] // 2, 2,
+                              crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        np.pad(
+            p,
+            ((0, mcuy * sv * 8 - p.shape[0]),
+             (0, mcux * sh * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+    coefs = [_coef_blocks(p, q) for p in padded]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in (
+        (0, 0, DC_LUM), (1, 0, PROG_AC), (0, 1, DC_CHR), (1, 1, PROG_AC)
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_tabs = [_codes(*DC_LUM)] + [_codes(*DC_CHR)] * (ncomp - 1)
+    ac_tabs = [_codes(*PROG_AC)] * ncomp
+
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos_header(
+        [(i + 1, 0 if i == 0 else 1, 0) for i in range(ncomp)], 0, 0, 0, 1
+    )
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = coefs[ci][my * sv + by][mx * sh + bx][0] >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _cat(diff)
+                        c, ln = dc_tabs[ci][t]
+                        bw.put(c, ln)
+                        if t:
+                            bw.put(_amp(diff, t), t)
+    bw.align()
+    out += bw.buf
+
+    # scan 2: DC refine, interleaved, Ah=1 Al=0 (raw bits, no Huffman)
+    out += _sos_header(
+        [(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0
+    )
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.put(coefs[ci][my * sv + by][mx * sh + bx][0] & 1, 1)
+    bw.align()
+    out += bw.buf
+
+    # scans 3..: per component AC first (Al=1) then AC refine (Al=0),
+    # over the component's NON-interleaved block grid
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        bwide = -(-(-(-w * sh // hmax)) // 8)
+        bhigh = -(-(-(-h * sv // vmax)) // 8)
+        blocks = [
+            coefs[ci][uy][ux]
+            for uy in range(bhigh)
+            for ux in range(bwide)
+        ]
+        for encoder_fn, ah, al in (
+            (_ac_first_scan, 0, 1), (_ac_refine_scan, 1, 0),
+        ):
+            out += _sos_header(
+                [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, ah, al
+            )
+            bw = _BitWriter()
+            encoder_fn(bw, blocks, ac_tabs[ci], al)
+            bw.align()
+            out += bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
