@@ -428,3 +428,21 @@ def test_jpeg_tiff_honest_stubs_and_errors():
     ]
     with pytest.raises(ValueError, match="cover 6 rows of 9"):
         multimodal.image_decoder(_tiff(6, 9, ent, (273, 279, [stream])))
+
+
+def test_jpeg_tiff_progressive_segments():
+    """Compression-7 segments delegate to _decode_jpeg, so progressive
+    JPEG strips decode inside TIFF for free."""
+    from jpeg_ref import encode_jpeg_progressive
+
+    w, h = 8, 6
+    img = _rgb_array(w, h)
+    stream = encode_jpeg_progressive(img)
+    ent = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]),
+    ]
+    got = multimodal.image_decoder(_tiff(w, h, ent, (273, 279, [stream])))
+    assert got[2:] == pytest.approx(
+        multimodal._decode_jpeg(stream)[2:], abs=1e-12
+    )
