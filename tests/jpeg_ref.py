@@ -321,8 +321,9 @@ def _sos_header(comp_specs, ss, se, ah, al):
     return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
 
-def _ac_first_scan(w, blocks, ac_codes, al):
+def _ac_first_scan(w, blocks, ac_codes, al, restart_interval=0):
     eobrun = 0
+    rst = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -334,7 +335,11 @@ def _ac_first_scan(w, blocks, ac_codes, al):
                 w.put(eobrun - (1 << r), r)
             eobrun = 0
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            w.raw_marker(0xD0 + (rst & 7))
+            rst += 1
         vals = [abs(blk[k]) >> al for k in range(64)]
         last = 63
         while last >= 1 and vals[last] == 0:
@@ -365,8 +370,9 @@ def _ac_first_scan(w, blocks, ac_codes, al):
     flush_eob()
 
 
-def _ac_refine_scan(w, blocks, ac_codes, al):
+def _ac_refine_scan(w, blocks, ac_codes, al, restart_interval=0):
     eobrun = 0
+    rst = 0
     be: list[int] = []
 
     def flush_eob():
@@ -382,7 +388,11 @@ def _ac_refine_scan(w, blocks, ac_codes, al):
                 w.put(b, 1)
             be = []
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            w.raw_marker(0xD0 + (rst & 7))
+            rst += 1
         vals = [abs(blk[k]) >> al for k in range(64)]
         eob = 0
         for k in range(1, 64):
@@ -426,6 +436,7 @@ def encode_jpeg_progressive(
     img: np.ndarray,
     quality_q: int = 1,
     subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encode of the SAME quantized coefficients
     encode_jpeg emits, as four+ scans: interleaved DC first (Al=1),
@@ -485,6 +496,8 @@ def encode_jpeg_progressive(
     ):
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     dc_tabs = [_codes(*DC_LUM)] + [_codes(*DC_CHR)] * (ncomp - 1)
     ac_tabs = [_codes(*PROG_AC)] * ncomp
@@ -495,8 +508,14 @@ def encode_jpeg_progressive(
     )
     bw = _BitWriter()
     preds = [0] * ncomp
+    mcu_i, rst = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+                preds = [0] * ncomp
+            mcu_i += 1
             for ci in range(ncomp):
                 sh, sv = samp[ci]
                 for by in range(sv):
@@ -517,8 +536,13 @@ def encode_jpeg_progressive(
         [(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0
     )
     bw = _BitWriter()
+    mcu_i, rst = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+            mcu_i += 1
             for ci in range(ncomp):
                 sh, sv = samp[ci]
                 for by in range(sv):
@@ -545,7 +569,7 @@ def encode_jpeg_progressive(
                 [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, ah, al
             )
             bw = _BitWriter()
-            encoder_fn(bw, blocks, ac_tabs[ci], al)
+            encoder_fn(bw, blocks, ac_tabs[ci], al, restart_interval)
             bw.align()
             out += bw.buf
 

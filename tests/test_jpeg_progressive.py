@@ -124,3 +124,24 @@ def test_progressive_through_extract_features(spark):
     assert rows[1]["decode_ok"]
     assert rows[1]["feat"] == pytest.approx(exp, abs=1e-12)
     assert not rows[2]["decode_ok"]
+
+
+@pytest.mark.parametrize("shape,sub,ri", [
+    ((16, 16, 3), "444", 1),
+    ((24, 18, 3), "444", 2),
+    ((20, 14, 3), "420", 3),
+    ((16, 16), "444", 2),
+])
+def test_progressive_restart_markers(shape, sub, ri):
+    """Restart intervals inside progressive scans: DC predictors and
+    EOB runs reset at every RSTn in all four scan types."""
+    rng = np.random.RandomState(sum(shape) + ri)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    for q in (1, 4):
+        base = M._decode_jpeg(encode_jpeg(img, quality_q=q, subsample=sub))
+        prog = M._decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality_q=q, subsample=sub, restart_interval=ri
+            )
+        )
+        assert prog == pytest.approx(base, abs=1e-12)
