@@ -667,3 +667,40 @@ def test_near_dup_stream_vs_band_store_grows_with_admissions(spark, tmp_path):
         for r in M.load_band_store(spark, base + "/store").collect()
     }
     assert store_ids == {10, 20}
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=5,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=5,
+    ),
+)
+def test_near_dup_against_store_brute_force_parity(spark, new_h, ref_h):
+    """Asymmetric pigeonhole property: every (new, ref) pair within
+    hamming <= 3 is found (small band values force heavy collisions)."""
+    new = spark.createDataFrame(
+        [(100 + i, *h) for i, h in enumerate(new_h)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    ref = spark.createDataFrame(
+        [(200 + i, *h) for i, h in enumerate(ref_h)],
+        "item_id long, band_0 long, band_1 long, band_2 long, band_3 long",
+    )
+    got = {
+        (r["new_id"], r["ref_id"]): r["hamming"]
+        for r in M.near_dup_against_store(new, ref).collect()
+    }
+    exp = {}
+    for i, a in enumerate(new_h):
+        for j, b in enumerate(ref_h):
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+            if ham <= 3:
+                exp[(100 + i, 200 + j)] = ham
+    assert got == exp
