@@ -1708,8 +1708,8 @@ def wav_decoder(payload: bytes) -> list[float]:
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only PCM WAV decodes in-container; swap in torchaudio/ffmpeg "
-            "via decoder= for compressed audio"
+            "wav_decoder handles PCM WAV only; use audio_decoder (WAV + "
+            "native FLAC) or torchaudio/ffmpeg via decoder= for the rest"
         )
     try:
         with wave.open(io.BytesIO(payload)) as w:
@@ -1814,8 +1814,8 @@ def wav_segments(
         raise TypeError("frame_ms must be positive")  # config bug: loud
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only PCM WAV decodes in-container; swap in torchaudio/ffmpeg "
-            "via decoder= for compressed audio"
+            "wav_decoder handles PCM WAV only; use audio_decoder (WAV + "
+            "native FLAC) or torchaudio/ffmpeg via decoder= for the rest"
         )
     try:
         with wave.open(io.BytesIO(payload)) as w:
@@ -1985,8 +1985,8 @@ def wav_frame_energies(
         raise TypeError("frame_samples and max_frames must be positive")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only PCM WAV decodes in-container; swap in torchaudio/"
-            "ffmpeg via decoder= for compressed audio"
+            "wav_frame_energies handles PCM WAV only; compressed audio "
+            "needs a torchaudio/ffmpeg decoder= closure"
         )
     try:
         with wave.open(io.BytesIO(payload)) as w:
@@ -2490,4 +2490,315 @@ def format_census(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("_n").cast("long").alias("n_bytes"),
         )
+    )
+
+
+# --- FLAC (native, lossless) ------------------------------------------------
+#
+# The one compressed-audio codec whose pure-stdlib decode is feasible
+# and DOMINANT for lossless corpora. Full native coverage: constant /
+# verbatim / fixed(0-4) / LPC subframes, Rice and Rice2 residual
+# partitions with escape codes, wasted bits, all stereo decorrelation
+# modes (independent, left-side, right-side, mid-side), any block
+# size, 4-32 bps. Frame/header CRCs are consumed but not verified
+# (decode integrity comes from structural checks; a corrupt stream
+# fails parsing loudly). mp3/ogg/aac stay honest NotImplementedError
+# stubs. Ground truth in tests: FLAC is lossless, so decoding an
+# independently encoded stream must reproduce the source samples'
+# statistics exactly.
+
+
+class _FlacBits:
+    """MSB-first bit reader over the FLAC stream."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.bitpos = pos * 8
+
+    def u(self, n: int) -> int:
+        end = self.bitpos + n
+        if end > len(self.d) * 8:
+            raise ValueError("FLAC stream truncated")
+        v = 0
+        bp = self.bitpos
+        while n:
+            byte = self.d[bp >> 3]
+            avail = 8 - (bp & 7)
+            take = min(avail, n)
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            bp += take
+            n -= take
+        self.bitpos = bp
+        return v
+
+    def s(self, n: int) -> int:
+        v = self.u(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.u(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("FLAC unary run unreasonably long")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def at_end(self) -> bool:
+        return self.bitpos >= len(self.d) * 8
+
+
+def _flac_utf8(bits: _FlacBits) -> int:
+    b0 = bits.u(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("FLAC bad UTF-8 coded number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = bits.u(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residuals(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    method = bits.u(2)
+    if method not in (0, 1):
+        raise ValueError(f"FLAC reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = bits.u(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError(
+            "FLAC block size not divisible by residual partitions"
+        )
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        k = bits.u(pbits)
+        if k == escape:
+            raw = bits.u(5)
+            for _ in range(n):
+                out.append(bits.s(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                v = (q << k) | bits.u(k)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+_FLAC_FIXED = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if bits.u(1):
+        raise ValueError("FLAC subframe padding bit set")
+    t = bits.u(6)
+    wasted = 0
+    if bits.u(1):
+        wasted = 1 + bits.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if t == 0:  # constant
+        v = bits.s(eff)
+        out = [v] * blocksize
+    elif t == 1:  # verbatim
+        out = [bits.s(eff) for _ in range(blocksize)]
+    elif 8 <= t <= 12:  # fixed, order t-8
+        order = t - 8
+        out = [bits.s(eff) for _ in range(order)]
+        res = _flac_residuals(bits, blocksize, order)
+        coefs = _FLAC_FIXED[order]
+        for r in res:
+            pred = sum(
+                c * out[-i - 1] for i, c in enumerate(coefs)
+            )
+            out.append(pred + r)
+    elif t >= 32:  # LPC, order t-31
+        order = t - 31
+        out = [bits.s(eff) for _ in range(order)]
+        prec = bits.u(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC invalid LPC precision")
+        shift = bits.s(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [bits.s(prec) for _ in range(order)]
+        res = _flac_residuals(bits, blocksize, order)
+        for r in res:
+            pred = sum(
+                c * out[-i - 1] for i, c in enumerate(coefs)
+            ) >> shift
+            out.append(pred + r)
+    else:
+        raise ValueError(f"FLAC reserved subframe type {t}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def flac_decoder(payload: bytes) -> list[float]:
+    """REAL compressed-audio decode for native FLAC, pure stdlib:
+    ``[n_channels, sample_rate, n_frames, mean_abs, peak]`` — the same
+    output contract as wav_decoder, amplitudes normalized by
+    2^(bps-1).  Full native coverage (see the section comment);
+    mp3/ogg/aac containers raise NotImplementedError, structural
+    damage raises ValueError."""
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError(
+            "only PCM WAV and native FLAC decode in-container; swap in "
+            "torchaudio/ffmpeg via decoder= for mp3/ogg/aac"
+        )
+    bits = _FlacBits(payload, 4)
+    # metadata blocks; STREAMINFO is mandatory and first
+    last = False
+    info = None
+    while not last:
+        last = bits.u(1) == 1
+        btype = bits.u(7)
+        blen = bits.u(24)
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("FLAC STREAMINFO wrong length")
+            bits.u(16)  # min blocksize
+            bits.u(16)  # max blocksize
+            bits.u(24)  # min framesize
+            bits.u(24)  # max framesize
+            rate = bits.u(20)
+            nch = bits.u(3) + 1
+            bps = bits.u(5) + 1
+            total = bits.u(36)
+            bits.bitpos += 128  # md5
+            info = (rate, nch, bps, total)
+        else:
+            bits.bitpos += blen * 8
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    rate, nch, bps, total = info
+    if rate == 0:
+        raise ValueError("FLAC zero sample rate")
+
+    tot_abs = 0
+    peak = 0
+    nframes = 0
+    while not bits.at_end():
+        if bits.u(14) != 0b11111111111110:
+            raise ValueError("FLAC bad frame sync")
+        bits.u(1)  # reserved
+        bits.u(1)  # blocking strategy
+        bs_code = bits.u(4)
+        sr_code = bits.u(4)
+        ch_code = bits.u(4)
+        ss_code = bits.u(3)
+        bits.u(1)  # reserved
+        _flac_utf8(bits)  # frame/sample number
+        if bs_code == 0:
+            raise ValueError("FLAC reserved block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = bits.u(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.u(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            bits.u(8)
+        elif sr_code in (13, 14):
+            bits.u(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC invalid sample rate code")
+        if ss_code == 0:
+            fbps = bps
+        else:
+            fbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+            if fbps is None:
+                raise ValueError("FLAC reserved sample size code")
+        bits.u(8)  # header CRC-8 (not verified)
+        if ch_code < 8:
+            fnch = ch_code + 1
+            chans = [
+                _flac_subframe(bits, blocksize, fbps)
+                for _ in range(fnch)
+            ]
+        elif ch_code in (8, 9, 10):
+            fnch = 2
+            side_first = ch_code == 9
+            a = _flac_subframe(
+                bits, blocksize, fbps + (1 if side_first else 0)
+            )
+            b = _flac_subframe(
+                bits, blocksize, fbps + (0 if side_first else 1)
+            )
+            if ch_code == 8:  # left/side
+                chans = [a, [x - y for x, y in zip(a, b)]]
+            elif ch_code == 9:  # side/right: a=side, b=right
+                chans = [[x + y for x, y in zip(a, b)], b]
+            else:  # mid/side
+                left, right = [], []
+                for m, sd in zip(a, b):
+                    m = (m << 1) | (sd & 1)
+                    left.append((m + sd) >> 1)
+                    right.append((m - sd) >> 1)
+                chans = [left, right]
+        else:
+            raise ValueError(f"FLAC reserved channel assignment {ch_code}")
+        if fnch != nch:
+            raise ValueError("FLAC frame channel count disagrees")
+        bits.align()
+        bits.u(16)  # frame CRC-16 (not verified)
+        for ch in chans:
+            for v in ch:
+                a = abs(v)
+                tot_abs += a
+                if a > peak:
+                    peak = a
+        nframes += blocksize
+        if total and nframes >= total:
+            break
+    n = nframes * nch
+    full = float(1 << (bps - 1))
+    return [
+        float(nch),
+        float(rate),
+        float(nframes),
+        tot_abs / (n * full) if n else 0.0,
+        peak / full,
+    ]
+
+
+def audio_decoder(payload: bytes) -> list[float]:
+    """Dispatching audio decode (the wav_decoder/flac_decoder union,
+    mirroring image_decoder's shape): RIFF/WAVE -> wav_decoder,
+    fLaC -> flac_decoder, anything else the honest NotImplementedError
+    stub.  Same 5-float output contract from both branches."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decoder(payload)
+    if payload[:4] == b"fLaC":
+        return flac_decoder(payload)
+    raise NotImplementedError(
+        "only PCM WAV and native FLAC decode in-container; swap in "
+        "torchaudio/ffmpeg via decoder= for mp3/ogg/aac"
     )
