@@ -123,6 +123,7 @@ PENDING_HEADLINE: list[str] = [
     "q_image_ingest_dedup",
     "q_format_census",
     "q_quota_fill",
+    "q_audio_flac_stats",
 ]
 
 

@@ -2802,3 +2802,98 @@ def audio_decoder(payload: bytes) -> list[float]:
         "only PCM WAV and native FLAC decode in-container; swap in "
         "torchaudio/ffmpeg via decoder= for mp3/ogg/aac"
     )
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80
+                else (crc << 1) & 0xFF
+            )
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _encode_flac8_verbatim(samples: bytes, rate: int = 8000) -> bytes:
+    """Minimal REAL FLAC writer for the synthetic fixtures: mono 8-bit,
+    one verbatim-subframe frame, real CRCs — a valid stream any FLAC
+    decoder accepts.  samples are unsigned bytes stored as signed
+    (b - 128), the 8-bit-PCM convention."""
+    import struct
+
+    n = len(samples)
+    si = bytearray()
+    si += struct.pack(">HH", n, n)          # min/max blocksize
+    si += b"\x00\x00\x00" * 2               # min/max framesize unset
+    # rate(20) | nch-1(3) | bps-1(5) | total(36) packed into 8 bytes
+    packed = (rate << 44) | (0 << 41) | (7 << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += b"\x00" * 16                      # md5 unset
+    head = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+    fh = bytearray()
+    # sync(14) 0 0 | bs=7 sr=0 | ch=0 ss=0 0  -> 4 bytes
+    fh += bytes([0xFF, 0xF8, 0x70, 0x00])
+    fh += bytes([0])                        # UTF-8 frame number 0
+    fh += struct.pack(">H", n - 1)          # 16-bit blocksize - 1
+    fh.append(_flac_crc8(bytes(fh)))
+    body = bytes([0x02]) + bytes(b ^ 0x80 for b in samples)
+    # subframe byte: pad(0) type(000001) wasted(0) = 0b00000010
+    frame = bytes(fh) + body
+    return head + frame + struct.pack(">H", _flac_crc16(frame))
+
+
+def synth_flac8(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_blocks: int = 16,
+    stub_mod: int = 13,
+) -> DataFrame:
+    """Per-row deterministic native FLAC: sample i is byte i % 16 of
+    md5(f"{id}_f_{i // 16}") stored as signed (b - 128) — the same
+    md5-hex convention as synth_bmp24/synth_wav8, so a SQL oracle
+    recomputes the decoded statistics without decoding.  Rows where
+    id % stub_mod == 0 get an mp3-looking payload instead, exercising
+    the per-row decode_ok=False stub branch through the same gate.
+    Arrow-batched mapInPandas, zero shuffle."""
+    import hashlib
+
+    if n_blocks < 1:
+        raise TypeError("n_blocks must be >= 1")
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                if stub_mod and i % stub_mod == 0:
+                    payloads.append(b"ID3\x03 not decodable here")
+                    continue
+                samples = b"".join(
+                    hashlib.md5(f"{i}_f_{blk}".encode()).digest()
+                    for blk in range(n_blocks)
+                )
+                payloads.append(_encode_flac8_verbatim(samples))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)

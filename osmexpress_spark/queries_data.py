@@ -5318,3 +5318,57 @@ def q_quota_fill(spark, sf_dir):
     return sample.quota_fill_report(
         d, "source", "doc_id", {**_MIX_QUOTAS, "src_absent": 4}
     )
+
+
+@defq_pending(
+    "q_audio_flac_stats",
+    """
+    WITH blocks AS (
+      SELECT doc_id, b.range AS blk
+      FROM documents, range(16) b
+      WHERE doc_id % 13 != 0
+    ),
+    hx AS (
+      SELECT doc_id, blk, md5(doc_id || '_f_' || blk) AS h FROM blocks
+    ),
+    samp AS (
+      SELECT doc_id,
+             abs(CAST('0x' || substr(h, 2 * j.range + 1, 2) AS INTEGER)
+                 - 128) AS a
+      FROM hx, range(16) j
+    ),
+    st AS (
+      SELECT doc_id, CAST(SUM(a) AS BIGINT) AS ta, MAX(a) AS pk
+      FROM samp GROUP BY 1
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 13 != 0) AS decode_ok,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(st.ta AS DOUBLE) / 32768e0 END AS mean_abs,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(st.pk AS DOUBLE) / 128e0 END AS peak
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+)
+def q_audio_flac_stats(spark, sf_dir):
+    """The COMPRESSED-audio decode path behind the driver gate
+    (multimodal.flac_decoder via the audio_decoder dispatcher):
+    deterministic md5-sample native FLAC streams (real CRCs, verbatim
+    subframes) are REALLY decoded — RIFF parse, STREAMINFO, frame
+    header, subframe, bit-reader — inside the Arrow seam; every 13th
+    doc carries an mp3-looking payload instead, exercising the per-row
+    decode_ok=False stub branch through the same gate.  FLAC is
+    lossless, so the oracle recomputes mean_abs and peak from the md5
+    hex pairs analytically: each output double is one IEEE division of
+    exact integers, hash-stable in both engines."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_flac8(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.audio_decoder, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 4).alias("mean_abs"),
+        F.element_at("feat", 5).alias("peak"),
+    )

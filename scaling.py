@@ -93,6 +93,7 @@ SUBSET = [
     "q_image_ingest_dedup",    # persisted band store, new batch only decodes
     "q_format_census",         # scan-side magic sniff, map-side agg
     "q_quota_fill",            # two |domains|-row counts + quota windows
+    "q_audio_flac_stats",      # real FLAC decode in the Arrow seam
 ]
 
 
