@@ -186,8 +186,6 @@ def encode_flac(
     """channels: per-channel signed sample lists (equal length)."""
     nch = len(channels)
     total = len(channels[0])
-    hdr = _BW()
-    hdr.put(0, 0)
     out = bytearray(b"fLaC")
     si = _BW()
     si.put(1, 1)      # last metadata block
