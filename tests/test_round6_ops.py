@@ -210,10 +210,17 @@ def test_jpeg_honest_stub_branches():
     img = np.full((8, 8, 3), 128, dtype=np.uint8)
     good = bytearray(encode_jpeg(img, 1, "444"))
     sof = good.index(b"\xff\xc0")
+    # SOF2 is DECODED now (round 7): relabeling a baseline stream as
+    # progressive makes its interleaved 0..63 scan structurally invalid
+    # (a progressive DC scan must have Se = 0) -> corruption, not stub
     prog = bytearray(good)
-    prog[sof + 1] = 0xC2  # progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se != 0"):
         image_decoder(bytes(prog))
+    arith = bytearray(good)
+    arith[sof + 1] = 0xC9  # arithmetic: still an honest stub
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        image_decoder(bytes(arith))
     twelve = bytearray(good)
     twelve[sof + 4] = 12  # precision byte
     with pytest.raises(NotImplementedError, match="12-bit"):
