@@ -124,6 +124,7 @@ PENDING_HEADLINE: list[str] = [
     "q_format_census",
     "q_quota_fill",
     "q_audio_flac_stats",
+    "q_audio_ingest_dedup",
 ]
 
 

@@ -5024,9 +5024,10 @@ def q_image_near_dup(spark, sf_dir):
     return multimodal.near_dup_by_bands(bands, max_hamming=3)
 
 
-@defq_pending(
-    "q_audio_fingerprint",
-    f"""
+# the synthetic audio's analytic recomputation (synth_wav8's md5
+# samples -> wav_frame_energies -> sign_delta_bands' packing), shared
+# by both audio near-dup oracles
+_AUDIO_BANDS_SQL = """
     WITH blocks AS (
       SELECT doc_id, doc_id // 2 AS base, b.range AS blk
       FROM documents, range(32) b
@@ -5060,8 +5061,12 @@ def q_image_near_dup(spark, sf_dir):
       SELECT doc_id, i // 16 AS b_idx,
              CAST(SUM(bit << (i % 16)) AS BIGINT) AS b_val
       FROM bits GROUP BY 1, 2
-    ),{_banded_hamming_tail_sql('bands')}
-    """,
+    ),"""
+
+
+@defq_pending(
+    "q_audio_fingerprint",
+    _AUDIO_BANDS_SQL + _banded_hamming_tail_sql("bands"),
 )
 def q_audio_fingerprint(spark, sf_dir):
     """Audio near-duplicate detection end-to-end through the REAL
@@ -5372,3 +5377,42 @@ def q_audio_flac_stats(spark, sf_dir):
         F.element_at("feat", 4).alias("mean_abs"),
         F.element_at("feat", 5).alias("peak"),
     )
+
+
+@defq_pending(
+    "q_audio_ingest_dedup",
+    _AUDIO_BANDS_SQL
+    + _banded_hamming_tail_sql(
+        "bands",
+        pred="a.doc_id % 3 = 0 AND b.doc_id % 3 != 0",
+        a_name="new_id",
+        b_name="ref_id",
+    ),
+)
+def q_audio_ingest_dedup(spark, sf_dir):
+    """Continuous-ingest AUDIO dedup against the persisted band store —
+    the audio sibling of q_image_ingest_dedup, proving the band-store
+    machinery (save/load/near_dup_against_store) is modality-agnostic:
+    the reference clips (doc_id % 3 != 0) decode and fingerprint ONCE
+    into the store; the new batch (doc_id % 3 == 0) decodes only
+    itself and asymmetrically band-joins the store.  Oracle: the
+    shared audio-bands CTE with the side split in the join predicate —
+    bit-for-bit including the persisted round-trip."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="osmx_q_audio_ingest_")
+
+    def bands_of(docs):
+        blobs = multimodal.synth_wav8(docs, "doc_id")
+        feats = multimodal.extract_features(
+            blobs, decoder=multimodal.wav_frame_energies, modality="audio"
+        )
+        return multimodal.sign_delta_bands(feats, n_frames=64)
+
+    multimodal.save_band_store(
+        bands_of(d.where(F.col("doc_id") % 3 != 0)), store
+    )
+    ref = multimodal.load_band_store(spark, store)
+    new = bands_of(d.where(F.col("doc_id") % 3 == 0))
+    return multimodal.near_dup_against_store(new, ref, max_hamming=3)

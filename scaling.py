@@ -94,6 +94,7 @@ SUBSET = [
     "q_format_census",         # scan-side magic sniff, map-side agg
     "q_quota_fill",            # two |domains|-row counts + quota windows
     "q_audio_flac_stats",      # real FLAC decode in the Arrow seam
+    "q_audio_ingest_dedup",    # audio band store, new batch only decodes
 ]
 
 
