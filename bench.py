@@ -125,6 +125,7 @@ PENDING_HEADLINE: list[str] = [
     "q_quota_fill",
     "q_audio_flac_stats",
     "q_audio_ingest_dedup",
+    "q_image_dup_clusters",
 ]
 
 

@@ -4920,6 +4920,7 @@ def _banded_hamming_tail_sql(
     pred: str = "a.doc_id < b.doc_id",
     a_name: str = "id_a",
     b_name: str = "id_b",
+    final: str | None = None,
 ) -> str:
     """Shared oracle tail for the banded Hamming near-dup queries: from
     a CTE ``(doc_id, b_idx, b_val)`` with 4 bands per doc, widen to the
@@ -4950,10 +4951,14 @@ def _banded_hamming_tail_sql(
       FROM melt a JOIN melt b
         ON a.b_idx = b.b_idx AND a.b_val = b.b_val
        AND {pred}
-    )
+    )""" + (
+        final
+        if final is not None
+        else f"""
     SELECT {a_name}, {b_name}, hamming
     FROM cand WHERE hamming <= {max_hamming}
     """
+    )
 
 
 # the synthetic image's analytic recomputation (synth_bmp24's md5
@@ -5416,3 +5421,49 @@ def q_audio_ingest_dedup(spark, sf_dir):
     ref = multimodal.load_band_store(spark, store)
     new = bands_of(d.where(F.col("doc_id") % 3 == 0))
     return multimodal.near_dup_against_store(new, ref, max_hamming=3)
+
+
+_IMG_CLUSTER_FINAL = """,
+    ipairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+    iedges AS (
+      SELECT id_a AS src, id_b AS dst FROM ipairs
+      UNION ALL SELECT id_b, id_a FROM ipairs
+    ),
+    icnodes AS (SELECT DISTINCT src AS id FROM iedges),
+    ireach AS (
+      SELECT id, id AS r FROM icnodes
+      UNION
+      SELECT ireach.id, e.dst FROM ireach JOIN iedges e ON e.src = ireach.r
+    ),
+    iclus AS (
+      SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM ireach GROUP BY id
+    )
+    SELECT id, cluster_id FROM iclus ORDER BY id
+    """
+
+
+@defq_pending(
+    "q_image_dup_clusters",
+    "WITH RECURSIVE"
+    + _IMAGE_BANDS_SQL[len("\n    WITH"):]
+    + _banded_hamming_tail_sql("bands", final=_IMG_CLUSTER_FINAL),
+)
+def q_image_dup_clusters(spark, sf_dir):
+    """Image near-dup CLUSTER assignment: the banded Hamming pairs
+    (q_image_near_dup's exact candidate machinery) fed through the same
+    connected-components operator the text path uses
+    (dedup.dup_clusters, O(diameter) min-label propagation) — the step
+    that turns image pair lists into keep/drop decisions (keep
+    cluster_id == id).  Proves the closure operator is
+    modality-agnostic; the oracle extends the shared image-bands CTEs
+    with recursive reachability + min aggregate, exactly like
+    q_dup_clusters."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_bmp24(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.bmp_gray_grid, modality="image"
+    )
+    bands = multimodal.ahash_bands(feats, grid=8, threshold="mid")
+    pairs = multimodal.near_dup_by_bands(bands, max_hamming=3)
+    return dedup.dup_clusters(pairs).orderBy("id")

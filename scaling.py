@@ -95,6 +95,7 @@ SUBSET = [
     "q_quota_fill",            # two |domains|-row counts + quota windows
     "q_audio_flac_stats",      # real FLAC decode in the Arrow seam
     "q_audio_ingest_dedup",    # audio band store, new batch only decodes
+    "q_image_dup_clusters",    # banded pairs -> min-label components
 ]
 
 
