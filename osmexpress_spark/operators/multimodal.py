@@ -2897,3 +2897,53 @@ def synth_flac8(
             )
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def dhash_bands(
+    feat_df: DataFrame,
+    grid: int = 8,
+    n_bands: int = 4,
+    id_col: str = "item_id",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """Difference-hash (dHash) bit-packing over bmp_gray_grid's feature
+    vector, ENTIRELY JVM-side: bit for cell (r, c) is set when the
+    cell's mean gray strictly exceeds its RIGHT neighbor's (wrapping to
+    the row's first cell in the last column, keeping grid² bits) —
+    gradients instead of levels, so the hash is invariant to global
+    brightness shifts that flip many aHash bits at once.  The exact
+    comparison is LONG cross-multiplication of sums and pixel counts;
+    packing and banding are identical to ahash_bands, so the output
+    feeds the same near_dup_by_bands / band-store machinery."""
+    ncells = grid * grid
+    if ncells % n_bands:
+        raise TypeError("n_bands must divide grid*grid")
+    bits_per = ncells // n_bands
+    cells = f"transform(slice({feat_col}, 3, {ncells}), x -> CAST(x AS LONG))"
+    npix = (
+        f"transform(slice({feat_col}, {3 + ncells}, {ncells}), "
+        f"x -> CAST(x AS LONG))"
+    )
+    base = feat_df.where(F.col("decode_ok")).select(
+        F.col(id_col),
+        F.expr(cells).alias("_c"),
+        F.expr(npix).alias("_n"),
+    )
+    # neighbor index of cell i: same row, next column (wrapping)
+    nb = (
+        f"(CAST(({{i}}) / {grid} AS INT) * {grid} "
+        f"+ pmod(({{i}}) + 1, {grid}))"
+    )
+    bit = (
+        "element_at(_c, {i} + 1) * element_at(_n, " + nb + " + 1) > "
+        "element_at(_c, " + nb + " + 1) * element_at(_n, {i} + 1)"
+    )
+    bands = [
+        F.expr(
+            f"aggregate(sequence(0, {bits_per - 1}), 0L, (a, k) -> "
+            f"a + IF({bit.format(i=f'({b} * {bits_per} + k)')}, "
+            f"shiftleft(1L, k), 0L))"
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return base.select(id_col, *bands)

@@ -704,3 +704,46 @@ def test_near_dup_against_store_brute_force_parity(spark, new_h, ref_h):
             if ham <= 3:
                 exp[(100 + i, 200 + j)] = ham
     assert got == exp
+
+
+def test_dhash_bands_matches_model_and_brightness_invariance(spark):
+    pixels = [
+        [((r * 37 + c * 11) % 256, (r * 5 + c) % 256, (c * 3) % 256)
+         for c in range(16)]
+        for r in range(16)
+    ]
+    # brightness-shifted twin: every channel +40 clamped — levels move,
+    # most gradients don't
+    shifted = [
+        [tuple(min(255, v + 40) for v in px) for px in row]
+        for row in pixels
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp24(pixels))), (2, bytearray(_bmp24(shifted)))],
+        "item_id long, payload binary",
+    )
+    feats = M.extract_features(df, decoder=M.bmp_gray_grid)
+    rows = {r["item_id"]: r for r in M.dhash_bands(feats).collect()}
+
+    def model(pix):
+        sums, npix = _grid_model(pix, 8)
+        bits = []
+        for i in range(64):
+            j = (i // 8) * 8 + (i + 1) % 8
+            bits.append(1 if sums[i] * npix[j] > sums[j] * npix[i] else 0)
+        return [
+            sum(bits[b * 16 + k] << k for k in range(16)) for b in range(4)
+        ]
+
+    exp1, exp2 = model(pixels), model(shifted)
+    assert [rows[1][f"band_{b}"] for b in range(4)] == exp1
+    assert [rows[2][f"band_{b}"] for b in range(4)] == exp2
+    # the twins stay within the banded-join radius under dHash (clamping
+    # flips only a few gradients), while their aHash distance is large
+    dh = sum(bin(a ^ b).count("1") for a, b in zip(exp1, exp2))
+    a1 = {r["item_id"]: r for r in M.ahash_bands(feats, threshold="mid").collect()}
+    ah = sum(
+        bin(a1[1][f"band_{b}"] ^ a1[2][f"band_{b}"]).count("1")
+        for b in range(4)
+    )
+    assert dh < ah  # gradients beat levels under brightness shift
