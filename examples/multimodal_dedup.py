@@ -58,6 +58,13 @@ def main() -> None:
     print("== image near-dup pairs (hamming <= 3) ==")
     print(img_pairs.count(), "pairs")
 
+    # 3b. pairs -> keep/drop decisions via the shared closure operator
+    from osmexpress_spark.operators import dedup
+
+    clusters = dedup.dup_clusters(img_pairs)
+    print("== image dup clusters ==")
+    print(clusters.where("id != cluster_id").count(), "images to drop")
+
     # 4. audio near-dup over the SAME join machinery
     wav_bands = M.sign_delta_bands(
         M.extract_features(
@@ -87,6 +94,15 @@ def main() -> None:
     )
     print("== new-batch hits against the persisted store ==")
     print(hits.count(), "hits (re-ingested items match themselves at 0)")
+
+    # 6. the compressed-audio path: FLAC decodes through the same seam
+    flac_feats = M.extract_features(
+        M.synth_flac8(docs.where(F.col("doc_id") < 100), "doc_id"),
+        decoder=M.audio_decoder,
+        modality="audio",
+    )
+    print("== FLAC decode census ==")
+    flac_feats.groupBy("decode_ok").count().show()
 
 
 if __name__ == "__main__":
