@@ -126,6 +126,8 @@ PENDING_HEADLINE: list[str] = [
     "q_audio_flac_stats",
     "q_audio_ingest_dedup",
     "q_image_dup_clusters",
+    "q_audio_g711_stats",
+    "q_audio_adpcm_stats",
 ]
 
 

@@ -1695,21 +1695,36 @@ def resize_bytes(
     return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
-def wav_decoder(payload: bytes) -> list[float]:
-    """REAL audio decode for PCM WAV via the stdlib wave module (no
-    codec library needed): [n_channels, sample_rate, n_frames,
-    mean_abs, peak] with amplitudes normalized to [0, 1]. Integer
-    sample sums stay exact; the two divisions are single IEEE ops.
-    Compressed audio (mp3/ogg/flac) raises NotImplementedError (the
-    honest-stub branch); a malformed RIFF header raises ValueError —
-    both per-row decode_ok=False through extract_features."""
+def _wav_samples(payload: bytes) -> tuple[int, int, int, list, int]:
+    """Decode any supported WAV codec to interleaved signed integer
+    samples: (n_channels, rate, n_frames, samples, full_scale) — the
+    shared front half of wav_decoder and wav_segments.  PCM (tag 1)
+    goes through the stdlib wave module; G.711 A-law (6) / mu-law (7)
+    and IMA/DVI ADPCM (0x11) decode by hand (stdlib wave rejects every
+    non-PCM tag).  Remaining tags (GSM, MPEG, extensible, ...) raise
+    NotImplementedError (a real codec the engine does not carry, NOT
+    damage); structural damage raises ValueError."""
     import io
+    import struct
     import wave
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "wav_decoder handles PCM WAV only; use audio_decoder (WAV + "
+            "WAV (PCM/G.711/IMA-ADPCM) only; use audio_decoder (WAV + "
             "native FLAC) or torchaudio/ffmpeg via decoder= for the rest"
+        )
+    fmt = next(
+        (d for cid, d in _riff_chunks(payload) if cid == b"fmt "), None
+    )
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV missing or short fmt chunk")
+    (tag,) = struct.unpack_from("<H", fmt, 0)
+    if tag in (6, 7, 0x11):
+        return _wav_samples_compressed(payload, fmt)
+    if tag != 1:
+        raise NotImplementedError(
+            f"WAV format tag {tag:#x} not supported (PCM, G.711 "
+            "A-law/mu-law and IMA ADPCM decode in-container)"
         )
     try:
         with wave.open(io.BytesIO(payload)) as w:
@@ -1726,23 +1741,182 @@ def wav_decoder(payload: bytes) -> list[float]:
     if len(raw) < n * width:
         raise ValueError("WAV data chunk truncated")
     if width == 1:  # unsigned 8-bit, midpoint 128
-        samples = [b - 128 for b in raw[: n]]
-        full = 128.0
-    else:  # signed 16-bit little-endian
-        import struct
+        return nch, rate, nframes, [b - 128 for b in raw[:n]], 128
+    return (
+        nch, rate, nframes,
+        list(struct.unpack(f"<{n}h", raw[: n * 2])), 32768,
+    )
 
-        samples = struct.unpack(f"<{n}h", raw[: n * 2])
-        full = 32768.0
+
+def wav_decoder(payload: bytes) -> list[float]:
+    """REAL audio decode for WAV: [n_channels, sample_rate, n_frames,
+    mean_abs, peak] with amplitudes normalized to [0, 1]. Integer
+    sample sums stay exact; the two divisions are single IEEE ops.
+
+    Format coverage (via _wav_samples): PCM, G.711 A-law/mu-law, and
+    IMA/DVI ADPCM.  Unsupported codec tags raise NotImplementedError
+    (the honest-stub branch), structural damage raises ValueError —
+    both per-row decode_ok=False through extract_features."""
+    nch, rate, nframes, samples, full = _wav_samples(payload)
     tot_abs = sum(abs(s) for s in samples)
     peak = max((abs(s) for s in samples), default=0)
-    denom = n * full
+    n = len(samples)
     return [
         float(nch),
         float(rate),
         float(nframes),
-        tot_abs / denom if n else 0.0,
+        tot_abs / (n * float(full)) if n else 0.0,
         peak / full,
     ]
+
+
+def _riff_chunks(payload: bytes):
+    """Yield (fourcc, data) for each top-level chunk of a RIFF/WAVE
+    payload; chunks are word-aligned (odd sizes carry a pad byte).  A
+    declared length running past the payload raises ValueError — the
+    structural-damage contract every WAV branch shares."""
+    import struct
+
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError(f"WAV chunk {cid!r} truncated")
+        yield cid, data
+        pos += 8 + clen + (clen & 1)
+
+
+def _g711_ulaw(code: int) -> int:
+    """G.711 mu-law expand: one transmitted byte -> the signed sample
+    on the 16-bit scale (|x| <= 32124) — the exact integer formula
+    (ITU-T G.711 Table 2a/2b; bias 0x84, codes stored complemented),
+    byte-identical to the classic reference tables."""
+    c = ~code & 0xFF
+    mag = ((((c & 0x0F) << 3) + 0x84) << ((c >> 4) & 7)) - 0x84
+    return -mag if c & 0x80 else mag
+
+
+def _g711_alaw(code: int) -> int:
+    """G.711 A-law expand (ITU-T G.711 Table 1a/1b; even bits
+    inverted): one byte -> signed sample on the 16-bit scale
+    (8 <= |x| <= 32256)."""
+    c = code ^ 0x55
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return mag if c & 0x80 else -mag
+
+
+# IMA/DVI ADPCM (WAV format tag 0x11): the standard 89-entry step-size
+# table and 8-entry index-adaptation table (IMA ADPCM reference
+# algorithm; identical constants ship in stdlib audioop, which the
+# test suite cross-validates against).
+_IMA_INDEX_TBL = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TBL = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+
+
+def _ima_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (nibble, predictor, step index) ->
+    (new predictor, new index).  Pure integer; predictor clamps to
+    int16, index to [0, 88] — the platform-exact reference recurrence."""
+    step = _IMA_STEP_TBL[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TBL[nib & 7]))
+    return pred, idx
+
+
+def _wav_samples_compressed(
+    payload: bytes, fmt: bytes
+) -> tuple[int, int, int, list, int]:
+    """Decode the compressed-WAV codecs (G.711 A-law/mu-law, IMA
+    ADPCM) to interleaved signed samples on the 16-bit scale.  G.711
+    is one table formula per byte; IMA ADPCM walks each block's
+    per-channel (predictor int16, step index uint8, reserved) header
+    then the interleaved 4-byte nibble words, low nibble first — the
+    header predictor itself is the block's first output frame, and a
+    fact chunk trims trailing filler frames exactly."""
+    import struct
+
+    tag, nch, rate, _br, balign, _bps = struct.unpack_from("<HHIIHH", fmt, 0)
+    if nch < 1:
+        raise ValueError("WAV zero channels")
+    if rate == 0:
+        raise ValueError("WAV zero sample rate")
+    data = fact_n = None
+    for cid, d in _riff_chunks(payload):
+        if cid == b"data":
+            data = d
+        elif cid == b"fact" and len(d) >= 4:
+            (fact_n,) = struct.unpack_from("<I", d, 0)
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+
+    samples: list[int] = []
+    if tag in (6, 7):
+        expand = _g711_alaw if tag == 6 else _g711_ulaw
+        nframes = len(data) // nch
+        samples = [expand(b) for b in data[: nframes * nch]]
+    else:  # IMA ADPCM
+        if balign < 4 * nch:
+            raise ValueError("ADPCM block align smaller than headers")
+        nframes = 0
+        frames_left = fact_n  # None = no fact chunk, keep every frame
+        pos = 0
+        while pos + 4 * nch <= len(data):
+            if frames_left is not None and frames_left <= 0:
+                break
+            block = data[pos : pos + balign]
+            pos += balign
+            preds, idxs = [], []
+            for c in range(nch):
+                pred, idx = struct.unpack_from("<hB", block, c * 4)
+                if idx > 88:
+                    raise ValueError("ADPCM step index out of range")
+                preds.append(pred)
+                idxs.append(idx)
+            # frame 0 of the block IS the header predictors; each
+            # 4-byte-per-channel word group appends 8 more frames
+            frames = [tuple(preds)]
+            body = block[4 * nch :]
+            for g in range(len(body) // (4 * nch)):
+                group = [[0] * nch for _ in range(8)]
+                for c in range(nch):
+                    off = (g * nch + c) * 4
+                    k = 0
+                    for byte in body[off : off + 4]:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            preds[c], idxs[c] = _ima_nibble(
+                                nib, preds[c], idxs[c]
+                            )
+                            group[k][c] = preds[c]
+                            k += 1
+                frames.extend(map(tuple, group))
+            if frames_left is not None:
+                frames = frames[:frames_left]
+                frames_left -= len(frames)
+            for fr in frames:
+                samples.extend(fr)
+            nframes += len(frames)
+    return nch, rate, nframes, samples, 32768
 
 
 def bmp_resize(payload: bytes, factor: int = 2) -> bytes:
@@ -1789,7 +1963,7 @@ def wav_segments(
     frame_ms: int = 20,
     threshold_permille: int = 50,
 ) -> list[float]:
-    """Frame-energy voice-activity segmentation for PCM WAV — the
+    """Frame-energy voice-activity segmentation for WAV — the
     audio-curation analog of html_strip: before training on an audio
     drop, measure how much of each clip is actual signal and how it
     clumps. Frames of ``frame_ms`` are active when their mean |sample|
@@ -1800,45 +1974,19 @@ def wav_segments(
     cross-multiplies instead of dividing, so the decision is exact and
     engine/platform-independent.
 
-    Same decoder contract as wav_decoder: compressed containers raise
-    NotImplementedError, malformed RIFF raises ValueError — per-row
-    decode_ok=False through extract_features, never a stage failure.
-    Usable directly as extract_features' decoder=:
+    Shares wav_decoder's codec coverage and failure contract (via
+    _wav_samples): PCM, G.711 A-law/mu-law and IMA ADPCM segment
+    directly; unsupported codec tags raise NotImplementedError,
+    structural damage ValueError — per-row decode_ok=False through
+    extract_features, never a stage failure.  Usable directly as
+    extract_features' decoder=:
     ``extract_features(df, decoder=wav_segments, modality='audio')``.
     """
-    import io
-    import struct
-    import wave
-
     if frame_ms <= 0:
         raise TypeError("frame_ms must be positive")  # config bug: loud
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError(
-            "wav_decoder handles PCM WAV only; use audio_decoder (WAV + "
-            "native FLAC) or torchaudio/ffmpeg via decoder= for the rest"
-        )
-    try:
-        with wave.open(io.BytesIO(payload)) as w:
-            nch, width, rate, nframes = (
-                w.getnchannels(), w.getsampwidth(), w.getframerate(),
-                w.getnframes(),
-            )
-            raw = w.readframes(nframes)
-    except (wave.Error, EOFError) as e:
-        raise ValueError(f"malformed WAV: {e}") from e
-    if width not in (1, 2):
-        raise NotImplementedError(f"sample width {width} not supported")
-    n = nch * nframes
-    if len(raw) < n * width:
-        raise ValueError("WAV data chunk truncated")
-    if width == 1:
-        samples = [abs(b - 128) for b in raw[:n]]
-        full = 128
-    else:
-        samples = [
-            abs(s) for s in struct.unpack(f"<{n}h", raw[: n * 2])
-        ]
-        full = 32768
+    nch, rate, nframes, raw_samples, full = _wav_samples(payload)
+    samples = [abs(s) for s in raw_samples]
+    n = len(samples)
     spf = max(1, rate * frame_ms // 1000) * nch  # samples per frame
     n_frames = (n + spf - 1) // spf if n else 0
     active = []
@@ -2791,16 +2939,18 @@ def flac_decoder(payload: bytes) -> list[float]:
 
 def audio_decoder(payload: bytes) -> list[float]:
     """Dispatching audio decode (the wav_decoder/flac_decoder union,
-    mirroring image_decoder's shape): RIFF/WAVE -> wav_decoder,
-    fLaC -> flac_decoder, anything else the honest NotImplementedError
-    stub.  Same 5-float output contract from both branches."""
+    mirroring image_decoder's shape): RIFF/WAVE -> wav_decoder (PCM,
+    G.711 A-law/mu-law, IMA ADPCM), fLaC -> flac_decoder, anything
+    else the honest NotImplementedError stub.  Same 5-float output
+    contract from every branch."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_decoder(payload)
     if payload[:4] == b"fLaC":
         return flac_decoder(payload)
     raise NotImplementedError(
-        "only PCM WAV and native FLAC decode in-container; swap in "
-        "torchaudio/ffmpeg via decoder= for mp3/ogg/aac"
+        "only WAV (PCM/G.711/IMA-ADPCM) and native FLAC decode "
+        "in-container; swap in torchaudio/ffmpeg via decoder= for "
+        "mp3/ogg/aac"
     )
 
 
@@ -2887,6 +3037,143 @@ def synth_flac8(
                     for blk in range(n_blocks)
                 )
                 payloads.append(_encode_flac8_verbatim(samples))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def _wav_container(
+    tag: int,
+    nch: int,
+    rate: int,
+    balign: int,
+    bps: int,
+    data: bytes,
+    fact: int | None = None,
+) -> bytes:
+    """Assemble a minimal valid WAV container around an encoded data
+    chunk: fmt (with cbSize=0 for non-PCM tags, per spec), optional
+    fact (mandatory for compressed codecs), data — word-aligned."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * balign, balign, bps)
+    if tag != 1:
+        fmt += struct.pack("<H", 0)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        body += b"\x00"
+    if fact is not None:
+        body += b"fact" + struct.pack("<II", 4, fact)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def synth_wav_g711(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_blocks: int = 16,
+    rate: int = 8000,
+    stub_mod: int = 13,
+) -> DataFrame:
+    """Per-row deterministic G.711 WAV: code byte i is byte i % 16 of
+    md5(f"{id}_g_{i // 16}") (hex pairs, the synth_flac8 convention),
+    n_blocks * 16 codes, mono — even ids mu-law (tag 7), odd ids A-law
+    (tag 6), so ONE gate covers both expand tables.  Rows where
+    id % stub_mod == 0 carry a GSM-tagged WAV (0x31) instead: a valid
+    container whose codec the engine honestly does not decode,
+    exercising wav_decoder's unsupported-tag NotImplementedError
+    branch (distinct from flac's foreign-container stub and the IMA
+    gate's structural-damage branch).  Arrow mapInPandas, zero
+    shuffle."""
+    import hashlib
+
+    if n_blocks < 1:
+        raise TypeError("n_blocks must be >= 1")
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                if stub_mod and i % stub_mod == 0:
+                    payloads.append(
+                        _wav_container(
+                            0x31, 1, rate, 65, 0, b"\x00" * 65, fact=320
+                        )
+                    )
+                    continue
+                codes = b"".join(
+                    hashlib.md5(f"{i}_g_{blk}".encode()).digest()
+                    for blk in range(n_blocks)
+                )
+                tag = 7 if i % 2 == 0 else 6
+                payloads.append(
+                    _wav_container(tag, 1, rate, 1, 8, codes, len(codes))
+                )
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def synth_wav_ima(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_blocks: int = 8,
+    rate: int = 8000,
+    corrupt_mod: int = 17,
+) -> DataFrame:
+    """Per-row deterministic IMA ADPCM WAV, one mono block: header
+    predictor = int16 LE of bytes 0-1 of md5(f"{id}_i_h"), step index
+    = byte 2 % 89; nibble-stream byte j is byte j % 16 of
+    md5(f"{id}_i_{j // 16}") — n_blocks * 16 data bytes = 1 + 32 *
+    n_blocks frames.  Every md5 derivation is hex-pair-recomputable,
+    so a DuckDB oracle can REPLAY the full prediction recurrence as a
+    recursive CTE.  Rows where id % corrupt_mod == 0 carry a block
+    whose step index is 200 (> 88): structurally damaged per spec,
+    exercising the per-row ValueError branch."""
+    import hashlib
+    import struct
+
+    if n_blocks < 1:
+        raise TypeError("n_blocks must be >= 1")
+    nbytes = n_blocks * 16
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                h = hashlib.md5(f"{i}_i_h".encode()).digest()
+                (pred,) = struct.unpack_from("<h", h, 0)
+                idx = 200 if corrupt_mod and i % corrupt_mod == 0 \
+                    else h[2] % 89
+                data = b"".join(
+                    hashlib.md5(f"{i}_i_{blk}".encode()).digest()
+                    for blk in range(n_blocks)
+                )
+                block = struct.pack("<hBB", pred, idx, 0) + data
+                payloads.append(
+                    _wav_container(
+                        0x11, 1, rate, 4 + nbytes, 4, block,
+                        fact=1 + 2 * nbytes,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "item_id": pd.Series(

@@ -5467,3 +5467,173 @@ def q_image_dup_clusters(spark, sf_dir):
     bands = multimodal.ahash_bands(feats, grid=8, threshold="mid")
     pairs = multimodal.near_dup_by_bands(bands, max_hamming=3)
     return dedup.dup_clusters(pairs).orderBy("id")
+
+
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,"
+    "60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,"
+    "337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,"
+    "1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,"
+    "4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,"
+    "15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+
+@defq_pending(
+    "q_audio_g711_stats",
+    """
+    WITH blocks AS (
+      SELECT doc_id, b.range AS blk
+      FROM documents, range(16) b
+      WHERE doc_id % 13 != 0
+    ),
+    hx AS (
+      SELECT doc_id, md5(doc_id || '_g_' || blk) AS h FROM blocks
+    ),
+    codes AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, 2 * j.range + 1, 2) AS INTEGER) AS b
+      FROM hx, range(16) j
+    ),
+    mags AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               (((255 - b) & 15) * 8 + 132)
+                 * (1 << (((255 - b) >> 4) & 7)) - 132
+             WHEN ((xor(b, 85) >> 4) & 7) = 0 THEN
+               (xor(b, 85) & 15) * 16 + 8
+             ELSE
+               ((xor(b, 85) & 15) * 16 + 264)
+                 * (1 << (((xor(b, 85) >> 4) & 7) - 1))
+             END AS a
+      FROM codes
+    ),
+    st AS (
+      SELECT doc_id, CAST(SUM(a) AS BIGINT) AS ta, MAX(a) AS pk
+      FROM mags GROUP BY 1
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 13 != 0) AS decode_ok,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(st.ta AS DOUBLE) / 8388608e0 END AS mean_abs,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(st.pk AS DOUBLE) / 32768e0 END AS peak
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+)
+def q_audio_g711_stats(spark, sf_dir):
+    """The G.711 telephony-WAV decode paths behind the driver gate
+    (multimodal.wav_decoder tags 6/7 via the audio_decoder
+    dispatcher): even docs carry mu-law streams, odd docs A-law, so
+    one gate pins BOTH expand tables (cross-validated against stdlib
+    audioop in the suite) code-for-code — the oracle recomputes each
+    byte's magnitude from the closed-form G.711 expand formulas over
+    the same md5 hex pairs; every 13th doc carries a GSM-tagged WAV
+    the engine honestly does not decode (the unsupported-tag
+    NotImplementedError branch, distinct from flac's
+    foreign-container stub).  Each output double is one IEEE division
+    of exact integers, hash-stable in both engines."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_wav_g711(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.audio_decoder, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 4).alias("mean_abs"),
+        F.element_at("feat", 5).alias("peak"),
+    )
+
+
+@defq_pending(
+    "q_audio_adpcm_stats",
+    """
+    WITH RECURSIVE
+    docs AS (SELECT doc_id FROM documents WHERE doc_id % 17 != 0),
+    hh AS (SELECT doc_id, md5(doc_id || '_i_h') AS h FROM docs),
+    hdr AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, 3, 2) || substr(h, 1, 2)
+                  AS INTEGER) AS u16,
+             CAST('0x' || substr(h, 5, 2) AS INTEGER) % 89 AS idx0
+      FROM hh
+    ),
+    dbytes AS (
+      SELECT d.doc_id, blk.range * 16 + j.range AS bpos,
+             CAST('0x' || substr(md5(d.doc_id || '_i_' || blk.range),
+                                 2 * j.range + 1, 2) AS INTEGER) AS b
+      FROM docs d, range(8) blk, range(16) j
+    ),
+    nib AS (
+      SELECT doc_id, bpos * 2 + 1 AS i, b % 16 AS nib FROM dbytes
+      UNION ALL
+      SELECT doc_id, bpos * 2 + 2 AS i, b // 16 AS nib FROM dbytes
+    ),
+    steps AS (
+      SELECT r.range AS sidx, ("""
+    + _IMA_STEP_SQL
+    + """)[r.range + 1] AS step
+      FROM range(89) r
+    ),
+    dec AS (
+      SELECT doc_id, 0 AS i,
+             CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS pred,
+             idx0 AS idx
+      FROM hdr
+      UNION ALL
+      SELECT d.doc_id, d.i + 1,
+             greatest(-32768, least(32767,
+               d.pred + (CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END) *
+                 ((s.step // 8)
+                  + (CASE WHEN (n.nib & 4) != 0 THEN s.step ELSE 0 END)
+                  + (CASE WHEN (n.nib & 2) != 0 THEN s.step // 2
+                     ELSE 0 END)
+                  + (CASE WHEN (n.nib & 1) != 0 THEN s.step // 4
+                     ELSE 0 END)))),
+             greatest(0, least(88, d.idx
+               + (CASE n.nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                  WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)))
+      FROM dec d
+      JOIN nib n ON n.doc_id = d.doc_id AND n.i = d.i + 1
+      JOIN steps s ON s.sidx = d.idx
+    ),
+    st AS (
+      SELECT doc_id, CAST(SUM(abs(pred)) AS BIGINT) AS ta,
+             MAX(abs(pred)) AS pk
+      FROM dec GROUP BY 1
+    )
+    SELECT dd.doc_id AS item_id,
+           (dd.doc_id % 17 != 0) AS decode_ok,
+           CASE WHEN dd.doc_id % 17 = 0 THEN NULL
+                ELSE CAST(st.ta AS DOUBLE) / 8421376e0 END AS mean_abs,
+           CASE WHEN dd.doc_id % 17 = 0 THEN NULL
+                ELSE CAST(st.pk AS DOUBLE) / 32768e0 END AS peak
+    FROM documents dd LEFT JOIN st ON st.doc_id = dd.doc_id
+    """,
+)
+def q_audio_adpcm_stats(spark, sf_dir):
+    """The IMA/DVI ADPCM decode path behind the driver gate — the
+    first SEQUENTIAL codec the oracle replays rather than recomputes:
+    ADPCM is a prediction recurrence (each sample's value depends on
+    every nibble before it), so the DuckDB oracle runs the exact
+    decoder state machine — step table, index adaptation, int16 and
+    [0,88] clamps — as a 257-iteration recursive CTE over the md5
+    nibble stream (the same materialized-recursion move as the BPE
+    merge unroll and the closure oracles).  Step/index tables are
+    cross-validated against stdlib audioop in the suite; every 17th
+    doc carries a block whose step index exceeds 88 — structural
+    damage per spec, exercising the per-row ValueError branch (the
+    third distinct failure shape behind the audio gates, beside
+    flac's foreign container and g711's unsupported tag)."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_wav_ima(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.audio_decoder, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 4).alias("mean_abs"),
+        F.element_at("feat", 5).alias("peak"),
+    )

@@ -96,6 +96,8 @@ SUBSET = [
     "q_audio_flac_stats",      # real FLAC decode in the Arrow seam
     "q_audio_ingest_dedup",    # audio band store, new batch only decodes
     "q_image_dup_clusters",    # banded pairs -> min-label components
+    "q_audio_g711_stats",      # G.711 mu/A-law expand in the Arrow seam
+    "q_audio_adpcm_stats",     # IMA ADPCM recurrence, oracle-replayed
 ]
 
 

@@ -1408,3 +1408,181 @@ def test_wav_segments_failure_shapes_and_distributed(spark):
     }
     assert out[1]["decode_ok"] and out[1]["feat"][1] == 3.0
     assert not out[2]["decode_ok"] and not out[3]["decode_ok"]
+
+
+# --- compressed-WAV codecs: G.711 mu/A-law + IMA ADPCM ----------------------
+def _wavc(tag, nch, rate, balign, bps, data, fact=None):
+    return multimodal._wav_container(tag, nch, rate, balign, bps, data, fact)
+
+
+def test_g711_tables_match_audioop():
+    """All 512 expand-table entries vs the stdlib reference (audioop
+    carries the classic G.711 tables; removed in 3.13, hence the
+    importorskip)."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    for code in range(256):
+        (ref,) = struct.unpack("<h", audioop.ulaw2lin(bytes([code]), 2))
+        assert multimodal._g711_ulaw(code) == ref
+        (ref,) = struct.unpack("<h", audioop.alaw2lin(bytes([code]), 2))
+        assert multimodal._g711_alaw(code) == ref
+
+
+def test_ima_recurrence_matches_audioop():
+    """The nibble recurrence (step table, index table, both clamps)
+    state-threaded against audioop.adpcm2lin over a long random
+    stream — audioop packs the high nibble first, a container-layout
+    difference only."""
+    import random
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    rnd = random.Random(20260815)
+    data = bytes(rnd.randrange(256) for _ in range(4096))
+    out, _ = audioop.adpcm2lin(data, 2, None)
+    ref = struct.unpack(f"<{len(out) // 2}h", out)
+    pred, idx, mine = 0, 0, []
+    for byte in data:
+        for nib in (byte >> 4, byte & 0x0F):
+            pred, idx = multimodal._ima_nibble(nib, pred, idx)
+            mine.append(pred)
+    assert tuple(mine) == ref
+
+
+def test_wav_decoder_g711_golden():
+    # mu-law codes 0x00 / 0x7f / 0x80 expand to -32124 / 0 / +32124
+    feats = multimodal.wav_decoder(
+        _wavc(7, 1, 8000, 1, 8, bytes([0x00, 0x7F, 0x80]))
+    )
+    assert feats[:3] == [1.0, 8000.0, 3.0]
+    assert feats[3] == (32124 * 2) / (3 * 32768)
+    assert feats[4] == 32124 / 32768
+    # A-law stereo: codes 0x55/0xd5/0x2a/0xaa -> -8, 8, -32256, 32256
+    feats = multimodal.wav_decoder(
+        _wavc(6, 2, 16000, 2, 8, bytes([0x55, 0xD5, 0x2A, 0xAA]))
+    )
+    assert feats[:3] == [2.0, 16000.0, 2.0]
+    assert feats[3] == (8 + 8 + 32256 + 32256) / (4 * 32768)
+    assert feats[4] == 32256 / 32768
+
+
+def test_wav_decoder_ima_golden_and_fact_trim():
+    import struct
+
+    hdr = struct.pack("<hBB", 1000, 20, 0)
+    body = bytes([0x21, 0x43, 0x65, 0x87])  # nibbles 1..8, low first
+    pred, idx, vals = 1000, 20, [1000]
+    for nib in range(1, 9):
+        pred, idx = multimodal._ima_nibble(nib, pred, idx)
+        vals.append(pred)
+    feats = multimodal.wav_decoder(
+        _wavc(0x11, 1, 8000, 8, 4, hdr + body, fact=9)
+    )
+    assert feats[:3] == [1.0, 8000.0, 9.0]
+    assert feats[3] == sum(map(abs, vals)) / (9 * 32768)
+    assert feats[4] == max(map(abs, vals)) / 32768
+    # a fact chunk short of the block trims trailing frames EXACTLY
+    # (stats over the kept frames only, not the whole block)
+    feats = multimodal.wav_decoder(
+        _wavc(0x11, 1, 8000, 8, 4, hdr + body, fact=5)
+    )
+    v5 = vals[:5]
+    assert feats[2] == 5.0
+    assert feats[3] == sum(map(abs, v5)) / (5 * 32768)
+    assert feats[4] == max(map(abs, v5)) / 32768
+
+
+def test_wav_decoder_ima_stereo_interleave():
+    """Stereo blocks interleave 4-byte words per channel; building a
+    stereo stream from two independent mono streams must yield the
+    combined mono statistics (catches any word-order mistake)."""
+    import random
+    import struct
+
+    import pytest
+
+    rnd = random.Random(7)
+    mono = [bytes(rnd.randrange(256) for _ in range(8)) for _ in range(2)]
+    hdrs = [struct.pack("<hBB", 500 * (c + 1), 10 * (c + 1), 0)
+            for c in range(2)]
+    mono_feats = [
+        multimodal.wav_decoder(
+            _wavc(0x11, 1, 8000, 12, 4, hdrs[c] + mono[c], fact=17)
+        )
+        for c in range(2)
+    ]
+    inter = b"".join(
+        mono[c][g * 4 : g * 4 + 4] for g in range(2) for c in range(2)
+    )
+    st = multimodal.wav_decoder(
+        _wavc(0x11, 2, 8000, 24, 4, hdrs[0] + hdrs[1] + inter, fact=17)
+    )
+    assert st[:3] == [2.0, 8000.0, 17.0]
+    assert st[3] == pytest.approx(
+        (mono_feats[0][3] + mono_feats[1][3]) / 2, rel=1e-12
+    )
+    assert st[4] == max(mono_feats[0][4], mono_feats[1][4])
+
+
+def test_wav_decoder_codec_failure_shapes():
+    import struct
+
+    import pytest
+
+    # GSM tag: a REAL codec the engine does not carry -> honest stub
+    with pytest.raises(NotImplementedError, match="0x31"):
+        multimodal.wav_decoder(_wavc(0x31, 1, 8000, 65, 0, b"\x00" * 65))
+    # ADPCM step index > 88: structural damage -> ValueError
+    bad = struct.pack("<hBB", 0, 200, 0) + b"\x00" * 4
+    with pytest.raises(ValueError, match="step index"):
+        multimodal.wav_decoder(_wavc(0x11, 1, 8000, 8, 4, bad))
+    # declared chunk length past the payload end -> ValueError
+    p = _wavc(7, 1, 8000, 1, 8, bytes([0x00, 0x7F]))
+    with pytest.raises(ValueError):
+        multimodal.wav_decoder(p[:-1])
+    # zero channels -> ValueError
+    with pytest.raises(ValueError, match="channels"):
+        multimodal.wav_decoder(_wavc(7, 0, 8000, 1, 8, b"\x00"))
+
+
+def test_g711_and_ima_through_extract_features(spark):
+    df = spark.range(1, 40).withColumnRenamed("id", "doc_id")
+    for synth, stub_frac in (
+        (multimodal.synth_wav_g711, 13),
+        (multimodal.synth_wav_ima, 17),
+    ):
+        feats = multimodal.extract_features(
+            synth(df, "doc_id"),
+            decoder=multimodal.audio_decoder,
+            modality="audio",
+        ).collect()
+        ok = {r.item_id for r in feats if r.decode_ok}
+        bad = {r.item_id for r in feats if not r.decode_ok}
+        assert bad == {i for i in range(1, 40) if i % stub_frac == 0}
+        assert all(
+            r.feat is not None and 0.0 <= r.feat[3] <= 1.0
+            for r in feats
+            if r.item_id in ok
+        )
+
+
+def test_wav_segments_over_compressed_codecs():
+    """VAD shares the codec front half: a G.711 mu-law clip segments
+    directly (loud stretch = code 0x80 -> +32124, silence = 0xFF ->
+    0), and the unsupported-tag stub surfaces as NotImplementedError
+    rather than damage."""
+    import pytest
+
+    # 8 kHz, 20 ms frames -> 160 samples per frame; 2 loud frames
+    # between silence
+    codes = bytes([0xFF] * 160 + [0x80] * 320 + [0xFF] * 160)
+    p = _wavc(7, 1, 8000, 1, 8, codes, fact=len(codes))
+    n_frames, active, segs, longest, lead = multimodal.wav_segments(p)
+    assert (n_frames, active, segs, longest, lead) == (4.0, 2.0, 1.0, 2.0, 1.0)
+    with pytest.raises(NotImplementedError, match="0x31"):
+        multimodal.wav_segments(_wavc(0x31, 1, 8000, 65, 0, b"\x00" * 65))
