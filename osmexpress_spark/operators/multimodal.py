@@ -60,7 +60,7 @@ def image_decoder(payload: bytes) -> list[float]:
     still-image matrix (grayscale / truecolor / palette / each with
     alpha; 8- and 16-bit depths, palette at 1/2/4/8; sequential and
     Adam7-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
-    any sampling factors <= 4) AND progressive JPEG (SOF2: spectral
+    any sampling factors <= 4, 8- AND 12-bit, Adobe CMYK/YCCK) AND progressive JPEG (SOF2: spectral
     selection + successive approximation, DC/AC first and refinement
     scans, EOB runs), GIF87a/89a (full LZW, global/local
     palettes, interlace, first frame), and TIFF (II/MM,
@@ -71,7 +71,7 @@ def image_decoder(payload: bytes) -> list[float]:
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
-    Remaining variants (arithmetic/12-bit/CMYK/hierarchical JPEG,
+    Remaining variants (arithmetic/hierarchical/lossless JPEG,
     old-style-JPEG or edge-padded-JPEG-tiled TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
@@ -1152,11 +1152,13 @@ def _jpeg_prog_scan(
                     raise ValueError("JPEG scan references missing DC table")
                 tables[ci] = huff[(0, td)]
 
+        dc_cat_max = 11 if frame.get("prec", 8) == 8 else 15
+
         def dc_unit(ci: int, blk) -> None:
             if ah == 0:
                 t = tables[ci].decode(bits)
-                if t > 11:
-                    raise ValueError("JPEG DC category > 11")
+                if t > dc_cat_max:
+                    raise ValueError(f"JPEG DC category > {dc_cat_max}")
                 state["pred"][ci] += _jpeg_extend(bits.get(t), t)
                 blk[0] = state["pred"][ci] << al
             else:
@@ -1270,11 +1272,13 @@ def _jpeg_prog_scan(
     return bits.pos
 
 
-def _jpeg_prog_finish(frame: dict, qt: dict) -> list[float]:
+def _jpeg_prog_finish(
+    frame: dict, qt: dict, adobe: int | None = None
+) -> list[float]:
     """Reconstruct a progressive JPEG from its accumulated coefficient
     arrays: dequantize, IDCT every block (vectorized einsum — the same
     matrix math as the baseline per-block path), upsample by index
-    replication, JFIF color convert, channel means."""
+    replication, then the shared clamped color convert + means."""
     import numpy as np
 
     if not frame.get("coef"):
@@ -1285,6 +1289,7 @@ def _jpeg_prog_finish(frame: dict, qt: dict) -> list[float]:
     vmax = max(c["v"] for c in comps)
     idct = _jpeg_idct_mat()
     dezig = np.argsort(np.array(_JPEG_ZIGZAG))
+    half = float(1 << (frame.get("prec", 8) - 1))
     full = []
     for c, coef in zip(comps, frame["coef"]):
         if c["tq"] not in qt:
@@ -1294,26 +1299,14 @@ def _jpeg_prog_finish(frame: dict, qt: dict) -> list[float]:
         blocks = coef[..., dezig].reshape(by, bx, 8, 8).astype(
             np.float64
         ) * q
-        px = np.einsum("ab,yxbc,dc->yxad", idct, blocks, idct) + 128.0
+        px = np.einsum("ab,yxbc,dc->yxad", idct, blocks, idct) + half
         plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ys = (np.arange(h) * c["v"]) // vmax
         xs = (np.arange(w) * c["h"]) // hmax
         full.append(plane[np.ix_(ys, xs)])
-    if len(full) == 1:
-        y = np.clip(full[0], 0.0, 255.0)
-        m = float(y.mean() / 255.0)
-        return [float(w), float(h), m, m, m]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = np.clip(y + 1.402 * cr, 0.0, 255.0)
-    g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0.0, 255.0)
-    b = np.clip(y + 1.772 * cb, 0.0, 255.0)
-    return [
-        float(w),
-        float(h),
-        float(r.mean() / 255.0),
-        float(g.mean() / 255.0),
-        float(b.mean() / 255.0),
-    ]
+    return _jpeg_means_from_planes(
+        full, w, h, frame.get("prec", 8), adobe
+    )
 
 
 def _decode_jpeg(payload: bytes) -> list[float]:
@@ -1334,6 +1327,7 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     huff: dict[tuple[int, int], _JpegHuff] = {}
     frame = None
     restart_interval = 0
+    adobe = None  # APP14 color-transform byte (None = no Adobe marker)
 
     def seg_len(p: int) -> int:
         if p + 2 > len(d):
@@ -1362,13 +1356,15 @@ def _decode_jpeg(payload: bytes) -> list[float]:
         if marker in (0xC0, 0xC1, 0xC2):  # baseline / extended / progressive
             ln = seg_len(pos)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", d, pos + 2)
-            if prec != 8:
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("JPEG baseline SOF0 declares 12-bit")
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG not supported (baseline is 8-bit)"
+                    f"{prec}-bit JPEG not supported (8 and 12 decode)"
                 )
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (CMYK/unknown) not supported"
+                    f"{ncomp}-component JPEG not supported"
                 )
             if w == 0 or h == 0:
                 raise ValueError("JPEG zero dimension")
@@ -1384,9 +1380,14 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                     {"id": cid, "h": ch, "v": cv, "tq": tq}
                 )
             frame = {
-                "w": w, "h": h, "comps": comps,
+                "w": w, "h": h, "comps": comps, "prec": prec,
                 "progressive": marker == 0xC2,
             }
+            pos += ln
+        elif marker == 0xEE:  # APP14: Adobe color-transform declaration
+            ln = seg_len(pos)
+            if ln >= 14 and d[pos + 2 : pos + 7] == b"Adobe":
+                adobe = d[pos + 13]
             pos += ln
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -1466,7 +1467,7 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             pos += seg_len(pos)
 
     if frame.get("progressive"):
-        return _jpeg_prog_finish(frame, qt)
+        return _jpeg_prog_finish(frame, qt, adobe)
 
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
@@ -1476,6 +1477,8 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     mcuy = -(-h // (8 * vmax))
     idct = _jpeg_idct_mat()
     dezig = np.argsort(np.array(_JPEG_ZIGZAG))  # natural <- zigzag
+    half = float(1 << (frame["prec"] - 1))
+    dc_cat_max = 11 if frame["prec"] == 8 else 15
 
     planes = []
     for c in comps:
@@ -1514,8 +1517,10 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                     for bx in range(c["h"]):
                         zz[:] = 0.0
                         t = c["dc"].decode(bits)
-                        if t > 11:
-                            raise ValueError("JPEG DC category > 11")
+                        if t > dc_cat_max:
+                            raise ValueError(
+                                f"JPEG DC category > {dc_cat_max}"
+                            )
                         c["pred"] += _jpeg_extend(bits.get(t), t)
                         zz[0] = c["pred"]
                         k = 1
@@ -1533,7 +1538,7 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                             zz[k] = _jpeg_extend(bits.get(s), s)
                             k += 1
                         block = zz[dezig].reshape(8, 8) * c["q"]
-                        px = idct @ block @ idct.T + 128.0
+                        px = idct @ block @ idct.T + half
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
@@ -1545,20 +1550,60 @@ def _decode_jpeg(payload: bytes) -> list[float]:
         ys = (np.arange(h) * c["v"]) // vmax
         xs = (np.arange(w) * c["h"]) // hmax
         full.append(c["plane"][np.ix_(ys, xs)])
+    return _jpeg_means_from_planes(full, w, h, frame["prec"], adobe)
+
+
+def _jpeg_means_from_planes(
+    full: list, w: int, h: int, prec: int, adobe: int | None
+) -> list[float]:
+    """Shared back half of both JPEG paths: clamped color conversion +
+    channel means, parametrized by sample precision (8 or 12 bit) and
+    the Adobe APP14 transform.  3 components are JFIF YCbCr unless an
+    Adobe marker declares transform 0 (plain RGB); 4 components follow
+    the Adobe convention (values stored INVERTED, so naive CMYK->RGB is
+    s_c*s_k/maxval directly): transform 2 = YCCK (inverse-YCbCr the
+    first three planes first), transform 0 = inverted CMYK as stored —
+    a 4-component stream WITHOUT an Adobe marker has no knowable
+    convention and stays an honest NotImplementedError."""
+    import numpy as np
+
+    maxval = float((1 << prec) - 1)
+    half = float(1 << (prec - 1))
     if len(full) == 1:
-        y = np.clip(full[0], 0.0, 255.0)
-        m = float(y.mean() / 255.0)
+        y = np.clip(full[0], 0.0, maxval)
+        m = float(y.mean() / maxval)
         return [float(w), float(h), m, m, m]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = np.clip(y + 1.402 * cr, 0.0, 255.0)
-    g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0.0, 255.0)
-    b = np.clip(y + 1.772 * cb, 0.0, 255.0)
+
+    def ycc_to_rgb(y, cb, cr):
+        cb, cr = cb - half, cr - half
+        r = np.clip(y + 1.402 * cr, 0.0, maxval)
+        g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0.0, maxval)
+        b = np.clip(y + 1.772 * cb, 0.0, maxval)
+        return r, g, b
+
+    if len(full) == 3:
+        if adobe == 0:  # Adobe declares untransformed RGB
+            r, g, b = (np.clip(p, 0.0, maxval) for p in full)
+        else:
+            r, g, b = ycc_to_rgb(*full)
+    else:  # 4 components: Adobe inverted-CMYK conventions
+        if adobe == 2:  # YCCK
+            sc, sm, sy = ycc_to_rgb(*full[:3])
+        elif adobe == 0:  # CMYK, stored inverted
+            sc, sm, sy = (np.clip(p, 0.0, maxval) for p in full[:3])
+        else:
+            raise NotImplementedError(
+                "4-component JPEG without an Adobe APP14 transform "
+                "has no defined color convention"
+            )
+        sk = np.clip(full[3], 0.0, maxval)
+        r, g, b = sc * sk / maxval, sm * sk / maxval, sy * sk / maxval
     return [
         float(w),
         float(h),
-        float(r.mean() / 255.0),
-        float(g.mean() / 255.0),
-        float(b.mean() / 255.0),
+        float(r.mean() / maxval),
+        float(g.mean() / maxval),
+        float(b.mean() / maxval),
     ]
 
 

@@ -124,9 +124,9 @@ def _amp(v: int, t: int) -> int:
     return v if v >= 0 else v + (1 << t) - 1
 
 
-def _encode_block(w, block, q, pred, dc_codes, ac_codes):
+def _encode_block(w, block, q, pred, dc_codes, ac_codes, half=128.0):
     m = _fdct_mat()
-    coef = m.T @ (block - 128.0) @ m
+    coef = m.T @ (block - half) @ m
     qc = np.rint(coef / q).astype(int)
     zz = [int(qc.flat[ZIGZAG[i]]) for i in range(64)]
     diff = zz[0] - pred
@@ -574,4 +574,191 @@ def encode_jpeg_progressive(
             out += bw.buf
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- 12-bit extended sequential (SOF1) encoder -------------------------------
+#
+# The Annex K.3 example tables only define 12 DC categories and 8-bit
+# AC magnitudes; 12-bit precision needs DC categories to 15 and AC
+# magnitude categories to 14, so use deliberately simple full canonical
+# tables (the PROG_AC trick): all 16 DC symbols at 5 bits, the 256-way
+# AC table shared with the progressive encoder.
+DC_16 = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+         list(range(16)))
+
+
+def encode_jpeg12(
+    img: np.ndarray,
+    quality_q: int = 1,
+    subsample: str = "444",
+) -> bytes:
+    """img: HxW (grayscale) or HxWx3 (RGB) with values 0..4095.
+    Emits a 12-bit extended sequential stream (SOF1, 16-bit DQT)."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full((8, 8), float(quality_q))
+
+    if gray:
+        planes = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+        elif subsample == "420":
+            cbp, crp = _pad_to(cb, 2, 2), _pad_to(cr, 2, 2)
+            planes = [
+                y,
+                cbp.reshape(cbp.shape[0] // 2, 2,
+                            cbp.shape[1] // 2, 2).mean(axis=(1, 3)),
+                crp.reshape(crp.shape[0] // 2, 2,
+                            crp.shape[1] // 2, 2).mean(axis=(1, 3)),
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(subsample)
+
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        np.pad(
+            p,
+            ((0, mcuy * sv * 8 - p.shape[0]),
+             (0, mcux * sh * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    # 16-bit-precision DQT (pq=1), table 0
+    zzq = b"".join(
+        struct.pack(">H", int(q.flat[ZIGZAG[i]])) for i in range(64)
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" + zzq
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0])
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in ((0, 0, DC_16), (1, 0, PROG_AC)):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc = _codes(*DC_16)
+    ac = _codes(*PROG_AC)
+    preds = [0] * ncomp
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, blk, q, preds[ci], dc, ac, half=2048.0
+                        )
+    bw.align()
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+# --- Adobe APP14 streams: CMYK / YCCK / transform-0 RGB ----------------------
+def _app14(transform: int) -> bytes:
+    return (b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+            + struct.pack(">HHHB", 100, 0, 0, transform))
+
+
+def rgb_to_cmyk_inv(img: np.ndarray) -> np.ndarray:
+    """RGB uint8 -> the ADOBE-STORED (inverted) CMYK planes: s_k =
+    max(r,g,b), s_c = r*255/s_k (0 where s_k == 0) — chosen so the
+    naive decode r = s_c*s_k/255 inverts it exactly up to rounding."""
+    img = np.asarray(img, dtype=np.float64)
+    sk = img.max(axis=2)
+    safe = np.where(sk == 0, 1.0, sk)
+    inv = np.stack(
+        [np.where(sk == 0, 0.0, img[..., i] * 255.0 / safe)
+         for i in range(3)]
+        + [sk],
+        axis=2,
+    )
+    return np.rint(inv)
+
+
+def encode_jpeg_adobe(
+    planes4_or_rgb: np.ndarray,
+    quality_q: int = 1,
+    transform: int = 2,
+) -> bytes:
+    """Adobe-marked streams, 4:4:4, 8-bit:
+
+    - transform=2 with an HxWx4 inverted-CMYK array -> YCCK (the first
+      three planes go through the forward YCbCr transform; K as-is);
+    - transform=0 with HxWx4 -> inverted CMYK stored directly;
+    - transform=0 with HxWx3 -> plain RGB (no YCbCr), the Adobe
+      3-channel corner."""
+    img = np.asarray(planes4_or_rgb, dtype=np.float64)
+    h, w = img.shape[:2]
+    ncomp = img.shape[2]
+    if ncomp == 4 and transform == 2:
+        c, m, y_, k = (img[..., i] for i in range(4))
+        yy = 0.299 * c + 0.587 * m + 0.114 * y_
+        cb = 128.0 - 0.168736 * c - 0.331264 * m + 0.5 * y_
+        cr = 128.0 + 0.5 * c - 0.418688 * m - 0.081312 * y_
+        planes = [yy, cb, cr, k]
+    elif transform == 0 and ncomp in (3, 4):
+        planes = [img[..., i] for i in range(ncomp)]
+    else:
+        raise ValueError((ncomp, transform))
+
+    q = np.full((8, 8), float(quality_q))
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    padded = [
+        np.pad(p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+        for p in planes
+    ]
+    out = bytearray(b"\xff\xd8")
+    out += _app14(transform)
+    zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in ((0, 0, DC_LUM), (1, 0, AC_LUM)):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc = _codes(*DC_LUM)
+    ac = _codes(*AC_LUM)
+    preds = [0] * ncomp
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                blk = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                preds[ci] = _encode_block(bw, blk, q, preds[ci], dc, ac)
+    bw.align()
+    out += bw.buf + b"\xff\xd9"
     return bytes(out)

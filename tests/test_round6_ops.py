@@ -221,10 +221,18 @@ def test_jpeg_honest_stub_branches():
     arith[sof + 1] = 0xC9  # arithmetic: still an honest stub
     with pytest.raises(NotImplementedError, match="SOF9"):
         image_decoder(bytes(arith))
+    # 12-bit is DECODED now (round 7, SOF1/SOF2) — but a baseline
+    # SOF0 declaring 12-bit is structurally invalid per T.81:
+    # corruption, not stub
     twelve = bytearray(good)
     twelve[sof + 4] = 12  # precision byte
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    with pytest.raises(ValueError, match="12-bit"):
         image_decoder(bytes(twelve))
+    # unsupported precision stays the honest stub
+    ten = bytearray(good)
+    ten[sof + 4] = 10
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        image_decoder(bytes(ten))
     # truncation mid-entropy is corruption (ValueError), not a stub
     with pytest.raises(ValueError):
         image_decoder(bytes(good[: len(good) // 2]))
