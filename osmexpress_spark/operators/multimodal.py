@@ -71,7 +71,7 @@ def image_decoder(payload: bytes) -> list[float]:
     fixed 5-float feature vector [width, height, mean_r, mean_g,
     mean_b] with channel means normalized to [0, 1].
 
-    Remaining variants (arithmetic/hierarchical/lossless JPEG,
+    Remaining variants (arithmetic/hierarchical JPEG,
     old-style-JPEG or edge-padded-JPEG-tiled TIFF, WebP/...) raise
     NotImplementedError — the honest-stub branch that extract_features
     records as decode_ok=False. A corrupt payload of a SUPPORTED
@@ -1389,11 +1389,35 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             if ln >= 14 and d[pos + 2 : pos + 7] == b"Adobe":
                 adobe = d[pos + 13]
             pos += ln
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # lossless sequential (T.81 Annex H)
+            ln = seg_len(pos)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", d, pos + 2)
+            if not (2 <= prec <= 16):
+                raise ValueError(f"JPEG lossless precision {prec}")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component lossless JPEG not supported"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("JPEG zero dimension")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", d, pos + 8 + 3 * i)
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {
+                "w": w, "h": h, "comps": comps, "prec": prec,
+                "progressive": False, "lossless": True,
+            }
+            pos += ln
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
-                "hierarchical) not supported in-container"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical) "
+                "not supported in-container"
             )
         elif marker == 0xC4:  # DHT
             ln = seg_len(pos)
@@ -1440,6 +1464,24 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = d[pos + 2]
+            if frame.get("lossless"):
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "multi-scan lossless JPEG not supported"
+                    )
+                scan_comps = [
+                    struct.unpack_from(">BB", d, pos + 3 + 2 * i)
+                    for i in range(ns)
+                ]
+                ss, se, ahal = struct.unpack_from(
+                    ">BBB", d, pos + 3 + 2 * ns
+                )
+                if se != 0 or (ahal >> 4) != 0:
+                    raise ValueError("JPEG lossless scan with Se/Ah != 0")
+                return _jpeg_lossless_decode(
+                    d, pos + ln, frame, huff, restart_interval,
+                    scan_comps, ss, ahal & 15,
+                )
             if frame.get("progressive"):
                 scan_comps = [
                     struct.unpack_from(">BB", d, pos + 3 + 2 * i)
@@ -1551,6 +1593,108 @@ def _decode_jpeg(payload: bytes) -> list[float]:
         xs = (np.arange(w) * c["h"]) // hmax
         full.append(c["plane"][np.ix_(ys, xs)])
     return _jpeg_means_from_planes(full, w, h, frame["prec"], adobe)
+
+
+def _jpeg_lossless_decode(
+    d: bytes,
+    pos: int,
+    frame: dict,
+    huff: dict,
+    restart_interval: int,
+    scan_comps: list,
+    pred_sel: int,
+    pt: int,
+) -> list[float]:
+    """Lossless sequential JPEG (T.81 Annex H): Huffman-coded sample
+    differences against one of the seven spatial predictors, modulo
+    2^16 — no DCT, no quantization, bit-exact by construction (the
+    format DNG and medical stacks use).  Non-subsampled interleaved
+    scans only; 3-component streams are taken as-is (lossless has no
+    YCbCr convention) and scaled by /maxval like every other path.
+    Restart intervals inside a lossless scan reset the prediction
+    context to start-of-scan state."""
+    import numpy as np
+
+    if not (1 <= pred_sel <= 7):
+        raise ValueError(f"JPEG lossless predictor {pred_sel}")
+    comps = frame["comps"]
+    w, h, prec = frame["w"], frame["h"], frame["prec"]
+    if pt >= prec:
+        raise ValueError("JPEG lossless point transform >= precision")
+    tabs = []
+    for cs, tdta in scan_comps:
+        if cs not in {c["id"] for c in comps}:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        td = tdta >> 4
+        if (0, td) not in huff:
+            raise ValueError("JPEG scan references missing DC table")
+        tabs.append(huff[(0, td)])
+    ncomp = len(comps)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    default = 1 << (prec - 1 - pt)
+    bits = _JpegBits(d, pos)
+    unit, rst_idx = 0, 0
+    row_restart = [0] * ncomp  # row where the current interval began
+
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and unit
+                and unit % restart_interval == 0
+            ):
+                bits.restart(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                # T.81 H.1.1: prediction restarts as at scan start
+                for ci in range(ncomp):
+                    row_restart[ci] = -1  # sentinel: next sample default
+            for ci in range(ncomp):
+                t = tabs[ci].decode(bits)
+                if t > 16:
+                    raise ValueError("JPEG lossless SSSS > 16")
+                diff = 32768 if t == 16 else _jpeg_extend(bits.get(t), t)
+                p = planes[ci]
+                if row_restart[ci] == -1:
+                    px = default
+                    row_restart[ci] = y
+                elif y == row_restart[ci] and x == 0 and y == 0:
+                    px = default
+                elif y == row_restart[ci] or y == 0:
+                    px = int(p[y, x - 1]) if x else default
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra = int(p[y, x - 1])
+                    rb = int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = ra
+                    elif pred_sel == 2:
+                        px = rb
+                    elif pred_sel == 3:
+                        px = rc
+                    elif pred_sel == 4:
+                        px = ra + rb - rc
+                    elif pred_sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif pred_sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                p[y, x] = (px + diff) & 0xFFFF
+            unit += 1
+
+    maxval = float((1 << prec) - 1)
+    full = [
+        np.clip(p.astype(np.float64) * (1 << pt), 0.0, maxval)
+        for p in planes
+    ]
+    if ncomp == 1:
+        m = float(full[0].mean() / maxval)
+        return [float(w), float(h), m, m, m]
+    return [float(w), float(h)] + [
+        float(p.mean() / maxval) for p in full
+    ]
 
 
 def _jpeg_means_from_planes(

@@ -762,3 +762,92 @@ def encode_jpeg_adobe(
     bw.align()
     out += bw.buf + b"\xff\xd9"
     return bytes(out)
+
+
+# --- lossless sequential (SOF3) encoder --------------------------------------
+#
+# T.81 Annex H: Huffman-coded differences against a spatial predictor,
+# modulo 2^16, no DCT — bit-exact by construction. Difference
+# categories run 0..16, so use a full 17-symbol canonical table.
+DC_LL = ([0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+         list(range(17)))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    pt: int = 0,
+    prec: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """img: HxW or HxWx3 integer array with values 0..2^prec-1.
+    Point-transformed samples (>> pt) are coded; restart intervals are
+    in samples (MCUs) and reset the prediction context to
+    start-of-scan state (the shared convention with the decoder)."""
+    img = np.asarray(img, dtype=np.int64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ncomp = 1 if gray else img.shape[2]
+    planes = [img >> pt] if gray else [img[..., i] >> pt
+                                       for i in range(ncomp)]
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + bytes(DC_LL[0]) + bytes(DC_LL[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    codes = _codes(*DC_LL)
+    default = 1 << (prec - 1 - pt)
+    bw = _BitWriter()
+    unit, rst = 0, 0
+    row_restart = [0] * ncomp
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+                for ci in range(ncomp):
+                    row_restart[ci] = -1
+            for ci in range(ncomp):
+                p = planes[ci]
+                if row_restart[ci] == -1:
+                    px = default
+                    row_restart[ci] = y
+                elif y == row_restart[ci] and x == 0 and y == 0:
+                    px = default
+                elif y == row_restart[ci] or y == 0:
+                    px = int(p[y, x - 1]) if x else default
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra, rb, rc = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                  int(p[y - 1, x - 1]))
+                    px = [ra, rb, rc, ra + rb - rc,
+                          ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                          (ra + rb) >> 1][predictor - 1]
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    c, ln = codes[16]
+                    bw.put(c, ln)
+                else:
+                    t = _cat(diff)
+                    c, ln = codes[t]
+                    bw.put(c, ln)
+                    if t:
+                        bw.put(_amp(diff, t), t)
+            unit += 1
+    bw.align()
+    out += bw.buf + b"\xff\xd9"
+    return bytes(out)

@@ -114,3 +114,58 @@ def test_failure_and_stub_shapes():
     stream[sof + 4] = 10
     with pytest.raises(NotImplementedError, match="10-bit"):
         _decode_jpeg(bytes(stream))
+
+
+# --- lossless sequential (SOF3, T.81 Annex H) --------------------------------
+from jpeg_ref import encode_jpeg_lossless
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_lossless_all_predictors_bit_exact(pred):
+    rng = np.random.default_rng(9 + pred)
+    img = rng.integers(0, 256, (13, 19, 3))
+    f = _decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+    assert f[:2] == [19.0, 13.0]
+    for got, want in zip(f[2:], [img[..., i].mean() / 255 for i in range(3)]):
+        assert abs(got - want) < 1e-12  # lossless: EXACT, no tolerance
+
+
+def test_lossless_16bit_gray_and_point_transform():
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 65536, (9, 7))
+    f = _decode_jpeg(encode_jpeg_lossless(g, predictor=4, prec=16))
+    assert abs(f[2] - g.mean() / 65535) < 1e-12 and f[2] == f[3] == f[4]
+    img = rng.integers(0, 256, (8, 8))
+    f = _decode_jpeg(encode_jpeg_lossless(img, predictor=2, pt=2))
+    assert abs(f[2] - ((img >> 2) << 2).mean() / 255) < 1e-12
+
+
+@pytest.mark.parametrize("interval", [12, 7])  # row-aligned and mid-row
+def test_lossless_restart_intervals(interval):
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (10, 12, 3))
+    f = _decode_jpeg(
+        encode_jpeg_lossless(img, predictor=5, restart_interval=interval)
+    )
+    for got, want in zip(f[2:], [img[..., i].mean() / 255 for i in range(3)]):
+        assert abs(got - want) < 1e-12
+
+
+def test_lossless_failure_and_stub_shapes():
+    img = np.full((8, 8), 7)
+    good = bytearray(encode_jpeg_lossless(img, predictor=1))
+    sos = good.index(b"\xff\xda")
+    # predictor 0 in the scan header is invalid
+    bad = bytearray(good)
+    bad[sos + 7] = 0
+    with pytest.raises(ValueError, match="predictor"):
+        _decode_jpeg(bytes(bad))
+    # subsampled lossless stays the honest stub
+    sof = good.index(b"\xff\xc3")
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # h=v=2 on component 1
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        _decode_jpeg(bytes(sub))
+    # truncated entropy data is corruption
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(good[: len(good) - 12]))
