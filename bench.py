@@ -128,6 +128,7 @@ PENDING_HEADLINE: list[str] = [
     "q_image_dup_clusters",
     "q_audio_g711_stats",
     "q_audio_adpcm_stats",
+    "q_image_jpeg_stats",
 ]
 
 

@@ -3375,6 +3375,98 @@ def synth_wav_ima(
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
 
 
+def _encode_jpeg_lossless8(pixels: bytes, w: int, h: int) -> bytes:
+    """Minimal REAL lossless-JPEG writer for the synthetic fixtures:
+    8-bit grayscale, predictor 1 (Ra), one interleaved scan, the full
+    17-symbol difference-category table at 5 bits — a valid SOF3
+    stream any Annex-H decoder accepts.  Lossless, so the decoded
+    means are analytically recomputable from the source bytes (the
+    _encode_flac8_verbatim strategy applied to the image side)."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    counts = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    out += (b"\xff\xc4" + struct.pack(">H", 2 + 17 + 17)
+            + b"\x00" + bytes(counts) + bytes(range(17)))
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 1, 0, 0])
+    acc, nbits, body = 0, 0, bytearray()
+
+    def put(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+            nbits -= 8
+
+    for y in range(h):
+        pred = 128  # first sample of every row predicts from default/Rb
+        for x in range(w):
+            if x == 0:
+                pred = 128 if y == 0 else pixels[(y - 1) * w]
+            v = pixels[y * w + x]
+            diff = v - pred
+            pred = v
+            t = abs(diff).bit_length()
+            put(t, 5)  # canonical 17-at-5-bits: code == symbol
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    if nbits:
+        put(0x7F, 8 - nbits)
+    return bytes(out + body + b"\xff\xd9")
+
+
+def synth_jpeg_lossless(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size: int = 16,
+    stub_mod: int = 11,
+) -> DataFrame:
+    """Per-row deterministic lossless JPEG (SOF3): gray pixel (y, x) is
+    byte x of md5(f"{id}_j_{y}") for a size x size image (size <= 16)
+    — md5-hex-recomputable, and SOF3 is LOSSLESS, so a SQL oracle
+    recomputes the decoded mean exactly.  Rows where id % stub_mod ==
+    0 carry an arithmetic-coded (SOF9) header instead: the honest
+    NotImplementedError stub through the same gate.  Arrow
+    mapInPandas, zero shuffle."""
+    import hashlib
+
+    if not (1 <= size <= 16):
+        raise TypeError("size must be in 1..16")
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                if stub_mod and i % stub_mod == 0:
+                    payloads.append(
+                        b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10"
+                        b"\x01\x01\x11\x00"
+                    )
+                    continue
+                px = b"".join(
+                    hashlib.md5(f"{i}_j_{y}".encode()).digest()[:size]
+                    for y in range(size)
+                )
+                payloads.append(_encode_jpeg_lossless8(px, size, size))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
 def dhash_bands(
     feat_df: DataFrame,
     grid: int = 8,

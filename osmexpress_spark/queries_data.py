@@ -5637,3 +5637,54 @@ def q_audio_adpcm_stats(spark, sf_dir):
         F.element_at("feat", 4).alias("mean_abs"),
         F.element_at("feat", 5).alias("peak"),
     )
+
+
+@defq_pending(
+    "q_image_jpeg_stats",
+    """
+    WITH prows AS (
+      SELECT doc_id, y.range AS y
+      FROM documents, range(16) y
+      WHERE doc_id % 11 != 0
+    ),
+    hx AS (
+      SELECT doc_id, md5(doc_id || '_j_' || y) AS h FROM prows
+    ),
+    px AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, 2 * j.range + 1, 2) AS INTEGER) AS v
+      FROM hx, range(16) j
+    ),
+    st AS (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS tv FROM px GROUP BY 1
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 11 != 0) AS decode_ok,
+           CASE WHEN d.doc_id % 11 = 0 THEN NULL
+                ELSE (CAST(st.tv AS DOUBLE) / 256e0) / 255e0
+           END AS mean_gray
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+)
+def q_image_jpeg_stats(spark, sf_dir):
+    """The JPEG decode machinery behind the driver gate for the first
+    time (multimodal._decode_jpeg via image_decoder): deterministic
+    md5-pixel LOSSLESS streams (SOF3, predictor 1 — real marker parse,
+    canonical Huffman DHT, 0xFF00 entropy unstuffing, the Annex-H
+    prediction recurrence) are REALLY decoded in the Arrow seam; SOF3
+    is lossless, so the oracle recomputes the decoded gray mean from
+    the md5 hex pairs EXACTLY — the output double is two exact-input
+    IEEE divisions, hash-stable in both engines.  Every 11th doc
+    carries an arithmetic-coded (SOF9) header: the honest
+    NotImplementedError stub through the same gate (the codec the
+    engine deliberately does not carry)."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_jpeg_lossless(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.image_decoder, modality="image"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 3).alias("mean_gray"),
+    )

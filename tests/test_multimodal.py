@@ -1586,3 +1586,26 @@ def test_wav_segments_over_compressed_codecs():
     assert (n_frames, active, segs, longest, lead) == (4.0, 2.0, 1.0, 2.0, 1.0)
     with pytest.raises(NotImplementedError, match="0x31"):
         multimodal.wav_segments(_wavc(0x31, 1, 8000, 65, 0, b"\x00" * 65))
+
+
+def test_synth_jpeg_lossless_decodes_exactly(spark):
+    """The in-engine SOF3 writer round-trips through the full JPEG
+    decoder with EXACT md5-recomputable means (lossless), and the
+    stub rows surface as the honest arithmetic-JPEG branch."""
+    import hashlib
+
+    df = spark.range(1, 25).withColumnRenamed("id", "doc_id")
+    blobs = multimodal.synth_jpeg_lossless(df, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.image_decoder, modality="image"
+    ).collect()
+    for r in feats:
+        if r.item_id % 11 == 0:
+            assert not r.decode_ok
+            continue
+        px = b"".join(
+            hashlib.md5(f"{r.item_id}_j_{y}".encode()).digest()
+            for y in range(16)
+        )
+        assert r.decode_ok and r.feat[:2] == [16.0, 16.0]
+        assert r.feat[2] == (sum(px) / 256) / 255  # bit-exact
