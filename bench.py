@@ -129,6 +129,7 @@ PENDING_HEADLINE: list[str] = [
     "q_audio_g711_stats",
     "q_audio_adpcm_stats",
     "q_image_jpeg_stats",
+    "q_bm25_store",
 ]
 
 

@@ -13,10 +13,12 @@ Scale shape (the part that matters at 100 TB):
   broadcasts back as a single row — two scans total, both fully
   column-pruned and codegen'd, then a TakeOrdered top-k (no global
   sort materialization).
-- For LARGE query sets, flip to the inverted-index shape (explode +
-  join, exactly operators/dedup.jaccard_pairs' plan); not implemented
-  here because the per-term-expression path covers the ad-hoc query
-  case the engine exposes.
+- For REPEATED ad-hoc queries, the persisted index store at the
+  bottom of this module (save_bm25_index / bm25_topk_from_index) IS
+  the inverted-index shape: the corpus tokenizes once into
+  denormalized postings and each query reads only its own terms'
+  row groups — bit-identical to bm25_topk via the shared _bm25_rank
+  tail.
 
 Determinism contract (oracle-testable): every floating-point step is a
 fixed left-to-right expression over exact integer aggregates (tf, df,
@@ -75,6 +77,22 @@ def bm25_topk(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
+    return _bm25_rank(scored, len(terms), id_col, k, k1, b)
+
+
+def _bm25_rank(
+    scored: DataFrame,
+    n_terms: int,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail of bm25_topk and bm25_topk_from_index: the
+    frame carries (id_col, dl, tf0..tfN-1, df0..dfN-1, n_docs, sum_dl)
+    and the SAME left-to-right float expression ranks it, so the
+    corpus-scan and index-store paths are bit-identical by
+    construction."""
     avgdl = F.col("sum_dl") / F.col("n_docs").cast("double")
     c0 = 1.0 - b  # exact float computed once; literal matches the oracle
 
@@ -88,10 +106,10 @@ def bm25_topk(
         )
         return idf * tfc
 
-    score = reduce(lambda a, c: a + c, [term_score(i) for i in range(len(terms))])
+    score = reduce(lambda a, c: a + c, [term_score(i) for i in range(n_terms)])
     n_hit = reduce(
         lambda a, c: a + c,
-        [(F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))],
+        [(F.col(f"tf{i}") > 0).cast("int") for i in range(n_terms)],
     )
     return (
         scored.select(
@@ -420,3 +438,137 @@ def rrf_oracle_sql(
     ORDER BY rrf_score DESC, {id_col}
     LIMIT {k}
     """
+
+
+# --- persisted BM25 index store ----------------------------------------------
+#
+# The never-rescan pattern (minhash signature store, shingle store,
+# drift sketch, multimodal band store) applied to lexical retrieval:
+# the corpus tokenizes ONCE into a postings table and every later
+# query reads ONLY its own terms' postings — at 100 TB the corpus scan
+# per ad-hoc query is the cost bm25_topk cannot avoid, and this store
+# removes it.  Postings are DENORMALIZED (term, doc_id, tf, dl) so
+# query-time scoring needs NO join back to a corpus-sized doc-length
+# table; they land range-partitioned and sorted by term, so the
+# per-query read prunes to the query terms' row groups via parquet
+# min/max stats (plan-asserted PushedFilters in the suite).
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build the persisted index: postings (term, doc_id, tf, dl)
+    range-partitioned + sorted by term; per-term document frequencies
+    (vocabulary-sized); ONE corpus-stats row (n_docs, sum_dl) computed
+    over the FULL corpus (empty docs count toward avgdl exactly as in
+    bm25_topk); a meta.json pinning (id_col, the split-on-space
+    tokenizer) so a drifted reader raises instead of silently scoring
+    against wrong conventions."""
+    import json
+
+    from . import dedup as _dedup
+
+    base = path.rstrip("/")
+    ws = F.split(F.col(text_col), " ")
+    tokens = docs.select(
+        F.col(id_col), F.size(ws).alias("dl"), F.explode(ws).alias("term")
+    )
+    postings = tokens.groupBy("term", id_col, "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    (
+        postings.repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(base + "/postings")
+    )
+    # df from the postings just written (not the in-memory frame): the
+    # manifest lesson from the shard sink — derived tables must agree
+    # with what landed on disk even under a non-deterministic input
+    spark = docs.sparkSession
+    spark.read.parquet(base + "/postings").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(base + "/df")
+    docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws)).alias("sum_dl"),
+    ).write.mode("overwrite").parquet(base + "/stats")
+    _dedup._store_write_text(
+        spark,
+        base + "/meta.json",
+        json.dumps({"id_col": id_col, "tokenizer": "split-space"}),
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a query against the persisted index: read ONLY the query
+    terms' postings (isin filter -> parquet row-group pruning on the
+    term-sorted layout), pivot the <= |terms| rows per candidate doc
+    into the (tf0.., df0..) column shape, and rank through the SAME
+    shared expression as bm25_topk — bit-identical results without
+    touching the corpus.  Terms map to positional indices BEFORE the
+    pivot, so arbitrary term strings never become column names."""
+    import json
+
+    from . import dedup as _dedup
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    base = path.rstrip("/")
+    meta = json.loads(_dedup._store_read_text(spark, base + "/meta.json"))
+    want = {"id_col": id_col, "tokenizer": "split-space"}
+    have = {k_: meta.get(k_) for k_ in want}
+    if have != want:
+        raise ValueError(
+            f"bm25 index at {path} was built with {have}, requested {want}"
+        )
+    terms = list(query_terms)
+    tmap = F.create_map(
+        *[x for i, t_ in enumerate(terms) for x in (F.lit(t_), F.lit(i))]
+    )
+    posts = (
+        spark.read.parquet(base + "/postings")
+        .where(F.col("term").isin(terms))
+        .withColumn("ti", tmap[F.col("term")])
+    )
+    piv = (
+        posts.groupBy(id_col, "dl")
+        .pivot("ti", list(range(len(terms))))
+        .agg(F.first("tf"))
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            *[
+                F.coalesce(F.col(str(i)), F.lit(0)).alias(f"tf{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+    dfs = (
+        spark.read.parquet(base + "/df")
+        .where(F.col("term").isin(terms))
+        .withColumn("ti", tmap[F.col("term")])
+        .groupBy()
+        .pivot("ti", list(range(len(terms))))
+        .agg(F.first("df"))
+        .select(
+            *[
+                F.coalesce(F.col(str(i)), F.lit(0)).alias(f"df{i}")
+                for i in range(len(terms))
+            ]
+        )
+    )
+    stats = spark.read.parquet(base + "/stats")
+    scored = piv.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    return _bm25_rank(scored, len(terms), id_col, k, k1, b)

@@ -5688,3 +5688,27 @@ def q_image_jpeg_stats(spark, sf_dir):
         "decode_ok",
         F.element_at("feat", 3).alias("mean_gray"),
     )
+
+
+@defq_pending(
+    "q_bm25_store",
+    retrieval.bm25_oracle_sql(["hash", "join", "spark"], k=10),
+)
+def q_bm25_store(spark, sf_dir):
+    """BM25 from the PERSISTED index store (retrieval.save_bm25_index /
+    bm25_topk_from_index) — the never-rescan pattern applied to lexical
+    retrieval: the corpus tokenizes ONCE into denormalized postings
+    (term, doc_id, tf, dl) range-partitioned and sorted by term; the
+    query reads ONLY its own terms' postings (PushedFilters on the
+    term-sorted layout, plan-asserted in the suite) and ranks through
+    the SAME shared expression as q_bm25_topk — bit-identical to the
+    corpus-scan path, so the oracle is q_bm25_topk's oracle verbatim,
+    now also gating the store round-trip."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="osmx_q_bm25_idx_")
+    retrieval.save_bm25_index(d, store)
+    return retrieval.bm25_topk_from_index(
+        spark, store, ["hash", "join", "spark"], k=10
+    )

@@ -99,6 +99,7 @@ SUBSET = [
     "q_audio_g711_stats",      # G.711 mu/A-law expand in the Arrow seam
     "q_audio_adpcm_stats",     # IMA ADPCM recurrence, oracle-replayed
     "q_image_jpeg_stats",      # lossless-JPEG decode in the Arrow seam
+    "q_bm25_store",            # postings store build + pruned-term query
 ]
 
 

@@ -446,3 +446,29 @@ def test_jpeg_tiff_progressive_segments():
     assert got[2:] == pytest.approx(
         multimodal._decode_jpeg(stream)[2:], abs=1e-12
     )
+
+
+def test_lossless_jpeg_inside_tiff_strips_bit_exact():
+    """DNG's shape: compression-7 TIFF whose per-strip streams are
+    LOSSLESS (SOF3) JPEG — the TIFF delegation must return the exact
+    per-strip means (no DCT anywhere, so zero tolerance)."""
+    import numpy as np
+
+    from jpeg_ref import encode_jpeg_lossless
+
+    w, h = 8, 6
+    rng = np.random.default_rng(55)
+    img = rng.integers(0, 256, (h, w, 3))
+    strips = [
+        encode_jpeg_lossless(img[:3], predictor=4),
+        encode_jpeg_lossless(img[3:], predictor=4),
+    ]
+    ent = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]), (278, 4, [3]),
+    ]
+    got = multimodal.image_decoder(_tiff(w, h, ent, (273, 279, strips)))
+    assert got[:2] == [float(w), float(h)]
+    for ch in range(3):
+        want = (img[:3, :, ch].mean() + img[3:, :, ch].mean()) / 2 / 255
+        assert abs(got[2 + ch] - want) < 1e-12
