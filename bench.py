@@ -130,6 +130,7 @@ PENDING_HEADLINE: list[str] = [
     "q_audio_adpcm_stats",
     "q_image_jpeg_stats",
     "q_bm25_store",
+    "q_kmv_distinct_by",
 ]
 
 

@@ -485,16 +485,21 @@ def save_bm25_index(
         .write.mode("overwrite")
         .parquet(base + "/postings")
     )
-    # df from the postings just written (not the in-memory frame): the
-    # manifest lesson from the shard sink — derived tables must agree
-    # with what landed on disk even under a non-deterministic input
+    # df AND stats from the postings just written, never from a second
+    # scan of docs: the manifest lesson from the shard sink — derived
+    # tables must agree with what landed on disk even under a
+    # non-deterministic input.  Every doc appears in the postings
+    # (split-on-space of an empty string still yields one '' token),
+    # so (n_docs, sum_dl) reconstruct exactly from one (doc, dl) row
+    # per doc.
     spark = docs.sparkSession
-    spark.read.parquet(base + "/postings").groupBy("term").agg(
+    on_disk = spark.read.parquet(base + "/postings")
+    on_disk.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     ).write.mode("overwrite").parquet(base + "/df")
-    docs.agg(
+    on_disk.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(ws)).alias("sum_dl"),
+        F.sum("dl").alias("sum_dl"),
     ).write.mode("overwrite").parquet(base + "/stats")
     _dedup._store_write_text(
         spark,

@@ -174,6 +174,57 @@ def kmv_merge(minima_frames: list[DataFrame], k: int = 256) -> DataFrame:
     return _rank_minima(u, k)
 
 
+def kmv_minima_by(
+    df: DataFrame, key_col: str, item: Column, k: int = 256
+) -> DataFrame:
+    """Per-group KMV minima: the k smallest distinct 48-bit item
+    hashes WITHIN each group, as (key_col, rank, h).  One map-side-
+    deduped distinct on (key, h), then a rank window PARTITIONED BY
+    the key — parallel across groups, never the global single-
+    partition window; output bounded at |groups| * k rows.  The
+    per-group sibling of kmv_minima, for 'distinct tokens per source'
+    censuses where exact per-group countDistinct would shuffle the
+    full distinct set to one aggregation anyway."""
+    from pyspark.sql import Window
+
+    hashes = df.select(
+        F.col(key_col), hash48(item).alias("h")
+    ).distinct()
+    win = Window.partitionBy(key_col).orderBy("h")
+    return (
+        hashes.withColumn(
+            "rank", F.row_number().over(win).cast("int")
+        )
+        .where(F.col("rank") <= k)
+        .select(key_col, "rank", "h")
+    )
+
+
+def kmv_distinct_estimate_by(
+    df: DataFrame, key_col: str, item: Column, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimate: (key_col, k_used, kth_hash,
+    est_distinct DOUBLE), one row per group — the same two-branch
+    estimator as kmv_distinct_estimate (exact below k distinct hashes,
+    (k-1)*2^48/h_(k) above; exact integer operands, one IEEE division,
+    engine-exact doubles)."""
+    minima = kmv_minima_by(df, key_col, item, k)
+    return minima.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        key_col,
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(1 << KMV_BITS)))
+            / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
 def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     """Merge Count-Min sketches built with the SAME (w, d): cell-wise
     count addition — exactly the sketch of the concatenated streams.

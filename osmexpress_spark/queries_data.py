@@ -5712,3 +5712,55 @@ def q_bm25_store(spark, sf_dir):
     return retrieval.bm25_topk_from_index(
         spark, store, ["hash", "join", "spark"], k=10
     )
+
+
+@defq_pending(
+    "q_kmv_distinct_by",
+    f"""
+    WITH kw AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ),
+    ksh AS (
+      SELECT source,
+             unnest(list_transform(range(len(w) - 2),
+                    i -> array_to_string(w[i+1:i+3], ' '))) AS s
+      FROM kw WHERE len(w) >= 3
+    ),
+    kh AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substring(md5(s), 1, 12) AS BIGINT) AS h
+      FROM ksh
+    ),
+    rk AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      FROM kh
+    ),
+    kagg AS (
+      SELECT source, CAST(count(*) AS INTEGER) AS k_used,
+             max(h) AS kth_hash
+      FROM rk WHERE r <= {KMV_K} GROUP BY 1
+    )
+    SELECT source, k_used, kth_hash,
+           CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE {KMV_K - 1}e0 * {1 << 48}e0 / CAST(kth_hash AS DOUBLE)
+           END AS est_distinct
+    FROM kagg
+    """,
+)
+def q_kmv_distinct_by(spark, sf_dir):
+    """Per-group KMV distinct-count sketch (sketch.kmv_distinct_
+    estimate_by): distinct 3-gram shingle cardinality PER SOURCE — the
+    'how much unique text does each provider contribute' census a
+    mixture designer reads next to q_source_overlap.  The rank window
+    partitions by the group key (parallel across groups, never the
+    global single-partition window), output |groups| * k rows; the
+    two-branch estimator is the oracle-exact one the global
+    q_kmv_distinct pins."""
+    from .operators import sketch
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.where(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "source", F.explode(dedup.shingles(F.col("text"), k=3)).alias("s")
+    )
+    return sketch.kmv_distinct_estimate_by(sh, "source", F.col("s"), k=KMV_K)

@@ -100,6 +100,7 @@ SUBSET = [
     "q_audio_adpcm_stats",     # IMA ADPCM recurrence, oracle-replayed
     "q_image_jpeg_stats",      # lossless-JPEG decode in the Arrow seam
     "q_bm25_store",            # postings store build + pruned-term query
+    "q_kmv_distinct_by",       # per-group rank window, |groups|*k rows
 ]
 
 

@@ -747,3 +747,34 @@ def test_dhash_bands_matches_model_and_brightness_invariance(spark):
         for b in range(4)
     )
     assert dh < ah  # gradients beat levels under brightness shift
+
+
+# --- per-group KMV (round-7 fourth session) ----------------------------------
+def test_kmv_by_group_matches_exact_small_and_estimates_large(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    rows = [("a", f"x{i % 7}") for i in range(100)] + [
+        ("b", f"y{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    got = {
+        r.grp: r
+        for r in sketch.kmv_distinct_estimate_by(
+            df, "grp", F.col("item"), k=64
+        ).collect()
+    }
+    # group a: 7 distinct < k -> exact branch
+    assert got["a"].k_used == 7 and got["a"].est_distinct == 7.0
+    # group b: 2000 distinct > k -> estimate branch, within KMV error
+    assert got["b"].k_used == 64
+    assert abs(got["b"].est_distinct - 2000) / 2000 < 0.35
+    # merging the per-group minima reproduces the global sketch
+    minima = sketch.kmv_minima_by(df, "grp", F.col("item"), k=64)
+    merged = sketch.kmv_merge(
+        [minima.where(F.col("grp") == g).select("h") for g in ("a", "b")],
+        k=64,
+    ).collect()
+    glob = sketch.kmv_minima(df, F.col("item"), k=64).collect()
+    assert sorted(r.h for r in merged) == sorted(r.h for r in glob)
