@@ -131,6 +131,7 @@ PENDING_HEADLINE: list[str] = [
     "q_image_jpeg_stats",
     "q_bm25_store",
     "q_kmv_distinct_by",
+    "q_dedup_masks",
 ]
 
 

@@ -608,6 +608,65 @@ def span_hashes(text: Column, k: int = 5) -> Column:
     )
 
 
+def dedup_span_masks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Merged per-document token ranges covered by cross-document
+    duplicate k-gram windows: (doc_id, start_tok, end_tok), end
+    exclusive — the ACTIONABLE form of doc_dup_spans (that one scores
+    "how duplicated is this doc"; this one tells the trainer exactly
+    WHICH tokens to mask or drop, the exact-substring-dedup output of
+    Lee et al. arXiv:2107.06499 without the suffix array).
+
+    Plan shape: positional span hashes (posexplode), ONE shuffle on
+    the hash carrying (doc_id, pos) occurrence lists out of the
+    aggregate (the doc_dup_spans single-shuffle trick — no join back
+    against a re-evaluated span stream), then interval merge as an
+    island window PARTITIONED BY doc (parallel across docs; a window
+    at most document-sized).  Ranges merge when they overlap or touch
+    (next_pos <= prev_pos + k), so the output is the minimal set of
+    disjoint covered ranges."""
+    sp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"),
+    )
+    occ = (
+        sp.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+        .where(
+            F.size(
+                F.array_distinct(F.expr("transform(occ, o -> o.doc_id)"))
+            )
+            >= min_docs
+        )
+    )
+    dup_pos = occ.select(F.explode("occ").alias("o")).select(
+        F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "ni",
+            (
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > k)
+            ).cast("int"),
+        )
+        .withColumn("isl", F.sum("ni").over(w))
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").cast("int").alias("start_tok"),
+        (F.max("pos") + F.lit(k)).cast("int").alias("end_tok"),
+    ).select("doc_id", "start_tok", "end_tok")
+
+
 def duplicated_span_stats(
     df: DataFrame,
     id_col: str,

@@ -5764,3 +5764,55 @@ def q_kmv_distinct_by(spark, sf_dir):
         "source", F.explode(dedup.shingles(F.col("text"), k=3)).alias("s")
     )
     return sketch.kmv_distinct_estimate_by(sh, "source", F.col("s"), k=KMV_K)
+
+
+@defq_pending(
+    "q_dedup_masks",
+    f"""
+    WITH mws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    msp AS (
+      SELECT doc_id,
+             unnest(range(len(w) - {SPAN_K - 1})) AS pos,
+             unnest(list_transform(range(len(w) - {SPAN_K - 1}),
+                    i -> md5(array_to_string(w[i+1:i+{SPAN_K}], ' ')))) AS h
+      FROM mws WHERE len(w) >= {SPAN_K}
+    ),
+    mg AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM msp GROUP BY h
+      ) WHERE nd >= 2
+    ),
+    mdup AS (SELECT msp.doc_id, msp.pos FROM msp JOIN mg USING (h)),
+    misl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) > {SPAN_K}
+                  THEN 1 ELSE 0 END AS ni
+      FROM mdup
+    ),
+    misl2 AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM misl
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_tok,
+           CAST(MAX(pos) + {SPAN_K} AS INTEGER) AS end_tok
+    FROM misl2 GROUP BY doc_id, isl
+    """,
+)
+def q_dedup_masks(spark, sf_dir):
+    """Span-level dedup MASKS (dedup.dedup_span_masks): the merged
+    per-document token ranges covered by cross-document duplicate
+    5-gram windows — the actionable output of exact substring dedup
+    (Lee et al. arXiv:2107.06499): q_doc_dup_spans scores how
+    duplicated each document is, this emits exactly WHICH tokens a
+    trainer masks or drops.  One shuffle on the window hash carrying
+    (doc, pos) occurrence lists out of the aggregate, then interval
+    merge as an island window partitioned by doc — never a global
+    window, never a suffix array."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.dedup_span_masks(d, "doc_id", "text", k=SPAN_K)

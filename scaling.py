@@ -101,6 +101,7 @@ SUBSET = [
     "q_image_jpeg_stats",      # lossless-JPEG decode in the Arrow seam
     "q_bm25_store",            # postings store build + pruned-term query
     "q_kmv_distinct_by",       # per-group rank window, |groups|*k rows
+    "q_dedup_masks",           # one hash shuffle + per-doc island window
 ]
 
 

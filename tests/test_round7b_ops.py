@@ -778,3 +778,28 @@ def test_kmv_by_group_matches_exact_small_and_estimates_large(spark):
     ).collect()
     glob = sketch.kmv_minima(df, F.col("item"), k=64).collect()
     assert sorted(r.h for r in merged) == sorted(r.h for r in glob)
+
+
+def test_dedup_span_masks_merge_semantics(spark):
+    """Hand-pinned interval merge: overlapping and touching windows
+    coalesce, gapped windows stay separate, dup-free docs emit
+    nothing."""
+    from osmexpress_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e X Y Z W Q R S"),
+        (3, "unique text only here nothing shared at all ok"),
+        (4, "p q r a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in dedup.dedup_span_masks(df, "doc_id", "text", k=5).collect()
+    )
+    # doc1: dup windows at pos 0 (with 2 and 4), 1, 2 (with 4) -> [0,7)
+    # doc2: pos 0 -> [0,5); doc4: pos 3,4,5 -> [3,10); doc3: none
+    assert got == [(1, 0, 7), (2, 0, 5), (4, 3, 10)]
+    # masks never exceed doc length and start >= 0
+    for _, s, e in got:
+        assert 0 <= s < e
