@@ -132,6 +132,7 @@ PENDING_HEADLINE: list[str] = [
     "q_bm25_store",
     "q_kmv_distinct_by",
     "q_dedup_masks",
+    "q_bitext_mine",
 ]
 
 

@@ -77,6 +77,93 @@ def topk_bruteforce(
     )
 
 
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nn_k: int = 4,
+    margin_threshold: float = 1.0,
+    mutual: bool = True,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix ratio margin): for every (src, tgt) pair, margin =
+    cos(x,y) / ((mean of x's nn_k best cosines + mean of y's nn_k
+    best) / 2) — the score that separates true translations from
+    hubs that are merely close to everything.  Returns (src_id,
+    tgt_id, sim6, margin) for each src's best-margin target above the
+    threshold; mutual=True keeps only pairs that are ALSO the best
+    margin for the target (the intersect strategy).
+
+    Exactness: cosines land as integer micro-units (sim6 =
+    round(cos * 1e6) after the engine-portable 6-decimal rounding),
+    neighborhood sums are exact BIGINTs, and the margin is ONE IEEE
+    division of exact integers (2 * nn_k * sim6 / (nns + nnt)) — so
+    ranking and threshold decisions are bit-identical across engines.
+    Both sides must carry at least nn_k counterparts or the mean is
+    over a short neighborhood (the caller's contract).
+
+    Scale shape: the exact baseline broadcasts the smaller side across
+    the other's scan (the topk_bruteforce/hard_negatives pattern) and
+    ranks with windows partitioned per id; at corpus scale compose the
+    candidate generation with the pruned searchers (topk_ivf with
+    nprobe, the hard_negatives_ivf move) and feed the SAME margin
+    arithmetic."""
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
+    t_ = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
+    scored = t_.crossJoin(F.broadcast(s)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine(F.col("sv"), F.col("tv")) * F.lit(1e6))
+        .cast("long")
+        .alias("sim6"),
+    )
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("sim6").desc(), F.col("tgt_id")
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("sim6").desc(), F.col("src_id")
+    )
+    ranked = scored.withColumn(
+        "r_s", F.row_number().over(ws)
+    ).withColumn("r_t", F.row_number().over(wt))
+    nns = (
+        ranked.where(F.col("r_s") <= nn_k)
+        .groupBy("src_id")
+        .agg(F.sum("sim6").alias("nns"))
+    )
+    nnt = (
+        ranked.where(F.col("r_t") <= nn_k)
+        .groupBy("tgt_id")
+        .agg(F.sum("sim6").alias("nnt"))
+    )
+    with_m = (
+        scored.join(F.broadcast(nns), "src_id")
+        .join(F.broadcast(nnt), "tgt_id")
+        .withColumn(
+            "margin",
+            (F.lit(float(2 * nn_k)) * F.col("sim6"))
+            / (F.col("nns") + F.col("nnt")).cast("double"),
+        )
+    )
+    wm_s = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("sim6").desc(), F.col("tgt_id")
+    )
+    wm_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("sim6").desc(), F.col("src_id")
+    )
+    best = (
+        with_m.withColumn("m_s", F.row_number().over(wm_s))
+        .withColumn("m_t", F.row_number().over(wm_t))
+        .where(
+            (F.col("m_s") == 1) & (F.col("margin") > margin_threshold)
+        )
+    )
+    if mutual:
+        best = best.where(F.col("m_t") == 1)
+    return best.select("src_id", "tgt_id", "sim6", "margin")
+
+
 N_PLANES = 4
 
 

@@ -5816,3 +5816,73 @@ def q_dedup_masks(spark, sf_dir):
     window, never a suffix array."""
     d = t(spark, sf_dir, "documents")
     return dedup.dedup_span_masks(d, "doc_id", "text", k=SPAN_K)
+
+
+@defq_pending(
+    "q_bitext_mine",
+    f"""
+    WITH bs AS (
+      SELECT vec_id AS src_id, embedding AS sv FROM embeddings
+      WHERE label % 2 = 0 AND vec_id < 100
+    ),
+    bt AS (
+      SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings
+      WHERE label % 2 = 1 AND vec_id < 300
+    ),
+    bsc AS (
+      SELECT src_id, tgt_id,
+             CAST(round(round({_dot_sql('sv', 'tv')} /
+                   (sqrt({_dot_sql('sv', 'sv')}) *
+                    sqrt({_dot_sql('tv', 'tv')})), 6) * 1e6)
+                  AS BIGINT) AS sim6
+      FROM bs, bt
+    ),
+    brk AS (
+      SELECT src_id, tgt_id, sim6,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY sim6 DESC, tgt_id) AS r_s,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                ORDER BY sim6 DESC, src_id) AS r_t
+      FROM bsc
+    ),
+    bns AS (
+      SELECT src_id, CAST(SUM(sim6) AS BIGINT) AS nns
+      FROM brk WHERE r_s <= 4 GROUP BY 1
+    ),
+    bnt AS (
+      SELECT tgt_id, CAST(SUM(sim6) AS BIGINT) AS nnt
+      FROM brk WHERE r_t <= 4 GROUP BY 1
+    ),
+    bm AS (
+      SELECT s.src_id, s.tgt_id, s.sim6,
+             (8e0 * s.sim6) / CAST(ns.nns + nt.nnt AS DOUBLE) AS margin
+      FROM bsc s JOIN bns ns USING (src_id) JOIN bnt nt USING (tgt_id)
+    ),
+    bbest AS (
+      SELECT src_id, tgt_id, sim6, margin,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                  ORDER BY margin DESC, sim6 DESC, tgt_id) AS m_s,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+                  ORDER BY margin DESC, sim6 DESC, src_id) AS m_t
+      FROM bm
+    )
+    SELECT src_id, tgt_id, sim6, margin FROM bbest
+    WHERE m_s = 1 AND m_t = 1 AND margin > 1.0e0
+    """,
+)
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (similarity.bitext_mine, Artetxe &
+    Schwenk 2019 / the CCMatrix recipe): treating even-label vectors
+    as the source language and odd-label as the target, mine the
+    mutual-best-margin pairs above threshold — the parallel-corpus
+    construction step of a multilingual pipeline.  Cosines land as
+    integer micro-units, neighborhood sums as exact BIGINTs, the
+    margin as one IEEE division of exact integers, so ranking AND the
+    threshold decision are bit-identical in both engines; the oracle
+    replays the full ratio-margin pipeline with windows."""
+    emb = t(spark, sf_dir, "embeddings")
+    src = emb.where((F.col("label") % 2 == 0) & (F.col("vec_id") < 100))
+    tgt = emb.where((F.col("label") % 2 == 1) & (F.col("vec_id") < 300))
+    return similarity.bitext_mine(
+        src, tgt, nn_k=4, margin_threshold=1.0, mutual=True
+    )

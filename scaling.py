@@ -102,6 +102,7 @@ SUBSET = [
     "q_bm25_store",            # postings store build + pruned-term query
     "q_kmv_distinct_by",       # per-group rank window, |groups|*k rows
     "q_dedup_masks",           # one hash shuffle + per-doc island window
+    "q_bitext_mine",           # broadcast cross-scan + per-id windows
 ]
 
 

@@ -803,3 +803,42 @@ def test_dedup_span_masks_merge_semantics(spark):
     # masks never exceed doc length and start >= 0
     for _, s, e in got:
         assert 0 <= s < e
+
+
+def test_bitext_mine_planted_pairs_and_mutuality(spark):
+    """Planted translations: each src's near-identical tgt twin must
+    mine as a mutual pair with margin > 1 — src 2 has TWO twins (12 at
+    +0.01 rad and the exact copy 99), and mutuality must keep exactly
+    one of them (the exact copy, which wins both windows); every src
+    pairs exactly once."""
+    import math
+
+    from osmexpress_spark.operators import similarity
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    src = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(1.2)), (3, unit(2.4))],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(11, unit(0.01)), (12, unit(1.21)), (13, unit(2.41)),
+         (99, unit(1.2))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.src_id, r.tgt_id): r.margin
+        for r in similarity.bitext_mine(
+            src, tgt, nn_k=2, margin_threshold=1.0, mutual=True
+        ).collect()
+    }
+    assert set(got) == {(1, 11), (2, 99), (3, 13)}
+    for m in got.values():
+        assert m > 1.0
+    # without mutuality src 2 still pairs only with its best-margin
+    # twin; 12 never appears because 99 dominates both rankings
+    loose = similarity.bitext_mine(
+        src, tgt, nn_k=2, margin_threshold=1.0, mutual=False
+    ).collect()
+    assert {(r.src_id, r.tgt_id) for r in loose} == set(got)
