@@ -1463,7 +1463,14 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             ln = seg_len(pos)
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if ln < 3:
+                raise ValueError("JPEG SOS header truncated")
             ns = d[pos + 2]
+            # header = len(2) + ns(1) + 2 per component + Ss/Se/AhAl(3);
+            # a shorter declared length would send the unpacks past the
+            # segment (struct.error would escape the per-row contract)
+            if ln < 6 + 2 * ns:
+                raise ValueError("JPEG SOS header truncated")
             if frame.get("lossless"):
                 if ns != len(frame["comps"]):
                     raise NotImplementedError(
@@ -2063,6 +2070,11 @@ def _wav_samples_compressed(
     if tag in (6, 7):
         expand = _g711_alaw if tag == 6 else _g711_ulaw
         nframes = len(data) // nch
+        if fact_n is not None and fact_n < nframes:
+            # fact trims trailing filler frames — same semantics as
+            # the ADPCM branch below (a 0x00 filler byte would expand
+            # to mu-law -32124 and corrupt the stats otherwise)
+            nframes = fact_n
         samples = [expand(b) for b in data[: nframes * nch]]
     else:  # IMA ADPCM
         if balign < 4 * nch:

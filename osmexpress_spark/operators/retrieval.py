@@ -57,7 +57,10 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = list(query_terms)
-    ws = F.split(F.col(text_col), " ")
+    # NULL text folds to the empty string so dl/tf are well-defined
+    # (size(split(NULL)) is -1 under non-ANSI Spark) and the index
+    # store sees the same doc set
+    ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
 
     def tf_of(term: str) -> Column:
         # NB: a two-parameter lambda would make F.filter pass (elem, idx)
@@ -135,7 +138,8 @@ def bm25_oracle_sql(
     """DuckDB SQL computing bm25_topk with the identical left-to-right
     float expression (see module docstring for why this is bit-exact)."""
     tf_cols = ",\n         ".join(
-        f"len(list_filter(string_split({text_col}, ' '), w -> w = '{t}'))"
+        f"len(list_filter(string_split(COALESCE({text_col}, ''), ' '), "
+        f"w -> w = '{t}'))"
         f" AS tf{i}"
         for i, t in enumerate(query_terms)
     )
@@ -158,7 +162,7 @@ def bm25_oracle_sql(
     )
     return f"""
     WITH base AS (
-      SELECT {id_col}, len(string_split({text_col}, ' ')) AS dl,
+      SELECT {id_col}, len(string_split(COALESCE({text_col}, ''), ' ')) AS dl,
          {tf_cols}
       FROM {table}
     ), stats AS (
@@ -472,7 +476,10 @@ def save_bm25_index(
     from . import dedup as _dedup
 
     base = path.rstrip("/")
-    ws = F.split(F.col(text_col), " ")
+    # the same NULL-folds-to-empty convention as bm25_topk, so null-
+    # text docs still land one ('' token) posting row and the stats
+    # reconstructed from disk count the full corpus
+    ws = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     tokens = docs.select(
         F.col(id_col), F.size(ws).alias("dl"), F.explode(ws).alias("term")
     )
@@ -539,8 +546,18 @@ def bm25_topk_from_index(
             f"bm25 index at {path} was built with {have}, requested {want}"
         )
     terms = list(query_terms)
+    # duplicate query terms are legal in bm25_topk (the term scores
+    # twice); map every term to its FIRST occurrence's index so
+    # create_map never sees a duplicate key, pivot once on the
+    # distinct indices, and alias duplicates back to their source
+    # column — exact parity with the corpus-scan path
+    first_idx: dict[str, int] = {}
+    for i, t_ in enumerate(terms):
+        first_idx.setdefault(t_, i)
+    src_of = [first_idx[t_] for t_ in terms]
+    dvals = sorted(set(src_of))
     tmap = F.create_map(
-        *[x for i, t_ in enumerate(terms) for x in (F.lit(t_), F.lit(i))]
+        *[x for t_, i in first_idx.items() for x in (F.lit(t_), F.lit(i))]
     )
     posts = (
         spark.read.parquet(base + "/postings")
@@ -549,13 +566,13 @@ def bm25_topk_from_index(
     )
     piv = (
         posts.groupBy(id_col, "dl")
-        .pivot("ti", list(range(len(terms))))
+        .pivot("ti", dvals)
         .agg(F.first("tf"))
         .select(
             F.col(id_col),
             F.col("dl"),
             *[
-                F.coalesce(F.col(str(i)), F.lit(0)).alias(f"tf{i}")
+                F.coalesce(F.col(str(src_of[i])), F.lit(0)).alias(f"tf{i}")
                 for i in range(len(terms))
             ],
         )
@@ -565,11 +582,11 @@ def bm25_topk_from_index(
         .where(F.col("term").isin(terms))
         .withColumn("ti", tmap[F.col("term")])
         .groupBy()
-        .pivot("ti", list(range(len(terms))))
+        .pivot("ti", dvals)
         .agg(F.first("df"))
         .select(
             *[
-                F.coalesce(F.col(str(i)), F.lit(0)).alias(f"df{i}")
+                F.coalesce(F.col(str(src_of[i])), F.lit(0)).alias(f"df{i}")
                 for i in range(len(terms))
             ]
         )

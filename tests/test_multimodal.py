@@ -1609,3 +1609,22 @@ def test_synth_jpeg_lossless_decodes_exactly(spark):
         )
         assert r.decode_ok and r.feat[:2] == [16.0, 16.0]
         assert r.feat[2] == (sum(px) / 256) / 255  # bit-exact
+
+
+def test_wav_g711_fact_trims_filler():
+    """A spec-conforming G.711 WAV whose data chunk carries filler past
+    fact's sample count: the filler must not reach the stats (a 0x00
+    filler byte would expand to mu-law -32124)."""
+    p = _wavc(7, 1, 8000, 1, 8, bytes([0x7F, 0x7F, 0x00, 0x00]), fact=2)
+    nch, rate, n, mean, peak = multimodal.wav_decoder(p)
+    assert (n, mean, peak) == (2.0, 0.0, 0.0)
+
+
+def test_jpeg_sos_header_truncation_is_valueerror():
+    """A declared SOS length shorter than its own header must raise
+    ValueError (not struct.error escaping the per-row contract)."""
+    import pytest
+
+    bad = bytes.fromhex("ffd8ffc3000b080010001001011100ffda000301")
+    with pytest.raises(ValueError, match="SOS header"):
+        multimodal._decode_jpeg(bad)
