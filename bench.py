@@ -133,6 +133,7 @@ PENDING_HEADLINE: list[str] = [
     "q_kmv_distinct_by",
     "q_dedup_masks",
     "q_bitext_mine",
+    "q_wav_segments_stats",
 ]
 
 

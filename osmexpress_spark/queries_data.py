@@ -5886,3 +5886,116 @@ def q_bitext_mine(spark, sf_dir):
     return similarity.bitext_mine(
         src, tgt, nn_k=4, margin_threshold=1.0, mutual=True
     )
+
+
+_G711_MAG_SQL = """
+             CASE WHEN doc_id % 2 = 0 THEN
+               (((255 - b) & 15) * 8 + 132)
+                 * (1 << (((255 - b) >> 4) & 7)) - 132
+             WHEN ((xor(b, 85) >> 4) & 7) = 0 THEN
+               (xor(b, 85) & 15) * 16 + 8
+             ELSE
+               ((xor(b, 85) & 15) * 16 + 264)
+                 * (1 << (((xor(b, 85) >> 4) & 7) - 1))
+             END"""
+
+
+@defq_pending(
+    "q_wav_segments_stats",
+    f"""
+    WITH vblocks AS (
+      SELECT doc_id, b.range AS blk
+      FROM documents, range(16) b
+      WHERE doc_id % 13 != 0
+    ),
+    vhx AS (
+      SELECT doc_id, blk, md5(doc_id || '_g_' || blk) AS h FROM vblocks
+    ),
+    vcodes AS (
+      SELECT doc_id, blk,
+             CAST('0x' || substr(h, 2 * j.range + 1, 2) AS INTEGER) AS b
+      FROM vhx, range(16) j
+    ),
+    vfr AS (
+      SELECT doc_id, blk,
+             CAST(SUM({_G711_MAG_SQL}) AS BIGINT) AS s
+      FROM vcodes GROUP BY 1, 2
+    ),
+    vst AS (
+      SELECT doc_id, blk, (1000 * s > 180 * 32768 * 16) AS act,
+             CASE WHEN (1000 * s > 180 * 32768 * 16)
+                  AND (lag(1000 * s > 180 * 32768 * 16)
+                       OVER (PARTITION BY doc_id ORDER BY blk) IS NULL
+                       OR NOT lag(1000 * s > 180 * 32768 * 16)
+                         OVER (PARTITION BY doc_id ORDER BY blk))
+                  THEN 1 ELSE 0 END AS starts
+      FROM vfr
+    ),
+    visl AS (
+      SELECT doc_id, blk, act,
+             SUM(starts) OVER (PARTITION BY doc_id ORDER BY blk) AS isl
+      FROM vst
+    ),
+    vruns AS (
+      SELECT doc_id, isl, COUNT(*) AS rl FROM visl WHERE act GROUP BY 1, 2
+    ),
+    vlong AS (SELECT doc_id, MAX(rl) AS longest FROM vruns GROUP BY 1),
+    vagg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_frames,
+             SUM(CASE WHEN act THEN 1 ELSE 0 END) AS n_active,
+             SUM(starts) AS n_segments,
+             MIN(CASE WHEN act THEN blk END) AS first_active
+      FROM vst GROUP BY 1
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 13 != 0) AS decode_ok,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(vagg.n_frames AS DOUBLE) END AS n_frames,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(vagg.n_active AS DOUBLE) END AS n_active,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(vagg.n_segments AS DOUBLE) END AS n_segments,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(COALESCE(vlong.longest, 0) AS DOUBLE)
+           END AS longest,
+           CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                ELSE CAST(COALESCE(vagg.first_active, vagg.n_frames)
+                          AS DOUBLE)
+           END AS leading_silence
+    FROM documents d
+    LEFT JOIN vagg ON vagg.doc_id = d.doc_id
+    LEFT JOIN vlong ON vlong.doc_id = d.doc_id
+    """,
+)
+def q_wav_segments_stats(spark, sf_dir):
+    """The voice-activity SEGMENTATION operator behind the driver gate
+    (multimodal.wav_segments over the compressed G.711 codecs): 2 ms
+    frames of the md5 mu/A-law streams, activity decided by the
+    integer cross-multiplied threshold (no division -> platform-exact)
+    at 180 permille (which splits the md5 frames ~50/50, so runs,
+    gaps, leading silence and the all-silent COALESCE branch all
+    actually occur) — the oracle recomputes frame magnitude sums from
+    the G.711 expand formulas and replays the run-length analysis with
+    the same island windows as q_dedup_masks.  Every 13th doc is the
+    GSM-tagged stub through the same gate."""
+    import functools
+
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_wav_g711(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs,
+        decoder=functools.partial(
+            multimodal.wav_segments, frame_ms=2, threshold_permille=180
+        ),
+        modality="audio",
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 1).alias("n_frames"),
+        F.element_at("feat", 2).alias("n_active"),
+        F.element_at("feat", 3).alias("n_segments"),
+        F.element_at("feat", 4).alias("longest"),
+        F.element_at("feat", 5).alias("leading_silence"),
+    )

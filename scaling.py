@@ -103,6 +103,7 @@ SUBSET = [
     "q_kmv_distinct_by",       # per-group rank window, |groups|*k rows
     "q_dedup_masks",           # one hash shuffle + per-doc island window
     "q_bitext_mine",           # broadcast cross-scan + per-id windows
+    "q_wav_segments_stats",    # VAD in the Arrow seam + island windows
 ]
 
 
