@@ -120,3 +120,15 @@ def test_example_multimodal_dedup(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "format census" in r.stdout
     assert "hits (re-ingested items match themselves at 0)" in r.stdout
+
+
+def test_example_retrieve_and_mask(tmp_path):
+    r = _run(
+        [os.path.join(EX, "retrieve_and_mask.py"), SF,
+         str(tmp_path / "bm25_index")]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "from the persisted index" in r.stdout
+    assert "dedup masks:" in r.stdout
+    assert "distinct 3-gram estimate per source" in r.stdout
+    assert "bitext mining:" in r.stdout
