@@ -134,6 +134,7 @@ PENDING_HEADLINE: list[str] = [
     "q_dedup_masks",
     "q_bitext_mine",
     "q_wav_segments_stats",
+    "q_rollup_store",
 ]
 
 

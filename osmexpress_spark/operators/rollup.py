@@ -1,0 +1,286 @@
+"""Pre-aggregated rollup store for append-heavy event streams.
+
+The hypertable-rollup pattern, and the OSMExpress analog of keeping a
+derived index beside the primary store so reads never rescan the
+planet (the reference maintains cell->id index tables next to the
+entity tables for exactly this reason — src/storage.cpp's index
+column families): aggregate ONCE at write time into mergeable
+per-grain partials, then answer every range/group query from the
+partials alone.
+
+At 100 TB the raw event log is the thing a dashboard must never
+rescan.  The store holds |grains x keys| rows — bounded by time and
+key cardinality, not by event volume — laid out partitioned BY the
+grain column so a date-range query prunes to exactly the touched
+directories (partition pruning, plan-asserted in the suite).  Every
+partial is mergeable (count / sum / min / max over exact integer
+cents), so:
+
+- any coarser grouping or grain is a tiny second aggregate over the
+  partials (never the raw log);
+- an append-only ingest (micro-batches, backfills, late data) stays
+  correct WITHOUT read-modify-write: appends land as additional
+  partial rows for the same (grain, key) and readers fold duplicates
+  through the same merge — the shard-manifest merge algebra applied
+  to measures (merge(parts) == rollup(union), property-tested).
+
+Measures are exact BIGINT cents (`floor(value * 100)`, the registry's
+established integerization), so partials merge associatively with no
+float-order sensitivity; the one derived double (avg_value) is a
+single IEEE division of two exact integers at read time —
+hash-stable in both engines.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAINS = {"hour": "hour", "day": "day", "week": "week"}
+
+_META = "meta.json"
+_PARTIALS = "partials"
+
+
+def _grain_col(time_col: str, grain: str):
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {sorted(GRAINS)}, got {grain!r}")
+    # date_trunc returns a timestamp for every grain; keep it a
+    # timestamp (not a date) so hour grain round-trips and the
+    # partition directory value is unambiguous at every grain
+    return F.date_trunc(GRAINS[grain], F.col(time_col))
+
+
+def _cents(value_col: str):
+    return F.floor(F.col(value_col) * 100).cast("bigint")
+
+
+def rollup_partials(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    grain: str = "day",
+) -> DataFrame:
+    """One pass over the raw events -> mergeable partials per
+    (grain bucket, keys): n_events, sum/min/max exact cents.  This is
+    the ONLY operator here that touches the raw log; everything else
+    reads the partials."""
+    key_cols = list(key_cols or [])
+    cents = _cents(value_col)
+    return (
+        events.select(
+            _grain_col(time_col, grain).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+            cents.alias("_cents"),
+        )
+        .groupBy("bucket", *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_cents").alias("sum_cents"),
+            F.min("_cents").alias("min_cents"),
+            F.max("_cents").alias("max_cents"),
+        )
+    )
+
+
+def save_rollup_store(
+    events: DataFrame,
+    path: str,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    grain: str = "day",
+) -> None:
+    """Aggregate the raw events once and persist the partials
+    partitioned by the grain bucket (directory-per-bucket -> a range
+    read prunes to the touched buckets only), plus a meta.json pinning
+    the build conventions so a drifted reader raises instead of
+    silently merging against wrong keys or a wrong grain."""
+    from . import dedup as _dedup
+
+    key_cols = list(key_cols or [])
+    base = path.rstrip("/")
+    partials = rollup_partials(events, time_col, key_cols, value_col, grain)
+    (
+        partials.withColumn("bucket_part", F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket_part")
+        .parquet(base + "/" + _PARTIALS)
+    )
+    _dedup._store_write_text(
+        events.sparkSession,
+        base + "/" + _META,
+        json.dumps(
+            {
+                "time_col": time_col,
+                "key_cols": key_cols,
+                "value_col": value_col,
+                "grain": grain,
+                "scale": 100,
+            }
+        ),
+    )
+
+
+def _check_meta(spark: SparkSession, base: str, grain: str | None) -> dict:
+    from . import dedup as _dedup
+
+    meta = json.loads(_dedup._store_read_text(spark, base + "/" + _META))
+    if grain is not None and meta.get("grain") != grain:
+        raise ValueError(
+            f"rollup store at {base} has grain {meta.get('grain')!r}, "
+            f"requested {grain!r}"
+        )
+    return meta
+
+
+def load_rollup_partials(
+    spark: SparkSession, path: str, grain: str | None = None
+) -> DataFrame:
+    """The persisted partials with the partition column folded back to
+    `bucket` (the stored column survives the round trip; the partition
+    copy exists only for directory pruning)."""
+    base = path.rstrip("/")
+    _check_meta(spark, base, grain)
+    return spark.read.parquet(base + "/" + _PARTIALS).drop("bucket_part")
+
+
+def _merge(partials: DataFrame, group: list) -> DataFrame:
+    merged = partials.groupBy(*group).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+    return merged.withColumn(
+        "avg_value",
+        F.col("sum_cents").cast("double")
+        / (F.lit(100).cast("bigint") * F.col("n_events")).cast("double"),
+    )
+
+
+def rollup_range(
+    spark: SparkSession,
+    path: str,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    grain: str | None = None,
+) -> DataFrame:
+    """Answer a [start, end] range query (bucket timestamps, both ends
+    inclusive) grouped by `by` FROM THE STORE ALONE: the bucket
+    predicate prunes partitions at the directory level (the partition
+    copy of the bucket), then the touched partials merge through the
+    associative fold.  The raw event log is never read."""
+    by = list(by or [])
+    base = path.rstrip("/")
+    _check_meta(spark, base, grain)
+    pruned = spark.read.parquet(base + "/" + _PARTIALS).where(
+        (F.col("bucket_part") >= F.lit(start).cast("timestamp"))
+        & (F.col("bucket_part") <= F.lit(end).cast("timestamp"))
+    )
+    return _merge(pruned.drop("bucket_part"), by)
+
+
+def rollup_series(
+    spark: SparkSession,
+    path: str,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    grain: str | None = None,
+) -> DataFrame:
+    """The per-bucket time series over a range — same pruned read, the
+    bucket kept in the group so an append-heavy store (duplicate
+    partial rows per bucket from streaming epochs or backfills) folds
+    back to one row per (bucket, keys)."""
+    by = list(by or [])
+    base = path.rstrip("/")
+    _check_meta(spark, base, grain)
+    pruned = spark.read.parquet(base + "/" + _PARTIALS).where(
+        (F.col("bucket_part") >= F.lit(start).cast("timestamp"))
+        & (F.col("bucket_part") <= F.lit(end).cast("timestamp"))
+    )
+    return _merge(pruned.drop("bucket_part"), ["bucket", *by])
+
+
+def merge_rollup_partials(parts: list[DataFrame], by: list[str]) -> DataFrame:
+    """The merge algebra on its own: fold any number of partial frames
+    (separate stores, streaming epochs, backfill batches) into one
+    merged aggregate — merge(parts) == rollup(union of inputs), the
+    property the suite pins.  Inputs must share the store schema."""
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _merge(u, by)
+
+
+def append_rollup_epoch(
+    events: DataFrame,
+    path: str,
+    grain: str | None = None,
+) -> None:
+    """Append one ingest batch's partials to an existing store WITHOUT
+    read-modify-write: the new rows land beside any prior rows for the
+    same (bucket, keys) and every reader folds them through the merge.
+    Build conventions come from the store's own meta (pinned at
+    save_rollup_store time), so an epoch can never be aggregated with
+    drifted keys."""
+    base = path.rstrip("/")
+    meta = _check_meta(events.sparkSession, base, grain)
+    partials = rollup_partials(
+        events,
+        meta["time_col"],
+        meta["key_cols"],
+        meta["value_col"],
+        meta["grain"],
+    )
+    (
+        partials.withColumn("bucket_part", F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket_part")
+        .parquet(base + "/" + _PARTIALS)
+    )
+
+
+def rollup_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    grain: str = "day",
+):
+    """Continuous-ingest form: each micro-batch aggregates map-side to
+    its own partials and APPENDS them (availableNow/foreachBatch);
+    correctness needs no stateful streaming aggregation because the
+    store's read path already folds duplicate (bucket, keys) rows —
+    the merge algebra absorbs at-least-once appends of distinct
+    batches.  Call save_rollup_store first (or let the first batch
+    create the store via the same meta)."""
+    key_cols = list(key_cols or [])
+    spark = events.sparkSession
+    base = path.rstrip("/")
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        from . import dedup as _dedup
+
+        if not _dedup._store_exists(spark, base + "/" + _META):
+            save_rollup_store(
+                batch_df, base, time_col, key_cols, value_col, grain
+            )
+        else:
+            append_rollup_epoch(batch_df, base, grain)
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -5999,3 +5999,51 @@ def q_wav_segments_stats(spark, sf_dir):
         F.element_at("feat", 4).alias("longest"),
         F.element_at("feat", 5).alias("leading_silence"),
     )
+
+
+@defq_pending(
+    "q_rollup_store",
+    """
+    WITH rr AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-05'
+        AND date_trunc('day', ts) <= TIMESTAMP '2024-01-14'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           CAST(sum(cents) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE)
+             AS avg_value
+    FROM rr GROUP BY 1
+    """,
+)
+def q_rollup_store(spark, sf_dir):
+    """The hypertable-rollup STORE behind the driver gate
+    (operators/rollup.py): the raw event log aggregates ONCE into
+    mergeable per-(day, event_type) partials persisted partitioned by
+    the day bucket, and the range query is answered FROM THE STORE
+    ALONE — the bucket predicate prunes at the directory level
+    (PartitionFilters, plan-asserted in the suite) and the touched
+    partials fold through the associative count/sum/min/max-cents
+    merge.  The oracle recomputes the same answer from the raw events,
+    so the gate pins write-path aggregation, the partitioned layout
+    round-trip, AND the read-path merge; avg_value is one IEEE
+    division of two exact integers (the registry's floor-cents
+    integerization), hash-stable in both engines."""
+    import tempfile
+
+    from .operators import rollup
+
+    ev = t(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="osmx_q_rollup_")
+    rollup.save_rollup_store(ev, store, key_cols=["event_type"])
+    return rollup.rollup_range(
+        spark, store, "2024-01-05", "2024-01-14", by=["event_type"],
+        grain="day",
+    ).select(
+        "event_type", "n_events", "sum_cents", "min_cents", "max_cents",
+        "avg_value",
+    )

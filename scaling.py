@@ -104,6 +104,7 @@ SUBSET = [
     "q_dedup_masks",           # one hash shuffle + per-doc island window
     "q_bitext_mine",           # broadcast cross-scan + per-id windows
     "q_wav_segments_stats",    # VAD in the Arrow seam + island windows
+    "q_rollup_store",          # rollup-store build + pruned partial merge
 ]
 
 

@@ -1,0 +1,219 @@
+"""Round-7 fifth-session operators: the pre-aggregated rollup store.
+Pinned against a straight-line Python model of the cents partials plus
+merge-algebra, append, pruning-plan, meta-guard, and streaming checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import rollup as R
+
+
+def _events(spark, rows):
+    """rows: (event_id, iso_ts, event_type, value)."""
+    data = [
+        (eid, dt.datetime.fromisoformat(ts), etype, val)
+        for eid, ts, etype, val in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+_ROWS = [
+    (1, "2024-01-01T03:15:00", "click", 1.25),
+    (2, "2024-01-01T21:59:59", "click", -0.10),
+    (3, "2024-01-01T21:59:59", "view", 7.77),
+    (4, "2024-01-02T00:00:00", "click", 100.00),
+    (5, "2024-01-03T12:00:00", "view", 0.333),
+    (6, "2024-01-03T12:30:00", "view", 2.50),
+    (7, "2024-01-05T08:00:00", "error", 9.99),
+]
+
+
+def _model(rows, start, end, by_type=True):
+    """Straight-line merge model over exact floor-cents."""
+    import math
+
+    agg = {}
+    s, e = dt.date.fromisoformat(start), dt.date.fromisoformat(end)
+    for _eid, ts, etype, val in rows:
+        day = dt.datetime.fromisoformat(ts).date()
+        if not (s <= day <= e):
+            continue
+        cents = math.floor(val * 100)
+        key = etype if by_type else ()
+        n, sm, mn, mx = agg.get(key, (0, 0, None, None))
+        agg[key] = (
+            n + 1,
+            sm + cents,
+            cents if mn is None else min(mn, cents),
+            cents if mx is None else max(mx, cents),
+        )
+    return {
+        k: (n, sm, mn, mx, float(sm) / float(100 * n))
+        for k, (n, sm, mn, mx) in agg.items()
+    }
+
+
+def test_rollup_store_range_matches_model(spark, tmp_path):
+    ev = _events(spark, _ROWS)
+    store = str(tmp_path / "store")
+    R.save_rollup_store(ev, store, key_cols=["event_type"])
+    out = {
+        r["event_type"]: (
+            r["n_events"], r["sum_cents"], r["min_cents"], r["max_cents"],
+            r["avg_value"],
+        )
+        for r in R.rollup_range(
+            spark, store, "2024-01-01", "2024-01-03", by=["event_type"]
+        ).collect()
+    }
+    assert out == _model(_ROWS, "2024-01-01", "2024-01-03")
+    # grand total (empty `by`): one row folding every surviving partial
+    tot = R.rollup_range(spark, store, "2024-01-01", "2024-01-05").collect()
+    assert len(tot) == 1
+    m = _model(_ROWS, "2024-01-01", "2024-01-05", by_type=False)[()]
+    r = tot[0]
+    assert (
+        r["n_events"], r["sum_cents"], r["min_cents"], r["max_cents"],
+        r["avg_value"],
+    ) == m
+
+
+def test_rollup_series_folds_duplicate_partials(spark, tmp_path):
+    """An append-heavy store holds multiple partial rows per (bucket,
+    key); the series read folds them back to one row per bucket."""
+    ev = _events(spark, _ROWS)
+    store = str(tmp_path / "store")
+    R.save_rollup_store(ev, store, key_cols=["event_type"])
+    R.append_rollup_epoch(_events(spark, _ROWS), store)  # duplicate epoch
+    series = R.rollup_series(
+        spark, store, "2024-01-01", "2024-01-01", by=["event_type"]
+    ).collect()
+    by_key = {(r["bucket"], r["event_type"]): r for r in series}
+    assert len(series) == 2  # one (day, type) row each, not two epochs
+    clk = by_key[(dt.datetime(2024, 1, 1), "click")]
+    # doubled counts/sums, idempotent min/max
+    assert (clk["n_events"], clk["sum_cents"]) == (4, 2 * (125 - 10))
+    assert (clk["min_cents"], clk["max_cents"]) == (-10, 125)
+
+
+def test_rollup_merge_algebra(spark, tmp_path):
+    """merge(parts) == rollup(union): split the events arbitrarily,
+    build partials per part, fold — identical to the one-shot store."""
+    ev = _events(spark, _ROWS)
+    parts = [
+        R.rollup_partials(_events(spark, _ROWS[:3]), key_cols=["event_type"]),
+        R.rollup_partials(_events(spark, _ROWS[3:5]), key_cols=["event_type"]),
+        R.rollup_partials(_events(spark, _ROWS[5:]), key_cols=["event_type"]),
+    ]
+    merged = {
+        tuple(r): None
+        for r in R.merge_rollup_partials(parts, ["event_type"]).collect()
+    }
+    whole = {
+        tuple(r): None
+        for r in R._merge(
+            R.rollup_partials(ev, key_cols=["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_rollup_append_epoch_equals_oneshot(spark, tmp_path):
+    store1 = str(tmp_path / "s1")
+    store2 = str(tmp_path / "s2")
+    R.save_rollup_store(
+        _events(spark, _ROWS[:4]), store1, key_cols=["event_type"]
+    )
+    R.append_rollup_epoch(_events(spark, _ROWS[4:]), store1)
+    R.save_rollup_store(_events(spark, _ROWS), store2, key_cols=["event_type"])
+    a = sorted(
+        tuple(r)
+        for r in R.rollup_range(
+            spark, store1, "2024-01-01", "2024-01-05", by=["event_type"]
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in R.rollup_range(
+            spark, store2, "2024-01-01", "2024-01-05", by=["event_type"]
+        ).collect()
+    )
+    assert a == b
+
+
+def test_rollup_range_prunes_partitions(spark, tmp_path):
+    """The range predicate must land as a directory-level partition
+    filter on the bucket partition copy, not a post-scan filter."""
+    ev = _events(spark, _ROWS)
+    store = str(tmp_path / "store")
+    R.save_rollup_store(ev, store, key_cols=["event_type"])
+    plan = (
+        R.rollup_range(spark, store, "2024-01-02", "2024-01-03")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "bucket_part" in seg[: seg.index("]")]
+    # and the pruned read really excludes the other days' rows
+    rows = R.rollup_range(
+        spark, store, "2024-01-02", "2024-01-03", by=["event_type"]
+    ).collect()
+    assert {r["event_type"] for r in rows} == {"click", "view"}
+
+
+def test_rollup_meta_guard_and_grains(spark, tmp_path):
+    ev = _events(spark, _ROWS)
+    store = str(tmp_path / "store")
+    R.save_rollup_store(ev, store, key_cols=["event_type"], grain="hour")
+    with pytest.raises(ValueError, match="grain"):
+        R.rollup_range(spark, store, "2024-01-01", "2024-01-02", grain="day")
+    with pytest.raises(ValueError, match="grain"):
+        R.save_rollup_store(ev, str(tmp_path / "bad"), grain="minute")
+    # hour-grain series: 2024-01-01 has three distinct hours
+    series = R.rollup_series(
+        spark, store, "2024-01-01", "2024-01-01 23:00:00", grain="hour"
+    ).collect()
+    assert {r["bucket"].hour for r in series} == {3, 21}
+
+
+def test_rollup_stream_two_epochs(spark, tmp_path):
+    """Continuous ingest: each micro-batch appends its own partials;
+    the reader's fold makes the store equal to the one-shot rollup of
+    everything ingested so far."""
+    base = str(tmp_path)
+    ev = _events(spark, _ROWS)
+    for cut in (4, len(_ROWS)):
+        lo = 0 if cut == 4 else 4
+        _events(spark, _ROWS[lo:cut]).coalesce(1).write.mode("append").parquet(
+            base + "/feed"
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+    R.rollup_stream(
+        stream, base + "/store", base + "/ckpt", key_cols=["event_type"]
+    ).awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in R.rollup_range(
+            spark, base + "/store", "2024-01-01", "2024-01-05",
+            by=["event_type"],
+        ).collect()
+    )
+    oneshot = str(tmp_path / "oneshot")
+    R.save_rollup_store(ev, oneshot, key_cols=["event_type"])
+    want = sorted(
+        tuple(r)
+        for r in R.rollup_range(
+            spark, oneshot, "2024-01-01", "2024-01-05", by=["event_type"]
+        ).collect()
+    )
+    assert got == want
