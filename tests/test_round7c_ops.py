@@ -217,3 +217,84 @@ def test_rollup_stream_two_epochs(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+# --- feature-hashing vectorizer ---------------------------------------------
+
+import hashlib
+
+
+def _hash_model(text, dim=64):
+    v = [0] * dim
+    for w in (text or "").split(" "):
+        b = int(hashlib.md5(w.encode()).hexdigest()[:12], 16) % dim
+        v[b] += 1
+    return v
+
+
+def test_hashed_features_matches_model(spark):
+    from osmexpress_spark.operators import text as T
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "spark spark spark hash join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["v"])
+        for r in df.select(
+            "doc_id", T.hashed_features(F.col("text"), dim=16).alias("v")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == [float(c) for c in _hash_model(text, 16)], doc_id
+    # stats derive from the same vector
+    st = {
+        r["doc_id"]: (r["nnz"], r["l2sq"], r["top_bucket"])
+        for r in T.hashed_features_stats(df, dim=16).collect()
+    }
+    for doc_id, text in rows:
+        m = _hash_model(text, 16)
+        nnz = sum(1 for c in m if c)
+        l2 = sum(c * c for c in m)
+        top = m.index(max(m))
+        assert st[doc_id] == (nnz, l2, top), doc_id
+
+
+def test_hashed_features_is_jvm_side(spark):
+    from osmexpress_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        T.hashed_features_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_features_feed_kmeans(spark):
+    """The bridge into the embedding stack: two token-disjoint doc
+    families vectorize into linearly separable hashed vectors, and
+    kmeans_train_distributed recovers the families exactly."""
+    from osmexpress_spark.operators import similarity as S
+    from osmexpress_spark.operators import text as T
+
+    docs = [(i, "alpha beta gamma delta " * 3) for i in range(10)] + [
+        (i, "omega psi chi phi " * 3) for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vec = df.select(
+        F.col("doc_id").alias("vec_id"),
+        T.hashed_features(F.col("text"), dim=16).alias("embedding"),
+    )
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in S.kmeans_train_distributed(
+            vec, dim=16, k=2, iters=3
+        ).collect()
+    }
+    fam_a = {asg[i] for i in range(10)}
+    fam_b = {asg[i] for i in range(10, 20)}
+    assert len(fam_a) == 1 and len(fam_b) == 1 and fam_a != fam_b
