@@ -89,11 +89,13 @@ def image_decoder(payload: bytes) -> list[float]:
         return _decode_gif(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     raise NotImplementedError(
         "only uncompressed 24-bit BMP, binary PPM, PNG (full "
-        "still-image matrix), baseline sequential JPEG, GIF87a/89a "
-        "and baseline TIFF decode in-container; swap in "
-        "PIL/opencv via decoder= for other formats (WebP/...)"
+        "still-image matrix), baseline sequential JPEG, GIF87a/89a, "
+        "baseline TIFF and lossless WebP (VP8L) decode in-container; "
+        "swap in PIL/opencv via decoder= for other formats"
     )
 
 
@@ -1755,6 +1757,496 @@ def _jpeg_means_from_planes(
         float(r.mean() / maxval),
         float(g.mean() / maxval),
         float(b.mean() / maxval),
+    ]
+
+
+# --- WebP (VP8L lossless) ----------------------------------------------------
+# Pure-stdlib decode of the WebP LOSSLESS bitstream (RFC 9649 / the
+# public "WebP Lossless Bitstream Specification"): LSB-first bit
+# reader, DEFLATE-style canonical prefix codes (simple and
+# code-length-coded forms), meta prefix-code groups, the LZ77 length/
+# distance prefix-value scheme with the 120-entry 2D distance map, the
+# color cache, and all four transforms (predictor x14, color,
+# subtract-green, color-indexing with pixel bundling) inverted in
+# reverse bitstream order.  Validated in the suite against the
+# system's independent libwebp (ctypes) on fuzzed round-trips.  Lossy
+# WebP (VP8 key frames) is an honest NotImplementedError.
+
+# kCodeToPlane: plane-code -> (y, 8-x) nibbles.  Recovered empirically
+# from the system libwebp's read-only data (the spec's own table) and
+# revalidated by the libwebp round-trip fuzz suite: entry b means
+# yoffset = b >> 4, xoffset = 8 - (b & 15), distance = y*w + x.
+_VP8L_PLANE_TABLE = bytes(
+    [
+        0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+        0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+        0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+        0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+        0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+        0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+        0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+        0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+        0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+        0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+        0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+        0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+    ]
+)
+
+_VP8L_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+)
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L packs value bits low-bit-first within
+    bytes; prefix-code bits are then consumed one at a time)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        d, pos = self.d, self.pos
+        if pos + n > len(d) * 8:
+            raise ValueError("VP8L bitstream truncated")
+        for i in range(n):
+            v |= ((d[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        self.pos = pos
+        return v
+
+
+class _Vp8lCode:
+    """Canonical prefix code (DEFLATE numbering: codes assigned in
+    (length, symbol) order, read MSB-first).  A code with exactly one
+    used symbol reads ZERO bits (the spec's degenerate case)."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: list[int]):
+        nz = sorted((ln, s) for s, ln in enumerate(lengths) if ln > 0)
+        if not nz:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(nz) == 1:
+            self.single, self.table, self.max_len = nz[0][1], None, 0
+            return
+        self.single = None
+        self.max_len = nz[-1][0]
+        if self.max_len > 15:
+            raise ValueError("VP8L code length > 15")
+        kraft = sum(1 << (15 - ln) for ln, _ in nz)
+        if kraft != 1 << 15:
+            raise ValueError("VP8L prefix code not complete")
+        table: dict[tuple[int, int], int] = {}
+        code = 0
+        prev = nz[0][0]
+        for ln, s in nz:
+            code <<= ln - prev
+            prev = ln
+            table[(ln, code)] = s
+            code += 1
+        self.table = table
+
+    def read(self, bits: _Vp8lBits) -> int:
+        if self.single is not None:
+            return self.single
+        code = ln = 0
+        while ln < self.max_len:
+            code = (code << 1) | bits.read(1)
+            ln += 1
+            s = self.table.get((ln, code))
+            if s is not None:
+                return s
+        raise ValueError("VP8L invalid prefix code word")
+
+
+def _vp8l_read_code(bits: _Vp8lBits, alphabet_size: int) -> _Vp8lCode:
+    """One prefix code: the 'simple' 1/2-symbol form or the normal
+    form whose symbol lengths are themselves prefix-coded (with the
+    16/17/18 repeat codes and the optional max-symbol budget)."""
+    lengths = [0] * alphabet_size
+    if bits.read(1):  # simple
+        num = bits.read(1) + 1
+        s0 = bits.read(8) if bits.read(1) else bits.read(1)
+        if s0 >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of range")
+        if num == 1:
+            lengths[s0] = 1  # degenerate: _Vp8lCode reads zero bits
+            code = _Vp8lCode(lengths)
+            code.single = s0
+            code.table = None
+            return code
+        s1 = bits.read(8)
+        if s1 >= alphabet_size or s1 == s0:
+            raise ValueError("VP8L simple-code symbols invalid")
+        lengths[s0] = lengths[s1] = 1
+        return _Vp8lCode(lengths)
+    num_codes = bits.read(4) + 4
+    if num_codes > len(_VP8L_CL_ORDER):
+        raise ValueError("VP8L bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = bits.read(3)
+    cl_code = _Vp8lCode(cl_lengths)
+    if bits.read(1):
+        length_nbits = 2 + 2 * bits.read(3)
+        max_symbol = 2 + bits.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    symbol, prev_len = 0, 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        c = cl_code.read(bits)
+        if c < 16:
+            lengths[symbol] = c
+            symbol += 1
+            if c:
+                prev_len = c
+        else:
+            extra, base = ((2, 3), (3, 3), (7, 11))[c - 16]
+            rep = bits.read(extra) + base
+            if symbol + rep > alphabet_size:
+                raise ValueError("VP8L code-length repeat overflows")
+            val = prev_len if c == 16 else 0
+            for _ in range(rep):
+                lengths[symbol] = val
+                symbol += 1
+    return _Vp8lCode(lengths)
+
+
+def _vp8l_prefix_value(code: int, bits: _Vp8lBits) -> int:
+    """LZ77 length/distance prefix decoding: codes 0-3 are the values
+    1-4; above that each code pair doubles the range with extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + bits.read(extra) + 1
+
+
+def _vp8l_plane_to_dist(xsize: int, plane: int) -> int:
+    if plane > 120:
+        return plane - 120
+    b = _VP8L_PLANE_TABLE[plane - 1]
+    dist = (b >> 4) * xsize + 8 - (b & 15)
+    return dist if dist >= 1 else 1
+
+
+def _vp8l_decode_image(
+    bits: _Vp8lBits, w: int, h: int, is_spatial: bool
+) -> list[int]:
+    """One entropy-coded image stream -> row-major packed ARGB ints.
+    Spatial (top-level) streams may carry meta prefix groups; every
+    stream may carry its own color cache."""
+    cache_bits = 0
+    if bits.read(1):
+        cache_bits = bits.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache bits {cache_bits}")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    meta = None
+    meta_bits = 0
+    mw = 0
+    n_groups = 1
+    if is_spatial and bits.read(1):
+        meta_bits = bits.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _vp8l_decode_image(bits, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_img]
+        n_groups = max(meta) + 1
+    green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _vp8l_read_code(bits, green_size),
+                _vp8l_read_code(bits, 256),
+                _vp8l_read_code(bits, 256),
+                _vp8l_read_code(bits, 256),
+                _vp8l_read_code(bits, 40),
+            )
+        )
+    n = w * h
+    pix: list[int] = [0] * n
+    pos = 0
+    x = 0
+    g = groups[0]
+    while pos < n:
+        if meta is not None:
+            y = pos // w
+            g = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
+        s = g[0].read(bits)
+        if s < 256:
+            red = g[1].read(bits)
+            blue = g[2].read(bits)
+            alpha = g[3].read(bits)
+            p = (alpha << 24) | (red << 16) | (s << 8) | blue
+        elif s < 280:
+            length = _vp8l_prefix_value(s - 256, bits)
+            dcode = g[4].read(bits)
+            dist = _vp8l_plane_to_dist(w, _vp8l_prefix_value(dcode, bits))
+            if dist > pos:
+                raise ValueError("VP8L backward reference before start")
+            if pos + length > n:
+                raise ValueError("VP8L backward reference past end")
+            for _ in range(length):
+                p = pix[pos - dist]
+                pix[pos] = p
+                if cache is not None:
+                    cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+                pos += 1
+                x += 1
+                if x == w:
+                    x = 0
+            continue
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache hit without a color cache")
+            p = cache[s - 280]
+        pix[pos] = p
+        if cache is not None:
+            cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+        pos += 1
+        x += 1
+        if x == w:
+            x = 0
+    return pix
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 255) + ((b >> 24) & 255)) >> 1) << 24
+        | ((((a >> 16) & 255) + ((b >> 16) & 255)) >> 1) << 16
+        | ((((a >> 8) & 255) + ((b >> 8) & 255)) >> 1) << 8
+        | ((a & 255) + (b & 255)) >> 1
+    )
+
+
+def _vp8l_select(left: int, top: int, topleft: int) -> int:
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        l_, t_, tl = (left >> sh) & 255, (top >> sh) & 255, (topleft >> sh) & 255
+        p_l += abs(t_ - tl)  # |pred - L| where pred = L + T - TL
+        p_t += abs(l_ - tl)
+    return left if p_l < p_t else top
+
+
+def _vp8l_clamp_add_full(left: int, top: int, topleft: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((left >> sh) & 255) + ((top >> sh) & 255) - ((topleft >> sh) & 255)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_clamp_add_half(avg: int, topleft: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (avg >> sh) & 255
+        d = a - ((topleft >> sh) & 255)
+        # C truncating division: (a - b) / 2 rounds toward zero
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_predict(mode: int, i: int, w: int, pix: list[int]) -> int:
+    left = pix[i - 1]
+    top = pix[i - w]
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return pix[i - w + 1]
+    if mode == 4:
+        return pix[i - w - 1]
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, pix[i - w + 1]), top)
+    if mode == 6:
+        return _vp8l_avg2(left, pix[i - w - 1])
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(pix[i - w - 1], top)
+    if mode == 9:
+        return _vp8l_avg2(top, pix[i - w + 1])
+    if mode == 10:
+        return _vp8l_avg2(
+            _vp8l_avg2(left, pix[i - w - 1]),
+            _vp8l_avg2(top, pix[i - w + 1]),
+        )
+    if mode == 11:
+        return _vp8l_select(left, top, pix[i - w - 1])
+    if mode == 12:
+        return _vp8l_clamp_add_full(left, top, pix[i - w - 1])
+    if mode == 13:
+        return _vp8l_clamp_add_half(_vp8l_avg2(left, top), pix[i - w - 1])
+    raise ValueError(f"VP8L predictor mode {mode}")
+
+
+def _vp8l_add_pixels(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 255) + ((b >> 24) & 255)) & 255) << 24
+        | ((((a >> 16) & 255) + ((b >> 16) & 255)) & 255) << 16
+        | ((((a >> 8) & 255) + ((b >> 8) & 255)) & 255) << 8
+        | (((a & 255) + (b & 255)) & 255)
+    )
+
+
+def _i8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _decode_vp8l(data: bytes) -> tuple[int, int, list[int]]:
+    """VP8L chunk payload -> (width, height, packed ARGB pixels)."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    bits = _Vp8lBits(data[1:])
+    w = bits.read(14) + 1
+    h = bits.read(14) + 1
+    bits.read(1)  # alpha hint
+    if bits.read(3) != 0:
+        raise ValueError("VP8L version != 0")
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    xsize = w
+    while bits.read(1):
+        ttype = bits.read(2)
+        if ttype in seen:
+            raise ValueError(f"VP8L transform {ttype} repeated")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color transform
+            size_bits = bits.read(3) + 2
+            bw = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            timg = _vp8l_decode_image(bits, bw, bh, False)
+            transforms.append((ttype, size_bits, bw, timg, xsize))
+        elif ttype == 2:  # subtract green
+            transforms.append((2,))
+        else:  # color indexing
+            tsize = bits.read(8) + 1
+            pal = _vp8l_decode_image(bits, tsize, 1, False)
+            for i in range(1, tsize):
+                pal[i] = _vp8l_add_pixels(pal[i], pal[i - 1])
+            width_bits = (
+                3 if tsize <= 2 else 2 if tsize <= 4 else 1 if tsize <= 16 else 0
+            )
+            transforms.append((3, width_bits, pal, xsize))
+            xsize = (xsize + (1 << width_bits) - 1) >> width_bits
+    pix = _vp8l_decode_image(bits, xsize, h, True)
+    for tr in reversed(transforms):
+        if tr[0] == 2:  # subtract-green inverse: add green to red/blue
+            for i, p in enumerate(pix):
+                gch = (p >> 8) & 255
+                pix[i] = (
+                    (p & 0xFF000000)
+                    | ((((p >> 16) & 255) + gch & 255) << 16)
+                    | (gch << 8)
+                    | (((p & 255) + gch) & 255)
+                )
+        elif tr[0] == 0:  # predictor inverse
+            _, size_bits, bw, timg, tw = tr
+            for i in range(len(pix)):
+                y, xx = divmod(i, tw)
+                if i == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pix[i - 1]
+                elif xx == 0:
+                    pred = pix[i - tw]
+                else:
+                    mode = (
+                        timg[(y >> size_bits) * bw + (xx >> size_bits)] >> 8
+                    ) & 255
+                    pred = _vp8l_predict(mode, i, tw, pix)
+                pix[i] = _vp8l_add_pixels(pix[i], pred)
+        elif tr[0] == 1:  # color transform inverse
+            _, size_bits, bw, timg, tw = tr
+            for i, p in enumerate(pix):
+                y, xx = divmod(i, tw)
+                cte = timg[(y >> size_bits) * bw + (xx >> size_bits)]
+                g2r = _i8(cte & 255)
+                g2b = _i8((cte >> 8) & 255)
+                r2b = _i8((cte >> 16) & 255)
+                gch = _i8((p >> 8) & 255)
+                red = (((p >> 16) & 255) + ((g2r * gch) >> 5)) & 255
+                blue = (
+                    (p & 255)
+                    + ((g2b * gch) >> 5)
+                    + ((r2b * _i8(red)) >> 5)
+                ) & 255
+                pix[i] = (p & 0xFF00FF00) | (red << 16) | blue
+        else:  # color-indexing inverse: unbundle + palette lookup
+            _, width_bits, pal, tw = tr
+            bundled_w = (tw + (1 << width_bits) - 1) >> width_bits
+            bpp = 8 >> width_bits
+            mask = (1 << bpp) - 1
+            out = [0] * (tw * h)
+            for y in range(h):
+                for xx in range(tw):
+                    packed = pix[y * bundled_w + (xx >> width_bits)]
+                    gch = (packed >> 8) & 255
+                    if width_bits:
+                        idx = (
+                            gch >> (bpp * (xx & ((1 << width_bits) - 1)))
+                        ) & mask
+                    else:
+                        idx = gch
+                    out[y * tw + xx] = pal[idx] if idx < len(pal) else 0
+            pix = out
+    return w, h, pix
+
+
+def _webp_vp8l_payload(payload: bytes) -> bytes:
+    """The VP8L chunk body out of a RIFF/WEBP container (plain or
+    VP8X-extended); a lossy 'VP8 ' stream is the honest stub."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("WEBP chunk truncated")
+        if tag == b"VP8L":
+            return body
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8 key frame) not supported; only VP8L"
+            )
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("WEBP container has no VP8L chunk")
+
+
+def _decode_webp(payload: bytes) -> list[float]:
+    """RIFF/WEBP container -> the 5-float feature contract.  Decodes
+    the LOSSLESS (VP8L) stream, including inside an extended (VP8X)
+    container; lossy VP8 key-frame streams raise the honest
+    NotImplementedError stub."""
+    w, h, pix = _decode_vp8l(_webp_vp8l_payload(payload))
+    n = len(pix)
+    sr = sg = sb = 0
+    for p in pix:
+        sr += (p >> 16) & 255
+        sg += (p >> 8) & 255
+        sb += p & 255
+    return [
+        float(w),
+        float(h),
+        sr / (255.0 * n),
+        sg / (255.0 * n),
+        sb / (255.0 * n),
     ]
 
 
@@ -3527,3 +4019,151 @@ def dhash_bands(
         for b in range(n_bands)
     ]
     return base.select(id_col, *bands)
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer for VP8L streams; prefix-code words are
+    emitted MSB-first (the decoder's bit-by-bit walk order)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 255)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, code: int, n: int) -> None:
+        for i in reversed(range(n)):
+            self.bits((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 255)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+def _vp8l_invert(code: _Vp8lCode) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code word) for encoding with a decoder-built
+    canonical table (guarantees encoder/decoder numbering agree by
+    construction)."""
+    return {s: (ln, cw) for (ln, cw), s in code.table.items()}
+
+
+def _encode_webp_gray(pix: bytes, w: int, h: int) -> bytes:
+    """Minimal but fully spec-valid VP8L encoder for gray literals: no
+    transforms, no cache, no meta, one prefix-code group — the green
+    tree is a complete 232x8+48x9-bit flat code emitted through the
+    code-length code, red/blue are flat 8-bit codes emitted via the
+    degenerate single-symbol code-length trick, alpha and distance are
+    1-symbol simple codes (zero bits per pixel).  Wrapped in a RIFF
+    container.  Used by synth_webp_lossless so the driver gate's
+    payloads are pure functions of md5 bytes."""
+    if len(pix) != w * h:
+        raise ValueError("pixel buffer does not match dimensions")
+    green = _Vp8lCode([8] * 232 + [9] * 48)
+    gmap = _vp8l_invert(green)
+    wtr = _Vp8lWriter()
+    wtr.bits(w - 1, 14)
+    wtr.bits(h - 1, 14)
+    wtr.bits(0, 1)  # no alpha hint
+    wtr.bits(0, 3)  # version
+    wtr.bits(0, 1)  # no transforms
+    wtr.bits(0, 1)  # no color cache
+    wtr.bits(0, 1)  # no meta prefix codes
+    # green: normal form; lengths are 8 (symbols < 232) else 9, and the
+    # code-length code maps 8 -> '0', 9 -> '1' (two 1-bit symbols)
+    wtr.bits(0, 1)
+    wtr.bits(13 - 4, 4)  # order covers ..., 8 at index 11, 9 at index 12
+    for ln in (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1):
+        wtr.bits(ln, 3)
+    wtr.bits(0, 1)  # no max-symbol budget
+    for s in range(280):
+        wtr.bits(0 if s < 232 else 1, 1)
+    # red, blue: flat 256 x 8-bit via the single-symbol code-length code
+    # (every emitted length is 8, read with zero bits each)
+    for _ in range(2):
+        wtr.bits(0, 1)
+        wtr.bits(12 - 4, 4)  # order covers ..., 8 at index 11
+        for ln in (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1):
+            wtr.bits(ln, 3)
+        wtr.bits(0, 1)
+    # alpha: simple 1-symbol code, symbol 255 (8-bit form)
+    wtr.bits(1, 1)
+    wtr.bits(0, 1)
+    wtr.bits(1, 1)
+    wtr.bits(255, 8)
+    # distance: simple 1-symbol code, symbol 0 (1-bit form)
+    wtr.bits(1, 1)
+    wtr.bits(0, 1)
+    wtr.bits(0, 1)
+    wtr.bits(0, 1)
+    for v in pix:
+        ln, cw = gmap[v]
+        wtr.code(cw, ln)
+        wtr.code(v, 8)  # red (flat: code word == symbol, MSB-first)
+        wtr.code(v, 8)  # blue
+        # alpha: zero bits
+    return _webp_wrap(b"\x2f" + wtr.done())
+
+
+def _webp_wrap(vp8l: bytes) -> bytes:
+    chunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def synth_webp_lossless(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size: int = 16,
+    stub_mod: int = 9,
+) -> DataFrame:
+    """Per-row deterministic lossless WebP: gray pixel (y, x) is byte x
+    of md5(f"{id}_w_{y}") for a size x size image (size <= 16) —
+    md5-hex-recomputable, and VP8L is LOSSLESS, so a SQL oracle
+    recomputes the decoded mean exactly.  Rows where id % stub_mod ==
+    0 carry a LOSSY (VP8 key frame) container instead: the honest
+    NotImplementedError stub through the same gate.  Arrow
+    mapInPandas, zero shuffle."""
+    import hashlib
+
+    if not (1 <= size <= 16):
+        raise TypeError("size must be in 1..16")
+    lossy = (
+        b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                if stub_mod and i % stub_mod == 0:
+                    payloads.append(lossy)
+                    continue
+                px = b"".join(
+                    hashlib.md5(f"{i}_w_{y}".encode()).digest()[:size]
+                    for y in range(size)
+                )
+                payloads.append(_encode_webp_gray(px, size, size))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
