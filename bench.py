@@ -135,6 +135,8 @@ PENDING_HEADLINE: list[str] = [
     "q_bitext_mine",
     "q_wav_segments_stats",
     "q_rollup_store",
+    "q_hashed_features",
+    "q_image_webp_stats",
 ]
 
 

@@ -6047,3 +6047,103 @@ def q_rollup_store(spark, sf_dir):
         "event_type", "n_events", "sum_cents", "min_cents", "max_cents",
         "avg_value",
     )
+
+
+@defq_pending(
+    "q_hashed_features",
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(w), 1, 12) AS BIGINT) % 64 AS b
+      FROM tk
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS nnz,
+             CAST(sum(c * c) AS BIGINT) AS l2sq
+      FROM cnt GROUP BY 1
+    ),
+    top AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS top_bucket
+      FROM (
+        SELECT doc_id, b,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, b) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    )
+    SELECT agg.doc_id, agg.nnz, agg.l2sq, top.top_bucket
+    FROM agg JOIN top USING (doc_id)
+    """,
+)
+def q_hashed_features(spark, sf_dir):
+    """The feature-hashing vectorizer behind the driver gate
+    (text.hashed_features / hashed_features_stats): free-vocabulary
+    text becomes a fixed 64-bucket count vector with NO vocabulary
+    table and no fit step — the bridge from the text corpus into the
+    embedding stack (kmeans, top-k, PCA, drift all consume the
+    array).  The gate pins every cell: nnz, the exact integer squared
+    norm, and the argmax bucket are all folds of the SAME vector
+    expression, so a changed hash, dim, tokenizer, or tie rule moves
+    at least one output scalar.  Everything is scan-side whole-stage
+    codegen (transform x filter over the token array — no explode, no
+    shuffle beyond the oracle-matching aggregate)."""
+    d = t(spark, sf_dir, "documents")
+    return text.hashed_features_stats(d, dim=64)
+
+
+@defq_pending(
+    "q_image_webp_stats",
+    """
+    WITH wrows AS (
+      SELECT doc_id, y.range AS y
+      FROM documents, range(16) y
+      WHERE doc_id % 9 != 0
+    ),
+    whx AS (
+      SELECT doc_id, md5(doc_id || '_w_' || y) AS h FROM wrows
+    ),
+    wpx AS (
+      SELECT doc_id,
+             CAST('0x' || substr(h, 2 * j.range + 1, 2) AS INTEGER) AS v
+      FROM whx, range(16) j
+    ),
+    wst AS (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS tv FROM wpx GROUP BY 1
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 9 != 0) AS decode_ok,
+           CASE WHEN d.doc_id % 9 = 0 THEN NULL
+                ELSE (CAST(wst.tv AS DOUBLE) / 256e0) / 255e0
+           END AS mean_gray
+    FROM documents d LEFT JOIN wst USING (doc_id)
+    """,
+)
+def q_image_webp_stats(spark, sf_dir):
+    """The WebP (VP8L lossless) decode machinery behind the driver
+    gate (multimodal._decode_webp via image_decoder): deterministic
+    md5-pixel LOSSLESS streams — a real RIFF container parse, the
+    VP8L canonical prefix codes (normal code-length-coded green tree,
+    the degenerate single-symbol trick for red/blue, simple codes for
+    alpha/distance) — are REALLY decoded in the Arrow seam; VP8L is
+    lossless, so the oracle recomputes the decoded gray mean from the
+    md5 hex pairs EXACTLY (two exact-input IEEE divisions, hash-stable
+    in both engines).  Every 9th doc carries a LOSSY (VP8 key frame)
+    container: the honest NotImplementedError stub through the same
+    gate.  The decoder itself is cross-validated bit-exactly against
+    the system libwebp in tests/test_webp.py."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_webp_lossless(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.image_decoder, modality="image"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 3).alias("mean_gray"),
+    )

@@ -105,6 +105,8 @@ SUBSET = [
     "q_bitext_mine",           # broadcast cross-scan + per-id windows
     "q_wav_segments_stats",    # VAD in the Arrow seam + island windows
     "q_rollup_store",          # rollup-store build + pruned partial merge
+    "q_hashed_features",       # one-pass hashing-trick vectorizer folds
+    "q_image_webp_stats",      # VP8L lossless decode in the Arrow seam
 ]
 
 
