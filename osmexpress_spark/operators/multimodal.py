@@ -1809,15 +1809,14 @@ class _Vp8lBits:
         self.pos = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        d, pos = self.d, self.pos
-        if pos + n > len(d) * 8:
+        pos = self.pos
+        end = pos + n
+        d = self.d
+        if end > len(d) * 8:
             raise ValueError("VP8L bitstream truncated")
-        for i in range(n):
-            v |= ((d[pos >> 3] >> (pos & 7)) & 1) << i
-            pos += 1
-        self.pos = pos
-        return v
+        self.pos = end
+        chunk = int.from_bytes(d[pos >> 3 : (end + 7) >> 3], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
 
 class _Vp8lCode:
@@ -1825,9 +1824,10 @@ class _Vp8lCode:
     (length, symbol) order, read MSB-first).  A code with exactly one
     used symbol reads ZERO bits (the spec's degenerate case)."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "table", "max_len", "lut")
 
     def __init__(self, lengths: list[int]):
+        self.lut: list | None = None
         nz = sorted((ln, s) for s, ln in enumerate(lengths) if ln > 0)
         if not nz:
             raise ValueError("VP8L prefix code with no symbols")
@@ -1851,15 +1851,61 @@ class _Vp8lCode:
             code += 1
         self.table = table
 
+    def _build_lut(self) -> list:
+        """One-level fast table: peek max_len LSB-first bits, index the
+        table, advance by the matched length — the classic fast-Huffman
+        layout (entries replicate across their free high bits; slice
+        assignment keeps the build C-speed, it is per-stream work)."""
+        size = 1 << self.max_len
+        lut: list = [None] * size
+        for (ln, cw), s in self.table.items():
+            rev, c = 0, cw
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            lut[rev :: 1 << ln] = [(s, ln)] * (size >> ln)
+        self.lut = lut
+        return lut
+
     def read(self, bits: _Vp8lBits) -> int:
         if self.single is not None:
             return self.single
+        if self.max_len <= 10:  # LUT pays for itself immediately
+            lut = self.lut or self._build_lut()
+            d, pos = bits.d, bits.pos
+            avail = len(d) * 8 - pos
+            chunk = (
+                int.from_bytes(
+                    d[pos >> 3 : (pos + self.max_len + 7) >> 3], "little"
+                )
+                >> (pos & 7)
+            )
+            mask = (1 << self.max_len) - 1 if avail >= self.max_len else (
+                (1 << avail) - 1
+            )
+            ent = lut[chunk & mask]
+            if ent is None:
+                raise ValueError("VP8L invalid prefix code word")
+            s, ln = ent
+            if ln > avail:
+                raise ValueError("VP8L bitstream truncated")
+            bits.pos = pos + ln
+            return s
+        # long codes: inline bit-by-bit walk (the per-bit read() call
+        # overhead is the decode hot path)
+        d, pos = bits.d, bits.pos
+        limit = len(d) * 8
+        table = self.table
         code = ln = 0
         while ln < self.max_len:
-            code = (code << 1) | bits.read(1)
+            if pos >= limit:
+                raise ValueError("VP8L bitstream truncated")
+            code = (code << 1) | ((d[pos >> 3] >> (pos & 7)) & 1)
+            pos += 1
             ln += 1
-            s = self.table.get((ln, code))
+            s = table.get((ln, code))
             if s is not None:
+                bits.pos = pos
                 return s
         raise ValueError("VP8L invalid prefix code word")
 
@@ -4058,6 +4104,23 @@ def _vp8l_invert(code: _Vp8lCode) -> dict[int, tuple[int, int]]:
     return {s: (ln, cw) for (ln, cw), s in code.table.items()}
 
 
+_REV8 = tuple(int(f"{v:08b}"[::-1], 2) for v in range(256))
+_WEBP_GRAY_CODE: dict[int, tuple[int, int]] | None = None
+
+
+def _webp_gray_code() -> dict[int, tuple[int, int]]:
+    """symbol -> (length, bit-REVERSED code word) for the fixed flat
+    green tree, cached: reversed words emit through the LSB-first
+    value writer in one call instead of a per-bit loop."""
+    global _WEBP_GRAY_CODE
+    if _WEBP_GRAY_CODE is None:
+        inv = _vp8l_invert(_Vp8lCode([8] * 232 + [9] * 48))
+        _WEBP_GRAY_CODE = {
+            s: (ln, int(f"{cw:0{ln}b}"[::-1], 2)) for s, (ln, cw) in inv.items()
+        }
+    return _WEBP_GRAY_CODE
+
+
 def _encode_webp_gray(pix: bytes, w: int, h: int) -> bytes:
     """Minimal but fully spec-valid VP8L encoder for gray literals: no
     transforms, no cache, no meta, one prefix-code group — the green
@@ -4069,8 +4132,7 @@ def _encode_webp_gray(pix: bytes, w: int, h: int) -> bytes:
     payloads are pure functions of md5 bytes."""
     if len(pix) != w * h:
         raise ValueError("pixel buffer does not match dimensions")
-    green = _Vp8lCode([8] * 232 + [9] * 48)
-    gmap = _vp8l_invert(green)
+    gmap = _webp_gray_code()
     wtr = _Vp8lWriter()
     wtr.bits(w - 1, 14)
     wtr.bits(h - 1, 14)
@@ -4106,11 +4168,14 @@ def _encode_webp_gray(pix: bytes, w: int, h: int) -> bytes:
     wtr.bits(0, 1)
     wtr.bits(0, 1)
     wtr.bits(0, 1)
+    rev8 = _REV8
+    bits = wtr.bits
     for v in pix:
-        ln, cw = gmap[v]
-        wtr.code(cw, ln)
-        wtr.code(v, 8)  # red (flat: code word == symbol, MSB-first)
-        wtr.code(v, 8)  # blue
+        ln, rcw = gmap[v]
+        bits(rcw, ln)  # pre-reversed code word through the value writer
+        rv = rev8[v]
+        bits(rv, 8)  # red (flat: code word == symbol, MSB-first)
+        bits(rv, 8)  # blue
         # alpha: zero bits
     return _webp_wrap(b"\x2f" + wtr.done())
 
