@@ -55,6 +55,29 @@ def main() -> None:
     print("click->purchase pairs within 1h:",
           band_join(clicks, buys, "user_id", "ts", "ts", 3600).count())
 
+    # dashboard pattern: aggregate the log ONCE into the rollup store,
+    # then serve range/series queries from the partials alone (the
+    # range read prunes to the touched day directories; appended
+    # epochs fold through the same merge, no read-modify-write)
+    import tempfile
+
+    from osmexpress_spark.operators import rollup
+
+    store = tempfile.mkdtemp(prefix="osmx_example_rollup_")
+    rollup.save_rollup_store(ev, store, key_cols=["event_type"])
+    week = rollup.rollup_range(
+        spark, store, "2024-01-08", "2024-01-14", by=["event_type"]
+    )
+    print("week 2 by type:", sorted(
+        (r["event_type"], r["n_events"], round(r["avg_value"], 2))
+        for r in week.collect()
+    ))
+    series = rollup.rollup_series(spark, store, "2024-01-01", "2024-01-07")
+    print("week 1 daily totals:", [
+        (str(r["bucket"].date()), r["n_events"])
+        for r in series.orderBy("bucket").collect()
+    ])
+
 
 if __name__ == "__main__":
     main()

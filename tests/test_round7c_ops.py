@@ -298,3 +298,33 @@ def test_hashed_features_feed_kmeans(spark):
     fam_a = {asg[i] for i in range(10)}
     fam_b = {asg[i] for i in range(10, 20)}
     assert len(fam_a) == 1 and len(fam_b) == 1 and fam_a != fam_b
+
+
+def test_hashed_features_feed_semantic_dedup(spark):
+    """Text-only semantic dedup: hashed vectors make bag-of-words
+    equivalence geometric — token-permuted rewrites land on the SAME
+    vector (cosine 1, dropped at the 0.95 threshold) while distinct
+    texts in the same cluster stay below it and survive."""
+    from osmexpress_spark.operators import similarity as S
+    from osmexpress_spark.operators import text as T
+
+    base = "solar panels convert sunlight into electric power"
+    shuffled = "electric power convert panels sunlight into solar"
+    docs = [(1, base), (2, shuffled), (3, "deep ocean currents move heat"),
+            (4, "parrots imitate human speech sounds"),
+            (5, "glaciers carve valleys over millennia"),
+            (6, "compilers translate source code to machine code")]
+    vec = spark.createDataFrame(docs, "doc_id long, text string").select(
+        F.col("doc_id").alias("vec_id"),
+        T.hashed_features(F.col("text"), dim=32).alias("embedding"),
+    )
+    out = {r["id"]: r for r in S.semantic_dedup(
+        vec, dim=32, n_centroids=2, threshold=0.95
+    ).collect()}
+    assert len(out) == 6
+    # the permuted rewrite collapses onto doc 1's vector: exactly one
+    # of the pair survives
+    assert out[1]["keep"] != out[2]["keep"]
+    assert out[2]["rep_sim"] == 1.0 or out[1]["rep_sim"] == 1.0
+    # every distinct text survives
+    assert all(out[i]["keep"] for i in (3, 4, 5, 6))
