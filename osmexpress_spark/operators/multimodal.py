@@ -1921,11 +1921,10 @@ def _vp8l_read_code(bits: _Vp8lBits, alphabet_size: int) -> _Vp8lCode:
         if s0 >= alphabet_size:
             raise ValueError("VP8L simple-code symbol out of range")
         if num == 1:
-            lengths[s0] = 1  # degenerate: _Vp8lCode reads zero bits
-            code = _Vp8lCode(lengths)
-            code.single = s0
-            code.table = None
-            return code
+            # single nonzero length -> _Vp8lCode's degenerate zero-bit
+            # path sets single=s0 itself
+            lengths[s0] = 1
+            return _Vp8lCode(lengths)
         s1 = bits.read(8)
         if s1 >= alphabet_size or s1 == s0:
             raise ValueError("VP8L simple-code symbols invalid")
@@ -4204,8 +4203,9 @@ def synth_webp_lossless(
 
     if not (1 <= size <= 16):
         raise TypeError("size must be in 1..16")
+    # RIFF size = WEBP fourcc (4) + chunk header (8) + chunk body (4)
     lossy = (
-        b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+        b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
     )
 

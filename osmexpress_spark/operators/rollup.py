@@ -140,12 +140,45 @@ def _check_meta(spark: SparkSession, base: str, grain: str | None) -> dict:
 def load_rollup_partials(
     spark: SparkSession, path: str, grain: str | None = None
 ) -> DataFrame:
-    """The persisted partials with the partition column folded back to
+    """The persisted partials with the partition columns folded back to
     `bucket` (the stored column survives the round trip; the partition
-    copy exists only for directory pruning)."""
+    copy exists only for directory pruning, and streamed stores carry
+    an extra epoch partition for idempotent replay)."""
     base = path.rstrip("/")
     _check_meta(spark, base, grain)
-    return spark.read.parquet(base + "/" + _PARTIALS).drop("bucket_part")
+    return (
+        spark.read.parquet(base + "/" + _PARTIALS)
+        .drop("bucket_part", "epoch")
+    )
+
+
+def _bound(value: str):
+    """Strict timestamp bound: a malformed date must raise, not cast
+    to NULL and silently return an empty range."""
+    import datetime
+
+    try:
+        datetime.datetime.fromisoformat(value)
+    except ValueError as e:
+        raise ValueError(f"rollup range bound {value!r}: {e}") from None
+    return F.lit(value).cast("timestamp")
+
+
+def _pruned_read(
+    spark: SparkSession, base: str, start: str, end: str
+) -> DataFrame:
+    """The shared range read: the [start, end] predicate lands on the
+    bucket partition copy (directory-level pruning, plan-asserted in
+    the suite); the epoch partition of streamed stores is dropped
+    after pruning."""
+    return (
+        spark.read.parquet(base + "/" + _PARTIALS)
+        .where(
+            (F.col("bucket_part") >= _bound(start))
+            & (F.col("bucket_part") <= _bound(end))
+        )
+        .drop("bucket_part", "epoch")
+    )
 
 
 def _merge(partials: DataFrame, group: list) -> DataFrame:
@@ -178,11 +211,7 @@ def rollup_range(
     by = list(by or [])
     base = path.rstrip("/")
     _check_meta(spark, base, grain)
-    pruned = spark.read.parquet(base + "/" + _PARTIALS).where(
-        (F.col("bucket_part") >= F.lit(start).cast("timestamp"))
-        & (F.col("bucket_part") <= F.lit(end).cast("timestamp"))
-    )
-    return _merge(pruned.drop("bucket_part"), by)
+    return _merge(_pruned_read(spark, base, start, end), by)
 
 
 def rollup_series(
@@ -200,11 +229,7 @@ def rollup_series(
     by = list(by or [])
     base = path.rstrip("/")
     _check_meta(spark, base, grain)
-    pruned = spark.read.parquet(base + "/" + _PARTIALS).where(
-        (F.col("bucket_part") >= F.lit(start).cast("timestamp"))
-        & (F.col("bucket_part") <= F.lit(end).cast("timestamp"))
-    )
-    return _merge(pruned.drop("bucket_part"), ["bucket", *by])
+    return _merge(_pruned_read(spark, base, start, end), ["bucket", *by])
 
 
 def merge_rollup_partials(parts: list[DataFrame], by: list[str]) -> DataFrame:
@@ -233,6 +258,11 @@ def append_rollup_epoch(
     drifted keys."""
     base = path.rstrip("/")
     meta = _check_meta(events.sparkSession, base, grain)
+    if meta.get("layout") == "epochs":
+        raise ValueError(
+            f"rollup store at {base} is a streamed (epoch-layout) store; "
+            f"append through rollup_stream, not append_rollup_epoch"
+        )
     partials = rollup_partials(
         events,
         meta["time_col"],
@@ -258,25 +288,55 @@ def rollup_stream(
     grain: str = "day",
 ):
     """Continuous-ingest form: each micro-batch aggregates map-side to
-    its own partials and APPENDS them (availableNow/foreachBatch);
-    correctness needs no stateful streaming aggregation because the
-    store's read path already folds duplicate (bucket, keys) rows —
-    the merge algebra absorbs at-least-once appends of distinct
-    batches.  Call save_rollup_store first (or let the first batch
-    create the store via the same meta)."""
+    its own partials and lands them under an EPOCH-KEYED partition
+    (foreachBatch is at-least-once — a redelivered batch OVERWRITES
+    its own epoch directory instead of double-counting), so the store
+    read path's fold over duplicate (bucket, keys) rows stays exact
+    across restarts.  The first batch pins the build conventions in
+    meta.json; every later batch validates the caller's arguments
+    against it and raises on drift (the module contract: never
+    silently merge under different keys or grain).  A streamed store
+    OWNS its layout: streaming into a store created by
+    save_rollup_store raises (the two layouts must not mix under one
+    partials tree)."""
     key_cols = list(key_cols or [])
     spark = events.sparkSession
     base = path.rstrip("/")
+    want = {
+        "time_col": time_col,
+        "key_cols": key_cols,
+        "value_col": value_col,
+        "grain": grain,
+        "scale": 100,
+        "layout": "epochs",
+    }
 
-    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
+        import json as _json
+
         from . import dedup as _dedup
 
         if not _dedup._store_exists(spark, base + "/" + _META):
-            save_rollup_store(
-                batch_df, base, time_col, key_cols, value_col, grain
+            _dedup._store_write_text(
+                spark, base + "/" + _META, _json.dumps(want)
             )
         else:
-            append_rollup_epoch(batch_df, base, grain)
+            meta = _check_meta(spark, base, None)
+            if meta != want:
+                raise ValueError(
+                    f"rollup store at {base} was built with {meta}, "
+                    f"stream requested {want} (save_rollup_store stores "
+                    f"cannot be streamed into — use a fresh path)"
+                )
+        partials = rollup_partials(
+            batch_df, time_col, key_cols, value_col, grain
+        )
+        (
+            partials.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_part")
+            .parquet(f"{base}/{_PARTIALS}/epoch={epoch}")
+        )
 
     return (
         events.writeStream.foreachBatch(_sink)

@@ -592,11 +592,11 @@ def hashed_features(text: Column, dim: int = 64) -> Column:
     md5 chain for every bucket index (interpreted higher-order lambdas
     don't cache children): measured 11.6x slower at sf0.1 for
     identical output."""
+    from . import sketch
+
     ws = F.split(F.coalesce(text, F.lit("")), " ")
     bs = F.transform(
-        ws,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10)
-        .cast("bigint") % F.lit(dim).cast("bigint"),
+        ws, lambda w: sketch.hash48(w) % F.lit(dim).cast("bigint")
     )
     return F.aggregate(
         bs,

@@ -217,6 +217,48 @@ def test_rollup_stream_two_epochs(spark, tmp_path):
         ).collect()
     )
     assert got == want
+    # replay: a fresh checkpoint redelivers every batch; epoch-keyed
+    # overwrite keeps the store EXACT (no double counting)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+    R.rollup_stream(
+        stream2, base + "/store", base + "/ckpt2", key_cols=["event_type"]
+    ).awaitTermination()
+    replayed = sorted(
+        tuple(r)
+        for r in R.rollup_range(
+            spark, base + "/store", "2024-01-01", "2024-01-05",
+            by=["event_type"],
+        ).collect()
+    )
+    assert replayed == want
+    # drifted keying must raise, not silently merge
+    stream3 = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+    q = R.rollup_stream(
+        stream3, base + "/store", base + "/ckpt3", key_cols=["user_id"]
+    )
+    with pytest.raises(Exception, match="built with"):
+        q.awaitTermination()
+    # a streamed store refuses the batch append path
+    with pytest.raises(ValueError, match="epoch-layout"):
+        R.append_rollup_epoch(ev, base + "/store")
+
+
+def test_rollup_bad_bound_raises(spark, tmp_path):
+    ev = _events(spark, _ROWS)
+    store = str(tmp_path / "store")
+    R.save_rollup_store(ev, store, key_cols=["event_type"])
+    with pytest.raises(ValueError, match="bound"):
+        R.rollup_range(spark, store, "01-05-2024", "2024-01-06")
+    with pytest.raises(ValueError, match="bound"):
+        R.rollup_series(spark, store, "2024-01-01", "2024-02-30")
 
 
 # --- feature-hashing vectorizer ---------------------------------------------

@@ -85,7 +85,7 @@ def test_synth_nonsquare_and_extremes():
 
 def test_error_and_stub_shapes():
     lossy = (
-        b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+        b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
     )
     with pytest.raises(NotImplementedError, match="lossy"):
