@@ -137,6 +137,7 @@ PENDING_HEADLINE: list[str] = [
     "q_rollup_store",
     "q_hashed_features",
     "q_image_webp_stats",
+    "q_stream_rollup",
 ]
 
 

@@ -6147,3 +6147,72 @@ def q_image_webp_stats(spark, sf_dir):
         "decode_ok",
         F.element_at("feat", 3).alias("mean_gray"),
     )
+
+
+@defq_pending(
+    "q_stream_rollup",
+    """
+    WITH rr AS (
+      SELECT date_trunc('day', ts) AS bucket,
+             event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-01'
+        AND date_trunc('day', ts) <= TIMESTAMP '2024-02-01'
+    )
+    SELECT strftime(bucket, '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           CAST(sum(cents) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE)
+             AS avg_value
+    FROM rr GROUP BY bucket, event_type
+    """,
+)
+def q_stream_rollup(spark, sf_dir):
+    """The CONTINUOUS-INGEST rollup path behind the strict gate
+    (operators/rollup.py:rollup_stream): the event log splits into a
+    two-epoch feed (one parquet file per event_id parity), a real
+    file-source readStream (maxFilesPerTrigger=1, availableNow) folds
+    each micro-batch into its own EPOCH-KEYED partials partition, and
+    the series read answers from the store alone — duplicate
+    (bucket, key) rows across epochs fold through the associative
+    merge, so the oracle's one-shot aggregate over the raw events
+    matches bit-for-bit.  This gates the streaming sink itself (epoch
+    layout, meta pinning, merge-on-read), not just the batch
+    machinery q_rollup_store covers; the at-least-once replay
+    idempotence (redelivered epoch overwrites itself) is pinned by
+    the suite's fresh-checkpoint replay test."""
+    import tempfile
+
+    from .operators import rollup
+
+    ev = t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="osmx_q_stream_rollup_")
+    for e in (0, 1):
+        ev.where(F.col("event_id") % 2 == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(base + "/feed")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+    rollup.rollup_stream(
+        stream, base + "/store", base + "/ckpt", key_cols=["event_type"]
+    ).awaitTermination()
+    series = rollup.rollup_series(
+        spark, base + "/store", "2024-01-01", "2024-02-01",
+        by=["event_type"],
+    )
+    return series.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        "avg_value",
+    )

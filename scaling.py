@@ -107,6 +107,7 @@ SUBSET = [
     "q_rollup_store",          # rollup-store build + pruned partial merge
     "q_hashed_features",       # one-pass hashing-trick vectorizer folds
     "q_image_webp_stats",      # VP8L lossless decode in the Arrow seam
+    "q_stream_rollup",         # streaming epoch sink + merge-on-read series
 ]
 
 
