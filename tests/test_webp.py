@@ -223,3 +223,45 @@ def test_webp_through_extract_features(spark):
             hashlib.md5(f"{i}_w_{y}".encode()).digest() for y in range(16)
         )
         assert r["feat"][2] == sum(px) / 256.0 / 255.0
+
+
+def test_vp8x_extended_container():
+    """The chunk walk finds VP8L inside an extended (VP8X) container,
+    skipping unknown chunks and honoring 2-byte alignment."""
+    inner = M._encode_webp_gray(bytes(range(9)), 3, 3)
+    vp8l = M._webp_vp8l_payload(inner)
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    odd = b"XMP " + (3).to_bytes(4, "little") + b"abc\x00"  # padded odd chunk
+    lchunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        lchunk += b"\x00"
+    body = b"WEBP" + vp8x + odd + lchunk
+    data = b"RIFF" + len(body).to_bytes(4, "little") + body
+    feats = M._decode_webp(data)
+    assert feats[:2] == [3.0, 3.0]
+    assert feats[2] == sum(range(9)) / 9 / 255.0
+
+
+@needs_libwebp
+def test_roundtrip_property(subtests=None):
+    """Randomized round-trip property at scale: libwebp encodes, both
+    decoders must agree bit-for-bit (50 trials across the generator
+    kinds and adversarial dimensions)."""
+    rnd = random.Random(0xC0FFEE)
+    kinds = ["noise", "grad", "bin", "pal4", "pal16", "rep", "translucent"]
+    for trial in range(50):
+        kind = kinds[trial % len(kinds)]
+        w = rnd.choice([1, 2, 3, 7, 16, 33, 64, 129])
+        h = rnd.choice([1, 2, 5, 8, 31, 65])
+        data = _lw_encode(_gen(kind, w, h, rnd), w, h)
+        ww, hh, ref = _lw_decode(data)
+        dw, dh, pix = M._decode_vp8l(M._webp_vp8l_payload(data))
+        assert (dw, dh) == (ww, hh) == (w, h)
+        for i in range(w * h):
+            want = (
+                (ref[4 * i + 3] << 24)
+                | (ref[4 * i] << 16)
+                | (ref[4 * i + 1] << 8)
+                | ref[4 * i + 2]
+            )
+            assert pix[i] == want, (trial, kind, w, h, i)
