@@ -278,6 +278,61 @@ def append_rollup_epoch(
     )
 
 
+_GRAIN_ORDER = {"hour": 0, "day": 1, "week": 2}
+
+
+def rollup_regrain(
+    spark: SparkSession, path: str, out_path: str, grain: str
+) -> None:
+    """Derive a coarser-grain store FROM THE PARTIALS ALONE (the
+    materialized-view cascade: hour -> day -> week without ever
+    re-reading the raw log).  Buckets re-truncate to the coarser
+    grain and the partials fold through the same associative merge,
+    so the derived store is bit-identical to one built from the raw
+    events at that grain — the property the suite pins.  Works on
+    batch and streamed (epoch-layout) sources alike; the output is a
+    batch-layout store."""
+    base = path.rstrip("/")
+    meta = _check_meta(spark, base, None)
+    src = meta["grain"]
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {sorted(GRAINS)}, got {grain!r}")
+    if _GRAIN_ORDER[grain] <= _GRAIN_ORDER[src]:
+        raise ValueError(
+            f"regrain must coarsen: store is {src!r}, requested {grain!r}"
+        )
+    partials = load_rollup_partials(spark, base)
+    key_cols = meta["key_cols"]
+    out = (
+        partials.withColumn(
+            "bucket", F.date_trunc(GRAINS[grain], F.col("bucket"))
+        )
+        .groupBy("bucket", *key_cols)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    dest = out_path.rstrip("/")
+    (
+        out.withColumn("bucket_part", F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket_part")
+        .parquet(dest + "/" + _PARTIALS)
+    )
+    from . import dedup as _dedup
+
+    _dedup._store_write_text(
+        spark,
+        dest + "/" + _META,
+        json.dumps({**{k: meta[k] for k in
+                       ("time_col", "key_cols", "value_col", "scale")},
+                    "grain": grain}),
+    )
+
+
 def rollup_stream(
     events: DataFrame,
     path: str,

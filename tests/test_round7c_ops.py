@@ -370,3 +370,34 @@ def test_hashed_features_feed_semantic_dedup(spark):
     assert out[2]["rep_sim"] == 1.0 or out[1]["rep_sim"] == 1.0
     # every distinct text survives
     assert all(out[i]["keep"] for i in (3, 4, 5, 6))
+
+
+def test_rollup_regrain_cascade(spark, tmp_path):
+    """hour -> day regrain from the partials alone is bit-identical to
+    a day store built from the raw events; coarsen-only is enforced."""
+    ev = _events(spark, _ROWS)
+    hour_store = str(tmp_path / "hour")
+    day_direct = str(tmp_path / "day")
+    day_derived = str(tmp_path / "day2")
+    R.save_rollup_store(ev, hour_store, key_cols=["event_type"], grain="hour")
+    R.save_rollup_store(ev, day_direct, key_cols=["event_type"], grain="day")
+    R.rollup_regrain(spark, hour_store, day_derived, "day")
+    a = sorted(
+        tuple(r)
+        for r in R.rollup_series(
+            spark, day_derived, "2024-01-01", "2024-01-05",
+            by=["event_type"], grain="day",
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in R.rollup_series(
+            spark, day_direct, "2024-01-01", "2024-01-05",
+            by=["event_type"], grain="day",
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="coarsen"):
+        R.rollup_regrain(spark, day_direct, str(tmp_path / "x"), "hour")
+    with pytest.raises(ValueError, match="coarsen"):
+        R.rollup_regrain(spark, day_direct, str(tmp_path / "x"), "day")
