@@ -42,6 +42,7 @@ GRAINS = {"hour": "hour", "day": "day", "week": "week"}
 
 _META = "meta.json"
 _PARTIALS = "partials"
+_QSKETCH = "qsketch"
 
 
 def _grain_col(time_col: str, grain: str):
@@ -93,12 +94,21 @@ def save_rollup_store(
     key_cols: list[str] | None = None,
     value_col: str = "value",
     grain: str = "day",
+    sketch_bits: int | None = None,
 ) -> None:
     """Aggregate the raw events once and persist the partials
     partitioned by the grain bucket (directory-per-bucket -> a range
     read prunes to the touched buckets only), plus a meta.json pinning
     the build conventions so a drifted reader raises instead of
-    silently merging against wrong keys or a wrong grain."""
+    silently merging against wrong keys or a wrong grain.
+
+    With sketch_bits set, a quantile-sketch sidecar lands beside the
+    partials: per (bucket, keys) the integer-log bucket counts of the
+    NONNEGATIVE cents measure (sketch.quantile_bucket — raises on a
+    negative value rather than silently folding it), at most
+    1 + 64*2^sketch_bits rows per cell and mergeable by count addition
+    exactly like the count/sum partials — so p50/p99-style range
+    dashboards also never rescan the raw log (rollup_quantiles)."""
     from . import dedup as _dedup
 
     key_cols = list(key_cols or [])
@@ -110,6 +120,32 @@ def save_rollup_store(
         .partitionBy("bucket_part")
         .parquet(base + "/" + _PARTIALS)
     )
+    if sketch_bits is not None:
+        from . import sketch as _sketch
+
+        qs = (
+            events.select(
+                _grain_col(time_col, grain).alias("bucket"),
+                *[F.col(k) for k in key_cols],
+                _cents(value_col).alias("_cents"),
+            )
+            .where(F.col("_cents").isNotNull())
+            .select(
+                "bucket",
+                *key_cols,
+                _sketch.quantile_bucket(
+                    _sketch._nonneg_checked(F.col("_cents")), sketch_bits
+                ).alias("qbucket"),
+            )
+            .groupBy("bucket", *key_cols, "qbucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        (
+            qs.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_part")
+            .parquet(base + "/" + _QSKETCH)
+        )
     _dedup._store_write_text(
         events.sparkSession,
         base + "/" + _META,
@@ -120,8 +156,68 @@ def save_rollup_store(
                 "value_col": value_col,
                 "grain": grain,
                 "scale": 100,
+                **(
+                    {"sketch_bits": sketch_bits}
+                    if sketch_bits is not None
+                    else {}
+                ),
             }
         ),
+    )
+
+
+def rollup_quantiles(
+    spark: SparkSession,
+    path: str,
+    start: str,
+    end: str,
+    quantiles: list[tuple[int, int]],
+    by: list[str] | None = None,
+    grain: str | None = None,
+) -> DataFrame:
+    """Approximate quantiles of the cents measure over a bucket range,
+    FROM THE SKETCH SIDECAR ALONE: the pruned per-cell sketches merge
+    by count addition (the sketch-merge identity), then the bounded
+    cumsum/probe machinery answers each (num, den) quantile with
+    [lo, hi] cents bounds (relative error <= 2^-sketch_bits).  With
+    `by`, the cumsum partitions per group — never a global window."""
+    by = list(by or [])
+    base = path.rstrip("/")
+    meta = _check_meta(spark, base, grain)
+    bits = meta.get("sketch_bits")
+    if bits is None:
+        raise ValueError(
+            f"rollup store at {base} has no quantile sketch sidecar "
+            f"(rebuild with sketch_bits=)"
+        )
+    from . import sketch as _sketch
+
+    pruned = (
+        spark.read.parquet(base + "/" + _QSKETCH)
+        .where(
+            (F.col("bucket_part") >= _bound(start))
+            & (F.col("bucket_part") <= _bound(end))
+        )
+        .drop("bucket_part", "epoch")
+    )
+    merged = pruned.groupBy(*by, "qbucket").agg(F.sum("cnt").alias("cnt"))
+    if not by:
+        sk = merged.withColumnRenamed("qbucket", "bucket")
+        return _sketch.quantile_sketch_query(sk, quantiles, bits)
+    sk = merged.select(
+        F.struct(*by).alias("key"),
+        F.col("qbucket").alias("bucket"),
+        "cnt",
+    )
+    out = _sketch.quantile_sketch_query_by(sk, quantiles, bits)
+    return out.select(
+        *[F.col("key").getField(k).alias(k) for k in by],
+        "q_num",
+        "q_den",
+        "rank",
+        "bucket",
+        "lo",
+        "hi",
     )
 
 

@@ -401,3 +401,61 @@ def test_rollup_regrain_cascade(spark, tmp_path):
         R.rollup_regrain(spark, day_direct, str(tmp_path / "x"), "hour")
     with pytest.raises(ValueError, match="coarsen"):
         R.rollup_regrain(spark, day_direct, str(tmp_path / "x"), "day")
+
+
+def test_rollup_quantiles_bracket_truth(spark, tmp_path):
+    """The sketch sidecar answers range quantiles with [lo, hi] cents
+    bounds that bracket the TRUE quantile of the raw values in the
+    range — globally and per key — and a store built without the
+    sidecar refuses the query."""
+    import math
+
+    rows = [
+        (i, f"2024-01-{1 + i % 5:02d}T10:00:00",
+         "a" if i % 3 else "b", float(i) * 0.37)
+        for i in range(1, 121)
+    ]
+    ev = _events(spark, rows)
+    store = str(tmp_path / "store")
+    R.save_rollup_store(ev, store, key_cols=["event_type"], sketch_bits=4)
+
+    def true_q(vals, num, den):
+        vals = sorted(vals)
+        rank = -(-num * len(vals) // den)  # ceil
+        return vals[rank - 1]
+
+    in_range = [
+        (etype, math.floor(val * 100))
+        for _i, ts, etype, val in rows
+        if "2024-01-01" <= ts[:10] <= "2024-01-03"
+    ]
+    # global
+    got = {
+        (r["q_num"], r["q_den"]): (r["lo"], r["hi"])
+        for r in R.rollup_quantiles(
+            spark, store, "2024-01-01", "2024-01-03",
+            [(1, 2), (99, 100)],
+        ).collect()
+    }
+    allv = [c for _t, c in in_range]
+    for (num, den), (lo, hi) in got.items():
+        t = true_q(allv, num, den)
+        assert lo <= t <= hi, (num, den, lo, t, hi)
+    # per key
+    by = {
+        (r["event_type"], r["q_num"], r["q_den"]): (r["lo"], r["hi"])
+        for r in R.rollup_quantiles(
+            spark, store, "2024-01-01", "2024-01-03", [(1, 2)],
+            by=["event_type"],
+        ).collect()
+    }
+    for etype in ("a", "b"):
+        vals = [c for t, c in in_range if t == etype]
+        lo, hi = by[(etype, 1, 2)]
+        t = true_q(vals, 1, 2)
+        assert lo <= t <= hi, (etype, lo, t, hi)
+    # no sidecar -> explicit refusal
+    bare = str(tmp_path / "bare")
+    R.save_rollup_store(ev, bare, key_cols=["event_type"])
+    with pytest.raises(ValueError, match="sidecar"):
+        R.rollup_quantiles(spark, bare, "2024-01-01", "2024-01-02", [(1, 2)])
