@@ -166,6 +166,14 @@ def test_image_decoder_failure_shapes():
         # a CORRUPT payload, not an absent codec
         multimodal.image_decoder(b"GIF89a......")
     with pytest.raises(NotImplementedError):
+        # lossless WebP (VP8L) decodes now; LOSSY VP8 stays the stub —
+        # a well-formed container routes to the honest branch
+        multimodal.image_decoder(
+            b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+        )
+    with pytest.raises(ValueError):
+        # a malformed WebP container (no decodable chunk) is CORRUPT
         multimodal.image_decoder(b"RIFFxxxxWEBPVP8 ")
     with pytest.raises(ValueError):
         multimodal.image_decoder(_bmp24(PIXELS)[:-4])  # truncated pixels
@@ -927,9 +935,12 @@ def test_image_decoder_gif_failure_shapes():
     struct.pack_into("<H", tall, m + 7, 50)
     with pytest.raises(ValueError, match="short of"):
         image_decoder(bytes(tall))
-    # WebP stays honestly stubbed
+    # lossy WebP stays honestly stubbed (VP8L decodes now)
     with pytest.raises(NotImplementedError):
-        image_decoder(b"RIFF0000WEBPVP8 ")
+        image_decoder(
+            b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+        )
 
 
 def test_extract_features_gif_distributed(spark):
