@@ -121,25 +121,8 @@ def save_rollup_store(
         .parquet(base + "/" + _PARTIALS)
     )
     if sketch_bits is not None:
-        from . import sketch as _sketch
-
-        qs = (
-            events.select(
-                _grain_col(time_col, grain).alias("bucket"),
-                *[F.col(k) for k in key_cols],
-                _cents(value_col).alias("_cents"),
-            )
-            .where(F.col("_cents").isNotNull())
-            .select(
-                "bucket",
-                *key_cols,
-                _sketch.quantile_bucket(
-                    _sketch._nonneg_checked(F.col("_cents")), sketch_bits
-                ).alias("qbucket"),
-            )
-            .groupBy("bucket", *key_cols, "qbucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        qs = _qsketch_frame(events, time_col, key_cols, value_col, grain,
+                            sketch_bits)
         (
             qs.withColumn("bucket_part", F.col("bucket"))
             .write.mode("overwrite")
@@ -163,6 +146,38 @@ def save_rollup_store(
                 ),
             }
         ),
+    )
+
+
+def _qsketch_frame(
+    events: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    value_col: str,
+    grain: str,
+    sketch_bits: int,
+) -> DataFrame:
+    """Per-(bucket, keys) integer-log quantile-bucket counts of the
+    cents measure — the sketch sidecar's one-pass build, shared by the
+    batch save, the batch append, and the streaming sink."""
+    from . import sketch as _sketch
+
+    return (
+        events.select(
+            _grain_col(time_col, grain).alias("bucket"),
+            *[F.col(k) for k in key_cols],
+            _cents(value_col).alias("_cents"),
+        )
+        .where(F.col("_cents").isNotNull())
+        .select(
+            "bucket",
+            *key_cols,
+            _sketch.quantile_bucket(
+                _sketch._nonneg_checked(F.col("_cents")), sketch_bits
+            ).alias("qbucket"),
+        )
+        .groupBy("bucket", *key_cols, "qbucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -372,6 +387,19 @@ def append_rollup_epoch(
         .partitionBy("bucket_part")
         .parquet(base + "/" + _PARTIALS)
     )
+    if meta.get("sketch_bits") is not None:
+        # a sketch-carrying store must keep the sidecar in lockstep —
+        # a stale sidecar would serve silently wrong quantiles
+        qs = _qsketch_frame(
+            events, meta["time_col"], meta["key_cols"], meta["value_col"],
+            meta["grain"], meta["sketch_bits"],
+        )
+        (
+            qs.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket_part")
+            .parquet(base + "/" + _QSKETCH)
+        )
 
 
 _GRAIN_ORDER = {"hour": 0, "day": 1, "week": 2}
@@ -437,6 +465,7 @@ def rollup_stream(
     key_cols: list[str] | None = None,
     value_col: str = "value",
     grain: str = "day",
+    sketch_bits: int | None = None,
 ):
     """Continuous-ingest form: each micro-batch aggregates map-side to
     its own partials and lands them under an EPOCH-KEYED partition
@@ -460,6 +489,7 @@ def rollup_stream(
         "grain": grain,
         "scale": 100,
         "layout": "epochs",
+        **({"sketch_bits": sketch_bits} if sketch_bits is not None else {}),
     }
 
     def _sink(batch_df: DataFrame, epoch: int) -> None:
@@ -488,6 +518,16 @@ def rollup_stream(
             .partitionBy("bucket_part")
             .parquet(f"{base}/{_PARTIALS}/epoch={epoch}")
         )
+        if sketch_bits is not None:
+            qs = _qsketch_frame(
+                batch_df, time_col, key_cols, value_col, grain, sketch_bits
+            )
+            (
+                qs.withColumn("bucket_part", F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket_part")
+                .parquet(f"{base}/{_QSKETCH}/epoch={epoch}")
+            )
 
     return (
         events.writeStream.foreachBatch(_sink)

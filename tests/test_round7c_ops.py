@@ -459,3 +459,55 @@ def test_rollup_quantiles_bracket_truth(spark, tmp_path):
     R.save_rollup_store(ev, bare, key_cols=["event_type"])
     with pytest.raises(ValueError, match="sidecar"):
         R.rollup_quantiles(spark, bare, "2024-01-01", "2024-01-02", [(1, 2)])
+
+
+def test_rollup_quantiles_follow_appends_and_streams(spark, tmp_path):
+    """The sketch sidecar stays in lockstep across every write path:
+    batch appends extend it, and a streamed store with sketch_bits
+    answers the same quantiles as a one-shot sketched store."""
+    rows = [
+        (i, f"2024-01-{1 + i % 3:02d}T09:00:00", "t", float(i))
+        for i in range(1, 61)
+    ]
+    ev = _events(spark, rows)
+    # batch: save half, append half -> same answers as one-shot
+    half = str(tmp_path / "half")
+    full = str(tmp_path / "full")
+    R.save_rollup_store(_events(spark, rows[:30]), half, sketch_bits=4)
+    R.append_rollup_epoch(_events(spark, rows[30:]), half)
+    R.save_rollup_store(ev, full, sketch_bits=4)
+    qa = sorted(
+        tuple(r)
+        for r in R.rollup_quantiles(
+            spark, half, "2024-01-01", "2024-01-03", [(1, 2), (9, 10)]
+        ).collect()
+    )
+    qb = sorted(
+        tuple(r)
+        for r in R.rollup_quantiles(
+            spark, full, "2024-01-01", "2024-01-03", [(1, 2), (9, 10)]
+        ).collect()
+    )
+    assert qa == qb and len(qa) == 2
+    # streaming: two epochs, sketch sidecar lands per epoch
+    base = str(tmp_path)
+    for lo, hi in ((0, 30), (30, 60)):
+        _events(spark, rows[lo:hi]).coalesce(1).write.mode("append").parquet(
+            base + "/feed"
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/feed")
+    )
+    R.rollup_stream(
+        stream, base + "/sstore", base + "/ckpt", sketch_bits=4
+    ).awaitTermination()
+    qs = sorted(
+        tuple(r)
+        for r in R.rollup_quantiles(
+            spark, base + "/sstore", "2024-01-01", "2024-01-03",
+            [(1, 2), (9, 10)],
+        ).collect()
+    )
+    assert qs == qb
