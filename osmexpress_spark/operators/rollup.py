@@ -43,6 +43,7 @@ GRAINS = {"hour": "hour", "day": "day", "week": "week"}
 _META = "meta.json"
 _PARTIALS = "partials"
 _QSKETCH = "qsketch"
+_DSKETCH = "dsketch"
 
 
 def _grain_col(time_col: str, grain: str):
@@ -95,6 +96,8 @@ def save_rollup_store(
     value_col: str = "value",
     grain: str = "day",
     sketch_bits: int | None = None,
+    distinct_col: str | None = None,
+    distinct_k: int = 256,
 ) -> None:
     """Aggregate the raw events once and persist the partials
     partitioned by the grain bucket (directory-per-bucket -> a range
@@ -108,7 +111,16 @@ def save_rollup_store(
     negative value rather than silently folding it), at most
     1 + 64*2^sketch_bits rows per cell and mergeable by count addition
     exactly like the count/sum partials — so p50/p99-style range
-    dashboards also never rescan the raw log (rollup_quantiles)."""
+    dashboards also never rescan the raw log (rollup_quantiles).
+
+    With distinct_col set, a KMV distinct-count sidecar lands too: per
+    (bucket, keys) the k smallest distinct 48-bit hashes of the
+    column.  Min-k of a union is min-k of the per-cell min-ks, so a
+    range query merges the pruned cells' minima and answers
+    'distinct users this week per type' (rollup_distinct) — exact
+    below k distinct values, the standard KMV estimate above —
+    completing the dashboard measure set (count/sum/min/max,
+    quantiles, distinct) with every measure mergeable."""
     from . import dedup as _dedup
 
     key_cols = list(key_cols or [])
@@ -129,6 +141,15 @@ def save_rollup_store(
             .partitionBy("bucket_part")
             .parquet(base + "/" + _QSKETCH)
         )
+    if distinct_col is not None:
+        ds = _dsketch_frame(events, time_col, key_cols, distinct_col,
+                            grain, distinct_k)
+        (
+            ds.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_part")
+            .parquet(base + "/" + _DSKETCH)
+        )
     _dedup._store_write_text(
         events.sparkSession,
         base + "/" + _META,
@@ -142,6 +163,11 @@ def save_rollup_store(
                 **(
                     {"sketch_bits": sketch_bits}
                     if sketch_bits is not None
+                    else {}
+                ),
+                **(
+                    {"distinct_col": distinct_col, "distinct_k": distinct_k}
+                    if distinct_col is not None
                     else {}
                 ),
             }
@@ -178,6 +204,98 @@ def _qsketch_frame(
         )
         .groupBy("bucket", *key_cols, "qbucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _dsketch_frame(
+    events: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    distinct_col: str,
+    grain: str,
+    k: int,
+) -> DataFrame:
+    """Per-(bucket, keys) KMV minima of the distinct column: one
+    map-side-deduped distinct on (cell, hash), then a rank window
+    PARTITIONED BY the cell — parallel across cells, bounded at
+    |cells| * k rows.  Shared by the batch save, the batch append,
+    and the streaming sink."""
+    from pyspark.sql import Window
+
+    from . import sketch as _sketch
+
+    hashes = events.select(
+        _grain_col(time_col, grain).alias("bucket"),
+        *[F.col(c) for c in key_cols],
+        _sketch.hash48(F.col(distinct_col).cast("string")).alias("h"),
+    ).distinct()
+    win = Window.partitionBy("bucket", *key_cols).orderBy("h")
+    return (
+        hashes.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("bucket", *key_cols, "h")
+    )
+
+
+def rollup_distinct(
+    spark: SparkSession,
+    path: str,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    grain: str | None = None,
+) -> DataFrame:
+    """Approximate distinct count of the store's distinct_col over a
+    bucket range, FROM THE KMV SIDECAR ALONE: the pruned cells' minima
+    union, dedupe, and re-rank to the k smallest per group (min-k of a
+    union == min-k of the per-cell min-ks), then the standard
+    two-branch estimator answers — EXACT whenever the true distinct
+    count is below k, (k-1)*2^48/h_(k) above.  Output (by..., k_used,
+    kth_hash, est_distinct); the rank window partitions by the group
+    (never global when `by` is set)."""
+    from pyspark.sql import Window
+
+    from . import sketch as _sketch
+
+    by = list(by or [])
+    base = path.rstrip("/")
+    meta = _check_meta(spark, base, grain)
+    if meta.get("distinct_col") is None:
+        raise ValueError(
+            f"rollup store at {base} has no distinct-count sidecar "
+            f"(rebuild with distinct_col=)"
+        )
+    k = meta["distinct_k"]
+    pruned = (
+        spark.read.parquet(base + "/" + _DSKETCH)
+        .where(
+            (F.col("bucket_part") >= _bound(start))
+            & (F.col("bucket_part") <= _bound(end))
+        )
+        .drop("bucket_part", "epoch")
+    )
+    hashes = pruned.select(*by, "h").distinct()
+    win = Window.partitionBy(*by).orderBy("h") if by else (
+        Window.partitionBy().orderBy("h")
+    )
+    minima = (
+        hashes.withColumn("rank", F.row_number().over(win).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+    agg = minima.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        *by,
+        "k_used",
+        "kth_hash",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(1 << _sketch.KMV_BITS)))
+            / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
     )
 
 
@@ -400,6 +518,17 @@ def append_rollup_epoch(
             .partitionBy("bucket_part")
             .parquet(base + "/" + _QSKETCH)
         )
+    if meta.get("distinct_col") is not None:
+        ds = _dsketch_frame(
+            events, meta["time_col"], meta["key_cols"],
+            meta["distinct_col"], meta["grain"], meta["distinct_k"],
+        )
+        (
+            ds.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket_part")
+            .parquet(base + "/" + _DSKETCH)
+        )
 
 
 _GRAIN_ORDER = {"hour": 0, "day": 1, "week": 2}
@@ -466,6 +595,8 @@ def rollup_stream(
     value_col: str = "value",
     grain: str = "day",
     sketch_bits: int | None = None,
+    distinct_col: str | None = None,
+    distinct_k: int = 256,
 ):
     """Continuous-ingest form: each micro-batch aggregates map-side to
     its own partials and lands them under an EPOCH-KEYED partition
@@ -490,6 +621,11 @@ def rollup_stream(
         "scale": 100,
         "layout": "epochs",
         **({"sketch_bits": sketch_bits} if sketch_bits is not None else {}),
+        **(
+            {"distinct_col": distinct_col, "distinct_k": distinct_k}
+            if distinct_col is not None
+            else {}
+        ),
     }
 
     def _sink(batch_df: DataFrame, epoch: int) -> None:
@@ -527,6 +663,16 @@ def rollup_stream(
                 .write.mode("overwrite")
                 .partitionBy("bucket_part")
                 .parquet(f"{base}/{_QSKETCH}/epoch={epoch}")
+            )
+        if distinct_col is not None:
+            ds = _dsketch_frame(
+                batch_df, time_col, key_cols, distinct_col, grain, distinct_k
+            )
+            (
+                ds.withColumn("bucket_part", F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket_part")
+                .parquet(f"{base}/{_DSKETCH}/epoch={epoch}")
             )
 
     return (

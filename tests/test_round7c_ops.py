@@ -511,3 +511,56 @@ def test_rollup_quantiles_follow_appends_and_streams(spark, tmp_path):
         ).collect()
     )
     assert qs == qb
+
+
+def test_rollup_distinct_sidecar(spark, tmp_path):
+    """KMV distinct sidecar: exact below k (the common dashboard
+    case), deduplicated across cells (a user active on many days
+    counts once per range), per-group and global, append-lockstep,
+    and explicit refusal without the sidecar."""
+    rows = [
+        # user u{i%7} fires on multiple days and both types
+        (i, f"2024-01-{1 + i % 4:02d}T12:00:00",
+         "a" if i % 2 else "b", float(i % 7))
+        for i in range(1, 41)
+    ]
+    data = [
+        (eid, dt.datetime.fromisoformat(ts), etype, val)
+        for eid, ts, etype, val in rows
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    ).withColumn("user_id", (F.col("event_id") % 7))
+    store = str(tmp_path / "store")
+    R.save_rollup_store(
+        ev, store, key_cols=["event_type"], distinct_col="user_id"
+    )
+    # global over the full range: 7 distinct users despite 40 events
+    g = R.rollup_distinct(spark, store, "2024-01-01", "2024-01-04").collect()
+    assert len(g) == 1 and g[0]["est_distinct"] == 7.0
+    # per type: evens -> type b, odds -> type a; users split by parity of id%7 cycle
+    by = {
+        r["event_type"]: r["est_distinct"]
+        for r in R.rollup_distinct(
+            spark, store, "2024-01-01", "2024-01-04", by=["event_type"]
+        ).collect()
+    }
+    truth = {}
+    for eid, _ts, etype, _v in rows:
+        truth.setdefault(etype, set()).add(eid % 7)
+    assert by == {k: float(len(v)) for k, v in truth.items()}
+    # narrower range matches the exact distinct of that range
+    nar = R.rollup_distinct(spark, store, "2024-01-02", "2024-01-03").collect()
+    want = len({eid % 7 for eid, ts, _t, _v in rows
+                if "2024-01-02" <= ts[:10] <= "2024-01-03"})
+    assert nar[0]["est_distinct"] == float(want)
+    # append keeps the sidecar in lockstep
+    extra = ev.withColumn("user_id", F.col("user_id") + 100)
+    R.append_rollup_epoch(extra, store)
+    g2 = R.rollup_distinct(spark, store, "2024-01-01", "2024-01-04").collect()
+    assert g2[0]["est_distinct"] == 14.0
+    # no sidecar -> refusal
+    bare = str(tmp_path / "bare")
+    R.save_rollup_store(ev, bare, key_cols=["event_type"])
+    with pytest.raises(ValueError, match="sidecar"):
+        R.rollup_distinct(spark, bare, "2024-01-01", "2024-01-02")
