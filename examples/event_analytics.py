@@ -64,7 +64,10 @@ def main() -> None:
     from osmexpress_spark.operators import rollup
 
     store = tempfile.mkdtemp(prefix="osmx_example_rollup_")
-    rollup.save_rollup_store(ev, store, key_cols=["event_type"])
+    rollup.save_rollup_store(
+        ev, store, key_cols=["event_type"],
+        sketch_bits=4, distinct_col="user_id",
+    )
     week = rollup.rollup_range(
         spark, store, "2024-01-08", "2024-01-14", by=["event_type"]
     )
@@ -77,6 +80,16 @@ def main() -> None:
         (str(r["bucket"].date()), r["n_events"])
         for r in series.orderBy("bucket").collect()
     ])
+    # the sketch sidecars answer p50/p99 and distinct-users from the
+    # same pruned store — no raw rescan for any dashboard measure
+    q = rollup.rollup_quantiles(
+        spark, store, "2024-01-08", "2024-01-14", [(1, 2), (99, 100)]
+    )
+    print("week 2 value quantiles (cents bounds):", sorted(
+        (f"{r['q_num']}/{r['q_den']}", r["lo"], r["hi"]) for r in q.collect()
+    ))
+    d = rollup.rollup_distinct(spark, store, "2024-01-08", "2024-01-14")
+    print("week 2 distinct users:", int(d.collect()[0]["est_distinct"]))
 
 
 if __name__ == "__main__":
