@@ -98,14 +98,9 @@ HEADLINE = [
     "q_manifest_merge",
     "q_event_spikes",
     "q_split_leakage",
-]
-
-# Staged-but-not-yet-promoted queries get their planned bench lines
-# listed here so promotion cannot silently drop perf coverage
-# (tests/test_bench_hygiene.py checks this list against the pending
-# registry). At the next promotion these move into HEADLINE with a
-# family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = [
+    # round 8: the promoted round-7 staging set (multimodal-neardup,
+    # embedding-similarity, sampling-curation, profiling-quality,
+    # rollup-store, drift-outliers, dedup, sketches, retrieval, text)
     "q_stream_drift",
     "q_hard_negatives_ivf",
     "q_embedding_gram",
@@ -139,6 +134,13 @@ PENDING_HEADLINE: list[str] = [
     "q_image_webp_stats",
     "q_stream_rollup",
 ]
+
+# Staged-but-not-yet-promoted queries get their planned bench lines
+# listed here so promotion cannot silently drop perf coverage
+# (tests/test_bench_hygiene.py checks this list against the pending
+# registry). At the next promotion these move into HEADLINE with a
+# family assignment in tests/test_bench_hygiene.py FAMILIES.
+PENDING_HEADLINE: list[str] = []
 
 
 def main() -> None:
@@ -255,13 +257,41 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    # Full record first (humans, PERF.md archaeology), then a SHORT
+    # summary line LAST: the driver captures a bounded tail of stdout
+    # and parses the final JSON line, and at 100+ per-query entries the
+    # full map outgrew the tail in round 7 (BENCH_r07 "parsed": null —
+    # VERDICT r07 "What's wrong" #3). The compact line always fits; the
+    # per-query map also lands in bench_detail.json beside this script.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout already carries the map
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
                 "sf": sf_val,
             }
         )

@@ -6216,3 +6216,16 @@ def q_stream_rollup(spark, sf_dir):
         "max_cents",
         "avg_value",
     )
+
+
+# --- round-8 promotion ------------------------------------------------------
+# Merge the round-7 staging set into the live registry (VERDICT r07 ask
+# #1). The thirty-two queries are never-green in the committed
+# CORRECTNESS evidence, so priority_order() serves them in the first
+# window slots, followed by the 18 remaining r04-aged rows — exactly
+# 50. The registry holds at 200 for the round (ask #2): new round-8
+# work stages through the fresh pending dicts below.
+SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
+ORACLE_SQL.update(PENDING_ORACLE_SQL)
+PENDING_SPARK_QUERIES = {}
+PENDING_ORACLE_SQL = {}

@@ -41,31 +41,38 @@ FAMILIES = {
                          "q_asof_join"],
     "dedup-minhash": ["q_minhash_lsh_pairs", "q_ngram_jaccard",
                       "q_dup_clusters", "q_semantic_dedup",
-                      "q_fuzzy_token_pairs"],
-    "dedup-decontamination": ["q_source_overlap", "q_split_leakage"],
+                      "q_fuzzy_token_pairs", "q_softdedup_weights"],
+    "dedup-decontamination": ["q_source_overlap", "q_split_leakage",
+                              "q_ngram_novelty", "q_dedup_masks"],
     "retrieval-ranking": ["q_bm25_topk", "q_doc_token_stats",
-                          "q_rrf_fusion"],
+                          "q_rrf_fusion", "q_bm25_store"],
     "embeddings-ann": ["q_embedding_topk", "q_embedding_ann_bucketed",
                        "q_quantized_ann", "q_pq_topk", "q_kmeans_assign"],
     "embedding-similarity": ["q_kcenter_select", "q_embedding_drift",
-                             "q_hard_negatives"],
+                             "q_hard_negatives", "q_hard_negatives_ivf",
+                             "q_embedding_gram", "q_bitext_mine"],
     "sampling-curation": ["q_stratified_sample", "q_importance_resample",
                           "q_gopher_rules", "q_curation_pipeline",
-                          "q_contamination", "q_token_budget"],
+                          "q_contamination", "q_token_budget",
+                          "q_rank_blend", "q_budget_by_domain",
+                          "q_mix_plan", "q_quota_fill"],
     "drift-outliers": ["q_dist_drift", "q_dist_drift_by",
-                       "q_mad_outliers", "q_winsorized_stats"],
+                       "q_mad_outliers", "q_winsorized_stats",
+                       "q_stream_drift"],
     "classifier": ["q_nb_token_counts", "q_nb_confusion",
                    "q_nb_reliability"],
     "shard-sink": ["q_shard_manifest", "q_manifest_merge"],
-    "text-normalize": ["q_html_strip"],
+    "text-normalize": ["q_html_strip", "q_hashed_features"],
     "profiling-quality": ["q_profile_documents", "q_quality_buckets",
-                          "q_doc_dup_spans"],
-    "sketches": ["q_kmv_distinct", "q_cms_heavy_hitters"],
+                          "q_doc_dup_spans", "q_modality_alignment",
+                          "q_profile_diff", "q_distinctive_terms"],
+    "sketches": ["q_kmv_distinct", "q_cms_heavy_hitters",
+                 "q_kmv_distinct_by"],
     "sketch-quantiles": ["q_quantile_sketch", "q_quantile_by_group",
                          "q_exact_quantiles", "q_exact_quantiles_by",
                          "q_quantile_sketch_merge"],
     "tokenizer-vocab": ["q_bpe_pair_counts", "q_frequent_tokens",
-                        "q_bpe_merges"],
+                        "q_bpe_merges", "q_vocab_growth"],
     "kmeans-training": ["q_kmeans_train"],
     "model-scoring": ["q_quality_logreg", "q_bigram_perplexity"],
     "events-funnels": ["q_event_funnel", "q_event_spikes"],
@@ -76,6 +83,14 @@ FAMILIES = {
                     "osm_way_lengths", "osm_tile_counts",
                     "osm_way_areas", "osm_way_intersections"],
     "update-diff": ["q_augmented_diff_analog", "q_last_version_wins"],
+    # round 8: the two families the round-7 staging set introduced
+    "multimodal-neardup": ["q_image_near_dup", "q_audio_fingerprint",
+                           "q_image_ingest_dedup", "q_format_census",
+                           "q_audio_flac_stats", "q_audio_ingest_dedup",
+                           "q_image_dup_clusters", "q_audio_g711_stats",
+                           "q_audio_adpcm_stats", "q_image_jpeg_stats",
+                           "q_wav_segments_stats", "q_image_webp_stats"],
+    "rollup-store": ["q_rollup_store", "q_stream_rollup"],
 }
 
 
