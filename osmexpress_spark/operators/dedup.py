@@ -1119,12 +1119,28 @@ def _store_fs(spark, path_str: str):
 
 
 def _store_write_text(spark, path_str: str, text: str) -> None:
+    """Publish a small text file (store metadata) via temp-file-plus-
+    rename: an in-place ``fs.create`` truncates the destination before
+    the bytes land, so a concurrent reader could observe an empty or
+    partial meta.json (ADVICE r07).  Writing to a sibling temp path and
+    renaming makes the content switch a single FS metadata operation;
+    stores remain single-writer (two concurrent writers still race on
+    WHICH meta wins, but never on a torn file)."""
+    import uuid
+
     fs, hpath = _store_fs(spark, path_str)
-    out = fs.create(hpath, True)
+    tmp_str = path_str + ".tmp." + uuid.uuid4().hex[:12]
+    _, tmp = _store_fs(spark, tmp_str)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        fs.delete(tmp, False)
+        raise OSError(f"atomic publish of {path_str} failed (rename)")
 
 
 def _store_read_text(spark, path_str: str) -> str:

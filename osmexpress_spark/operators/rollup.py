@@ -270,18 +270,24 @@ def rollup_distinct(
         spark.read.parquet(base + "/" + _DSKETCH)
         .where(
             (F.col("bucket_part") >= _bound(start))
-            & (F.col("bucket_part") <= _bound(end))
+            & _end_pred(F.col("bucket_part"), end)
         )
         .drop("bucket_part", "epoch")
     )
     hashes = pruned.select(*by, "h").distinct()
-    win = Window.partitionBy(*by).orderBy("h") if by else (
-        Window.partitionBy().orderBy("h")
-    )
-    minima = (
-        hashes.withColumn("rank", F.row_number().over(win).cast("int"))
-        .where(F.col("rank") <= k)
-    )
+    if by:
+        win = Window.partitionBy(*by).orderBy("h")
+        minima = (
+            hashes.withColumn("rank", F.row_number().over(win).cast("int"))
+            .where(F.col("rank") <= k)
+        )
+    else:
+        # global branch: k-smallest via orderBy+limit (TakeOrdered —
+        # per-partition top-k then a bounded driver merge), never a
+        # single-partition window over the raw minima union (ADVICE
+        # r07: a multi-year range over a high-cardinality keyed store
+        # would funnel every cell's minima through one task)
+        minima = hashes.orderBy("h").limit(k)
     agg = minima.groupBy(*by).agg(
         F.count(F.lit(1)).cast("int").alias("k_used"),
         F.max("h").alias("kth_hash"),
@@ -329,7 +335,7 @@ def rollup_quantiles(
         spark.read.parquet(base + "/" + _QSKETCH)
         .where(
             (F.col("bucket_part") >= _bound(start))
-            & (F.col("bucket_part") <= _bound(end))
+            & _end_pred(F.col("bucket_part"), end)
         )
         .drop("bucket_part", "epoch")
     )
@@ -393,6 +399,28 @@ def _bound(value: str):
     return F.lit(value).cast("timestamp")
 
 
+def _end_pred(col, value: str):
+    """End-bound predicate at the bound's own textual precision
+    (ADVICE r07): a date-only end like '2024-01-14' means "through the
+    end of Jan 14" — on an hour-grain store the old inclusive-timestamp
+    compare kept only the midnight bucket and silently dropped
+    01:00–23:00.  A date-only end therefore becomes the exclusive
+    bound `bucket < end + 1 day`; a time-carrying end keeps the exact
+    inclusive compare (buckets are grain-truncated, so '... 23:00:00'
+    still selects through the 23:00 hour bucket)."""
+    import datetime
+
+    try:
+        parsed = datetime.datetime.fromisoformat(value)
+    except ValueError as e:
+        raise ValueError(f"rollup range bound {value!r}: {e}") from None
+    date_only = parsed.time() == datetime.time.min and len(value.strip()) <= 10
+    if date_only:
+        nxt = (parsed + datetime.timedelta(days=1)).isoformat(sep=" ")
+        return col < F.lit(nxt).cast("timestamp")
+    return col <= F.lit(value).cast("timestamp")
+
+
 def _pruned_read(
     spark: SparkSession, base: str, start: str, end: str
 ) -> DataFrame:
@@ -404,7 +432,7 @@ def _pruned_read(
         spark.read.parquet(base + "/" + _PARTIALS)
         .where(
             (F.col("bucket_part") >= _bound(start))
-            & (F.col("bucket_part") <= _bound(end))
+            & _end_pred(F.col("bucket_part"), end)
         )
         .drop("bucket_part", "epoch")
     )
@@ -432,8 +460,12 @@ def rollup_range(
     by: list[str] | None = None,
     grain: str | None = None,
 ) -> DataFrame:
-    """Answer a [start, end] range query (bucket timestamps, both ends
-    inclusive) grouped by `by` FROM THE STORE ALONE: the bucket
+    """Answer a [start, end] range query grouped by `by` FROM THE
+    STORE ALONE.  Bounds compare against bucket timestamps: start is
+    inclusive; a date-only end selects through the END of that day
+    (so '2024-01-14' on an hour-grain store includes the 01:00–23:00
+    buckets — _end_pred), while a time-carrying end is an inclusive
+    timestamp compare.  The bucket
     predicate prunes partitions at the directory level (the partition
     copy of the bucket), then the touched partials merge through the
     associative fold.  The raw event log is never read."""
@@ -451,7 +483,8 @@ def rollup_series(
     by: list[str] | None = None,
     grain: str | None = None,
 ) -> DataFrame:
-    """The per-bucket time series over a range — same pruned read, the
+    """The per-bucket time series over a range (same end-bound
+    semantics as rollup_range) — same pruned read, the
     bucket kept in the group so an append-heavy store (duplicate
     partial rows per bucket from streaming epochs or backfills) folds
     back to one row per (bucket, keys)."""
@@ -544,7 +577,19 @@ def rollup_regrain(
     so the derived store is bit-identical to one built from the raw
     events at that grain — the property the suite pins.  Works on
     batch and streamed (epoch-layout) sources alike; the output is a
-    batch-layout store."""
+    batch-layout store.
+
+    Sidecars cascade too (ADVICE r07 — regrain used to silently drop
+    them): both are mergeable across buckets, so the quantile sidecar
+    re-truncates its buckets and sums counts (the sketch-merge
+    identity) and the KMV sidecar re-ranks the unioned minima to the
+    k smallest per coarser bucket (min-k of a union == min-k of the
+    per-cell min-ks), and the derived meta keeps the sidecar keys —
+    an hour->day->week cascade answers the same p50/p99 and distinct
+    dashboards as a store built from the raw events at that grain.
+    meta.json is written LAST (after every data directory) so a
+    partially-written derived store fails _check_meta instead of
+    reading partials against absent meta."""
     base = path.rstrip("/")
     meta = _check_meta(spark, base, None)
     src = meta["grain"]
@@ -556,10 +601,9 @@ def rollup_regrain(
         )
     partials = load_rollup_partials(spark, base)
     key_cols = meta["key_cols"]
+    recoarse = F.date_trunc(GRAINS[grain], F.col("bucket"))
     out = (
-        partials.withColumn(
-            "bucket", F.date_trunc(GRAINS[grain], F.col("bucket"))
-        )
+        partials.withColumn("bucket", recoarse)
         .groupBy("bucket", *key_cols)
         .agg(
             F.sum("n_events").alias("n_events"),
@@ -575,13 +619,48 @@ def rollup_regrain(
         .partitionBy("bucket_part")
         .parquet(dest + "/" + _PARTIALS)
     )
+    if meta.get("sketch_bits") is not None:
+        qs = (
+            spark.read.parquet(base + "/" + _QSKETCH)
+            .drop("bucket_part", "epoch")
+            .withColumn("bucket", recoarse)
+            .groupBy("bucket", *key_cols, "qbucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        (
+            qs.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_part")
+            .parquet(dest + "/" + _QSKETCH)
+        )
+    if meta.get("distinct_col") is not None:
+        from pyspark.sql import Window
+
+        k = meta["distinct_k"]
+        dwin = Window.partitionBy("bucket", *key_cols).orderBy("h")
+        ds = (
+            spark.read.parquet(base + "/" + _DSKETCH)
+            .drop("bucket_part", "epoch")
+            .withColumn("bucket", recoarse)
+            .select("bucket", *key_cols, "h")
+            .distinct()
+            .withColumn("rank", F.row_number().over(dwin).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("bucket", *key_cols, "h")
+        )
+        (
+            ds.withColumn("bucket_part", F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket_part")
+            .parquet(dest + "/" + _DSKETCH)
+        )
     from . import dedup as _dedup
 
     _dedup._store_write_text(
         spark,
         dest + "/" + _META,
-        json.dumps({**{k: meta[k] for k in
-                       ("time_col", "key_cols", "value_col", "scale")},
+        json.dumps({**{k: meta[k] for k in meta
+                       if k not in ("grain", "layout")},
                     "grain": grain}),
     )
 
