@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 from ..spatial import cells
 from . import edges as edges_mod
 
-_SOURCE_FORMATS = {".pbf": "osmpbf", ".osm": "osmxml", ".xml": "osmxml"}
+_SOURCE_FORMATS = {
+    ".pbf": "osmpbf",
+    ".osm": "osmxml",
+    ".xml": "osmxml",
+    # the reference's native LMDB artifact (sources/osmx.py) — a user
+    # migrating an existing planet.osmx ingests it directly
+    ".osmx": "osmx",
+}
 
 
 def _fmt_for(path: str) -> str:
@@ -76,7 +83,8 @@ def _write_metadata(source_path: str, dest: str, fmt: str | None) -> None:
             time.time(), tz=timezone.utc
         ).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
-    if (fmt or _fmt_for(source_path)) == "osmpbf":
+    resolved = fmt or _fmt_for(source_path)
+    if resolved == "osmpbf":
         from ..sources import pbf
 
         header = pbf.read_header(source_path)
@@ -88,6 +96,23 @@ def _write_metadata(source_path: str, dest: str, fmt: str | None) -> None:
         seq = header.get("osmosis_replication_sequence_number")
         if seq is not None:
             meta["seqnum"] = int(seq)
+    elif resolved == "osmx":
+        # the source file's own metadata table carries the replication
+        # state (src/expand.cpp:285-286) — preserve it so catch-up
+        # resumes from the migrated snapshot's position
+        from ..sources import osmx
+
+        with osmx.OsmxFile(source_path) as f:
+            fm = f.metadata()
+        ts = fm.get("osmosis_replication_timestamp")
+        if ts:
+            meta["timestamp"] = ts
+        seq = fm.get("osmosis_replication_sequence_number")
+        if seq:
+            try:
+                meta["seqnum"] = int(seq)
+            except ValueError:
+                pass
     with open(os.path.join(dest, "_metadata.json"), "w") as f:
         json.dump(meta, f)
 
@@ -101,6 +126,10 @@ def _register(spark: SparkSession, fmt: str) -> None:
         from ..sources import osm_xml
 
         osm_xml.register(spark)
+    elif fmt == "osmx":
+        from ..sources import osmx
+
+        osmx.register(spark)
     else:
         raise ValueError(f"unknown source format {fmt!r}")
 

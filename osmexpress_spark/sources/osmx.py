@@ -1,0 +1,380 @@
+"""`.osmx` source/sink: the reference's native LMDB artifact.
+
+The reference's `osmx expand` product is a single-file LMDB
+environment with ten sub-databases (`/root/reference/src/storage.cpp:
+6-19`): `metadata` (string keys, storage.cpp:21-41), `locations`
+(node id -> 12-byte lon/lat/version triple, storage.cpp:79-96),
+`nodes`/`ways`/`relations` (id -> Cap'n Proto message,
+storage.cpp:43-77), and the `cell_node`/`node_way`/`node_relation`/
+`way_relation` reverse indexes (integer-dup sets,
+storage.cpp:126-144).  Its Python embedding opens that file directly
+(`/root/reference/python/osmx/osmx.py:16-46`).  This module gives the
+Spark engine the same capability — a user migrating an existing
+planet.osmx does NOT have to re-expand from PBF:
+
+- ``spark.read.format("osmx").load(path)`` — a PySpark Python
+  DataSource emitting the same unified ALL_SCHEMA rows as the PBF/XML
+  sources, so ``Dataset.expand(spark, "planet.osmx", dest)`` runs the
+  identical ingest pipeline.  Partition planning reads only the top
+  B-tree levels on the driver (`LmdbReader.split_points`) and hands
+  each task an independent key range — a planet-scale file fans out
+  across the cluster the way PBF blobs do.
+- ``OsmxFile`` — the point-access API surface of the reference's
+  Python embedding (location/node/way/relation gets, index walks).
+- ``write_osmx`` — a bulk sink building a file the REFERENCE can open
+  (the pure-stdlib writer is cross-validated against the system
+  liblmdb via ctypes in tests/test_lmdb_kv.py).  Derives the four
+  reverse indexes from the logical tables the way expand does
+  (src/expand.cpp:40-121's external sort, here a Spark sort).
+
+S2 -> Morton note (SURVEY §1.5, VERDICT r07): the reference's
+`cell_node` keys are S2 cell ids at level 16 (`docs/MANUAL.md:121`,
+`src/expand.cpp:151-153`); this engine's spatial cells are a level-16
+Morton grid (spatial/cells.py).  The READ path therefore re-derives
+cells from the exact lon/lat integers instead of trusting stored
+`cell_node` keys — semantics (point -> sortable cell, region -> few
+ranges) are preserved, stored S2 ids are not reused.  The WRITE path
+stores Morton keys and records `cell_scheme=morton16` in the metadata
+table so a reader can tell the two artifacts apart.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from . import capnp_codec as C
+from . import lmdb_kv as K
+
+TABLE_FLAGS = K.MDB_INTEGERKEY
+INDEX_FLAGS = (
+    K.MDB_INTEGERKEY | K.MDB_DUPSORT | K.MDB_DUPFIXED | K.MDB_INTEGERDUP
+)
+
+ELEMENT_DBS = ("locations", "nodes", "ways", "relations")
+INDEX_DBS = ("cell_node", "node_way", "node_relation", "way_relation")
+
+
+def _iso(ts: int | None) -> str | None:
+    if not ts:
+        return None
+    return datetime.fromtimestamp(int(ts), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _unpack_location(raw: bytes) -> tuple[int, int, int]:
+    """12-byte locations value -> (lon, lat, version) scaled ints
+    (storage.cpp:88-96; osmx.py:60-68 reads lat from bytes 4:8 and lon
+    from 0:4)."""
+    import struct
+
+    lon, lat, version = struct.unpack("<iiI", raw[:12])
+    return lon, lat, version
+
+
+def _pack_location(lon: int, lat: int, version: int) -> bytes:
+    import struct
+
+    return struct.pack("<iiI", int(lon), int(lat), int(version or 0))
+
+
+class OsmxFile:
+    """Driver-side point access to a `.osmx` file — the reference's
+    Python embedding surface (osmx.py:53-111) without the lmdb
+    dependency."""
+
+    def __init__(self, path: str):
+        self.reader = K.LmdbReader(path)
+
+    def close(self) -> None:
+        self.reader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def metadata(self) -> dict[str, str]:
+        return {
+            k.decode(): v.decode()
+            for k, v in self.reader.items("metadata")
+        }
+
+    def location(self, node_id: int):
+        raw = self.reader.get("locations", node_id)
+        return None if raw is None else _unpack_location(raw)
+
+    def node(self, node_id: int):
+        raw = self.reader.get("nodes", node_id)
+        return None if raw is None else C.decode_node(raw)
+
+    def way(self, way_id: int):
+        raw = self.reader.get("ways", way_id)
+        return None if raw is None else C.decode_way(raw)
+
+    def relation(self, rel_id: int):
+        raw = self.reader.get("relations", rel_id)
+        return None if raw is None else C.decode_relation(raw)
+
+    def node_ways(self, node_id: int) -> list[int]:
+        return self.reader.get_dups("node_way", node_id)
+
+    def node_relations(self, node_id: int) -> list[int]:
+        return self.reader.get_dups("node_relation", node_id)
+
+    def way_relations(self, way_id: int) -> list[int]:
+        return self.reader.get_dups("way_relation", way_id)
+
+    def cell_nodes(self, cell: int) -> list[int]:
+        return self.reader.get_dups("cell_node", cell)
+
+
+def _meta_dict(meta: dict | None) -> tuple:
+    """capnp metadata -> the unified row's trailing columns
+    (version, timestamp_iso, changeset, uid, user)."""
+    if meta is None:
+        return None, None, None, None, None
+    return (
+        meta["version"], _iso(meta["timestamp"]), meta["changeset"],
+        meta["uid"], meta["user"],
+    )
+
+
+def _tags_map(tags_kv: list[str]) -> dict:
+    it = iter(tags_kv)
+    return dict(zip(it, it))
+
+
+def scan_unified(path: str, element: str, lo: int | None, hi: int | None):
+    """Yield ALL_SCHEMA tuples for one element type over one key range
+    — the executor-side body of the DataSource read.  Node rows merge
+    the `locations` range scan with the tagged-payload table on the
+    fly (two ordered iterators over the same id range)."""
+    with K.LmdbReader(path) as r:
+        if element == "node":
+            payloads = r.items("nodes", lo=lo, hi=hi)
+            cur = next(payloads, None)
+            for nid, raw in r.items("locations", lo=lo, hi=hi):
+                lon, lat, loc_version = _unpack_location(raw)
+                tags: dict = {}
+                meta_cols: tuple = (loc_version, None, None, None, None)
+                while cur is not None and cur[0] < nid:
+                    cur = next(payloads, None)
+                if cur is not None and cur[0] == nid:
+                    tags_kv, meta = C.decode_node(cur[1])
+                    tags = _tags_map(tags_kv)
+                    if meta is not None:
+                        meta_cols = _meta_dict(meta)
+                yield ("node", nid, lon, lat, None, None, meta_cols[0],
+                       tags, meta_cols[1], meta_cols[2], meta_cols[3],
+                       meta_cols[4])
+        elif element == "way":
+            for wid, raw in r.items("ways", lo=lo, hi=hi):
+                refs, tags_kv, meta = C.decode_way(raw)
+                v, ts, cs, uid, user = _meta_dict(meta)
+                yield ("way", wid, None, None, refs, None, v,
+                       _tags_map(tags_kv), ts, cs, uid, user)
+        elif element == "relation":
+            for rid, raw in r.items("relations", lo=lo, hi=hi):
+                members, tags_kv, meta = C.decode_relation(raw)
+                v, ts, cs, uid, user = _meta_dict(meta)
+                yield ("relation", rid, None, None, None, members, v,
+                       _tags_map(tags_kv), ts, cs, uid, user)
+        else:
+            raise ValueError(f"unknown element {element!r}")
+
+
+try:  # PySpark 4 Python DataSource API (same gate as sources/pbf.py)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    from .osm_xml import ALL_SCHEMA
+
+    class _RangePartition(InputPartition):
+        def __init__(self, path: str, element: str, lo, hi):
+            self.path = path
+            self.element = element
+            self.lo = lo
+            self.hi = hi
+
+    class OsmxReader(DataSourceReader):
+        def __init__(self, options):
+            self.paths = options["path"].split(",")
+            self.per_table = int(options.get("partitions", "8"))
+
+        def partitions(self):
+            parts = []
+            for path in self.paths:
+                with K.LmdbReader(path) as r:
+                    for element, table in (
+                        ("node", "locations"),
+                        ("way", "ways"),
+                        ("relation", "relations"),
+                    ):
+                        try:
+                            splits = r.split_points(table, self.per_table)
+                        except KeyError:
+                            continue
+                        bounds = [None, *splits, None]
+                        for i in range(len(bounds) - 1):
+                            hi = (
+                                bounds[i + 1] - 1
+                                if bounds[i + 1] is not None
+                                else None
+                            )
+                            parts.append(
+                                _RangePartition(path, element, bounds[i], hi)
+                            )
+            return parts
+
+        def read(self, partition):
+            yield from scan_unified(
+                partition.path, partition.element, partition.lo, partition.hi
+            )
+
+    class OsmxDataSource(DataSource):
+        """spark.read.format("osmx").load("planet.osmx") — unified
+        ALL_SCHEMA rows, same shape as the PBF/XML sources, so the
+        whole expand pipeline (tables_from_unified, sorted writes,
+        edge derivation) applies unchanged."""
+
+        @classmethod
+        def name(cls):
+            return "osmx"
+
+        def schema(self):
+            return ALL_SCHEMA
+
+        def reader(self, schema):
+            return OsmxReader(self.options)
+
+    def register(spark) -> None:
+        spark.dataSource.register(OsmxDataSource)
+
+except ImportError:  # pragma: no cover
+
+    def register(spark) -> None:
+        raise NotImplementedError("Python DataSource API requires pyspark>=4")
+
+
+# --------------------------------------------------------------------------
+# sink
+# --------------------------------------------------------------------------
+
+
+def _epoch(ts) -> int | None:
+    if ts is None:
+        return None
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(ts.timestamp())
+
+
+def _meta_from_row(md) -> dict | None:
+    if md is None:
+        return None
+    return {
+        "version": md["version"] or 0,
+        "timestamp": _epoch(md["timestamp"]) or 0,
+        "changeset": md["changeset"] or 0,
+        "uid": md["uid"] or 0,
+        "user": md["user"],
+    }
+
+
+def write_osmx(
+    tables: dict,
+    path: str,
+    metadata: dict[str, str] | None = None,
+) -> None:
+    """Four logical DataFrames (schemas.TABLE_SCHEMAS layout) -> one
+    `.osmx` file the reference's tooling can open.  Sorting happens in
+    Spark (the engine's analog of the reference's external sort at
+    src/expand.cpp:40-121); rows stream to the driver through
+    toLocalIterator, so driver memory holds the packed pages, not the
+    DataFrames.  The four reverse indexes and the cell index are
+    derived here exactly as expand derives them — `cell_node` under
+    the documented Morton scheme (module docstring), recorded as
+    `cell_scheme=morton16` in the metadata table."""
+    from pyspark.sql import functions as F
+
+    locations = tables["locations"].orderBy("id")
+    nodes = tables["nodes"].orderBy("id")
+    ways = tables["ways"].orderBy("id")
+    relations = tables["relations"].orderBy("id")
+
+    loc_entries = []
+    cell_node: dict[int, list[int]] = {}
+    for row in locations.toLocalIterator():
+        loc_entries.append(
+            (row["id"], _pack_location(row["lon"], row["lat"], row["version"]))
+        )
+        cell_node.setdefault(row["cell"], []).append(row["id"])
+
+    node_entries = [
+        (row["id"], C.encode_node(list(row["tags_kv"] or []),
+                                  _meta_from_row(row["metadata"])))
+        for row in nodes.toLocalIterator()
+    ]
+
+    way_entries = []
+    node_way: dict[int, list[int]] = {}
+    for row in ways.toLocalIterator():
+        refs = [int(x) for x in (row["nodes"] or [])]
+        way_entries.append(
+            (row["id"], C.encode_way(refs, list(row["tags_kv"] or []),
+                                     _meta_from_row(row["metadata"])))
+        )
+        for ref in set(refs):
+            node_way.setdefault(ref, []).append(row["id"])
+
+    rel_entries = []
+    node_rel: dict[int, list[int]] = {}
+    way_rel: dict[int, list[int]] = {}
+    for row in relations.toLocalIterator():
+        members = [
+            (int(m["ref"]), m["type"], m["role"] or "")
+            for m in (row["members"] or [])
+        ]
+        rel_entries.append(
+            (row["id"], C.encode_relation(members, list(row["tags_kv"] or []),
+                                          _meta_from_row(row["metadata"])))
+        )
+        for ref, mtype, _ in members:
+            if mtype == "node":
+                node_rel.setdefault(ref, []).append(row["id"])
+            elif mtype == "way":
+                way_rel.setdefault(ref, []).append(row["id"])
+
+    meta = {"cell_scheme": "morton16"}
+    meta.update(metadata or {})
+    meta_entries = [
+        (k.encode(), str(v).encode()) for k, v in sorted(meta.items())
+    ]
+
+    K.write_env(path, {
+        "metadata": (0, meta_entries),
+        "locations": (TABLE_FLAGS, loc_entries),
+        "nodes": (TABLE_FLAGS, node_entries),
+        "ways": (TABLE_FLAGS, way_entries),
+        "relations": (TABLE_FLAGS, rel_entries),
+        "cell_node": (INDEX_FLAGS, [
+            (k, sorted(set(v))) for k, v in cell_node.items()
+        ]),
+        "node_way": (INDEX_FLAGS, [
+            (k, sorted(set(v))) for k, v in node_way.items()
+        ]),
+        "node_relation": (INDEX_FLAGS, [
+            (k, sorted(set(v))) for k, v in node_rel.items()
+        ]),
+        "way_relation": (INDEX_FLAGS, [
+            (k, sorted(set(v))) for k, v in way_rel.items()
+        ]),
+    })
