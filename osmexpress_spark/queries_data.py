@@ -6229,3 +6229,114 @@ SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
 ORACLE_SQL.update(PENDING_ORACLE_SQL)
 PENDING_SPARK_QUERIES = {}
 PENDING_ORACLE_SQL = {}
+
+
+# --- round-8 staged queries (promote in round 9) ----------------------------
+# defq_pending appends to the fresh (empty) pending dicts above, so
+# anything registered below stays OUT of the live registry until next
+# round's promotion merge — the round-8 driver window must stay exactly
+# the 32 promoted + 18 oldest-r04 rows (VERDICT r07 asks #1/#2).
+
+
+def _osmx_fixture_path() -> str:
+    """The fixture dataset serialized as a literal `.osmx` (LMDB) file
+    through sources/osmx.write_osmx — built once, marker-cached beside
+    the fixture (deterministic: seeded fixture -> canonical bulk
+    write), so the gate and the bench line time the READ path."""
+    import os
+
+    from . import queries_osm as QO
+
+    path = QO.FIXTURE_DIR + ".osmx"
+    done = path + f".done_v1_{QO.FIXTURE_NODES}_42"
+    if os.path.exists(done) and os.path.exists(path):
+        return path
+    from .api import Dataset
+    from .session import get_spark
+    from .sources import osmx as osmx_mod
+
+    spark = get_spark()
+    from . import testing
+
+    testing.ensure_fixture_dataset(
+        spark, QO.FIXTURE_DIR, n_nodes=QO.FIXTURE_NODES, seed=42
+    )
+    tables = Dataset(spark, QO.FIXTURE_DIR).tables()
+    osmx_mod.write_osmx(
+        tables, path,
+        metadata={"import_filename": "fixture",
+                  "osmosis_replication_sequence_number": "123"},
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return path
+
+
+def _osmx_oracle() -> str:
+    from . import queries_osm as QO
+
+    d = QO._ensure_oracle_fixture()
+    return f"""
+WITH l AS (SELECT * FROM read_parquet('{d}/locations.parquet')),
+n AS (SELECT * FROM read_parquet('{d}/nodes.parquet')),
+w AS (SELECT * FROM read_parquet('{d}/ways.parquet')),
+r AS (SELECT * FROM read_parquet('{d}/relations.parquet'))
+SELECT * FROM (
+  SELECT 'node' AS type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(id) AS BIGINT) AS sum_id,
+         CAST((SELECT count(*) FROM n) AS BIGINT) AS n_tagged,
+         CAST(0 AS BIGINT) AS sum_children,
+         CAST(sum(version) AS BIGINT) AS sum_version
+  FROM l
+  UNION ALL
+  SELECT 'relation', CAST(count(*) AS BIGINT), CAST(sum(id) AS BIGINT),
+         CAST(count(*) FILTER (len(tags_kv) > 0) AS BIGINT),
+         CAST(sum(len(members)) AS BIGINT),
+         CAST(sum(mversion) AS BIGINT)
+  FROM r
+  UNION ALL
+  SELECT 'way', CAST(count(*) AS BIGINT), CAST(sum(id) AS BIGINT),
+         CAST(count(*) FILTER (len(tags_kv) > 0) AS BIGINT),
+         CAST(sum(len(nodes)) AS BIGINT),
+         CAST(sum(mversion) AS BIGINT)
+  FROM w
+) ORDER BY type"""
+
+
+@defq_pending("osm_osmx_roundtrip", oracle=_osmx_oracle())
+def osm_osmx_roundtrip(spark, sf_dir):
+    """The literal `.osmx` migration path (VERDICT r07 missing #1):
+    the fixture dataset serialized into a real LMDB file our writer
+    produced (a file the reference's lmdb tooling can open —
+    tests/test_lmdb_kv.py cross-validates the codec against the
+    system liblmdb both directions), then read back through the
+    distributed `spark.read.format("osmx")` DataSource
+    (sources/osmx.py; key-range partitions planned from the top
+    B-tree levels) and folded to per-type census stats.  The oracle
+    recomputes the same stats from the independent pyarrow fixture
+    copy — equality proves the store round-trips through the
+    reference's own artifact format (python/osmx/osmx.py:53-111
+    surface; storage.cpp:6-19 layout)."""
+    from .sources.osmx import OsmxDataSource
+
+    path = _osmx_fixture_path()
+    spark.dataSource.register(OsmxDataSource)
+    u = spark.read.format("osmx").load(path)
+    return (
+        u.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum(
+                F.when(F.size("tags") > 0, 1).otherwise(0)
+            ).alias("n_tagged"),
+            F.sum(
+                F.coalesce(F.size("nodes"), F.lit(0))
+                + F.coalesce(F.size("members"), F.lit(0))
+            ).alias("sum_children"),
+            F.sum("version").cast("bigint").alias("sum_version"),
+        )
+        .orderBy("type")
+        .select("type", "n", "sum_id", "n_tagged", "sum_children",
+                "sum_version")
+    )
