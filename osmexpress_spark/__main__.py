@@ -298,6 +298,31 @@ def cmd_serve(args) -> int:
 def cmd_query(args) -> int:
     from pyspark.sql import functions as F
 
+    if args.dataset.endswith(".osmx"):
+        # literal-artifact parity: `osmx query planet.osmx [way ID]`
+        # (src/cmd.cpp:44-109) served from the LMDB file itself — no
+        # Spark session, stats straight from the stored MDB_db structs
+        from .sources.osmx import OsmxFile
+
+        with OsmxFile(args.dataset) as f:
+            if args.element_type:
+                if not args.id:
+                    print("query: ID required with an element type",
+                          file=sys.stderr)
+                    return 2
+                if args.element_type == "node":
+                    loc = f.location(args.id)
+                    payload = f.node(args.id)
+                    print({"id": args.id, "location": loc,
+                           "payload": payload})
+                else:
+                    getter = getattr(f, args.element_type)
+                    print({"id": args.id, "payload": getter(args.id)})
+            else:
+                for name, n in sorted(f.stats().items()):
+                    print(f"{name}: {n}")
+        return 0
+
     tables = _tables(_spark(), args.dataset)
     if args.element_type:
         if not args.id:

@@ -102,6 +102,16 @@ class OsmxFile:
             for k, v in self.reader.items("metadata")
         }
 
+    def stats(self) -> dict[str, int]:
+        """Per-table entry counts straight from the stored MDB_db
+        structs — the `osmx query FILE` report (`src/cmd.cpp:96-109`
+        runs mdb_stat per dbi; ms_entries is the same md_entries
+        field), answered without scanning a single data page."""
+        return {
+            name: self.reader.db(name).entries
+            for name in self.reader.db_names()
+        }
+
     def location(self, node_id: int):
         raw = self.reader.get("locations", node_id)
         return None if raw is None else _unpack_location(raw)

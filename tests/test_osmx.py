@@ -154,3 +154,26 @@ def test_cells_rederived_not_trusted(spark, fixture_tables, osmx_path,
     assert _rows(fixture_tables["locations"], cols) == _rows(
         Dataset(spark, dest).tables()["locations"], cols
     )
+
+
+def test_stats_surface(fixture_tables, osmx_path):
+    """`osmx query FILE` parity: per-table entry counts from the
+    stored MDB_db structs, no data-page scans."""
+    with X.OsmxFile(osmx_path) as f:
+        st = f.stats()
+    assert st["locations"] == fixture_tables["locations"].count()
+    assert st["nodes"] == fixture_tables["nodes"].count()
+    assert st["ways"] == fixture_tables["ways"].count()
+    assert st["relations"] == fixture_tables["relations"].count()
+    # index entry counts = total dup values
+    assert st["node_way"] > st["ways"]
+    # 3 caller keys + the always-written cell_scheme marker
+    assert st["metadata"] == 4
+
+
+def test_cli_query_osmx(osmx_path, capsys):
+    from osmexpress_spark.__main__ import main
+
+    assert main(["query", osmx_path]) == 0
+    out = capsys.readouterr().out
+    assert "locations: 5000" in out and "ways: 1250" in out
