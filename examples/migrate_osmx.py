@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 from osmexpress_spark import get_spark
 from osmexpress_spark.api import Dataset
 from osmexpress_spark.sources.osmx import OsmxFile
