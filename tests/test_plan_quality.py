@@ -303,7 +303,7 @@ def test_staged_round7_plans_stay_jvm_side(spark):
     for name in ("q_hard_negatives_ivf", "q_embedding_gram",
                  "q_softdedup_weights", "q_vocab_growth",
                  "q_ngram_novelty", "q_rank_blend"):
-        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
@@ -314,7 +314,7 @@ def test_embedding_gram_single_mapside_exchange(spark):
     never shuffles, only <= dim*(dim+1)/2 partial rows per task do,
     and there is no window or join anywhere in the plan."""
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_embedding_gram"](spark, SF_DIR)
+        QD.SPARK_QUERIES["q_embedding_gram"](spark, SF_DIR)
     )
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan and "partial_count" in plan
@@ -326,7 +326,7 @@ def test_vocab_growth_no_global_order_window(spark):
     a global-order window (ntile/percent_rank would plan a
     single-partition sort)."""
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_vocab_growth"](spark, SF_DIR)
+        QD.SPARK_QUERIES["q_vocab_growth"](spark, SF_DIR)
     )
     assert "Window" not in plan
     assert "rangepartitioning" not in plan.lower()
@@ -337,7 +337,7 @@ def test_ngram_novelty_no_fanout_join(spark):
     DISTINCT reference shingle set (at most one match per probe row) —
     never a nested-loop or cartesian shape."""
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_ngram_novelty"](spark, SF_DIR)
+        QD.SPARK_QUERIES["q_ngram_novelty"](spark, SF_DIR)
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -351,7 +351,7 @@ def test_rank_blend_corpus_never_sorts(spark):
     The bounded windows sit AFTER full aggregation (their input is
     <=1025 rows), which the plan shows as the window's child being an
     aggregate, never the raw scan."""
-    df = QD.PENDING_SPARK_QUERIES["q_rank_blend"](spark, SF_DIR)
+    df = QD.SPARK_QUERIES["q_rank_blend"](spark, SF_DIR)
     plan = _final_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2  # one per measure
     # every Window in the tree must descend from a HashAggregate,
@@ -372,11 +372,11 @@ def test_staged_round7b_plans_stay_jvm_side(spark):
     (never a single-partition global sort)."""
     for name in ("q_budget_by_domain", "q_modality_alignment",
                  "q_profile_diff"):
-        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_budget_by_domain"](spark, SF_DIR)
+        QD.SPARK_QUERIES["q_budget_by_domain"](spark, SF_DIR)
     )
     assert "SinglePartition" not in plan

@@ -396,7 +396,7 @@ def test_distinctive_and_mix_queries_stay_jvm_side(spark):
 
     for name in ("q_distinctive_terms", "q_mix_plan"):
         plan = _final_plan(
-            QD.PENDING_SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
+            QD.SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
         )
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
@@ -407,7 +407,7 @@ def test_image_query_python_is_only_the_arrow_seam(spark):
     from osmexpress_spark import queries_data as QD
 
     plan = _final_plan(
-        QD.PENDING_SPARK_QUERIES["q_image_near_dup"](
+        QD.SPARK_QUERIES["q_image_near_dup"](
             spark, "/root/testdata/sf0.001"
         )
     )
