@@ -1140,3 +1140,40 @@ def rank_blend(
         c = F.col(f"{name}_rank")
         blend = c if blend is None else blend + c
     return ranked.withColumn("blend_rank", blend)
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, d: int = 3
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches of
+    the join keys — the CMS inner-product estimator (Cormode &
+    Muthukrishnan 2005 §4.2): for each row j, ``sum_b cnt_a[j,b] *
+    cnt_b[j,b]`` upper-bounds ``|A JOIN B|`` = sum_k f_A(k)*f_B(k)
+    (hash collisions only ever ADD mass), and the min over the d rows
+    is the estimate.  One row out: (est_join_size, exactness-free
+    upper bound).
+
+    The planner's use at 100 TB: both sketches are d*w-row frames
+    built with ONE map-side-combined pass each (cms_build), so the
+    decision 'is this join explosive / which side should broadcast /
+    how many shuffle partitions' costs two cheap scans and a
+    bounded-size join of the sketches — never a trial execution of
+    the join itself.  The sketches must share (w, d) and the key
+    expression; merge-ability means per-partition or per-day sketches
+    sum first (cms_merge) and estimate after."""
+    a = sketch_a.select("j", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("j", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["j", "bucket"])  # inner: missing bucket => product 0
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("inner"))
+    )
+    # a row with no overlapping buckets contributes inner 0 — the min
+    # must still see it, so re-seed the full row range
+    spark = sketch_a.sparkSession
+    rows = spark.range(d).select(F.col("id").cast("int").alias("j"))
+    return (
+        rows.join(per_row, "j", "left_outer")
+        .select(F.coalesce(F.col("inner"), F.lit(0)).alias("inner"))
+        .agg(F.min("inner").cast("bigint").alias("est_join_size"))
+    )

@@ -388,3 +388,85 @@ def write_osmx(
             (k, sorted(set(v))) for k, v in way_rel.items()
         ]),
     })
+
+
+# --------------------------------------------------------------------------
+# generic LMDB key-value source (beyond the .osmx schema)
+# --------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.datasource import DataSource as _DS
+    from pyspark.sql.datasource import DataSourceReader as _DSR
+    from pyspark.sql.datasource import InputPartition as _IP
+
+    class _KvPartition(_IP):
+        def __init__(self, path, db, lo, hi):
+            self.path = path
+            self.db = db
+            self.lo = lo
+            self.hi = hi
+
+    class LmdbKvReader(_DSR):
+        def __init__(self, options):
+            self.paths = options["path"].split(",")
+            self.db = options.get("db", "main")
+            self.per_table = int(options.get("partitions", "8"))
+
+        def partitions(self):
+            parts = []
+            for path in self.paths:
+                with K.LmdbReader(path) as r:
+                    db = r.db(self.db)
+                    if db.flags & K.MDB_INTEGERKEY:
+                        splits = r.split_points(self.db, self.per_table)
+                    else:
+                        splits = []  # bytewise dbs scan in one partition
+                    bounds = [None, *splits, None]
+                    for i in range(len(bounds) - 1):
+                        hi = (
+                            bounds[i + 1] - 1
+                            if bounds[i + 1] is not None
+                            else None
+                        )
+                        parts.append(
+                            _KvPartition(path, self.db, bounds[i], hi)
+                        )
+            return parts
+
+        def read(self, partition):
+            with K.LmdbReader(partition.path) as r:
+                db = r.db(partition.db)
+                integer = bool(db.flags & K.MDB_INTEGERKEY)
+                for k, v in r.items(
+                    partition.db, lo=partition.lo, hi=partition.hi
+                ):
+                    if integer:
+                        yield k, None, bytes(v)
+                    else:
+                        yield None, bytes(k), bytes(v)
+
+    class LmdbKvDataSource(_DS):
+        """spark.read.format("lmdbkv").option("db", "locations")
+        .load("any.mdb") — ANY single-file LMDB environment as a
+        DataFrame of raw (key_int | key_bytes, value) rows, reusing
+        the pure-stdlib walker and its key-range partitioning.  The
+        general-purpose escape hatch for LMDB artifacts beyond the
+        .osmx schema (the typed path is format("osmx"))."""
+
+        @classmethod
+        def name(cls):
+            return "lmdbkv"
+
+        def schema(self):
+            return "key_int long, key_bytes binary, value binary"
+
+        def reader(self, schema):
+            return LmdbKvReader(self.options)
+
+    def register_kv(spark) -> None:
+        spark.dataSource.register(LmdbKvDataSource)
+
+except ImportError:  # pragma: no cover
+
+    def register_kv(spark) -> None:
+        raise NotImplementedError("Python DataSource API requires pyspark>=4")
