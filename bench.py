@@ -142,6 +142,7 @@ HEADLINE = [
 # family assignment in tests/test_bench_hygiene.py FAMILIES.
 PENDING_HEADLINE: list[str] = [
     "osm_osmx_roundtrip",
+    "q_join_size_estimate",
 ]
 
 

@@ -6340,3 +6340,69 @@ def osm_osmx_roundtrip(spark, sf_dir):
         .select("type", "n", "sum_id", "n_tagged", "sum_children",
                 "sum_version")
     )
+
+
+@defq_pending(
+    "q_join_size_estimate",
+    f"""
+    WITH cj AS (SELECT unnest(range({CMS_D})) AS j),
+    ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS item FROM orders),
+    lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS item FROM lineitem),
+    sa AS (
+      SELECT cj.j, {_cms_bucket_sql('cj.j', 'ok.item')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ok CROSS JOIN cj GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT cj.j, {_cms_bucket_sql('cj.j', 'lk.item')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lk CROSS JOIN cj GROUP BY 1, 2
+    ),
+    inner_j AS (
+      SELECT sa.j, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+      FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+      GROUP BY sa.j
+    ),
+    allrows AS (
+      SELECT cj.j, COALESCE(i.ip, 0) AS ip
+      FROM cj LEFT JOIN inner_j i ON cj.j = i.j
+    )
+    SELECT CAST((SELECT min(ip) FROM allrows) AS BIGINT) AS est_join_size,
+           CAST((SELECT count(*) FROM orders o
+                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS BIGINT)
+             AS exact_join_size
+    """,
+)
+def q_join_size_estimate(spark, sf_dir):
+    """Sketch-driven join planning (operators/sketch.py:cms_join_size,
+    Cormode & Muthukrishnan 2005 §4.2): estimate |orders JOIN lineitem|
+    from two Count-Min sketches of the join keys — min over the d rows
+    of the bucket-count inner product, an upper bound that collisions
+    only inflate — beside the exact join count the estimate predicts.
+    Both sketches build in ONE map-side-combined pass each and the
+    estimate costs a bounded d*w sketch join, so at 100 TB the
+    broadcast/shuffle-partition decision never trial-executes the
+    join.  Deterministic md5 buckets make the estimator itself
+    oracle-checkable, exactly like the CMS point-estimate gate."""
+    from .operators import sketch
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("item")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("item")
+    )
+    sa = sketch.cms_build(o, F.col("item"), w=CMS_W, d=CMS_D)
+    sb = sketch.cms_build(li, F.col("item"), w=CMS_W, d=CMS_D)
+    est = sketch.cms_join_size(sa, sb, d=CMS_D)
+    exact = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size", "exact_join_size"
+    )

@@ -108,6 +108,9 @@ SUBSET = [
     "q_hashed_features",       # one-pass hashing-trick vectorizer folds
     "q_image_webp_stats",      # VP8L lossless decode in the Arrow seam
     "q_stream_rollup",         # streaming epoch sink + merge-on-read series
+    # round-8 staged queries (PENDING registry; promote in r09)
+    "q_join_size_estimate",    # two CMS builds + bounded sketch join + exact join
+
 ]
 
 
