@@ -1177,3 +1177,104 @@ def cms_join_size(
         .select(F.coalesce(F.col("inner"), F.lit(0)).alias("inner"))
         .agg(F.min("inner").cast("bigint").alias("est_join_size"))
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame, item_a: Column, df_b: DataFrame, item_b: Column,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-set algebra from two KMV sketches (Beyer et al. 2007's
+    multi-set generalization of Bar-Yossef): one row with
+    ``est_distinct_a``, ``est_distinct_b``, ``est_union``,
+    ``est_intersection``, ``jaccard_est``.
+
+    min-k(A ∪ B) = min-k of the two min-k unions, and the fraction of
+    those combined minima present in BOTH sketches is an unbiased
+    estimate of the Jaccard similarity; intersection = jaccard *
+    union.  Everything after the two one-pass sketch builds is a join
+    of <= k-row frames — the planner's 'how selective is this key
+    overlap' question at 100 TB costs two scans, like cms_join_size
+    but for DISTINCT keys rather than multiplicity mass."""
+    ka = kmv_minima(df_a, item_a, k).select(F.col("h").alias("h"))
+    kb = kmv_minima(df_b, item_b, k).select(F.col("h").alias("h"))
+    both = ka.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")).unionByName(
+        kb.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    ).groupBy("h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    union_k = both.orderBy("h").limit(k)
+
+    def _est(minima):
+        return minima.agg(
+            F.count(F.lit(1)).cast("int").alias("k_used"),
+            F.max("h").alias("kth"),
+        ).select(
+            F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+            .otherwise(
+                (F.lit(float(k - 1)) * F.lit(float(1 << KMV_BITS)))
+                / F.col("kth").cast("double")
+            ).alias("est")
+        )
+
+    est_a = _est(ka).select(F.col("est").alias("est_distinct_a"))
+    est_b = _est(kb).select(F.col("est").alias("est_distinct_b"))
+    est_u = _est(union_k.select("h")).select(F.col("est").alias("est_union"))
+    jac = union_k.agg(
+        (
+            F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("jaccard_est")
+    )
+    return (
+        est_a.crossJoin(est_b).crossJoin(est_u).crossJoin(jac)
+        .select(
+            "est_distinct_a", "est_distinct_b", "est_union",
+            (F.col("jaccard_est") * F.col("est_union"))
+            .alias("est_intersection"),
+            "jaccard_est",
+        )
+    )
+
+
+def join_plan_advice(
+    df_a: DataFrame, key_a: Column, df_b: DataFrame, key_b: Column,
+    k: int = 256, w: int = 1024, d: int = 3,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> DataFrame:
+    """Sketch-driven join planning in one row: row counts, distinct
+    key estimates (KMV), join-size estimate (CMS inner product),
+    average fan-out, and a ``strategy`` recommendation
+    ('broadcast_a' / 'broadcast_b' / 'shuffle' / 'shuffle_salted') —
+    the pre-flight a 100 TB pipeline runs INSTEAD of discovering an
+    explosive join at hour three.  Cost: one map-side-combined pass
+    per side for each sketch (the passes share the scan via column
+    reuse when cached); every estimate join is sketch-bounded.
+    Skew flag: max single-key CMS estimate >> rows/distinct means a
+    hot key — recommend salting (operators/skew.py)."""
+    n_a = df_a.agg(F.count(F.lit(1)).alias("rows_a"))
+    n_b = df_b.agg(F.count(F.lit(1)).alias("rows_b"))
+    sets = kmv_set_estimates(df_a, key_a, df_b, key_b, k)
+    js = cms_join_size(
+        cms_build(df_a, key_a, w, d), cms_build(df_b, key_b, w, d), d
+    )
+    row = (
+        n_a.crossJoin(n_b).crossJoin(sets).crossJoin(js)
+        .withColumn(
+            "fanout",
+            F.col("est_join_size")
+            / F.greatest(F.col("est_intersection"), F.lit(1.0)),
+        )
+    )
+    return row.withColumn(
+        "strategy",
+        F.when(F.col("rows_a") <= broadcast_threshold_rows, "broadcast_a")
+        .when(F.col("rows_b") <= broadcast_threshold_rows, "broadcast_b")
+        .when(
+            F.col("fanout")
+            > F.lit(100.0)
+            * F.greatest(F.col("rows_a"), F.col("rows_b"))
+            / F.greatest(F.col("est_union"), F.lit(1.0)),
+            "shuffle_salted",
+        )
+        .otherwise("shuffle"),
+    )

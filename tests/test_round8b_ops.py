@@ -183,3 +183,50 @@ def test_lmdbkv_generic_source(spark, tmp_path):
     srows = sorted((bytes(r["key_bytes"]), bytes(r["value"]))
                    for r in got_s.collect())
     assert srows == strs
+
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    # 60 + 60 distinct with 20 shared — all below k=256, so every
+    # estimate is EXACT (the KMV small-cardinality branch)
+    a = spark.createDataFrame([(f"a{i}",) for i in range(40)]
+                              + [(f"s{i}",) for i in range(20)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(40)]
+                              + [(f"s{i}",) for i in range(20)], "k string")
+    r = SK.kmv_set_estimates(a, F.col("k"), b, F.col("k"), k=256).collect()[0]
+    assert r["est_distinct_a"] == 60.0 and r["est_distinct_b"] == 60.0
+    assert r["est_union"] == 100.0
+    assert abs(r["est_intersection"] - 20.0) < 1e-9
+    assert abs(r["jaccard_est"] - 0.2) < 1e-9
+
+
+def test_kmv_set_estimates_sampling_regime(spark):
+    # 2000 vs 2000 with 1000 shared at k=256: estimates within 25%
+    a = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "k string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(1000, 3000)],
+                              "k string")
+    r = SK.kmv_set_estimates(a, F.col("k"), b, F.col("k"), k=256).collect()[0]
+    assert abs(r["est_union"] - 3000) / 3000 < 0.25, r
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.35, r
+
+
+def test_join_plan_advice_strategies(spark):
+    small = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    big = spark.createDataFrame([(f"k{i % 50}",) for i in range(5000)],
+                                "k string")
+    r = SK.join_plan_advice(
+        small, F.col("k"), big, F.col("k"),
+        broadcast_threshold_rows=100,
+    ).collect()[0]
+    assert r["strategy"] == "broadcast_a"
+    assert r["rows_a"] == 10 and r["rows_b"] == 5000
+    assert r["est_join_size"] >= small.join(big, "k").count()
+    r2 = SK.join_plan_advice(
+        big, F.col("k"), small, F.col("k"),
+        broadcast_threshold_rows=100,
+    ).collect()[0]
+    assert r2["strategy"] == "broadcast_b"
+    # both sides above threshold -> shuffle
+    r3 = SK.join_plan_advice(
+        big, F.col("k"), big, F.col("k"), broadcast_threshold_rows=1,
+    ).collect()[0]
+    assert r3["strategy"] in ("shuffle", "shuffle_salted")
