@@ -379,17 +379,31 @@ class LmdbReader:
 
 
 class _PageAlloc:
-    def __init__(self):
-        self.pages: list[bytes] = [b"", b""]  # metas written last
+    """Streams pages to the output file as they are built (pgno order
+    == file order), so writer memory holds one page buffer plus the
+    per-level (first_key, pgno) lists — not the whole environment.
+    Pages 0/1 (the metas) are reserved up front and written last via
+    a seek."""
+
+    def __init__(self, f):
+        self.f = f
+        self.n = 2  # next pgno; metas occupy 0 and 1
+
+    def next_pgno(self) -> int:
+        return self.n
 
     def alloc(self, data: bytes) -> int:
         assert len(data) == PSIZE
-        self.pages.append(data)
-        return len(self.pages) - 1
+        self.f.write(data)
+        pg = self.n
+        self.n += 1
+        return pg
 
-    def alloc_many(self, blobs: list[bytes]) -> int:
-        first = len(self.pages)
-        self.pages.extend(blobs)
+    def alloc_many(self, blobs) -> int:
+        first = self.n
+        for b in blobs:
+            self.f.write(b)
+            self.n += 1
         return first
 
 
@@ -473,20 +487,26 @@ class _TreeBuilder:
         self.leaf_pages = 0
         self.overflow_pages = 0
 
-    def build(self, nodes: list, leaf2_ksize: int | None = None) -> tuple[int, int]:
-        """nodes sorted by key -> (root_pgno, depth). With leaf2_ksize,
-        nodes are bare keys packed into LEAF2 pages."""
-        if not nodes:
-            return P_INVALID, 0
+    def build(self, nodes, leaf2_ksize: int | None = None) -> tuple[int, int]:
+        """nodes: ITERABLE of leaf node specs sorted by key ->
+        (root_pgno, depth). With leaf2_ksize, nodes are bare keys
+        packed into LEAF2 pages. Consumed once; only the per-level
+        (first_key, pgno) lists are held in memory."""
         level: list[tuple[bytes, int]] = []  # (first_key, pgno)
         if leaf2_ksize is not None:
             per = (PSIZE - PAGEHDRSZ) // leaf2_ksize
-            keys = [k for k, _, _ in nodes]
-            for i in range(0, len(keys), per):
-                chunk = keys[i: i + per]
-                pg = self.alloc.alloc(
-                    _leaf2_page(len(self.alloc.pages), chunk, leaf2_ksize)
-                )
+            chunk: list[bytes] = []
+            for k, _, _ in nodes:
+                chunk.append(k)
+                if len(chunk) == per:
+                    pg = self.alloc.alloc(_leaf2_page(
+                        self.alloc.next_pgno(), chunk, leaf2_ksize))
+                    self.leaf_pages += 1
+                    level.append((chunk[0], pg))
+                    chunk = []
+            if chunk:
+                pg = self.alloc.alloc(_leaf2_page(
+                    self.alloc.next_pgno(), chunk, leaf2_ksize))
                 self.leaf_pages += 1
                 level.append((chunk[0], pg))
         else:
@@ -499,7 +519,7 @@ class _TreeBuilder:
                 need = 2 + sz
                 if cur and need > room:
                     pg = self.alloc.alloc(
-                        _pack_leaf_nodes(len(self.alloc.pages), P_LEAF, cur)
+                        _pack_leaf_nodes(self.alloc.next_pgno(), P_LEAF, cur)
                     )
                     self.leaf_pages += 1
                     level.append((cur[0][0], pg))
@@ -508,10 +528,12 @@ class _TreeBuilder:
                 room -= need
             if cur:
                 pg = self.alloc.alloc(
-                    _pack_leaf_nodes(len(self.alloc.pages), P_LEAF, cur)
+                    _pack_leaf_nodes(self.alloc.next_pgno(), P_LEAF, cur)
                 )
                 self.leaf_pages += 1
                 level.append((cur[0][0], pg))
+        if not level:
+            return P_INVALID, 0
         depth = 1
         while len(level) > 1:
             nxt: list[tuple[bytes, int]] = []
@@ -527,7 +549,7 @@ class _TreeBuilder:
                 need = 2 + sz
                 if cur_b and need > room:
                     pg = self.alloc.alloc(_pack_leaf_nodes(
-                        len(self.alloc.pages), P_BRANCH, cur_b))
+                        self.alloc.next_pgno(), P_BRANCH, cur_b))
                     self.branch_pages += 1
                     nxt.append((first_key_of_page, pg))
                     cur_b, room = [], PSIZE - PAGEHDRSZ
@@ -540,7 +562,7 @@ class _TreeBuilder:
                 room -= need
             if cur_b:
                 pg = self.alloc.alloc(_pack_leaf_nodes(
-                    len(self.alloc.pages), P_BRANCH, cur_b))
+                    self.alloc.next_pgno(), P_BRANCH, cur_b))
                 self.branch_pages += 1
                 nxt.append((first_key_of_page, pg))
             level = nxt
@@ -549,133 +571,151 @@ class _TreeBuilder:
 
 
 def _build_db(alloc: _PageAlloc, entries, flags: int) -> Db:
-    """entries: sorted [(key_bytes, value)] where value is bytes, or a
-    list[bytes] of dup values when flags has MDB_DUPSORT."""
+    """entries: key-sorted ITERABLE of (key_bytes, value) where value
+    is bytes, or a list[bytes] of dup values when flags has
+    MDB_DUPSORT. Streams: overflow pages and dup sub-trees are
+    emitted inline as their owning node is reached (any pgno order is
+    a valid LMDB file), so memory holds one dup list / one value at a
+    time plus the tree-builder's per-level key lists."""
     tb = _TreeBuilder(alloc)
-    nodes: list[tuple[bytes, bytes, int]] = []
-    n_entries = 0
-    for key, value in entries:
-        if flags & MDB_DUPSORT:
-            # INTEGERDUP values compare numerically (native-endian),
-            # not bytewise
-            if flags & MDB_INTEGERDUP:
-                vals = sorted(set(value), key=_from_ikey)
+    counts = {"entries": 0}
+
+    def node_specs():
+        for key, value in entries:
+            if flags & MDB_DUPSORT:
+                # INTEGERDUP values compare numerically
+                # (native-endian), not bytewise
+                if flags & MDB_INTEGERDUP:
+                    vals = sorted(set(value), key=_from_ikey)
+                else:
+                    vals = sorted(set(value))
+                counts["entries"] += len(vals)
+                if len(vals) == 1:
+                    yield (key, vals[0], 0)
+                    continue
+                vsize = len(vals[0])
+                sp = _subpage(vals, vsize)
+                if 8 + len(key) + len(sp) <= NODEMAX:
+                    yield (key, sp, F_DUPDATA)
+                    continue
+                sub_tb = _TreeBuilder(alloc)
+                sub_root, sub_depth = sub_tb.build(
+                    ((v, b"", 0) for v in vals), leaf2_ksize=vsize
+                )
+                sub = Db(
+                    pad=vsize,
+                    flags=MDB_DUPFIXED | (
+                        MDB_INTEGERKEY if flags & MDB_INTEGERDUP else 0
+                    ),
+                    depth=sub_depth,
+                    branch_pages=sub_tb.branch_pages,
+                    leaf_pages=sub_tb.leaf_pages,
+                    overflow_pages=0,
+                    entries=len(vals),
+                    root=sub_root,
+                )
+                tb.branch_pages += sub_tb.branch_pages
+                tb.leaf_pages += sub_tb.leaf_pages
+                yield (key, sub.pack(), F_DUPDATA | F_SUBDATA)
             else:
-                vals = sorted(set(value))
-            n_entries += len(vals)
-            if len(vals) == 1:
-                nodes.append((key, vals[0], 0))
-                continue
-            vsize = len(vals[0])
-            sp = _subpage(vals, vsize)
-            if 8 + len(key) + len(sp) <= NODEMAX:
-                nodes.append((key, sp, F_DUPDATA))
-                continue
-            sub_tb = _TreeBuilder(alloc)
-            sub_root, sub_depth = sub_tb.build(
-                [(v, b"", 0) for v in vals], leaf2_ksize=vsize
-            )
-            sub = Db(
-                pad=vsize,
-                flags=MDB_DUPFIXED | (
-                    MDB_INTEGERKEY if flags & MDB_INTEGERDUP else 0
-                ),
-                depth=sub_depth,
-                branch_pages=sub_tb.branch_pages,
-                leaf_pages=sub_tb.leaf_pages,
-                overflow_pages=0,
-                entries=len(vals),
-                root=sub_root,
-            )
-            tb.branch_pages += sub_tb.branch_pages
-            tb.leaf_pages += sub_tb.leaf_pages
-            nodes.append((key, sub.pack(), F_DUPDATA | F_SUBDATA))
-        else:
-            n_entries += 1
-            if 8 + len(key) + len(value) + (len(value) & 1) > NODEMAX:
-                npages = (len(value) + PAGEHDRSZ + PSIZE - 1) // PSIZE
-                blob = bytearray(npages * PSIZE)
-                blob[0:PAGEHDRSZ] = struct.pack(
-                    "<QHHI", 0, 0, P_OVERFLOW, npages
-                )
-                blob[PAGEHDRSZ: PAGEHDRSZ + len(value)] = value
-                first = alloc.alloc_many(
-                    [bytes(blob[i * PSIZE: (i + 1) * PSIZE])
-                     for i in range(npages)]
-                )
-                # patch pgno into the first overflow page header
-                hdr = bytearray(alloc.pages[first])
-                struct.pack_into("<Q", hdr, 0, first)
-                alloc.pages[first] = bytes(hdr)
-                tb.overflow_pages += npages
-                nodes.append(
-                    (key, struct.pack("<Q", first), F_BIGDATA, len(value))
-                )
-            else:
-                nodes.append((key, value, 0))
-    root, depth = tb.build(nodes)
+                counts["entries"] += 1
+                if 8 + len(key) + len(value) + (len(value) & 1) > NODEMAX:
+                    npages = (len(value) + PAGEHDRSZ + PSIZE - 1) // PSIZE
+                    first = alloc.next_pgno()
+                    blob = bytearray(npages * PSIZE)
+                    blob[0:PAGEHDRSZ] = struct.pack(
+                        "<QHHI", first, 0, P_OVERFLOW, npages
+                    )
+                    blob[PAGEHDRSZ: PAGEHDRSZ + len(value)] = value
+                    alloc.alloc_many(
+                        bytes(blob[i * PSIZE: (i + 1) * PSIZE])
+                        for i in range(npages)
+                    )
+                    tb.overflow_pages += npages
+                    yield (
+                        key, struct.pack("<Q", first), F_BIGDATA, len(value)
+                    )
+                else:
+                    yield (key, value, 0)
+
+    root, depth = tb.build(node_specs())
     return Db(
         pad=0, flags=flags, depth=depth, branch_pages=tb.branch_pages,
         leaf_pages=tb.leaf_pages, overflow_pages=tb.overflow_pages,
-        entries=n_entries, root=root,
+        entries=counts["entries"], root=root,
     )
 
 
-def write_env(path: str, dbs: dict[str, tuple[int, list]]) -> None:
-    """Write a single-file LMDB environment: ``dbs`` maps sub-database
-    name -> (db_flags, entries). Entries must be pre-sorted by key
-    (numerically for INTEGERKEY dbs — pass int keys; bytewise
-    otherwise — pass bytes keys); DUPSORT values are lists of
-    fixed-size byte strings or ints."""
-    alloc = _PageAlloc()
-    named: list[tuple[bytes, bytes, int]] = []
-    for name in sorted(dbs):
-        flags, entries = dbs[name]
-        norm = []
-        for key, value in entries:
-            kb = _ikey(key) if isinstance(key, int) else bytes(key)
-            if flags & MDB_DUPSORT:
-                vb = [
-                    _ikey(v) if isinstance(v, int) else bytes(v)
-                    for v in value
-                ]
-            else:
-                vb = bytes(value)
-            norm.append((kb, vb))
-        if flags & MDB_INTEGERKEY:
-            norm.sort(key=lambda kv: _from_ikey(kv[0]))
+def _norm_entries(entries, flags: int):
+    for key, value in entries:
+        kb = _ikey(key) if isinstance(key, int) else bytes(key)
+        if flags & MDB_DUPSORT:
+            vb = [
+                _ikey(v) if isinstance(v, int) else bytes(v)
+                for v in value
+            ]
         else:
-            norm.sort(key=lambda kv: kv[0])
-        db = _build_db(alloc, norm, flags)
-        named.append((name.encode(), db.pack(), F_SUBDATA))
-    main_tb = _TreeBuilder(alloc)
-    main_root, main_depth = main_tb.build(named)
-    main = Db(
-        pad=0, flags=0, depth=main_depth,
-        branch_pages=main_tb.branch_pages, leaf_pages=main_tb.leaf_pages,
-        overflow_pages=0, entries=len(named), root=main_root,
-    )
-    last_pg = len(alloc.pages) - 1
-    mapsize = max(1 << 30, (last_pg + 1) * PSIZE)
-    free = Db(pad=PSIZE, flags=0, depth=0, branch_pages=0, leaf_pages=0,
-              overflow_pages=0, entries=0, root=P_INVALID)
+            vb = bytes(value)
+        yield kb, vb
 
-    def meta(pgno: int, txnid: int, main_db: Db) -> bytes:
-        buf = bytearray(PSIZE)
-        buf[0:PAGEHDRSZ] = _page_header(pgno, P_META, 0, 0)
-        struct.pack_into("<II", buf, PAGEHDRSZ, MAGIC, DATA_VERSION)
-        struct.pack_into("<QQ", buf, PAGEHDRSZ + 8, 0, mapsize)
-        buf[PAGEHDRSZ + 24: PAGEHDRSZ + 72] = free.pack()
-        buf[PAGEHDRSZ + 72: PAGEHDRSZ + 120] = main_db.pack()
-        struct.pack_into("<QQ", buf, PAGEHDRSZ + 120, last_pg, txnid)
-        return bytes(buf)
 
-    empty_main = Db(pad=0, flags=0, depth=0, branch_pages=0, leaf_pages=0,
-                    overflow_pages=0, entries=0, root=P_INVALID)
-    alloc.pages[0] = meta(0, 0, empty_main)
-    alloc.pages[1] = meta(1, 1, main)
+def write_env(path: str, dbs: dict, presorted: bool = False) -> None:
+    """Write a single-file LMDB environment: ``dbs`` maps sub-database
+    name -> (db_flags, entries). INTEGERKEY dbs take int keys (sorted
+    numerically), others bytes keys (sorted bytewise); DUPSORT values
+    are lists of fixed-size byte strings or ints.
+
+    With ``presorted=True`` entries may be any ITERABLE already in
+    key order (e.g. a Spark ``orderBy(...).toLocalIterator()``) and
+    the writer streams: pages land in the output file as they are
+    built, so memory holds the current page plus the per-level
+    (first_key, pgno) lists — never the dataset.  With the default,
+    entries are materialized and sorted here (test convenience)."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        for pg in alloc.pages:
-            f.write(pg)
+        f.write(b"\0" * (2 * PSIZE))  # meta placeholders, patched last
+        alloc = _PageAlloc(f)
+        named: list[tuple[bytes, bytes, int]] = []
+        for name in sorted(dbs):
+            flags, entries = dbs[name]
+            norm = _norm_entries(entries, flags)
+            if not presorted:
+                norm = sorted(
+                    norm,
+                    key=(lambda kv: _from_ikey(kv[0]))
+                    if flags & MDB_INTEGERKEY
+                    else (lambda kv: kv[0]),
+                )
+            db = _build_db(alloc, norm, flags)
+            named.append((name.encode(), db.pack(), F_SUBDATA))
+        main_tb = _TreeBuilder(alloc)
+        main_root, main_depth = main_tb.build(named)
+        main = Db(
+            pad=0, flags=0, depth=main_depth,
+            branch_pages=main_tb.branch_pages,
+            leaf_pages=main_tb.leaf_pages,
+            overflow_pages=0, entries=len(named), root=main_root,
+        )
+        last_pg = alloc.next_pgno() - 1
+        mapsize = max(1 << 30, (last_pg + 1) * PSIZE)
+        free = Db(pad=PSIZE, flags=0, depth=0, branch_pages=0,
+                  leaf_pages=0, overflow_pages=0, entries=0,
+                  root=P_INVALID)
+
+        def meta(pgno: int, txnid: int, main_db: Db) -> bytes:
+            buf = bytearray(PSIZE)
+            buf[0:PAGEHDRSZ] = _page_header(pgno, P_META, 0, 0)
+            struct.pack_into("<II", buf, PAGEHDRSZ, MAGIC, DATA_VERSION)
+            struct.pack_into("<QQ", buf, PAGEHDRSZ + 8, 0, mapsize)
+            buf[PAGEHDRSZ + 24: PAGEHDRSZ + 72] = free.pack()
+            buf[PAGEHDRSZ + 72: PAGEHDRSZ + 120] = main_db.pack()
+            struct.pack_into("<QQ", buf, PAGEHDRSZ + 120, last_pg, txnid)
+            return bytes(buf)
+
+        empty_main = Db(pad=0, flags=0, depth=0, branch_pages=0,
+                        leaf_pages=0, overflow_pages=0, entries=0,
+                        root=P_INVALID)
+        f.seek(0)
+        f.write(meta(0, 0, empty_main))
+        f.write(meta(1, 1, main))
     os.replace(tmp, path)

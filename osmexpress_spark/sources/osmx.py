@@ -308,60 +308,88 @@ def write_osmx(
     `.osmx` file the reference's tooling can open.  Sorting happens in
     Spark (the engine's analog of the reference's external sort at
     src/expand.cpp:40-121); rows stream to the driver through
-    toLocalIterator, so driver memory holds the packed pages, not the
-    DataFrames.  The four reverse indexes and the cell index are
+    toLocalIterator into the STREAMING bulk writer, so driver memory
+    holds one row and the current page — the single output file is
+    the serial bottleneck (as it is for the reference's own expand),
+    not memory.  The four reverse indexes and the cell index are
     derived here exactly as expand derives them — `cell_node` under
     the documented Morton scheme (module docstring), recorded as
     `cell_scheme=morton16` in the metadata table."""
     from pyspark.sql import functions as F
 
-    locations = tables["locations"].orderBy("id")
-    nodes = tables["nodes"].orderBy("id")
-    ways = tables["ways"].orderBy("id")
-    relations = tables["relations"].orderBy("id")
+    locations = tables["locations"]
+    ways = tables["ways"]
+    relations = tables["relations"]
 
-    loc_entries = []
-    cell_node: dict[int, list[int]] = {}
-    for row in locations.toLocalIterator():
-        loc_entries.append(
-            (row["id"], _pack_location(row["lon"], row["lat"], row["version"]))
+    # every entry stream below is SORTED IN SPARK and consumed through
+    # toLocalIterator, so the driver holds one row / one dup list at a
+    # time; the streaming writer (lmdb_kv.write_env presorted=True)
+    # lands pages in the file as they pack — bulk memory is bounded by
+    # page buffers + the B-tree level key lists, not the dataset
+
+    def loc_stream():
+        for row in locations.orderBy("id").toLocalIterator():
+            yield row["id"], _pack_location(
+                row["lon"], row["lat"], row["version"]
+            )
+
+    def element_stream(df, encode):
+        for row in df.orderBy("id").toLocalIterator():
+            yield row["id"], encode(row)
+
+    def grouped_stream(df, key, val):
+        grouped = (
+            df.groupBy(key)
+            .agg(F.sort_array(F.collect_set(val)).alias("vals"))
+            .orderBy(key)
         )
-        cell_node.setdefault(row["cell"], []).append(row["id"])
+        for row in grouped.toLocalIterator():
+            yield row[key], [int(v) for v in row["vals"]]
 
-    node_entries = [
-        (row["id"], C.encode_node(list(row["tags_kv"] or []),
-                                  _meta_from_row(row["metadata"])))
-        for row in nodes.toLocalIterator()
-    ]
+    cell_node = grouped_stream(
+        locations.select("cell", "id"), "cell", "id"
+    )
+    node_way = grouped_stream(
+        ways.select(
+            F.explode("nodes").alias("node_id"), F.col("id").alias("way_id")
+        ),
+        "node_id", "way_id",
+    )
+    members = relations.select(
+        F.explode("members").alias("m"), F.col("id").alias("rel_id")
+    )
+    node_rel = grouped_stream(
+        members.where(F.col("m.type") == "node").select(
+            F.col("m.ref").alias("node_id"), "rel_id"
+        ),
+        "node_id", "rel_id",
+    )
+    way_rel = grouped_stream(
+        members.where(F.col("m.type") == "way").select(
+            F.col("m.ref").alias("way_id"), "rel_id"
+        ),
+        "way_id", "rel_id",
+    )
 
-    way_entries = []
-    node_way: dict[int, list[int]] = {}
-    for row in ways.toLocalIterator():
-        refs = [int(x) for x in (row["nodes"] or [])]
-        way_entries.append(
-            (row["id"], C.encode_way(refs, list(row["tags_kv"] or []),
-                                     _meta_from_row(row["metadata"])))
+    def enc_node(row):
+        return C.encode_node(
+            list(row["tags_kv"] or []), _meta_from_row(row["metadata"])
         )
-        for ref in set(refs):
-            node_way.setdefault(ref, []).append(row["id"])
 
-    rel_entries = []
-    node_rel: dict[int, list[int]] = {}
-    way_rel: dict[int, list[int]] = {}
-    for row in relations.toLocalIterator():
-        members = [
-            (int(m["ref"]), m["type"], m["role"] or "")
-            for m in (row["members"] or [])
-        ]
-        rel_entries.append(
-            (row["id"], C.encode_relation(members, list(row["tags_kv"] or []),
-                                          _meta_from_row(row["metadata"])))
+    def enc_way(row):
+        return C.encode_way(
+            [int(x) for x in (row["nodes"] or [])],
+            list(row["tags_kv"] or []), _meta_from_row(row["metadata"]),
         )
-        for ref, mtype, _ in members:
-            if mtype == "node":
-                node_rel.setdefault(ref, []).append(row["id"])
-            elif mtype == "way":
-                way_rel.setdefault(ref, []).append(row["id"])
+
+    def enc_rel(row):
+        return C.encode_relation(
+            [
+                (int(m["ref"]), m["type"], m["role"] or "")
+                for m in (row["members"] or [])
+            ],
+            list(row["tags_kv"] or []), _meta_from_row(row["metadata"]),
+        )
 
     meta = {"cell_scheme": "morton16"}
     meta.update(metadata or {})
@@ -371,23 +399,15 @@ def write_osmx(
 
     K.write_env(path, {
         "metadata": (0, meta_entries),
-        "locations": (TABLE_FLAGS, loc_entries),
-        "nodes": (TABLE_FLAGS, node_entries),
-        "ways": (TABLE_FLAGS, way_entries),
-        "relations": (TABLE_FLAGS, rel_entries),
-        "cell_node": (INDEX_FLAGS, [
-            (k, sorted(set(v))) for k, v in cell_node.items()
-        ]),
-        "node_way": (INDEX_FLAGS, [
-            (k, sorted(set(v))) for k, v in node_way.items()
-        ]),
-        "node_relation": (INDEX_FLAGS, [
-            (k, sorted(set(v))) for k, v in node_rel.items()
-        ]),
-        "way_relation": (INDEX_FLAGS, [
-            (k, sorted(set(v))) for k, v in way_rel.items()
-        ]),
-    })
+        "locations": (TABLE_FLAGS, loc_stream()),
+        "nodes": (TABLE_FLAGS, element_stream(tables["nodes"], enc_node)),
+        "ways": (TABLE_FLAGS, element_stream(ways, enc_way)),
+        "relations": (TABLE_FLAGS, element_stream(relations, enc_rel)),
+        "cell_node": (INDEX_FLAGS, cell_node),
+        "node_way": (INDEX_FLAGS, node_way),
+        "node_relation": (INDEX_FLAGS, node_rel),
+        "way_relation": (INDEX_FLAGS, way_rel),
+    }, presorted=True)
 
 
 # --------------------------------------------------------------------------
