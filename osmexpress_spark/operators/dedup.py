@@ -1118,29 +1118,54 @@ def _store_fs(spark, path_str: str):
     return fs, hpath
 
 
-def _store_write_text(spark, path_str: str, text: str) -> None:
-    """Publish a small text file (store metadata) via temp-file-plus-
-    rename: an in-place ``fs.create`` truncates the destination before
-    the bytes land, so a concurrent reader could observe an empty or
-    partial meta.json (ADVICE r07).  Writing to a sibling temp path and
-    renaming makes the content switch a single FS metadata operation;
-    stores remain single-writer (two concurrent writers still race on
-    WHICH meta wins, but never on a torn file)."""
+def _store_write_text(spark, path_str: str, text: str,
+                      _force_swap: bool = False) -> None:
+    """Publish a small text file (store metadata) with rename-commit
+    semantics: write the bytes to a sibling temp path, then move the
+    temp over the destination.  The move prefers Hadoop FileContext's
+    overwrite-rename — a single atomic metadata op on HDFS and
+    local://, so a reader sees the old file or the new one, never a
+    torn or missing file (ADVICE r07/r09).  On filesystems whose
+    FileContext lacks atomic overwrite, the old file is parked at a
+    .bak sibling first and restored if the final rename fails, so a
+    failed publish retains the prior metadata instead of deleting it.
+    Stores remain single-writer (two concurrent writers still race on
+    WHICH meta wins)."""
     import uuid
 
+    jvm = spark._jvm
     fs, hpath = _store_fs(spark, path_str)
-    tmp_str = path_str + ".tmp." + uuid.uuid4().hex[:12]
-    _, tmp = _store_fs(spark, tmp_str)
+    tag = uuid.uuid4().hex[:12]
+    _, tmp = _store_fs(spark, path_str + ".tmp." + tag)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(hpath):
-        fs.delete(hpath, False)
-    if not fs.rename(tmp, hpath):
+    if not _force_swap:
+        try:
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                hpath.toUri(), spark._jsc.hadoopConfiguration()
+            )
+            gw = spark.sparkContext._gateway
+            opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(tmp, hpath, opts)
+            return
+        except Exception:
+            pass  # FS without FileContext overwrite-rename: park-and-swap
+    _, bak = _store_fs(spark, path_str + ".bak." + tag)
+    had_old = bool(fs.exists(hpath))
+    if had_old and not fs.rename(hpath, bak):
         fs.delete(tmp, False)
-        raise OSError(f"atomic publish of {path_str} failed (rename)")
+        raise OSError(f"rename-commit of {path_str} failed (park)")
+    if not fs.rename(tmp, hpath):
+        if had_old:
+            fs.rename(bak, hpath)  # restore the prior metadata
+        fs.delete(tmp, False)
+        raise OSError(f"rename-commit of {path_str} failed (swap)")
+    if had_old:
+        fs.delete(bak, False)
 
 
 def _store_read_text(spark, path_str: str) -> str:

@@ -356,20 +356,28 @@ class LmdbReader:
             k, *_ = self._node(root, i)
             keys.append(_from_ikey(k))
         if len(keys) + 1 < n and db.depth > 2:
+            # Node 0 of EVERY branch page carries an empty key (this
+            # writer emits them too, and liblmdb leaves them undefined),
+            # so skip j==0 on every child and substitute the root's own
+            # separator key for child i>0 — that separator IS the lowest
+            # key of subtree i, which node 0 would have held.
             keys = []
             for i in range(nroot):
-                _, flags, lo_, hi_, _ = self._node(root, i)
-                child = self._page(lo_ | (hi_ << 16) | (flags << 32))
-                for j in range(self._numkeys(child)):
-                    k, *_ = self._node(child, j)
-                    if i == 0 and j == 0:
-                        continue
+                k, flags, lo_, hi_, _ = self._node(root, i)
+                if i > 0:
                     keys.append(_from_ikey(k))
+                child = self._page(lo_ | (hi_ << 16) | (flags << 32))
+                for j in range(1, self._numkeys(child)):
+                    ck, *_ = self._node(child, j)
+                    keys.append(_from_ikey(ck))
+        keys = sorted(set(keys))
         if len(keys) + 1 > n:
             step = (len(keys) + 1) / n
             keys = [keys[int((i + 1) * step) - 1] for i in range(n - 1)
                     if 0 <= int((i + 1) * step) - 1 < len(keys)]
             keys = sorted(set(keys))
+        assert all(a < b for a, b in zip(keys, keys[1:])), \
+            "split_points must be strictly ascending"
         return keys
 
 

@@ -101,6 +101,32 @@ def test_range_scan_and_splits_tile_the_keyspace(tmp_path):
         assert rows == sorted(plain)
 
 
+def test_split_points_depth3_tile_exactly(tmp_path):
+    """Regression (round-9 ADVICE, lmdb_kv.py:365): on a depth-3 tree
+    the empty node-0 key of every non-leftmost second-level branch page
+    used to decode as integer 0, making the split list non-monotonic —
+    overlapping [lo, hi) partitions then silently duplicated rows (a
+    40k-row self-written file read back 938,744 rows). The splits must
+    be strictly ascending and the induced ranges must tile the keyspace
+    exactly, including when the requested partition count exceeds the
+    second-level key count (the path that skipped normalization)."""
+    path = str(tmp_path / "deep.mdb")
+    rows = [(i * 3 + 1, (b"%d|" % i) * 2) for i in range(40_000)]
+    L.write_env(path, {"plain": (L.MDB_INTEGERKEY, rows)})
+    with L.LmdbReader(path) as r:
+        assert r.db("plain").depth >= 3
+        for n in (4, 32, 500, 10_000):
+            sp = r.split_points("plain", n)
+            assert all(a < b for a, b in zip(sp, sp[1:])), (n, sp[:10])
+            bounds = [None, *sp, None]
+            got = []
+            for i in range(len(bounds) - 1):
+                hi_i = bounds[i + 1] - 1 if bounds[i + 1] is not None else None
+                got += list(r.items("plain", lo=bounds[i], hi=hi_i))
+            assert len(got) == len(rows), (n, len(got))
+            assert got == rows
+
+
 def test_atomic_write_replaces(tmp_path):
     path = str(tmp_path / "t.mdb")
     L.write_env(path, {"plain": (L.MDB_INTEGERKEY, [(1, b"a")])})

@@ -153,5 +153,15 @@ def test_meta_publish_is_rename_commit(spark, tmp_path):
     D._store_write_text(spark, path, '{"v": 1}')
     D._store_write_text(spark, path, '{"v": 2}')
     assert D._store_read_text(spark, path) == '{"v": 2}'
-    leftovers = [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    leftovers = [
+        f for f in os.listdir(tmp_path) if ".tmp." in f or ".bak." in f
+    ]
+    assert not leftovers, leftovers
+    # round-9 ADVICE: the fallback (park-and-swap) path must also
+    # publish correctly and retain no siblings
+    D._store_write_text(spark, path, '{"v": 3}', _force_swap=True)
+    assert D._store_read_text(spark, path) == '{"v": 3}'
+    leftovers = [
+        f for f in os.listdir(tmp_path) if ".tmp." in f or ".bak." in f
+    ]
     assert not leftovers, leftovers
