@@ -133,6 +133,10 @@ HEADLINE = [
     "q_hashed_features",
     "q_image_webp_stats",
     "q_stream_rollup",
+    # round 9: the promoted round-8 staging set (osmx-migration,
+    # sketches)
+    "osm_osmx_roundtrip",
+    "q_join_size_estimate",
 ]
 
 # Staged-but-not-yet-promoted queries get their planned bench lines
@@ -140,10 +144,7 @@ HEADLINE = [
 # (tests/test_bench_hygiene.py checks this list against the pending
 # registry). At the next promotion these move into HEADLINE with a
 # family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = [
-    "osm_osmx_roundtrip",
-    "q_join_size_estimate",
-]
+PENDING_HEADLINE: list[str] = []
 
 
 def main() -> None:

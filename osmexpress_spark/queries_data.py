@@ -6406,3 +6406,24 @@ def q_join_size_estimate(spark, sf_dir):
     return est.crossJoin(F.broadcast(exact)).select(
         "est_join_size", "exact_join_size"
     )
+
+
+# --- round-9 promotion ------------------------------------------------------
+# Merge the round-8 staging set — osm_osmx_roundtrip (the .osmx LMDB
+# migration gate) and q_join_size_estimate (the CMS join-size gate) —
+# into the live registry (PERF.md "Round 9 must" #1). Both are
+# never-green in the committed CORRECTNESS evidence, so
+# priority_order() serves them in the first window slots, followed by
+# 48 of the 50 r05-aged rows. The registry holds at 202 for the round
+# (#3): new round-9 work stages through the fresh pending dicts below.
+SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
+ORACLE_SQL.update(PENDING_ORACLE_SQL)
+PENDING_SPARK_QUERIES = {}
+PENDING_ORACLE_SQL = {}
+
+
+# --- round-9 staged queries (promote in round 10) ---------------------------
+# defq_pending appends to the fresh (empty) pending dicts above, so
+# anything registered below stays OUT of the live registry until next
+# round's promotion merge — the round-9 driver window must stay exactly
+# the 2 promoted + 48 oldest-r05 rows (PERF.md "Round 9 must" #2).

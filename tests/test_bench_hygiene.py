@@ -67,7 +67,7 @@ FAMILIES = {
                           "q_doc_dup_spans", "q_modality_alignment",
                           "q_profile_diff", "q_distinctive_terms"],
     "sketches": ["q_kmv_distinct", "q_cms_heavy_hitters",
-                 "q_kmv_distinct_by"],
+                 "q_kmv_distinct_by", "q_join_size_estimate"],
     "sketch-quantiles": ["q_quantile_sketch", "q_quantile_by_group",
                          "q_exact_quantiles", "q_exact_quantiles_by",
                          "q_quantile_sketch_merge"],
@@ -91,6 +91,8 @@ FAMILIES = {
                            "q_audio_adpcm_stats", "q_image_jpeg_stats",
                            "q_wav_segments_stats", "q_image_webp_stats"],
     "rollup-store": ["q_rollup_store", "q_stream_rollup"],
+    # round 9: the family the round-8 staging set introduced
+    "osmx-migration": ["osm_osmx_roundtrip"],
 }
 
 
