@@ -144,7 +144,11 @@ HEADLINE = [
 # (tests/test_bench_hygiene.py checks this list against the pending
 # registry). At the next promotion these move into HEADLINE with a
 # family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = []
+PENDING_HEADLINE: list[str] = [
+    "q_prefix_filter_pairs",
+    "q_bpe_token_census",
+    "q_join_order_advice",
+]
 
 
 def main() -> None:

@@ -281,6 +281,112 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT global Jaccard similarity join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): every pair with shingle-set Jaccard >= threshold, with NO
+    blocking columns and NO LSH false negatives.
+
+    The theorem: order every doc's shingles by one GLOBAL total order
+    (document frequency asc, then hash — rarest first) and take the
+    prefix of length p = n - ceil(t*n) + 1. If J(x, y) >= t, the
+    length filter t*|x| <= |y| <= |x|/t holds, the overlap needs
+    I >= t*(|x|+|y|)/(1+t) >= t*max(|x|,|y|), and a pair whose
+    prefixes are disjoint has I <= max(ceil(t*|x|), ceil(t*|y|)) - 1
+    < I — contradiction. So joining on PREFIX shingles alone finds
+    every qualifying pair; the exact array-intersect verify then
+    removes false positives. Unlike minhash_lsh_pairs (probabilistic
+    recall) and jaccard_pairs (needs blocking columns to bound the
+    quadratic term), this is exact AND global.
+
+    Scale shape: the inverted index holds only (1-t)*n + 1 entries per
+    doc — the RAREST shingles, whose document frequencies are the
+    smallest — so candidate pairs are bounded by sum(prefix-df^2) over
+    the rarest tail of the vocabulary, orders of magnitude below the
+    full-index join at high thresholds. All heavy stages are hash
+    joins/aggregates on 8-byte shingle hashes; the only array walk is
+    array_intersect on the (few) verified candidates. Threshold
+    compares use the exact integer cross-multiplication
+    den*I >= num*(A+B-I), never rounded rationals."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    docs = (
+        df.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        .select("id", "sh", F.size("sh").alias("n"))
+    )
+    inv = docs.select("id", "n", F.explode("sh").alias("s"))
+    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # (df asc, hash asc) is the one global total order both the prefix
+    # slice and the theorem use; array_sort over the 2-field struct
+    # sorts lexicographically, which is exactly that order
+    ordered = inv.join(freq, "s").groupBy("id", "n").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df_s"), F.col("s")))
+        ).alias("ord")
+    )
+    ceil_tn = F.floor((F.col("n") * num + (den - 1)) / den)
+    prefix = ordered.select(
+        "id",
+        "n",
+        F.slice(
+            F.transform("ord", lambda x: x["s"]),
+            F.lit(1),
+            (F.col("n") - ceil_tn + 1).cast("int"),
+        ).alias("pre"),
+    )
+    pr = prefix.select("id", "n", F.explode("pre").alias("s"))
+    a = pr.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
+    b = pr.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: num*max(n_a, n_b) <= den*min(n_a, n_b)
+            & (F.col("n_a") * num <= F.col("n_b") * den)
+            & (F.col("n_b") * num <= F.col("n_a") * den)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = docs.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    sh_b = docs.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+        .where(
+            F.col("n_inter") * den
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * num
+        )
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content hash: (hash, n, keep_id) for
     groups of size > 1; keep_id = min id (the canonical survivor)."""

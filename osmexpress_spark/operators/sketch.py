@@ -1278,3 +1278,46 @@ def join_plan_advice(
         )
         .otherwise("shuffle"),
     )
+
+
+def chain_join_order(
+    joins: list[tuple[str, DataFrame, Column, DataFrame, Column]],
+    w: int = 1024,
+    d: int = 3,
+) -> DataFrame:
+    """Join-ORDER advice for a chain query from Count-Min sketches: for
+    each named adjacent join ``(name, df_left, key_left, df_right,
+    key_right)`` estimate its output cardinality (cms_join_size), and
+    emit ONE row with every ``est_<name>`` plus ``plan`` — the join
+    names ordered cheapest-intermediate-first ('>'-joined, ties by
+    name).  This is the System-R greedy step a 100 TB pipeline runs
+    BEFORE submitting a multi-join query: each estimate costs one
+    map-side-combined sketch pass per side and a d*w-bounded sketch
+    join, never a trial execution, and the ordering decision (which
+    join to materialize first / which intermediate stays small enough
+    to broadcast) falls out of arithmetic on one driver-sized row.
+    Deterministic md5 bucketing keeps the whole advisor
+    oracle-checkable (the q_join_size_estimate contract, extended to
+    the ordering decision)."""
+    if not joins:
+        raise ValueError("chain_join_order needs at least one join")
+    row = None
+    for name, dl, kl, dr, kr in joins:
+        est = cms_join_size(
+            cms_build(dl, kl, w, d), cms_build(dr, kr, w, d), d
+        ).select(F.col("est_join_size").alias(f"est_{name}"))
+        row = est if row is None else row.crossJoin(F.broadcast(est))
+    order = F.array_sort(
+        F.array(*[
+            F.struct(
+                F.col(f"est_{name}").alias("est"), F.lit(name).alias("nm")
+            )
+            for name, *_ in joins
+        ])
+    )
+    return row.select(
+        *[f"est_{name}" for name, *_ in joins],
+        F.concat_ws(
+            ">", F.transform(order, lambda x: x["nm"])
+        ).alias("plan"),
+    )

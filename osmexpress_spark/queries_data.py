@@ -3550,7 +3550,11 @@ def _bpe_iteration_sql(k: int) -> str:
     )"""
 
 
-_BPE_MERGES_ORACLE = (
+# The WITH chain shared by every BPE oracle: corpus vocabulary ->
+# character symbols -> _BPE_N_MERGES unrolled training iterations,
+# ending at syms{_BPE_N_MERGES} (the fully-trained segmentation of
+# every vocabulary word).
+_BPE_CHAIN_SQL = (
     """
     WITH w AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3564,6 +3568,10 @@ _BPE_MERGES_ORACLE = (
       FROM w
     ),"""
     + ",".join(_bpe_iteration_sql(k) for k in range(_BPE_N_MERGES))
+)
+
+_BPE_MERGES_ORACLE = (
+    _BPE_CHAIN_SQL
     + f"""
     SELECT CAST(rank AS INTEGER) AS rank, a, b FROM (
       {' UNION ALL '.join(f'SELECT {k + 1} AS rank, a, b FROM best{k}'
@@ -6427,3 +6435,186 @@ PENDING_ORACLE_SQL = {}
 # anything registered below stays OUT of the live registry until next
 # round's promotion merge — the round-9 driver window must stay exactly
 # the 2 promoted + 48 oldest-r05 rows (PERF.md "Round 9 must" #2).
+
+
+@defq_pending(
+    "q_prefix_filter_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+        i -> string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2])) AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS INTEGER) AS n_inter
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n FROM d)
+    SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b
+    FROM inter i
+    JOIN sz sa ON i.id_a = sa.doc_id
+    JOIN sz sb ON i.id_b = sb.doc_id
+    WHERE 5 * i.n_inter >= 4 * (sa.n + sb.n - i.n_inter)
+    """,
+)
+def q_prefix_filter_pairs(spark, sf_dir):
+    """EXACT global Jaccard >= 0.8 similarity join via prefix
+    filtering (operators/dedup.py:prefix_filter_pairs — the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07): no blocking
+    columns, no LSH false negatives.  The Spark plan indexes only each
+    doc's p = n - ceil(0.8*n) + 1 RAREST shingles (global df-then-hash
+    order), joins candidates on those, and verifies with one exact
+    array_intersect per candidate; the oracle is the FULL inverted-
+    index join — a different exact algorithm — so agreement proves the
+    prefix theorem pruned nothing.  Completes the dedup family's
+    exactness spectrum: minhash_lsh_pairs (approximate recall),
+    jaccard_pairs (exact within blocks), prefix_filter_pairs (exact,
+    global)."""
+    return dedup.prefix_filter_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=SHINGLE_K, threshold=0.8,
+    ).select(
+        "id_a", "id_b",
+        F.col("n_inter").cast("int").alias("n_inter"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+    )
+
+
+_BPE_CENSUS_ORACLE = (
+    _BPE_CHAIN_SQL
+    + f"""
+    SELECT sym AS token, CAST(SUM(cnt) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM (SELECT word, cnt, unnest(s) AS sym FROM syms{_BPE_N_MERGES})
+    GROUP BY 1 ORDER BY n_occ DESC, token LIMIT 20
+    """
+)
+
+
+@defq_pending("q_bpe_token_census", _BPE_CENSUS_ORACLE)
+def q_bpe_token_census(spark, sf_dir):
+    """The tokenizer APPLY half behind a driver gate: train 8 merges
+    (the q_bpe_merges loop), replay them over the vocabulary with the
+    JVM-side fold (operators/bpe.py:bpe_segment_words — the same
+    _apply_merge greedy scan training used), and census the resulting
+    corpus token distribution: top-20 tokens by weighted occurrence
+    count with the distinct-word spread.  This checks every token of
+    every vocabulary word's final segmentation (stronger than the
+    merge table alone: a fold bug that segments any word differently
+    moves SUM(cnt) mass between tokens).  The oracle extends the
+    shared 8-iteration CTE chain (_BPE_CHAIN_SQL) with the census —
+    integer counts only, (n_occ DESC, token ASC) is a total order so
+    the LIMIT 20 cut is deterministic on both engines.  Scale shape:
+    the census is vocabulary-sized (corpus text is touched exactly
+    once, by word_counts), one map-side-combined aggregate over the
+    exploded segmentations, TakeOrdered(20) to the driver."""
+    from .operators import bpe
+
+    d = t(spark, sf_dir, "documents")
+    words = bpe.word_counts(d, F.col("text"))
+    merges = bpe.bpe_train(words, n_merges=_BPE_N_MERGES)
+    seg = bpe.bpe_segment_words(words, merges)
+    return (
+        seg.select("word", "cnt", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").alias("n_occ"),
+            F.count_distinct(F.col("word")).alias("n_words"),
+        )
+        .orderBy(F.col("n_occ").desc(), F.col("token"))
+        .limit(20)
+        .select("token", "n_occ", "n_words")
+    )
+
+
+def _cms_est_chain_sql(tag: str, tbl_a: str, key_a: str,
+                       tbl_b: str, key_b: str) -> str:
+    """The q_join_size_estimate CMS-estimate CTE chain, parameterized
+    by join name so several estimates compose in one oracle."""
+    return f"""
+    ka_{tag} AS (SELECT CAST({key_a} AS VARCHAR) AS item FROM {tbl_a}),
+    kb_{tag} AS (SELECT CAST({key_b} AS VARCHAR) AS item FROM {tbl_b}),
+    sa_{tag} AS (
+      SELECT cj.j, {_cms_bucket_sql('cj.j', 'ka.item')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ka_{tag} ka CROSS JOIN cj GROUP BY 1, 2
+    ),
+    sb_{tag} AS (
+      SELECT cj.j, {_cms_bucket_sql('cj.j', 'kb.item')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM kb_{tag} kb CROSS JOIN cj GROUP BY 1, 2
+    ),
+    inner_{tag} AS (
+      SELECT sa.j, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+      FROM sa_{tag} sa JOIN sb_{tag} sb
+        ON sa.j = sb.j AND sa.bucket = sb.bucket
+      GROUP BY sa.j
+    ),
+    est_{tag} AS (
+      SELECT CAST(min(COALESCE(i.ip, 0)) AS BIGINT) AS est
+      FROM cj LEFT JOIN inner_{tag} i ON cj.j = i.j
+    )"""
+
+
+_JOIN_ORDER_ORACLE = (
+    f"""
+    WITH cj AS (SELECT unnest(range({CMS_D})) AS j),"""
+    + _cms_est_chain_sql(
+        "co", "customer", "c_custkey", "orders", "o_custkey"
+    )
+    + ","
+    + _cms_est_chain_sql(
+        "ol", "orders", "o_orderkey", "lineitem", "l_orderkey"
+    )
+    + """
+    SELECT e1.est AS est_customer_orders, e2.est AS est_orders_lineitem,
+           array_to_string(list_transform(list_sort([
+               {'est': e1.est, 'nm': 'customer_orders'},
+               {'est': e2.est, 'nm': 'orders_lineitem'}
+             ]), x -> x.nm), '>') AS plan
+    FROM est_co e1, est_ol e2
+    """
+)
+
+
+@defq_pending("q_join_order_advice", _JOIN_ORDER_ORACLE)
+def q_join_order_advice(spark, sf_dir):
+    """Sketch-driven join ORDERING for the customer-orders-lineitem
+    chain (operators/sketch.py:chain_join_order): both adjacent join
+    cardinalities estimated from Count-Min sketches (the
+    q_join_size_estimate estimator, applied twice) and the System-R
+    greedy order emitted as a '>'-joined plan string — the decision a
+    100 TB pipeline makes BEFORE submitting a multi-join query, for
+    the cost of one map-side-combined sketch pass per key column and
+    two d*w-bounded sketch joins.  Deterministic md5 buckets make the
+    estimates AND the ordering decision byte-comparable with the
+    DuckDB replay; the struct sort (est, name) is a total order, so
+    the plan string is deterministic even under estimate ties."""
+    from .operators import sketch
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("item")
+    )
+    o_ck = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("item")
+    )
+    o_ok = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("item")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("item")
+    )
+    return sketch.chain_join_order(
+        [
+            ("customer_orders", c, F.col("item"), o_ck, F.col("item")),
+            ("orders_lineitem", o_ok, F.col("item"), li, F.col("item")),
+        ],
+        w=CMS_W,
+        d=CMS_D,
+    )

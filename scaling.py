@@ -110,6 +110,10 @@ SUBSET = [
     "q_stream_rollup",         # streaming epoch sink + merge-on-read series
     # round-8 staged queries (PENDING registry; promote in r09)
     "q_join_size_estimate",    # two CMS builds + bounded sketch join + exact join
+    # round-9 staged queries (PENDING registry; promote in r10)
+    "q_prefix_filter_pairs",   # prefix-pruned inverted index + exact verify
+    "q_bpe_token_census",      # train loop + JVM segmentation replay census
+    "q_join_order_advice",     # two CMS estimate pairs + bounded sketch joins
 
 ]
 

@@ -1,0 +1,123 @@
+"""Round-9 operator tests: prefix-filter exact similarity join,
+BPE token census, join-order advice."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from fractions import Fraction
+
+from osmexpress_spark.operators import dedup
+
+
+def _shingle_set(text: str) -> set[str]:
+    ws = text.split(" ")
+    return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+
+def test_prefix_filter_pairs_matches_bruteforce(spark):
+    """prefix_filter_pairs is EXACT: for random corpora (small vocab ->
+    heavy ties in the df order, mixed lengths -> length-filter edges)
+    its output equals the all-pairs brute force at every threshold,
+    including 1.0 (prefix collapses to the single rarest shingle)."""
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(80):
+        n = rng.randint(1, 12)  # n==1 docs have no bigram: dropped
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows += [(1000 + i, rows[i][1]) for i in range(6)]  # exact dups
+    rows += [(2000 + i, rows[i][1] + " w0 w1") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: _shingle_set(t) for i, t in rows if len(t.split(" ")) >= 2}
+    for thr in (0.5, 0.8, 1.0):
+        got = sorted(
+            map(
+                tuple,
+                dedup.prefix_filter_pairs(
+                    df, "doc_id", "text", k=2, threshold=thr
+                ).collect(),
+            )
+        )
+        fr = Fraction(thr).limit_denominator(10**6)
+        exp = []
+        for (ia, sa), (ib, sb) in itertools.combinations(
+            sorted(sets.items()), 2
+        ):
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter * fr.denominator >= uni * fr.numerator:
+                exp.append((ia, ib, inter, len(sa), len(sb)))
+        assert got == sorted(exp), f"threshold {thr}"
+
+
+def test_prefix_filter_pairs_no_pairs_without_overlap(spark):
+    """Disjoint-vocabulary docs produce zero pairs at any threshold."""
+    rows = [(0, "a b c"), (1, "d e f"), (2, "g h i")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        dedup.prefix_filter_pairs(df, "doc_id", "text", threshold=0.5)
+        .count()
+        == 0
+    )
+
+
+def test_chain_join_order_bounds_and_ordering(spark):
+    """chain_join_order: each CMS estimate upper-bounds the exact join
+    size, and the plan string lists join names by ascending estimate
+    (ties broken by name)."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    a = spark.createDataFrame(
+        [(str(i),) for i in range(40) for _ in range(3)], "item string"
+    )
+    b = spark.createDataFrame(
+        [(str(i),) for i in range(20)], "item string"
+    )
+    c = spark.createDataFrame(
+        [(str(i),) for i in range(10) for _ in range(5)], "item string"
+    )
+    row = sketch.chain_join_order(
+        [
+            ("ab", a, F.col("item"), b, F.col("item")),
+            ("bc", b, F.col("item"), c, F.col("item")),
+        ]
+    ).collect()[0]
+    exact_ab = a.join(b, "item").count()  # 20 keys * 3 = 60
+    exact_bc = b.join(c, "item").count()  # 10 keys * 5 = 50
+    assert row["est_ab"] >= exact_ab
+    assert row["est_bc"] >= exact_bc
+    names = row["plan"].split(">")
+    ests = sorted([(row["est_ab"], "ab"), (row["est_bc"], "bc")])
+    assert names == [nm for _, nm in ests]
+
+
+def test_bpe_segment_words_agrees_with_encode(spark):
+    """The JVM merge-replay fold (bpe_segment_words) and the rank-dict
+    greedy Arrow encode (bpe_encode) produce identical segmentations —
+    the two halves of the tokenizer apply path agree."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import bpe
+
+    rows = [
+        (0, "low lower lowest newer newest wide widest low low newer"),
+        (1, "new newer news wide wider widen lowest lowest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = bpe.word_counts(df, F.col("text"))
+    merges = bpe.bpe_train(words, n_merges=6)
+    seg = {
+        r["word"]: list(r["syms"])
+        for r in bpe.bpe_segment_words(words, merges).collect()
+    }
+    enc = bpe.bpe_encode(
+        words.select(F.col("word").alias("id"), F.col("word").alias("txt")),
+        "id",
+        F.col("txt"),
+        merges,
+    )
+    for r in enc.collect():
+        assert list(r["tokens"]) == seg[r["id"]], r["id"]
