@@ -380,3 +380,21 @@ def test_staged_round7b_plans_stay_jvm_side(spark):
         QD.SPARK_QUERIES["q_budget_by_domain"](spark, SF_DIR)
     )
     assert "SinglePartition" not in plan
+
+
+def test_round9_staged_plans_stay_jvm_side(spark):
+    """Round-9 staged queries: Python-free hot paths, no cartesian
+    products, and the prefix-filter join is an equi-join on the
+    shingle hash (a BroadcastNestedLoop/Cartesian would mean the
+    prefix index degenerated to all-pairs)."""
+    for name in ("q_prefix_filter_pairs", "q_bpe_token_census",
+                 "q_join_order_advice"):
+        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if name != "q_join_order_advice":
+            # the advisor's crossJoin(broadcast(<1-row estimate>)) is
+            # the sanctioned BNLJ shape; the other two must stay pure
+            # equi-join trees
+            assert "BroadcastNestedLoopJoin" not in plan, name
