@@ -13,10 +13,11 @@ slice of the locations/ways/relations trees. Replication state
 (osmosis seqnum/timestamp) migrates from the file's metadata table,
 so `update` catch-up resumes from the snapshot's position.
 
-Cell ids are re-derived (level-16 Morton, spatial/cells.py) from the
-exact lon/lat integers rather than reusing the file's S2 `cell_node`
-keys — same semantics (point -> sortable cell, region -> few ranges),
-different id space; see sources/osmx.py's module docstring.
+Cell ids are re-derived from the exact lon/lat integers rather than
+trusting the file's stored `cell_node` keys.  Files WE write carry
+TRUE level-16 S2 ids by default (spatial/s2cell.py,
+`cell_scheme=s2_16`), so the reference's region queries range-scan
+our index directly; see sources/osmx.py's module docstring.
 """
 
 from __future__ import annotations

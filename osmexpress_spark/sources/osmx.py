@@ -27,21 +27,25 @@ planet.osmx does NOT have to re-expand from PBF:
   reverse indexes from the logical tables the way expand does
   (src/expand.cpp:40-121's external sort, here a Spark sort).
 
-S2 -> Morton note (SURVEY §1.5, VERDICT r07): the reference's
+Cell-scheme note (SURVEY §1.5, VERDICT r07/r08): the reference's
 `cell_node` keys are S2 cell ids at level 16 (`docs/MANUAL.md:121`,
-`src/expand.cpp:151-153`); this engine's spatial cells are a level-16
-Morton grid (spatial/cells.py).  The READ path therefore re-derives
-cells from the exact lon/lat integers instead of trusting stored
-`cell_node` keys — semantics (point -> sortable cell, region -> few
-ranges) are preserved, stored S2 ids are not reused.  The WRITE path
-stores Morton keys and records `cell_scheme=morton16` in the metadata
-table so a reader can tell the two artifacts apart.
+`src/expand.cpp:151-153`).  The READ path re-derives cells from the
+exact lon/lat integers instead of trusting stored `cell_node` keys —
+semantics (point -> sortable cell, region -> few ranges) are
+preserved whatever the file holds.  The WRITE path stores TRUE
+level-16 S2 ids by default (spatial/s2cell.py; `cell_scheme=s2_16` in
+the metadata table) so the reference's own region queries can
+range-scan our index; the engine's documented Morton grid
+(spatial/cells.py) remains available as `cell_scheme="morton16"`.
+`OsmxFile.bbox_node_ids` serves region queries against either scheme.
 """
 
 from __future__ import annotations
 
 import os
 from datetime import datetime, timezone
+
+import pandas as pd
 
 from . import capnp_codec as C
 from . import lmdb_kv as K
@@ -139,6 +143,47 @@ class OsmxFile:
 
     def cell_nodes(self, cell: int) -> list[int]:
         return self.reader.get_dups("cell_node", cell)
+
+    def cell_scheme(self) -> str:
+        return self.metadata().get("cell_scheme", "s2_16")
+
+    def bbox_node_ids(
+        self,
+        lon_lo: int,
+        lat_lo: int,
+        lon_hi: int,
+        lat_hi: int,
+    ) -> list[int]:
+        """Node ids whose `cell_node` cells may intersect the
+        scaled-int bbox — the reference's region-query shape
+        (`src/extract.cpp:138-175`: covering -> cursor range scans),
+        honoring the file's recorded cell scheme.  Over-selective by
+        covering construction; callers refine with the exact location
+        predicate (as the reference does)."""
+        scheme = self.cell_scheme()
+        out: list[int] = []
+        if scheme == "s2_16":
+            from ..spatial import s2cell as S2
+
+            cover = S2.bbox_covering(
+                lon_lo, lat_lo, lon_hi, lat_hi, 16, max_cells=4096
+            )
+            ranges = S2.covering_ranges(cover)
+        elif scheme == "morton16":
+            from ..spatial import covering as COV
+            from ..spatial import region as REG
+
+            text = (
+                f"{lat_lo * 1e-7},{lon_lo * 1e-7},"
+                f"{lat_hi * 1e-7},{lon_hi * 1e-7}"
+            )
+            ranges = COV.covering(REG.Region(text, "bbox"), expand_cells=1)
+        else:
+            raise ValueError(f"unknown cell_scheme {scheme!r}")
+        for lo, hi in ranges:
+            for _k, v in self.reader.items("cell_node", lo=lo, hi=hi):
+                out.append(K._from_ikey(v))
+        return out
 
 
 def _meta_dict(meta: dict | None) -> tuple:
@@ -303,6 +348,7 @@ def write_osmx(
     tables: dict,
     path: str,
     metadata: dict[str, str] | None = None,
+    cell_scheme: str = "s2_16",
 ) -> None:
     """Four logical DataFrames (schemas.TABLE_SCHEMAS layout) -> one
     `.osmx` file the reference's tooling can open.  Sorting happens in
@@ -312,10 +358,27 @@ def write_osmx(
     holds one row and the current page — the single output file is
     the serial bottleneck (as it is for the reference's own expand),
     not memory.  The four reverse indexes and the cell index are
-    derived here exactly as expand derives them — `cell_node` under
-    the documented Morton scheme (module docstring), recorded as
-    `cell_scheme=morton16` in the metadata table."""
+    derived here exactly as expand derives them.
+
+    ``cell_scheme`` picks the `cell_node` key space and is recorded in
+    the metadata table:
+
+    - ``"s2_16"`` (default): TRUE level-16 S2 cell ids
+      (spatial/s2cell.py) — the key space the reference itself writes
+      (`src/storage.cpp:43-77` via s2geometry, docs/MANUAL.md:121), so
+      the reference's region queries can range-scan our index.  Ids
+      are computed in a vectorized Arrow seam and travel through the
+      Spark sort BIASED to signed int64 (order-preserving), unbiased
+      back to uint64 at the storage boundary.
+    - ``"morton16"``: the engine's documented Morton substitute
+      (spatial/cells.py), key-compatible with our own query path.
+
+    Readers of either scheme that re-derive cells from exact lon/lat
+    (our read path does — cells are never trusted from the file) are
+    unaffected by the choice."""
     from pyspark.sql import functions as F
+
+    from ..spatial import s2cell as S2
 
     locations = tables["locations"]
     ways = tables["ways"]
@@ -337,18 +400,37 @@ def write_osmx(
         for row in df.orderBy("id").toLocalIterator():
             yield row["id"], encode(row)
 
-    def grouped_stream(df, key, val):
+    def grouped_stream(df, key, val, key_fn=int):
         grouped = (
             df.groupBy(key)
             .agg(F.sort_array(F.collect_set(val)).alias("vals"))
             .orderBy(key)
         )
         for row in grouped.toLocalIterator():
-            yield row[key], [int(v) for v in row["vals"]]
+            yield key_fn(row[key]), [int(v) for v in row["vals"]]
 
-    cell_node = grouped_stream(
-        locations.select("cell", "id"), "cell", "id"
-    )
+    if cell_scheme == "s2_16":
+
+        @F.pandas_udf("long")
+        def _s2_biased(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            import numpy as np
+
+            ids = S2.cell_ids_np(lon.to_numpy(), lat.to_numpy(), 16)
+            # flip the top bit: uint64 order -> int64 order (== -2^63)
+            return pd.Series((ids ^ np.uint64(1 << 63)).view(np.int64))
+
+        cell_src = locations.select(
+            _s2_biased(F.col("lon"), F.col("lat")).alias("cell"), "id"
+        )
+        cell_key_fn = S2.unbias64
+    elif cell_scheme == "morton16":
+        cell_src = locations.select("cell", "id")
+        cell_key_fn = int
+    else:
+        raise ValueError(
+            f"unknown cell_scheme {cell_scheme!r} (s2_16 | morton16)"
+        )
+    cell_node = grouped_stream(cell_src, "cell", "id", cell_key_fn)
     node_way = grouped_stream(
         ways.select(
             F.explode("nodes").alias("node_id"), F.col("id").alias("way_id")
@@ -391,7 +473,7 @@ def write_osmx(
             list(row["tags_kv"] or []), _meta_from_row(row["metadata"]),
         )
 
-    meta = {"cell_scheme": "morton16"}
+    meta = {"cell_scheme": cell_scheme}
     meta.update(metadata or {})
     meta_entries = [
         (k.encode(), str(v).encode()) for k, v in sorted(meta.items())
