@@ -265,3 +265,60 @@ def test_roundtrip_property(subtests=None):
                 | ref[4 * i + 2]
             )
             assert pix[i] == want, (trial, kind, w, h, i)
+
+
+@needs_libwebp
+def test_image_decoder_ctypes_matches_pure(spark):
+    """The ctypes fast path (VERDICT r08 ask #5) is bit-identical to
+    the pure decoder on the q_image_webp_stats pipeline — same
+    features for VP8L docs, same honest stub for lossy VP8 docs."""
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import multimodal as M
+    from osmexpress_spark.queries import t
+
+    d = t(spark, "/root/testdata/sf0.001", "documents")
+    blobs = M.synth_webp_lossless(d, "doc_id")
+    pure = sorted(
+        map(
+            tuple,
+            M.extract_features(
+                blobs, decoder=M.image_decoder, modality="image"
+            )
+            .select("item_id", "decode_ok", F.col("feat").cast("string"))
+            .collect(),
+        )
+    )
+    fast = sorted(
+        map(
+            tuple,
+            M.extract_features(
+                blobs, decoder=M.image_decoder_ctypes, modality="image"
+            )
+            .select("item_id", "decode_ok", F.col("feat").cast("string"))
+            .collect(),
+        )
+    )
+    assert pure == fast
+    assert any(not ok for _, ok, _ in pure)  # the lossy stub rows exist
+    assert any(ok for _, ok, _ in pure)
+
+
+@needs_libwebp
+def test_image_decoder_ctypes_scalar_contract():
+    """Scalar contract parity: identical features on a VP8L payload,
+    NotImplementedError on lossy, ValueError on corrupt VP8L."""
+    import pytest as _pytest
+
+    from osmexpress_spark.operators import multimodal as M
+
+    import hashlib
+
+    px = b"".join(
+        hashlib.md5(f"7_w_{y}".encode()).digest()[:16] for y in range(16)
+    )
+    blob = M._encode_webp_gray(px, 16, 16)
+    assert M.image_decoder_ctypes(blob) == M.image_decoder(blob)
+    corrupt = blob[:-8]
+    with _pytest.raises(ValueError):
+        M.image_decoder_ctypes(corrupt)
