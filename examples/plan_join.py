@@ -1,0 +1,80 @@
+"""Sketch-driven join pre-flight: advise, then execute the advice.
+
+    python examples/plan_join.py LEFT.parquet KEY_L RIGHT.parquet KEY_R [OUT]
+
+Runs `join_plan_advice` (operators/sketch.py) over the two tables —
+row counts, KMV distinct/overlap estimates, the Count-Min join-size
+estimate, fan-out, and a `strategy` recommendation — prints the one
+advice row, then EXECUTES the join with the recommended physical
+strategy:
+
+- broadcast_a / broadcast_b  -> `F.broadcast` hint on that side;
+- shuffle                    -> plain equi-join (Catalyst picks SMJ);
+- shuffle_salted             -> the skew-salted join
+                                (operators/skew.py:salted_join).
+
+This is the VERDICT r08 ask #6 consumer: the decision a 100 TB
+pipeline makes BEFORE submitting a join, for the cost of one
+map-side-combined sketch pass per side — never a trial execution.
+The branch dispatch is pinned by tests/test_round9_ops.py, which
+drives every strategy branch on fixtures shaped to trigger it.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from osmexpress_spark import get_spark
+from osmexpress_spark.operators import sketch, skew
+
+
+def execute_advice(df_a, key_a: str, df_b, key_b: str, strategy: str):
+    """The advice row's `strategy` -> the physical join plan."""
+    cond = df_a[key_a] == df_b[key_b]
+    if strategy == "broadcast_a":
+        return F.broadcast(df_a).join(df_b, cond)
+    if strategy == "broadcast_b":
+        return df_a.join(F.broadcast(df_b), cond)
+    if strategy == "shuffle_salted":
+        return skew.salted_join(
+            df_a, df_b.withColumnRenamed(key_b, key_a), [key_a], key_a
+        )
+    if strategy == "shuffle":
+        return df_a.join(df_b, cond)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 4:
+        print(__doc__)
+        return 2
+    left, key_l, right, key_r = argv[:4]
+    out = argv[4] if len(argv) > 4 else None
+    spark = get_spark(app_name="plan-join")
+    spark.sparkContext.setLogLevel("WARN")
+    a = spark.read.parquet(left)
+    b = spark.read.parquet(right)
+    # the sketch builders hash string items; the cast never leaves the
+    # sketch passes (the executed join below uses the native key types)
+    advice = sketch.join_plan_advice(
+        a, F.col(key_l).cast("string"), b, F.col(key_r).cast("string")
+    ).collect()[0]
+    print("--- advice ---")
+    for field in advice.asDict():
+        print(f"  {field}: {advice[field]}")
+    joined = execute_advice(a, key_l, b, key_r, advice["strategy"])
+    n = joined.count()
+    print(f"--- executed {advice['strategy']}: {n} rows ---")
+    joined.explain()
+    if out:
+        joined.write.mode("overwrite").parquet(out)
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -121,3 +121,75 @@ def test_bpe_segment_words_agrees_with_encode(spark):
     )
     for r in enc.collect():
         assert list(r["tokens"]) == seg[r["id"]], r["id"]
+
+
+def test_plan_join_example_branches_fire(spark, tmp_path):
+    """examples/plan_join.py (VERDICT r08 ask #6): every strategy
+    branch of the advisor actually fires on a fixture shaped for it,
+    and execute_advice produces the exact inner-join result under each
+    recommendation."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import sketch
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_join_example",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "plan_join.py",
+        ),
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("k2"), F.col("id").alias("dim")
+    )
+    # skewed: one hot key dominating a side too big to broadcast
+    hot = spark.range(0, 8000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.col("id").cast("string")
+        ).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    hot_dim = spark.range(0, 3000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.col("id").cast("string")
+        ).alias("k2"),
+        F.col("id").alias("dim"),
+    )
+
+    def advise(a, ka, b, kb, threshold):
+        return sketch.join_plan_advice(
+            a, F.col(ka), b, F.col(kb),
+            broadcast_threshold_rows=threshold,
+        ).collect()[0]["strategy"]
+
+    # broadcast_a: the left side fits under the threshold
+    s = advise(small, "k2", big, "k", 1000)
+    assert s == "broadcast_a"
+    # broadcast_b: only the right side fits
+    s = advise(big, "k", small, "k2", 1000)
+    assert s == "broadcast_b"
+    # shuffle: neither fits, no skew
+    s = advise(big, "k", big.withColumnRenamed("k", "k2"), "k2", 100)
+    assert s == "shuffle"
+    # shuffle_salted: neither fits and one key dominates
+    s = advise(hot, "k", hot_dim, "k2", 100)
+    assert s == "shuffle_salted", s
+
+    # execute_advice: each branch returns the exact inner-join result
+    exact = big.join(small, big["k"] == small["k2"]).count()
+    for strat in ("broadcast_a", "broadcast_b", "shuffle"):
+        got = ex.execute_advice(big, "k", small, "k2", strat).count()
+        assert got == exact, strat
+    exact_hot = hot.join(hot_dim, hot["k"] == hot_dim["k2"]).count()
+    got = ex.execute_advice(hot, "k", hot_dim, "k2", "shuffle_salted")
+    assert got.count() == exact_hot
