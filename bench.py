@@ -148,6 +148,7 @@ PENDING_HEADLINE: list[str] = [
     "q_prefix_filter_pairs",
     "q_bpe_token_census",
     "q_join_order_advice",
+    "q_audio_au_stats",
 ]
 
 

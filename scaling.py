@@ -114,6 +114,7 @@ SUBSET = [
     "q_prefix_filter_pairs",   # prefix-pruned inverted index + exact verify
     "q_bpe_token_census",      # train loop + JVM segmentation replay census
     "q_join_order_advice",     # two CMS estimate pairs + bounded sketch joins
+    "q_audio_au_stats",        # Sun AU mu-law decode in the Arrow seam
 
 ]
 

@@ -193,3 +193,86 @@ def test_plan_join_example_branches_fire(spark, tmp_path):
     exact_hot = hot.join(hot_dim, hot["k"] == hot_dim["k2"]).count()
     got = ex.execute_advice(hot, "k", hot_dim, "k2", "shuffle_salted")
     assert got.count() == exact_hot
+
+
+def test_au_decoder_cross_validated_vs_stdlib():
+    """au_decoder vs the INDEPENDENT stdlib implementations: a mu-law
+    AU file written by sunau+audioop decodes to exactly the samples
+    audioop.ulaw2lin produces, and the 16-bit/8-bit linear paths
+    round-trip sunau-written PCM; unsupported encodings and structural
+    damage hit their contract branches."""
+    import io
+    import struct
+    import warnings
+
+    import pytest
+
+    from osmexpress_spark.operators import multimodal as M
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+        import sunau
+
+    pcm16 = struct.pack("<64h", *[((i * 997) % 65536) - 32768
+                                  for i in range(64)])
+
+    # mu-law via sunau (it compresses with audioop.lin2ulaw)
+    buf = io.BytesIO()
+    w = sunau.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.setcomptype("ULAW", "")
+    w.writeframes(pcm16)
+    w.close()
+    payload = buf.getvalue()
+    nch, rate, nframes, mean_abs, peak = M.au_decoder(payload)
+    assert (nch, rate, nframes) == (1.0, 8000.0, 64.0)
+    codes = audioop.lin2ulaw(pcm16, 2)
+    expect = [
+        struct.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0]
+        for c in codes
+    ]
+    assert mean_abs == sum(abs(s) for s in expect) / (64 * 32768.0)
+    assert peak == max(abs(s) for s in expect) / 32768.0
+
+    # 16-bit linear big-endian via sunau (AU data is big-endian and
+    # sunau writes frames verbatim, so feed BE samples)
+    vals = struct.unpack("<64h", pcm16)
+    pcm16_be = struct.pack(">64h", *vals)
+    buf = io.BytesIO()
+    w = sunau.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.setcomptype("NONE", "")
+    w.writeframes(pcm16_be)
+    w.close()
+    nch, rate, nframes, mean_abs, peak = M.au_decoder(buf.getvalue())
+    assert (nch, rate, nframes) == (2.0, 44100.0, 32.0)
+    assert mean_abs == sum(abs(v) for v in vals) / (64 * 32768.0)
+
+    # 8-bit linear (signed) via sunau
+    pcm8 = bytes(range(0, 256, 4))
+    buf = io.BytesIO()
+    w = sunau.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(1)
+    w.setframerate(8000)
+    w.setcomptype("NONE", "")
+    w.writeframes(pcm8)
+    w.close()
+    nch, rate, nframes, mean_abs, peak = M.au_decoder(buf.getvalue())
+    signed = [b - 256 if b >= 128 else b for b in pcm8]
+    assert mean_abs == sum(abs(s) for s in signed) / (64 * 128.0)
+
+    # contract branches
+    hdr = b".snd" + struct.pack(">IIIII", 24, 4, 23, 8000, 1) + b"\0" * 4
+    with pytest.raises(NotImplementedError):
+        M.au_decoder(hdr)  # G.721: unsupported encoding
+    with pytest.raises(ValueError):
+        M.au_decoder(b".snd" + b"\x00" * 10)  # truncated header
+    trunc = b".snd" + struct.pack(">IIIII", 24, 100, 1, 8000, 1) + b"\0" * 8
+    with pytest.raises(ValueError):
+        M.au_decoder(trunc)  # declared size runs past the payload
