@@ -348,9 +348,28 @@ def prefix_filter_pairs(
             (F.col("n") - ceil_tn + 1).cast("int"),
         ).alias("pre"),
     )
-    pr = prefix.select("id", "n", F.explode("pre").alias("s"))
-    a = pr.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "s")
-    b = pr.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "s")
+    pr = prefix.select(
+        "id", "n", F.posexplode("pre").alias("pos", "s")
+    )
+    a = pr.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+        F.col("pos").alias("pos_a"), "s",
+    )
+    b = pr.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+        F.col("pos").alias("pos_b"), "s",
+    )
+    # positional filter (the PP in PPJoin): a shared prefix token at
+    # 0-based positions (pos_a, pos_b) bounds the overlap by itself
+    # plus everything after it on the SHORTER remaining side; J >= t
+    # needs I*(num+den) >= num*(n_a+n_b), so a pair whose best witness
+    # can't reach that is pruned before the distinct — exactness holds
+    # because the bound is per-witness and the pair survives through
+    # its earliest shared token
+    overlap_ub = F.lit(1) + F.least(
+        F.col("n_a") - (F.col("pos_a") + 1),
+        F.col("n_b") - (F.col("pos_b") + 1),
+    )
     cand = (
         a.join(b, "s")
         .where(
@@ -358,6 +377,10 @@ def prefix_filter_pairs(
             # length filter: num*max(n_a, n_b) <= den*min(n_a, n_b)
             & (F.col("n_a") * num <= F.col("n_b") * den)
             & (F.col("n_b") * num <= F.col("n_a") * den)
+            & (
+                overlap_ub * (num + den)
+                >= (F.col("n_a") + F.col("n_b")) * num
+            )
         )
         .select("id_a", "id_b")
         .distinct()
