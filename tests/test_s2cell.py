@@ -195,3 +195,25 @@ def test_cell_latlng_bound_contains_samples():
             lon = math.degrees(math.atan2(y, x))
             assert lat_lo - 1e-7 <= lat <= lat_hi + 1e-7, (face, lvl)
             assert _lon_in(lon, lon_lo, lon_hi), (face, lvl, lon, lon_lo, lon_hi)
+
+
+def test_known_values_from_the_published_spec():
+    """Anchors every S2 implementation shares (s2geometry.io docs):
+    the six face cells are (2f+1) << 60; face 0 is centered on
+    (lat 0, lon 0) and face 2 on the north pole; the leaf at (0, 0)
+    sits on face 0."""
+    for face in range(6):
+        fc = S.from_face_ij(face, 0, 0, level=0)
+        assert fc == (2 * face + 1) << 60, face
+        assert S.level_of(fc) == 0
+    lat, lon = S.cell_center((1) << 60)  # face 0 cell
+    assert abs(lat) < 1e-12 and abs(lon) < 1e-12
+    lat, _lon = S.cell_center((5) << 60)  # face 2: +z, the north pole
+    assert abs(lat - 90.0) < 1e-9
+    lat, _lon = S.cell_center((11) << 60)  # face 5: -z, the south pole
+    assert abs(lat + 90.0) < 1e-9
+    # the (0, 0) point maps to face 0 and its level-0 ancestor is the
+    # face cell
+    leaf = S.cell_id(0.0, 0.0, level=30)
+    assert leaf >> 61 == 0
+    assert S.range_min((1) << 60) <= leaf <= S.range_max((1) << 60)
