@@ -40,8 +40,17 @@ def execute_advice(df_a, key_a: str, df_b, key_b: str, strategy: str):
     if strategy == "broadcast_b":
         return df_a.join(F.broadcast(df_b), cond)
     if strategy == "shuffle_salted":
+        # salted_join wants one shared key name; rename BOTH sides to a
+        # fresh temp so an unrelated pre-existing key_a column on the
+        # right side can't become ambiguous
+        tmp = "__plan_join_key"
+        if tmp in df_a.columns or tmp in df_b.columns:
+            raise ValueError(f"column {tmp!r} already exists")
         return skew.salted_join(
-            df_a, df_b.withColumnRenamed(key_b, key_a), [key_a], key_a
+            df_a.withColumnRenamed(key_a, tmp),
+            df_b.withColumnRenamed(key_b, tmp),
+            [tmp],
+            tmp,
         )
     if strategy == "shuffle":
         return df_a.join(df_b, cond)

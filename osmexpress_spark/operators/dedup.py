@@ -385,11 +385,20 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = docs.select(
+    # verify arrays come from `ordered`, NOT a fresh scan of docs:
+    # Catalyst does not dedupe common subtrees, so deriving them from
+    # the frame the prefix already built keeps the corpus tokenize+hash
+    # work at two evaluations (freq + ordered) instead of four —
+    # array_intersect is order-insensitive, so the (df, hash)-sorted
+    # arrays verify identically
+    arrays = ordered.select(
+        "id", "n", F.transform("ord", lambda x: x["s"]).alias("sh")
+    )
+    sh_a = arrays.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
         F.col("n").alias("n_a"),
     )
-    sh_b = docs.select(
+    sh_b = arrays.select(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
         F.col("n").alias("n_b"),
     )

@@ -2366,7 +2366,11 @@ def _decode_webp_libwebp(handle, payload: bytes) -> list[float]:
     ptr = lw.WebPDecodeRGBA(payload, len(payload),
                             ctypes.byref(w), ctypes.byref(h))
     if not ptr:
-        raise ValueError("libwebp failed to decode the WebP payload")
+        # libwebp's demuxer can be stricter about container layout
+        # than our chunk walker; contract parity means the PURE
+        # decoder decides whether the payload is features or a
+        # ValueError — never a mode-dependent outcome
+        return image_decoder(payload)
     try:
         n = w.value * h.value
         buf = np.ctypeslib.as_array(ptr, shape=(n * 4,))

@@ -1301,6 +1301,9 @@ def chain_join_order(
     the ordering decision)."""
     if not joins:
         raise ValueError("chain_join_order needs at least one join")
+    names = [name for name, *_ in joins]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate join names: {names}")
     row = None
     for name, dl, kl, dr, kr in joins:
         est = cms_join_size(

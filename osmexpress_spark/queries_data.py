@@ -6437,14 +6437,20 @@ PENDING_ORACLE_SQL = {}
 # the 2 promoted + 48 oldest-r05 rows (PERF.md "Round 9 must" #2).
 
 
+# generated from SHINGLE_K so the oracle's shingle width can never
+# silently diverge from the engine's (it used to hardcode the bigram)
+_SHINGLE_CONCAT_SQL = " || ' ' || ".join(
+    f"string_split(text, ' ')[i+{k + 1}]" for k in range(SHINGLE_K)
+)
+
+
 @defq_pending(
     "q_prefix_filter_pairs",
     f"""
     WITH d AS (
       SELECT doc_id, list_distinct(list_transform(
         range(len(string_split(text, ' ')) - {SHINGLE_K - 1}),
-        i -> string_split(text, ' ')[i+1] || ' ' ||
-             string_split(text, ' ')[i+2])) AS sh
+        i -> {_SHINGLE_CONCAT_SQL})) AS sh
       FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
     ),
     tok AS (SELECT doc_id, unnest(sh) AS s FROM d),

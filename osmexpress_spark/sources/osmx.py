@@ -473,8 +473,17 @@ def write_osmx(
             list(row["tags_kv"] or []), _meta_from_row(row["metadata"]),
         )
 
+    # the recorded scheme must describe the keys actually written —
+    # bbox_node_ids dispatches on it, so a caller-supplied override
+    # would make region queries silently scan the wrong key space
+    if metadata and metadata.get("cell_scheme", cell_scheme) != cell_scheme:
+        raise ValueError(
+            f"metadata cell_scheme {metadata['cell_scheme']!r} contradicts "
+            f"the written scheme {cell_scheme!r}; pass cell_scheme= instead"
+        )
     meta = {"cell_scheme": cell_scheme}
     meta.update(metadata or {})
+    meta["cell_scheme"] = cell_scheme
     meta_entries = [
         (k.encode(), str(v).encode()) for k, v in sorted(meta.items())
     ]

@@ -420,18 +420,45 @@ def bbox_covering(
     covering fits — more over-selection, same refine contract (the
     S2RegionCoverer trade)."""
     if max_cells is not None:
+        # budgeted descent: each level ABORTS as soon as its covering
+        # exceeds the budget (the Morton _try_cover discipline) — a
+        # continent-scale box never fully materializes its 100k-cell
+        # level-16 boundary before coarsening
         for lvl in range(level, -1, -2):
-            cover = bbox_covering(
-                lon_lo_e7, lat_lo_e7, lon_hi_e7, lat_hi_e7, lvl
+            cover = _bbox_covering_level(
+                lon_lo_e7, lat_lo_e7, lon_hi_e7, lat_hi_e7, lvl,
+                budget=max_cells,
             )
-            if len(cover) <= max_cells:
+            if cover is not None:
                 return cover
-        return bbox_covering(lon_lo_e7, lat_lo_e7, lon_hi_e7, lat_hi_e7, 0)
+        return _bbox_covering_level(
+            lon_lo_e7, lat_lo_e7, lon_hi_e7, lat_hi_e7, 0, budget=None
+        )
+    return _bbox_covering_level(
+        lon_lo_e7, lat_lo_e7, lon_hi_e7, lat_hi_e7, level, budget=None
+    )
+
+
+def _bbox_covering_level(
+    lon_lo_e7: int,
+    lat_lo_e7: int,
+    lon_hi_e7: int,
+    lat_hi_e7: int,
+    level: int,
+    budget: int | None,
+) -> list[int] | None:
+    """One covering attempt at a fixed boundary `level`; returns None
+    as soon as the cell count exceeds `budget` (early abort)."""
     lat_lo, lat_hi = lat_lo_e7 * 1e-7, lat_hi_e7 * 1e-7
     lon_lo, lon_hi = lon_lo_e7 * 1e-7, lon_hi_e7 * 1e-7
     out: list[int] = []
 
+    class _OverBudget(Exception):
+        pass
+
     def descend(face: int, i: int, j: int, lvl: int) -> None:
+        if budget is not None and len(out) > budget:
+            raise _OverBudget
         size = 1 << (MAX_LEVEL - lvl)
         c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi = _cell_latlng_bound(
             face, i, j, size
@@ -460,8 +487,11 @@ def bbox_covering(
             for dj in (0, half):
                 descend(face, i + di, j + dj, lvl + 1)
 
-    for face in range(6):
-        descend(face, 0, 0, 0)
+    try:
+        for face in range(6):
+            descend(face, 0, 0, 0)
+    except _OverBudget:
+        return None
     return sorted(out)
 
 
