@@ -241,3 +241,16 @@ def test_cli_query_osmx(osmx_path, capsys):
     assert main(["query", osmx_path]) == 0
     out = capsys.readouterr().out
     assert "locations: 5000" in out and "ways: 1250" in out
+
+
+def test_write_osmx_rejects_contradictory_scheme_metadata(
+    spark, fixture_tables, tmp_path
+):
+    """A caller metadata cell_scheme that contradicts the written keys
+    must be rejected — bbox_node_ids dispatches on the recorded value,
+    so an override would silently scan the wrong key space."""
+    with pytest.raises(ValueError, match="cell_scheme"):
+        X.write_osmx(
+            fixture_tables, str(tmp_path / "x.osmx"),
+            metadata={"cell_scheme": "morton16"},
+        )

@@ -217,3 +217,19 @@ def test_known_values_from_the_published_spec():
     leaf = S.cell_id(0.0, 0.0, level=30)
     assert leaf >> 61 == 0
     assert S.range_min((1) << 60) <= leaf <= S.range_max((1) << 60)
+
+
+def test_budgeted_covering_still_never_misses():
+    """max_cells coarsens the boundary but the guarantee holds: every
+    in-box point's cell id lies inside some merged range."""
+    rng = random.Random(21)
+    cover = S.bbox_covering(
+        -1000000000, 300000000, -700000000, 500000000, 16, max_cells=512
+    )
+    assert len(cover) <= 512
+    ranges = S.covering_ranges(cover)
+    for _ in range(100):
+        lon = rng.randint(-1000000000, -700000000)
+        lat = rng.randint(300000000, 500000000)
+        cid = S.cell_id_scaled(lon, lat, level=16)
+        assert any(lo <= cid <= hi for lo, hi in ranges), (lon, lat)
