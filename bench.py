@@ -149,6 +149,7 @@ PENDING_HEADLINE: list[str] = [
     "q_bpe_token_census",
     "q_join_order_advice",
     "q_audio_au_stats",
+    "q_audio_mp3_census",
 ]
 
 

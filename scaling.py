@@ -115,6 +115,7 @@ SUBSET = [
     "q_bpe_token_census",      # train loop + JVM segmentation replay census
     "q_join_order_advice",     # two CMS estimate pairs + bounded sketch joins
     "q_audio_au_stats",        # Sun AU mu-law decode in the Arrow seam
+    "q_audio_mp3_census",      # MPEG-1 L3 frame walk in the Arrow seam
 
 ]
 

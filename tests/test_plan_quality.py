@@ -388,7 +388,8 @@ def test_round9_staged_plans_stay_jvm_side(spark):
     shingle hash (a BroadcastNestedLoop/Cartesian would mean the
     prefix index degenerated to all-pairs)."""
     for name in ("q_prefix_filter_pairs", "q_bpe_token_census",
-                 "q_join_order_advice", "q_audio_au_stats"):
+                 "q_join_order_advice", "q_audio_au_stats",
+                 "q_audio_mp3_census"):
         plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name

@@ -276,3 +276,48 @@ def test_au_decoder_cross_validated_vs_stdlib():
     trunc = b".snd" + struct.pack(">IIIII", 24, 100, 1, 8000, 1) + b"\0" * 8
     with pytest.raises(ValueError):
         M.au_decoder(trunc)  # declared size runs past the payload
+
+
+def test_mp3_frame_census_contract_branches():
+    """mp3_frame_census: ID3v2 skip, multi-frame VBR walk, and every
+    contract branch (free format / wrong version / lost sync /
+    truncation / bad ID3 size)."""
+    import struct
+
+    import pytest
+
+    from osmexpress_spark.operators import multimodal as M
+
+    def header(br_idx, pad, version=3, layer=1, sr_idx=0):
+        return struct.pack(
+            ">I",
+            (0x7FF << 21) | (version << 19) | (layer << 17) | (1 << 16)
+            | (br_idx << 12) | (sr_idx << 10) | (pad << 9) | (3 << 6),
+        )
+
+    def frame(br_idx, pad):
+        flen = (144000 * M._MP3_BITRATE_KBPS[br_idx]) // 44100 + pad
+        return header(br_idx, pad) + b"\x00" * (flen - 4)
+
+    stream = frame(1, 0) + frame(14, 1) + frame(9, 0)
+    n, sr, samples, kbps, padded = M.mp3_frame_census(stream)
+    assert (n, sr, samples) == (3.0, 44100.0, 3 * 1152.0)
+    assert kbps == 32 + 320 + 128 and padded == 1.0
+
+    # ID3v2 tag skipped via the syncsafe size
+    tagged = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 17]) + b"\x00" * 17 + stream
+    assert M.mp3_frame_census(tagged) == M.mp3_frame_census(stream)
+
+    with pytest.raises(NotImplementedError):
+        M.mp3_frame_census(frame(1, 0).replace(
+            header(1, 0), header(0, 0)
+        ))  # free format
+    with pytest.raises(NotImplementedError):
+        M.mp3_frame_census(header(1, 0, version=2) + b"\x00" * 100)  # MPEG-2
+    with pytest.raises(ValueError):
+        M.mp3_frame_census(stream[:-10])  # truncated final frame
+    with pytest.raises(ValueError):
+        M.mp3_frame_census(stream + b"\x00\x00\x00\x00\x00")  # lost sync
+    with pytest.raises(ValueError):
+        bad = b"ID3\x04\x00\x00" + bytes([0x80, 0, 0, 0]) + stream
+        M.mp3_frame_census(bad)  # non-syncsafe size byte
