@@ -4474,10 +4474,13 @@ def mp3_frame_census(payload: bytes) -> list[float]:
     if payload[:3] == b"ID3":
         if len(payload) < 10:
             raise ValueError("ID3v2 header truncated")
+        flags = payload[5]
         b6, b7, b8, b9 = payload[6:10]
         if (b6 | b7 | b8 | b9) & 0x80:
             raise ValueError("ID3v2 size bytes not syncsafe")
         pos = 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+        if flags & 0x10:
+            pos += 10  # ID3v2.4 footer: 10 bytes outside the size
         if pos > len(payload):
             raise ValueError("ID3v2 tag runs past the payload")
     n_frames = 0
@@ -4486,6 +4489,8 @@ def mp3_frame_census(payload: bytes) -> list[float]:
     sum_bitrate = 0
     n_padded = 0
     while pos < len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break  # trailing ID3v1 tag: end of the frame stream
         if len(payload) - pos < 4:
             raise ValueError("mp3 frame header truncated")
         (hdr,) = struct.unpack_from(">I", payload, pos)
@@ -4493,6 +4498,10 @@ def mp3_frame_census(payload: bytes) -> list[float]:
             raise ValueError(f"lost mp3 frame sync at offset {pos}")
         version = (hdr >> 19) & 3
         layer = (hdr >> 17) & 3
+        if version == 1 or layer == 0:  # reserved bit patterns
+            raise ValueError(
+                f"reserved MPEG version/layer bits at offset {pos}"
+            )
         if version != 3 or layer != 1:  # MPEG-1 (3), Layer III (1)
             raise NotImplementedError(
                 "only MPEG-1 Layer III framing censused in-container "

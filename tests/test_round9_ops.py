@@ -321,3 +321,45 @@ def test_mp3_frame_census_contract_branches():
     with pytest.raises(ValueError):
         bad = b"ID3\x04\x00\x00" + bytes([0x80, 0, 0, 0]) + stream
         M.mp3_frame_census(bad)  # non-syncsafe size byte
+
+
+def test_mp3_census_real_archive_trimmings():
+    """Second-review fixes: ID3v2.4 footer flag, trailing ID3v1 tag,
+    and reserved version/layer bits classified as corruption (not
+    absent codec)."""
+    import struct
+
+    import pytest
+
+    from osmexpress_spark.operators import multimodal as M
+
+    def header(br_idx, pad, version=3, layer=1):
+        return struct.pack(
+            ">I",
+            (0x7FF << 21) | (version << 19) | (layer << 17) | (1 << 16)
+            | (br_idx << 12) | (pad << 9) | (3 << 6),
+        )
+
+    def frame(br_idx, pad=0):
+        flen = (144000 * M._MP3_BITRATE_KBPS[br_idx]) // 44100 + pad
+        return header(br_idx, pad) + b"\x00" * (flen - 4)
+
+    stream = frame(5) + frame(9)
+    base = M.mp3_frame_census(stream)
+
+    # ID3v2.4 footer flag: 10 extra bytes outside the syncsafe size
+    footered = (
+        b"ID3\x04\x00\x10" + bytes([0, 0, 0, 7]) + b"\x00" * 7
+        + b"3DI\x04\x00\x10" + bytes([0, 0, 0, 7])
+        + stream
+    )
+    assert M.mp3_frame_census(footered) == base
+
+    # trailing 128-byte ID3v1 tag ends the stream cleanly
+    assert M.mp3_frame_census(stream + b"TAG" + b"\x00" * 125) == base
+
+    # reserved bit patterns are CORRUPTION (ValueError), not a codec gap
+    with pytest.raises(ValueError):
+        M.mp3_frame_census(header(5, 0, version=1) + b"\x00" * 100)
+    with pytest.raises(ValueError):
+        M.mp3_frame_census(header(5, 0, layer=0) + b"\x00" * 100)
