@@ -1307,14 +1307,30 @@ def _store_write_text(spark, path_str: str, text: str,
 
 
 def _store_read_text(spark, path_str: str) -> str:
+    """Read store metadata.  On a filesystem where _store_write_text
+    fell back to park-and-swap (no FileContext overwrite-rename) there
+    is a sub-millisecond window where the destination does not exist
+    between the park rename and the swap rename, so a not-found is
+    retried once after a short sleep before propagating (ADVICE r09 —
+    closes the reader-visible gap the primary atomic path never has)."""
+    import time
+
     fs, hpath = _store_fs(spark, path_str)
-    stream = fs.open(hpath)
-    try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
+    for attempt in (0, 1):
+        try:
+            stream = fs.open(hpath)
+        except Exception:
+            if attempt == 0:
+                time.sleep(0.05)
+                continue
+            raise
+        try:
+            return spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    raise OSError(f"unreachable: {path_str}")
 
 
 def _store_exists(spark, path_str: str) -> bool:

@@ -6749,3 +6749,27 @@ def q_audio_mp3_census(spark, sf_dir):
         F.element_at("feat", 4).cast("long").alias("sum_bitrate_kbps"),
         F.element_at("feat", 5).cast("long").alias("n_padded"),
     )
+
+
+# --- round-10 promotion -----------------------------------------------------
+# Merge the round-9 staging set — q_prefix_filter_pairs (exact PPJoin
+# similarity join), q_bpe_token_census (tokenizer apply census),
+# q_join_order_advice (CMS System-R join ordering), q_audio_au_stats
+# (Sun AU container) and q_audio_mp3_census (MPEG-1 L3 frame walk) —
+# into the live registry (PERF.md round-10 checklist #1). All five are
+# never-green in the committed CORRECTNESS evidence, so
+# priority_order() serves them in the first window slots, followed by
+# the 45 oldest aged rows (the 2 remaining r05 rows first, then r06).
+# The registry holds at 207 for the round: new round-10 work stages
+# through the fresh pending dicts below.
+SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
+ORACLE_SQL.update(PENDING_ORACLE_SQL)
+PENDING_SPARK_QUERIES = {}
+PENDING_ORACLE_SQL = {}
+
+
+# --- round-10 staged queries (promote in round 11) --------------------------
+# defq_pending appends to the fresh (empty) pending dicts above, so
+# anything registered below stays OUT of the live registry until next
+# round's promotion merge — the round-10 driver window must stay
+# exactly the 5 promoted + 45 oldest rows.

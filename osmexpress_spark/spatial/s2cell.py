@@ -169,8 +169,11 @@ def cell_id(lat_deg: float, lon_deg: float, level: int = 16) -> int:
 
 def cell_id_scaled(lon_e7: int, lat_e7: int, level: int = 16) -> int:
     """Scaled-int32 (lon, lat) — the engine's storage codec — to a
-    uint64 S2 cell id."""
-    return cell_id(lat_e7 * 1e-7, lon_e7 * 1e-7, level)
+    uint64 S2 cell id.  Division (not *1e-7) matches osmium's
+    Location::lat/lon conversion bit-for-bit — ~29% of e7 values
+    differ by 1 ulp between the two forms, enough to flip a node
+    lying on a level-16 cell boundary (ADVICE r09)."""
+    return cell_id(lat_e7 / 1e7, lon_e7 / 1e7, level)
 
 
 def cell_center(cell_id_: int) -> tuple[float, float]:
@@ -209,8 +212,9 @@ def cell_ids_np(lon_e7, lat_e7, level: int = 16):
     batch instead of per-row Python."""
     import numpy as np
 
-    lat = np.asarray(lat_e7, dtype=np.float64) * 1e-7
-    lon = np.asarray(lon_e7, dtype=np.float64) * 1e-7
+    # division matches osmium's e7 conversion bit-for-bit (ADVICE r09)
+    lat = np.asarray(lat_e7, dtype=np.float64) / 1e7
+    lon = np.asarray(lon_e7, dtype=np.float64) / 1e7
     phi = np.radians(lat)
     lam = np.radians(lon)
     cp = np.cos(phi)
@@ -235,15 +239,18 @@ def cell_ids_np(lon_e7, lat_e7, level: int = 16):
             [z / x, z / y, -y / z, y / x, -x / y],
             default=-x / z,
         )
+    # np.where evaluates BOTH branches, so clamp each sqrt operand —
+    # the unselected branch would otherwise see a negative argument
+    # and spray RuntimeWarnings on every batch (ADVICE r09)
     s = np.where(
         u >= 0,
-        0.5 * np.sqrt(1.0 + 3.0 * u),
-        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        0.5 * np.sqrt(np.maximum(0.0, 1.0 + 3.0 * u)),
+        1.0 - 0.5 * np.sqrt(np.maximum(0.0, 1.0 - 3.0 * u)),
     )
     t = np.where(
         v >= 0,
-        0.5 * np.sqrt(1.0 + 3.0 * v),
-        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * v),
+        0.5 * np.sqrt(np.maximum(0.0, 1.0 + 3.0 * v)),
+        1.0 - 0.5 * np.sqrt(np.maximum(0.0, 1.0 - 3.0 * v)),
     )
     two30 = float(1 << MAX_LEVEL)
     i = np.clip((s * two30).astype(np.int64), 0, (1 << MAX_LEVEL) - 1)
@@ -481,6 +488,11 @@ def _bbox_covering_level(
         )
         if lvl == level or inside:
             out.append(from_face_ij(face, i, j, lvl))
+            # re-check AFTER the append too: the entry check alone
+            # misses a budget-busting cell appended by the final
+            # descend call of the traversal (ADVICE r09)
+            if budget is not None and len(out) > budget:
+                raise _OverBudget
             return
         half = size // 2
         for di in (0, half):
