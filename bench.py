@@ -137,14 +137,8 @@ HEADLINE = [
     # sketches)
     "osm_osmx_roundtrip",
     "q_join_size_estimate",
-]
-
-# Staged-but-not-yet-promoted queries get their planned bench lines
-# listed here so promotion cannot silently drop perf coverage
-# (tests/test_bench_hygiene.py checks this list against the pending
-# registry). At the next promotion these move into HEADLINE with a
-# family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = [
+    # round 10: the promoted round-9 staging set (exact similarity
+    # join, tokenizer apply, join ordering, AU/mp3 containers)
     "q_prefix_filter_pairs",
     "q_bpe_token_census",
     "q_join_order_advice",
@@ -152,8 +146,24 @@ PENDING_HEADLINE: list[str] = [
     "q_audio_mp3_census",
 ]
 
+# Staged-but-not-yet-promoted queries get their planned bench lines
+# listed here so promotion cannot silently drop perf coverage
+# (tests/test_bench_hygiene.py checks this list against the pending
+# registry). At the next promotion these move into HEADLINE with a
+# family assignment in tests/test_bench_hygiene.py FAMILIES.
+PENDING_HEADLINE: list[str] = []
+
+
+def _loadavg() -> list[float]:
+    """Host 1/5/15-minute load averages ([] where unsupported)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (AttributeError, OSError):
+        return []
+
 
 def main() -> None:
+    load_start = _loadavg()
     from osmexpress_spark import queries as Q
     from osmexpress_spark import queries_data as QD
     from osmexpress_spark import queries_osm as QO
@@ -273,12 +283,18 @@ def main() -> None:
     # full map outgrew the tail in round 7 (BENCH_r07 "parsed": null —
     # VERDICT r07 "What's wrong" #3). The compact line always fits; the
     # per-query map also lands in bench_detail.json beside this script.
+    # host 1/5/15-min loadavg at both ends of the run: three rounds of
+    # driver numbers landing above the idle insurance pair were
+    # adjudicated as exogenous host contention (PERF.md r7-r9); carrying
+    # the load in the record ends those adjudications (VERDICT r09).
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     print(json.dumps(detail))
     try:
@@ -303,6 +319,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": "bench_detail.json",
                 "sf": sf_val,
+                "loadavg_start": load_start,
+                "loadavg_end": detail["loadavg_end"],
             }
         )
     )

@@ -72,7 +72,8 @@ FAMILIES = {
                          "q_exact_quantiles", "q_exact_quantiles_by",
                          "q_quantile_sketch_merge"],
     "tokenizer-vocab": ["q_bpe_pair_counts", "q_frequent_tokens",
-                        "q_bpe_merges", "q_vocab_growth"],
+                        "q_bpe_merges", "q_vocab_growth",
+                        "q_bpe_token_census"],
     "kmeans-training": ["q_kmeans_train"],
     "model-scoring": ["q_quality_logreg", "q_bigram_perplexity"],
     "events-funnels": ["q_event_funnel", "q_event_spikes"],
@@ -89,10 +90,15 @@ FAMILIES = {
                            "q_audio_flac_stats", "q_audio_ingest_dedup",
                            "q_image_dup_clusters", "q_audio_g711_stats",
                            "q_audio_adpcm_stats", "q_image_jpeg_stats",
-                           "q_wav_segments_stats", "q_image_webp_stats"],
+                           "q_wav_segments_stats", "q_image_webp_stats",
+                           "q_audio_au_stats", "q_audio_mp3_census"],
     "rollup-store": ["q_rollup_store", "q_stream_rollup"],
     # round 9: the family the round-8 staging set introduced
     "osmx-migration": ["osm_osmx_roundtrip"],
+    # round 10: the promoted round-9 staging set joins existing
+    # families where one fits; the two genuinely new surfaces get rows
+    "dedup-exact-similarity": ["q_prefix_filter_pairs"],
+    "join-planning": ["q_join_order_advice"],
 }
 
 
