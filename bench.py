@@ -151,7 +151,13 @@ HEADLINE = [
 # (tests/test_bench_hygiene.py checks this list against the pending
 # registry). At the next promotion these move into HEADLINE with a
 # family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = []
+PENDING_HEADLINE: list[str] = [
+    "q_zstd_census",
+    "q_warc_census",
+    "q_url_parse",
+    "q_charset_decode",
+    "q_ogg_census",
+]
 
 
 def _loadavg() -> list[float]:

@@ -4604,3 +4604,271 @@ def synth_mp3_frames(
             )
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Charset sniffing + decoding (web-crawl ingest).  Crawled bytes carry
+# no reliable encoding declaration; the first text operation is
+# deciding how to turn bytes into characters.  The sniff ladder is the
+# standard one: BOM (utf-8 / utf-16 LE / BE), else strict utf-8
+# validation, else the latin-1 total fallback (every byte sequence is
+# valid latin-1, so the ladder never fails on WHOLE bytes — only a
+# torn multi-byte encoding under a BOM raises, the damage branch).
+
+CHARSET_CODES = {
+    "utf-8": 0, "utf-8-bom": 1, "utf-16le": 2, "utf-16be": 3, "latin-1": 4,
+}
+
+
+def charset_decoder(payload: bytes) -> list[float]:
+    """Sniff + decode: [encoding_code, n_chars, hash48(decoded)].
+    The hash is over the decoded text's utf-8 re-encoding, so two
+    payloads carrying the same TEXT in different charsets hash equal —
+    exactly the property cross-encoding dedup needs.  ValueError on a
+    BOM whose body does not decode (truncated utf-16, bad utf-8 after
+    a utf-8 BOM)."""
+    import hashlib
+
+    b = bytes(payload)
+    try:
+        if b[:3] == b"\xef\xbb\xbf":
+            enc, text = "utf-8-bom", b[3:].decode("utf-8", "strict")
+        elif b[:2] == b"\xff\xfe":
+            enc, text = "utf-16le", b[2:].decode("utf-16-le", "strict")
+        elif b[:2] == b"\xfe\xff":
+            enc, text = "utf-16be", b[2:].decode("utf-16-be", "strict")
+        else:
+            try:
+                enc, text = "utf-8", b.decode("utf-8", "strict")
+            except UnicodeDecodeError:
+                enc, text = "latin-1", b.decode("latin-1")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"BOM-declared encoding damaged: {exc}") from exc
+    h48 = int(
+        hashlib.md5(text.encode("utf-8")).hexdigest()[:12], 16
+    )
+    return [float(CHARSET_CODES[enc]), float(len(text)), float(h48)]
+
+
+# the latin-1 marker suffix synth_encoded appends: bytes that are
+# valid latin-1 but NOT valid utf-8, so the sniff ladder's fallback
+# branch genuinely fires (ascii text alone is indistinguishable)
+_LATIN1_SUFFIX = " caf\xe9"
+
+
+def synth_encoded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corrupt_mod: int = 23,
+) -> DataFrame:
+    """Per-row deterministic charset fixtures: the document text
+    encoded per doc_id % 5 — plain utf-8 / utf-8 with BOM / utf-16 LE
+    with BOM / utf-16 BE with BOM / latin-1 with the non-ascii
+    ' café' suffix (forcing the fallback branch).  Every
+    `corrupt_mod`-th doc ships a utf-16 BOM with the final byte cut
+    (odd-length utf-16 — the ValueError branch).  Arrow mapInPandas,
+    zero shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id, text in zip(pdf[id_col], pdf[text_col]):
+                i = int(item_id)
+                s = str(text)
+                if corrupt_mod and i % corrupt_mod == 0:
+                    payloads.append(
+                        b"\xff\xfe" + s.encode("utf-16-le")[:-1]
+                    )
+                    continue
+                branch = i % 5
+                if branch == 0:
+                    out = s.encode("utf-8")
+                elif branch == 1:
+                    out = b"\xef\xbb\xbf" + s.encode("utf-8")
+                elif branch == 2:
+                    out = b"\xff\xfe" + s.encode("utf-16-le")
+                elif branch == 3:
+                    out = b"\xfe\xff" + s.encode("utf-16-be")
+                else:
+                    out = (s + _LATIN1_SUFFIX).encode("latin-1")
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Ogg container census (the mp3_frame_census sibling for the other
+# ubiquitous audio container).  A real page walk: capture pattern,
+# version, header-type flags, granule position, the lacing table's
+# packet framing (255-continuation rule), and the page CRC —
+# RECOMPUTED per page with the Ogg polynomial (0x04C11DB7, MSB-first,
+# no reflection, zero init/xorout), so one flipped payload bit fails
+# the page.  The Vorbis identification header (first packet of the
+# BOS page) yields channels/sample-rate.  Full Vorbis PCM synthesis
+# (floor/residue/MDCT) stays out, same honesty contract as mp3.
+
+_OGG_CRC_TABLE: list[int] = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    if not _OGG_CRC_TABLE:
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE.append(-1)  # sentinel: table built
+    crc = 0
+    for byte in data:
+        crc = (
+            (crc << 8) & 0xFFFFFFFF
+        ) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+_OGG_RATES = (8000, 22050, 44100, 48000)
+
+
+def ogg_census(payload: bytes) -> list[float]:
+    """Ogg page walk: [n_pages, n_packets, payload_bytes, channels,
+    sample_rate, last_granule].  ValueError on a bad capture pattern,
+    version, CRC mismatch, truncation, or a missing/short Vorbis
+    identification header.  n_packets counts lacing-terminated
+    packets (a segment value < 255 ends a packet; packets continued
+    across pages count once, at their final segment)."""
+    import struct
+
+    b = bytes(payload)
+    pos, n = 0, len(b)
+    n_pages = n_packets = payload_bytes = 0
+    channels = rate = -1
+    last_granule = 0
+    first = True
+    while pos < n:
+        if b[pos:pos + 4] != b"OggS" or pos + 27 > n:
+            raise ValueError("bad Ogg capture pattern")
+        if b[pos + 4] != 0:
+            raise ValueError("unknown Ogg version")
+        granule, _serial, _seq, crc, nsegs = struct.unpack_from(
+            "<qIIIB", b, pos + 6
+        )
+        if pos + 27 + nsegs > n:
+            raise ValueError("truncated Ogg segment table")
+        lacing = b[pos + 27:pos + 27 + nsegs]
+        body_len = sum(lacing)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > n:
+            raise ValueError("truncated Ogg page body")
+        page = bytearray(b[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("Ogg page CRC mismatch")
+        n_pages += 1
+        payload_bytes += body_len
+        n_packets += sum(1 for v in lacing if v < 255)
+        last_granule = granule
+        if first:
+            body = b[pos + 27 + nsegs:page_end]
+            if body[:7] != b"\x01vorbis" or len(body) < 30:
+                raise ValueError("missing Vorbis identification header")
+            channels = body[11]
+            rate = struct.unpack_from("<I", body, 12)[0]
+            first = False
+        pos = page_end
+    if n_pages == 0:
+        raise ValueError("empty Ogg payload")
+    return [
+        float(n_pages), float(n_packets), float(payload_bytes),
+        float(channels), float(rate), float(last_granule),
+    ]
+
+
+def synth_ogg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corrupt_mod: int = 8,
+) -> DataFrame:
+    """Per-row deterministic Ogg/Vorbis streams: a BOS page carrying a
+    30-byte Vorbis identification header (channels = 1 + byte0 % 2,
+    rate = _OGG_RATES[byte1 % 4] from md5(f"{id}_g_h")), then
+    2 + byte2 % 3 audio pages of two packets each — packet A's length
+    is 1 + byte(2p) % 200 of md5(f"{id}_g_l"), packet B's is
+    255 + byte(2p+1) % 100 (so every page exercises the 255-lacing
+    continuation rule) — granule position advancing by
+    256 + byte(p) % 1000 of md5(f"{id}_g_g") per page, EOS on the
+    last.  Every `corrupt_mod`-th doc has one payload byte flipped
+    AFTER CRC computation — the census must refuse the page.  All
+    values md5-hex-recomputable by the oracle.  Arrow mapInPandas,
+    zero shuffle."""
+    import hashlib
+    import struct
+
+    def page(
+        body: bytes, lacing: list[int], flags: int,
+        granule: int, serial: int, seq: int,
+    ) -> bytes:
+        head = (
+            b"OggS\x00" + bytes([flags])
+            + struct.pack("<qIII", granule, serial, seq, 0)
+            + bytes([len(lacing)]) + bytes(lacing)
+        )
+        crc = _ogg_crc(head + body)
+        return (
+            head[:22] + struct.pack("<I", crc) + head[26:] + body
+        )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                hb = hashlib.md5(f"{i}_g_h".encode()).digest()
+                lb = hashlib.md5(f"{i}_g_l".encode()).digest()
+                gb = hashlib.md5(f"{i}_g_g".encode()).digest()
+                channels = 1 + hb[0] % 2
+                rate = _OGG_RATES[hb[1] % 4]
+                ident = (
+                    b"\x01vorbis" + struct.pack("<I", 0)
+                    + bytes([channels]) + struct.pack("<I", rate)
+                    + struct.pack("<iii", 0, 128000, 0)
+                    + b"\xb8\x01"
+                )
+                serial = int.from_bytes(hb[4:8], "little")
+                out = page(ident, [len(ident)], 0x02, 0, serial, 0)
+                n_audio = 2 + hb[2] % 3
+                granule = 0
+                for p in range(n_audio):
+                    la = 1 + lb[2 * p] % 200
+                    lc = 255 + lb[2 * p + 1] % 100
+                    body = bytes(
+                        hashlib.md5(f"{i}_g_b{p}".encode()).digest()
+                        * ((la + lc) // 16 + 1)
+                    )[: la + lc]
+                    lacing = [la, 255, lc - 255]
+                    granule += 256 + gb[p] % 1000
+                    flags = 0x04 if p == n_audio - 1 else 0x00
+                    out += page(body, lacing, flags, granule, serial, p + 1)
+                if corrupt_mod and i % corrupt_mod == 0:
+                    out = bytearray(out)
+                    out[-1] ^= 0x40  # flip a bit in the final body
+                    out = bytes(out)
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)

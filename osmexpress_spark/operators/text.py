@@ -633,3 +633,99 @@ def hashed_features_stats(
             "top_bucket"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# URL parsing / normalization (web-crawl ingest).  One RE2-safe grammar
+# shared verbatim with the DuckDB oracle (no backrefs, no lookaround),
+# so both engines split a URL identically; everything below is
+# scan-side JVM string work — zero Python, zero shuffle.
+
+URL_RE = (
+    "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/:?#]+)(?::([0-9]+))?"
+    "([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$"
+)
+_DEFAULT_PORTS = [("http", 80), ("https", 443), ("ftp", 21)]
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, URL_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, URL_RE, 2))
+
+
+def url_port(url: Column) -> Column:
+    """Effective port: the explicit one, else the scheme default,
+    else NULL (unknown scheme with no explicit port)."""
+    explicit = F.regexp_extract(url, URL_RE, 3)
+    scheme = url_scheme(url)
+    default = F.lit(None).cast("int")
+    for name, port in _DEFAULT_PORTS:
+        default = F.when(scheme == name, F.lit(port)).otherwise(default)
+    return F.when(explicit != "", explicit.cast("int")).otherwise(default)
+
+
+def url_path(url: Column) -> Column:
+    """The path, '/' when absent (RFC 3986 normalization of the empty
+    path for an authority-form URL)."""
+    p = F.regexp_extract(url, URL_RE, 4)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, URL_RE, 5)
+
+
+def url_path_depth(url: Column) -> Column:
+    """Count of non-empty path segments."""
+    segs = F.filter(
+        F.split(url_path(url), "/"), lambda s: s != F.lit("")
+    )
+    return F.size(segs).cast("int")
+
+
+def url_param_count(url: Column) -> Column:
+    q = url_query(url)
+    return (
+        F.when(q == "", F.lit(0))
+        .otherwise(F.size(F.split(q, "&")))
+        .cast("int")
+    )
+
+
+def registrable_domain(url: Column) -> Column:
+    """Last two dot-labels of the host — the grouping key for
+    per-site quotas and politeness.  Documented simplification: a real
+    deployment swaps in the Public Suffix List (co.uk-style suffixes
+    need it); the operator shape (scan-side extract, zero shuffle) is
+    the same."""
+    return F.regexp_extract(url_host(url), "([^.]+\\.[^.]+)$", 1)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for exact-dup grouping: lowercase scheme+host,
+    default port dropped / explicit non-default kept, empty path
+    -> '/', query params SORTED (the k=v order a crawler emits is not
+    identity-relevant), fragment dropped.  Semantic-preserving per RFC
+    3986 §6 except the param sort, which is the curation trade
+    (grouping recall over strict fidelity) and is what URL dedup
+    pipelines do."""
+    scheme, host = url_scheme(url), url_host(url)
+    explicit = F.regexp_extract(url, URL_RE, 3)
+    is_default = F.lit(False)
+    for name, port in _DEFAULT_PORTS:
+        is_default = is_default | (
+            (scheme == name) & (explicit == str(port))
+        )
+    portpart = F.when(
+        (explicit == "") | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), explicit))
+    q = url_query(url)
+    qnorm = F.when(q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&"))
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, portpart, url_path(url), qnorm
+    )

@@ -6773,3 +6773,315 @@ PENDING_ORACLE_SQL = {}
 # anything registered below stays OUT of the live registry until next
 # round's promotion merge — the round-10 driver window must stay
 # exactly the 5 promoted + 45 oldest rows.
+
+
+# --- round-10 staged gates: web-crawl ingestion surface ---------------------
+# The five operators a Common-Crawl-shaped pipeline runs FIRST, before
+# any operator the registry already gates: decompress the archive
+# (zstd), split + parse the container (WARC), canonicalize the key
+# (URL), turn bytes into characters (charset), inventory the other
+# audio container (Ogg).  Same fixture discipline as the mp3/AU gates:
+# blobs synthesized deterministically from documents + md5, every
+# census column recomputed by the oracle from the ORIGINAL text/hex.
+
+
+@defq_pending(
+    "q_zstd_census",
+    """
+    SELECT doc_id AS item_id,
+           (doc_id % 13 != 0) AS decode_ok,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+                     WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_skippable,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+                     ELSE strlen(text) END AS BIGINT) AS content_size,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+                     ELSE strlen(text) END AS BIGINT) AS decoded_len,
+           CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+           END AS text_hash
+    FROM documents
+    """,
+)
+def q_zstd_census(spark, sf_dir):
+    """zstd (RFC 8878) archive ingestion behind a driver gate: the
+    document text compressed through the system libzstd
+    (compress.synth_zstd), then censused by a pure-stdlib frame/block
+    walk (magic, FHD, window/dict/FCS fields, 3-byte block headers,
+    checksum trailer) PLUS a real ctypes decompress whose output is
+    hashed and length-checked against the frame header's declared
+    content size (compress.zstd_decoder).  The oracle recomputes every
+    column from the ORIGINAL text, so agreement proves the
+    compress -> walk -> decompress -> hash pipeline is lossless end to
+    end; every 9th doc carries a leading skippable frame the walk must
+    hop, every 13th is truncated (the structural-damage branch)."""
+    from .operators import compress
+
+    d = t(spark, sf_dir, "documents")
+    blobs = compress.synth_zstd(d, "doc_id", "text")
+    feats = multimodal.extract_features(
+        blobs, decoder=compress.zstd_decoder, modality="archive"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 2).cast("long").alias("n_skippable"),
+        F.element_at("feat", 3).cast("long").alias("content_size"),
+        F.element_at("feat", 5).cast("long").alias("decoded_len"),
+        F.element_at("feat", 6).cast("long").alias("text_hash"),
+    )
+
+
+@defq_pending(
+    "q_warc_census",
+    """
+    WITH st AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id || '_w_s'), 1, 2)
+                  AS INTEGER) % 6 AS si
+      FROM documents
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 17 != 0) AS parse_ok,
+           CAST(CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                     WHEN d.doc_id % 4 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_records,
+           CAST(CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                     ELSE 1 END AS BIGINT) AS n_responses,
+           CAST(CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                     ELSE list_value(200, 301, 304, 404, 500, 503)[st.si + 1]
+                END AS INTEGER) AS http_status,
+           CAST(CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                     ELSE 43 + list_value(2, 17, 12, 9, 21, 19)[st.si + 1]
+                          + strlen(d.text) END AS BIGINT) AS content_length,
+           CAST(CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                     ELSE strlen(d.text) END AS BIGINT) AS body_len,
+           CASE WHEN d.doc_id % 17 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST('0x' || substr(md5(d.text), 1, 12) AS BIGINT)
+           END AS body_hash
+    FROM documents d JOIN st USING (doc_id)
+    """,
+)
+def q_warc_census(spark, sf_dir):
+    """WARC (ISO 28500) web-archive ingestion behind a driver gate —
+    the Common Crawl record layout end to end: per-record gzip members
+    split with zlib (unused_data carries the next member), WARC/1.0
+    headers and Content-Length-delimited blocks parsed, the inner
+    HTTP/1.1 response split into status + entity body
+    (sources/warc.py).  Every 10th doc ships uncompressed (the raw
+    .warc branch), every 4th carries a request record before the
+    response, every 17th is cut mid-member (parse_ok=False — damage is
+    data, never a stage failure).  The oracle recomputes status (byte
+    0 of md5(id||'_w_s') over the sorted 6-status table),
+    content-length (the 43-byte HTTP template + reason + body) and the
+    body hash from the ORIGINAL text, so agreement proves member
+    split, record parse, HTTP split and body integrity."""
+    from .sources import warc as warc_mod
+
+    d = t(spark, sf_dir, "documents")
+    blobs = warc_mod.synth_warc(d, "doc_id", "text")
+    return warc_mod.warc_doc_census(blobs).select(
+        "item_id",
+        "parse_ok",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("n_responses").cast("long").alias("n_responses"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("content_length").cast("long").alias("content_length"),
+        F.col("body_len").cast("long").alias("body_len"),
+        F.col("body_hash").cast("long").alias("body_hash"),
+    )
+
+
+@defq_pending(
+    "q_url_parse",
+    """
+    SELECT doc_id AS item_id,
+           'https://www.crawl-' || (doc_id % 50) || '.example.org'
+             || CASE WHEN doc_id % 3 = 0 THEN '' ELSE ':8443' END
+             || '/a/' || (doc_id % 7)
+             || CASE WHEN doc_id % 2 = 0 THEN '/b' ELSE '' END
+             || '?' || CASE WHEN doc_id % 4 = 0 THEN 'a=2&' ELSE '' END
+             || 'y=' || (doc_id % 5) || '&z=1' AS url_norm,
+           'https' AS scheme,
+           'www.crawl-' || (doc_id % 50) || '.example.org' AS host,
+           'example.org' AS domain,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 443 ELSE 8443 END
+                AS INTEGER) AS port,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+                AS INTEGER) AS path_depth,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END
+                AS INTEGER) AS n_params
+    FROM documents
+    """,
+)
+def q_url_parse(spark, sf_dir):
+    """URL parsing + canonicalization behind a driver gate: one
+    RE2-safe grammar (text.URL_RE) splits scheme/host/port/path/query/
+    fragment scan-side (zero Python, zero shuffle, whole-stage
+    codegen), then url_normalize lowercases scheme+host, drops default
+    ports and fragments, sorts query params, and '/'-normalizes the
+    empty path — the grouping key of URL-level dedup and per-site
+    quotas.  The fixture URL is built in-query with deliberate case
+    noise, a default :443 port on every 3rd doc, varying path depth
+    and param sets; the oracle derives every output in CLOSED FORM
+    from doc_id (no regex anywhere), so agreement proves the parser
+    against an independent derivation."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Crawl-"), (did % 50).cast("string"),
+        F.lit(".Example.ORG:"),
+        F.when(did % 3 == 0, F.lit("443")).otherwise(F.lit("8443")),
+        F.lit("/a/"), (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit("/b")).otherwise(F.lit("")),
+        F.lit("?z=1&y="), (did % 5).cast("string"),
+        F.when(did % 4 == 0, F.lit("&a=2")).otherwise(F.lit("")),
+        F.lit("#s"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        F.col("doc_id").alias("item_id"),
+        text.url_normalize(F.col("url")).alias("url_norm"),
+        text.url_scheme(F.col("url")).alias("scheme"),
+        text.url_host(F.col("url")).alias("host"),
+        text.registrable_domain(F.col("url")).alias("domain"),
+        text.url_port(F.col("url")).cast("int").alias("port"),
+        text.url_path_depth(F.col("url")).alias("path_depth"),
+        text.url_param_count(F.col("url")).alias("n_params"),
+    )
+
+
+@defq_pending(
+    "q_charset_decode",
+    """
+    SELECT doc_id AS item_id,
+           (doc_id % 23 != 0) AS decode_ok,
+           CASE WHEN doc_id % 23 = 0 THEN CAST(NULL AS VARCHAR)
+                ELSE list_value('utf-8', 'utf-8-bom', 'utf-16le',
+                                'utf-16be', 'latin-1')[(doc_id % 5) + 1]
+           END AS encoding,
+           CAST(CASE WHEN doc_id % 23 = 0 THEN NULL
+                     WHEN doc_id % 5 = 4 THEN length(text) + 5
+                     ELSE length(text) END AS BIGINT) AS n_chars,
+           CASE WHEN doc_id % 23 = 0 THEN CAST(NULL AS BIGINT)
+                WHEN doc_id % 5 = 4 THEN
+                  CAST('0x' || substr(md5(text || ' café'), 1, 12)
+                       AS BIGINT)
+                ELSE CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+           END AS text_hash
+    FROM documents
+    """,
+)
+def q_charset_decode(spark, sf_dir):
+    """Charset sniffing + decoding behind a driver gate — the
+    bytes-to-characters step every crawled corpus runs first
+    (multimodal.charset_decoder): BOM ladder (utf-8 / utf-16 LE / BE),
+    strict utf-8 validation, latin-1 total fallback; the text hash is
+    over the decoded text's utf-8 RE-encoding, so the same text in
+    five different charsets hashes identically — exactly the property
+    cross-encoding dedup needs, and exactly what the oracle checks
+    (md5 of the original text regardless of the fixture branch).  The
+    latin-1 branch appends a non-ascii suffix so the fallback
+    genuinely fires; every 23rd doc ships a torn utf-16 body under its
+    BOM (the damage branch)."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_encoded(d, "doc_id", "text")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.charset_decoder, modality="text"
+    )
+    code = F.element_at("feat", 1).cast("int")
+    labels = F.array(
+        *[F.lit(s) for s in
+          ("utf-8", "utf-8-bom", "utf-16le", "utf-16be", "latin-1")]
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.when(F.col("decode_ok"), F.element_at(labels, code + 1)).alias(
+            "encoding"
+        ),
+        F.element_at("feat", 2).cast("long").alias("n_chars"),
+        F.element_at("feat", 3).cast("long").alias("text_hash"),
+    )
+
+
+@defq_pending(
+    "q_ogg_census",
+    """
+    WITH hx AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id || '_g_h'), 1, 2)
+                  AS INTEGER) AS h0,
+             CAST('0x' || substr(md5(doc_id || '_g_h'), 3, 2)
+                  AS INTEGER) AS h1,
+             CAST('0x' || substr(md5(doc_id || '_g_h'), 5, 2)
+                  AS INTEGER) AS h2
+      FROM documents
+    ),
+    pages AS (
+      SELECT hx.doc_id, p.range AS p,
+             1 + CAST('0x' || substr(md5(hx.doc_id || '_g_l'),
+                                     4 * p.range + 1, 2)
+                      AS INTEGER) % 200 AS la,
+             255 + CAST('0x' || substr(md5(hx.doc_id || '_g_l'),
+                                       4 * p.range + 3, 2)
+                        AS INTEGER) % 100 AS lc,
+             256 + CAST('0x' || substr(md5(hx.doc_id || '_g_g'),
+                                       2 * p.range + 1, 2)
+                        AS INTEGER) % 1000 AS ginc
+      FROM hx, range(4) p
+      WHERE p.range < 2 + hx.h2 % 3
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_audio,
+             CAST(SUM(la + lc) AS BIGINT) AS audio_bytes,
+             CAST(SUM(ginc) AS BIGINT) AS total_granule
+      FROM pages GROUP BY 1
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 8 != 0) AS decode_ok,
+           CAST(CASE WHEN d.doc_id % 8 = 0 THEN NULL
+                     ELSE 1 + a.n_audio END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN d.doc_id % 8 = 0 THEN NULL
+                     ELSE 1 + 2 * a.n_audio END AS BIGINT) AS n_packets,
+           CAST(CASE WHEN d.doc_id % 8 = 0 THEN NULL
+                     ELSE 30 + a.audio_bytes END AS BIGINT) AS payload_bytes,
+           CAST(CASE WHEN d.doc_id % 8 = 0 THEN NULL
+                     ELSE 1 + hx.h0 % 2 END AS BIGINT) AS channels,
+           CAST(CASE WHEN d.doc_id % 8 = 0 THEN NULL
+                     ELSE list_value(8000, 22050, 44100, 48000)[hx.h1 % 4 + 1]
+                END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 8 = 0 THEN NULL
+                     ELSE a.total_granule END AS BIGINT) AS last_granule
+    FROM documents d JOIN hx USING (doc_id) JOIN agg a USING (doc_id)
+    """,
+)
+def q_ogg_census(spark, sf_dir):
+    """The Ogg container behind a driver gate — the mp3_frame_census
+    sibling for the other ubiquitous audio container
+    (multimodal.ogg_census): a real page walk verifying the capture
+    pattern, version, lacing-table packet framing (every synthesized
+    page exercises the 255-continuation rule) and the page CRC,
+    RECOMPUTED per page with the Ogg polynomial (0x04C11DB7 MSB-first,
+    zero init/xorout — one flipped payload bit on every 8th doc fails
+    its page, the damage branch), plus the Vorbis identification
+    header's channels/sample-rate.  Full Vorbis PCM synthesis stays
+    the documented honest stub, as with mp3.  The oracle recomputes
+    page counts, packet counts, payload bytes and the final granule
+    position from the same md5 hex the synthesis used."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_ogg(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.ogg_census, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 1).cast("long").alias("n_pages"),
+        F.element_at("feat", 2).cast("long").alias("n_packets"),
+        F.element_at("feat", 3).cast("long").alias("payload_bytes"),
+        F.element_at("feat", 4).cast("long").alias("channels"),
+        F.element_at("feat", 5).cast("long").alias("sample_rate"),
+        F.element_at("feat", 6).cast("long").alias("last_granule"),
+    )

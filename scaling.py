@@ -116,6 +116,12 @@ SUBSET = [
     "q_join_order_advice",     # two CMS estimate pairs + bounded sketch joins
     "q_audio_au_stats",        # Sun AU mu-law decode in the Arrow seam
     "q_audio_mp3_census",      # MPEG-1 L3 frame walk in the Arrow seam
+    # round-10 staged queries (PENDING registry; promote in r11)
+    "q_zstd_census",           # zstd frame walk + ctypes decompress census
+    "q_warc_census",           # gzip-member split + WARC/HTTP record parse
+    "q_url_parse",             # RE2-safe URL grammar, scan-side codegen
+    "q_charset_decode",        # BOM/utf-8/latin-1 sniff ladder in Arrow seam
+    "q_ogg_census",            # Ogg page walk + CRC verify + Vorbis ident
 
 ]
 
