@@ -4872,3 +4872,128 @@ def synth_ogg(
             )
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# mp3 metadata extraction — the O(1) triage sibling of the frame walk:
+# ID3v2 text frames (title/artist/album identify an archive's
+# provenance before any audio work) and the Xing/Info VBR header in
+# the first frame (frame/byte totals => duration without walking the
+# stream).  Census walks when you must, headers when you can.
+
+_ID3_ENCODINGS = ("latin-1", "utf-16", "utf-16-be", "utf-8")
+
+
+def id3v2_text_frames(payload: bytes) -> dict[str, str]:
+    """Text frames (T***) of a leading ID3v2.3/2.4 tag as
+    {frame_id: text}; {} when no tag.  ValueError on a structurally
+    damaged tag (truncated header, non-syncsafe size, frame running
+    past the tag)."""
+    if bytes(payload[:3]) != b"ID3":
+        return {}
+    b = bytes(payload)
+    if len(b) < 10:
+        raise ValueError("ID3v2 header truncated")
+    major = b[3]
+    b6, b7, b8, b9 = b[6:10]
+    if (b6 | b7 | b8 | b9) & 0x80:
+        raise ValueError("ID3v2 size bytes not syncsafe")
+    end = 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+    if end > len(b):
+        raise ValueError("ID3v2 tag runs past the payload")
+    out: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = b[pos:pos + 4]
+        if fid[0] == 0:
+            break  # zero padding: end of frames
+        if major >= 4:
+            s6, s7, s8, s9 = b[pos + 4:pos + 8]
+            if (s6 | s7 | s8 | s9) & 0x80:
+                raise ValueError("ID3v2.4 frame size not syncsafe")
+            size = (s6 << 21) | (s7 << 14) | (s8 << 7) | s9
+        else:
+            size = int.from_bytes(b[pos + 4:pos + 8], "big")
+        body_start = pos + 10
+        if body_start + size > end:
+            raise ValueError("ID3v2 frame runs past the tag")
+        if fid[:1] == b"T" and fid != b"TXXX" and size >= 1:
+            enc = b[body_start]
+            if enc < len(_ID3_ENCODINGS):
+                try:
+                    text = b[body_start + 1:body_start + size].decode(
+                        _ID3_ENCODINGS[enc]
+                    )
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        f"ID3v2 text frame damaged: {exc}"
+                    ) from exc
+                out[fid.decode("ascii")] = text.rstrip("\x00")
+        pos = body_start + size
+    return out
+
+
+def mp3_xing_parse(payload: bytes) -> tuple[int, int, int]:
+    """(n_frames, n_bytes, quality) from a Xing/Info VBR header in the
+    first MPEG-1 Layer III frame, or (-1, -1, -1) when the stream has
+    none (CBR files usually do not).  Fields absent per the Xing flag
+    word report -1 individually."""
+    import struct
+
+    b = bytes(payload)
+    pos = 0
+    if b[:3] == b"ID3":
+        b6, b7, b8, b9 = b[6:10]
+        pos = 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+        if b[5] & 0x10:
+            pos += 10
+    if len(b) - pos < 4:
+        raise ValueError("mp3 frame header truncated")
+    (hdr,) = struct.unpack_from(">I", b, pos)
+    if hdr >> 21 != 0x7FF or (hdr >> 19) & 3 != 3 or (hdr >> 17) & 3 != 1:
+        raise ValueError("not an MPEG-1 Layer III frame")
+    mode = (hdr >> 6) & 3
+    side_info = 17 if mode == 3 else 32
+    xoff = pos + 4 + side_info
+    tag = b[xoff:xoff + 4]
+    if tag not in (b"Xing", b"Info"):
+        return (-1, -1, -1)
+    if xoff + 8 > len(b):
+        raise ValueError("Xing header truncated")
+    flags = struct.unpack_from(">I", b, xoff + 4)[0]
+    cur = xoff + 8
+    n_frames = n_bytes = quality = -1
+    if flags & 0x1:
+        n_frames = struct.unpack_from(">I", b, cur)[0]
+        cur += 4
+    if flags & 0x2:
+        n_bytes = struct.unpack_from(">I", b, cur)[0]
+        cur += 4
+    if flags & 0x4:
+        cur += 100  # TOC table
+    if flags & 0x8:
+        quality = struct.unpack_from(">I", b, cur)[0]
+    return (n_frames, n_bytes, quality)
+
+
+def mp3_stream_info(payload: bytes) -> list[float]:
+    """extract_features decoder for mp3 TRIAGE WITHOUT a frame walk:
+    [n_text_frames, title_hash48(-1 when no TIT2), xing_frames,
+    xing_bytes, xing_quality] — tag provenance + the VBR totals that
+    give duration in O(header) instead of O(stream).  ValueError on a
+    damaged tag or first frame (same per-row contract as the
+    census)."""
+    import hashlib
+
+    tags = id3v2_text_frames(payload)
+    title = tags.get("TIT2")
+    title_hash = (
+        int(hashlib.md5(title.encode("utf-8")).hexdigest()[:12], 16)
+        if title is not None
+        else -1
+    )
+    n_frames, n_bytes, quality = mp3_xing_parse(payload)
+    return [
+        float(len(tags)), float(title_hash),
+        float(n_frames), float(n_bytes), float(quality),
+    ]

@@ -307,3 +307,42 @@ def synth_warc(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def read_warc(
+    spark,
+    path: str,
+    records: bool = True,
+) -> DataFrame:
+    """Read `.warc` / `.warc.gz` archive FILES into records: one input
+    row per file via the binaryFile source (each file is one task —
+    the Common Crawl unit of parallelism, where a 100 TB crawl is
+    ~90k files of ~1 GB and the member-at-a-time gzip walk keeps peak
+    memory at one record), then the same zero-shuffle Arrow parse the
+    blob-column path uses.  item_id is a dense hash of the file path
+    (hash48 of the path string — stable across re-lists, and carried
+    alongside the path itself for joins back to the manifest).
+
+    With records=False returns the raw (path, item_id, payload) frame
+    for callers that bring their own parser."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import hash48
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select(
+            F.col("path"),
+            hash48(F.col("path")).alias("item_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    if not records:
+        return raw
+    recs = warc_records(raw.select("item_id", "payload"))
+    # join the path dimension back broadcast-style: the manifest side
+    # is |files|-sized, never data-sized
+    paths = raw.select("item_id", "path")
+    return recs.join(F.broadcast(paths), "item_id", "left")

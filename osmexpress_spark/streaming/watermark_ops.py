@@ -552,3 +552,47 @@ def near_dup_stream_vs_band_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def warc_census_stream(
+    stream_blobs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    epoch_col: str = "epoch",
+):
+    """Continuous crawl-drop triage — format_census_stream's WARC
+    sibling: each micro-batch's (item_id, payload) archives run
+    through the zero-shuffle WARC record parse (sources/warc.py) and
+    the per-epoch rollup (records by type, HTTP status mix, damaged
+    archives) lands under out_path/epoch=<label>/ — the monitor that
+    catches an upstream crawler change (a status-mix flip, a damaged
+    spike from a bad uploader) before a full extraction stage runs.
+    Same contract as the other epoch monitors: keyed by the data's
+    epoch LABEL (never the trigger id), epoch overwrite keeps retries
+    idempotent, availableNow for the daily-drop shape."""
+    from ..sources import warc as warc_mod
+
+    def _batch(bdf: DataFrame, _batch_id: int) -> None:
+        bdf = bdf.localCheckpoint()
+        epochs = [r[0] for r in bdf.select(epoch_col).distinct().collect()]
+        for e in epochs:
+            recs = warc_mod.warc_records(
+                bdf.where(F.col(epoch_col) == e).select(
+                    "item_id", "payload"
+                )
+            )
+            census = recs.groupBy("warc_type", "http_status").agg(
+                F.count("*").alias("n_records"),
+                F.sum("body_len").alias("body_bytes"),
+                F.countDistinct("item_id").alias("n_archives"),
+            )
+            census.write.mode("overwrite").parquet(
+                f"{out_path.rstrip('/')}/epoch={e}"
+            )
+
+    return (
+        stream_blobs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -349,3 +349,148 @@ def test_round10_staged_plans_stay_jvm_side(spark):
             # shuffle (map-side combined), after the Arrow seam
             assert "MapInPandas" in plan
             assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ------------------------------------------------------ file-based WARC
+
+
+def test_read_warc_files_end_to_end(spark, tmp_path):
+    for f in range(3):
+        blob = b"".join(
+            _gz(r)
+            for i in range(f * 5, f * 5 + 5)
+            for r in W._synth_records(i, f"file {f} doc {i} body")
+        )
+        (tmp_path / f"part-{f}.warc.gz").write_bytes(blob)
+    # a non-warc file the glob must skip
+    (tmp_path / "manifest.json").write_bytes(b"{}")
+    df = W.read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert len(resp) == 15
+    assert all(r.path and r.path.endswith(".warc.gz") for r in rows)
+    assert len({r.item_id for r in rows}) == 3
+    # raw frame for bring-your-own-parser callers
+    raw = W.read_warc(spark, str(tmp_path), records=False)
+    assert raw.count() == 3 and set(raw.columns) == {
+        "path", "item_id", "payload"
+    }
+
+
+def test_warc_census_stream_two_epochs(spark, tmp_path):
+    """The crawl-drop monitor: two epochs land as separate idempotent
+    parquet censuses keyed by the data's epoch label."""
+    from osmexpress_spark.streaming import watermark_ops as WO
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "census")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(day: str, ids):
+        import json
+
+        rows = []
+        for i in ids:
+            blob = b"".join(
+                _gz(r) for r in W._synth_records(i, f"epoch {day} doc {i}")
+            )
+            rows.append({
+                "item_id": i, "epoch": day,
+                "payload_b64": __import__("base64").b64encode(blob).decode(),
+            })
+        (src / f"{day}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+
+    drop("d1", [1, 2, 4])
+    drop("d2", [3, 8])
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(
+            "item_id long, epoch string, payload_b64 string"
+        )
+        .json(str(src))
+        .select(
+            "item_id", "epoch",
+            F.unbase64(F.col("payload_b64")).alias("payload"),
+        )
+    )
+    q = WO.warc_census_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    d1 = spark.read.parquet(out + "/epoch=d1")
+    d2 = spark.read.parquet(out + "/epoch=d2")
+    assert (
+        d1.agg(F.sum("n_records")).collect()[0][0] == 4  # 3 resp + 1 req
+    )
+    assert d2.agg(F.sum("n_records")).collect()[0][0] == 3  # 2 resp + 1 req
+    assert d1.where(F.col("warc_type") == "damaged").count() == 0
+
+
+# --------------------------------------------------------- mp3 metadata
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _id3_frame_v4(fid: str, text: str, enc: int = 3) -> bytes:
+    codec = ("latin-1", "utf-16", "utf-16-be", "utf-8")[enc]
+    body = bytes([enc]) + text.encode(codec)
+    return fid.encode() + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+def _mp3_first_frame(mode: int, xing: bytes | None) -> bytes:
+    hdr = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        | (9 << 12) | (mode << 6)
+    )
+    flen = 144000 * 128 // 44100
+    side = b"\x00" * (17 if mode == 3 else 32)
+    body = (side + (xing or b"")).ljust(flen - 4, b"\x00")
+    return struct.pack(">I", hdr) + body
+
+
+def test_id3v2_text_frames_and_xing():
+    frames = (
+        _id3_frame_v4("TIT2", "My Title")
+        + _id3_frame_v4("TPE1", "An Artist", enc=1)
+        + _id3_frame_v4("TALB", "Album", enc=0)
+    )
+    tag = b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
+    xing = (
+        b"Xing" + struct.pack(">I", 0x7)
+        + struct.pack(">II", 5000, 1234567) + b"\x00" * 100
+    )
+    payload = tag + _mp3_first_frame(1, xing)
+    assert M.id3v2_text_frames(payload) == {
+        "TIT2": "My Title", "TPE1": "An Artist", "TALB": "Album"
+    }
+    assert M.mp3_xing_parse(payload) == (5000, 1234567, -1)
+    exp = float(int(hashlib.md5(b"My Title").hexdigest()[:12], 16))
+    assert M.mp3_stream_info(payload) == [
+        3.0, exp, 5000.0, 1234567.0, -1.0
+    ]
+
+
+def test_mp3_metadata_fallbacks_and_damage():
+    # CBR mono stream: no tag, no Xing — the O(1) path reports absence
+    cbr = _mp3_first_frame(3, None)
+    assert M.id3v2_text_frames(cbr) == {}
+    assert M.mp3_xing_parse(cbr) == (-1, -1, -1)
+    assert M.mp3_stream_info(cbr)[:3] == [0.0, -1.0, -1.0]
+    # Info tag (CBR files written by lame) parses like Xing
+    info = b"Info" + struct.pack(">I", 0x1) + struct.pack(">I", 42)
+    assert M.mp3_xing_parse(_mp3_first_frame(3, info))[0] == 42
+    # damage branches
+    with pytest.raises(ValueError):
+        M.id3v2_text_frames(b"ID3\x04\x00\x00\xff\xff\xff\xff")
+    frames = _id3_frame_v4("TIT2", "x")
+    bad = b"ID3\x04\x00\x00" + _syncsafe(len(frames) + 50) + frames
+    with pytest.raises(ValueError):
+        M.id3v2_text_frames(bad)  # tag size past payload
+    with pytest.raises(ValueError):
+        M.mp3_xing_parse(b"\x00" * 16)  # not a frame header
