@@ -4997,3 +4997,50 @@ def mp3_stream_info(payload: bytes) -> list[float]:
         float(len(tags)), float(title_hash),
         float(n_frames), float(n_bytes), float(quality),
     ]
+
+
+def decode_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "text",
+) -> DataFrame:
+    """charset_decoder's extraction form: bytes -> decoded STRING
+    column via the same sniff ladder (BOM / strict utf-8 / latin-1
+    fallback), appended as `out_col`; payloads whose BOM-declared
+    encoding is damaged decode to NULL (per-row, never a stage
+    failure).  All other columns pass through — zero shuffle, one
+    Arrow seam.  The census/gate form is charset_decoder; this is the
+    operator a pipeline actually threads text through (see
+    examples/crawl_ingest.py)."""
+    fields = ",".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields},{out_col} string"
+
+    def run(batches):
+        for pdf in batches:
+            texts = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    texts.append(None)
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:3] == b"\xef\xbb\xbf":
+                        texts.append(b[3:].decode("utf-8", "strict"))
+                    elif b[:2] == b"\xff\xfe":
+                        texts.append(b[2:].decode("utf-16-le", "strict"))
+                    elif b[:2] == b"\xfe\xff":
+                        texts.append(b[2:].decode("utf-16-be", "strict"))
+                    else:
+                        try:
+                            texts.append(b.decode("utf-8", "strict"))
+                        except UnicodeDecodeError:
+                            texts.append(b.decode("latin-1"))
+                except UnicodeDecodeError:
+                    texts.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(texts, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -346,3 +346,49 @@ def read_warc(
     # is |files|-sized, never data-sized
     paths = raw.select("item_id", "path")
     return recs.join(F.broadcast(paths), "item_id", "left")
+
+
+WARC_BODIES_SCHEMA = (
+    "item_id long, rec_idx int, warc_type string, target_uri string, "
+    "http_status int, body binary"
+)
+
+
+def warc_bodies(blobs: DataFrame) -> DataFrame:
+    """warc_records' wide sibling: carries the record BODY bytes out
+    of the seam instead of their hash — the extraction form feeding
+    charset decode + html_strip (see examples/crawl_ingest.py).  Same
+    per-row damage contract (one rec_idx=-1 row, body NULL).  Zero
+    shuffle; keep projections downstream narrow, the body column is
+    the data."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, types, uris, stats, bodies = [], [], [], [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                i = int(item_id)
+                try:
+                    recs = parse_warc(bytes(payload))
+                except ValueError:
+                    ids.append(i); idxs.append(-1)
+                    types.append("damaged"); uris.append(None)
+                    stats.append(None); bodies.append(None)
+                    continue
+                for k, rec in enumerate(recs):
+                    ids.append(i); idxs.append(k)
+                    types.append(rec["warc_type"])
+                    uris.append(rec["target_uri"])
+                    stats.append(rec["http_status"])
+                    bodies.append(rec["body"])
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "rec_idx": pd.Series(idxs, dtype="int32"),
+                    "warc_type": pd.Series(types, dtype=object),
+                    "target_uri": pd.Series(uris, dtype=object),
+                    "http_status": pd.Series(stats, dtype="Int32"),
+                    "body": pd.Series(bodies, dtype=object),
+                }
+            )
+
+    return blobs.mapInPandas(run, WARC_BODIES_SCHEMA)

@@ -494,3 +494,148 @@ def test_mp3_metadata_fallbacks_and_damage():
         M.id3v2_text_frames(bad)  # tag size past payload
     with pytest.raises(ValueError):
         M.mp3_xing_parse(b"\x00" * 16)  # not a frame header
+
+
+# -------------------------------------------------------------- robots
+
+
+def test_parse_robots_groups_and_precedence():
+    from osmexpress_spark.operators import crawl as CR
+
+    txt = (
+        "# global\nUser-agent: *\nDisallow: /private/\n"
+        "Allow: /private/pub/\nDisallow: /tmp\n\n"
+        "User-agent: gptbot\nDisallow: /\n\n"
+        "User-agent: archiver\nUser-agent: indexer\n"
+        "Disallow: /search\nCrawl-delay: 5\n"
+    )
+    assert CR.parse_robots(txt) == [
+        (False, "/private/"), (True, "/private/pub/"), (False, "/tmp")
+    ]
+    # exact agent group beats '*'; grouped user-agent lines share rules
+    assert CR.parse_robots(txt, "GPTBot") == [(False, "/")]
+    assert CR.parse_robots(txt, "indexer") == [(False, "/search")]
+    # empty Disallow = allow-all, contributes nothing
+    assert CR.parse_robots("User-agent: *\nDisallow:") == []
+
+
+def test_robots_admit_longest_match_allow_ties(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import crawl as CR
+
+    robots = spark.createDataFrame(
+        [
+            ("a.org",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/pub/"),
+            ("b.org", "User-agent: *\nAllow: /ok\nDisallow: /"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = CR.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "a.org", "/private/pub/x"),   # longest match: allow
+            (2, "a.org", "/private/secret"),  # disallow
+            (3, "a.org", "/open"),            # no rule -> admit
+            (4, "b.org", "/ok/page"),         # /ok beats /
+            (5, "b.org", "/nope"),            # disallow /
+            (6, "c.org", "/x"),               # no robots -> admit
+        ],
+        "url_id long, domain string, path string",
+    )
+    out = CR.robots_admit(urls, rules)
+    got = {r.url_id: (r.admitted, r.n_rules_matched) for r in out.collect()}
+    assert got == {
+        1: (True, 2), 2: (False, 1), 3: (True, 0),
+        4: (True, 2), 5: (False, 1), 6: (True, 0),
+    }
+    # the rules side broadcasts; the URL table never pre-shuffles
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ----------------------------------------- bodies / decode_text / e2e
+
+
+def test_warc_bodies_and_decode_text(spark):
+    from pyspark.sql import functions as F
+
+    from osmexpress_spark.operators import multimodal as MM
+
+    blobs = []
+    for i, (text_s, enc) in enumerate(
+        [("plain ascii", "utf-8"), ("caf\xe9 latin", "latin-1")]
+    ):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + text_s.encode(enc)
+        )
+        blobs.append(
+            (i, bytearray(_gz(W._record(
+                "response", f"https://x.org/{i}", http
+            ))))
+        )
+    df = spark.createDataFrame(blobs, "item_id long, payload binary")
+    bodies = W.warc_bodies(df)
+    decoded = MM.decode_text(
+        bodies.select("item_id", "target_uri", "body"),
+        payload_col="body", out_col="text",
+    )
+    got = {r.item_id: r.text for r in decoded.collect()}
+    assert got == {0: "plain ascii", 1: "caf\xe9 latin"}
+    # damaged payloads: one rec_idx=-1 row, NULL body -> NULL text
+    dmg = spark.createDataFrame(
+        [(9, bytearray(b"\x1f\x8b garbage"))], "item_id long, payload binary"
+    )
+    row = MM.decode_text(
+        W.warc_bodies(dmg), payload_col="body", out_col="text"
+    ).collect()[0]
+    assert row.rec_idx == -1 and row.text is None
+
+
+def test_crawl_ingest_example_end_to_end(spark, tmp_path):
+    """The composed pipeline (examples/crawl_ingest.py): WARC files ->
+    charset -> html_strip -> URL canonicalize -> robots -> URL dedup
+    -> documents schema."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/examples")
+    import crawl_ingest
+
+    d = tmp_path / "warc"
+    d.mkdir()
+
+    def resp(uri, status, body):
+        http = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n"
+        ).encode() + body
+        return W._record("response", uri, http)
+
+    recs = [
+        resp("https://A.org/page?b=2&a=1", 200,
+             b"<html><body>Hello <b>world</b></body></html>"),
+        resp("https://a.org/page?a=1&b=2", 200, b"<p>same url dup</p>"),
+        resp("https://a.org/private/x", 200, b"<p>blocked</p>"),
+        resp("https://b.net/gone", 404, b"not found"),
+        resp("https://b.net/fine", 200,
+             "<p>caf\xe9 latin</p>".encode("latin-1")),
+    ]
+    (d / "x.warc.gz").write_bytes(b"".join(_gz(r) for r in recs))
+    robots = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /private/")],
+        "domain string, robots_txt string",
+    ).write.parquet(robots)
+    rows = sorted(
+        crawl_ingest.ingest(spark, str(d), robots).collect(),
+        key=lambda r: r.source,
+    )
+    # dedup'd a.org page + b.net/fine; /private blocked; 404 dropped
+    assert [r.source for r in rows] == [
+        "https://a.org/page?a=1&b=2", "https://b.net/fine"
+    ]
+    assert rows[1].text == "caf\xe9 latin"
+    assert rows[0].domain == "a.org" and rows[0].n_chars > 0
