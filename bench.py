@@ -157,6 +157,7 @@ PENDING_HEADLINE: list[str] = [
     "q_url_parse",
     "q_charset_decode",
     "q_ogg_census",
+    "q_robots_admit",
 ]
 
 

@@ -7085,3 +7085,71 @@ def q_ogg_census(spark, sf_dir):
         F.element_at("feat", 5).cast("long").alias("sample_rate"),
         F.element_at("feat", 6).cast("long").alias("last_granule"),
     )
+
+
+_ROBOTS_FIXTURE_TXT = (
+    "User-agent: gptbot\nDisallow: /\n\n"
+    "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+)
+
+
+@defq_pending(
+    "q_robots_admit",
+    """
+    SELECT doc_id AS item_id,
+           'crawl-' || (doc_id % 4) || '.org' AS domain,
+           CASE WHEN doc_id % 5 = 0 THEN '/private/' || (doc_id % 7)
+                WHEN doc_id % 5 = 1 THEN '/private/pub/' || (doc_id % 7)
+                ELSE '/a/' || (doc_id % 7) END AS path,
+           (doc_id % 4 = 3 OR doc_id % 5 != 0) AS admitted,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                     WHEN doc_id % 5 = 0 THEN 1
+                     WHEN doc_id % 5 = 1 THEN 2
+                     ELSE 0 END AS BIGINT) AS n_rules_matched
+    FROM documents
+    """,
+)
+def q_robots_admit(spark, sf_dir):
+    """robots.txt URL admission behind a driver gate (operators/
+    crawl.py): three of four fixture domains carry a real robots.txt
+    with a '*' group (Disallow /private/, Allow /private/pub/) plus a
+    decoy exact-agent group the '*' evaluation must skip; the fourth
+    domain has no robots at all (admit-by-default).  The rules go
+    through the ACTUAL parser + dimension-sized Arrow seam + broadcast
+    join + longest-prefix max_by; the oracle derives the RFC 9309
+    outcome in CLOSED FORM from doc_id (no parsing, no prefix logic)
+    — agreement proves group selection, longest-match precedence and
+    allow-beats-disallow end to end.  Path branches: /private/N
+    (disallowed, 1 rule matches), /private/pub/N (allowed — BOTH rules
+    match, the longer wins), /a/N (no rule, admitted)."""
+    from .operators import crawl as crawl_mod
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urls = d.select(
+        did.alias("item_id"),
+        F.concat(
+            F.lit("crawl-"), (did % 4).cast("string"), F.lit(".org")
+        ).alias("domain"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("/private/"), (did % 7).cast("string")),
+        ).when(
+            did % 5 == 1,
+            F.concat(F.lit("/private/pub/"), (did % 7).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("/a/"), (did % 7).cast("string"))
+        ).alias("path"),
+    )
+    robots = spark.createDataFrame(
+        [(f"crawl-{k}.org", _ROBOTS_FIXTURE_TXT) for k in range(3)],
+        "domain string, robots_txt string",
+    )
+    rules = crawl_mod.robots_rules(robots)
+    return crawl_mod.robots_admit(
+        urls, rules, url_id_col="item_id",
+        domain_col="domain", path_col="path",
+    ).select(
+        "item_id", "domain", "path", "admitted",
+        F.col("n_rules_matched").cast("long").alias("n_rules_matched"),
+    )

@@ -114,13 +114,80 @@ def parse_warc_record(buf: bytes, offset: int = 0) -> tuple[dict, int]:
         http_end = block.find(b"\r\n\r\n")
         if http_end < 0:
             raise ValueError("unterminated HTTP header in response")
-        status_line = block[:block.find(b"\r\n")].decode("utf-8", "strict")
-        parts = status_line.split(" ", 2)
+        head_lines = block[:http_end].decode("utf-8", "strict").split("\r\n")
+        parts = head_lines[0].split(" ", 2)
         if len(parts) < 2 or not parts[0].startswith("HTTP/1."):
             raise ValueError("bad HTTP status line")
         rec["http_status"] = int(parts[1])
-        rec["body"] = block[http_end + 4:]
+        http_fields: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(":")
+            http_fields[k.strip().lower()] = v.strip()
+        body = block[http_end + 4:]
+        # raw crawls store the wire form: dechunk BEFORE decoding the
+        # content coding (RFC 9112 ordering)
+        if http_fields.get("transfer-encoding", "").lower() == "chunked":
+            body = _dechunk(body)
+        body = _decode_content(
+            body, http_fields.get("content-encoding", "").lower()
+        )
+        rec["body"] = body
     return rec, block_end + 4
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding: hex size line (chunk
+    extensions after ';' ignored), chunk bytes, CRLF, terminated by a
+    zero-size chunk; trailer fields after the last chunk are ignored."""
+    out, pos = bytearray(), 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError("bad chunk size line") from exc
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size + 2 > len(body):
+            raise ValueError("truncated chunk")
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != b"\r\n":
+            raise ValueError("chunk missing trailing CRLF")
+        pos += size + 2
+
+
+def _decode_content(body: bytes, coding: str) -> bytes:
+    """Content-Encoding decode: gzip / deflate (both zlib-wrapped and
+    the bare-DEFLATE form some servers send) / identity.  Unknown
+    codings (br, zstd without the lib) raise ValueError — per-row
+    damage, the caller's contract."""
+    if coding in ("", "identity"):
+        return body
+    if coding == "gzip":
+        try:
+            return zlib.decompress(body, wbits=31)
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip content: {exc}") from exc
+    if coding == "deflate":
+        try:
+            return zlib.decompress(body)  # zlib-wrapped (the RFC form)
+        except zlib.error:
+            try:
+                return zlib.decompress(body, wbits=-15)  # bare DEFLATE
+            except zlib.error as exc:
+                raise ValueError(f"bad deflate content: {exc}") from exc
+    if coding == "zstd":
+        from ..operators import compress as _compress
+
+        n_data, _, total, _, _ = _compress._walk_frames(body)
+        if n_data != 1 or total < 0:
+            raise ValueError("zstd content without declared size")
+        return _compress.zstd_decompress(body, total)
+    raise ValueError(f"unsupported content-encoding: {coding}")
 
 
 def parse_warc(payload: bytes) -> list[dict]:

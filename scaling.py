@@ -122,6 +122,7 @@ SUBSET = [
     "q_url_parse",             # RE2-safe URL grammar, scan-side codegen
     "q_charset_decode",        # BOM/utf-8/latin-1 sniff ladder in Arrow seam
     "q_ogg_census",            # Ogg page walk + CRC verify + Vorbis ident
+    "q_robots_admit",          # rules seam + broadcast + longest-match max_by
 
 ]
 

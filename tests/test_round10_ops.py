@@ -639,3 +639,61 @@ def test_crawl_ingest_example_end_to_end(spark, tmp_path):
     ]
     assert rows[1].text == "caf\xe9 latin"
     assert rows[0].domain == "a.org" and rows[0].n_chars > 0
+
+
+# ---------------------------------------- HTTP wire-form body decoding
+
+
+def _http_rec(headers: bytes, body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\n" + headers + b"\r\n" + body
+    return W._record("response", "https://x.org/e", http)
+
+
+def test_http_content_encodings_decode():
+    text = b"the actual page body text " * 4
+    # gzip / deflate (zlib-wrapped AND the bare form some servers send)
+    gz = zlib.compress(text, 6, wbits=31)
+    assert W.parse_warc(
+        _http_rec(b"Content-Encoding: gzip\r\n", gz)
+    )[0]["body"] == text
+    assert W.parse_warc(
+        _http_rec(b"Content-Encoding: deflate\r\n", zlib.compress(text))
+    )[0]["body"] == text
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    bare = c.compress(text) + c.flush()
+    assert W.parse_warc(
+        _http_rec(b"Content-Encoding: deflate\r\n", bare)
+    )[0]["body"] == text
+    # zstd through the compress module's ctypes binding
+    assert W.parse_warc(
+        _http_rec(b"Content-Encoding: zstd\r\n", C.zstd_compress(text, 3))
+    )[0]["body"] == text
+
+
+def test_http_chunked_transfer_decoding():
+    text = b"the actual page body text " * 4
+    chunked = (
+        b"1a;ext=1\r\n" + text[:26] + b"\r\n"
+        + format(len(text) - 26, "x").encode() + b"\r\n" + text[26:]
+        + b"\r\n0\r\nX-Trailer: v\r\n\r\n"
+    )
+    assert W.parse_warc(
+        _http_rec(b"Transfer-Encoding: chunked\r\n", chunked)
+    )[0]["body"] == text
+    # chunked THEN content coding (RFC 9112 ordering)
+    gz = zlib.compress(text, 6, wbits=31)
+    ch = format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    assert W.parse_warc(_http_rec(
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", ch
+    ))[0]["body"] == text
+
+
+def test_http_decoding_damage_branches():
+    for hdrs, body in [
+        (b"Content-Encoding: gzip\r\n", b"not gzip"),
+        (b"Content-Encoding: br\r\n", b"x"),       # absent codec
+        (b"Transfer-Encoding: chunked\r\n", b"zz\r\nnothex"),
+        (b"Transfer-Encoding: chunked\r\n", b"5\r\nab"),  # truncated
+    ]:
+        with pytest.raises(ValueError):
+            W.parse_warc(_http_rec(hdrs, body))
