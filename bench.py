@@ -158,6 +158,7 @@ PENDING_HEADLINE: list[str] = [
     "q_charset_decode",
     "q_ogg_census",
     "q_robots_admit",
+    "q_record_linkage",
 ]
 
 

@@ -123,6 +123,7 @@ SUBSET = [
     "q_charset_decode",        # BOM/utf-8/latin-1 sniff ladder in Arrow seam
     "q_ogg_census",            # Ogg page walk + CRC verify + Vorbis ident
     "q_robots_admit",          # rules seam + broadcast + longest-match max_by
+    "q_record_linkage",        # soundex blocks + hot-cap anti-join + levenshtein
 
 ]
 

@@ -351,6 +351,32 @@ def test_round10_staged_plans_stay_jvm_side(spark):
             assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_record_linkage_gate_plan(spark):
+    """q_record_linkage: the whole linkage pipeline (soundex blocks,
+    hot-block cap, bounded levenshtein) is one JVM equi-join tree —
+    no Python stages, no cartesian, and the hot-block drop is the
+    BROADCAST left-anti join the operator promises."""
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_record_linkage"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # Catalyst constant-folds the literal flood name's soundex to
+    # 'X631', so THAT branch's hot-block anti-join becomes a 1-row
+    # (LocalLimit 1) LeftAnti BNLJ — the only nested-loop shape
+    # allowed; an Inner BNLJ would mean the pair join degenerated.
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, LeftAnti"
+    )
+
+
 # ------------------------------------------------------ file-based WARC
 
 
