@@ -159,6 +159,7 @@ PENDING_HEADLINE: list[str] = [
     "q_ogg_census",
     "q_robots_admit",
     "q_record_linkage",
+    "q_audio_mp3_decode",
 ]
 
 

@@ -1,0 +1,830 @@
+"""MPEG-1 Layer III bitstream decode (ISO/IEC 11172-3): the Huffman
+half of full mp3 PCM decode.
+
+Round-10 scope (the r09 VERDICT's staged plan): frame walk + bit
+reservoir assembly + side-info parse + scalefactor decode + Huffman
+decode of the 576 frequency lines per granule + requantization to
+spectral values.  The synthesis half (stereo processing, antialias,
+IMDCT, polyphase filterbank) is the documented round-11 half; until it
+lands, `audio_decoder` keeps refusing mp3 PCM honestly.
+
+Validation strategy (no mp3 codec of any kind exists in the
+container — checked: no libmad/libmpg123/lame/ffmpeg, no Python
+package, no network):
+
+1. The Huffman tables are typed from the published standard (ISO
+   11172-3 Table B.7, reproduced in every public decoder).  Every
+   shipped table is checked to be a COMPLETE prefix code: all
+   codewords distinct, prefix-free, Kraft sum exactly 1.
+   Completeness makes the check strong: a complete code has no holes,
+   so ANY single-entry transcription error — a wrong length (breaks
+   the Kraft identity) or wrong bits at the same length (collides
+   with the codeword that owns that space) — is detected.  The one
+   error class the suite cannot see is a same-length codeword SWAP
+   between two symbols; that residual risk is documented and can only
+   be retired against a real decoder (none in-container).
+2. The check is not a formality: it CAUGHT transcription errors
+   during this build and localized them to forced completions
+   (table 8: (4,3)/(5,3) lengths; table 10: (7,1)/(7,2) lengths —
+   in each case the unique repair consistent with the trusted code
+   values), and it REJECTED this author's transcriptions of the
+   large tables outright (measured: table 13 kraft 131205/131072
+   with 24 collisions, table 16 2125/2048 with 148, table 24
+   3751/4096 with 89).  Unverifiable data is not shipped: tables
+   13, 15 and the 16..31 ESC families raise NotImplementedError
+   per row (decode_ok=False), the same honest contract as lossy
+   WebP/arithmetic JPEG.  The linbits ESCAPE machinery is still
+   fully implemented and pinned through an injectable synthetic ESC
+   table in the tests (`tables=` override), so when verified 16/24
+   data becomes available it is a data drop, not new code.
+3. An independent bitstream WRITER (`write_frames`) builds whole
+   frames — header, side info, scalefactors, Huffman-coded lines,
+   reservoir stuffing — from chosen integer spectra; pytest
+   round-trips decode(write(x)) == x across tables, sign patterns,
+   scfsi, short/mixed blocks, escapes (synthetic table) and
+   reservoir layouts.
+4. The staged driver gate decodes md5-parameterized synth streams and
+   the DuckDB oracle recomputes every decoded integer in closed form
+   from the same md5 bytes — the bitstream machinery (reservoir,
+   side info, scalefactors, Huffman, signs) must transport the exact
+   integers end to end.
+5. Requantization is a closed-form map (|q|^(4/3) scaled by the
+   global-gain / scalefactor / preflag / subblock-gain exponent); it
+   is pinned against exact integer cases (q=8 -> 16, q=64 -> 256 at
+   neutral gain) and an independent direct reimplementation.
+
+The census/metadata siblings live in operators/multimodal.py
+(mp3_frame_census, id3v2_text_frames, mp3_xing_parse); this module is
+the decode path they triage for.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------------------------------------------- tables
+# ISO 11172-3 Table B.7 Huffman code tables, row-major (x, y).  Only
+# tables that pass the completeness check (tests/test_mp3l3.py) ship;
+# see the module docstring for the measured rejections.
+
+_HLEN_1 = [[1, 3], [2, 3]]
+_HCOD_1 = [[1, 1], [1, 0]]
+
+_HLEN_2 = [[1, 3, 6], [3, 3, 5], [5, 5, 6]]
+_HCOD_2 = [[1, 2, 1], [3, 1, 1], [3, 2, 0]]
+
+_HLEN_3 = [[2, 2, 6], [3, 2, 5], [5, 5, 6]]
+_HCOD_3 = [[3, 2, 1], [1, 1, 1], [3, 2, 0]]
+
+_HLEN_5 = [[1, 3, 6, 7], [3, 3, 6, 7], [6, 6, 7, 8], [7, 6, 7, 8]]
+_HCOD_5 = [[1, 2, 6, 5], [3, 1, 4, 4], [7, 5, 7, 1], [6, 1, 1, 0]]
+
+_HLEN_6 = [[3, 3, 5, 7], [3, 2, 4, 5], [4, 4, 5, 6], [6, 5, 6, 7]]
+_HCOD_6 = [[7, 3, 5, 1], [6, 2, 3, 2], [5, 4, 4, 1], [3, 3, 2, 0]]
+
+_HLEN_7 = [
+    [1, 3, 6, 8, 8, 9],
+    [3, 4, 6, 7, 7, 8],
+    [6, 5, 7, 8, 8, 9],
+    [7, 7, 8, 9, 9, 9],
+    [7, 7, 8, 9, 9, 10],
+    [8, 8, 9, 10, 10, 10],
+]
+_HCOD_7 = [
+    [1, 2, 10, 19, 16, 10],
+    [3, 3, 7, 10, 5, 3],
+    [11, 4, 13, 17, 8, 4],
+    [12, 11, 18, 15, 11, 2],
+    [7, 6, 9, 14, 3, 1],
+    [6, 4, 5, 3, 2, 0],
+]
+
+# Table 8: (4,3) and (5,3) are length 9 — the unique completion
+# consistent with the trusted code values (see module docstring).
+_HLEN_8 = [
+    [2, 3, 6, 8, 8, 9],
+    [3, 2, 4, 8, 8, 8],
+    [6, 4, 6, 8, 8, 9],
+    [8, 8, 8, 9, 9, 10],
+    [8, 7, 8, 9, 10, 10],
+    [9, 8, 9, 9, 11, 11],
+]
+_HCOD_8 = [
+    [3, 4, 6, 18, 12, 5],
+    [5, 1, 2, 16, 9, 3],
+    [7, 3, 5, 14, 7, 3],
+    [19, 17, 15, 13, 10, 4],
+    [13, 5, 8, 11, 5, 1],
+    [12, 4, 4, 1, 1, 0],
+]
+
+_HLEN_9 = [
+    [3, 3, 5, 6, 8, 9],
+    [3, 3, 4, 5, 6, 8],
+    [4, 4, 5, 6, 7, 8],
+    [6, 5, 6, 7, 7, 8],
+    [7, 6, 7, 7, 8, 9],
+    [8, 7, 8, 8, 9, 9],
+]
+_HCOD_9 = [
+    [7, 5, 9, 14, 15, 7],
+    [6, 4, 5, 5, 6, 7],
+    [7, 6, 8, 8, 8, 5],
+    [15, 6, 9, 10, 5, 1],
+    [11, 7, 9, 6, 4, 1],
+    [14, 4, 6, 2, 6, 0],
+]
+
+# Table 10: (7,1) is length 8 and (7,2) length 9 — the unique
+# completion consistent with the trusted code values.
+_HLEN_10 = [
+    [1, 3, 6, 8, 9, 9, 9, 10],
+    [3, 4, 6, 7, 8, 9, 8, 8],
+    [6, 6, 7, 8, 9, 10, 9, 9],
+    [7, 7, 8, 9, 10, 10, 9, 10],
+    [8, 8, 9, 10, 10, 10, 10, 10],
+    [9, 9, 10, 10, 11, 11, 10, 11],
+    [8, 8, 9, 10, 10, 10, 11, 11],
+    [9, 8, 9, 10, 10, 11, 11, 11],
+]
+_HCOD_10 = [
+    [1, 2, 10, 23, 35, 30, 12, 17],
+    [3, 3, 8, 12, 18, 21, 12, 7],
+    [11, 9, 15, 21, 32, 40, 19, 6],
+    [14, 13, 22, 34, 46, 23, 18, 7],
+    [20, 19, 33, 47, 27, 22, 9, 3],
+    [31, 22, 41, 26, 21, 20, 5, 3],
+    [14, 13, 10, 11, 16, 6, 5, 1],
+    [9, 8, 7, 8, 4, 4, 2, 0],
+]
+
+_HLEN_12 = [
+    [4, 3, 5, 7, 8, 9, 9, 9],
+    [3, 3, 4, 5, 7, 7, 8, 8],
+    [5, 4, 5, 6, 7, 8, 7, 8],
+    [6, 5, 6, 6, 7, 8, 8, 8],
+    [7, 6, 7, 7, 8, 8, 8, 9],
+    [8, 7, 8, 8, 8, 9, 8, 9],
+    [8, 7, 7, 8, 8, 9, 9, 10],
+    [9, 8, 8, 9, 9, 9, 9, 10],
+]
+_HCOD_12 = [
+    [9, 6, 16, 33, 41, 39, 38, 26],
+    [7, 5, 6, 9, 23, 16, 26, 11],
+    [17, 7, 11, 14, 21, 30, 10, 7],
+    [17, 10, 15, 12, 18, 28, 14, 5],
+    [32, 13, 22, 19, 18, 16, 9, 5],
+    [40, 17, 31, 29, 17, 13, 4, 2],
+    [27, 12, 11, 15, 10, 7, 4, 1],
+    [27, 12, 8, 12, 6, 3, 1, 0],
+]
+
+# count1 table A (variable length, no linbits, quadruple symbols
+# indexed (v<<3)|(w<<2)|(x<<1)|y); table B is computed: 4 inverted
+# bits per quadruple.
+_HLEN_C1A = [1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6]
+_HCOD_C1A = [1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1]
+
+
+def _build_decode_map(hlen, hcod):
+    """{(length, code): symbol_index_or_pair} for a table in row-major
+    (x, y) order (or flat for count1)."""
+    out = {}
+    if isinstance(hlen[0], list):
+        for x, row in enumerate(hlen):
+            for y, l in enumerate(row):
+                out[(l, hcod[x][y])] = (x, y)
+    else:
+        for i, l in enumerate(hlen):
+            out[(l, hcod[i])] = i
+    return out
+
+
+class HuffTable:
+    """One big_values Huffman table: encode map (x,y)->(len,code),
+    decode map (len,code)->(x,y), and the linbits escape width."""
+
+    def __init__(self, dim, hlen, hcod, linbits=0):
+        self.dim = dim
+        self.linbits = linbits
+        self.hlen = hlen
+        self.hcod = hcod
+        self.dec = _build_decode_map(hlen, hcod)
+        self.maxlen = max(max(r) for r in hlen)
+
+    def with_linbits(self, linbits):
+        t = HuffTable(self.dim, self.hlen, self.hcod, linbits)
+        return t
+
+
+# Verified big_values tables.  None = table exists in the standard but
+# its data could not be verified in-container (see module docstring);
+# referencing it raises NotImplementedError per row.
+_T16_LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13}
+_T24_LINBITS = {24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
+
+BIG_VALUE_TABLES: dict[int, HuffTable | None] = {
+    0: HuffTable(1, [[0]], [[0]]),  # table 0: zero bits, zero values
+    1: HuffTable(2, _HLEN_1, _HCOD_1),
+    2: HuffTable(3, _HLEN_2, _HCOD_2),
+    3: HuffTable(3, _HLEN_3, _HCOD_3),
+    5: HuffTable(4, _HLEN_5, _HCOD_5),
+    6: HuffTable(4, _HLEN_6, _HCOD_6),
+    7: HuffTable(6, _HLEN_7, _HCOD_7),
+    8: HuffTable(6, _HLEN_8, _HCOD_8),
+    9: HuffTable(6, _HLEN_9, _HCOD_9),
+    10: HuffTable(8, _HLEN_10, _HCOD_10),
+    12: HuffTable(8, _HLEN_12, _HCOD_12),
+    # 4 and 14 are not used by the standard; 11, 13, 15 and the ESC
+    # families 16..31 are real but unverifiable in-container.
+    11: None, 13: None, 15: None,
+    **{n: None for n in range(16, 32)},
+}
+
+_C1A_DEC = _build_decode_map(_HLEN_C1A, _HCOD_C1A)
+
+# Scalefactor band partitions (MPEG-1), indexed by sample rate.
+SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+
+_SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
+_SLEN2 = [0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3]
+_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3,
+           2, 0]
+
+_BITRATE_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+_SAMPLE_RATE = (44100, 48000, 32000)
+
+# scfsi band groups: long scalefactor bands 0-5, 6-10, 11-15, 16-20.
+_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+# ------------------------------------------------------------- bit io
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("mp3 bitstream truncated")
+        v = 0
+        pos = self.pos
+        while n:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            shift = avail - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def bits_left(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        if value < 0 or value >= (1 << n):
+            raise ValueError(f"value {value} does not fit in {n} bits")
+        self.acc = (self.acc << n) | value
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def bit_length(self) -> int:
+        return len(self.buf) * 8 + self.nbits
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write(0, pad)
+        return bytes(self.buf)
+
+
+def _decode_symbol(br: _BitReader, dec: dict, maxlen: int):
+    """Walk the bitstream one bit at a time until a codeword of the
+    prefix-free table matches (bounded by maxlen)."""
+    code = 0
+    for length in range(1, maxlen + 1):
+        code = (code << 1) | br.read(1)
+        sym = dec.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in mp3 stream")
+
+
+# ------------------------------------------------------- side info
+class GranuleInfo:
+    __slots__ = (
+        "part2_3_length", "big_values", "global_gain",
+        "scalefac_compress", "window_switching", "block_type",
+        "mixed_block", "table_select", "subblock_gain",
+        "region0_count", "region1_count", "preflag", "scalefac_scale",
+        "count1table_select",
+    )
+
+
+def _parse_side_info(data: bytes, nch: int):
+    """MPEG-1 side info: 17 bytes mono / 32 bytes stereo.  Returns
+    (main_data_begin, scfsi[ch][4], granules[2][ch])."""
+    br = _BitReader(data)
+    main_data_begin = br.read(9)
+    br.read(5 if nch == 1 else 3)  # private_bits
+    scfsi = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+    granules = []
+    for _gr in range(2):
+        chans = []
+        for _ch in range(nch):
+            g = GranuleInfo()
+            g.part2_3_length = br.read(12)
+            g.big_values = br.read(9)
+            g.global_gain = br.read(8)
+            g.scalefac_compress = br.read(4)
+            g.window_switching = br.read(1)
+            if g.window_switching:
+                g.block_type = br.read(2)
+                g.mixed_block = br.read(1)
+                g.table_select = [br.read(5), br.read(5), 0]
+                g.subblock_gain = [br.read(3) for _ in range(3)]
+                if g.block_type == 0:
+                    raise ValueError(
+                        "window_switching with block_type 0 is reserved"
+                    )
+                # region split is implicit under window switching
+                # (region0 ends at line 36, region1 at 576); the
+                # counts are not in the bitstream.
+                g.region0_count = 0
+                g.region1_count = 0
+            else:
+                g.block_type = 0
+                g.mixed_block = 0
+                g.table_select = [br.read(5), br.read(5), br.read(5)]
+                g.subblock_gain = [0, 0, 0]
+                g.region0_count = br.read(4)
+                g.region1_count = br.read(3)
+            g.preflag = br.read(1)
+            g.scalefac_scale = br.read(1)
+            g.count1table_select = br.read(1)
+            chans.append(g)
+        granules.append(chans)
+    return main_data_begin, scfsi, granules
+
+
+def _region_boundaries(g: GranuleInfo, sample_rate: int):
+    """(end_of_region0, end_of_region1) in line indices, clamped to
+    big_values*2."""
+    bv2 = g.big_values * 2
+    if g.window_switching:
+        r0 = 36
+        r1 = 576
+    else:
+        long_b = SFB_LONG[sample_rate]
+        r0 = long_b[min(g.region0_count + 1, len(long_b) - 1)]
+        r1 = long_b[min(g.region0_count + 1 + g.region1_count + 1,
+                        len(long_b) - 1)]
+    return min(r0, bv2), min(r1, bv2)
+
+
+# --------------------------------------------------------- decoding
+def _decode_scalefactors(br: _BitReader, g: GranuleInfo, scfsi_ch,
+                         gr_index: int, prev_long):
+    """Returns (sf_long[21], sf_short[12][3], part2_bits)."""
+    slen1, slen2 = _SLEN1[g.scalefac_compress], _SLEN2[g.scalefac_compress]
+    start = br.pos
+    sf_long = [0] * 21
+    sf_short = [[0, 0, 0] for _ in range(12)]
+    if g.window_switching and g.block_type == 2:
+        if g.mixed_block:
+            for band in range(8):
+                sf_long[band] = br.read(slen1)
+            for band in range(3, 6):
+                for win in range(3):
+                    sf_short[band][win] = br.read(slen1)
+            for band in range(6, 12):
+                for win in range(3):
+                    sf_short[band][win] = br.read(slen2)
+        else:
+            for band in range(6):
+                for win in range(3):
+                    sf_short[band][win] = br.read(slen1)
+            for band in range(6, 12):
+                for win in range(3):
+                    sf_short[band][win] = br.read(slen2)
+    else:
+        # long blocks; scfsi only applies in granule 1 (second granule)
+        for grp, (lo, hi) in enumerate(_SCFSI_BANDS):
+            if gr_index == 1 and scfsi_ch[grp]:
+                for band in range(lo, hi):
+                    sf_long[band] = prev_long[band]
+            else:
+                # bands 0-10 use slen1, 11-20 use slen2
+                for band in range(lo, hi):
+                    sf_long[band] = br.read(slen1 if band < 11 else slen2)
+    return sf_long, sf_short, br.pos - start
+
+
+def _decode_huffman(br: _BitReader, g: GranuleInfo, sample_rate: int,
+                    part2_3_end: int, tables=None):
+    """Decode big_values pairs + count1 quadruples into 576 lines."""
+    tabs = BIG_VALUE_TABLES if tables is None else tables
+    xs = [0] * 576
+    r0_end, r1_end = _region_boundaries(g, sample_rate)
+    line = 0
+    bv2 = g.big_values * 2
+    if bv2 > 576:
+        raise ValueError("big_values exceeds 576 lines")
+    while line < bv2:
+        region = 0 if line < r0_end else (1 if line < r1_end else 2)
+        tsel = g.table_select[region]
+        table = tabs.get(tsel)
+        if tsel in (4, 14):
+            raise ValueError(f"reserved Huffman table {tsel}")
+        if table is None:
+            raise NotImplementedError(
+                f"mp3 Huffman table {tsel} not verifiable in-container"
+            )
+        if table.dim == 1:  # table 0: no bits, two zero lines
+            xs[line] = 0
+            xs[line + 1] = 0
+            line += 2
+            continue
+        x, y = _decode_symbol(br, table.dec, table.maxlen)
+        if x == 15 and table.linbits:
+            x += br.read(table.linbits)
+        if x:
+            if br.read(1):
+                x = -x
+        if y == 15 and table.linbits:
+            y += br.read(table.linbits)
+        if y:
+            if br.read(1):
+                y = -y
+        xs[line] = x
+        xs[line + 1] = y
+        line += 2
+    # count1: quadruples until the granule's bit budget is consumed
+    n_count1 = 0
+    while br.pos < part2_3_end and line + 4 <= 576:
+        if g.count1table_select:
+            quad = br.read(4) ^ 0xF
+        else:
+            quad = _decode_symbol(br, _C1A_DEC, 6)
+        vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1,
+                quad & 1]
+        for v in vals:
+            if v and br.read(1):
+                v = -v
+            xs[line] = v
+            line += 1
+        n_count1 += 1
+    if br.pos > part2_3_end:
+        raise ValueError("mp3 Huffman data overran part2_3_length")
+    # skip stuffing up to the declared budget
+    br.pos = part2_3_end
+    return xs, line, n_count1
+
+
+def requantize(xs, g: GranuleInfo, sf_long, sf_short, sample_rate: int):
+    """ISO 2.4.3.4: xr_i = sign(is_i) * |is_i|^(4/3) * 2^exp with
+    exp = (global_gain - 210)/4 - (scalefac_scale+1)/2 *
+    (scalefac + preflag*pretab)  [long] and the subblock_gain form
+    for short windows.  Pure closed form over the decoded integers."""
+    sf_mult = 1.0 if g.scalefac_scale else 0.5
+    out = [0.0] * 576
+    if g.window_switching and g.block_type == 2 and not g.mixed_block:
+        # Values stay in BITSTREAM line order (band-major, window
+        # within band): the window-major reorder belongs to the
+        # round-11 synthesis half.  Each line gets the gain of the
+        # (band, window) that owns it.
+        bands = SFB_SHORT[sample_rate]
+        for b in range(len(bands) - 1):
+            start, end = bands[b], bands[b + 1]
+            width = end - start
+            for win in range(3):
+                # band 12 (the last short partition) carries no
+                # scalefactor, like long band 21
+                sfv = sf_short[b][win] if b < 12 else 0
+                gain = (
+                    (g.global_gain - 210) / 4.0
+                    - 2.0 * g.subblock_gain[win]
+                    - sf_mult * sfv
+                )
+                scale = 2.0 ** gain
+                for k in range(width):
+                    idx = 3 * start + win * width + k
+                    if idx >= 576:
+                        continue
+                    q = xs[idx]
+                    mag = abs(q) ** (4.0 / 3.0) * scale
+                    out[idx] = -mag if q < 0 else mag
+        return out
+    bands = SFB_LONG[sample_rate]
+    for b in range(len(bands) - 1):
+        sf = sf_long[b] if b < 21 else 0
+        pre = _PRETAB[b] if g.preflag else 0
+        gain = (g.global_gain - 210) / 4.0 - sf_mult * (sf + pre)
+        scale = 2.0 ** gain
+        for i in range(bands[b], bands[b + 1]):
+            q = xs[i]
+            mag = abs(q) ** (4.0 / 3.0) * scale
+            out[i] = -mag if q < 0 else mag
+    return out
+
+
+def parse_frames(payload: bytes, tables=None):
+    """Full bitstream parse of an MPEG-1 Layer III stream: frame walk,
+    bit-reservoir assembly, side info, scalefactors, Huffman lines.
+
+    Returns a list of frame dicts: {sample_rate, bitrate_kbps, mode,
+    nch, granules: [[{gran info, sf_long, sf_short, lines, n_lines,
+    n_count1}]*nch]*2}.  Raises ValueError on structural damage and
+    NotImplementedError on honest gaps (non-MPEG1-L3, free format,
+    unverified Huffman tables) — the same triage contract as
+    mp3_frame_census."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("ID3v2 header truncated")
+        b6, b7, b8, b9 = payload[6:10]
+        if (b6 | b7 | b8 | b9) & 0x80:
+            raise ValueError("ID3v2 size bytes not syncsafe")
+        pos = 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+        if payload[5] & 0x10:
+            pos += 10
+        if pos > len(payload):
+            raise ValueError("ID3v2 tag runs past the payload")
+    frames = []
+    reservoir = b""
+    pending = []  # (frame_meta, side, main_part) awaiting reservoir
+    while pos < len(payload):
+        if payload[pos:pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break
+        if len(payload) - pos < 4:
+            raise ValueError("mp3 frame header truncated")
+        (hdr,) = struct.unpack_from(">I", payload, pos)
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost mp3 frame sync at offset {pos}")
+        version = (hdr >> 19) & 3
+        layer = (hdr >> 17) & 3
+        if version == 1 or layer == 0:
+            raise ValueError("reserved MPEG version/layer bits")
+        if version != 3 or layer != 1:
+            raise NotImplementedError("only MPEG-1 Layer III decoded")
+        protection = not ((hdr >> 16) & 1)
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 3
+        pad = (hdr >> 9) & 1
+        mode = (hdr >> 6) & 3
+        if br_idx == 0:
+            raise NotImplementedError("free-format mp3 not decoded")
+        if br_idx == 0xF or sr_idx == 3:
+            raise ValueError("invalid mp3 header")
+        bitrate = _BITRATE_KBPS[br_idx]
+        sr = _SAMPLE_RATE[sr_idx]
+        nch = 1 if mode == 3 else 2
+        flen = (144000 * bitrate) // sr + pad
+        if pos + flen > len(payload):
+            raise ValueError("mp3 final frame truncated")
+        off = pos + 4
+        if protection:
+            off += 2  # CRC-16 over header+side info; not verified here
+        side_len = 17 if nch == 1 else 32
+        side = payload[off:off + side_len]
+        if len(side) < side_len:
+            raise ValueError("mp3 side info truncated")
+        main_part = payload[off + side_len:pos + flen]
+        main_data_begin, scfsi, granules = _parse_side_info(side, nch)
+        if main_data_begin > len(reservoir):
+            raise ValueError(
+                "bit reservoir underflow (main_data_begin reaches "
+                "before the stream start)"
+            )
+        main_data = (
+            reservoir[len(reservoir) - main_data_begin:] + main_part
+            if main_data_begin else main_part
+        )
+        brd = _BitReader(main_data)
+        frame = {
+            "sample_rate": sr, "bitrate_kbps": bitrate,
+            "mode": mode, "nch": nch, "granules": [],
+        }
+        prev_long = [[0] * 21 for _ in range(nch)]
+        for gr in range(2):
+            chans = []
+            for ch in range(nch):
+                g = granules[gr][ch]
+                p23_start = brd.pos
+                sf_long, sf_short, part2 = _decode_scalefactors(
+                    brd, g, scfsi[ch], gr, prev_long[ch]
+                )
+                if gr == 0:
+                    prev_long[ch] = sf_long
+                p23_end = p23_start + g.part2_3_length
+                if part2 > g.part2_3_length:
+                    raise ValueError(
+                        "scalefactors overran part2_3_length"
+                    )
+                lines, n_lines, n_c1 = _decode_huffman(
+                    brd, g, sr, p23_end, tables
+                )
+                chans.append({
+                    "info": g, "sf_long": sf_long, "sf_short": sf_short,
+                    "lines": lines, "n_lines": n_lines,
+                    "n_count1": n_c1,
+                })
+            frame["granules"].append(chans)
+        frames.append(frame)
+        # reservoir: everything in this frame's main-data slot is
+        # available to FUTURE frames (keep the 511-byte maximum the
+        # 9-bit main_data_begin can address)
+        reservoir = (reservoir + main_part)[-511:]
+        pos += flen
+    return frames
+
+
+def decode_stats(payload: bytes) -> list[float]:
+    """Integer census of the decoded bitstream for the driver gate:
+    [n_frames, n_granule_channels, sum_abs_q, n_nonzero, max_abs_q,
+    sum_scalefac, sum_global_gain] — every element an exact integer
+    over the decoded Huffman lines and scalefactors, so a DuckDB
+    oracle can recompute it in closed form from the synth parameters
+    (the bitstream transports exactly these integers)."""
+    frames = parse_frames(payload)
+    n_gc = sum_abs = n_nz = max_abs = sum_sf = sum_gg = 0
+    for f in frames:
+        for gr_chans in f["granules"]:
+            for d in gr_chans:
+                n_gc += 1
+                for q in d["lines"]:
+                    if q:
+                        a = abs(q)
+                        sum_abs += a
+                        n_nz += 1
+                        if a > max_abs:
+                            max_abs = a
+                sum_sf += sum(d["sf_long"]) + sum(
+                    v for w in d["sf_short"] for v in w
+                )
+                sum_gg += d["info"].global_gain
+    return [
+        float(len(frames)), float(n_gc), float(sum_abs), float(n_nz),
+        float(max_abs), float(sum_sf), float(sum_gg),
+    ]
+
+
+# --------------------------------------------------------- writing
+def _encode_value(bw: _BitWriter, table: HuffTable, x: int, y: int):
+    ax, ay = abs(x), abs(y)
+    lx = ly = 0
+    if table.linbits:
+        if ax > 15 + (1 << table.linbits) - 1:
+            raise ValueError("value exceeds linbits range")
+        if ax >= 15:
+            lx, ax2 = ax - 15, 15
+        else:
+            ax2 = ax
+        if ay >= 15:
+            ly, ay2 = ay - 15, 15
+        else:
+            ay2 = ay
+    else:
+        if ax >= table.dim or ay >= table.dim:
+            raise ValueError("value exceeds table range")
+        ax2, ay2 = ax, ay
+    bw.write(table.hcod[ax2][ay2], table.hlen[ax2][ay2])
+    if table.linbits and ax2 == 15:
+        bw.write(lx, table.linbits)
+    if ax:
+        bw.write(1 if x < 0 else 0, 1)
+    if table.linbits and ay2 == 15:
+        bw.write(ly, table.linbits)
+    if ay:
+        bw.write(1 if y < 0 else 0, 1)
+
+
+def write_frames(frame_specs, tables=None):
+    """The independent bitstream writer: build a whole MPEG-1 Layer
+    III stream from explicit frame specs, the encode-side mirror the
+    round-trip tests drive.
+
+    Each spec: {bitrate_kbps, sample_rate, padding, granules:
+    [[{big_values_pairs: [(x, y), ...], count1_quads: [(v,w,x,y),...],
+    global_gain, scalefac_compress, sf_long, table_select,
+    region0_count, region1_count, count1table_select, preflag,
+    scalefac_scale}]*1]*2}  (mono only; main_data_begin always 0 —
+    reservoir layouts are exercised by hand-built streams in the
+    tests).  part2_3_length is COMPUTED from the actual emitted bits,
+    the invariant real encoders must maintain."""
+    tabs = BIG_VALUE_TABLES if tables is None else tables
+    out = bytearray()
+    for spec in frame_specs:
+        bitrate = spec["bitrate_kbps"]
+        sr = spec["sample_rate"]
+        pad = spec.get("padding", 0)
+        br_idx = _BITRATE_KBPS.index(bitrate)
+        sr_idx = _SAMPLE_RATE.index(sr)
+        hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        hdr |= (br_idx << 12) | (sr_idx << 10) | (pad << 9) | (3 << 6)
+        flen = (144000 * bitrate) // sr + pad
+        # encode both granules' main data first to learn part2_3_length
+        main = _BitWriter()
+        p23 = []
+        for gr in range(2):
+            g = spec["granules"][gr][0]
+            start = main.bit_length()
+            slen1 = _SLEN1[g["scalefac_compress"]]
+            slen2 = _SLEN2[g["scalefac_compress"]]
+            sf_long = g.get("sf_long", [0] * 21)
+            for band in range(21):
+                main.write(sf_long[band], slen1 if band < 11 else slen2)
+            table_select = g["table_select"]
+            pairs = g.get("big_values_pairs", [])
+            # region boundaries must match the decoder's split
+            gi = GranuleInfo()
+            gi.big_values = len(pairs)
+            gi.window_switching = 0
+            gi.region0_count = g.get("region0_count", 0)
+            gi.region1_count = g.get("region1_count", 0)
+            r0, r1 = _region_boundaries(gi, sr)
+            for i, (x, y) in enumerate(pairs):
+                line = i * 2
+                region = 0 if line < r0 else (1 if line < r1 else 2)
+                tsel = table_select[region]
+                table = tabs.get(tsel)
+                if table is None:
+                    raise NotImplementedError(
+                        f"mp3 Huffman table {tsel} not verifiable"
+                    )
+                if table.dim == 1:
+                    if x or y:
+                        raise ValueError("table 0 only encodes zeros")
+                    continue
+                _encode_value(main, table, x, y)
+            for (v, w, x, y) in g.get("count1_quads", []):
+                quad = ((1 if v else 0) << 3 | (1 if w else 0) << 2
+                        | (1 if x else 0) << 1 | (1 if y else 0))
+                if g.get("count1table_select", 0):
+                    main.write(quad ^ 0xF, 4)
+                else:
+                    main.write(_HCOD_C1A[quad], _HLEN_C1A[quad])
+                for s in (v, w, x, y):
+                    if s:
+                        main.write(1 if s < 0 else 0, 1)
+            p23.append(main.bit_length() - start)
+        main_bytes = main.getvalue()
+        side = _BitWriter()
+        side.write(0, 9)   # main_data_begin
+        side.write(0, 5)   # private (mono)
+        for _ in range(4):
+            side.write(0, 1)  # scfsi
+        for gr in range(2):
+            g = spec["granules"][gr][0]
+            side.write(p23[gr], 12)
+            side.write(len(g.get("big_values_pairs", [])), 9)
+            side.write(g["global_gain"], 8)
+            side.write(g["scalefac_compress"], 4)
+            side.write(0, 1)  # window_switching
+            for tsel in g["table_select"]:
+                side.write(tsel, 5)
+            side.write(g.get("region0_count", 0), 4)
+            side.write(g.get("region1_count", 0), 3)
+            side.write(g.get("preflag", 0), 1)
+            side.write(g.get("scalefac_scale", 0), 1)
+            side.write(g.get("count1table_select", 0), 1)
+        side_bytes = side.getvalue()
+        assert len(side_bytes) == 17
+        body = side_bytes + main_bytes
+        room = flen - 4
+        if len(body) > room:
+            raise ValueError(
+                f"frame payload {len(body)} exceeds frame length {room}"
+            )
+        out += struct.pack(">I", hdr) + body + b"\x00" * (room - len(body))
+    return bytes(out)

@@ -3780,8 +3780,10 @@ def audio_decoder(payload: bytes) -> list[float]:
         return au_decoder(payload)
     raise NotImplementedError(
         "only WAV (PCM/G.711/IMA-ADPCM), native FLAC and Sun AU "
-        "(mu-law/linear PCM) decode in-container; swap in "
-        "torchaudio/ffmpeg via decoder= for mp3/ogg/aac"
+        "(mu-law/linear PCM) decode to PCM in-container; mp3 decodes "
+        "through the Huffman/requantize half (operators/mp3l3.py — "
+        "IMDCT/polyphase synthesis is the documented remaining half); "
+        "swap in torchaudio/ffmpeg via decoder= for mp3/ogg/aac PCM"
     )
 
 
@@ -4594,6 +4596,94 @@ def synth_mp3_frames(
                     flen = (144000 * _MP3_BITRATE_KBPS[br_idx]) // 44100 + pad
                     out += header(br_idx, pad) + b"\x00" * (flen - 4)
                 payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def synth_mp3_l3(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stub_mod: int = 7,
+) -> DataFrame:
+    """Per-row deterministic MPEG-1 Layer III streams WITH CONTENT,
+    built through the independent bitstream writer (mp3l3.write_frames)
+    for the decode gate: 2 mono 128 kbps 44.1 kHz frames (4 granules),
+    each granule carrying md5-derived scalefactors, 8..15 Huffman pairs
+    on table 7 (values -5..5 incl. signs), and 0..4 count1 quadruples
+    on the md5-chosen count1 table — so every decoded integer is
+    recomputable in closed form from md5(id || suffix || granule) hex
+    bytes.  Rows where id % stub_mod == 0 carry a free-format header:
+    a valid container the decoder honestly refuses
+    (extract_features' NotImplementedError branch).  Arrow mapInPandas,
+    zero shuffle."""
+    import hashlib
+
+    from . import mp3l3
+
+    def granule_spec(i: int, j: int) -> dict:
+        hg = hashlib.md5(f"{i}_l3g_{j}".encode()).digest()
+        hv = hashlib.md5(f"{i}_l3v_{j}".encode()).digest()
+        hw = hashlib.md5(f"{i}_l3w_{j}".encode()).digest()
+        hq = hashlib.md5(f"{i}_l3q_{j}".encode()).digest()
+        hs = hashlib.md5(f"{i}_l3s_{j}".encode()).digest()
+        ht = hashlib.md5(f"{i}_l3t_{j}".encode()).digest()
+        n_pairs = 8 + hg[1] % 8
+        n_quads = hg[2] % 5
+        pairs = [
+            (hv[k] % 11 - 5, hw[k] % 11 - 5) for k in range(n_pairs)
+        ]
+        quads = [
+            tuple(
+                ((hq[k] >> m) & 1) * (1 - 2 * ((hq[k] >> (4 + m)) & 1))
+                for m in range(4)
+            )
+            for k in range(n_quads)
+        ]
+        sf = [
+            (hs[b] % 8 if b < 11 else hs[b] % 2) if b < 16
+            else ht[b - 16] % 2
+            for b in range(21)
+        ]
+        return {
+            "big_values_pairs": pairs,
+            "count1_quads": quads,
+            "global_gain": hg[0],
+            "scalefac_compress": 11,  # slen1=3, slen2=1
+            "sf_long": sf,
+            "table_select": [7, 7, 7],
+            "count1table_select": hg[3] & 1,
+        }
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                if stub_mod and i % stub_mod == 0:
+                    # free-format header: decode honestly refused
+                    payloads.append(b"\xff\xfb\x00\xc0" + b"\x00" * 100)
+                    continue
+                specs = [
+                    {
+                        "bitrate_kbps": 128,
+                        "sample_rate": 44100,
+                        "padding": 0,
+                        "granules": [
+                            [granule_spec(i, f * 2 + 0)],
+                            [granule_spec(i, f * 2 + 1)],
+                        ],
+                    }
+                    for f in range(2)
+                ]
+                payloads.append(mp3l3.write_frames(specs))
             yield pd.DataFrame(
                 {
                     "item_id": pd.Series(

@@ -7279,3 +7279,121 @@ def q_record_linkage(spark, sf_dir):
         F.col("id_a"), F.col("id_b"), F.col("name_a"), F.col("name_b"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+@defq_pending(
+    "q_audio_mp3_decode",
+    """
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 7 != 0),
+    g AS (
+      SELECT doc_id, j.range AS j,
+        CAST('0x' || substr(md5(doc_id || '_l3g_' || j.range), 1, 2)
+             AS INTEGER) AS gg,
+        8 + CAST('0x' || substr(md5(doc_id || '_l3g_' || j.range), 3, 2)
+                 AS INTEGER) % 8 AS n_pairs,
+        CAST('0x' || substr(md5(doc_id || '_l3g_' || j.range), 5, 2)
+             AS INTEGER) % 5 AS n_quads
+      FROM p, range(4) j
+    ),
+    pv AS (
+      SELECT doc_id,
+        abs(CAST('0x' || substr(md5(doc_id || '_l3v_' || j),
+                 2 * k.range + 1, 2) AS INTEGER) % 11 - 5) AS ax,
+        abs(CAST('0x' || substr(md5(doc_id || '_l3w_' || j),
+                 2 * k.range + 1, 2) AS INTEGER) % 11 - 5) AS ay
+      FROM g, range(16) k WHERE k.range < n_pairs
+    ),
+    qv AS (
+      SELECT doc_id,
+        ((CAST('0x' || substr(md5(doc_id || '_l3q_' || j),
+               2 * k.range + 1, 2) AS INTEGER) >> m.range) & 1) AS mag
+      FROM g, range(4) k, range(4) m WHERE k.range < n_quads
+    ),
+    sv AS (
+      SELECT doc_id,
+        CASE WHEN b.range < 11 THEN
+               CAST('0x' || substr(md5(doc_id || '_l3s_' || j),
+                    2 * b.range + 1, 2) AS INTEGER) % 8
+             WHEN b.range < 16 THEN
+               CAST('0x' || substr(md5(doc_id || '_l3s_' || j),
+                    2 * b.range + 1, 2) AS INTEGER) % 2
+             ELSE
+               CAST('0x' || substr(md5(doc_id || '_l3t_' || j),
+                    2 * (b.range - 16) + 1, 2) AS INTEGER) % 2
+        END AS sf
+      FROM g, range(21) b
+    ),
+    pa AS (SELECT doc_id, CAST(SUM(ax + ay) AS BIGINT) AS s,
+                  CAST(SUM(CASE WHEN ax > 0 THEN 1 ELSE 0 END
+                         + CASE WHEN ay > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nz,
+                  CAST(MAX(greatest(ax, ay)) AS BIGINT) AS mx
+           FROM pv GROUP BY 1),
+    qa AS (SELECT doc_id, CAST(SUM(mag) AS BIGINT) AS s,
+                  CAST(SUM(mag) AS BIGINT) AS nz,
+                  CAST(MAX(mag) AS BIGINT) AS mx
+           FROM qv GROUP BY 1),
+    sa AS (SELECT doc_id, CAST(SUM(sf) AS BIGINT) AS s FROM sv GROUP BY 1),
+    ga AS (SELECT doc_id, CAST(SUM(gg) AS BIGINT) AS s FROM g GROUP BY 1),
+    st AS (
+      SELECT p.doc_id,
+             pa.s + COALESCE(qa.s, 0) AS sum_abs_q,
+             pa.nz + COALESCE(qa.nz, 0) AS n_nonzero,
+             greatest(pa.mx, COALESCE(qa.mx, 0)) AS max_abs_q,
+             sa.s AS sum_scalefac, ga.s AS sum_gg
+      FROM p JOIN pa USING (doc_id) LEFT JOIN qa USING (doc_id)
+             JOIN sa USING (doc_id) JOIN ga USING (doc_id)
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 7 != 0) AS decode_ok,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(2 AS BIGINT) END AS n_frames,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(4 AS BIGINT) END AS n_granules,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.sum_abs_q END AS sum_abs_q,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.n_nonzero END AS n_nonzero,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.max_abs_q END AS max_abs_q,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.sum_scalefac END AS sum_scalefac,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.sum_gg END AS sum_global_gain
+    FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def q_audio_mp3_decode(spark, sf_dir):
+    """MPEG-1 Layer III BITSTREAM DECODE behind a driver gate (VERDICT
+    r09 ask #4, the prescribed huffman+requantize half): md5-derived
+    spectra written through the independent encoder
+    (multimodal.synth_mp3_l3 -> mp3l3.write_frames) and decoded by the
+    full bitstream path — frame walk, side-info parse, scalefactor
+    read (scalefac_compress=11 split), Huffman pairs on table 7 with
+    sign bits, count1 quadruples on BOTH count1 tables, part2_3_length
+    delimiting — censusing the decoded integers.  The oracle
+    recomputes every statistic in closed form from the same md5 hex
+    bytes, so the bitstream machinery must transport the exact values
+    end to end; every 7th doc carries a free-format header the decoder
+    honestly refuses (the absent-codec branch, like lossy WebP).  The
+    synthesis half (IMDCT/polyphase) is the documented round-11 gap;
+    unverifiable Huffman tables (13/15/16..31) raise per-row — see
+    operators/mp3l3.py's validation notes."""
+    from .operators import mp3l3
+
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_mp3_l3(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=mp3l3.decode_stats, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 1).cast("long").alias("n_frames"),
+        F.element_at("feat", 2).cast("long").alias("n_granules"),
+        F.element_at("feat", 3).cast("long").alias("sum_abs_q"),
+        F.element_at("feat", 4).cast("long").alias("n_nonzero"),
+        F.element_at("feat", 5).cast("long").alias("max_abs_q"),
+        F.element_at("feat", 6).cast("long").alias("sum_scalefac"),
+        F.element_at("feat", 7).cast("long").alias("sum_global_gain"),
+    )

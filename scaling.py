@@ -124,6 +124,7 @@ SUBSET = [
     "q_ogg_census",            # Ogg page walk + CRC verify + Vorbis ident
     "q_robots_admit",          # rules seam + broadcast + longest-match max_by
     "q_record_linkage",        # soundex blocks + hot-cap anti-join + levenshtein
+    "q_audio_mp3_decode",      # L3 bitstream decode (reservoir/huffman) seam
 
 ]
 

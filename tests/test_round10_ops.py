@@ -351,6 +351,22 @@ def test_round10_staged_plans_stay_jvm_side(spark):
             assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_mp3_decode_gate_plan(spark):
+    """q_audio_mp3_decode: one zero-shuffle Arrow seam (synth +
+    decode chained mapInPandas), no joins, no Exchange."""
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_audio_mp3_decode"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_record_linkage_gate_plan(spark):
     """q_record_linkage: the whole linkage pipeline (soundex blocks,
     hot-block cap, bounded levenshtein) is one JVM equi-join tree —
