@@ -298,3 +298,98 @@ def synth_zstd(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ------------------------------------------------------------- brotli
+# The third content coding real crawls carry (RFC 7932; 'br' on the
+# wire).  Unlike zstd there is no frame census to write — brotli's
+# stream layout is bit-packed with no byte-aligned structure worth
+# walking — so the operator surface is just the codec pair through the
+# system libraries, probed like libzstd/libwebp.
+
+_LIBBROTLI_CACHE: list = []  # [(dec_or_None, enc_or_None)] once probed
+
+
+def _libbrotli_handles():
+    """(libbrotlidec, libbrotlienc) via ctypes, each None when absent;
+    probed once per process."""
+    if _LIBBROTLI_CACHE:
+        return _LIBBROTLI_CACHE[0]
+    import ctypes
+    import ctypes.util
+
+    def load(stem, names):
+        for name in names + (ctypes.util.find_library(stem),):
+            if not name:
+                continue
+            try:
+                return ctypes.CDLL(name)
+            except OSError:
+                continue
+        return None
+
+    dec = load("brotlidec", ("libbrotlidec.so.1", "libbrotlidec.so"))
+    enc = load("brotlienc", ("libbrotlienc.so.1", "libbrotlienc.so"))
+    if dec is not None:
+        dec.BrotliDecoderDecompress.restype = ctypes.c_int
+        dec.BrotliDecoderDecompress.argtypes = [
+            ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+        ]
+    if enc is not None:
+        enc.BrotliEncoderCompress.restype = ctypes.c_int
+        enc.BrotliEncoderCompress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+        ]
+    _LIBBROTLI_CACHE.append((dec, enc))
+    return _LIBBROTLI_CACHE[0]
+
+
+def brotli_compress(data: bytes, quality: int = 5) -> bytes:
+    """One-shot brotli compression through the system libbrotlienc
+    (fixture/writer side).  NotImplementedError when absent."""
+    import ctypes
+
+    _, enc = _libbrotli_handles()
+    if enc is None:
+        raise NotImplementedError("libbrotlienc not available")
+    bound = len(data) + (len(data) >> 1) + 1024
+    dst = ctypes.create_string_buffer(bound)
+    out_len = ctypes.c_size_t(bound)
+    ok = enc.BrotliEncoderCompress(
+        quality, 22, 0, len(data), data, ctypes.byref(out_len), dst
+    )
+    if not ok:
+        raise ValueError("brotli compression failed")
+    return dst.raw[: out_len.value]
+
+
+def brotli_decompress(data: bytes, max_output: int = 1 << 28) -> bytes:
+    """One-shot brotli decompression through the system libbrotlidec.
+    HTTP 'br' content declares no decompressed size, so the output
+    buffer grows geometrically up to `max_output` (the zip-bomb guard
+    a crawl pipeline needs anyway).  ValueError on a stream that does
+    not decode; NotImplementedError when the library is absent."""
+    import ctypes
+
+    dec, _ = _libbrotli_handles()
+    if dec is None:
+        raise NotImplementedError("libbrotlidec not available")
+    size = max(4 * len(data) + 1024, 1 << 14)
+    while True:
+        size = min(size, max_output)
+        dst = ctypes.create_string_buffer(size)
+        out_len = ctypes.c_size_t(size)
+        rc = dec.BrotliDecoderDecompress(
+            len(data), data, ctypes.byref(out_len), dst
+        )
+        if rc == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+            return dst.raw[: out_len.value]
+        if size >= max_output:
+            raise ValueError(
+                "brotli stream does not decode (or exceeds the "
+                "output guard)"
+            )
+        size *= 4

@@ -162,9 +162,9 @@ def _dechunk(body: bytes) -> bytes:
 
 def _decode_content(body: bytes, coding: str) -> bytes:
     """Content-Encoding decode: gzip / deflate (both zlib-wrapped and
-    the bare-DEFLATE form some servers send) / identity.  Unknown
-    codings (br, zstd without the lib) raise ValueError — per-row
-    damage, the caller's contract."""
+    the bare-DEFLATE form some servers send) / zstd / br (both through
+    the system libraries) / identity.  Unknown codings raise
+    ValueError — per-row damage, the caller's contract."""
     if coding in ("", "identity"):
         return body
     if coding == "gzip":
@@ -187,6 +187,15 @@ def _decode_content(body: bytes, coding: str) -> bytes:
         if n_data != 1 or total < 0:
             raise ValueError("zstd content without declared size")
         return _compress.zstd_decompress(body, total)
+    if coding == "br":
+        from ..operators import compress as _compress
+
+        try:
+            return _compress.brotli_decompress(body)
+        except NotImplementedError as exc:
+            # libbrotlidec absent: per-row damage, same contract as
+            # every other undecodable coding
+            raise ValueError(str(exc)) from exc
     raise ValueError(f"unsupported content-encoding: {coding}")
 
 

@@ -710,6 +710,28 @@ def test_http_content_encodings_decode():
     assert W.parse_warc(
         _http_rec(b"Content-Encoding: zstd\r\n", C.zstd_compress(text, 3))
     )[0]["body"] == text
+    # brotli through the system libbrotlienc/dec pair: the encode side
+    # is the INDEPENDENT reference (we never wrote these bytes)
+    assert W.parse_warc(
+        _http_rec(b"Content-Encoding: br\r\n", C.brotli_compress(text))
+    )[0]["body"] == text
+
+
+def test_brotli_codec_pair():
+    blob = bytes(range(256)) * 64 + b"tail"
+    enc = C.brotli_compress(blob, quality=9)
+    assert C.brotli_decompress(enc) == blob
+    assert C.brotli_decompress(C.brotli_compress(b"")) == b""
+    # growing-buffer path: output >> the initial 4x guess
+    big = b"a" * 500_000
+    enc2 = C.brotli_compress(big)
+    assert len(enc2) < 2_000  # so 4*len(enc)+1024 < 500k forces growth
+    assert C.brotli_decompress(enc2) == big
+    with pytest.raises(ValueError):
+        C.brotli_decompress(b"\x00\xffnot brotli\x17" * 5)
+    # the zip-bomb guard caps the geometric growth
+    with pytest.raises(ValueError):
+        C.brotli_decompress(enc2, max_output=1024)
 
 
 def test_http_chunked_transfer_decoding():
@@ -733,7 +755,7 @@ def test_http_chunked_transfer_decoding():
 def test_http_decoding_damage_branches():
     for hdrs, body in [
         (b"Content-Encoding: gzip\r\n", b"not gzip"),
-        (b"Content-Encoding: br\r\n", b"x"),       # absent codec
+        (b"Content-Encoding: br\r\n", b"x"),       # corrupt br stream
         (b"Transfer-Encoding: chunked\r\n", b"zz\r\nnothex"),
         (b"Transfer-Encoding: chunked\r\n", b"5\r\nab"),  # truncated
     ]:
