@@ -441,3 +441,58 @@ def test_decode_stats_census_shape():
     stats = M.decode_stats(payload)
     # 1 frame, 2 granule-channels, |2|+|−2| +2 ones per granule
     assert stats == [1.0, 2.0, 12.0, 8.0, 2.0, 0.0, 200.0]
+
+
+def test_stereo_side_info_hand_built():
+    # 32-byte stereo side info (3 private bits, scfsi per channel,
+    # 2 granules x 2 channels); channels decode in ch-major order
+    # inside each granule with independent spectra.
+    ch_pairs = [[(1, -1)], [(-2, 2)]]  # ch0, ch1
+    main = M._BitWriter()
+    p23 = [[0, 0], [0, 0]]
+    for gr in range(2):
+        for ch in range(2):
+            start = main.bit_length()
+            for band in range(21):
+                main.write(0, 0)  # scalefac_compress 0 -> slen 0/0
+            for (x, y) in ch_pairs[ch]:
+                M._encode_value(main, M.BIG_VALUE_TABLES[5], x, y)
+            p23[gr][ch] = main.bit_length() - start
+    main_bytes = main.getvalue()
+    side = M._BitWriter()
+    side.write(0, 9)
+    side.write(0, 3)  # private: 3 bits in stereo
+    for _ch in range(2):
+        for _ in range(4):
+            side.write(0, 1)
+    for gr in range(2):
+        for ch in range(2):
+            side.write(p23[gr][ch], 12)
+            side.write(1, 9)
+            side.write(50 + ch, 8)  # distinct global_gain per channel
+            side.write(0, 4)
+            side.write(0, 1)
+            for _ in range(3):
+                side.write(5, 5)
+            side.write(0, 4)
+            side.write(0, 3)
+            side.write(0, 1)
+            side.write(0, 1)
+            side.write(0, 1)
+    side_bytes = side.getvalue()
+    assert len(side_bytes) == 32
+    flen = (144000 * 128) // 44100
+    hdr = struct.pack(
+        ">I",
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        | (M._BITRATE_KBPS.index(128) << 12) | (0 << 10) | (0 << 6),
+    )  # mode 0 = stereo
+    body = side_bytes + main_bytes
+    payload = hdr + body + b"\x00" * (flen - 4 - len(body))
+    frames = M.parse_frames(payload)
+    assert frames[0]["nch"] == 2
+    for gr in range(2):
+        for ch in range(2):
+            d = frames[0]["granules"][gr][ch]
+            assert d["lines"][:2] == list(ch_pairs[ch][0]), (gr, ch)
+            assert d["info"].global_gain == 50 + ch
