@@ -212,10 +212,6 @@ class HuffTable:
         self.dec = _build_decode_map(hlen, hcod)
         self.maxlen = max(max(r) for r in hlen)
 
-    def with_linbits(self, linbits):
-        t = HuffTable(self.dim, self.hlen, self.hcod, linbits)
-        return t
-
 
 # Verified big_values tables.  None = table exists in the standard but
 # its data could not be verified in-container (see module docstring);
