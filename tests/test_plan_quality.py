@@ -383,14 +383,14 @@ def test_staged_round7b_plans_stay_jvm_side(spark):
 
 
 def test_round9_staged_plans_stay_jvm_side(spark):
-    """Round-9 staged queries: Python-free hot paths, no cartesian
-    products, and the prefix-filter join is an equi-join on the
-    shingle hash (a BroadcastNestedLoop/Cartesian would mean the
-    prefix index degenerated to all-pairs)."""
+    """Round-9 staged (now promoted) queries: Python-free hot paths,
+    no cartesian products, and the prefix-filter join is an equi-join
+    on the shingle hash (a BroadcastNestedLoop/Cartesian would mean
+    the prefix index degenerated to all-pairs)."""
     for name in ("q_prefix_filter_pairs", "q_bpe_token_census",
                  "q_join_order_advice", "q_audio_au_stats",
                  "q_audio_mp3_census"):
-        plan = _final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
