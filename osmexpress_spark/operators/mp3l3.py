@@ -4,9 +4,14 @@ half of full mp3 PCM decode.
 Round-10 scope (the r09 VERDICT's staged plan): frame walk + bit
 reservoir assembly + side-info parse + scalefactor decode + Huffman
 decode of the 576 frequency lines per granule + requantization to
-spectral values.  The synthesis half (stereo processing, antialias,
-IMDCT, polyphase filterbank) is the documented round-11 half; until it
-lands, `audio_decoder` keeps refusing mp3 PCM honestly.
+spectral values, PLUS the closed-form time-domain stages (short-block
+reorder, antialias rotations, IMDCT with all four window types,
+overlap-add, frequency inversion — `granule_time_samples`).  What
+remains for full PCM is the 32-band polyphase filterbank: its
+matrixing is closed form, but the 512-tap synthesis window is TABLE
+DATA with no in-container reference to verify against (the same
+honesty boundary as the large Huffman tables below); until that data
+can be pinned, `audio_decoder` keeps refusing mp3 PCM honestly.
 
 Validation strategy (no mp3 codec of any kind exists in the
 container — checked: no libmad/libmpg123/lame/ffmpeg, no Python
@@ -824,3 +829,158 @@ def write_frames(frame_specs, tables=None):
             )
         out += struct.pack(">I", hdr) + body + b"\x00" * (room - len(body))
     return bytes(out)
+
+
+# ------------------------------------------------- synthesis (part 1)
+# The time-domain half between requantize and the polyphase
+# filterbank: short-block reorder, antialias butterflies, IMDCT with
+# the four window types, overlap-add, frequency inversion.  Every
+# stage here is CLOSED-FORM math (cosine transforms, sine windows,
+# plane rotations from the eight published ci constants) and is pinned
+# against direct definition-based reimplementations in the tests — no
+# unverifiable table data.  The remaining PCM stage (the 32-band
+# polyphase filterbank) is matrixing (closed form) times the 512-tap
+# synthesis window, which IS table data with no in-container reference
+# to verify against; it stays the documented gap (module docstring).
+
+_ANTIALIAS_CI = (-0.6, -0.535, -0.33, -0.185,
+                 -0.095, -0.041, -0.0142, -0.0037)
+_ANTIALIAS_CS = tuple(1.0 / (1.0 + c * c) ** 0.5 for c in _ANTIALIAS_CI)
+_ANTIALIAS_CA = tuple(c / (1.0 + c * c) ** 0.5 for c in _ANTIALIAS_CI)
+
+
+def reorder_short(xr, g: GranuleInfo, sample_rate: int):
+    """Short-block reorder: requantize leaves values in BITSTREAM
+    order (scalefactor-band-major, window runs within each band); the
+    IMDCT needs them point-interleaved (window w's spectral point i of
+    subband sb at 18*sb + 3*i + w).  Long/mixed-long regions pass
+    through unchanged."""
+    if not (g.window_switching and g.block_type == 2):
+        return list(xr)
+    out = list(xr)
+    bands = SFB_SHORT[sample_rate]
+    first = 3 if g.mixed_block else 0
+    for b in range(first, len(bands) - 1):
+        start, width = bands[b], bands[b + 1] - bands[b]
+        base = 3 * start
+        for win in range(3):
+            for k in range(width):
+                out[base + 3 * k + win] = xr[base + win * width + k]
+    return out
+
+
+def antialias(xr, g: GranuleInfo):
+    """The 8 butterfly rotations across each of the 31 subband
+    boundaries (ISO 2.4.3.4.10.1); skipped for pure short blocks, and
+    applied only at the first boundary for mixed blocks."""
+    if g.window_switching and g.block_type == 2 and not g.mixed_block:
+        return list(xr)
+    n_bounds = 1 if (g.window_switching and g.block_type == 2) else 31
+    out = list(xr)
+    for sb in range(1, n_bounds + 1):
+        for i in range(8):
+            lo = 18 * sb - 1 - i
+            hi = 18 * sb + i
+            a, b = out[lo], out[hi]
+            out[lo] = a * _ANTIALIAS_CS[i] - b * _ANTIALIAS_CA[i]
+            out[hi] = b * _ANTIALIAS_CS[i] + a * _ANTIALIAS_CA[i]
+    return out
+
+
+def _imdct(x, n):
+    """The Layer III IMDCT: out[i] = sum_k x[k] cos(pi/(2n) *
+    (2i + 1 + n/2)(2k + 1)), i in [0, n), len(x) == n//2."""
+    import math
+
+    half = n // 2
+    return [
+        sum(
+            x[k] * math.cos(math.pi / (2 * n) * (2 * i + 1 + half)
+                            * (2 * k + 1))
+            for k in range(half)
+        )
+        for i in range(n)
+    ]
+
+
+def _window_long(block_type):
+    """The 36-point sine windows for block types 0 (normal), 1
+    (start), 3 (stop) — all closed form."""
+    import math
+
+    w = []
+    for i in range(36):
+        if block_type == 0:
+            w.append(math.sin(math.pi / 36 * (i + 0.5)))
+        elif block_type == 1:
+            if i < 18:
+                w.append(math.sin(math.pi / 36 * (i + 0.5)))
+            elif i < 24:
+                w.append(1.0)
+            elif i < 30:
+                w.append(math.sin(math.pi / 12 * (i - 18 + 0.5)))
+            else:
+                w.append(0.0)
+        elif block_type == 3:
+            if i < 6:
+                w.append(0.0)
+            elif i < 12:
+                w.append(math.sin(math.pi / 12 * (i - 6 + 0.5)))
+            elif i < 18:
+                w.append(1.0)
+            else:
+                w.append(math.sin(math.pi / 36 * (i + 0.5)))
+        else:
+            raise ValueError("long window for block_type 2")
+    return w
+
+
+def _imdct_block(x18, block_type):
+    """One subband's 18 spectral lines -> 36 windowed time samples.
+    Short blocks run three 12-point IMDCTs overlapped at +6 inside
+    the same 36-sample envelope (leading/trailing 6 zeros)."""
+    import math
+
+    if block_type == 2:
+        out = [0.0] * 36
+        win12 = [math.sin(math.pi / 12 * (i + 0.5)) for i in range(12)]
+        for w in range(3):
+            xin = [x18[3 * i + w] for i in range(6)]
+            y = _imdct(xin, 12)
+            for i in range(12):
+                out[6 + 6 * w + i] += y[i] * win12[i]
+        return out
+    win = _window_long(block_type)
+    y = _imdct(x18, 36)
+    return [y[i] * win[i] for i in range(36)]
+
+
+def granule_time_samples(xr, g: GranuleInfo, sample_rate: int,
+                         overlap=None):
+    """Reorder + antialias + per-subband IMDCT + overlap-add +
+    frequency inversion: the full time-domain path up to the polyphase
+    filterbank.  Returns (samples, new_overlap): samples is 18 rows x
+    32 subbands (the filterbank's input order), new_overlap the 32x18
+    tail to carry into the next granule.  For MIXED blocks the first
+    two subbands run as long blocks (type 0) and the rest as short,
+    per the standard."""
+    if overlap is None:
+        overlap = [[0.0] * 18 for _ in range(32)]
+    xr = reorder_short(xr, g, sample_rate)
+    xr = antialias(xr, g)
+    samples = [[0.0] * 32 for _ in range(18)]
+    new_overlap = []
+    for sb in range(32):
+        if g.window_switching and g.block_type == 2:
+            bt = 0 if (g.mixed_block and sb < 2) else 2
+        else:
+            bt = g.block_type
+        z = _imdct_block(xr[18 * sb:18 * sb + 18], bt)
+        for i in range(18):
+            v = z[i] + overlap[sb][i]
+            # frequency inversion: odd time samples of odd subbands
+            if sb % 2 and i % 2:
+                v = -v
+            samples[i][sb] = v
+        new_overlap.append([z[18 + i] for i in range(18)])
+    return samples, new_overlap

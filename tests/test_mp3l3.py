@@ -496,3 +496,138 @@ def test_stereo_side_info_hand_built():
             d = frames[0]["granules"][gr][ch]
             assert d["lines"][:2] == list(ch_pairs[ch][0]), (gr, ch)
             assert d["info"].global_gain == 50 + ch
+
+
+# ----------------------------------------------- synthesis (part 1)
+def test_antialias_butterflies_are_rotations():
+    import math
+    # each (cs, ca) pair is a unit rotation: cs^2 + ca^2 == 1, so the
+    # butterfly is invertible; apply forward then the analytic inverse
+    for cs, ca in zip(M._ANTIALIAS_CS, M._ANTIALIAS_CA):
+        assert cs * cs + ca * ca == pytest.approx(1.0, rel=1e-15)
+    gi = M.GranuleInfo()
+    gi.window_switching = 0
+    gi.block_type = 0
+    rng = random.Random(3)
+    xr = [rng.uniform(-4, 4) for _ in range(576)]
+    y = M.antialias(xr, gi)
+    # invert: rotate back at every boundary
+    z = list(y)
+    for sb in range(1, 32):
+        for i in range(8):
+            lo, hi = 18 * sb - 1 - i, 18 * sb + i
+            a, b = z[lo], z[hi]
+            z[lo] = a * M._ANTIALIAS_CS[i] + b * M._ANTIALIAS_CA[i]
+            z[hi] = b * M._ANTIALIAS_CS[i] - a * M._ANTIALIAS_CA[i]
+    assert z == pytest.approx(xr, rel=1e-12)
+    # pure short blocks: pass-through
+    gi.window_switching, gi.block_type, gi.mixed_block = 1, 2, 0
+    assert M.antialias(xr, gi) == xr
+    # mixed: only the first boundary is touched
+    gi.mixed_block = 1
+    ym = M.antialias(xr, gi)
+    assert ym[:10] == xr[:10] and ym[26:] == xr[26:]
+    assert ym[17] != xr[17] and ym[18] != xr[18]
+
+
+def test_imdct_matches_direct_definition():
+    import math
+    rng = random.Random(5)
+    for n in (12, 36):
+        x = [rng.uniform(-2, 2) for _ in range(n // 2)]
+        got = M._imdct(x, n)
+        exp = []
+        for i in range(n):
+            acc = 0.0
+            for k in range(n // 2):
+                acc += x[k] * math.cos(
+                    math.pi / (2 * n) * (2 * i + 1 + n // 2) * (2 * k + 1)
+                )
+            exp.append(acc)
+        assert got == pytest.approx(exp, rel=1e-12)
+    # single-coefficient analytic case
+    x = [0.0] * 18
+    x[4] = 1.0
+    y = M._imdct(x, 36)
+    assert y[7] == pytest.approx(math.cos(math.pi / 72 * 15 * 9))
+
+
+def test_window_shapes_closed_form():
+    import math
+    w0 = M._window_long(0)
+    w1 = M._window_long(1)
+    w3 = M._window_long(3)
+    # normal window: symmetric sine; Princen-Bradley overlap condition
+    for i in range(18):
+        assert w0[i] == pytest.approx(w0[35 - i])
+        assert w0[i] ** 2 + w0[i + 18] ** 2 == pytest.approx(1.0)
+    # start and stop windows are mirror images
+    for i in range(36):
+        assert w1[i] == pytest.approx(w3[35 - i])
+    # start begins like normal (long overlap on the left)
+    assert w1[:18] == pytest.approx(w0[:18])
+    with pytest.raises(ValueError):
+        M._window_long(2)
+
+
+def test_overlap_add_carries_granule_tail():
+    gi = M.GranuleInfo()
+    gi.window_switching = 0
+    gi.block_type = 0
+    rng = random.Random(11)
+    xr = [0.0] * 576
+    for k in range(36):
+        xr[rng.randrange(576)] = rng.uniform(-3, 3)
+    s1, ov = M.granule_time_samples(xr, gi, 44100)
+    # a silent granule next: its output must be EXACTLY the previous
+    # granule's windowed tail (with frequency inversion applied)
+    s2, ov2 = M.granule_time_samples([0.0] * 576, gi, 44100, ov)
+    for sb in range(32):
+        for i in range(18):
+            exp = ov[sb][i]
+            if sb % 2 and i % 2:
+                exp = -exp
+            assert s2[i][sb] == pytest.approx(exp, abs=1e-12)
+    assert all(v == pytest.approx(0.0, abs=1e-12)
+               for row in ov2 for v in row)
+
+
+def test_reorder_short_is_the_window_interleave():
+    gi = M.GranuleInfo()
+    gi.window_switching, gi.block_type, gi.mixed_block = 1, 2, 0
+    xr = list(range(576))
+    out = M.reorder_short(xr, gi, 44100)
+    bands = M.SFB_SHORT[44100]
+    for b in range(len(bands) - 1):
+        start, width = bands[b], bands[b + 1] - bands[b]
+        for win in range(3):
+            for k in range(width):
+                assert out[3 * start + 3 * k + win] == \
+                    xr[3 * start + win * width + k]
+    assert sorted(out) == list(range(576))  # a permutation
+    # mixed blocks keep the long region (first 3 short bands' worth)
+    gi.mixed_block = 1
+    outm = M.reorder_short(xr, gi, 44100)
+    assert outm[:36] == xr[:36]
+    # long blocks pass through
+    gi.window_switching = 0
+    gi.block_type = 0
+    assert M.reorder_short(xr, gi, 44100) == xr
+
+
+def test_short_blocks_synthesize_in_envelope():
+    # a pure short granule: three 12-point IMDCTs overlap inside the
+    # 36-sample envelope; with zero input everything is zero, with one
+    # nonzero line the energy lands in that window's 12-sample span
+    gi = M.GranuleInfo()
+    gi.window_switching, gi.block_type, gi.mixed_block = 1, 2, 0
+    xr = [0.0] * 576
+    # BITSTREAM order (pre-reorder): short band 0 (width 4), window 1,
+    # point 0 -> index win*width + k = 4
+    xr[4] = 1.0
+    s, ov = M.granule_time_samples(xr, gi, 44100)
+    col = [s[i][0] for i in range(18)] + [ov[0][i] for i in range(18)]
+    # window 1 spans envelope samples 12..24
+    assert all(v == pytest.approx(0.0, abs=1e-12) for v in col[:12])
+    assert any(abs(v) > 1e-6 for v in col[12:24])
+    assert all(v == pytest.approx(0.0, abs=1e-12) for v in col[24:])
