@@ -984,3 +984,56 @@ def granule_time_samples(xr, g: GranuleInfo, sample_rate: int,
             samples[i][sb] = v
         new_overlap.append([z[18 + i] for i in range(18)])
     return samples, new_overlap
+
+
+# ------------------------------------------------- stereo processing
+def _intensity_bound(right_lines):
+    """The intensity-stereo bound: the line index after the RIGHT
+    channel's last nonzero decoded value (ISO 2.4.3.4.9.3 — intensity
+    applies to the all-zero tail of the right channel)."""
+    for i in range(575, -1, -1):
+        if right_lines[i]:
+            return i + 1
+    return 0
+
+
+def stereo_process(xl, xr_, mode_extension, sf_right_long,
+                   right_lines, sample_rate: int):
+    """Joint-stereo reconstruction over requantized LONG-block
+    spectra: MS stereo (mode_extension bit 1) mixes L=(M+S)/sqrt2,
+    R=(M-S)/sqrt2; intensity stereo (bit 0) replaces the right
+    channel's all-zero tail band-by-band with a panned copy of the
+    left using the right channel's scalefactor as the position
+    (ratio = tan(is_pos * pi/12); is_pos 7 = 'illegal', band left
+    as-is).  Where both are on, MS covers the spectrum below the
+    intensity bound, intensity above — the standard's split.  Returns
+    (left, right) lists of 576.  Closed form throughout; short-block
+    per-window intensity uses the same positions via sf_short and is
+    the remaining stereo variant (documented, refused)."""
+    import math
+
+    left, right = list(xl), list(xr_)
+    do_ms = bool(mode_extension & 2)
+    do_is = bool(mode_extension & 1)
+    bound = _intensity_bound(right_lines) if do_is else 576
+    if do_ms:
+        s2 = math.sqrt(2.0)
+        for i in range(bound):
+            m, s = left[i], right[i]
+            left[i] = (m + s) / s2
+            right[i] = (m - s) / s2
+    if do_is:
+        bands = SFB_LONG[sample_rate]
+        for b in range(len(bands) - 1):
+            start, end = bands[b], bands[b + 1]
+            if start < bound:
+                continue  # band not entirely in the zero tail
+            is_pos = sf_right_long[b] if b < 21 else 7
+            if is_pos == 7:
+                continue  # 'illegal' position: band stays as decoded
+            ratio = math.tan(is_pos * math.pi / 12.0)
+            for i in range(start, end):
+                v = left[i]
+                left[i] = v * (ratio / (1.0 + ratio))
+                right[i] = v * (1.0 / (1.0 + ratio))
+    return left, right

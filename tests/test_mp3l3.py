@@ -631,3 +631,64 @@ def test_short_blocks_synthesize_in_envelope():
     assert all(v == pytest.approx(0.0, abs=1e-12) for v in col[:12])
     assert any(abs(v) > 1e-6 for v in col[12:24])
     assert all(v == pytest.approx(0.0, abs=1e-12) for v in col[24:])
+
+
+def test_ms_stereo_is_the_exact_inverse_mix():
+    import math
+    rng = random.Random(21)
+    L = [rng.uniform(-3, 3) for _ in range(576)]
+    R = [rng.uniform(-3, 3) for _ in range(576)]
+    s2 = math.sqrt(2.0)
+    mid = [(l + r) / s2 for l, r in zip(L, R)]
+    side = [(l - r) / s2 for l, r in zip(L, R)]
+    gl, gr = M.stereo_process(mid, side, 2, [7] * 21,
+                              [1] * 576, 44100)
+    assert gl == pytest.approx(L, rel=1e-12)
+    assert gr == pytest.approx(R, rel=1e-12)
+    # energy preservation: sum(M^2+S^2) == sum(L^2+R^2)
+    assert sum(v * v for v in mid + side) == pytest.approx(
+        sum(v * v for v in L + R)
+    )
+
+
+def test_intensity_stereo_pans_the_zero_tail():
+    import math
+    xl = [1.0] * 576
+    right_lines = [0] * 576
+    right_lines[99] = 2  # right channel nonzero through line 99
+    xr_ = [0.5] * 576
+    sf_r = [7] * 21
+    bands = M.SFB_LONG[44100]
+    # find the first band entirely above line 100 and give it pos 3
+    b3 = next(b for b in range(21) if bands[b] >= 100)
+    sf_r[b3] = 3   # tan(pi/4) = 1 -> equal split
+    sf_r[b3 + 1] = 0  # tan(0) = 0 -> everything to the right
+    gl, gr = M.stereo_process(xl, xr_, 1, sf_r, right_lines, 44100)
+    i3 = bands[b3]
+    assert gl[i3] == pytest.approx(0.5) and gr[i3] == pytest.approx(0.5)
+    i0 = bands[b3 + 1]
+    assert gl[i0] == pytest.approx(0.0) and gr[i0] == pytest.approx(1.0)
+    # below the bound: untouched (mode_extension has no MS bit here)
+    assert gl[0] == 1.0 and gr[0] == 0.5
+    # is_pos 7 bands stay exactly as decoded
+    i7 = bands[b3 + 2]
+    assert gl[i7] == 1.0 and gr[i7] == 0.5
+    # bound computation
+    assert M._intensity_bound(right_lines) == 100
+    assert M._intensity_bound([0] * 576) == 0
+
+
+def test_ms_plus_intensity_split_at_the_bound():
+    import math
+    mid = [2.0] * 576
+    side = [0.0] * 576
+    right_lines = [0] * 576
+    right_lines[3] = 1
+    sf_r = [3] * 21
+    gl, gr = M.stereo_process(mid, side, 3, sf_r, right_lines, 44100)
+    s2 = math.sqrt(2.0)
+    # below bound 4: MS applied
+    assert gl[0] == pytest.approx(2.0 / s2)
+    assert gr[0] == pytest.approx(2.0 / s2)
+    # above: intensity panning of the (un-MS'd) left value
+    assert gl[4] == pytest.approx(1.0) and gr[4] == pytest.approx(1.0)
