@@ -1007,9 +1007,8 @@ def stereo_process(xl, xr_, mode_extension, sf_right_long,
     (ratio = tan(is_pos * pi/12); is_pos 7 = 'illegal', band left
     as-is).  Where both are on, MS covers the spectrum below the
     intensity bound, intensity above — the standard's split.  Returns
-    (left, right) lists of 576.  Closed form throughout; short-block
-    per-window intensity uses the same positions via sf_short and is
-    the remaining stereo variant (documented, refused)."""
+    (left, right) lists of 576.  Closed form throughout; the pure
+    short-block form is stereo_process_short (per-window bounds)."""
     import math
 
     left, right = list(xl), list(xr_)
@@ -1036,4 +1035,62 @@ def stereo_process(xl, xr_, mode_extension, sf_right_long,
                 v = left[i]
                 left[i] = v * (ratio / (1.0 + ratio))
                 right[i] = v * (1.0 / (1.0 + ratio))
+    return left, right
+
+
+def stereo_process_short(xl, xr_, mode_extension, sf_right_short,
+                         right_lines, sample_rate: int):
+    """Joint stereo for PURE SHORT blocks (block_type 2, not mixed),
+    over BITSTREAM-order spectra (stereo runs before the reorder, as
+    in the standard pipeline): MS mixes below the intensity region;
+    intensity applies PER WINDOW — for each of the three windows, the
+    bound is the line after the right channel's last nonzero value
+    belonging to that window, and every short band at-or-above the
+    bound in that window pans the left value with
+    ratio = tan(is_pos * pi / 12), is_pos = sf_right_short[band][win]
+    (7 = passthrough).  Returns (left, right)."""
+    import math
+
+    left, right = list(xl), list(xr_)
+    do_ms = bool(mode_extension & 2)
+    do_is = bool(mode_extension & 1)
+    bands = SFB_SHORT[sample_rate]
+    nb = len(bands) - 1
+    # per-window bound: the first short BAND index in window w at or
+    # above which the right channel is entirely zero
+    bound_band = [0, 0, 0]
+    if do_is:
+        for w in range(3):
+            bb = 0
+            for b in range(nb):
+                start, width = bands[b], bands[b + 1] - bands[b]
+                base = 3 * start + w * width
+                if any(right_lines[base + k] for k in range(width)
+                       if base + k < 576):
+                    bb = b + 1
+            bound_band[w] = bb
+    else:
+        bound_band = [nb, nb, nb]
+    s2 = math.sqrt(2.0)
+    for b in range(nb):
+        start, width = bands[b], bands[b + 1] - bands[b]
+        for w in range(3):
+            base = 3 * start + w * width
+            in_intensity = do_is and b >= bound_band[w]
+            for k in range(width):
+                i = base + k
+                if i >= 576:
+                    continue
+                if in_intensity:
+                    is_pos = sf_right_short[b][w] if b < 12 else 7
+                    if is_pos == 7:
+                        continue
+                    ratio = math.tan(is_pos * math.pi / 12.0)
+                    v = left[i]
+                    left[i] = v * (ratio / (1.0 + ratio))
+                    right[i] = v * (1.0 / (1.0 + ratio))
+                elif do_ms:
+                    m, s = left[i], right[i]
+                    left[i] = (m + s) / s2
+                    right[i] = (m - s) / s2
     return left, right

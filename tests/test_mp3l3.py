@@ -692,3 +692,57 @@ def test_ms_plus_intensity_split_at_the_bound():
     assert gr[0] == pytest.approx(2.0 / s2)
     # above: intensity panning of the (un-MS'd) left value
     assert gl[4] == pytest.approx(1.0) and gr[4] == pytest.approx(1.0)
+
+
+def test_short_block_intensity_is_per_window():
+    import math
+    bands = M.SFB_SHORT[44100]
+    xl = [1.0] * 576
+    xr_ = [0.25] * 576
+    right_lines = [0] * 576
+    # window 0: right nonzero through band 3; windows 1/2: all zero
+    b, w = 3, 0
+    start, width = bands[b], bands[b + 1] - bands[b]
+    right_lines[3 * start + w * width] = 1
+    sf_r = [[3] * 3 for _ in range(12)]  # tan(pi/4)=1 -> equal split
+    gl, gr = M.stereo_process_short(
+        xl, xr_, 1, sf_r, right_lines, 44100
+    )
+    # window 0, band 3: still below its bound -> untouched
+    i = 3 * start + 0 * width
+    assert gl[i] == 1.0 and gr[i] == 0.25
+    # window 1 of the same band: bound 0 -> intensity applies
+    i1 = 3 * start + 1 * width
+    assert gl[i1] == pytest.approx(0.5) and gr[i1] == pytest.approx(0.5)
+    # window 0 of band 4 (above its bound): intensity applies
+    s4, w4 = bands[4], bands[5] - bands[4]
+    i4 = 3 * s4 + 0 * w4
+    assert gl[i4] == pytest.approx(0.5) and gr[i4] == pytest.approx(0.5)
+    # is_pos 7 windows pass through
+    sf_r[5] = [7, 7, 7]
+    gl2, gr2 = M.stereo_process_short(
+        xl, xr_, 1, sf_r, right_lines, 44100
+    )
+    s5, w5 = bands[5], bands[6] - bands[5]
+    i5 = 3 * s5 + 1 * w5
+    assert gl2[i5] == 1.0 and gr2[i5] == 0.25
+
+
+def test_short_block_ms_below_the_window_bounds():
+    import math
+    s2 = math.sqrt(2.0)
+    mid = [2.0] * 576
+    side = [1.0] * 576
+    right_lines = [1] * 576  # right never zero -> no intensity region
+    sf_r = [[0] * 3 for _ in range(12)]
+    gl, gr = M.stereo_process_short(
+        mid, side, 3, sf_r, right_lines, 44100
+    )
+    assert gl[0] == pytest.approx(3.0 / s2)
+    assert gr[0] == pytest.approx(1.0 / s2)
+    # MS alone (no intensity bit) covers everything
+    gl2, gr2 = M.stereo_process_short(
+        mid, side, 2, sf_r, [0] * 576, 44100
+    )
+    assert gl2[575] == pytest.approx(3.0 / s2)
+    assert gr2[575] == pytest.approx(1.0 / s2)
