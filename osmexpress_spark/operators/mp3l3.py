@@ -1094,3 +1094,51 @@ def stereo_process_short(xl, xr_, mode_extension, sf_right_short,
                     left[i] = (m + s) / s2
                     right[i] = (m - s) / s2
     return left, right
+
+
+# ------------------------------------------- polyphase filterbank
+class PolyphaseSynth:
+    """The 32-band synthesis filterbank MACHINERY (ISO 2.4.3.2.2,
+    run once per 32-subband time step): matrixing V[i] =
+    sum_k cos((16+i)(2k+1)pi/64) * S[k] into a 1024-sample FIFO,
+    the U-vector gather, windowing, and the 16-fold accumulation to
+    32 PCM samples.  The MATRIX is closed form and pinned against
+    direct cosine evaluation; the 512-tap synthesis WINDOW is the one
+    piece of mp3 PCM that is unverifiable table data in-container, so
+    it is an INJECTED parameter (the synthetic-ESC-table pattern):
+    tests drive the machinery with closed-form windows, and shipping
+    real PCM becomes a data drop once a reference exists to pin the
+    published window against."""
+
+    def __init__(self, window):
+        import math
+
+        if len(window) != 512:
+            raise ValueError("synthesis window must have 512 taps")
+        self.window = list(window)
+        self.v = [0.0] * 1024
+        self._n = [
+            [math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
+             for k in range(32)]
+            for i in range(64)
+        ]
+
+    def step(self, subband_samples):
+        """One time step: 32 subband samples -> 32 PCM samples."""
+        if len(subband_samples) != 32:
+            raise ValueError("expected 32 subband samples")
+        v = self.v
+        # shift the FIFO by 64 (newest block at the front)
+        v[64:] = v[:-64]
+        for i in range(64):
+            row = self._n[i]
+            v[i] = sum(row[k] * subband_samples[k] for k in range(32))
+        u = [0.0] * 512
+        for j in range(8):
+            for i in range(32):
+                u[64 * j + i] = v[128 * j + i]
+                u[64 * j + 32 + i] = v[128 * j + 96 + i]
+        w = [u[i] * self.window[i] for i in range(512)]
+        return [
+            sum(w[32 * i + j] for i in range(16)) for j in range(32)
+        ]

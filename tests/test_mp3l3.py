@@ -746,3 +746,64 @@ def test_short_block_ms_below_the_window_bounds():
     )
     assert gl2[575] == pytest.approx(3.0 / s2)
     assert gr2[575] == pytest.approx(1.0 / s2)
+
+
+# ----------------------------------------------- polyphase machinery
+def test_polyphase_matrixing_closed_form():
+    import math
+    pp = M.PolyphaseSynth([1.0] * 512)
+    # single-subband impulse: V[i] must equal the cosine closed form
+    for k0 in (0, 5, 31):
+        pp2 = M.PolyphaseSynth([1.0] * 512)
+        s = [0.0] * 32
+        s[k0] = 1.0
+        pp2.step(s)
+        for i in range(64):
+            exp = math.cos((16 + i) * (2 * k0 + 1) * math.pi / 64.0)
+            assert pp2.v[i] == pytest.approx(exp, abs=1e-12), (k0, i)
+    # V[16] is identically zero: (16+16)(2k+1)pi/64 = (2k+1)pi/2
+    rng = random.Random(2)
+    s = [rng.uniform(-1, 1) for _ in range(32)]
+    pp.step(s)
+    assert pp.v[16] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_polyphase_fifo_and_direct_definition():
+    import math
+    rng = random.Random(8)
+    window = [rng.uniform(-1, 1) for _ in range(512)]
+    pp = M.PolyphaseSynth(window)
+    steps = [[rng.uniform(-2, 2) for _ in range(32)] for _ in range(20)]
+    got = [pp.step(s) for s in steps]
+    # independent direct reimplementation of the same equations
+    v_hist = []
+    n = [[math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
+          for k in range(32)] for i in range(64)]
+    exp = []
+    for s in steps:
+        v_hist.insert(0, [
+            sum(n[i][k] * s[k] for k in range(32)) for i in range(64)
+        ])
+        u = [0.0] * 512
+        for j in range(8):
+            blk = v_hist[2 * j] if 2 * j < len(v_hist) else [0.0] * 64
+            blk2 = (v_hist[2 * j + 1] if 2 * j + 1 < len(v_hist)
+                    else [0.0] * 64)
+            for i in range(32):
+                u[64 * j + i] = blk[i]
+                u[64 * j + 32 + i] = blk2[32 + i]
+        w = [u[i] * window[i] for i in range(512)]
+        exp.append([sum(w[32 * i + j] for i in range(16))
+                    for j in range(32)])
+    for g, e in zip(got, exp):
+        assert g == pytest.approx(e, abs=1e-9)
+
+
+def test_polyphase_guards():
+    with pytest.raises(ValueError, match="512"):
+        M.PolyphaseSynth([1.0] * 100)
+    pp = M.PolyphaseSynth([0.0] * 512)
+    with pytest.raises(ValueError, match="32"):
+        pp.step([1.0] * 31)
+    # zero window -> zero output regardless of input
+    assert pp.step([1.0] * 32) == [0.0] * 32
