@@ -603,6 +603,7 @@ def parse_frames(payload: bytes, tables=None):
         sr_idx = (hdr >> 10) & 3
         pad = (hdr >> 9) & 1
         mode = (hdr >> 6) & 3
+        mode_ext = (hdr >> 4) & 3
         if br_idx == 0:
             raise NotImplementedError("free-format mp3 not decoded")
         if br_idx == 0xF or sr_idx == 3:
@@ -634,7 +635,8 @@ def parse_frames(payload: bytes, tables=None):
         brd = _BitReader(main_data)
         frame = {
             "sample_rate": sr, "bitrate_kbps": bitrate,
-            "mode": mode, "nch": nch, "granules": [],
+            "mode": mode, "mode_ext": mode_ext, "nch": nch,
+            "granules": [],
         }
         prev_long = [[0] * 21 for _ in range(nch)]
         for gr in range(2):
@@ -1142,3 +1144,54 @@ class PolyphaseSynth:
         return [
             sum(w[32 * i + j] for i in range(16)) for j in range(32)
         ]
+
+
+def decode_pcm(payload: bytes, synthesis_window, tables=None):
+    """The complete decode chain: frames -> requantize -> joint
+    stereo -> time-domain synthesis -> polyphase filterbank -> PCM
+    floats per channel.  `synthesis_window` must be supplied by the
+    caller (512 taps): the published window is unverifiable
+    in-container (module docstring), so this function IS the data
+    drop point — hand it the real table and mp3 PCM is live.
+    Returns (sample_rate, channels) where channels is a list of
+    per-channel PCM float lists (1152 samples per frame)."""
+    frames = parse_frames(payload, tables)
+    if not frames:
+        raise ValueError("no frames decoded")
+    sr = frames[0]["sample_rate"]
+    nch = max(f["nch"] for f in frames)
+    synths = [PolyphaseSynth(synthesis_window) for _ in range(nch)]
+    overlaps = [None] * nch
+    pcm = [[] for _ in range(nch)]
+    for f in frames:
+        mode_ext = f.get("mode_ext", 0)
+        for gr_chans in f["granules"]:
+            xrs = []
+            for ch, d in enumerate(gr_chans):
+                xrs.append(requantize(
+                    d["lines"], d["info"], d["sf_long"],
+                    d["sf_short"], sr,
+                ))
+            if f["nch"] == 2 and f["mode"] == 1 and mode_ext:
+                gR = gr_chans[1]["info"]
+                if gR.window_switching and gR.block_type == 2 \
+                        and not gR.mixed_block:
+                    xrs[0], xrs[1] = stereo_process_short(
+                        xrs[0], xrs[1], mode_ext,
+                        gr_chans[1]["sf_short"],
+                        gr_chans[1]["lines"], sr,
+                    )
+                else:
+                    xrs[0], xrs[1] = stereo_process(
+                        xrs[0], xrs[1], mode_ext,
+                        gr_chans[1]["sf_long"],
+                        gr_chans[1]["lines"], sr,
+                    )
+            for ch in range(f["nch"]):
+                d = gr_chans[ch]
+                samples, overlaps[ch] = granule_time_samples(
+                    xrs[ch], d["info"], sr, overlaps[ch]
+                )
+                for row in samples:
+                    pcm[ch].extend(synths[ch].step(row))
+    return sr, pcm[:frames[0]["nch"]] if nch else pcm

@@ -807,3 +807,22 @@ def test_polyphase_guards():
         pp.step([1.0] * 31)
     # zero window -> zero output regardless of input
     assert pp.step([1.0] * 32) == [0.0] * 32
+
+
+def test_decode_pcm_full_chain_with_injected_window():
+    import math
+    window = [math.sin(math.pi * (i + 0.5) / 512.0) for i in range(512)]
+    spec = _spec(pairs=[(3, -2), (1, 1)], quads=[(1, 0, 0, -1)],
+                 gg=210, sfc=0)
+    payload = M.write_frames([spec, spec])
+    sr, chans = M.decode_pcm(payload, window)
+    assert sr == 44100
+    assert len(chans) == 1
+    assert len(chans[0]) == 2 * 1152  # two frames of mono PCM
+    assert sum(v * v for v in chans[0]) > 0
+    # linearity in the window: doubling the window doubles the PCM
+    _, chans2 = M.decode_pcm(payload, [2.0 * w for w in window])
+    for a, b in zip(chans[0], chans2[0]):
+        assert b == pytest.approx(2.0 * a, abs=1e-9)
+    with pytest.raises(ValueError, match="no frames"):
+        M.decode_pcm(b"", window)
