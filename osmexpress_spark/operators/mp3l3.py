@@ -1195,3 +1195,30 @@ def decode_pcm(payload: bytes, synthesis_window, tables=None):
                 for row in samples:
                     pcm[ch].extend(synths[ch].step(row))
     return sr, pcm[:frames[0]["nch"]] if nch else pcm
+
+
+def mp3_decoder_factory(synthesis_window, tables=None):
+    """A consumer-facing decoder with multimodal.wav_decoder's 5-float
+    contract — [n_channels, sample_rate, n_frames(samples/ch),
+    mean_abs, peak] — so mp3 plugs straight into extract_features and
+    the audio dedup/VAD operators once the caller supplies verified
+    synthesis-window (and optionally Huffman-table) data.  The same
+    consumer-option pattern as multimodal.image_decoder_ctypes: the
+    honest default (`audio_decoder`) keeps refusing mp3 PCM because
+    the published window is unverifiable in-container; this factory is
+    the opt-in for callers who bring the data."""
+    def decoder(payload: bytes) -> list[float]:
+        sr, chans = decode_pcm(payload, synthesis_window, tables)
+        samples = [v for ch in chans for v in ch]
+        tot_abs = sum(abs(s) for s in samples)
+        peak = max((abs(s) for s in samples), default=0.0)
+        n = len(samples)
+        return [
+            float(len(chans)),
+            float(sr),
+            float(len(chans[0]) if chans else 0),
+            tot_abs / n if n else 0.0,
+            float(peak),
+        ]
+
+    return decoder

@@ -826,3 +826,29 @@ def test_decode_pcm_full_chain_with_injected_window():
         assert b == pytest.approx(2.0 * a, abs=1e-9)
     with pytest.raises(ValueError, match="no frames"):
         M.decode_pcm(b"", window)
+
+
+def test_mp3_decoder_factory_matches_wav_contract(spark):
+    # plugs into the SAME Arrow seam the wav/flac/au decoders use
+    import math
+
+    from osmexpress_spark.operators import multimodal as MM
+
+    window = [math.sin(math.pi * (i + 0.5) / 512.0) for i in range(512)]
+    dec = M.mp3_decoder_factory(window)
+    payload = M.write_frames([_spec(pairs=[(3, -1)], gg=210, sfc=0)])
+    feats = dec(payload)
+    assert len(feats) == 5
+    assert feats[0] == 1.0 and feats[1] == 44100.0 and feats[2] == 1152.0
+    assert feats[3] > 0 and feats[4] >= feats[3]
+    # through extract_features: decode_ok True for valid streams,
+    # False for the free-format refusal
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), ""),
+         (2, bytearray(b"\xff\xfb\x00\xc0" + b"\x00" * 50), "")],
+        "item_id long, payload binary, meta string",
+    )
+    rows = {r.item_id: r for r in
+            MM.extract_features(df, decoder=dec, modality="audio").collect()}
+    assert rows[1].decode_ok and rows[1].feat[2] == 1152.0
+    assert not rows[2].decode_ok
