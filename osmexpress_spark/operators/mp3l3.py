@@ -519,13 +519,16 @@ def requantize(xs, g: GranuleInfo, sf_long, sf_short, sample_rate: int):
     for short windows.  Pure closed form over the decoded integers."""
     sf_mult = 1.0 if g.scalefac_scale else 0.5
     out = [0.0] * 576
-    if g.window_switching and g.block_type == 2 and not g.mixed_block:
+    is_short = g.window_switching and g.block_type == 2
+    if is_short:
         # Values stay in BITSTREAM line order (band-major, window
-        # within band): the window-major reorder belongs to the
-        # round-11 synthesis half.  Each line gets the gain of the
-        # (band, window) that owns it.
+        # within band): the window-major reorder is a separate stage
+        # (reorder_short).  Each line gets the gain of the (band,
+        # window) that owns it.  MIXED blocks: short bands start at
+        # band 3 (line 36); the long region below is handled after.
         bands = SFB_SHORT[sample_rate]
-        for b in range(len(bands) - 1):
+        first = 3 if g.mixed_block else 0
+        for b in range(first, len(bands) - 1):
             start, end = bands[b], bands[b + 1]
             width = end - start
             for win in range(3):
@@ -545,9 +548,12 @@ def requantize(xs, g: GranuleInfo, sf_long, sf_short, sample_rate: int):
                     q = xs[idx]
                     mag = abs(q) ** (4.0 / 3.0) * scale
                     out[idx] = -mag if q < 0 else mag
-        return out
+        if not g.mixed_block:
+            return out
     bands = SFB_LONG[sample_rate]
-    for b in range(len(bands) - 1):
+    # mixed blocks: only the 8 long bands below line 36 (ISO 2.4.3.4)
+    n_long = 8 if is_short else len(bands) - 1
+    for b in range(n_long):
         sf = sf_long[b] if b < 21 else 0
         pre = _PRETAB[b] if g.preflag else 0
         gain = (g.global_gain - 210) / 4.0 - sf_mult * (sf + pre)

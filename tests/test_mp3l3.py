@@ -852,3 +852,31 @@ def test_mp3_decoder_factory_matches_wav_contract(spark):
             MM.extract_features(df, decoder=dec, modality="audio").collect()}
     assert rows[1].decode_ok and rows[1].feat[2] == 1152.0
     assert not rows[2].decode_ok
+
+
+def test_requantize_mixed_block_splits_long_and_short():
+    gi = M.GranuleInfo()
+    gi.window_switching, gi.block_type, gi.mixed_block = 1, 2, 1
+    gi.preflag = 0
+    gi.scalefac_scale = 0
+    gi.global_gain = 210
+    gi.subblock_gain = [0, 3, 0]
+    xs = [0] * 576
+    xs[0] = 8          # long band 0
+    xs[35] = 1         # long band 7 (last long line is 35)
+    # short region: band 3 (start 12, width 4), window 1, point 0 ->
+    # bitstream index 3*12 + 1*4 + 0 = 40
+    xs[40] = 8
+    sf_long = [0] * 21
+    sf_long[0] = 2
+    sf_short = [[0] * 3 for _ in range(12)]
+    sf_short[3][1] = 1
+    out = M.requantize(xs, gi, sf_long, sf_short, 44100)
+    # long band 0: 8^(4/3) * 2^(-0.5*2) = 16/2
+    assert out[0] == pytest.approx(8.0)
+    assert out[35] == pytest.approx(1.0)
+    # short band 3 win 1: 16 * 2^(-2*sbg[1] - 0.5*sf) = 16 * 2^-6.5
+    assert out[40] == pytest.approx(16.0 * 2.0 ** -6.5)
+    # nothing bleeds across the 36-line boundary
+    assert all(v == 0.0 for i, v in enumerate(out)
+               if i not in (0, 35, 40))
