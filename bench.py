@@ -144,14 +144,8 @@ HEADLINE = [
     "q_join_order_advice",
     "q_audio_au_stats",
     "q_audio_mp3_census",
-]
-
-# Staged-but-not-yet-promoted queries get their planned bench lines
-# listed here so promotion cannot silently drop perf coverage
-# (tests/test_bench_hygiene.py checks this list against the pending
-# registry). At the next promotion these move into HEADLINE with a
-# family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = [
+    # round 11: the promoted round-10 staging set (crawl ingestion
+    # surface, phonetic record linkage, mp3 bitstream decode)
     "q_zstd_census",
     "q_warc_census",
     "q_url_parse",
@@ -161,6 +155,13 @@ PENDING_HEADLINE: list[str] = [
     "q_record_linkage",
     "q_audio_mp3_decode",
 ]
+
+# Staged-but-not-yet-promoted queries get their planned bench lines
+# listed here so promotion cannot silently drop perf coverage
+# (tests/test_bench_hygiene.py checks this list against the pending
+# registry). At the next promotion these move into HEADLINE with a
+# family assignment in tests/test_bench_hygiene.py FAMILIES.
+PENDING_HEADLINE: list[str] = []
 
 
 def _loadavg() -> list[float]:

@@ -7397,3 +7397,13 @@ def q_audio_mp3_decode(spark, sf_dir):
         F.element_at("feat", 6).cast("long").alias("sum_scalefac"),
         F.element_at("feat", 7).cast("long").alias("sum_global_gain"),
     )
+
+
+# --- round-11 promotion: the eight round-10 staged gates go live ------------
+# (six crawl-surface gates + record linkage + mp3 bitstream decode;
+# registry 207 -> 215).  New round-11 work stages through the fresh
+# pending dicts below, exactly like every prior promotion.
+SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
+ORACLE_SQL.update(PENDING_ORACLE_SQL)
+PENDING_SPARK_QUERIES = {}
+PENDING_ORACLE_SQL = {}

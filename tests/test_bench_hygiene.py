@@ -91,14 +91,23 @@ FAMILIES = {
                            "q_image_dup_clusters", "q_audio_g711_stats",
                            "q_audio_adpcm_stats", "q_image_jpeg_stats",
                            "q_wav_segments_stats", "q_image_webp_stats",
-                           "q_audio_au_stats", "q_audio_mp3_census"],
+                           "q_audio_au_stats", "q_audio_mp3_census",
+                           "q_ogg_census", "q_audio_mp3_decode"],
     "rollup-store": ["q_rollup_store", "q_stream_rollup"],
     # round 9: the family the round-8 staging set introduced
     "osmx-migration": ["osm_osmx_roundtrip"],
     # round 10: the promoted round-9 staging set joins existing
     # families where one fits; the two genuinely new surfaces get rows
-    "dedup-exact-similarity": ["q_prefix_filter_pairs"],
+    "dedup-exact-similarity": ["q_prefix_filter_pairs",
+                               "q_record_linkage"],
     "join-planning": ["q_join_order_advice"],
+    # round 11: the promoted round-10 staging set — the crawl
+    # ingestion surface gets its own family; archive/container censuses
+    # and the mp3 bitstream decode join multimodal-neardup via the
+    # shared extract_features seam
+    "crawl-ingest": ["q_warc_census", "q_url_parse",
+                     "q_charset_decode", "q_robots_admit",
+                     "q_zstd_census"],
 }
 
 

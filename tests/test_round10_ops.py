@@ -328,7 +328,7 @@ def test_round10_staged_plans_stay_jvm_side(spark):
 
     for name in ("q_zstd_census", "q_warc_census", "q_charset_decode",
                  "q_ogg_census", "q_url_parse"):
-        plan = final_plan(QD.PENDING_SPARK_QUERIES[name](spark, SF_DIR))
+        plan = final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
@@ -356,7 +356,7 @@ def test_mp3_decode_gate_plan(spark):
     decode chained mapInPandas), no joins, no Exchange."""
     from osmexpress_spark import queries_data as QD
 
-    df = QD.PENDING_SPARK_QUERIES["q_audio_mp3_decode"](
+    df = QD.SPARK_QUERIES["q_audio_mp3_decode"](
         spark, "/root/testdata/sf0.001"
     )
     df.write.format("noop").mode("overwrite").save()
@@ -374,7 +374,7 @@ def test_record_linkage_gate_plan(spark):
     BROADCAST left-anti join the operator promises."""
     from osmexpress_spark import queries_data as QD
 
-    df = QD.PENDING_SPARK_QUERIES["q_record_linkage"](
+    df = QD.SPARK_QUERIES["q_record_linkage"](
         spark, "/root/testdata/sf0.001"
     )
     df.write.format("noop").mode("overwrite").save()
