@@ -24,9 +24,11 @@ plus the domain audit column, written WITHOUT coalesce — splittability
 by file count, as everywhere in this repo.
 
 Shuffle budget of the whole pipeline: ONE broadcast join (robots
-rules, dimension-sized) and ONE window shuffle on url_norm (the dedup
-key).  Blob/body bytes never shuffle; every other stage is scan-side
-or an Arrow seam over the record rows.
+rules, dimension-sized), ONE hash aggregate on url_id (the admission
+winner fold inside robots_admit — since round 11 that operator costs
+exactly one Exchange, no join-back), and ONE window shuffle on
+url_norm (the dedup key).  Blob/body bytes never shuffle; every other
+stage is scan-side or an Arrow seam over the record rows.
 """
 
 from __future__ import annotations

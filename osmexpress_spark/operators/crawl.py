@@ -103,28 +103,38 @@ def robots_admit(
     """Admission per URL: longest matching path-prefix rule wins,
     allow beats disallow on equal length, no matching rule admits
     (RFC 9309 evaluation order).  rules (from robots_rules) broadcast;
-    the winner is max_by over the per-URL match fan-out — the only
-    shuffle, bounded by matches-per-URL, and the URL table's columns
-    pass through untouched."""
-    matched = urls.join(
+    the winner is max_by over the per-URL match fan-out.  Non-matching
+    fan-out rows are kept with a NULL rank (max_by skips them) instead
+    of being filtered and joined back, so the URL columns ride through
+    the aggregate via any_value and the WHOLE operator costs exactly
+    one fact-table shuffle (the url_id hash aggregate) — no second
+    join back to the URL table."""
+    joined = urls.join(
         F.broadcast(rules), on=urls[domain_col] == rules["domain"],
         how="left",
-    ).where(
-        F.col("path_prefix").isNull()
-        | F.col(path_col).startswith(F.col("path_prefix"))
     )
+    is_match = F.col("path_prefix").isNotNull() & F.col(
+        path_col
+    ).startswith(F.col("path_prefix"))
     # rank = (prefix length, allow) so ties resolve allow-first;
-    # no-rule URLs carry a NULL rank and admit by coalesce
-    rank = F.struct(
-        F.length("path_prefix").alias("plen"),
-        F.col("allow").cast("int").alias("allow_i"),
+    # non-matching rows rank NULL and are invisible to max_by
+    rank = F.when(
+        is_match,
+        F.struct(
+            F.length("path_prefix").alias("plen"),
+            F.col("allow").cast("int").alias("allow_i"),
+        ),
     )
-    win = matched.groupBy(url_id_col).agg(
-        F.max_by(F.col("allow"), rank).alias("_best_allow"),
-        F.count("path_prefix").alias("_n_matches"),
+    carried = [c for c in urls.columns if c != url_id_col]
+    agg = joined.groupBy(urls[url_id_col].alias(url_id_col)).agg(
+        *[F.any_value(urls[c]).alias(c) for c in carried],
+        F.max_by(F.when(is_match, F.col("allow")), rank).alias(
+            "_best_allow"
+        ),
+        F.count(F.when(is_match, F.lit(1))).alias("_n_matches"),
     )
-    return urls.join(win, url_id_col, "left").select(
+    return agg.select(
         *[F.col(c) for c in urls.columns],
         F.coalesce(F.col("_best_allow"), F.lit(True)).alias("admitted"),
-        F.coalesce(F.col("_n_matches"), F.lit(0)).alias("n_rules_matched"),
+        F.col("_n_matches").alias("n_rules_matched"),
     )

@@ -399,3 +399,19 @@ def test_round9_staged_plans_stay_jvm_side(spark):
             # the sanctioned BNLJ shape; the other two must stay pure
             # equi-join trees
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_robots_admit_single_exchange(spark):
+    """Round-11 fold (VERDICT r10 next-round #6): robots_admit keeps
+    non-matching fan-out rows with a NULL rank and carries the URL
+    columns through the aggregate, so the WHOLE admission operator is
+    exactly one fact-table Exchange (the url_id hash aggregate) — the
+    old shape spent a second fact-sized shuffle joining the winners
+    back to the URL table."""
+    df = QD.SPARK_QUERIES["q_robots_admit"](spark, SF_DIR)
+    plan = _final_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan  # the rules dimension broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
