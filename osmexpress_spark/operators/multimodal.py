@@ -4806,23 +4806,32 @@ def synth_encoded(
 # BOS page) yields channels/sample-rate.  Full Vorbis PCM synthesis
 # (floor/residue/MDCT) stays out, same honesty contract as mp3.
 
-_OGG_CRC_TABLE: list[int] = []
+_OGG_BITREV = None  # uint8[256] per-byte bit-reversal table (lazy)
 
 
 def _ogg_crc(data: bytes) -> int:
-    if not _OGG_CRC_TABLE:
-        for i in range(256):
-            r = i << 24
-            for _ in range(8):
-                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
-            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
-        _OGG_CRC_TABLE.append(-1)  # sentinel: table built
-    crc = 0
-    for byte in data:
-        crc = (
-            (crc << 8) & 0xFFFFFFFF
-        ) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
-    return crc
+    """Ogg page CRC: poly 0x04C11DB7, MSB-first, zero init, no
+    reflection, no xorout.  Computed at C speed through zlib's crc32
+    via the CRC reflection identity — the MSB-first CRC of a message
+    equals the bit-reversed LSB-first CRC (reversed polynomial:
+    0xEDB88320, exactly zlib's) of the per-byte bit-reversed message.
+    zlib's mandatory pre/post complement cancels by seeding with
+    0xFFFFFFFF (internal state 0) and complementing the result.  The
+    per-byte reversal is one numpy table gather, so the whole walk is
+    two vectorized passes instead of the round-10 Python byte loop
+    (SCALING.md's 3.65x/decade line for q_ogg_census)."""
+    import zlib
+
+    import numpy as np
+
+    global _OGG_BITREV
+    if _OGG_BITREV is None:
+        _OGG_BITREV = np.array(
+            [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+        )
+    rev = _OGG_BITREV[np.frombuffer(data, dtype=np.uint8)].tobytes()
+    r = (zlib.crc32(rev, 0xFFFFFFFF) ^ 0xFFFFFFFF) & 0xFFFFFFFF
+    return int(f"{r:032b}"[::-1], 2)
 
 
 _OGG_RATES = (8000, 22050, 44100, 48000)
