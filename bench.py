@@ -161,7 +161,9 @@ HEADLINE = [
 # (tests/test_bench_hygiene.py checks this list against the pending
 # registry). At the next promotion these move into HEADLINE with a
 # family assignment in tests/test_bench_hygiene.py FAMILIES.
-PENDING_HEADLINE: list[str] = []
+PENDING_HEADLINE: list[str] = [
+    "q_psl_domain",
+]
 
 
 def _loadavg() -> list[float]:

@@ -64,7 +64,10 @@ def ingest(spark, warc_dir: str, robots_parquet: str | None = None):
         .select(
             "item_id", "rec_idx", "target_uri",
             text.url_normalize(url).alias("url_norm"),
-            text.registrable_domain(url).alias("domain"),
+            # PSL-correct site grouping (round 11): foo.co.uk and
+            # bar.co.uk are distinct sites; the embedded PSL_SUBSET is
+            # the default rule table, production injects the full list
+            text.registrable_domain_psl(url).alias("domain"),
             text.url_path(url).alias("path"),
             text.html_strip(F.col("raw_text")).alias("text"),
         )

@@ -704,6 +704,229 @@ def registrable_domain(url: Column) -> Column:
     return F.regexp_extract(url_host(url), "([^.]+\\.[^.]+)$", 1)
 
 
+# --------------------------------------------------------------------------
+# Public Suffix List registrable domains (VERDICT r10 next-round #3).
+#
+# The PSL algorithm (publicsuffix.org/list/): split the host into
+# dot-labels; a rule matches when its labels are a suffix of the
+# host's labels ('*' matches exactly one label); the prevailing rule
+# is any matching EXCEPTION rule (public suffix = exception minus its
+# leftmost label), else the matching rule with the MOST labels, else
+# the implicit '*' rule (public suffix = last label).  Registrable
+# domain = public suffix + one more label; NULL when the host IS a
+# public suffix.
+#
+# The suffix table is an INJECTED data parameter (the mp3-window
+# pattern): PSL_SUBSET below is a small embedded cut of well-known
+# entries covering all three rule types for tests and politeness
+# grouping; a production crawl passes the full published list.  Two
+# execution shapes, same semantics:
+#   * registrable_domain_psl — pure scan-side expressions over a
+#     literal map (zero Python, zero shuffle).  Literal-map lookup is
+#     a linear scan per probe in Catalyst, so this path is for tables
+#     up to a few hundred rules.
+#   * psl_registrable_domains — the full-list scale path: candidate
+#     suffixes explode scan-side (<= max-rule-labels per URL), the
+#     rules dimension BROADCASTS, and the longest match folds in one
+#     url-keyed hash aggregate (the robots_admit single-Exchange
+#     shape) — right for the ~9k-rule published list at crawl scale.
+
+# A cut of the published Public Suffix List (publicsuffix.org — the
+# entries themselves are public data).  '!' = exception, '*.' =
+# wildcard, as in the published format.
+PSL_SUBSET: tuple[str, ...] = (
+    "com", "org", "net", "edu", "gov", "io", "us",
+    "de", "fr", "it", "nl", "br", "com.br",
+    "au", "com.au", "org.au",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "ck", "*.ck", "!www.ck",
+)
+
+
+def _psl_table(rules) -> tuple[dict[str, int], int]:
+    """Parse PSL rule lines -> ({suffix_key: type bitmask}, max key
+    labels).  Bitmask: 1 = normal rule, 2 = wildcard rule (key is the
+    part after '*.'), 4 = exception rule (key is the part after '!').
+    Comment ('//') and blank lines are the published file format."""
+    table: dict[str, int] = {}
+    maxk = 1
+    for raw in rules:
+        line = str(raw).strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            key, bit = line[1:], 4
+        elif line.startswith("*."):
+            key, bit = line[2:], 2
+        else:
+            key, bit = line, 1
+        table[key] = table.get(key, 0) | bit
+        maxk = max(maxk, key.count(".") + 1)
+    return table, maxk
+
+
+def _psl_ps_len(labels: Column, n: Column, rules) -> Column:
+    """Label count of the prevailing public suffix for a host split
+    into `labels` (n = size), per the PSL algorithm, as one scan-side
+    expression tree."""
+    table, maxk = _psl_table(rules)
+    keys = sorted(table)
+    mapping = F.map_from_arrays(
+        F.lit(keys), F.lit([table[k] for k in keys])
+    )
+    ks = F.sequence(F.lit(1), F.least(n, F.lit(maxk)))
+    hits = F.transform(
+        ks,
+        lambda k: F.struct(
+            k.alias("k"),
+            F.coalesce(
+                F.element_at(
+                    mapping, F.array_join(F.slice(labels, -k, k), ".")
+                ),
+                F.lit(0),
+            ).alias("m"),
+        ),
+    )
+    exc = F.array_max(
+        F.transform(
+            F.filter(hits, lambda h: h["m"].bitwiseAND(4) != 0),
+            lambda h: h["k"] - 1,
+        )
+    )
+    norm = F.array_max(
+        F.transform(
+            hits,
+            lambda h: F.when(h["m"].bitwiseAND(1) != 0, h["k"]).otherwise(
+                0
+            ),
+        )
+    )
+    wild = F.array_max(
+        F.transform(
+            hits,
+            lambda h: F.when(
+                (h["m"].bitwiseAND(2) != 0) & (n >= h["k"] + 1),
+                h["k"] + 1,
+            ).otherwise(0),
+        )
+    )
+    return F.coalesce(exc, F.greatest(norm, wild, F.lit(1)))
+
+
+def public_suffix(url: Column, rules=None) -> Column:
+    """The host's public suffix under the injected rule table
+    (default: the embedded PSL_SUBSET)."""
+    labels = F.split(url_host(url), "[.]")
+    n = F.size(labels)
+    ps = _psl_ps_len(labels, n, PSL_SUBSET if rules is None else rules)
+    return F.array_join(F.slice(labels, -ps, ps), ".")
+
+
+def registrable_domain_psl(url: Column, rules=None) -> Column:
+    """Registrable domain (public suffix + one label) under the
+    injected rule table; NULL when the host is itself a public suffix.
+    This is the PSL-correct replacement for registrable_domain's
+    documented last-two-labels approximation — 'foo.co.uk' and
+    'bar.co.uk' group separately here."""
+    labels = F.split(url_host(url), "[.]")
+    n = F.size(labels)
+    ps = _psl_ps_len(labels, n, PSL_SUBSET if rules is None else rules)
+    return F.when(
+        n > ps,
+        F.array_join(F.slice(labels, -(ps + 1), ps + 1), "."),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+PSL_RULES_SCHEMA = "suffix string, rule_type int"
+
+
+def psl_rules_df(spark, rules=None):
+    """The injected rule table as a dimension DataFrame for the join
+    path: (suffix, rule_type) with 0 = normal, 1 = wildcard base,
+    2 = exception."""
+    table, _ = _psl_table(PSL_SUBSET if rules is None else rules)
+    rows = []
+    for key, mask in sorted(table.items()):
+        for bit, rtype in ((1, 0), (2, 1), (4, 2)):
+            if mask & bit:
+                rows.append((key, rtype))
+    return spark.createDataFrame(rows, PSL_RULES_SCHEMA)
+
+
+def psl_registrable_domains(
+    urls,
+    rules,
+    url_col: str = "url",
+    url_id_col: str = "url_id",
+):
+    """Full-list scale path: registrable domain per URL with the rule
+    table as a BROADCAST dimension (from psl_rules_df).  Candidate
+    suffixes (1..max-labels per host, bounded by the longest rule)
+    explode scan-side, match the dimension on an equi-join, and the
+    prevailing rule folds in ONE url-keyed hash aggregate carrying the
+    URL columns through any_value — the robots_admit single-Exchange
+    shape.  Adds `public_suffix` and `reg_domain` columns."""
+    host = F.lower(F.trim(urls[url_col]))
+    host = F.when(
+        host.rlike("^[a-z][a-z0-9+.-]*://"), url_host(urls[url_col])
+    ).otherwise(host)
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+    maxk = F.least(n, F.lit(8))  # longest published rule is 5 labels
+    cand = urls.select(
+        "*",
+        labels.alias("_labels"),
+        n.alias("_n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), maxk),
+                lambda k: F.array_join(F.slice(labels, -k, k), "."),
+            )
+        ).alias("_suffix"),
+    )
+    joined = cand.join(
+        F.broadcast(rules), cand["_suffix"] == rules["suffix"], "left"
+    )
+    klen = F.size(F.split(F.col("_suffix"), "[.]"))
+    exc_cand = F.when(F.col("rule_type") == 2, klen - 1)
+    norm_cand = F.when(F.col("rule_type") == 0, klen)
+    wild_cand = F.when(
+        (F.col("rule_type") == 1) & (F.col("_n") >= klen + 1), klen + 1
+    )
+    carried = [c for c in urls.columns if c != url_id_col]
+    agg = joined.groupBy(urls[url_id_col].alias(url_id_col)).agg(
+        *[F.any_value(urls[c]).alias(c) for c in carried],
+        F.any_value(F.col("_labels")).alias("_labels"),
+        F.any_value(F.col("_n")).alias("_n"),
+        F.max(exc_cand).alias("_exc"),
+        F.max(norm_cand).alias("_norm"),
+        F.max(wild_cand).alias("_wild"),
+    )
+    ps = F.coalesce(
+        F.col("_exc"),
+        F.greatest(
+            F.coalesce(F.col("_norm"), F.lit(0)),
+            F.coalesce(F.col("_wild"), F.lit(0)),
+            F.lit(1),
+        ),
+    )
+    return agg.select(
+        url_id_col,
+        *carried,
+        F.array_join(F.slice("_labels", -ps, ps), ".").alias(
+            "public_suffix"
+        ),
+        F.when(
+            F.col("_n") > ps,
+            F.array_join(F.slice("_labels", -(ps + 1), ps + 1), "."),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("reg_domain"),
+    )
+
+
 def url_normalize(url: Column) -> Column:
     """Canonical URL for exact-dup grouping: lowercase scheme+host,
     default port dropped / explicit non-default kept, empty path

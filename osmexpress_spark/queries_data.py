@@ -7407,3 +7407,130 @@ SPARK_QUERIES.update(PENDING_SPARK_QUERIES)
 ORACLE_SQL.update(PENDING_ORACLE_SQL)
 PENDING_SPARK_QUERIES = {}
 PENDING_ORACLE_SQL = {}
+
+
+# --- round-11 session additions (stay PENDING until the r12 promotion) ------
+
+
+@defq_pending(
+    "q_psl_domain",
+    """
+    WITH f AS (
+      SELECT doc_id, doc_id % 8 AS m,
+             CAST(doc_id % 20 AS VARCHAR) AS v
+      FROM documents
+    )
+    SELECT doc_id AS item_id,
+           CASE m
+             WHEN 0 THEN 'w' || v || '.example' || v || '.com'
+             WHEN 1 THEN 'a.b' || v || '.site' || v || '.co.uk'
+             WHEN 2 THEN 'www.foo' || v || '.ck'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'site' || v || '.org'
+             WHEN 5 THEN 'com'
+             WHEN 6 THEN 'city.kawasaki.jp'
+             ELSE 'x' || v || '.blog' || v || '.kawasaki.jp'
+           END AS host,
+           CASE m
+             WHEN 0 THEN 'com'
+             WHEN 1 THEN 'co.uk'
+             WHEN 2 THEN 'foo' || v || '.ck'
+             WHEN 3 THEN 'ck'
+             WHEN 4 THEN 'org'
+             WHEN 5 THEN 'com'
+             WHEN 6 THEN 'kawasaki.jp'
+             ELSE 'blog' || v || '.kawasaki.jp'
+           END AS ps_expr,
+           CASE m
+             WHEN 0 THEN 'com'
+             WHEN 1 THEN 'co.uk'
+             WHEN 2 THEN 'foo' || v || '.ck'
+             WHEN 3 THEN 'ck'
+             WHEN 4 THEN 'org'
+             WHEN 5 THEN 'com'
+             WHEN 6 THEN 'kawasaki.jp'
+             ELSE 'blog' || v || '.kawasaki.jp'
+           END AS ps_join,
+           CASE m
+             WHEN 0 THEN 'example' || v || '.com'
+             WHEN 1 THEN 'site' || v || '.co.uk'
+             WHEN 2 THEN 'www.foo' || v || '.ck'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'site' || v || '.org'
+             WHEN 5 THEN CAST(NULL AS VARCHAR)
+             WHEN 6 THEN 'city.kawasaki.jp'
+             ELSE 'x' || v || '.blog' || v || '.kawasaki.jp'
+           END AS rd_expr,
+           CASE m
+             WHEN 0 THEN 'example' || v || '.com'
+             WHEN 1 THEN 'site' || v || '.co.uk'
+             WHEN 2 THEN 'www.foo' || v || '.ck'
+             WHEN 3 THEN 'www.ck'
+             WHEN 4 THEN 'site' || v || '.org'
+             WHEN 5 THEN CAST(NULL AS VARCHAR)
+             WHEN 6 THEN 'city.kawasaki.jp'
+             ELSE 'x' || v || '.blog' || v || '.kawasaki.jp'
+           END AS rd_join,
+           CAST(CASE m WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 6 THEN 2
+                       WHEN 7 THEN 3 ELSE 1 END AS INTEGER)
+             AS ps_labels,
+           (m != 5) AS is_registrable
+    FROM f
+    """,
+)
+def q_psl_domain(spark, sf_dir):
+    """Public Suffix List registrable domains behind a driver gate
+    (VERDICT r10 next-round #3): the PSL longest-match algorithm
+    (normal / '*.' wildcard / '!' exception rules, publicsuffix.org)
+    with the suffix table as an INJECTED data parameter — here the
+    embedded PSL_SUBSET cut; production passes the full published
+    list.  BOTH execution shapes run against the same oracle: the
+    scan-side literal-map expression path (registrable_domain_psl,
+    zero Python zero shuffle) AND the broadcast-dimension join path
+    (psl_registrable_domains, candidate-suffix explode + ONE url-keyed
+    hash aggregate — the robots_admit single-Exchange shape, the one
+    that scales to the ~9k-rule published list).  The fixture covers
+    every rule type: plain gTLD, co.uk multi-label, *.ck wildcard
+    (www.foo.ck registers at foo.ck), the !www.ck exception,
+    bare-suffix hosts (registrable NULL), and the kawasaki.jp
+    wildcard+exception pair; the oracle states every expected value in
+    CLOSED FORM per fixture branch — no PSL reimplementation — so the
+    two Spark paths are checked against hand-derived PSL semantics."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 8
+    v = (did % 20).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("W"), v, F.lit(".Example"), v,
+                                F.lit(".COM")))
+        .when(m == 1, F.concat(F.lit("a.B"), v, F.lit(".Site"), v,
+                               F.lit(".co.UK")))
+        .when(m == 2, F.concat(F.lit("WWW.Foo"), v, F.lit(".ck")))
+        .when(m == 3, F.lit("WWW.ck"))
+        .when(m == 4, F.concat(F.lit("Site"), v, F.lit(".ORG")))
+        .when(m == 5, F.lit("COM"))
+        .when(m == 6, F.lit("City.Kawasaki.JP"))
+        .otherwise(F.concat(F.lit("x"), v, F.lit(".Blog"), v,
+                            F.lit(".kawasaki.jp")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), v).alias("url"),
+    )
+    rules = text.psl_rules_df(spark)
+    j = text.psl_registrable_domains(
+        urls, rules, url_col="url", url_id_col="doc_id"
+    )
+    u = F.col("url")
+    return j.select(
+        F.col("doc_id").alias("item_id"),
+        text.url_host(u).alias("host"),
+        text.public_suffix(u).alias("ps_expr"),
+        F.col("public_suffix").alias("ps_join"),
+        text.registrable_domain_psl(u).alias("rd_expr"),
+        F.col("reg_domain").alias("rd_join"),
+        F.size(F.split(F.col("public_suffix"), "[.]")).cast("int").alias(
+            "ps_labels"
+        ),
+        F.col("reg_domain").isNotNull().alias("is_registrable"),
+    )

