@@ -895,18 +895,35 @@ def antialias(xr, g: GranuleInfo):
     return out
 
 
+_IMDCT_COS: dict = {}
+
+
 def _imdct(x, n):
     """The Layer III IMDCT: out[i] = sum_k x[k] cos(pi/(2n) *
-    (2i + 1 + n/2)(2k + 1)), i in [0, n), len(x) == n//2."""
+    (2i + 1 + n/2)(2k + 1)), i in [0, n), len(x) == n//2.
+
+    The cosine matrix is cached per n and all-zero inputs
+    short-circuit — both BIT-exact rewrites (same doubles, and a sum
+    of signed zeros compares equal to 0.0), worth ~6x on sparse
+    spectra like the PCM gate's single-line granules."""
     import math
 
     half = n // 2
+    mat = _IMDCT_COS.get(n)
+    if mat is None:
+        mat = [
+            [
+                math.cos(math.pi / (2 * n) * (2 * i + 1 + half)
+                         * (2 * k + 1))
+                for k in range(half)
+            ]
+            for i in range(n)
+        ]
+        _IMDCT_COS[n] = mat
+    if not any(x):
+        return [0.0] * n
     return [
-        sum(
-            x[k] * math.cos(math.pi / (2 * n) * (2 * i + 1 + half)
-                            * (2 * k + 1))
-            for k in range(half)
-        )
+        sum(x[k] * mat[i][k] for k in range(half))
         for i in range(n)
     ]
 
@@ -1118,6 +1135,8 @@ class PolyphaseSynth:
     real PCM becomes a data drop once a reference exists to pin the
     published window against."""
 
+    _N_MATRIX = None  # class-level cache: the 64x32 cosine matrix
+
     def __init__(self, window):
         import math
 
@@ -1125,30 +1144,56 @@ class PolyphaseSynth:
             raise ValueError("synthesis window must have 512 taps")
         self.window = list(window)
         self.v = [0.0] * 1024
-        self._n = [
-            [math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
-             for k in range(32)]
-            for i in range(64)
-        ]
+        if PolyphaseSynth._N_MATRIX is None:
+            PolyphaseSynth._N_MATRIX = [
+                [math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
+                 for k in range(32)]
+                for i in range(64)
+            ]
+        self._n = PolyphaseSynth._N_MATRIX
+        # per output j, the (v-index, window-value) pairs of the
+        # NONZERO window taps at 32i+j, i ascending (ISO U-vector
+        # gather: u[64q+r] = v[128q+r] for r<32 else v[128q+96+r-32])
+        self._taps = [[] for _ in range(32)]
+        for i in range(16):
+            for j in range(32):
+                t = 32 * i + j
+                wv = self.window[t]
+                if wv != 0.0:
+                    q, r = divmod(t, 64)
+                    vidx = (128 * q + r) if r < 32 else (
+                        128 * q + 96 + (r - 32)
+                    )
+                    self._taps[j].append((vidx, wv))
 
     def step(self, subband_samples):
-        """One time step: 32 subband samples -> 32 PCM samples."""
+        """One time step: 32 subband samples -> 32 PCM samples.
+        Matrixing skips exact-zero subbands — bit-exact (dropping
+        +-0.0 terms from a sum leaves the value unchanged up to zero
+        sign, which compares equal) and ~16x cheaper on sparse
+        granules."""
         if len(subband_samples) != 32:
             raise ValueError("expected 32 subband samples")
         v = self.v
         # shift the FIFO by 64 (newest block at the front)
         v[64:] = v[:-64]
-        for i in range(64):
-            row = self._n[i]
-            v[i] = sum(row[k] * subband_samples[k] for k in range(32))
-        u = [0.0] * 512
-        for j in range(8):
-            for i in range(32):
-                u[64 * j + i] = v[128 * j + i]
-                u[64 * j + 32 + i] = v[128 * j + 96 + i]
-        w = [u[i] * self.window[i] for i in range(512)]
+        nz = [k for k, s in enumerate(subband_samples) if s != 0.0]
+        if not nz:
+            for i in range(64):
+                v[i] = 0.0
+        else:
+            for i in range(64):
+                row = self._n[i]
+                v[i] = sum(row[k] * subband_samples[k] for k in nz)
+        # The U-gather + windowing + 16-fold accumulation, fused:
+        # _taps precomputes, per output sample j, the (v-index,
+        # window-tap) pairs with NONZERO taps in i-ascending order —
+        # the same products in the same order as the definitional
+        # u/w loops (zero-tap terms contribute +-0.0 and drop
+        # bit-exactly), without materializing u and w.
+        taps = self._taps
         return [
-            sum(w[32 * i + j] for i in range(16)) for j in range(32)
+            sum(v[vi] * wv for vi, wv in taps[j]) for j in range(32)
         ]
 
 
@@ -1201,6 +1246,51 @@ def decode_pcm(payload: bytes, synthesis_window, tables=None):
                 for row in samples:
                     pcm[ch].extend(synths[ch].step(row))
     return sr, pcm[:frames[0]["nch"]] if nch else pcm
+
+
+def gate_synthesis_window():
+    """The ANALYTICALLY-DEFINED injected window the full-PCM driver
+    gate runs decode_pcm with (VERDICT r10 next-round #4): taps 0..31
+    are 1.0 (the current matrixing block passes straight through) and
+    taps 64..95 are 0.5 (the block from TWO steps ago re-enters at
+    half gain through the FIFO, so the 1024-sample V-buffer shift is
+    behind the driver hash too).  Every tap is an exact power of two,
+    so windowing never rounds; the closed-form oracle's PCM is
+    C_j*G_t + (C_j*G_{t-2})*0.5 exactly.  The published 512-tap
+    window remains a pure data drop into the same argument."""
+    win = [0.0] * 512
+    for i in range(32):
+        win[i] = 1.0
+    for i in range(64, 96):
+        win[i] = 0.5
+    return win
+
+
+def decode_pcm_census(payload: bytes) -> list[float]:
+    """The full-PCM gate decoder: decode_pcm with the analytic
+    gate_synthesis_window, then integer statistics of the
+    1/4096-quantized samples (round-half-up floor, exact in float64 —
+    |fq| <= ~2e5, checksum <= ~5e10 < 2^53).  The positional checksum
+    pins every sample's VALUE AND POSITION behind one integer:
+    [sample_rate, n_samples, sum_fq, sum_abs_fq, max_fq, min_fq,
+    checksum]."""
+    import math
+
+    sr, chans = decode_pcm(payload, gate_synthesis_window())
+    if len(chans) != 1:
+        raise ValueError("pcm gate expects mono streams")
+    fq = [math.floor(x * 4096 + 0.5) for x in chans[0]]
+    if not fq:
+        raise ValueError("no PCM samples decoded")
+    return [
+        float(sr),
+        float(len(fq)),
+        float(sum(fq)),
+        float(sum(abs(v) for v in fq)),
+        float(max(fq)),
+        float(min(fq)),
+        float(sum(v * ((i % 97) + 1) for i, v in enumerate(fq))),
+    ]
 
 
 def mp3_decoder_factory(synthesis_window, tables=None):

@@ -4696,6 +4696,86 @@ def synth_mp3_l3(
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
 
 
+def synth_mp3_pcm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stub_mod: int = 7,
+) -> DataFrame:
+    """Per-row MPEG-1 Layer III streams for the FULL-PCM gate
+    (VERDICT r10 next-round #4): 2 mono 128 kbps 44.1 kHz frames
+    whose four granules each carry exactly ONE nonzero spectral line,
+    placed at in-band index 8 or 9 of an md5-chosen subband — the two
+    positions the long-block antialias butterflies never touch — with
+    quantized value +-1..5 (verified table 7) and global_gain
+    210 + 4e (e in -1..1), so the requantized value is
+    sign*|q|^(4/3)*2^e, an expression both engines evaluate through
+    the same libm.  Scalefactors all zero, no window switching, no
+    count1 — the decoded PCM through decode_pcm with the analytic
+    gate window is CLOSED FORM (windowed 36-point IMDCT line +
+    overlap-add + frequency inversion + matrixing + the 2-step FIFO
+    echo), bit-identical between the Python chain and the DuckDB
+    oracle because every operation order matches.  Rows where
+    id % stub_mod == 0 carry a free-format header the decoder
+    honestly refuses.  Arrow mapInPandas, zero shuffle."""
+    import hashlib
+
+    from . import mp3l3
+
+    def granule_spec(i: int, g: int) -> dict:
+        h = hashlib.md5(f"{i}_pcm".encode()).digest()
+        hg = hashlib.md5(f"{i}_pcmg_{g}".encode()).digest()
+        sb = h[0] % 32
+        k = 8 + hg[0] % 2
+        qa = 1 + hg[1] % 5
+        sgn = -1 if hg[2] % 2 == 1 else 1
+        e = hg[3] % 3 - 1
+        m = 18 * sb + k
+        pairs = [(0, 0)] * (m // 2 + 1)
+        q = sgn * qa
+        pairs[m // 2] = (q, 0) if m % 2 == 0 else (0, q)
+        return {
+            "big_values_pairs": pairs,
+            "count1_quads": [],
+            "global_gain": 210 + 4 * e,
+            "scalefac_compress": 11,
+            "sf_long": [0] * 21,
+            "table_select": [7, 7, 7],
+            "count1table_select": 0,
+        }
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                if stub_mod and i % stub_mod == 0:
+                    payloads.append(b"\xff\xfb\x00\xc0" + b"\x00" * 100)
+                    continue
+                specs = [
+                    {
+                        "bitrate_kbps": 128,
+                        "sample_rate": 44100,
+                        "padding": 0,
+                        "granules": [
+                            [granule_spec(i, f * 2 + 0)],
+                            [granule_spec(i, f * 2 + 1)],
+                        ],
+                    }
+                    for f in range(2)
+                ]
+                payloads.append(mp3l3.write_frames(specs))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Charset sniffing + decoding (web-crawl ingest).  Crawled bytes carry
 # no reliable encoding declaration; the first text operation is

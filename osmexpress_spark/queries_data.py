@@ -7534,3 +7534,128 @@ def q_psl_domain(spark, sf_dir):
         ),
         F.col("reg_domain").isNotNull().alias("is_registrable"),
     )
+
+
+@defq_pending(
+    "q_audio_mp3_pcm",
+    """
+    WITH docs AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+    ),
+    par AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id || '_pcm'), 1, 2)
+                  AS INTEGER) % 32 AS sb
+      FROM docs WHERE doc_id % 7 != 0
+    ),
+    gr AS (
+      SELECT p.doc_id, g.g,
+             8 + CAST('0x' || substr(md5(p.doc_id || '_pcmg_' || g.g),
+                      1, 2) AS INTEGER) % 2 AS k,
+             1 + CAST('0x' || substr(md5(p.doc_id || '_pcmg_' || g.g),
+                      3, 2) AS INTEGER) % 5 AS qa,
+             CASE WHEN CAST('0x' || substr(
+                            md5(p.doc_id || '_pcmg_' || g.g), 5, 2)
+                       AS INTEGER) % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+             CAST('0x' || substr(md5(p.doc_id || '_pcmg_' || g.g),
+                  7, 2) AS INTEGER) % 3 - 1 AS e
+      FROM par p CROSS JOIN (SELECT unnest(range(4)) AS g) g
+    ),
+    sv AS (
+      SELECT doc_id, g, k,
+             CASE WHEN sgn < 0
+                  THEN -(pow(qa, 4e0 / 3e0) * pow(2e0, e))
+                  ELSE pow(qa, 4e0 / 3e0) * pow(2e0, e) END AS s
+      FROM gr
+    ),
+    y AS (
+      SELECT doc_id, g, ii.i,
+             s * cos(pi() / 72 * (2 * ii.i + 19) * (2 * k + 1))
+               * sin(pi() / 36 * (ii.i + 5e-1)) AS y
+      FROM sv CROSS JOIN (SELECT unnest(range(36)) AS i) ii
+    ),
+    gt AS (
+      SELECT a.doc_id, a.g * 18 + a.i AS t,
+             CASE WHEN p.sb % 2 = 1 AND a.i % 2 = 1
+                  THEN -(a.y + COALESCE(b.y, 0e0))
+                  ELSE a.y + COALESCE(b.y, 0e0) END AS gval
+      FROM y a
+      JOIN par p ON p.doc_id = a.doc_id
+      LEFT JOIN y b ON b.doc_id = a.doc_id AND b.g = a.g - 1
+                   AND b.i = a.i + 18
+      WHERE a.i < 18
+    ),
+    pcm AS (
+      SELECT g1.doc_id, g1.t, jj.j,
+             cos((16 + jj.j) * (2 * p.sb + 1) * pi() / 64e0) * g1.gval
+             + COALESCE(
+                 cos((16 + jj.j) * (2 * p.sb + 1) * pi() / 64e0)
+                 * g2.gval * 5e-1, 0e0) AS v
+      FROM gt g1
+      JOIN par p ON p.doc_id = g1.doc_id
+      CROSS JOIN (SELECT unnest(range(32)) AS j) jj
+      LEFT JOIN gt g2 ON g2.doc_id = g1.doc_id AND g2.t = g1.t - 2
+    ),
+    st AS (
+      SELECT doc_id,
+             SUM(f) AS sum_fq, SUM(abs(f)) AS sum_abs,
+             MAX(f) AS max_fq, MIN(f) AS min_fq,
+             SUM(f * ((t * 32 + j) % 97 + 1)) AS chk
+      FROM (SELECT doc_id, t, j,
+                   CAST(floor(v * 4096 + 5e-1) AS BIGINT) AS f
+            FROM pcm)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 7 != 0) AS decode_ok,
+           CAST(CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                     ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                     ELSE 2304 END AS BIGINT) AS n_samples,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.sum_fq END AS sum_fq,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.sum_abs END AS sum_abs_fq,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.max_fq END AS max_fq,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.min_fq END AS min_fq,
+           CASE WHEN d.doc_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.chk END AS pcm_checksum
+    FROM docs d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def q_audio_mp3_pcm(spark, sf_dir):
+    """MPEG-1 Layer III FULL-PCM decode behind a driver gate (VERDICT
+    r10 next-round #4, the synthesis half the r10 bitstream gate left
+    out): single-line granules written through the independent encoder
+    (multimodal.synth_mp3_pcm) and decoded by decode_pcm END TO END —
+    requantize, IMDCT with the sine window, overlap-add ACROSS all
+    four granules, frequency inversion, polyphase matrixing and the
+    1024-sample FIFO (the analytic gate window taps the block from two
+    steps ago at half gain) — then censused as integer statistics of
+    the 1/4096-quantized samples with a positional checksum.  The
+    oracle recomputes every PCM sample in CLOSED FORM from md5 hex
+    bytes with matching operation order, so both engines' libm doubles
+    are bit-identical and the floor-quantized integers must agree
+    exactly; every 7th doc carries a free-format header the decoder
+    honestly refuses.  The published 512-tap window stays a pure data
+    drop (operators/mp3l3.py docstring)."""
+    from .operators import mp3l3
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    blobs = multimodal.synth_mp3_pcm(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=mp3l3.decode_pcm_census, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 1).cast("int").alias("sample_rate"),
+        F.element_at("feat", 2).cast("long").alias("n_samples"),
+        F.element_at("feat", 3).cast("long").alias("sum_fq"),
+        F.element_at("feat", 4).cast("long").alias("sum_abs_fq"),
+        F.element_at("feat", 5).cast("long").alias("max_fq"),
+        F.element_at("feat", 6).cast("long").alias("min_fq"),
+        F.element_at("feat", 7).cast("long").alias("pcm_checksum"),
+    )

@@ -127,6 +127,7 @@ SUBSET = [
     "q_audio_mp3_decode",      # L3 bitstream decode (reservoir/huffman) seam
     # round-11 staged queries (PENDING registry; promote in r12)
     "q_psl_domain",            # PSL longest-match, both execution paths
+    "q_audio_mp3_pcm",         # full L3 PCM decode chain, analytic window
 ]
 
 

@@ -268,3 +268,142 @@ def test_robots_admit_null_rank_fold(spark):
     }
     assert out == {1: (True, 0), 2: (False, 1), 3: (True, 0)}
     assert len(out) == 3  # every URL survives exactly once
+
+
+# ------------------------------------------------- mp3 full-PCM gate
+
+
+def _pcm_params(i: int):
+    import hashlib
+
+    h = hashlib.md5(f"{i}_pcm".encode()).digest()
+    sb = h[0] % 32
+    gs = []
+    for g in range(4):
+        hg = hashlib.md5(f"{i}_pcmg_{g}".encode()).digest()
+        gs.append((8 + hg[0] % 2, 1 + hg[1] % 5,
+                   -1 if hg[2] % 2 == 1 else 1, hg[3] % 3 - 1))
+    return sb, gs
+
+
+def _pcm_model(i: int) -> list[float]:
+    """Independent closed-form model of the gate stream's PCM: the
+    same derivation the DuckDB oracle writes in SQL, reimplemented
+    here so the full decode chain is pinned in-process too."""
+    import math
+
+    sb, gs = _pcm_params(i)
+    ys = []
+    for (k, qa, sgn, e) in gs:
+        mag = abs(qa) ** (4.0 / 3.0) * 2.0 ** float(e)
+        s = -mag if sgn < 0 else mag
+        ys.append([
+            s * math.cos(math.pi / 72 * (2 * ii + 19) * (2 * k + 1))
+            * math.sin(math.pi / 36 * (ii + 0.5))
+            for ii in range(36)
+        ])
+    G = []
+    for g in range(4):
+        for ii in range(18):
+            v = ys[g][ii] + (ys[g - 1][ii + 18] if g > 0 else 0.0)
+            if sb % 2 and ii % 2:
+                v = -v
+            G.append(v)
+    pcm = []
+    for T in range(72):
+        for j in range(32):
+            c = math.cos((16 + j) * (2 * sb + 1) * math.pi / 64.0)
+            cur = c * G[T]
+            prev = (c * G[T - 2]) * 0.5 if T >= 2 else 0.0
+            pcm.append(cur + prev)
+    return pcm
+
+
+def _pcm_payload(i: int) -> bytes:
+    from osmexpress_spark.operators import mp3l3
+
+    sb, gs = _pcm_params(i)
+    specs = []
+    for f in range(2):
+        grans = []
+        for gr in range(2):
+            k, qa, sgn, e = gs[f * 2 + gr]
+            m = 18 * sb + k
+            pairs = [(0, 0)] * (m // 2 + 1)
+            q = sgn * qa
+            pairs[m // 2] = (q, 0) if m % 2 == 0 else (0, q)
+            grans.append([{
+                "big_values_pairs": pairs,
+                "count1_quads": [],
+                "global_gain": 210 + 4 * e,
+                "scalefac_compress": 11,
+                "sf_long": [0] * 21,
+                "table_select": [7, 7, 7],
+                "count1table_select": 0,
+            }])
+        specs.append({"bitrate_kbps": 128, "sample_rate": 44100,
+                      "padding": 0, "granules": grans})
+    return mp3l3.write_frames(specs)
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 5, 47, 1234, 99999])
+def test_decode_pcm_bit_identical_to_closed_form(i):
+    """decode_pcm through the ENTIRE chain (parse -> requantize ->
+    IMDCT -> overlap-add -> inversion -> polyphase with the analytic
+    gate window) is BIT-identical to the closed-form model — the
+    property the driver gate's exact integer hash rests on."""
+    from osmexpress_spark.operators import mp3l3
+
+    sr, chans = mp3l3.decode_pcm(
+        _pcm_payload(i), mp3l3.gate_synthesis_window()
+    )
+    assert sr == 44100 and len(chans) == 1
+    got, exp = chans[0], _pcm_model(i)
+    assert len(got) == len(exp) == 2304
+    assert all(a == b for a, b in zip(got, exp))
+
+
+def test_gate_synthesis_window_shape():
+    from osmexpress_spark.operators import mp3l3
+
+    w = mp3l3.gate_synthesis_window()
+    assert len(w) == 512
+    assert w[:32] == [1.0] * 32
+    assert w[64:96] == [0.5] * 32
+    assert all(v == 0.0 for i, v in enumerate(w)
+               if not (i < 32 or 64 <= i < 96))
+
+
+def test_decode_pcm_census_stats_and_refusal():
+    import math
+
+    from osmexpress_spark.operators import mp3l3
+
+    feat = mp3l3.decode_pcm_census(_pcm_payload(3))
+    assert feat[0] == 44100.0 and feat[1] == 2304.0
+    fq = [math.floor(x * 4096 + 0.5) for x in _pcm_model(3)]
+    assert feat[2] == float(sum(fq))
+    assert feat[3] == float(sum(abs(v) for v in fq))
+    assert feat[4] == float(max(fq)) and feat[5] == float(min(fq))
+    assert feat[6] == float(
+        sum(v * ((i % 97) + 1) for i, v in enumerate(fq))
+    )
+    # free-format header: the honest refusal branch
+    with pytest.raises((NotImplementedError, ValueError)):
+        mp3l3.decode_pcm_census(b"\xff\xfb\x00\xc0" + b"\x00" * 100)
+
+
+def test_mp3_pcm_gate_plan(spark):
+    """q_audio_mp3_pcm: one zero-shuffle Arrow seam (synth + decode
+    chained mapInPandas), no joins, no Exchange."""
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_audio_mp3_pcm"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
