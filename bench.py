@@ -164,6 +164,7 @@ HEADLINE = [
 PENDING_HEADLINE: list[str] = [
     "q_psl_domain",
     "q_audio_mp3_pcm",
+    "q_vorbis_setup",
 ]
 
 

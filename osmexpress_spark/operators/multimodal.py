@@ -5054,6 +5054,341 @@ def synth_ogg(
 
 
 # --------------------------------------------------------------------------
+# Vorbis setup-header codebook census (round 11 — the first half of
+# Vorbis PCM, the mp3 two-step precedent: container census (r10 Ogg) ->
+# header/codebook parse (here) -> floor/residue/MDCT synthesis (the
+# documented remainder).  Vorbis packs bits LSB-FIRST (Vorbis I spec
+# §2, the opposite of mp3), so the walk gets its own reader/writer
+# pair; codebook framing per spec §3.2.1: 24-bit sync 0x564342,
+# 16-bit dimensions, 24-bit entries, ordered/sparse codeword-length
+# lists, 4-bit lookup type with lookup1_values multiplicand counting.
+
+
+class _VorbisBitReader:
+    """LSB-first bit reader (Vorbis I spec §2.1.2)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        out = 0
+        for k in range(n):
+            p = self.pos + k
+            byte = p >> 3
+            if byte >= len(self.data):
+                raise ValueError("truncated Vorbis bitstream")
+            out |= ((self.data[byte] >> (p & 7)) & 1) << k
+        self.pos += n
+        return out
+
+
+class _VorbisBitWriter:
+    """LSB-first bit writer — the encode-side mirror."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for k in range(n):
+            self.bits.append((value >> k) & 1)
+
+    def getvalue(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for p, b in enumerate(self.bits):
+            out[p >> 3] |= b << (p & 7)
+        return bytes(out)
+
+
+def _vorbis_ilog(x: int) -> int:
+    """ilog per Vorbis I spec §9.2.1: bit count of x (0 for x <= 0)."""
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def _lookup1_values(entries: int, dim: int) -> int:
+    """Greatest integer r with r**dim <= entries (spec §9.2.3)."""
+    r = 1
+    while (r + 1) ** dim <= entries:
+        r += 1
+    return r
+
+
+def _ogg_packets(b: bytes) -> list[bytes]:
+    """Ogg packet extraction: the r10 page walk (capture pattern,
+    version, recomputed CRC) plus lacing-based packet assembly with
+    cross-page continuation.  ValueError on structural damage."""
+    import struct
+
+    pos, n = 0, len(b)
+    packets: list[bytes] = []
+    partial = bytearray()
+    while pos < n:
+        if b[pos:pos + 4] != b"OggS" or pos + 27 > n:
+            raise ValueError("bad Ogg capture pattern")
+        if b[pos + 4] != 0:
+            raise ValueError("unknown Ogg version")
+        _granule, _serial, _seq, crc, nsegs = struct.unpack_from(
+            "<qIIIB", b, pos + 6
+        )
+        if pos + 27 + nsegs > n:
+            raise ValueError("truncated Ogg segment table")
+        lacing = b[pos + 27:pos + 27 + nsegs]
+        body_len = sum(lacing)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > n:
+            raise ValueError("truncated Ogg page body")
+        page = bytearray(b[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("Ogg page CRC mismatch")
+        off = pos + 27 + nsegs
+        for v in lacing:
+            partial += b[off:off + v]
+            off += v
+            if v < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        pos = page_end
+    if partial:
+        raise ValueError("unterminated Ogg packet")
+    return packets
+
+
+def _parse_codebook(br: _VorbisBitReader) -> dict:
+    """One codebook definition (spec §3.2.1) -> {dims, entries,
+    ordered, sparse, used_length_sum, lookup_type}."""
+    if br.read(24) != 0x564342:
+        raise ValueError("bad Vorbis codebook sync")
+    dims = br.read(16)
+    entries = br.read(24)
+    ordered = br.read(1)
+    used_sum = 0
+    sparse = 0
+    if not ordered:
+        sparse = br.read(1)
+        for _ in range(entries):
+            if sparse:
+                if br.read(1):
+                    used_sum += br.read(5) + 1
+            else:
+                used_sum += br.read(5) + 1
+    else:
+        curlen = br.read(5) + 1
+        cur = 0
+        while cur < entries:
+            number = br.read(_vorbis_ilog(entries - cur))
+            if number > entries - cur:
+                raise ValueError("overspecified ordered codebook run")
+            used_sum += curlen * number
+            cur += number
+            curlen += 1
+    lookup = br.read(4)
+    if lookup not in (0, 1, 2):
+        raise ValueError(f"reserved codebook lookup type {lookup}")
+    if lookup:
+        br.read(32)  # minimum_value (Vorbis float32, raw skip)
+        br.read(32)  # delta_value
+        value_bits = br.read(4) + 1
+        br.read(1)   # sequence_p
+        count = (
+            _lookup1_values(entries, dims) if lookup == 1
+            else entries * dims
+        )
+        for _ in range(count):
+            br.read(value_bits)
+    return {
+        "dims": dims, "entries": entries, "ordered": ordered,
+        "sparse": sparse, "used_length_sum": used_sum,
+        "lookup_type": lookup,
+    }
+
+
+def vorbis_setup_census(payload: bytes) -> list[float]:
+    """Vorbis header parse over a whole Ogg stream: packet assembly
+    (CRC-checked page walk), the type-1 identification header
+    (channels / sample rate), the type-3 comment header (framing
+    check), then the type-5 setup header's COMPLETE codebook section.
+    Returns [channels, rate, n_books, sum_entries, sum_dims,
+    sum_used_lengths, n_ordered, n_sparse, n_lookup].  The remainder
+    of the setup header (time transforms, floors, residues, mappings,
+    modes) and PCM synthesis are the documented next step — the same
+    two-step the mp3 census -> bitstream-decode pair followed."""
+    packets = _ogg_packets(bytes(payload))
+    if len(packets) < 3:
+        raise ValueError("missing Vorbis header packets")
+    ident, comment, setup = packets[0], packets[1], packets[2]
+    if ident[:7] != b"\x01vorbis" or len(ident) < 30:
+        raise ValueError("missing Vorbis identification header")
+    channels = ident[11]
+    import struct
+
+    rate = struct.unpack_from("<I", ident, 12)[0]
+    if comment[:7] != b"\x03vorbis":
+        raise ValueError("missing Vorbis comment header")
+    if setup[:7] != b"\x05vorbis":
+        raise ValueError("missing Vorbis setup header")
+    br = _VorbisBitReader(setup[7:])
+    n_books = br.read(8) + 1
+    books = [_parse_codebook(br) for _ in range(n_books)]
+    return [
+        float(channels),
+        float(rate),
+        float(n_books),
+        float(sum(bk["entries"] for bk in books)),
+        float(sum(bk["dims"] for bk in books)),
+        float(sum(bk["used_length_sum"] for bk in books)),
+        float(sum(1 for bk in books if bk["ordered"])),
+        float(sum(1 for bk in books if bk["sparse"])),
+        float(sum(1 for bk in books if bk["lookup_type"])),
+    ]
+
+
+def synth_vorbis(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    corrupt_mod: int = 11,
+) -> DataFrame:
+    """Per-row deterministic Ogg/Vorbis HEADER streams for the setup
+    census gate: identification (channels = 1 + b0 % 2, rate =
+    _OGG_RATES[b1 % 4] from md5(id||'_v_h')), a minimal comment
+    header, and a setup header whose 1 + b2 % 4 codebooks are
+    md5-shaped over three COMPLETE-tree families — uniform power-of-2
+    (2^b entries all length b; ordered or unordered encoding by
+    md5 bit, optional type-1 lookup with md5 multiplicands), comb
+    (lengths 1..n-1,n,n over n+1 entries — a complete prefix tree),
+    and sparse (2^b used entries of length b plus 1 + u unused
+    entries) — every census statistic recomputable in closed form
+    from the md5 hex bytes.  Every `corrupt_mod`-th doc breaks the
+    LAST codebook's sync pattern (the structural-damage branch).
+    Arrow mapInPandas, zero shuffle."""
+    import hashlib
+    import struct
+
+    from . import mp3l3  # noqa: F401  (import parity with siblings)
+
+    def page(body, lacing, flags, granule, serial, seq):
+        head = (
+            b"OggS\x00" + bytes([flags])
+            + struct.pack("<qIII", granule, serial, seq, 0)
+            + bytes([len(lacing)]) + bytes(lacing)
+        )
+        crc = _ogg_crc(head + body)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+    def lacing_for(*pkts):
+        out = []
+        for p in pkts:
+            out += [255] * (len(p) // 255) + [len(p) % 255]
+        return out
+
+    def book_bits(bw: _VorbisBitWriter, hb: bytes, corrupt: bool):
+        shape = hb[0] % 3
+        bw.write(0x564343 if corrupt else 0x564342, 24)
+        if shape == 0:
+            b = 1 + hb[1] % 4
+            entries = 1 << b
+            bw.write(1 + hb[4] % 4, 16)     # dimensions
+            bw.write(entries, 24)
+            if hb[2] & 1:                   # ordered encoding
+                bw.write(1, 1)
+                bw.write(b - 1, 5)
+                bw.write(entries, _vorbis_ilog(entries))
+            else:
+                bw.write(0, 1)
+                bw.write(0, 1)              # non-sparse
+                for _ in range(entries):
+                    bw.write(b - 1, 5)
+            if hb[3] & 1:                   # type-1 lookup
+                bw.write(1, 4)
+                hv = hashlib.md5(hb).digest()
+                bw.write(int.from_bytes(hv[0:4], "little"), 32)
+                bw.write(int.from_bytes(hv[4:8], "little"), 32)
+                value_bits = 1 + hb[5] % 4
+                bw.write(value_bits - 1, 4)
+                bw.write(hb[6] & 1, 1)
+                dims = 1 + hb[4] % 4
+                for k in range(_lookup1_values(entries, dims)):
+                    bw.write(hv[8 + k % 8] & ((1 << value_bits) - 1),
+                             value_bits)
+            else:
+                bw.write(0, 4)
+        elif shape == 1:
+            n = 2 + hb[1] % 6
+            bw.write(1 + hb[4] % 4, 16)
+            bw.write(n + 1, 24)
+            bw.write(0, 1)
+            bw.write(0, 1)
+            for ln in list(range(1, n)) + [n, n]:
+                bw.write(ln - 1, 5)
+            bw.write(0, 4)
+        else:
+            b = 1 + hb[1] % 3
+            used = 1 << b
+            unused = 1 + hb[2] % 4
+            bw.write(1 + hb[4] % 4, 16)
+            bw.write(used + unused, 24)
+            bw.write(0, 1)
+            bw.write(1, 1)                  # sparse
+            for _ in range(used):
+                bw.write(1, 1)
+                bw.write(b - 1, 5)
+            for _ in range(unused):
+                bw.write(0, 1)
+            bw.write(0, 4)
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                hb0 = hashlib.md5(f"{i}_v_h".encode()).digest()
+                channels = 1 + hb0[0] % 2
+                rate = _OGG_RATES[hb0[1] % 4]
+                n_books = 1 + hb0[2] % 4
+                ident = (
+                    b"\x01vorbis" + struct.pack("<I", 0)
+                    + bytes([channels]) + struct.pack("<I", rate)
+                    + struct.pack("<iii", 0, 128000, 0)
+                    + b"\xb8\x01"
+                )
+                comment = (
+                    b"\x03vorbis" + struct.pack("<I", 0)
+                    + struct.pack("<I", 0) + b"\x01"
+                )
+                bw = _VorbisBitWriter()
+                bw.write(n_books - 1, 8)
+                for j in range(n_books):
+                    hb = hashlib.md5(f"{i}_v_b{j}".encode()).digest()
+                    corrupt = (
+                        corrupt_mod and i % corrupt_mod == 0
+                        and j == n_books - 1
+                    )
+                    book_bits(bw, hb, bool(corrupt))
+                setup = b"\x05vorbis" + bw.getvalue()
+                serial = int.from_bytes(hb0[4:8], "little")
+                out = page(ident, lacing_for(ident), 0x02, 0, serial, 0)
+                out += page(
+                    comment + setup, lacing_for(comment, setup),
+                    0x04, 0, serial, 1,
+                )
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # mp3 metadata extraction — the O(1) triage sibling of the frame walk:
 # ID3v2 text frames (title/artist/album identify an archive's
 # provenance before any audio work) and the Xing/Info VBR header in

@@ -7659,3 +7659,119 @@ def q_audio_mp3_pcm(spark, sf_dir):
         F.element_at("feat", 6).cast("long").alias("min_fq"),
         F.element_at("feat", 7).cast("long").alias("pcm_checksum"),
     )
+
+
+@defq_pending(
+    "q_vorbis_setup",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(doc_id || '_v_h') AS hh FROM documents
+    ),
+    par AS (
+      SELECT doc_id,
+             1 + CAST('0x' || substr(hh, 1, 2) AS INTEGER) % 2
+               AS channels,
+             list_value(8000, 22050, 44100, 48000)[
+               CAST('0x' || substr(hh, 3, 2) AS INTEGER) % 4 + 1]
+               AS rate,
+             1 + CAST('0x' || substr(hh, 5, 2) AS INTEGER) % 4
+               AS n_books
+      FROM h
+    ),
+    bk AS (
+      SELECT p.doc_id, j.j,
+             md5(p.doc_id || '_v_b' || j.j) AS hb
+      FROM par p CROSS JOIN (SELECT unnest(range(4)) AS j) j
+      WHERE j.j < p.n_books
+    ),
+    bs AS (
+      SELECT doc_id,
+             CAST('0x' || substr(hb, 1, 2) AS INTEGER) % 3 AS shape,
+             CAST('0x' || substr(hb, 3, 2) AS INTEGER) AS b1,
+             CAST('0x' || substr(hb, 5, 2) AS INTEGER) AS b2,
+             CAST('0x' || substr(hb, 7, 2) AS INTEGER) AS b3,
+             1 + CAST('0x' || substr(hb, 9, 2) AS INTEGER) % 4 AS dims
+      FROM bk
+    ),
+    st AS (
+      SELECT doc_id,
+             COUNT(*) AS n_books,
+             SUM(CASE shape
+                   WHEN 0 THEN CAST(pow(2, 1 + b1 % 4) AS BIGINT)
+                   WHEN 1 THEN (2 + b1 % 6) + 1
+                   ELSE CAST(pow(2, 1 + b1 % 3) AS BIGINT)
+                        + 1 + b2 % 4 END) AS sum_entries,
+             SUM(dims) AS sum_dims,
+             SUM(CASE shape
+                   WHEN 0 THEN (1 + b1 % 4)
+                               * CAST(pow(2, 1 + b1 % 4) AS BIGINT)
+                   WHEN 1 THEN (2 + b1 % 6) * ((2 + b1 % 6) - 1) / 2
+                               + 2 * (2 + b1 % 6)
+                   ELSE (1 + b1 % 3)
+                        * CAST(pow(2, 1 + b1 % 3) AS BIGINT) END)
+               AS sum_used_lengths,
+             SUM(CASE WHEN shape = 0 AND b2 % 2 = 1
+                      THEN 1 ELSE 0 END) AS n_ordered,
+             SUM(CASE WHEN shape = 2 THEN 1 ELSE 0 END) AS n_sparse,
+             SUM(CASE WHEN shape = 0 AND b3 % 2 = 1
+                      THEN 1 ELSE 0 END) AS n_lookup
+      FROM bs GROUP BY doc_id
+    )
+    SELECT p.doc_id AS item_id,
+           (p.doc_id % 11 != 0) AS parse_ok,
+           CAST(CASE WHEN p.doc_id % 11 = 0 THEN NULL
+                     ELSE p.channels END AS INTEGER) AS channels,
+           CAST(CASE WHEN p.doc_id % 11 = 0 THEN NULL
+                     ELSE p.rate END AS INTEGER) AS sample_rate,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.n_books AS BIGINT) END AS n_books,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.sum_entries AS BIGINT) END AS sum_entries,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.sum_dims AS BIGINT) END AS sum_dims,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.sum_used_lengths AS BIGINT) END
+             AS sum_used_lengths,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.n_ordered AS BIGINT) END AS n_ordered,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.n_sparse AS BIGINT) END AS n_sparse,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(st.n_lookup AS BIGINT) END AS n_lookup
+    FROM par p JOIN st USING (doc_id)
+    """,
+)
+def q_vorbis_setup(spark, sf_dir):
+    """Vorbis setup-header codebook census behind a driver gate
+    (VERDICT r10 next-round #7, the first half of Vorbis PCM — the
+    mp3 census -> bitstream-decode two-step): md5-shaped Ogg/Vorbis
+    header streams written through the independent LSB-first writer
+    (multimodal.synth_vorbis) and parsed by the full header path —
+    CRC-checked page walk with lacing packet assembly, identification
+    header, comment framing, and the COMPLETE codebook section per
+    Vorbis I §3.2.1 (sync, dims, entries, ordered run-length vs
+    unordered/sparse codeword lists, lookup types with
+    lookup1_values multiplicand counting).  Three complete-tree book
+    families (uniform power-of-2, comb, sparse-with-unused) exercise
+    every branch; the oracle recomputes all nine statistics in closed
+    form from the md5 hex bytes; every 11th doc breaks the last
+    book's sync pattern (the damage branch).  Floors/residues/MDCT
+    remain the documented second half."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_vorbis(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.vorbis_setup_census, modality="audio"
+    )
+    return feats.select(
+        F.col("item_id"),
+        F.col("decode_ok").alias("parse_ok"),
+        F.element_at("feat", 1).cast("int").alias("channels"),
+        F.element_at("feat", 2).cast("int").alias("sample_rate"),
+        F.element_at("feat", 3).cast("long").alias("n_books"),
+        F.element_at("feat", 4).cast("long").alias("sum_entries"),
+        F.element_at("feat", 5).cast("long").alias("sum_dims"),
+        F.element_at("feat", 6).cast("long").alias("sum_used_lengths"),
+        F.element_at("feat", 7).cast("long").alias("n_ordered"),
+        F.element_at("feat", 8).cast("long").alias("n_sparse"),
+        F.element_at("feat", 9).cast("long").alias("n_lookup"),
+    )

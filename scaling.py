@@ -128,6 +128,7 @@ SUBSET = [
     # round-11 staged queries (PENDING registry; promote in r12)
     "q_psl_domain",            # PSL longest-match, both execution paths
     "q_audio_mp3_pcm",         # full L3 PCM decode chain, analytic window
+    "q_vorbis_setup",          # Ogg packet assembly + codebook parse seam
 ]
 
 

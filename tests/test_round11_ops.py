@@ -407,3 +407,93 @@ def test_mp3_pcm_gate_plan(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------- Vorbis setup codebook census
+
+
+def test_vorbis_bit_io_lsb_first_roundtrip():
+    from osmexpress_spark.operators.multimodal import (
+        _VorbisBitReader, _VorbisBitWriter,
+    )
+
+    bw = _VorbisBitWriter()
+    fields = [(0x564342, 24), (5, 16), (300, 24), (1, 1), (0, 1),
+              (19, 5), (0xDEADBEEF, 32), (7, 3)]
+    for v, n in fields:
+        bw.write(v, n)
+    br = _VorbisBitReader(bw.getvalue())
+    for v, n in fields:
+        assert br.read(v.bit_length() and n or n) == v
+    # LSB-first: writing value 1 in 8 bits puts the set bit FIRST
+    bw2 = _VorbisBitWriter()
+    bw2.write(1, 8)
+    assert bw2.getvalue() == b"\x01"
+    br2 = _VorbisBitReader(b"\x80")
+    assert br2.read(7) == 0 and br2.read(1) == 1
+
+
+def test_vorbis_ilog_and_lookup1_match_spec():
+    from osmexpress_spark.operators.multimodal import (
+        _lookup1_values, _vorbis_ilog,
+    )
+
+    # the spec's own ilog examples (Vorbis I §9.2.1)
+    assert [_vorbis_ilog(x) for x in (0, 1, 2, 3, 4, 7)] == \
+        [0, 1, 2, 2, 3, 3]
+    assert _vorbis_ilog(-1) == 0
+    # lookup1_values: largest r with r^dim <= entries
+    assert _lookup1_values(16, 1) == 16
+    assert _lookup1_values(16, 2) == 4
+    assert _lookup1_values(17, 2) == 4
+    assert _lookup1_values(27, 3) == 3
+    assert _lookup1_values(26, 3) == 2
+
+
+def test_vorbis_census_refusals():
+    from osmexpress_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError):
+        M.vorbis_setup_census(b"")            # no pages
+    with pytest.raises(ValueError):
+        M.vorbis_setup_census(b"NotOggData")  # bad capture
+
+
+def test_ogg_packets_cross_page_continuation():
+    """A packet whose lacing ends exactly at 255 continues on the
+    next page — the assembly must stitch it back together."""
+    import struct
+
+    from osmexpress_spark.operators import multimodal as M
+
+    def page(body, lacing, flags, seq):
+        head = (
+            b"OggS\x00" + bytes([flags])
+            + struct.pack("<qIII", 0, 7, seq, 0)
+            + bytes([len(lacing)]) + bytes(lacing)
+        )
+        crc = M._ogg_crc(head + body)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+    pkt = bytes(range(256)) * 2  # 512 bytes
+    p1 = page(pkt[:510], [255, 255], 0x02, 0)
+    p2 = page(pkt[510:] + b"xyz", [2, 3], 0x01, 1)
+    got = M._ogg_packets(p1 + p2)
+    assert got == [pkt, b"xyz"]
+    # an unterminated trailing packet is structural damage
+    with pytest.raises(ValueError):
+        M._ogg_packets(p1)
+
+
+def test_vorbis_gate_plan(spark):
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_vorbis_setup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
