@@ -5207,16 +5207,117 @@ def _parse_codebook(br: _VorbisBitReader) -> dict:
     }
 
 
+def _parse_floor(br: _VorbisBitReader, n_books: int) -> dict:
+    """One floor configuration (spec §6.2, §7.2.2) -> {type,
+    partitions, x_sum} (floor0: partitions = number_of_books,
+    x_sum = 0)."""
+    ftype = br.read(16)
+    if ftype == 0:
+        br.read(8)   # order
+        br.read(16)  # rate
+        br.read(16)  # bark_map_size
+        br.read(6)   # amplitude_bits
+        br.read(8)   # amplitude_offset
+        nb = br.read(4) + 1
+        for _ in range(nb):
+            if br.read(8) >= n_books:
+                raise ValueError("floor0 book out of range")
+        return {"type": 0, "partitions": nb, "x_sum": 0}
+    if ftype != 1:
+        raise ValueError(f"reserved floor type {ftype}")
+    partitions = br.read(5)
+    classes = [br.read(4) for _ in range(partitions)]
+    n_classes = (max(classes) + 1) if classes else 0
+    class_dims = []
+    for _ in range(n_classes):
+        dims = br.read(3) + 1
+        subs = br.read(2)
+        if subs:
+            if br.read(8) >= n_books:
+                raise ValueError("floor1 masterbook out of range")
+        for _ in range(1 << subs):
+            if br.read(8) - 1 >= n_books:
+                raise ValueError("floor1 subclass book out of range")
+        class_dims.append(dims)
+    br.read(2)  # multiplier - 1
+    rangebits = br.read(4)
+    x_sum = 0
+    for p in range(partitions):
+        for _ in range(class_dims[classes[p]]):
+            x_sum += br.read(rangebits)
+    return {"type": 1, "partitions": partitions, "x_sum": x_sum}
+
+
+def _parse_residue(br: _VorbisBitReader, n_books: int) -> dict:
+    """One residue configuration (spec §8.6.1) -> {type, end,
+    cascade_sum}."""
+    rtype = br.read(16)
+    if rtype > 2:
+        raise ValueError(f"reserved residue type {rtype}")
+    br.read(24)           # begin
+    end = br.read(24)
+    br.read(24)           # partition_size - 1
+    classifications = br.read(6) + 1
+    if br.read(8) >= n_books:
+        raise ValueError("residue classbook out of range")
+    cascade_sum = 0
+    cascades = []
+    for _ in range(classifications):
+        low = br.read(3)
+        high = br.read(5) if br.read(1) else 0
+        cascades.append(high * 8 + low)
+        cascade_sum += high * 8 + low
+    for c in cascades:
+        for pas in range(8):
+            if c & (1 << pas):
+                if br.read(8) >= n_books:
+                    raise ValueError("residue book out of range")
+    return {"type": rtype, "end": end, "cascade_sum": cascade_sum}
+
+
+def _parse_mapping(br: _VorbisBitReader, channels: int,
+                   n_floors: int, n_residues: int) -> dict:
+    """One mapping configuration (spec §4.2.4 step 5)."""
+    if br.read(16) != 0:
+        raise ValueError("reserved mapping type")
+    submaps = (br.read(4) + 1) if br.read(1) else 1
+    coupling_steps = 0
+    if br.read(1):
+        coupling_steps = br.read(8) + 1
+        bits = _vorbis_ilog(channels - 1)
+        for _ in range(coupling_steps):
+            m = br.read(bits)
+            a = br.read(bits)
+            if m == a or m >= channels or a >= channels:
+                raise ValueError("bad coupling channel pair")
+    if br.read(2) != 0:
+        raise ValueError("nonzero mapping reserved field")
+    if submaps > 1:
+        for _ in range(channels):
+            br.read(4)  # mux
+    for _ in range(submaps):
+        br.read(8)  # unused time config
+        if br.read(8) >= n_floors:
+            raise ValueError("mapping floor out of range")
+        if br.read(8) >= n_residues:
+            raise ValueError("mapping residue out of range")
+    return {"submaps": submaps, "coupling_steps": coupling_steps}
+
+
 def vorbis_setup_census(payload: bytes) -> list[float]:
     """Vorbis header parse over a whole Ogg stream: packet assembly
     (CRC-checked page walk), the type-1 identification header
     (channels / sample rate), the type-3 comment header (framing
-    check), then the type-5 setup header's COMPLETE codebook section.
+    check), then the type-5 setup header parsed IN FULL per Vorbis I
+    §4.2.4 — codebooks (§3.2.1), time-domain transforms, floor0/
+    floor1 configurations, residues, mappings, modes, framing bit.
     Returns [channels, rate, n_books, sum_entries, sum_dims,
-    sum_used_lengths, n_ordered, n_sparse, n_lookup].  The remainder
-    of the setup header (time transforms, floors, residues, mappings,
-    modes) and PCM synthesis are the documented next step — the same
-    two-step the mp3 census -> bitstream-decode pair followed."""
+    sum_used_lengths, n_ordered, n_sparse, n_lookup, n_floors,
+    sum_floor1_x, n_residues, sum_res_cascade, n_modes].  PCM
+    synthesis (floor curve, residue decode, inverse MDCT) is the
+    documented remaining half — and its floor1_inverse_dB_table is
+    published DATA unverifiable in-container, the mp3-window
+    boundary."""
     packets = _ogg_packets(bytes(payload))
     if len(packets) < 3:
         raise ValueError("missing Vorbis header packets")
@@ -5234,6 +5335,27 @@ def vorbis_setup_census(payload: bytes) -> list[float]:
     br = _VorbisBitReader(setup[7:])
     n_books = br.read(8) + 1
     books = [_parse_codebook(br) for _ in range(n_books)]
+    for _ in range(br.read(6) + 1):  # time-domain transforms
+        if br.read(16) != 0:
+            raise ValueError("reserved time-domain transform")
+    floors = [
+        _parse_floor(br, n_books) for _ in range(br.read(6) + 1)
+    ]
+    residues = [
+        _parse_residue(br, n_books) for _ in range(br.read(6) + 1)
+    ]
+    for _ in range(br.read(6) + 1):
+        _parse_mapping(br, channels, len(floors), len(residues))
+    n_modes = br.read(6) + 1
+    for _ in range(n_modes):
+        br.read(1)                   # blockflag
+        if br.read(16) != 0:
+            raise ValueError("reserved mode window type")
+        if br.read(16) != 0:
+            raise ValueError("reserved mode transform type")
+        br.read(8)                   # mapping number
+    if br.read(1) != 1:
+        raise ValueError("missing setup framing bit")
     return [
         float(channels),
         float(rate),
@@ -5244,6 +5366,11 @@ def vorbis_setup_census(payload: bytes) -> list[float]:
         float(sum(1 for bk in books if bk["ordered"])),
         float(sum(1 for bk in books if bk["sparse"])),
         float(sum(1 for bk in books if bk["lookup_type"])),
+        float(len(floors)),
+        float(sum(f["x_sum"] for f in floors)),
+        float(len(residues)),
+        float(sum(r["cascade_sum"] for r in residues)),
+        float(n_modes),
     ]
 
 
@@ -5261,10 +5388,14 @@ def synth_vorbis(
     md5 bit, optional type-1 lookup with md5 multiplicands), comb
     (lengths 1..n-1,n,n over n+1 entries — a complete prefix tree),
     and sparse (2^b used entries of length b plus 1 + u unused
-    entries) — every census statistic recomputable in closed form
-    from the md5 hex bytes.  Every `corrupt_mod`-th doc breaks the
-    LAST codebook's sync pattern (the structural-damage branch).
-    Arrow mapInPandas, zero shuffle."""
+    entries) — plus the FULL §4.2.4 tail: a type-0 time transform,
+    1-2 floor1 configurations (md5-shaped partitions/dims/rangebits
+    X lists), 1-2 residues (md5 cascade bitmaps with per-pass books),
+    one mapping (with channel coupling on md5-chosen stereo docs),
+    1-2 modes, framing bit — every census statistic recomputable in
+    closed form from the md5 hex bytes.  Every `corrupt_mod`-th doc
+    breaks the LAST codebook's sync pattern (the structural-damage
+    branch).  Arrow mapInPandas, zero shuffle."""
     import hashlib
     import struct
 
@@ -5368,6 +5499,83 @@ def synth_vorbis(
                         and j == n_books - 1
                     )
                     book_bits(bw, hb, bool(corrupt))
+                # time transforms / floors / residues / mappings /
+                # modes — the full §4.2.4 tail
+                hs = hashlib.md5(f"{i}_v_s".encode()).digest()
+                bw.write(0, 6)
+                bw.write(0, 16)          # one type-0 time transform
+                n_floors = 1 + hs[0] % 2
+                bw.write(n_floors - 1, 6)
+                for j in range(n_floors):
+                    hf = hashlib.md5(f"{i}_v_f{j}".encode()).digest()
+                    hx = hashlib.md5(f"{i}_v_fx{j}".encode()).digest()
+                    bw.write(1, 16)      # floor type 1
+                    parts = 1 + hf[1] % 3
+                    bw.write(parts, 5)
+                    for _ in range(parts):
+                        bw.write(0, 4)   # all partitions -> class 0
+                    dims = 1 + hf[3] % 3
+                    subs = hf[4] % 2
+                    bw.write(dims - 1, 3)
+                    bw.write(subs, 2)
+                    if subs:
+                        bw.write(hf[5] % n_books, 8)
+                    for k in range(1 << subs):
+                        bw.write(hf[6 + k] % (n_books + 1), 8)
+                    bw.write(hf[7] % 4, 2)   # multiplier - 1
+                    rb = 1 + hf[8] % 4
+                    bw.write(rb, 4)
+                    for tx in range(parts * dims):
+                        bw.write(hx[tx] % (1 << rb), rb)
+                n_res = 1 + hs[1] % 2
+                bw.write(n_res - 1, 6)
+                for j in range(n_res):
+                    hr = hashlib.md5(f"{i}_v_r{j}".encode()).digest()
+                    bw.write(hr[0] % 3, 16)
+                    bw.write(hr[1], 24)            # begin
+                    bw.write(hr[1] + hr[2], 24)    # end
+                    bw.write(hr[3], 24)            # partition_size-1
+                    ncls = 1 + hr[4] % 3
+                    bw.write(ncls - 1, 6)
+                    bw.write(hr[5] % n_books, 8)   # classbook
+                    cascades = []
+                    for c in range(ncls):
+                        low = hr[6 + 3 * c] % 8
+                        flag = hr[7 + 3 * c] % 2
+                        high = hr[8 + 3 * c] % 32 if flag else 0
+                        bw.write(low, 3)
+                        bw.write(flag, 1)
+                        if flag:
+                            bw.write(high, 5)
+                        cascades.append(high * 8 + low)
+                    for c, casc in enumerate(cascades):
+                        for pas in range(8):
+                            if casc & (1 << pas):
+                                bw.write(
+                                    (hr[15] + pas + c) % n_books, 8
+                                )
+                bw.write(0, 6)           # one mapping
+                bw.write(0, 16)          # mapping type 0
+                bw.write(0, 1)           # one submap
+                if channels == 2 and hs[2] % 2:
+                    bw.write(1, 1)       # coupling present
+                    bw.write(0, 8)       # one step
+                    bw.write(0, 1)       # magnitude channel 0
+                    bw.write(1, 1)       # angle channel 1
+                else:
+                    bw.write(0, 1)
+                bw.write(0, 2)           # reserved
+                bw.write(0, 8)           # submap time config (unused)
+                bw.write(hs[3] % n_floors, 8)
+                bw.write(hs[4] % n_res, 8)
+                n_modes = 1 + hs[5] % 2
+                bw.write(n_modes - 1, 6)
+                for m in range(n_modes):
+                    bw.write(hs[6 + m] % 2, 1)   # blockflag
+                    bw.write(0, 16)
+                    bw.write(0, 16)
+                    bw.write(0, 8)               # mapping 0
+                bw.write(1, 1)                   # framing bit
                 setup = b"\x05vorbis" + bw.getvalue()
                 serial = int.from_bytes(hb0[4:8], "little")
                 out = page(ident, lacing_for(ident), 0x02, 0, serial, 0)

@@ -7716,6 +7716,60 @@ def q_audio_mp3_pcm(spark, sf_dir):
              SUM(CASE WHEN shape = 0 AND b3 % 2 = 1
                       THEN 1 ELSE 0 END) AS n_lookup
       FROM bs GROUP BY doc_id
+    ),
+    sec AS (
+      SELECT doc_id,
+             1 + CAST('0x' || substr(hs, 1, 2) AS INTEGER) % 2
+               AS n_floors,
+             1 + CAST('0x' || substr(hs, 3, 2) AS INTEGER) % 2
+               AS n_res,
+             1 + CAST('0x' || substr(hs, 11, 2) AS INTEGER) % 2
+               AS n_modes
+      FROM (SELECT doc_id, md5(doc_id || '_v_s') AS hs FROM documents)
+    ),
+    fl AS (
+      SELECT c.doc_id, f.f,
+             1 + CAST('0x' || substr(md5(c.doc_id || '_v_f' || f.f),
+                      3, 2) AS INTEGER) % 3 AS parts,
+             1 + CAST('0x' || substr(md5(c.doc_id || '_v_f' || f.f),
+                      7, 2) AS INTEGER) % 3 AS dims,
+             1 + CAST('0x' || substr(md5(c.doc_id || '_v_f' || f.f),
+                      17, 2) AS INTEGER) % 4 AS rb
+      FROM sec c CROSS JOIN (SELECT unnest(range(2)) AS f) f
+      WHERE f.f < c.n_floors
+    ),
+    fx AS (
+      SELECT fl.doc_id,
+             SUM(CAST('0x' || substr(
+                   md5(fl.doc_id || '_v_fx' || fl.f),
+                   2 * tx.t + 1, 2) AS INTEGER)
+                 % CAST(pow(2, fl.rb) AS INTEGER)) AS x_sum
+      FROM fl CROSS JOIN (SELECT unnest(range(9)) AS t) tx
+      WHERE tx.t < fl.parts * fl.dims
+      GROUP BY fl.doc_id
+    ),
+    rs AS (
+      SELECT c.doc_id, r.r,
+             md5(c.doc_id || '_v_r' || r.r) AS hr,
+             1 + CAST('0x' || substr(md5(c.doc_id || '_v_r' || r.r),
+                      9, 2) AS INTEGER) % 3 AS ncls
+      FROM sec c CROSS JOIN (SELECT unnest(range(2)) AS r) r
+      WHERE r.r < c.n_res
+    ),
+    rc AS (
+      SELECT rs.doc_id,
+             SUM(CAST('0x' || substr(rs.hr, 2 * (6 + 3 * cc.c) + 1, 2)
+                      AS INTEGER) % 8
+                 + CASE WHEN CAST('0x' || substr(
+                               rs.hr, 2 * (7 + 3 * cc.c) + 1, 2)
+                             AS INTEGER) % 2 = 1
+                        THEN 8 * (CAST('0x' || substr(
+                               rs.hr, 2 * (8 + 3 * cc.c) + 1, 2)
+                             AS INTEGER) % 32)
+                        ELSE 0 END) AS casc_sum
+      FROM rs CROSS JOIN (SELECT unnest(range(3)) AS c) cc
+      WHERE cc.c < rs.ncls
+      GROUP BY rs.doc_id
     )
     SELECT p.doc_id AS item_id,
            (p.doc_id % 11 != 0) AS parse_ok,
@@ -7737,8 +7791,21 @@ def q_audio_mp3_pcm(spark, sf_dir):
            CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
                 ELSE CAST(st.n_sparse AS BIGINT) END AS n_sparse,
            CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
-                ELSE CAST(st.n_lookup AS BIGINT) END AS n_lookup
+                ELSE CAST(st.n_lookup AS BIGINT) END AS n_lookup,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(sec.n_floors AS BIGINT) END AS n_floors,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(fx.x_sum AS BIGINT) END AS sum_floor1_x,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(sec.n_res AS BIGINT) END AS n_residues,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(rc.casc_sum AS BIGINT) END AS sum_res_cascade,
+           CASE WHEN p.doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(sec.n_modes AS BIGINT) END AS n_modes
     FROM par p JOIN st USING (doc_id)
+         JOIN sec USING (doc_id)
+         JOIN fx USING (doc_id)
+         JOIN rc USING (doc_id)
     """,
 )
 def q_vorbis_setup(spark, sf_dir):
@@ -7748,15 +7815,21 @@ def q_vorbis_setup(spark, sf_dir):
     header streams written through the independent LSB-first writer
     (multimodal.synth_vorbis) and parsed by the full header path —
     CRC-checked page walk with lacing packet assembly, identification
-    header, comment framing, and the COMPLETE codebook section per
-    Vorbis I §3.2.1 (sync, dims, entries, ordered run-length vs
-    unordered/sparse codeword lists, lookup types with
-    lookup1_values multiplicand counting).  Three complete-tree book
-    families (uniform power-of-2, comb, sparse-with-unused) exercise
-    every branch; the oracle recomputes all nine statistics in closed
-    form from the md5 hex bytes; every 11th doc breaks the last
-    book's sync pattern (the damage branch).  Floors/residues/MDCT
-    remain the documented second half."""
+    header, comment framing, and the setup header IN FULL per
+    Vorbis I §4.2.4: the codebook section (§3.2.1 — sync, dims,
+    entries, ordered run-length vs unordered/sparse codeword lists,
+    lookup types with lookup1_values multiplicand counting), time
+    transforms, floor1 configurations (partition classes, subclass
+    books, rangebits X lists), residues (types 0-2, cascade bitmaps,
+    per-pass books), mappings (submaps, channel coupling), modes and
+    the framing bit.  Three complete-tree book families exercise
+    every codebook branch; the oracle recomputes all fourteen
+    statistics in closed form from the md5 hex bytes; every 11th doc
+    breaks the last book's sync pattern (the damage branch).  PCM
+    synthesis (floor curve, residue decode, inverse MDCT) is the
+    documented remaining half — its floor1_inverse_dB_table is
+    published data unverifiable in-container, the mp3-window
+    boundary."""
     d = t(spark, sf_dir, "documents")
     blobs = multimodal.synth_vorbis(d, "doc_id")
     feats = multimodal.extract_features(
@@ -7774,4 +7847,9 @@ def q_vorbis_setup(spark, sf_dir):
         F.element_at("feat", 7).cast("long").alias("n_ordered"),
         F.element_at("feat", 8).cast("long").alias("n_sparse"),
         F.element_at("feat", 9).cast("long").alias("n_lookup"),
+        F.element_at("feat", 10).cast("long").alias("n_floors"),
+        F.element_at("feat", 11).cast("long").alias("sum_floor1_x"),
+        F.element_at("feat", 12).cast("long").alias("n_residues"),
+        F.element_at("feat", 13).cast("long").alias("sum_res_cascade"),
+        F.element_at("feat", 14).cast("long").alias("n_modes"),
     )

@@ -497,3 +497,57 @@ def test_vorbis_gate_plan(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vorbis_full_setup_section_errors():
+    """Structural validation of the post-codebook sections: reserved
+    floor/residue types, out-of-range book references, bad coupling
+    pairs, missing framing bit — each its own ValueError."""
+    from osmexpress_spark.operators.multimodal import (
+        _VorbisBitReader, _VorbisBitWriter, _parse_floor,
+        _parse_mapping, _parse_residue,
+    )
+
+    # reserved floor type
+    bw = _VorbisBitWriter(); bw.write(2, 16)
+    with pytest.raises(ValueError):
+        _parse_floor(_VorbisBitReader(bw.getvalue()), 4)
+    # floor0 book out of range
+    bw = _VorbisBitWriter()
+    bw.write(0, 16); bw.write(1, 8); bw.write(8000, 16)
+    bw.write(64, 16); bw.write(6, 6); bw.write(0, 8)
+    bw.write(0, 4); bw.write(9, 8)
+    with pytest.raises(ValueError):
+        _parse_floor(_VorbisBitReader(bw.getvalue()), 4)
+    # reserved residue type
+    bw = _VorbisBitWriter(); bw.write(3, 16)
+    with pytest.raises(ValueError):
+        _parse_residue(_VorbisBitReader(bw.getvalue()), 4)
+    # coupling magnitude == angle is invalid
+    bw = _VorbisBitWriter()
+    bw.write(0, 16); bw.write(0, 1); bw.write(1, 1)
+    bw.write(0, 8); bw.write(1, 1); bw.write(1, 1)
+    with pytest.raises(ValueError):
+        _parse_mapping(_VorbisBitReader(bw.getvalue()), 2, 1, 1)
+
+
+def test_vorbis_floor1_x_sum_parse():
+    """A hand-built floor1 config parses to the expected X-list sum
+    (partitions x class dims values of rangebits each)."""
+    from osmexpress_spark.operators.multimodal import (
+        _VorbisBitReader, _VorbisBitWriter, _parse_floor,
+    )
+
+    bw = _VorbisBitWriter()
+    bw.write(1, 16)      # floor type 1
+    bw.write(2, 5)       # 2 partitions
+    bw.write(0, 4); bw.write(0, 4)   # both class 0
+    bw.write(3 - 1, 3)   # class 0: 3 dims
+    bw.write(0, 2)       # no subclasses
+    bw.write(2, 8)       # the single subclass book (2-1 = book 1)
+    bw.write(1, 2)       # multiplier
+    bw.write(4, 4)       # rangebits
+    for x in (3, 7, 1, 15, 0, 9):    # 2 partitions x 3 dims
+        bw.write(x, 4)
+    got = _parse_floor(_VorbisBitReader(bw.getvalue()), 4)
+    assert got == {"type": 1, "partitions": 2, "x_sum": 35}
