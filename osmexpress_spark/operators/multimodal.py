@@ -5160,7 +5160,10 @@ def _ogg_packets(b: bytes) -> list[bytes]:
 
 def _parse_codebook(br: _VorbisBitReader) -> dict:
     """One codebook definition (spec §3.2.1) -> {dims, entries,
-    ordered, sparse, used_length_sum, lookup_type}."""
+    ordered, sparse, used_length_sum, lookup_type} plus the
+    decode-ready fields the round-11 Vorbis synthesis machinery
+    consumes: `lengths` (used entry -> codeword length) and `lookup`
+    (raw min/delta words, value_bits, sequence_p, multiplicands)."""
     if br.read(24) != 0x564342:
         raise ValueError("bad Vorbis codebook sync")
     dims = br.read(16)
@@ -5168,14 +5171,17 @@ def _parse_codebook(br: _VorbisBitReader) -> dict:
     ordered = br.read(1)
     used_sum = 0
     sparse = 0
+    lengths: dict = {}
     if not ordered:
         sparse = br.read(1)
-        for _ in range(entries):
+        for e in range(entries):
             if sparse:
                 if br.read(1):
-                    used_sum += br.read(5) + 1
+                    lengths[e] = br.read(5) + 1
+                    used_sum += lengths[e]
             else:
-                used_sum += br.read(5) + 1
+                lengths[e] = br.read(5) + 1
+                used_sum += lengths[e]
     else:
         curlen = br.read(5) + 1
         cur = 0
@@ -5183,27 +5189,36 @@ def _parse_codebook(br: _VorbisBitReader) -> dict:
             number = br.read(_vorbis_ilog(entries - cur))
             if number > entries - cur:
                 raise ValueError("overspecified ordered codebook run")
+            for e in range(cur, cur + number):
+                lengths[e] = curlen
             used_sum += curlen * number
             cur += number
             curlen += 1
     lookup = br.read(4)
     if lookup not in (0, 1, 2):
         raise ValueError(f"reserved codebook lookup type {lookup}")
+    lookup_cfg = None
     if lookup:
-        br.read(32)  # minimum_value (Vorbis float32, raw skip)
-        br.read(32)  # delta_value
+        min_raw = br.read(32)
+        delta_raw = br.read(32)
         value_bits = br.read(4) + 1
-        br.read(1)   # sequence_p
+        sequence_p = br.read(1)
         count = (
             _lookup1_values(entries, dims) if lookup == 1
             else entries * dims
         )
-        for _ in range(count):
-            br.read(value_bits)
+        lookup_cfg = {
+            "type": lookup, "min_raw": min_raw,
+            "delta_raw": delta_raw, "value_bits": value_bits,
+            "sequence_p": sequence_p,
+            "multiplicands": [br.read(value_bits)
+                              for _ in range(count)],
+        }
     return {
         "dims": dims, "entries": entries, "ordered": ordered,
         "sparse": sparse, "used_length_sum": used_sum,
-        "lookup_type": lookup,
+        "lookup_type": lookup, "lengths": lengths,
+        "lookup": lookup_cfg,
     }
 
 
@@ -5228,24 +5243,40 @@ def _parse_floor(br: _VorbisBitReader, n_books: int) -> dict:
     partitions = br.read(5)
     classes = [br.read(4) for _ in range(partitions)]
     n_classes = (max(classes) + 1) if classes else 0
-    class_dims = []
+    class_cfg = []
     for _ in range(n_classes):
         dims = br.read(3) + 1
         subs = br.read(2)
+        master = None
         if subs:
-            if br.read(8) >= n_books:
+            master = br.read(8)
+            if master >= n_books:
                 raise ValueError("floor1 masterbook out of range")
+        subbooks = []
         for _ in range(1 << subs):
-            if br.read(8) - 1 >= n_books:
+            bk = br.read(8) - 1
+            if bk >= n_books:
                 raise ValueError("floor1 subclass book out of range")
-        class_dims.append(dims)
-    br.read(2)  # multiplier - 1
+            subbooks.append(bk)
+        class_cfg.append({
+            "dims": dims, "subs": subs, "masterbook": master,
+            "subclass_books": subbooks,
+        })
+    multiplier = br.read(2) + 1
     rangebits = br.read(4)
     x_sum = 0
+    x_list = [0, 1 << rangebits]
     for p in range(partitions):
-        for _ in range(class_dims[classes[p]]):
-            x_sum += br.read(rangebits)
-    return {"type": 1, "partitions": partitions, "x_sum": x_sum}
+        for _ in range(class_cfg[classes[p]]["dims"]):
+            x = br.read(rangebits)
+            x_sum += x
+            x_list.append(x)
+    return {
+        "type": 1, "partitions": partitions, "x_sum": x_sum,
+        "classes": classes, "class_cfg": class_cfg,
+        "multiplier": multiplier, "rangebits": rangebits,
+        "x_list": x_list,
+    }
 
 
 def _parse_residue(br: _VorbisBitReader, n_books: int) -> dict:
@@ -5254,11 +5285,12 @@ def _parse_residue(br: _VorbisBitReader, n_books: int) -> dict:
     rtype = br.read(16)
     if rtype > 2:
         raise ValueError(f"reserved residue type {rtype}")
-    br.read(24)           # begin
+    begin = br.read(24)
     end = br.read(24)
-    br.read(24)           # partition_size - 1
+    psize = br.read(24) + 1
     classifications = br.read(6) + 1
-    if br.read(8) >= n_books:
+    classbook = br.read(8)
+    if classbook >= n_books:
         raise ValueError("residue classbook out of range")
     cascade_sum = 0
     cascades = []
@@ -5267,12 +5299,24 @@ def _parse_residue(br: _VorbisBitReader, n_books: int) -> dict:
         high = br.read(5) if br.read(1) else 0
         cascades.append(high * 8 + low)
         cascade_sum += high * 8 + low
+    books: list = []
     for c in cascades:
+        row = []
         for pas in range(8):
             if c & (1 << pas):
-                if br.read(8) >= n_books:
+                bk = br.read(8)
+                if bk >= n_books:
                     raise ValueError("residue book out of range")
-    return {"type": rtype, "end": end, "cascade_sum": cascade_sum}
+                row.append(bk)
+            else:
+                row.append(None)
+        books.append(row)
+    return {
+        "type": rtype, "end": end, "cascade_sum": cascade_sum,
+        "begin": begin, "partition_size": psize,
+        "classifications": classifications, "classbook": classbook,
+        "cascades": cascades, "books": books,
+    }
 
 
 def _parse_mapping(br: _VorbisBitReader, channels: int,
@@ -5282,6 +5326,7 @@ def _parse_mapping(br: _VorbisBitReader, channels: int,
         raise ValueError("reserved mapping type")
     submaps = (br.read(4) + 1) if br.read(1) else 1
     coupling_steps = 0
+    coupling = []
     if br.read(1):
         coupling_steps = br.read(8) + 1
         bits = _vorbis_ilog(channels - 1)
@@ -5290,34 +5335,41 @@ def _parse_mapping(br: _VorbisBitReader, channels: int,
             a = br.read(bits)
             if m == a or m >= channels or a >= channels:
                 raise ValueError("bad coupling channel pair")
+            coupling.append((m, a))
     if br.read(2) != 0:
         raise ValueError("nonzero mapping reserved field")
+    mux = [0] * channels
     if submaps > 1:
-        for _ in range(channels):
-            br.read(4)  # mux
+        mux = [br.read(4) for _ in range(channels)]
+    submap_cfg = []
     for _ in range(submaps):
         br.read(8)  # unused time config
-        if br.read(8) >= n_floors:
+        fl = br.read(8)
+        if fl >= n_floors:
             raise ValueError("mapping floor out of range")
-        if br.read(8) >= n_residues:
+        rs = br.read(8)
+        if rs >= n_residues:
             raise ValueError("mapping residue out of range")
-    return {"submaps": submaps, "coupling_steps": coupling_steps}
+        submap_cfg.append({"floor": fl, "residue": rs})
+    return {
+        "submaps": submaps, "coupling_steps": coupling_steps,
+        "coupling": coupling, "mux": mux, "submap_cfg": submap_cfg,
+    }
 
 
-def vorbis_setup_census(payload: bytes) -> list[float]:
-    """Vorbis header parse over a whole Ogg stream: packet assembly
-    (CRC-checked page walk), the type-1 identification header
-    (channels / sample rate), the type-3 comment header (framing
-    check), then the type-5 setup header parsed IN FULL per Vorbis I
-    §4.2.4 — codebooks (§3.2.1), time-domain transforms, floor0/
-    floor1 configurations, residues, mappings, modes, framing bit.
-    Returns [channels, rate, n_books, sum_entries, sum_dims,
-    sum_used_lengths, n_ordered, n_sparse, n_lookup, n_floors,
-    sum_floor1_x, n_residues, sum_res_cascade, n_modes].  PCM
-    synthesis (floor curve, residue decode, inverse MDCT) is the
-    documented remaining half — and its floor1_inverse_dB_table is
-    published DATA unverifiable in-container, the mp3-window
-    boundary."""
+def vorbis_parse_setup(payload: bytes) -> dict:
+    """Full Vorbis header parse over a whole Ogg stream, returning
+    DECODE-READY configuration: packet assembly (CRC-checked page
+    walk), the type-1 identification header (channels / rate /
+    blocksizes), comment framing, and the type-5 setup header per
+    §4.2.4 — codebooks with codeword lengths and lookup tables,
+    floor0/floor1 configs, residues, mappings, modes, framing bit.
+    The round-11 synthesis machinery (operators/vorbis.py) consumes
+    this; vorbis_setup_census is the gate-facing census over it.
+    Also returns `audio_packets` — every packet after the three
+    headers — for the packet decoder."""
+    import struct
+
     packets = _ogg_packets(bytes(payload))
     if len(packets) < 3:
         raise ValueError("missing Vorbis header packets")
@@ -5325,9 +5377,9 @@ def vorbis_setup_census(payload: bytes) -> list[float]:
     if ident[:7] != b"\x01vorbis" or len(ident) < 30:
         raise ValueError("missing Vorbis identification header")
     channels = ident[11]
-    import struct
-
     rate = struct.unpack_from("<I", ident, 12)[0]
+    bs = ident[28]
+    blocksize0, blocksize1 = 1 << (bs & 0xF), 1 << (bs >> 4)
     if comment[:7] != b"\x03vorbis":
         raise ValueError("missing Vorbis comment header")
     if setup[:7] != b"\x05vorbis":
@@ -5344,18 +5396,52 @@ def vorbis_setup_census(payload: bytes) -> list[float]:
     residues = [
         _parse_residue(br, n_books) for _ in range(br.read(6) + 1)
     ]
-    for _ in range(br.read(6) + 1):
+    mappings = [
         _parse_mapping(br, channels, len(floors), len(residues))
-    n_modes = br.read(6) + 1
-    for _ in range(n_modes):
-        br.read(1)                   # blockflag
+        for _ in range(br.read(6) + 1)
+    ]
+    modes = []
+    for _ in range(br.read(6) + 1):
+        blockflag = br.read(1)
         if br.read(16) != 0:
             raise ValueError("reserved mode window type")
         if br.read(16) != 0:
             raise ValueError("reserved mode transform type")
-        br.read(8)                   # mapping number
+        mapping = br.read(8)
+        if mapping >= len(mappings):
+            raise ValueError("mode mapping out of range")
+        modes.append({"blockflag": blockflag, "mapping": mapping})
     if br.read(1) != 1:
         raise ValueError("missing setup framing bit")
+    return {
+        "channels": channels, "rate": rate,
+        "blocksize0": blocksize0, "blocksize1": blocksize1,
+        "books": books, "floors": floors, "residues": residues,
+        "mappings": mappings, "modes": modes,
+        "audio_packets": packets[3:],
+    }
+
+
+def vorbis_setup_census(payload: bytes) -> list[float]:
+    """Vorbis header parse over a whole Ogg stream: packet assembly
+    (CRC-checked page walk), the type-1 identification header
+    (channels / sample rate), the type-3 comment header (framing
+    check), then the type-5 setup header parsed IN FULL per Vorbis I
+    §4.2.4 — codebooks (§3.2.1), time-domain transforms, floor0/
+    floor1 configurations, residues, mappings, modes, framing bit.
+    Returns [channels, rate, n_books, sum_entries, sum_dims,
+    sum_used_lengths, n_ordered, n_sparse, n_lookup, n_floors,
+    sum_floor1_x, n_residues, sum_res_cascade, n_modes].  PCM
+    synthesis (floor curve, residue decode, inverse MDCT) is the
+    documented remaining half — and its floor1_inverse_dB_table is
+    published DATA unverifiable in-container, the mp3-window
+    boundary."""
+    cfg = vorbis_parse_setup(payload)
+    books = cfg["books"]
+    floors = cfg["floors"]
+    residues = cfg["residues"]
+    channels, rate = cfg["channels"], cfg["rate"]
+    n_books, n_modes = len(books), len(cfg["modes"])
     return [
         float(channels),
         float(rate),

@@ -228,3 +228,344 @@ class OverlapAdd:
             out = [self.prev[i] + windowed[i] for i in range(half)]
         self.prev = windowed[half:]
         return out
+
+
+# ----------------------------------------------------------- VQ lookup
+
+
+def float32_unpack(raw: int) -> float:
+    """Vorbis float32 format (§9.2.2): 21-bit mantissa, sign bit 31,
+    10-bit biased exponent -> mantissa * 2^(exponent - 788)."""
+    mantissa = raw & 0x1FFFFF
+    sign = raw & 0x80000000
+    exponent = (raw & 0x7FE00000) >> 21
+    value = mantissa * (2.0 ** (exponent - 788))
+    return -value if sign else value
+
+
+def build_vq(book: dict) -> list[list[float]] | None:
+    """Decode-side value vectors per entry for a codebook with a
+    lookup table (§3.3): type 1 indexes multiplicands by nested
+    div/mod over lookup1_values, type 2 sequentially; each component
+    is multiplicand * delta + minimum (+ running last when
+    sequence_p).  None for lookup type 0 (scalar-context books)."""
+    cfg = book.get("lookup")
+    if not cfg:
+        return None
+    dims = book["dims"]
+    entries = book["entries"]
+    minimum = float32_unpack(cfg["min_raw"])
+    delta = float32_unpack(cfg["delta_raw"])
+    mults = cfg["multiplicands"]
+    out = []
+    if cfg["type"] == 1:
+        from .multimodal import _lookup1_values
+
+        l1v = _lookup1_values(entries, dims)
+        for e in range(entries):
+            last = 0.0
+            idiv = 1
+            vec = []
+            for _ in range(dims):
+                moff = (e // idiv) % l1v
+                v = mults[moff] * delta + minimum + last
+                if cfg["sequence_p"]:
+                    last = v
+                vec.append(v)
+                idiv *= l1v
+            out.append(vec)
+    else:
+        for e in range(entries):
+            last = 0.0
+            vec = []
+            for d in range(dims):
+                v = mults[e * dims + d] * delta + minimum + last
+                if cfg["sequence_p"]:
+                    last = v
+                vec.append(v)
+            out.append(vec)
+    return out
+
+
+# -------------------------------------------------------- floor1 decode
+
+
+def render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    """§9.2.7: the y of the integer line at X (exact integer math)."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    err = ady * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _low_neighbor(x_list: list[int], i: int) -> int:
+    """Index (< i) of the greatest x_list value <= x_list[i]
+    (§9.2.4's low_neighbor over the vector head)."""
+    best, bx = None, None
+    for j in range(i):
+        if x_list[j] <= x_list[i] and (bx is None or x_list[j] > bx):
+            best, bx = j, x_list[j]
+    return best
+
+
+def _high_neighbor(x_list: list[int], i: int) -> int:
+    best, bx = None, None
+    for j in range(i):
+        if x_list[j] > x_list[i] and (bx is None or x_list[j] < bx):
+            best, bx = j, x_list[j]
+    return best
+
+
+def floor1_decode(br, fl: dict, decoders: list, n_half: int,
+                  inverse_db_table: list[float]) -> list[float] | None:
+    """Floor1 packet decode (§7.2.3) + amplitude resolution (§7.2.4.1)
+    + curve synthesis: returns the floor vector over n_half bins, or
+    None when the channel is unaudible this block (nonzero bit 0).
+    `decoders` is the per-setup-book HuffDecoder list."""
+    if fl["type"] != 1:
+        raise NotImplementedError("floor0 decode not implemented")
+    if not br.read(1):
+        return None
+    rng = FLOOR1_RANGES[fl["multiplier"] - 1]
+    from .multimodal import _vorbis_ilog
+
+    ybits = _vorbis_ilog(rng - 1)
+    y = [br.read(ybits), br.read(ybits)]
+    for p in range(fl["partitions"]):
+        cls = fl["classes"][p]
+        cc = fl["class_cfg"][cls]
+        cbits = cc["subs"]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = decoders[cc["masterbook"]].decode(br)
+        for _ in range(cc["dims"]):
+            book = cc["subclass_books"][cval & csub]
+            cval >>= cbits
+            if book >= 0:
+                y.append(decoders[book].decode(br))
+            else:
+                y.append(0)
+    x_list = fl["x_list"]
+    final = [0] * len(x_list)
+    flags = [False] * len(x_list)
+    final[0], final[1] = y[0], y[1]
+    flags[0] = flags[1] = True
+    for i in range(2, len(x_list)):
+        low = _low_neighbor(x_list, i)
+        high = _high_neighbor(x_list, i)
+        predicted = render_point(
+            x_list[low], final[low], x_list[high], final[high],
+            x_list[i],
+        )
+        val = y[i]
+        highroom = rng - predicted
+        lowroom = predicted
+        room = 2 * min(highroom, lowroom)
+        if val:
+            flags[low] = flags[high] = flags[i] = True
+            if val >= room:
+                if highroom > lowroom:
+                    final[i] = val - lowroom + predicted
+                else:
+                    final[i] = predicted - val + highroom - 1
+            elif val % 2:
+                final[i] = predicted - (val + 1) // 2
+            else:
+                final[i] = predicted + val // 2
+        else:
+            flags[i] = False
+            final[i] = predicted
+    return floor1_curve(
+        x_list, final, flags, n_half, fl["multiplier"],
+        inverse_db_table,
+    )
+
+
+# -------------------------------------------------------- residue decode
+
+
+def residue_decode(br, res: dict, decoders: list, vqs: list,
+                   books_cfg: list, n_half: int,
+                   do_not_decode: list[bool]) -> list[list[float]]:
+    """Residue packet decode (§8.6.2-8.6.5) for types 0, 1, 2 over
+    `len(do_not_decode)` channels, returning per-channel residue
+    vectors of n_half samples.  Type 2 interleaves the channels into
+    one long vector decoded as type 1 and deinterleaves after (its
+    do-not-decode applies only when EVERY channel is unaudible)."""
+    ch = len(do_not_decode)
+    if res["type"] == 2:
+        if all(do_not_decode):
+            return [[0.0] * n_half for _ in range(ch)]
+        inter = _residue_core(
+            br, res, decoders, vqs, books_cfg, n_half * ch, [False]
+        )[0]
+        return [
+            [inter[i * ch + c] for i in range(n_half)]
+            for c in range(ch)
+        ]
+    return _residue_core(
+        br, res, decoders, vqs, books_cfg, n_half, do_not_decode
+    )
+
+
+def _residue_core(br, res, decoders, vqs, books_cfg, actual_size,
+                  do_not_decode):
+    ch = len(do_not_decode)
+    out = [[0.0] * actual_size for _ in range(ch)]
+    begin = min(res["begin"], actual_size)
+    end = min(res["end"], actual_size)
+    psize = res["partition_size"]
+    n_to_read = end - begin
+    if n_to_read == 0:
+        return out
+    parts = n_to_read // psize
+    classbook = res["classbook"]
+    cwords = books_cfg[classbook]["dims"]
+    ncls = res["classifications"]
+    classif = [[0] * (parts + cwords) for _ in range(ch)]
+    interleaved = res["type"] == 0
+    for pas in range(8):
+        pcount = 0
+        while pcount < parts:
+            if pas == 0:
+                for c in range(ch):
+                    if do_not_decode[c]:
+                        continue
+                    temp = decoders[classbook].decode(br)
+                    for i in range(cwords - 1, -1, -1):
+                        classif[c][i + pcount] = temp % ncls
+                        temp //= ncls
+            for _ in range(cwords):
+                if pcount >= parts:
+                    break
+                for c in range(ch):
+                    if do_not_decode[c]:
+                        continue
+                    vqclass = classif[c][pcount]
+                    book = res["books"][vqclass][pas]
+                    if book is None:
+                        continue
+                    vq = vqs[book]
+                    if vq is None:
+                        raise ValueError(
+                            "residue book without a lookup table"
+                        )
+                    dims = books_cfg[book]["dims"]
+                    offset = begin + pcount * psize
+                    if interleaved:                     # format 0
+                        step = psize // dims
+                        for i in range(step):
+                            vec = vq[decoders[book].decode(br)]
+                            for j in range(dims):
+                                out[c][offset + i + j * step] += vec[j]
+                    else:                               # format 1
+                        i = 0
+                        while i < psize:
+                            vec = vq[decoders[book].decode(br)]
+                            for j in range(dims):
+                                out[c][offset + i] += vec[j]
+                                i += 1
+                pcount += 1
+    return out
+
+
+# -------------------------------------------------------- packet decode
+
+
+def decode_audio(payload: bytes,
+                 inverse_db_table: list[float] | None = None):
+    """The complete Vorbis decode chain over an Ogg stream: setup
+    parse (multimodal.vorbis_parse_setup), then per audio packet —
+    mode select, per-channel floor1 decode, coupling-aware nonzero
+    propagation, residue decode per submap, channel-coupling inverse
+    (§4.3.5), floor-times-residue dot product, inverse MDCT, window +
+    overlap-add — to PCM floats per channel.  Equal blocksizes only
+    (blocksize0 == blocksize1); variable-blocksize window transitions
+    raise NotImplementedError (honest stub).  `inverse_db_table` is
+    the INJECTED 256-entry floor table (default: the analytic
+    stand-in; the published table is the data drop).  Returns
+    (sample_rate, [per-channel pcm])."""
+    from .multimodal import _vorbis_ilog, vorbis_parse_setup
+
+    if inverse_db_table is None:
+        inverse_db_table = analytic_db_table()
+    cfg = vorbis_parse_setup(payload)
+    if cfg["blocksize0"] != cfg["blocksize1"]:
+        raise NotImplementedError(
+            "variable blocksize synthesis not implemented"
+        )
+    n = cfg["blocksize0"]
+    half = n // 2
+    ch = cfg["channels"]
+    decoders = []
+    vqs = []
+    for bk in cfg["books"]:
+        try:
+            decoders.append(HuffDecoder(bk["lengths"]))
+        except ValueError:
+            decoders.append(None)  # unusable in scalar/VQ context
+        vqs.append(build_vq(bk))
+    olas = [OverlapAdd(n) for _ in range(ch)]
+    pcm: list[list[float]] = [[] for _ in range(ch)]
+    from .multimodal import _VorbisBitReader
+
+    mode_bits = _vorbis_ilog(len(cfg["modes"]) - 1)
+    for pkt in cfg["audio_packets"]:
+        br = _VorbisBitReader(pkt)
+        if br.read(1) != 0:
+            raise ValueError("audio packet with header packet type")
+        mode = cfg["modes"][br.read(mode_bits)]
+        if mode["blockflag"]:
+            br.read(1)  # prev window flag
+            br.read(1)  # next window flag
+        mapping = cfg["mappings"][mode["mapping"]]
+        floors: list = []
+        no_residue = []
+        for c in range(ch):
+            fl = cfg["floors"][
+                mapping["submap_cfg"][mapping["mux"][c]]["floor"]
+            ]
+            fv = floor1_decode(br, fl, decoders, half,
+                               inverse_db_table)
+            floors.append(fv)
+            no_residue.append(fv is None)
+        # §4.3.2: a coupled pair decodes residue if EITHER is audible
+        for m, a in mapping["coupling"]:
+            if not (no_residue[m] and no_residue[a]):
+                no_residue[m] = no_residue[a] = False
+        residues: list = [None] * ch
+        for s in range(mapping["submaps"]):
+            sub_ch = [c for c in range(ch) if mapping["mux"][c] == s]
+            dnd = [no_residue[c] for c in sub_ch]
+            res = cfg["residues"][mapping["submap_cfg"][s]["residue"]]
+            vecs = residue_decode(
+                br, res, decoders, vqs, cfg["books"], half, dnd
+            )
+            for k, c in enumerate(sub_ch):
+                residues[c] = vecs[k]
+        for m, a in reversed(mapping["coupling"]):
+            vm, va = residues[m], residues[a]
+            for i in range(half):
+                M, A = vm[i], va[i]
+                if M > 0:
+                    if A > 0:
+                        vm[i], va[i] = M, M - A
+                    else:
+                        vm[i], va[i] = M + A, M
+                else:
+                    if A > 0:
+                        vm[i], va[i] = M, M + A
+                    else:
+                        vm[i], va[i] = M - A, M
+        for c in range(ch):
+            if floors[c] is None:
+                spectrum = [0.0] * half
+            else:
+                spectrum = [
+                    floors[c][i] * residues[c][i] for i in range(half)
+                ]
+            pcm[c].extend(olas[c].step(inverse_mdct(spectrum, n)))
+    return cfg["rate"], pcm

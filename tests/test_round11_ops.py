@@ -550,4 +550,8 @@ def test_vorbis_floor1_x_sum_parse():
     for x in (3, 7, 1, 15, 0, 9):    # 2 partitions x 3 dims
         bw.write(x, 4)
     got = _parse_floor(_VorbisBitReader(bw.getvalue()), 4)
-    assert got == {"type": 1, "partitions": 2, "x_sum": 35}
+    assert (got["type"], got["partitions"], got["x_sum"]) == (1, 2, 35)
+    # the decode-ready fields round 11's synthesis machinery reads
+    assert got["multiplier"] == 2 and got["rangebits"] == 4
+    assert got["x_list"] == [0, 16, 3, 7, 1, 15, 0, 9]
+    assert got["class_cfg"][0]["dims"] == 3
