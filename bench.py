@@ -165,6 +165,7 @@ PENDING_HEADLINE: list[str] = [
     "q_psl_domain",
     "q_audio_mp3_pcm",
     "q_vorbis_setup",
+    "q_vorbis_pcm",
 ]
 
 

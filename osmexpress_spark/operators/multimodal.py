@@ -5682,6 +5682,159 @@ def synth_vorbis(
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
 
 
+def synth_vorbis_pcm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stub_mod: int = 13,
+) -> DataFrame:
+    """Per-row Ogg/Vorbis AUDIO streams for the full-PCM gate: the
+    fixed minimal setup (n=64 both blocksizes, a 1-bit classbook, a
+    4-dim lookup-type-2 VQ book whose four entries are each a SINGLE
+    nonzero value — 3/5/7/2 at dimension e — a two-point floor1, a
+    type-1 residue over bins 0..32, one mapping/mode) plus THREE
+    audio packets per doc, each carrying a flat md5-derived floor
+    (y0 == y1 = byte0) and one class-1 partition (p = byte1 % 4) with
+    two VQ words (byte2/byte3 % 4), so every spectrum has EXACTLY two
+    nonzero bins and the whole decode chain — codeword walk, floor
+    render, residue add, inverse MDCT, window, overlap-add — is
+    closed form with sums of at most two terms (order-independent in
+    IEEE, the mp3-pcm-gate discipline).  Every `stub_mod`-th doc
+    truncates the setup page (the damage branch).  Arrow mapInPandas,
+    zero shuffle."""
+    import hashlib
+    import struct
+
+    VQ_MULTS = [3, 0, 0, 0, 0, 5, 0, 0, 0, 0, 7, 0, 0, 0, 0, 2]
+
+    def lacing_for(*pkts):
+        out = []
+        for p in pkts:
+            out += [255] * (len(p) // 255) + [len(p) % 255]
+        return out
+
+    def page(body, lacing, flags, serial, seq):
+        head = (
+            b"OggS\x00" + bytes([flags])
+            + struct.pack("<qIII", 0, serial, seq, 0)
+            + bytes([len(lacing)]) + bytes(lacing)
+        )
+        crc = _ogg_crc(head + body)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+    def setup_bits() -> bytes:
+        bw = _VorbisBitWriter()
+        bw.write(1, 8)                       # two books
+        # book 0: 1-dim 2-entry classbook, lengths 1/1
+        bw.write(0x564342, 24)
+        bw.write(1, 16)
+        bw.write(2, 24)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 5)
+        bw.write(0, 5)
+        bw.write(0, 4)
+        # book 1: 4-dim 4-entry VQ book, lengths 2x4, lookup type 2
+        bw.write(0x564342, 24)
+        bw.write(4, 16)
+        bw.write(4, 24)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        for _ in range(4):
+            bw.write(1, 5)
+        bw.write(2, 4)
+        bw.write(0, 32)                      # min = 0.0
+        bw.write((788 << 21) | 1, 32)        # delta = 1.0
+        bw.write(3 - 1, 4)
+        bw.write(0, 1)
+        for m in VQ_MULTS:
+            bw.write(m, 3)
+        bw.write(0, 6)
+        bw.write(0, 16)                      # time transform
+        bw.write(0, 6)                       # one floor
+        bw.write(1, 16)
+        bw.write(0, 5)                       # partitions = 0
+        bw.write(0, 2)                       # multiplier 1
+        bw.write(6, 4)                       # rangebits -> X1 = 64
+        bw.write(0, 6)                       # one residue
+        bw.write(1, 16)                      # type 1
+        bw.write(0, 24)
+        bw.write(32, 24)
+        bw.write(8 - 1, 24)
+        bw.write(2 - 1, 6)
+        bw.write(0, 8)                       # classbook 0
+        bw.write(0, 3); bw.write(0, 1)       # class 0: no passes
+        bw.write(1, 3); bw.write(0, 1)       # class 1: pass 0
+        bw.write(1, 8)                       # class-1 pass-0 book 1
+        bw.write(0, 6)                       # one mapping
+        bw.write(0, 16)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 2)
+        bw.write(0, 8); bw.write(0, 8); bw.write(0, 8)
+        bw.write(0, 6)                       # one mode
+        bw.write(0, 1)
+        bw.write(0, 16); bw.write(0, 16); bw.write(0, 8)
+        bw.write(1, 1)
+        return b"\x05vorbis" + bw.getvalue()
+
+    SETUP = setup_bits()
+    IDENT = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+        + struct.pack("<I", 8000) + struct.pack("<iii", 0, 128000, 0)
+        + b"\x66\x01"
+    )
+    COMMENT = (
+        b"\x03vorbis" + struct.pack("<I", 0) + struct.pack("<I", 0)
+        + b"\x01"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id in pdf[id_col]:
+                i = int(item_id)
+                pkts = []
+                for t in range(3):
+                    hp = hashlib.md5(f"{i}_vp_{t}".encode()).digest()
+                    y, p = hp[0], hp[1] % 4
+                    wa, wb = hp[2] % 4, hp[3] % 4
+                    pb = _VorbisBitWriter()
+                    pb.write(0, 1)
+                    pb.write(1, 1)
+                    pb.write(y, 8)
+                    pb.write(y, 8)
+                    for q in range(4):
+                        pb.write(1 if q == p else 0, 1)
+                        if q == p:
+                            for w in (wa, wb):
+                                pb.write((w >> 1) & 1, 1)
+                                pb.write(w & 1, 1)
+                    pkts.append(pb.getvalue())
+                serial = 9 + (i & 0xFFFF)
+                out = page(IDENT, lacing_for(IDENT), 0x02, serial, 0)
+                setup = SETUP
+                if stub_mod and i % stub_mod == 0:
+                    setup = SETUP[: len(SETUP) // 2]  # torn setup
+                out += page(
+                    COMMENT + setup, lacing_for(COMMENT, setup),
+                    0x00, serial, 1,
+                )
+                out += page(
+                    b"".join(pkts), lacing_for(*pkts), 0x04, serial, 2
+                )
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # mp3 metadata extraction — the O(1) triage sibling of the frame walk:
 # ID3v2 text frames (title/artist/album identify an archive's

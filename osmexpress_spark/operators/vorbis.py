@@ -569,3 +569,27 @@ def decode_audio(payload: bytes,
                 ]
             pcm[c].extend(olas[c].step(inverse_mdct(spectrum, n)))
     return cfg["rate"], pcm
+
+
+def vorbis_pcm_census(payload: bytes) -> list[float]:
+    """The Vorbis full-PCM gate decoder: decode_audio with the
+    analytic dB table over a mono stream, then the integer census of
+    the 1/4096-quantized samples (the mp3 decode_pcm_census
+    contract): [rate, n_samples, sum_fq, sum_abs_fq, max_fq, min_fq,
+    positional_checksum]."""
+    rate, chans = decode_audio(bytes(payload))
+    if len(chans) != 1:
+        raise ValueError("pcm gate expects mono streams")
+    pcm = chans[0]
+    if not pcm:
+        raise ValueError("no PCM samples decoded")
+    fq = [math.floor(x * 4096 + 0.5) for x in pcm]
+    return [
+        float(rate),
+        float(len(fq)),
+        float(sum(fq)),
+        float(sum(abs(v) for v in fq)),
+        float(max(fq)),
+        float(min(fq)),
+        float(sum(v * ((i % 97) + 1) for i, v in enumerate(fq))),
+    ]

@@ -7853,3 +7853,113 @@ def q_vorbis_setup(spark, sf_dir):
         F.element_at("feat", 13).cast("long").alias("sum_res_cascade"),
         F.element_at("feat", 14).cast("long").alias("n_modes"),
     )
+
+
+@defq_pending(
+    "q_vorbis_pcm",
+    """
+    WITH docs AS (SELECT doc_id FROM documents),
+    pk AS (
+      SELECT d.doc_id, t.t,
+             CAST('0x' || substr(md5(d.doc_id || '_vp_' || t.t), 1, 2)
+                  AS INTEGER) AS y,
+             CAST('0x' || substr(md5(d.doc_id || '_vp_' || t.t), 3, 2)
+                  AS INTEGER) % 4 AS p,
+             CAST('0x' || substr(md5(d.doc_id || '_vp_' || t.t), 5, 2)
+                  AS INTEGER) % 4 AS wa,
+             CAST('0x' || substr(md5(d.doc_id || '_vp_' || t.t), 7, 2)
+                  AS INTEGER) % 4 AS wb
+      FROM docs d CROSS JOIN (SELECT unnest(range(3)) AS t) t
+      WHERE d.doc_id % 13 != 0
+    ),
+    par AS (
+      SELECT doc_id, t,
+             8 * p + wa AS ka, 8 * p + 4 + wb AS kb,
+             y / 255e0 * CAST(list_value(3, 5, 7, 2)[wa + 1]
+                              AS DOUBLE) AS s1,
+             y / 255e0 * CAST(list_value(3, 5, 7, 2)[wb + 1]
+                              AS DOUBLE) AS s2
+      FROM pk
+    ),
+    wblk AS (
+      SELECT p.doc_id, p.t, jj.j,
+             (p.s1 * cos(pi() / 128 * (2 * jj.j + 33)
+                         * (2 * p.ka + 1))
+              + p.s2 * cos(pi() / 128 * (2 * jj.j + 33)
+                           * (2 * p.kb + 1)))
+             * sin(pi() / 2 * pow(sin(pi() / 64 * (jj.j + 5e-1)), 2))
+               AS v
+      FROM par p CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+    ),
+    pcm AS (
+      SELECT cur.doc_id, (cur.t - 1) * 32 + cur.j AS idx,
+             prv.v + cur.v AS v
+      FROM (SELECT * FROM wblk WHERE j < 32 AND t >= 1) cur
+      JOIN wblk prv ON prv.doc_id = cur.doc_id AND prv.t = cur.t - 1
+                   AND prv.j = cur.j + 32
+    ),
+    st AS (
+      SELECT doc_id,
+             SUM(f) AS s, SUM(abs(f)) AS sa,
+             MAX(f) AS mx, MIN(f) AS mn,
+             SUM(f * (idx % 97 + 1)) AS chk
+      FROM (SELECT doc_id, idx,
+                   CAST(floor(v * 4096 + 5e-1) AS BIGINT) AS f
+            FROM pcm)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS item_id,
+           (d.doc_id % 13 != 0) AS decode_ok,
+           CAST(CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                     ELSE 8000 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN d.doc_id % 13 = 0 THEN NULL
+                     ELSE 64 END AS BIGINT) AS n_samples,
+           CASE WHEN d.doc_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.s END AS sum_fq,
+           CASE WHEN d.doc_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.sa END AS sum_abs_fq,
+           CASE WHEN d.doc_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.mx END AS max_fq,
+           CASE WHEN d.doc_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.mn END AS min_fq,
+           CASE WHEN d.doc_id % 13 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE st.chk END AS pcm_checksum
+    FROM docs d LEFT JOIN st ON d.doc_id = st.doc_id
+    """,
+)
+def q_vorbis_pcm(spark, sf_dir):
+    """Vorbis FULL-PCM decode behind a driver gate — the second half
+    of the Vorbis two-step landed in the SAME round as the first:
+    minimal-setup Ogg/Vorbis streams written by the independent
+    LSB-first writer (multimodal.synth_vorbis_pcm) and decoded by
+    vorbis.decode_audio END TO END — packet assembly, canonical
+    codeword walk (classbook + VQ book), floor1 decode with flat
+    two-point curves, type-1 residue partition adds, inverse MDCT,
+    the Vorbis window, overlap-add across three packets — censused as
+    integer statistics of the 1/4096-quantized samples with a
+    positional checksum.  Every spectrum has exactly TWO nonzero bins
+    (single-nonzero VQ vectors), so all float sums have at most two
+    terms and the oracle recomputes every PCM sample in CLOSED FORM
+    from md5 hex bytes with bit-identical operation order (the
+    q_audio_mp3_pcm discipline).  The floor's inverse-dB table is the
+    injected ANALYTIC stand-in; the published table is the remaining
+    data drop.  Every 13th doc ships a torn setup page (the damage
+    branch)."""
+    from .operators import vorbis as vorbis_mod
+
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_vorbis_pcm(d, "doc_id")
+    feats = multimodal.extract_features(
+        blobs, decoder=vorbis_mod.vorbis_pcm_census, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        "decode_ok",
+        F.element_at("feat", 1).cast("int").alias("sample_rate"),
+        F.element_at("feat", 2).cast("long").alias("n_samples"),
+        F.element_at("feat", 3).cast("long").alias("sum_fq"),
+        F.element_at("feat", 4).cast("long").alias("sum_abs_fq"),
+        F.element_at("feat", 5).cast("long").alias("max_fq"),
+        F.element_at("feat", 6).cast("long").alias("min_fq"),
+        F.element_at("feat", 7).cast("long").alias("pcm_checksum"),
+    )

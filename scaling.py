@@ -129,6 +129,7 @@ SUBSET = [
     "q_psl_domain",            # PSL longest-match, both execution paths
     "q_audio_mp3_pcm",         # full L3 PCM decode chain, analytic window
     "q_vorbis_setup",          # Ogg packet assembly + codebook parse seam
+    "q_vorbis_pcm",            # full Vorbis decode chain, analytic table
 ]
 
 

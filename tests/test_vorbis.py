@@ -586,3 +586,72 @@ def test_render_point_matches_render_line():
         V.render_line(x0, y0, x1, y1, v)
         for x in range(x0, x1):
             assert V.render_point(x0, y0, x1, y1, x) == v[x]
+
+
+# --------------------------------------------- full-PCM gate plumbing
+
+
+VALS_GATE = (3.0, 5.0, 7.0, 2.0)
+
+
+def _gate_model_pcm(i: int) -> list[float]:
+    """The closed-form model of synth_vorbis_pcm's decoded PCM — the
+    same derivation the q_vorbis_pcm oracle writes in SQL."""
+    import hashlib
+
+    def wblock(t):
+        hp = hashlib.md5(f"{i}_vp_{t}".encode()).digest()
+        y, p, wa, wb = hp[0], hp[1] % 4, hp[2] % 4, hp[3] % 4
+        ka, kb = 8 * p + wa, 8 * p + 4 + wb
+        s1 = y / 255.0 * VALS_GATE[wa]
+        s2 = y / 255.0 * VALS_GATE[wb]
+        return [
+            (s1 * math.cos(math.pi / 128 * (2 * j + 33) * (2 * ka + 1))
+             + s2 * math.cos(math.pi / 128 * (2 * j + 33)
+                             * (2 * kb + 1)))
+            * math.sin(math.pi / 2
+                       * math.sin(math.pi / 64 * (j + 0.5)) ** 2)
+            for j in range(64)
+        ]
+
+    blocks = [wblock(t) for t in range(3)]
+    return [
+        blocks[t - 1][32 + j] + blocks[t][j]
+        for t in range(1, 3) for j in range(32)
+    ]
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 5, 47, 1234])
+def test_vorbis_gate_decode_bit_identical_to_closed_form(spark, i):
+    from osmexpress_spark.operators import multimodal as M
+
+    d = spark.createDataFrame([(i,)], "doc_id long")
+    payload = bytes(M.synth_vorbis_pcm(d).collect()[0].payload)
+    rate, chans = V.decode_audio(payload)
+    assert rate == 8000 and len(chans) == 1
+    exp = _gate_model_pcm(i)
+    assert len(chans[0]) == 64
+    assert all(a == b for a, b in zip(chans[0], exp))
+
+
+def test_vorbis_gate_torn_setup_refused(spark):
+    from osmexpress_spark.operators import multimodal as M
+
+    d = spark.createDataFrame([(13,)], "doc_id long")
+    payload = bytes(M.synth_vorbis_pcm(d).collect()[0].payload)
+    with pytest.raises(ValueError):
+        V.vorbis_pcm_census(payload)
+
+
+def test_vorbis_pcm_gate_plan(spark):
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_vorbis_pcm"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
