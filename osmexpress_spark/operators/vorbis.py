@@ -23,11 +23,13 @@ discipline):
   — the SAME transform family as mp3's (the (2pi/n)(j+1/2+n/4)(k+1/2)
   argument reduces to mp3l3._imdct's (pi/2n)(2j+1+n/2)(2k+1)), so the
   already-pinned closed-form IMDCT is reused directly;
-* equal-blocksize overlap-add state.
+* equal-blocksize overlap-add state, plus the §4.3.1 shaped windows
+  and mixed-size lapping (VariableOverlapAdd) for long/short streams.
 
-The remaining gap to Vorbis PCM is residue decode (§8) + the channel
-coupling inverse — bitstream plumbing over these primitives — and the
-published dB table drop.
+With residue decode (§8, all three formats), the channel-coupling
+inverse, and the packet loop (decode_audio) below, Vorbis PCM is
+CODE-COMPLETE for floor1 streams; the remaining gaps are floor0
+synthesis (honest per-row stub) and the published dB table drop.
 """
 
 from __future__ import annotations
@@ -482,9 +484,13 @@ def decode_audio(payload: bytes,
     mode select, per-channel floor1 decode, coupling-aware nonzero
     propagation, residue decode per submap, channel-coupling inverse
     (§4.3.5), floor-times-residue dot product, inverse MDCT, window +
-    overlap-add — to PCM floats per channel.  Equal blocksizes only
-    (blocksize0 == blocksize1); variable-blocksize window transitions
-    raise NotImplementedError (honest stub).  `inverse_db_table` is
+    overlap-add — to PCM floats per channel.  Streams with
+    blocksize0 != blocksize1 run the variable-blocksize path: the
+    packet's prev/next window flags shape the §4.3.1 slopes and
+    VariableOverlapAdd aligns the lapping (mixed-size TDAC is
+    perfect-reconstruction-pinned in the tests); equal-blocksize
+    streams keep the round-11 gate path bit-for-bit.
+    `inverse_db_table` is
     the INJECTED 256-entry floor table (default: the analytic
     stand-in; the published table is the data drop).  Returns
     (sample_rate, [per-channel pcm])."""
@@ -493,11 +499,9 @@ def decode_audio(payload: bytes,
     if inverse_db_table is None:
         inverse_db_table = analytic_db_table()
     cfg = vorbis_parse_setup(payload)
-    if cfg["blocksize0"] != cfg["blocksize1"]:
-        raise NotImplementedError(
-            "variable blocksize synthesis not implemented"
-        )
-    n = cfg["blocksize0"]
+    variable = cfg["blocksize0"] != cfg["blocksize1"]
+    n0, n1 = cfg["blocksize0"], cfg["blocksize1"]
+    n = n0
     half = n // 2
     ch = cfg["channels"]
     decoders = []
@@ -508,19 +512,27 @@ def decode_audio(payload: bytes,
         except ValueError:
             decoders.append(None)  # unusable in scalar/VQ context
         vqs.append(build_vq(bk))
-    olas = [OverlapAdd(n) for _ in range(ch)]
+    if variable:
+        olas = [VariableOverlapAdd(n0) for _ in range(ch)]
+    else:
+        olas = [OverlapAdd(n) for _ in range(ch)]
     pcm: list[list[float]] = [[] for _ in range(ch)]
     from .multimodal import _VorbisBitReader
 
     mode_bits = _vorbis_ilog(len(cfg["modes"]) - 1)
+    win_cache: dict = {}
     for pkt in cfg["audio_packets"]:
         br = _VorbisBitReader(pkt)
         if br.read(1) != 0:
             raise ValueError("audio packet with header packet type")
         mode = cfg["modes"][br.read(mode_bits)]
+        prev_short = next_short = not mode["blockflag"]
         if mode["blockflag"]:
-            br.read(1)  # prev window flag
-            br.read(1)  # next window flag
+            # flag 0 = the adjacent block is short (narrow slope)
+            prev_short = br.read(1) == 0
+            next_short = br.read(1) == 0
+        n = n1 if mode["blockflag"] else n0
+        half = n // 2
         mapping = cfg["mappings"][mode["mapping"]]
         floors: list = []
         no_residue = []
@@ -567,7 +579,21 @@ def decode_audio(payload: bytes,
                 spectrum = [
                     floors[c][i] * residues[c][i] for i in range(half)
                 ]
-            pcm[c].extend(olas[c].step(inverse_mdct(spectrum, n)))
+            tb = inverse_mdct(spectrum, n)
+            if variable:
+                key = (n, prev_short, next_short)
+                w = win_cache.get(key)
+                if w is None:
+                    w = vorbis_window_shaped(
+                        n, prev_short, next_short, n0
+                    )
+                    win_cache[key] = w
+                pcm[c].extend(olas[c].step(
+                    [tb[i] * w[i] for i in range(n)],
+                    prev_short, next_short,
+                ))
+            else:
+                pcm[c].extend(olas[c].step(tb))
     return cfg["rate"], pcm
 
 
@@ -593,3 +619,89 @@ def vorbis_pcm_census(payload: bytes) -> list[float]:
         float(min(fq)),
         float(sum(v * ((i % 97) + 1) for i, v in enumerate(fq))),
     ]
+
+
+# ------------------------------------- variable-blocksize windowing
+
+
+def vorbis_window_shaped(
+    n: int, prev_short: bool, next_short: bool, n_short: int
+) -> list[float]:
+    """The §4.3.1 window for a block of size n whose neighbors may be
+    short: the left/right slopes narrow to n_short/2 samples centered
+    at n/4 and 3n/4 when the adjacent block is short, with a flat-1
+    center and zero skirts.  Reduces exactly to vorbis_window(n) when
+    both neighbors are long (or n == n_short)."""
+    ln = (n_short if prev_short else n) // 2
+    rn = (n_short if next_short else n) // 2
+    lws = n // 4 - ln // 2
+    rws = 3 * n // 4 - rn // 2
+    w = []
+    for i in range(n):
+        if i < lws:
+            w.append(0.0)
+        elif i < lws + ln:
+            w.append(math.sin(
+                math.pi / 2
+                * math.sin((i - lws + 0.5) / ln * (math.pi / 2)) ** 2
+            ))
+        elif i < rws:
+            w.append(1.0)
+        elif i < rws + rn:
+            w.append(math.sin(
+                math.pi / 2
+                * math.sin((i - rws + 0.5) / rn * (math.pi / 2)
+                           + math.pi / 2) ** 2
+            ))
+        else:
+            w.append(0.0)
+    return w
+
+
+class VariableOverlapAdd:
+    """Lapped synthesis for MIXED block sizes (§4.3.8): consecutive
+    blocks are placed so their slope centers align (hop from a block
+    of size n_p to one of size n_c is 3*n_p/4 - n_c/4), windowed
+    blocks accumulate into an absolute-offset buffer, and samples are
+    finalized once the next block can no longer touch them (up to the
+    current block's right-slope start).  Data before the first
+    block's left-slope end is transform latency and is discarded,
+    matching the equal-size OverlapAdd's first-block behavior."""
+
+    def __init__(self, n_short: int):
+        self.n_short = n_short
+        self.buf: list[float] = []
+        self.base = 0
+        self.pos: int | None = None
+        self.prev_n: int | None = None
+        self.emitted: int | None = None
+
+    def step(self, windowed: list[float], prev_short: bool,
+             next_short: bool) -> list[float]:
+        n = len(windowed)
+        if self.pos is None:
+            self.pos = 0
+        else:
+            self.pos = self.pos + 3 * self.prev_n // 4 - n // 4
+        self.prev_n = n
+        off = self.pos - self.base
+        need = off + n
+        if len(self.buf) < need:
+            self.buf.extend([0.0] * (need - len(self.buf)))
+        for i, v in enumerate(windowed):
+            self.buf[off + i] += v
+        ln = (self.n_short if prev_short else n) // 2
+        rn = (self.n_short if next_short else n) // 2
+        if self.emitted is None:
+            # end of the first block's left slope: latency, discarded
+            self.emitted = self.pos + n // 4 + ln // 2
+        emit_until = self.pos + 3 * n // 4 - rn // 2
+        out = self.buf[self.emitted - self.base:
+                       emit_until - self.base]
+        self.emitted = max(self.emitted, emit_until)
+        # trim the finalized prefix
+        cut = self.emitted - self.base
+        if cut > 0:
+            self.buf = self.buf[cut:]
+            self.base = self.emitted
+        return out

@@ -655,3 +655,208 @@ def test_vorbis_pcm_gate_plan(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------- variable blocksize synthesis
+
+
+def test_window_shaped_reduces_to_symmetric():
+    for n in (8, 64):
+        a = V.vorbis_window_shaped(n, False, False, n // 2)
+        b = V.vorbis_window(n)
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a, b))
+    # short-neighbor narrowing: zero skirts, unit center
+    w = V.vorbis_window_shaped(16, True, True, 8)
+    assert w[:2] == [0.0, 0.0] and w[14:] == [0.0, 0.0]
+    assert w[6] == 1.0 and w[9] == 1.0
+
+
+def test_window_shaped_cross_boundary_princen_bradley():
+    """The long block's narrowed right slope and the short block's
+    left slope satisfy w1^2 + w2^2 = 1 on the overlap — the condition
+    mixed-size TDAC rests on."""
+    NL, NS = 16, 8
+    long_w = V.vorbis_window_shaped(NL, False, True, NS)
+    short_w = V.vorbis_window_shaped(NS, True, True, NS)
+    rn = NS // 2
+    rws = 3 * NL // 4 - rn // 2
+    lws = NS // 4 - rn // 2
+    for k in range(rn):
+        s = long_w[rws + k] ** 2 + short_w[lws + k] ** 2
+        assert abs(s - 1.0) < 1e-12
+
+
+def test_variable_overlap_add_mixed_tdac():
+    """Forward MDCT (scaled 4/n) of shaped-windowed blocks over a
+    long-short-long schedule, inverse, VariableOverlapAdd: perfect
+    reconstruction of the input — pins the window shapes, the hop
+    rule (3n_p/4 - n_c/4), and the emission boundaries together."""
+    import random
+
+    NS, NL = 8, 16
+    rnd = random.Random(11)
+    x = [rnd.uniform(-1, 1) for _ in range(200)]
+    sched = [(NL, False, False), (NL, False, True), (NS, True, True),
+             (NS, True, True), (NS, True, False), (NL, True, False),
+             (NL, False, False)]
+
+    def fwd(block, w, n):
+        return [
+            sum(block[j] * w[j] * math.cos(
+                2 * math.pi / n * (j + 0.5 + n / 4) * (k + 0.5))
+                for j in range(n)) * (4.0 / n)
+            for k in range(n // 2)
+        ]
+
+    ola = V.VariableOverlapAdd(NS)
+    pos, prev_n, out = 0, None, []
+    for (n, ps, ns) in sched:
+        if prev_n is not None:
+            pos = pos + 3 * prev_n // 4 - n // 4
+        prev_n = n
+        w = V.vorbis_window_shaped(n, ps, ns, NS)
+        spec = fwd(x[pos:pos + n], w, n)
+        tb = V.inverse_mdct(spec, n)
+        out.extend(ola.step([tb[i] * w[i] for i in range(n)], ps, ns))
+    start = sched[0][0] // 4 + sched[0][0] // 4  # first left-slope end
+    assert len(out) > 20
+    for i, o in enumerate(out):
+        assert abs(o - x[start + i]) < 1e-9
+
+
+def test_variable_overlap_add_equal_sizes_matches_fixed():
+    """With all-equal blocks the variable path must produce the same
+    samples as the fixed OverlapAdd (same windows, same lapping)."""
+    import random
+
+    n = 16
+    rnd = random.Random(5)
+    blocks = [[rnd.uniform(-1, 1) for _ in range(n)]
+              for _ in range(4)]
+    w = V.vorbis_window(n)
+    fixed = V.OverlapAdd(n)
+    var = V.VariableOverlapAdd(n)
+    out_f, out_v = [], []
+    for b in blocks:
+        out_f.extend(fixed.step(b))
+        out_v.extend(var.step([b[i] * w[i] for i in range(n)],
+                              False, False))
+    assert len(out_f) == len(out_v)
+    for a, b2 in zip(out_f, out_v):
+        assert abs(a - b2) < 1e-12
+
+
+def test_decode_audio_variable_blocksize_stream():
+    """A full long/short/long Ogg stream through decode_audio: the
+    variable path end to end vs an independent spectrum model +
+    the (already TDAC-pinned) transform/lapping primitives."""
+    import struct
+
+    from osmexpress_spark.operators.multimodal import _VorbisBitWriter
+
+    NS, NL = 8, 16
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+        + struct.pack("<I", 8000) + struct.pack("<iii", 0, 128000, 0)
+        + b"\x43\x01"          # blocksizes 2^3 = 8, 2^4 = 16
+    )
+    comment = b"\x03vorbis" + struct.pack("<I", 0) \
+        + struct.pack("<I", 0) + b"\x01"
+    bw = _VorbisBitWriter()
+    bw.write(1, 8)
+    _write_unordered_book(bw, 1, [1, 1])
+    _write_unordered_book(
+        bw, 4, [2, 2, 2, 2],
+        lookup=(2, 0.0, 1.0, 3, 0,
+                [1, 2, 3, 4, 0, 0, 0, 0, 7, 6, 5, 4, 1, 1, 1, 1]),
+    )
+    bw.write(0, 6); bw.write(0, 16)
+    bw.write(0, 6)                       # one floor
+    bw.write(1, 16); bw.write(0, 5); bw.write(0, 2); bw.write(6, 4)
+    bw.write(0, 6)                       # one residue: type 1
+    bw.write(1, 16)
+    bw.write(0, 24); bw.write(32, 24); bw.write(4 - 1, 24)
+    bw.write(2 - 1, 6); bw.write(0, 8)
+    bw.write(0, 3); bw.write(0, 1)
+    bw.write(1, 3); bw.write(0, 1)
+    bw.write(1, 8)
+    bw.write(0, 6)                       # one mapping
+    bw.write(0, 16); bw.write(0, 1); bw.write(0, 1); bw.write(0, 2)
+    bw.write(0, 8); bw.write(0, 8); bw.write(0, 8)
+    bw.write(1, 6)                       # TWO modes
+    bw.write(0, 1)                       # mode 0: short
+    bw.write(0, 16); bw.write(0, 16); bw.write(0, 8)
+    bw.write(1, 1)                       # mode 1: long
+    bw.write(0, 16); bw.write(0, 16); bw.write(0, 8)
+    bw.write(1, 1)
+    setup = b"\x05vorbis" + bw.getvalue()
+
+    cw0 = V.assign_codewords({0: 1, 1: 1})
+    cw1 = V.assign_codewords({0: 2, 1: 2, 2: 2, 3: 2})
+
+    def msb(bw2, code, ln):
+        for k in range(ln - 1, -1, -1):
+            bw2.write((code >> k) & 1, 1)
+
+    # schedule: L(nf short), S, S, L(pf short) with flat floors and
+    # one class-1 partition each
+    VQT = [[1.0, 2.0, 3.0, 4.0], [0.0] * 4,
+           [7.0, 6.0, 5.0, 4.0], [1.0] * 4]
+    sched = [
+        (1, 1, 0, 120, [1, 0], [2]),   # long: pf=1(long), nf=0(short)
+        (0, None, None, 60, [1], [0]),
+        (0, None, None, 200, [0], []),
+        (1, 0, 1, 90, [0, 1], [3]),
+    ]
+    pkts = []
+    for (bf, pf, nf, y, classes, words) in sched:
+        pb = _VorbisBitWriter()
+        pb.write(0, 1)
+        pb.write(bf, 1)                  # mode number (1 bit)
+        if bf:
+            pb.write(pf, 1)
+            pb.write(nf, 1)
+        pb.write(1, 1)                   # floor nonzero
+        pb.write(y, 8); pb.write(y, 8)
+        it = iter(words)
+        for cls in classes:
+            msb(pb, *cw0[cls])
+            if cls == 1:
+                msb(pb, *cw1[next(it)])
+        pkts.append(pb.getvalue())
+
+    stream = _ogg_page(ident, _lacing(ident), 0x02, 3, 0)
+    stream += _ogg_page(comment + setup,
+                        _lacing(comment) + _lacing(setup), 0x00, 3, 1)
+    lac = []
+    for p in pkts:
+        lac += _lacing(p)
+    stream += _ogg_page(b"".join(pkts), lac, 0x04, 3, 2)
+
+    rate, pcm = V.decode_audio(stream)
+    assert rate == 8000 and len(pcm) == 1
+
+    # independent model: spectra from flat floor x residue adds, then
+    # the TDAC-pinned primitives
+    tab = V.analytic_db_table()
+    ola = V.VariableOverlapAdd(NS)
+    exp = []
+    for (bf, pf, nf, y, classes, words) in sched:
+        n = NL if bf else NS
+        half = n // 2
+        ps = (pf == 0) if bf else True
+        ns = (nf == 0) if bf else True
+        resid = [0.0] * half
+        it = iter(words)
+        for p, cls in enumerate(classes):
+            if cls == 1:
+                vec = VQT[next(it)]
+                for j in range(4):
+                    resid[p * 4 + j] += vec[j]
+        fv = [0] * half
+        V.render_line(0, y, 64, y, fv)
+        spec = [tab[fv[i]] * resid[i] for i in range(half)]
+        w = V.vorbis_window_shaped(n, ps, ns, NS)
+        tb = V.inverse_mdct(spec, n)
+        exp.extend(ola.step([tb[i] * w[i] for i in range(n)], ps, ns))
+    assert pcm[0] == exp
