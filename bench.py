@@ -166,6 +166,7 @@ PENDING_HEADLINE: list[str] = [
     "q_audio_mp3_pcm",
     "q_vorbis_setup",
     "q_vorbis_pcm",
+    "q_audio_aac_census",
 ]
 
 

@@ -5836,6 +5836,140 @@ def synth_vorbis_pcm(
 
 
 # --------------------------------------------------------------------------
+# AAC/ADTS container census (round 11) — the triage half of AAC, the
+# same two-step the mp3 and Ogg families follow: walk the ADTS frame
+# stream (12-bit 0xFFF sync, fixed+variable headers, optional CRC,
+# 13-bit whole-frame length), verify framing, and reassemble the raw
+# AAC payload.  Raw-data-block PCM synthesis needs the AAC spec's
+# scalefactor-band/TNS/filterbank machinery and stays the documented
+# next step.
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def adts_census(payload: bytes) -> list[float]:
+    """ADTS frame walk: [n_frames, sample_rate, channels, profile,
+    n_crc_frames, total_payload_bytes, payload_hash] where
+    payload_hash is the first-12-hex-digit md5 of the reassembled raw
+    payload (the q_zstd_census text-hash convention).  ValueError on
+    bad sync, a reserved sampling-frequency index, a frame length
+    shorter than its own header, truncation, or header fields that
+    change mid-stream."""
+    import hashlib
+
+    b = bytes(payload)
+    pos, n = 0, len(b)
+    n_frames = n_crc = 0
+    rate = channels = profile = -1
+    body = bytearray()
+    while pos < n:
+        if pos + 7 > n:
+            raise ValueError("truncated ADTS header")
+        if b[pos] != 0xFF or (b[pos + 1] & 0xF0) != 0xF0:
+            raise ValueError("bad ADTS sync")
+        if (b[pos + 1] >> 1) & 0x3 != 0:
+            raise ValueError("nonzero ADTS layer")
+        protection_absent = b[pos + 1] & 1
+        prof = (b[pos + 2] >> 6) & 0x3
+        sfi = (b[pos + 2] >> 2) & 0xF
+        if sfi >= len(_ADTS_RATES):
+            raise ValueError("reserved ADTS sampling frequency index")
+        chan = ((b[pos + 2] & 0x1) << 2) | ((b[pos + 3] >> 6) & 0x3)
+        flen = (
+            ((b[pos + 3] & 0x3) << 11) | (b[pos + 4] << 3)
+            | ((b[pos + 5] >> 5) & 0x7)
+        )
+        hdr = 7 + (0 if protection_absent else 2)
+        if flen < hdr:
+            raise ValueError("ADTS frame length below header size")
+        if pos + flen > n:
+            raise ValueError("truncated ADTS frame")
+        if n_frames == 0:
+            rate, channels, profile = _ADTS_RATES[sfi], chan, prof
+        elif (rate, channels, profile) != (
+            _ADTS_RATES[sfi], chan, prof
+        ):
+            raise ValueError("ADTS header fields change mid-stream")
+        if not protection_absent:
+            n_crc += 1
+        body += b[pos + hdr:pos + flen]
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("empty ADTS stream")
+    return [
+        float(n_frames),
+        float(rate),
+        float(channels),
+        float(profile),
+        float(n_crc),
+        float(len(body)),
+        float(int(hashlib.md5(bytes(body)).hexdigest()[:12], 16)),
+    ]
+
+
+def synth_adts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stub_mod: int = 19,
+) -> DataFrame:
+    """Per-row ADTS streams carrying the doc's utf-8 TEXT as the raw
+    payload, split over 2 + b2 % 3 frames (so reassembly is provable
+    against md5(text)): profile = b0 % 4, sampling-frequency index =
+    b1 % 13, channels = 1 + b3 % 2 from md5(id||'_aac'); every other
+    frame carries the optional 16-bit CRC field (protection_absent
+    alternates).  Every `stub_mod`-th doc declares one byte more than
+    it ships (the truncation damage branch).  Arrow mapInPandas,
+    zero shuffle."""
+    import hashlib
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for item_id, text in zip(pdf[id_col], pdf[text_col]):
+                i = int(item_id)
+                h = hashlib.md5(f"{i}_aac".encode()).digest()
+                prof, sfi, chan = h[0] % 4, h[1] % 13, 1 + h[3] % 2
+                nf = 2 + h[2] % 3
+                data = str(text).encode("utf-8")
+                per = (len(data) + nf - 1) // nf if data else 1
+                out = bytearray()
+                for f in range(nf):
+                    chunk = data[f * per:(f + 1) * per]
+                    pa = (f % 2)  # alternate CRC presence
+                    hdr = 7 + (0 if pa else 2)
+                    flen = hdr + len(chunk)
+                    b0 = 0xFF
+                    b1 = 0xF0 | (1 << 3) | (0 << 1) | pa
+                    b2 = (prof << 6) | (sfi << 2) | ((chan >> 2) & 1)
+                    b3 = ((chan & 0x3) << 6) | ((flen >> 11) & 0x3)
+                    b4 = (flen >> 3) & 0xFF
+                    b5 = ((flen & 0x7) << 5) | 0x1F
+                    b6 = 0xFC
+                    out += bytes([b0, b1, b2, b3, b4, b5, b6])
+                    if not pa:
+                        out += hashlib.md5(
+                            f"{i}_aac_crc{f}".encode()
+                        ).digest()[:2]
+                    out += chunk
+                if stub_mod and i % stub_mod == 0 and out:
+                    out = out[:-1]  # one byte short of its declaration
+                payloads.append(bytes(out))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(
+                        [int(i) for i in pdf[id_col]], dtype="int64"
+                    ),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # mp3 metadata extraction — the O(1) triage sibling of the frame walk:
 # ID3v2 text frames (title/artist/album identify an archive's
 # provenance before any audio work) and the Xing/Info VBR header in

@@ -7963,3 +7963,73 @@ def q_vorbis_pcm(spark, sf_dir):
         F.element_at("feat", 6).cast("long").alias("min_fq"),
         F.element_at("feat", 7).cast("long").alias("pcm_checksum"),
     )
+
+
+@defq_pending(
+    "q_audio_aac_census",
+    """
+    WITH h AS (
+      SELECT doc_id, text, md5(doc_id || '_aac') AS hh
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(hh, 1, 2) AS INTEGER) % 4 AS prof,
+             CAST('0x' || substr(hh, 3, 2) AS INTEGER) % 13 AS sfi,
+             2 + CAST('0x' || substr(hh, 5, 2) AS INTEGER) % 3 AS nf,
+             1 + CAST('0x' || substr(hh, 7, 2) AS INTEGER) % 2 AS chan
+      FROM h
+    )
+    SELECT doc_id AS item_id,
+           (doc_id % 19 != 0) AS parse_ok,
+           CASE WHEN doc_id % 19 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(nf AS BIGINT) END AS n_frames,
+           CAST(CASE WHEN doc_id % 19 = 0 THEN NULL
+                     ELSE list_value(96000, 88200, 64000, 48000,
+                                     44100, 32000, 24000, 22050,
+                                     16000, 12000, 11025, 8000,
+                                     7350)[sfi + 1]
+                END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 19 = 0 THEN NULL
+                     ELSE chan END AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 19 = 0 THEN NULL
+                     ELSE prof END AS INTEGER) AS profile,
+           CASE WHEN doc_id % 19 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST((nf + 1) // 2 AS BIGINT) END AS n_crc_frames,
+           CASE WHEN doc_id % 19 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(strlen(text) AS BIGINT) END
+             AS total_payload,
+           CASE WHEN doc_id % 19 = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+           END AS payload_hash
+    FROM p
+    """,
+)
+def q_audio_aac_census(spark, sf_dir):
+    """AAC/ADTS container census behind a driver gate — the triage
+    half of AAC, the mp3/Ogg two-step precedent: the doc's utf-8 text
+    rides as the raw AAC payload split over 2-4 ADTS frames
+    (multimodal.synth_adts) and the census walks the stream — 12-bit
+    sync, layer check, profile / sampling-frequency-index / channel
+    fields (constant across frames, verified), the 13-bit whole-frame
+    length, the alternating optional CRC field — and reassembles the
+    payload, whose md5 must equal md5(text): agreement proves the
+    frame walk splits exactly where the writer did.  Every 19th doc
+    declares one byte more than it ships (the truncation branch).
+    Raw-data-block PCM synthesis is the documented next step."""
+    d = t(spark, sf_dir, "documents")
+    blobs = multimodal.synth_adts(d, "doc_id", "text")
+    feats = multimodal.extract_features(
+        blobs, decoder=multimodal.adts_census, modality="audio"
+    )
+    return feats.select(
+        "item_id",
+        F.col("decode_ok").alias("parse_ok"),
+        F.element_at("feat", 1).cast("long").alias("n_frames"),
+        F.element_at("feat", 2).cast("int").alias("sample_rate"),
+        F.element_at("feat", 3).cast("int").alias("channels"),
+        F.element_at("feat", 4).cast("int").alias("profile"),
+        F.element_at("feat", 5).cast("long").alias("n_crc_frames"),
+        F.element_at("feat", 6).cast("long").alias("total_payload"),
+        F.element_at("feat", 7).cast("long").alias("payload_hash"),
+    )

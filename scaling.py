@@ -130,6 +130,7 @@ SUBSET = [
     "q_audio_mp3_pcm",         # full L3 PCM decode chain, analytic window
     "q_vorbis_setup",          # Ogg packet assembly + codebook parse seam
     "q_vorbis_pcm",            # full Vorbis decode chain, analytic table
+    "q_audio_aac_census",      # ADTS frame walk + payload reassembly
 ]
 
 

@@ -555,3 +555,63 @@ def test_vorbis_floor1_x_sum_parse():
     assert got["multiplier"] == 2 and got["rangebits"] == 4
     assert got["x_list"] == [0, 16, 3, 7, 1, 15, 0, 9]
     assert got["class_cfg"][0]["dims"] == 3
+
+
+# --------------------------------------------------- AAC/ADTS census
+
+
+def _adts_frame(prof, sfi, chan, payload, with_crc, flen=None):
+    flen = (7 + (2 if with_crc else 0) + len(payload)
+            if flen is None else flen)
+    b1 = 0xF0 | (1 << 3) | (0 if with_crc else 1)
+    b2 = (prof << 6) | (sfi << 2) | ((chan >> 2) & 1)
+    b3 = ((chan & 0x3) << 6) | ((flen >> 11) & 0x3)
+    out = bytes([0xFF, b1, b2, b3, (flen >> 3) & 0xFF,
+                 ((flen & 0x7) << 5) | 0x1F, 0xFC])
+    if with_crc:
+        out += b"\xab\xcd"
+    return out + payload
+
+
+def test_adts_census_hand_built():
+    import hashlib
+
+    from osmexpress_spark.operators import multimodal as M
+
+    stream = (_adts_frame(1, 4, 2, b"hello", True)
+              + _adts_frame(1, 4, 2, b" world", False))
+    got = M.adts_census(stream)
+    assert got == [2.0, 44100.0, 2.0, 1.0, 1.0, 11.0,
+                   float(int(hashlib.md5(b"hello world")
+                             .hexdigest()[:12], 16))]
+
+
+def test_adts_census_damage_branches():
+    from osmexpress_spark.operators import multimodal as M
+
+    good = _adts_frame(0, 0, 1, b"x" * 5, False)
+    with pytest.raises(ValueError):
+        M.adts_census(b"")                          # empty
+    with pytest.raises(ValueError):
+        M.adts_census(b"\xfe" + good[1:])           # bad sync
+    with pytest.raises(ValueError):
+        M.adts_census(good[:-1])                    # truncated frame
+    with pytest.raises(ValueError):
+        M.adts_census(_adts_frame(0, 13, 1, b"x", False))  # sfi 13
+    with pytest.raises(ValueError):                 # flen < header
+        M.adts_census(_adts_frame(0, 0, 1, b"", False, flen=3))
+    with pytest.raises(ValueError):                 # fields change
+        M.adts_census(good + _adts_frame(1, 0, 1, b"y" * 5, False))
+
+
+def test_adts_gate_plan(spark):
+    from osmexpress_spark import queries_data as QD
+
+    df = QD.PENDING_SPARK_QUERIES["q_audio_aac_census"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
