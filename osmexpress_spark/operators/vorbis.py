@@ -705,3 +705,28 @@ class VariableOverlapAdd:
             self.buf = self.buf[cut:]
             self.base = self.emitted
         return out
+
+
+def vorbis_decoder_factory(inverse_db_table: list[float] | None = None):
+    """A consumer-facing decoder with multimodal.wav_decoder's 5-float
+    contract — [n_channels, sample_rate, n_frames(samples/ch),
+    mean_abs, peak] — so Ogg/Vorbis plugs straight into
+    extract_features and the audio dedup/VAD operators, exactly like
+    mp3l3.mp3_decoder_factory.  The caller may supply the published
+    floor1_inverse_dB_table; the default is the analytic stand-in
+    (correct machinery, stand-in amplitude mapping — documented)."""
+    def decoder(payload: bytes) -> list[float]:
+        sr, chans = decode_audio(bytes(payload), inverse_db_table)
+        samples = [v for ch in chans for v in ch]
+        tot_abs = sum(abs(s) for s in samples)
+        peak = max((abs(s) for s in samples), default=0.0)
+        n = len(samples)
+        return [
+            float(len(chans)),
+            float(sr),
+            float(len(chans[0]) if chans else 0),
+            tot_abs / n if n else 0.0,
+            float(peak),
+        ]
+
+    return decoder

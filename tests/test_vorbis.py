@@ -860,3 +860,23 @@ def test_decode_audio_variable_blocksize_stream():
         tb = V.inverse_mdct(spec, n)
         exp.extend(ola.step([tb[i] * w[i] for i in range(n)], ps, ns))
     assert pcm[0] == exp
+
+
+def test_vorbis_decoder_factory_contract(spark):
+    """The 5-float audio contract over a synth_vorbis_pcm stream:
+    plugs into extract_features like wav/mp3 decoders."""
+    from osmexpress_spark.operators import multimodal as M
+
+    d = spark.createDataFrame([(3,), (13,)], "doc_id long")
+    blobs = M.synth_vorbis_pcm(d)
+    feats = {
+        r.item_id: (r.decode_ok, r.feat)
+        for r in M.extract_features(
+            blobs, decoder=V.vorbis_decoder_factory(), modality="audio"
+        ).collect()
+    }
+    ok, feat = feats[3]
+    assert ok and len(feat) == 5
+    assert feat[0] == 1.0 and feat[1] == 8000.0 and feat[2] == 64.0
+    assert feat[4] >= feat[3] >= 0.0
+    assert feats[13][0] is False  # torn setup -> per-row damage
