@@ -132,3 +132,11 @@ def test_example_retrieve_and_mask(tmp_path):
     assert "dedup masks:" in r.stdout
     assert "distinct 3-gram estimate per source" in r.stdout
     assert "bitext mining:" in r.stdout
+
+
+def test_example_codec_triage():
+    r = _run([os.path.join(EX, "codec_triage.py"), SF], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "triage: container censuses" in r.stdout
+    assert "TRIAGE COMPLETE" in r.stdout
+    assert "damaged (per-row, no stage failure)" in r.stdout
