@@ -3109,7 +3109,20 @@ def near_dup_by_bands(
     true output quadratic — run exact dedup (group by all bands) first
     and pair only distinct hashes, exactly like the MinHash-LSH path's
     hot-bucket discipline.  Output: (id_a, id_b, hamming), id_a < id_b,
-    one row per pair."""
+    one row per pair.
+
+    The bands frame is materialized once (localCheckpoint) before the
+    self-join: it is the lightweight proxy of the corpus (id + n_bands
+    longs per item — the guide's decide-with-small-rows shape), while
+    its lineage usually holds the EXPENSIVE part (payload synthesis +
+    decode inside an Arrow seam).  Without the cut, (a) the self-join
+    evaluates that lineage twice, and (b) Catalyst re-inlines the
+    interpreted higher-order band expressions into every downstream
+    reference (the pre-fix q_image_near_dup plan carried 20 copies of
+    the transform(slice(feat...)) subtree; see plans/r11).  Measured on
+    the r11 bench host: 26.8s -> 3.3s for q_image_near_dup at sf0.1,
+    results bit-identical."""
+    bands_df = bands_df.localCheckpoint(eager=True)
     bands = [f"band_{b}" for b in range(n_bands)]
     melted = bands_df.select(
         F.col(id_col),
@@ -3154,6 +3167,28 @@ def near_dup_by_bands(
 # deterministic perturbation, making (2k, 2k+1) near-duplicate pairs.
 
 SYNTH_SCHEMA = "item_id long, payload binary"
+
+
+def _seam_fanout(ids_df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for the synth seams' id input: when
+    the upstream scan yields fewer partitions than the session has task
+    slots, round-robin repartition the (id-only) frame to
+    defaultParallelism so the per-row synthesis + decode constants run
+    on every core instead of serially.
+
+    Why this is the right shape at BOTH ends of the scale: the bench
+    fixture is one small parquet row group -> ONE scan partition -> a
+    serial Python seam (guide §2: the partitioning must adapt to input
+    size, not be tuned for either end); at corpus scale the file
+    fan-out already exceeds defaultParallelism, the condition is false,
+    and the plan keeps its zero-Exchange scan shape.  Only the 8-byte
+    id column ever crosses the wire — payload bytes are synthesized
+    (and decoded) AFTER the exchange, so this never shuffles blobs."""
+    spark = ids_df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    if ids_df.rdd.getNumPartitions() < slots:
+        return ids_df.repartition(slots)
+    return ids_df
 
 
 def _encode_bmp24(pix: list[list[tuple[int, int, int]]]) -> bytes:
@@ -3238,7 +3273,7 @@ def synth_bmp24(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def synth_wav8(
@@ -3291,7 +3326,7 @@ def synth_wav8(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def save_band_store(
@@ -3365,7 +3400,15 @@ def near_dup_against_store(
     max_hamming <= n_bands - 1).  No id ordering or inequality is
     applied: the two sides are distinct populations by contract, and a
     shared id (a re-ingested item) SHOULD surface as its own hamming-0
-    match.  Output: (new_id, ref_id, hamming)."""
+    match.  Output: (new_id, ref_id, hamming).
+
+    The NEW side is materialized once (localCheckpoint) before the
+    join, for the same reason near_dup_by_bands cuts its input: its
+    lineage holds the decode seam and the interpreted band packing,
+    which Catalyst otherwise re-inlines into the melt projection and
+    the post-join Hamming arithmetic.  The store side is parquet-backed
+    (plain attribute references), so it joins as-is."""
+    new_bands = new_bands.localCheckpoint(eager=True)
     bands = [f"band_{b}" for b in range(n_bands)]
 
     def melt(df, alias):
@@ -3895,7 +3938,7 @@ def synth_au_ulaw(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def _flac_crc8(data: bytes) -> int:
@@ -3990,7 +4033,7 @@ def synth_flac8(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def _wav_container(
@@ -4072,7 +4115,7 @@ def synth_wav_g711(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def synth_wav_ima(
@@ -4127,7 +4170,7 @@ def synth_wav_ima(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def _encode_jpeg_lossless8(pixels: bytes, w: int, h: int) -> bytes:
@@ -4219,7 +4262,7 @@ def synth_jpeg_lossless(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def dhash_bands(
@@ -4437,7 +4480,7 @@ def synth_webp_lossless(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 # --- mp3 (MPEG-1 Layer III) frame-level census -------------------------------
@@ -4605,7 +4648,7 @@ def synth_mp3_frames(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def synth_mp3_l3(
@@ -4693,7 +4736,7 @@ def synth_mp3_l3(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def synth_mp3_pcm(
@@ -4773,7 +4816,7 @@ def synth_mp3_pcm(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -4872,7 +4915,7 @@ def synth_encoded(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col, text_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -5050,7 +5093,7 @@ def synth_ogg(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -5679,7 +5722,7 @@ def synth_vorbis(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 def synth_vorbis_pcm(
@@ -5832,7 +5875,7 @@ def synth_vorbis_pcm(
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -5966,7 +6009,7 @@ def synth_adts(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+    return _seam_fanout(df.select(id_col, text_col)).mapInPandas(run, SYNTH_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -6144,11 +6144,19 @@ def q_image_webp_stats(spark, sf_dir):
     in both engines).  Every 9th doc carries a LOSSY (VP8 key frame)
     container: the honest NotImplementedError stub through the same
     gate.  The decoder itself is cross-validated bit-exactly against
-    the system libwebp in tests/test_webp.py."""
+    the system libwebp in tests/test_webp.py.
+
+    r11 optimization (guide §4.2 — native code inside the seam): the
+    query decodes through image_decoder_ctypes, the documented
+    bit-identical fast path that delegates VP8L to the system libwebp
+    (~30x per-doc: 2.7ms -> 0.09ms measured) and falls back to the
+    pure decoder when the library is absent; the lossy-VP8 stub branch
+    is decided BEFORE delegation, so decode_ok and every output value
+    are unchanged (oracle re-verified)."""
     d = t(spark, sf_dir, "documents")
     blobs = multimodal.synth_webp_lossless(d, "doc_id")
     feats = multimodal.extract_features(
-        blobs, decoder=multimodal.image_decoder, modality="image"
+        blobs, decoder=multimodal.image_decoder_ctypes, modality="image"
     )
     return feats.select(
         "item_id",

@@ -341,9 +341,11 @@ def test_round10_staged_plans_stay_jvm_side(spark):
             assert "MapInPandas" not in plan
             assert "ReadSchema: struct<doc_id:bigint>" in plan
         elif name != "q_warc_census":
-            # blob census gates: one Arrow seam, zero shuffle
+            # blob census gates: one Arrow seam; no payload or
+            # key shuffle (the r11 scale-adaptive seam fan-out may
+            # round-robin the tiny id column before the seam)
             assert "MapInPandas" in plan
-            assert "Exchange" not in plan, name
+            assert "Exchange hashpartitioning" not in plan, name
         else:
             # the WARC rollup aggregates record rows: exactly one
             # shuffle (map-side combined), after the Arrow seam
@@ -362,7 +364,9 @@ def test_mp3_decode_gate_plan(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    # no key/payload shuffle; the r11 scale-adaptive seam fan-out
+    # may round-robin the tiny id column before the Arrow seam
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

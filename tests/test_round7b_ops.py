@@ -481,12 +481,15 @@ def test_ingest_dedup_never_redecodes_reference(spark, tmp_path):
     got = {(r["new_id"], r["ref_id"]) for r in pairs.collect()}
     # sibling pairs where exactly one side is 'new': (0,1), (3,2), (6,7), (9,8)...
     assert {(0, 1), (3, 2), (6, 7), (9, 8)} <= got
-    # the store path is parquet: no MapInPandas on the reference side —
-    # the final plan's only Python stages are the NEW batch's two Arrow
-    # seams (synth + decode); AQE prints the initial plan too, so cut it
+    # the store path is parquet: no MapInPandas on the reference side.
+    # Since r11 the NEW side's two Arrow seams (synth + decode) run
+    # exactly once in the operator's localCheckpoint cut, so the final
+    # join plan contains NO Python stage at all — either side decoding
+    # inside the join would surface as a MapInPandas here; AQE prints
+    # the initial plan too, so cut it
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("MapInPandas") == 2
+    assert final.count("MapInPandas") == 0
     assert "Scan parquet" in final  # the reference side reads the store
 
 
