@@ -251,6 +251,14 @@ def jaccard_pairs(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     inv = inv.repartition(n_part, *bucket_cols, "s")
+    # materialize the inverted index and the per-doc sizes once: both
+    # are referenced twice (a/b sides) and Catalyst otherwise
+    # replicates the tokenize->shingle->hash subtree per reference
+    # (8 scans in the pre-fix q_ngram_jaccard plan).  `inv` is the
+    # corpus-tokens proxy (8-byte hash per shingle), `sizes` is
+    # doc-count-sized — both the guide's decide-with-small-rows shape.
+    inv = inv.localCheckpoint(eager=True)
+    sizes = sizes.localCheckpoint(eager=True)
     a = inv.select(*bucket_cols, F.col(id_col).alias("id_a"), "s")
     b = inv.select(*bucket_cols, F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -338,6 +346,17 @@ def prefix_filter_pairs(
             F.collect_list(F.struct(F.col("df_s"), F.col("s")))
         ).alias("ord")
     )
+    # Materialize the (df, hash)-sorted shingle arrays ONCE: `ordered`
+    # is referenced four times downstream (both prefix sides, both
+    # verify sides), and Catalyst replicates the whole
+    # tokenize->explode->freq-join->collect subtree per reference —
+    # the pre-fix q_prefix_filter_pairs plan held 16 parquet scans and
+    # 32 Exchanges (plans/r11/q_prefix_filter_pairs_before.txt).  The
+    # cut is corpus-tokens-sized (the same bytes the window-dedup
+    # signature store persists), spills to executor disk at scale, and
+    # turns the plan into: one build pass + hash joins over the
+    # materialized arrays.
+    ordered = ordered.localCheckpoint(eager=True)
     ceil_tn = F.floor((F.col("n") * num + (den - 1)) / den)
     prefix = ordered.select(
         "id",
@@ -385,15 +404,26 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify arrays come from `ordered`, NOT a fresh scan of docs:
-    # Catalyst does not dedupe common subtrees, so deriving them from
-    # the frame the prefix already built keeps the corpus tokenize+hash
-    # work at two evaluations (freq + ordered) instead of four —
-    # array_intersect is order-insensitive, so the (df, hash)-sorted
-    # arrays verify identically
+    # verify arrays come from the MATERIALIZED `ordered` (zero extra
+    # corpus passes); array_intersect is order-insensitive, so the
+    # (df, hash)-sorted arrays verify identically.  Join strategy
+    # (guide §3.1, picked deliberately): the candidate list is usually
+    # MUCH larger than the doc-array table (one row per surviving
+    # candidate pair vs one per doc), so when the array table is small
+    # enough to broadcast, attaching arrays map-side keeps the fat
+    # candidate stream out of two Exchanges entirely.  `ordered` is
+    # already checkpointed, so sizing it is one cheap metadata-ish job;
+    # the estimate (24B overhead + 12B/shingle struct) errs high.
     arrays = ordered.select(
         "id", "n", F.transform("ord", lambda x: x["s"]).alias("sh")
     )
+    stats = ordered.select(
+        F.count(F.lit(1)).alias("rows"), F.sum("n").alias("toks")
+    ).first()
+    est_bytes = (stats["rows"] or 0) * 40 + (stats["toks"] or 0) * 12
+    broadcast_arrays = est_bytes <= 64 * 1024 * 1024
+    if broadcast_arrays:
+        arrays = F.broadcast(arrays)
     sh_a = arrays.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
         F.col("n").alias("n_a"),
@@ -402,6 +432,16 @@ def prefix_filter_pairs(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
         F.col("n").alias("n_b"),
     )
+    if broadcast_arrays:
+        # the candidate stream is thin (two longs/row) but its per-row
+        # verify work (array_intersect) is heavy: AQE would coalesce
+        # the post-distinct exchange by BYTES down to a couple of
+        # partitions and serialize the verify, so pin the fan-out to
+        # the session's slots — shuffling the thin pairs is pennies,
+        # the map-side broadcast verify then uses every core
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism
+        )
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")

@@ -150,6 +150,13 @@ def augmented_diff(
             ],
         )
     )
+    # `out` feeds way_rows, both bbox semi-filters and the non-way
+    # branch; without a cut Catalyst replicates the classify +
+    # propagation subtree per reference (the pre-fix plan held 88
+    # joins / 112 Exchanges — plans/r11/q_augmented_diff_analog_
+    # before.txt).  Like `chg`, it is diff-batch-sized by contract,
+    # so materializing it is bounded at any corpus scale.
+    out = out.localCheckpoint(eager=True)
 
     # --- per-way old/new bboxes over member nodes (:309-342, the 5th
     # pass: every emitted way gets a <bounds> from its nd coordinates —

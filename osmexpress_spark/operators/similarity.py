@@ -1639,14 +1639,53 @@ def kcenter_select(
         )
         return F.array_min(scored)
 
+    # r11 optimization: the greedy loop is INCREMENTAL.  Round r used
+    # to re-quantize the corpus and re-fold distances to ALL r selected
+    # centers from the raw scan (O(k^2 * dim) interpreted-lambda work,
+    # k parquet passes); instead carry best = struct(d2, rank, cid) —
+    # the nearest selected center so far — in a lazily-checkpointed
+    # frame and fold ONLY the newest center per round.  least() over
+    # the struct is the same lexicographic (d2, rank, cid) minimum the
+    # old array_min computed, so every pick, tie-break, and the final
+    # assignment are bit-identical (oracle re-verified); _best() above
+    # remains the one-shot spelling of the same contract.
+    def _d2_to(cv: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(v).cast("long") for v in cv]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _with_center(cur: DataFrame, rank: int, cid: int,
+                     cv: list[int]) -> DataFrame:
+        newb = F.struct(
+            _d2_to(cv).alias("d2"),
+            F.lit(rank).cast("long").alias("rank"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        folded = cur.select(
+            F.col(id_col),
+            F.col("qv"),
+            (newb if "best" not in cur.columns
+             else F.least(F.col("best"), newb)).alias("best"),
+        )
+        # lazy cut: materializes inside the NEXT round's argmax job, so
+        # each round stays ONE job reading the previous round's state
+        return folded.localCheckpoint(eager=False)
+
+    cur = _with_center(q, 0, centers[0][1], centers[0][2])
     for r in range(1, k):
         sel_ids = [cid for _, cid, _, _ in centers]
         row = (
-            q.where(~F.col(id_col).isin(sel_ids))
+            cur.where(~F.col(id_col).isin(sel_ids))
             .select(
                 F.col(id_col),
                 F.col("qv"),
-                _best().getField("d2").alias("d2"),
+                F.col("best").getField("d2").alias("d2"),
             )
             .orderBy(F.col("d2").desc(), F.col(id_col))
             .limit(1)
@@ -1655,12 +1694,12 @@ def kcenter_select(
         if not row:
             break  # fewer than k rows: the selection IS the corpus
         centers.append((r, row[0][id_col], list(row[0]["qv"]), row[0]["d2"]))
+        cur = _with_center(cur, r, row[0][id_col], list(row[0]["qv"]))
 
-    best = _best()
-    assign = q.select(
+    assign = cur.select(
         F.col(id_col),
-        best.getField("cid").alias("center"),
-        best.getField("d2").alias("d2"),
+        F.col("best").getField("cid").alias("center"),
+        F.col("best").getField("d2").alias("d2"),
     )
     if return_centers:
         return assign, [(rank, cid, d2) for rank, cid, _, d2 in centers]

@@ -623,13 +623,30 @@ def hashed_features_stats(
     one of them). All three are JVM array folds on the scan."""
     v = hashed_features(F.col(text_col), dim=dim)
     iv = F.transform(v, lambda c: c.cast("bigint"))
-    return df.select(
+    # Two-step projection: the vector fold is an interpreted
+    # higher-order expression (never codegen), and building all three
+    # scalars in one select inlines it once PER SCALAR — three full
+    # hash+fold evaluations per row.  Naming it in a child projection
+    # computes it once per row (CollapseProject keeps the split: the
+    # alias is non-cheap and multiply referenced).  The scan is also
+    # fanned out when narrower than the session's slots — the bench
+    # fixture is one row group, which would run the interpreted fold
+    # serially; at scale the condition is false and the plan is
+    # unchanged.
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < slots:
+        src = src.repartition(slots)
+    base = src.select(F.col(id_col), iv.alias("_v"))
+    pv = F.col("_v")
+    return base.select(
         F.col(id_col),
-        F.size(F.filter(iv, lambda c: c > 0)).alias("nnz"),
+        F.size(F.filter(pv, lambda c: c > 0)).alias("nnz"),
         F.aggregate(
-            iv, F.lit(0).cast("bigint"), lambda a, c: a + c * c
+            pv, F.lit(0).cast("bigint"), lambda a, c: a + c * c
         ).alias("l2sq"),
-        (F.array_position(iv, F.array_max(iv)) - 1).cast("integer").alias(
+        (F.array_position(pv, F.array_max(pv)) - 1).cast("integer").alias(
             "top_bucket"
         ),
     )

@@ -77,7 +77,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events(spark, sf_dir)
-    return _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    if name == "embeddings":
+        # Scale-adaptive fan-out (guide §2): the embeddings fixture is
+        # ONE parquet row group -> one scan partition, and every
+        # vector operator's per-row work is interpreted higher-order
+        # array math (zip_with/aggregate folds do not enter
+        # whole-stage codegen) — serial on a 32-core session.  When
+        # the scan has fewer partitions than task slots, round-robin
+        # the rows across slots (a one-pass ~1 MB exchange here); at
+        # corpus scale the file fan-out exceeds defaultParallelism
+        # and this is a no-op, keeping the scan-shaped plans.
+        slots = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < slots:
+            df = df.repartition(slots)
+    return df
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
