@@ -233,17 +233,36 @@ def nb_reliability(
     w = Window.partitionBy("id").orderBy(
         F.col("score_micro").desc(), F.col("label")
     )
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    top1 = ranked.where(F.col("rn") == 1).select(
-        "id", F.col("label").alias("pred"), F.col("score_micro").alias("s1")
+    # top-1/top-2 in ONE pass: the old top1-join-top2 referenced the
+    # ranked frame twice, and Catalyst replicated the whole
+    # train+score subtree per reference (26 scans in the pre-fix
+    # q_nb_reliability plan).  max(when(rn=k, ...)) over rn <= 2 rows
+    # reads each rank exactly once, the groupBy rides the window's
+    # id-partitioning (no extra Exchange), and the margin algebra is
+    # unchanged: s1 - coalesce(s2, s1).
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
     )
-    top2 = ranked.where(F.col("rn") == 2).select(
-        "id", F.col("score_micro").alias("s2")
-    )
-    margins = top1.join(top2, "id", "left_outer").select(
-        "id",
-        "pred",
-        (F.col("s1") - F.coalesce(F.col("s2"), F.col("s1"))).alias("margin"),
+    margins = (
+        ranked.groupBy("id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == 1, F.struct("score_micro", "label")
+                )
+            ).alias("t1"),
+            F.max(
+                F.when(F.col("rn") == 2, F.col("score_micro"))
+            ).alias("s2"),
+        )
+        .select(
+            "id",
+            F.col("t1.label").alias("pred"),
+            (
+                F.col("t1.score_micro")
+                - F.coalesce(F.col("s2"), F.col("t1.score_micro"))
+            ).alias("margin"),
+        )
     )
     truth = df.select(F.col(id_col).alias("id"), label.alias("truth"))
     return (

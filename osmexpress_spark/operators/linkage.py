@@ -58,7 +58,13 @@ def linkage_pairs(
     id_b.  Blocks larger than ``max_block`` are dropped (the hot-key
     cap; a block that big is a degenerate token like 'INC' and would
     quadratically dominate the join)."""
-    b = phonetic_blocks(df, id_col, name_col)
+    # materialize the blocked names once: `b` feeds the hot-block
+    # count AND both join sides, and its own lineage (often a union of
+    # variant projections over an aggregate) would otherwise be
+    # replicated per reference — the pre-fix q_record_linkage plan
+    # held 96 parquet scans / 138 Exchanges (plans/r11).  The frame is
+    # record-count-sized (id, name, block), the linkage proxy shape.
+    b = phonetic_blocks(df, id_col, name_col).localCheckpoint(eager=True)
     hot = (
         b.groupBy("block")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -97,7 +103,11 @@ def linkage_against(
     dedup.py:incremental_dedup_pairs): pairs are (new_id, ref_id,
     dist), blocks capped on the REFERENCE side."""
     nb = phonetic_blocks(new, id_col, name_col)
-    rb = phonetic_blocks(reference, id_col, name_col)
+    # the reference side feeds the hot-block count and the join:
+    # materialize it once (same rationale as linkage_pairs)
+    rb = phonetic_blocks(reference, id_col, name_col).localCheckpoint(
+        eager=True
+    )
     hot = (
         rb.groupBy("block")
         .agg(F.count(F.lit(1)).alias("n"))

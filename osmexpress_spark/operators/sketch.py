@@ -779,14 +779,27 @@ def exact_frequent_items(
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     sel = df.select(item.alias("item")).where(F.col("item").isNotNull())
+    # scale-adaptive fan-out (guide §2): both passes hash every item
+    # with interpreted md5 expressions, so a narrow upstream scan (the
+    # bench fixture is one parquet row group) would run them serially;
+    # round-robin the single item column across the session's slots
+    # when the scan is narrower.  At scale the condition is false and
+    # the two-pass scan shape is untouched.
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < slots:
+        sel = sel.repartition(slots)
     rows = cms_build(sel, F.col("item"), w, d).collect()
     counts = [[0] * w for _ in range(d)]
     for r in rows:
         counts[r["j"]][r["bucket"]] = r["cnt"]
     bs = _cms_buckets(F.col("item"), w, d)
+    # one ArrayType literal per hash row instead of a 1024-child
+    # CreateArray: the optimizer walks every literal node on every
+    # rule pass, so the flat form cuts d*w tree nodes out of planning;
+    # bigint keeps the lookup overflow-safe at corpus scale
     ests = [
         F.element_at(
-            F.array(*[F.lit(c) for c in counts[j]]), bs[j] + F.lit(1)
+            F.lit(counts[j]).cast("array<bigint>"), bs[j] + F.lit(1)
         )
         for j in range(d)
     ]
