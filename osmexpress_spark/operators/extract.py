@@ -153,13 +153,27 @@ def extract(
     node_ids = region_node_ids.union(way_node_ids).distinct()
 
     # The id sets are consumed 2-4 times each (payload semi-joins +
-    # caller unions); optionally cache them — the Spark analog of the
-    # reference holding its Roaring64Map id bitmaps in RAM for the
-    # whole extract (extract.cpp:149-151).
+    # caller unions); optionally materialize them — the Spark analog
+    # of the reference holding its Roaring64Map id bitmaps in RAM for
+    # the whole extract (extract.cpp:149-151).  r11: localCheckpoint
+    # instead of cache() — cache() is lazy, so a SINGLE action over a
+    # frame that references an id set twice (e.g. the bbox union,
+    # where way_ids feeds both node completion and the output) still
+    # evaluated the whole join tree per reference; the eager cut
+    # computes each id set exactly once (and way_ids' cut also prunes
+    # the copy embedded in node_ids' completion join).
     if cache_ids:
-        node_ids = node_ids.cache()
-        way_ids = way_ids.cache()
-        relation_ids = relation_ids.cache()
+        way_ids = way_ids.localCheckpoint(eager=True)
+        way_node_ids = (
+            node_way.join(way_ids, node_way["way_id"] == way_ids["id"])
+            .select(F.col("node_id").alias("id"))
+        )
+        node_ids = (
+            region_node_ids.union(way_node_ids)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        relation_ids = relation_ids.localCheckpoint(eager=True)
 
     # 8: payload materialization (the sink orders it; O3)
     return ExtractResult(

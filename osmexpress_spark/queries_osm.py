@@ -53,8 +53,11 @@ def defq(name: str):
 @defq("osm_extract_bbox")
 def osm_extract_bbox(spark, sf_dir):
     """Flagship OSM pipeline: bbox extract -> typed ordered id output
-    (extract.cpp:69-426; O3 ordering)."""
-    res = _dataset(spark).extract(Region(NYC_BBOX, "bbox"))
+    (extract.cpp:69-426; O3 ordering).  cache_ids: the output union
+    references way_ids twice (node completion + its own branch), so
+    the materialized-id-set path computes each id set once — the
+    reference's in-RAM id-bitmap shape (extract.cpp:149-151)."""
+    res = _dataset(spark).extract(Region(NYC_BBOX, "bbox"), cache_ids=True)
     out = (
         res.node_ids.select(F.lit(1).alias("type_rank"), F.lit("node").alias("type"), "id")
         .union(res.way_ids.select(F.lit(2), F.lit("way"), "id"))
