@@ -652,7 +652,9 @@ def test_vorbis_pcm_gate_plan(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    # no key/payload shuffle; the r11 scale-adaptive seam fan-out
+    # may round-robin the tiny id column before the Arrow seam
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
