@@ -51,6 +51,49 @@ def test_prefix_filter_pairs_matches_bruteforce(spark):
         assert got == sorted(exp), f"threshold {thr}"
 
 
+def test_prefix_filter_pairs_asymmetric_index_prefix_exact(spark):
+    """The PPJoin+ index-prefix reduction (smaller side indexes only
+    li = n - ceil(2t/(1+t)*n) + 1 tokens) misses nothing: brute-force
+    equality on a fresh corpus that stresses the asymmetry — long docs
+    beside short ones right at the length-filter edge |y| ~ |x|/t,
+    odd fraction thresholds (non-terminating 2t/(1+t)), equal-size
+    near-dups (the tie-break direction), and exact dups."""
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(18)]
+    rows = []
+    for i in range(70):
+        n = rng.randint(2, 30)  # wide length spread -> edge ratios
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # equal-size perturbed siblings (tie-break path) and exact dups
+    for i in range(8):
+        ws = rows[i][1].split(" ")
+        if len(ws) >= 3:
+            ws[len(ws) // 2] = "w0"
+        rows.append((3000 + i, " ".join(ws)))
+    rows += [(4000 + i, rows[i][1]) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: _shingle_set(t) for i, t in rows if len(t.split(" ")) >= 2}
+    for thr in (0.66, 0.75, 0.9):
+        got = sorted(
+            map(
+                tuple,
+                dedup.prefix_filter_pairs(
+                    df, "doc_id", "text", k=2, threshold=thr
+                ).collect(),
+            )
+        )
+        fr = Fraction(thr).limit_denominator(10**6)
+        exp = []
+        for (ia, sa), (ib, sb) in itertools.combinations(
+            sorted(sets.items()), 2
+        ):
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter * fr.denominator >= uni * fr.numerator:
+                exp.append((ia, ib, inter, len(sa), len(sb)))
+        assert got == sorted(exp), f"threshold {thr}"
+
+
 def test_prefix_filter_pairs_no_pairs_without_overlap(spark):
     """Disjoint-vocabulary docs produce zero pairs at any threshold."""
     rows = [(0, "a b c"), (1, "d e f"), (2, "g h i")]
