@@ -206,8 +206,51 @@ def main() -> None:
     QO.SPARK_QUERIES["osm_stats"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # r12 warmup completion (measured; OPTIMIZATION_r12.md "bench
+    # contract"): the two warmup queries above never start a Python
+    # worker, never shuffle and never broadcast, so the FIRST timed
+    # query to do each used to absorb one-time session infrastructure —
+    # ~4.8 s of Python-worker pool spin-up (fork + pandas/pyarrow/numpy
+    # imports, 32 workers) landed on q_image_near_dup and ~2-3 s of
+    # first-shuffle/aggregate/broadcast codegen on q1_pricing_summary.
+    # Warm those runtime paths on SYNTHETIC range data: no fixture
+    # table is touched, no query result or intermediate is cached —
+    # every timed query still computes from its parquet inputs.
+    def _warm_workers(batches):
+        import hashlib  # noqa: F401
+        import numpy  # noqa: F401  (seam decoders import these lazily)
+        for pdf in batches:
+            yield pdf
+
+    slots = spark.sparkContext.defaultParallelism
+    spark.range(slots * 4).repartition(slots).mapInPandas(
+        _warm_workers, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    _rng = spark.range(100_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    _agg = _rng.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    _agg.join(F.broadcast(_agg.select("k", "s")), "k").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+
+    # r12 measurement fix (VERDICT r11 "what's wrong" #1): the
+    # osm_osmx_roundtrip line used to pay the driver-side single-stream
+    # LMDB *artifact build* on a cold environment (23.1 s under load in
+    # the r11 driver run; ~1 s read warm), so its value measured
+    # environment warmth, not the read path the gate was adjudicated to
+    # time (r08).  Build the marker-cached artifact here, in the same
+    # untimed-fixture-warmup category as ensure_fixture_dataset above,
+    # and surface the build cost as its own ADDED line (~0 when the
+    # fixture artifact already exists, the one-off build cost when not)
+    # so nothing is hidden: build and read are now two bench metrics.
+    t0 = time.monotonic()
+    QD._osmx_fixture_path()
+    timings["osm_osmx_build"] = round(time.monotonic() - t0, 3)
     for name in HEADLINE:
         # time build + execute: DataFrame construction is part of the
         # query cost (some operators run planning jobs, e.g. the
@@ -233,6 +276,26 @@ def main() -> None:
         _t(spark, SF_DIR, "documents"), approx_distinct=True
     ).write.format("noop").mode("overwrite").save()
     timings["q_profile_documents_approx"] = round(time.monotonic() - t0, 3)
+
+    # r12: the production trigger path for the two slowest streaming
+    # gates (VERDICT r11 next-round #7).  The declared q_stream_drift /
+    # q_stream_rollup lines keep their per-file trigger (that cadence
+    # IS the gate semantics); these ADDED lines run the SAME pipelines
+    # through streaming.watermark_ops.file_stream with the backlog
+    # drained in one availableNow batch — the daily-drop production
+    # shape.  Output equality with the gate cadence is pinned by
+    # tests/test_watermark_ops.py.
+    t0 = time.monotonic()
+    QD._stream_drift_impl(
+        spark, SF_DIR, max_files_per_trigger=None
+    ).write.format("noop").mode("overwrite").save()
+    timings["q_stream_drift_prod"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    QD._stream_rollup_impl(
+        spark, SF_DIR, max_files_per_trigger=None
+    ).write.format("noop").mode("overwrite").save()
+    timings["q_stream_rollup_prod"] = round(time.monotonic() - t0, 3)
 
     # --- pipeline throughput anchors (BASELINE.md: expand wall time,
     # single-file extract export, minutely update batch latency) -------
@@ -322,24 +385,55 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout already carries the map
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
-    print(
-        json.dumps(
+    # The driver captures a bounded 2000-char tail of stdout and parses
+    # the FINAL JSON line from it (r07: the full 119-entry map made the
+    # line >2000 chars -> "parsed": null; r11: a top-10 line parsed but
+    # left PERF with n_common=4 and six 2-11x wins mislabeled
+    # "dropped_from_bench").  Fix (VERDICT r11 next-round #1a): pack the
+    # final line with as many per-query entries as fit a 1900-char
+    # budget, slowest first — ~65 of the 120 lines, everything over
+    # roughly a second — after seeding with the r11 parsed keys so no
+    # previously-reported query can ever fall out of the summary
+    # ("queries" entries are grow-only per the driver contract).  The
+    # full 3-decimal map still lands in the first stdout line and in
+    # bench_detail.json.
+    always_report = [
+        # the r11 parsed top-10 (BENCH_r11.json "parsed"."queries")
+        "osm_osmx_roundtrip", "q_prefix_filter_pairs", "osm_pbf_sink",
+        "q_augmented_diff_analog", "q_image_near_dup", "q_bm25_store",
+        "q_frequent_tokens", "osm_extract_bbox", "q_ngram_jaccard",
+        "osm_update_batches",
+    ]
+    order = always_report + [
+        k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+        if k not in always_report
+    ]
+    summary_queries: dict[str, float] = {}
+    budget = 1900
+
+    def _line(qs: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": qs,
                 "n_queries": len(timings),
                 "detail": "bench_detail.json",
                 "sf": sf_val,
                 "loadavg_start": load_start,
                 "loadavg_end": detail["loadavg_end"],
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    for name in order:
+        trial = dict(summary_queries)
+        trial[name] = round(timings[name], 2)
+        if len(_line(trial)) > budget:
+            break
+        summary_queries = trial
+    print(_line(summary_queries))
     spark.stop()
 
 

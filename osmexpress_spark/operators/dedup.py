@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 
 def shingles(text: Column, k: int = 2) -> Column:
     """Distinct word k-shingles as strings ('w1 w2 ... wk').
@@ -257,8 +259,8 @@ def jaccard_pairs(
     # (8 scans in the pre-fix q_ngram_jaccard plan).  `inv` is the
     # corpus-tokens proxy (8-byte hash per shingle), `sizes` is
     # doc-count-sized — both the guide's decide-with-small-rows shape.
-    inv = inv.localCheckpoint(eager=True)
-    sizes = sizes.localCheckpoint(eager=True)
+    inv = lineage.cut(inv)
+    sizes = lineage.cut(sizes)
     a = inv.select(*bucket_cols, F.col(id_col).alias("id_a"), "s")
     b = inv.select(*bucket_cols, F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -336,8 +338,25 @@ def prefix_filter_pairs(
         )
         .select("id", "sh", F.size("sh").alias("n"))
     )
+    # r12 build restructure (guide §2.4/§3.1, phase-measured: the
+    # ordered build was the LARGEST warm phase at ~2.1 s of ~4.8 s —
+    # tokenization evaluated twice because `inv` fed both the freq
+    # aggregate and the join probe, plus a key shuffle of the token
+    # stream to attach df_s).  Cut the docs frame FIRST so the
+    # interpreted shingle fold (zip_with + array_distinct + xxhash)
+    # runs exactly once, and attach document frequencies with a
+    # size-guarded broadcast: vocab rows <= token count, so the
+    # existing rows/toks sizing action (moved up; it reads the cheap
+    # docs cut) bounds the freq table without an extra job.  At corpus
+    # scale the token guard fails and the join keeps its shuffle shape.
+    docs = lineage.cut(docs)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("rows"), F.sum("n").alias("toks")
+    ).first()
     inv = docs.select("id", "n", F.explode("sh").alias("s"))
     freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    if (stats["toks"] or 0) * 16 <= 64 * 1024 * 1024:
+        freq = F.broadcast(freq)
     # (df asc, hash asc) is the one global total order both the prefix
     # slice and the theorem use; array_sort over the 2-field struct
     # sorts lexicographically, which is exactly that order
@@ -355,8 +374,13 @@ def prefix_filter_pairs(
     # cut is corpus-tokens-sized (the same bytes the window-dedup
     # signature store persists), spills to executor disk at scale, and
     # turns the plan into: one build pass + hash joins over the
-    # materialized arrays.
-    ordered = ordered.localCheckpoint(eager=True)
+    # materialized arrays.  lineage.cut adds the r12 scale guard
+    # (reliable checkpoint past the size threshold when a checkpoint
+    # dir is set); once `ordered` is materialized the transient docs
+    # cut is released so the operator holds ONE corpus-sized block set.
+    ordered = lineage.cut(ordered)
+    if lineage.eager_enabled(docs.sparkSession):
+        lineage.release(docs)
     ceil_tn = F.floor((F.col("n") * num + (den - 1)) / den)
     # PPJoin+ index reduction (Xiao et al. TODS'11 §5): generate each
     # candidate pair only as (smaller set = index side, larger set =
@@ -444,15 +468,14 @@ def prefix_filter_pairs(
     # MUCH larger than the doc-array table (one row per surviving
     # candidate pair vs one per doc), so when the array table is small
     # enough to broadcast, attaching arrays map-side keeps the fat
-    # candidate stream out of two Exchanges entirely.  `ordered` is
-    # already checkpointed, so sizing it is one cheap metadata-ish job;
-    # the estimate (24B overhead + 12B/shingle struct) errs high.
+    # candidate stream out of two Exchanges entirely.  The sizing
+    # numbers come from the rows/toks action already taken on the docs
+    # cut during the build (r12: one sizing job, reused for both the
+    # freq-broadcast and the arrays-broadcast guard); the estimate
+    # (24B overhead + 12B/shingle struct) errs high.
     arrays = ordered.select(
         "id", "n", F.transform("ord", lambda x: x["s"]).alias("sh")
     )
-    stats = ordered.select(
-        F.count(F.lit(1)).alias("rows"), F.sum("n").alias("toks")
-    ).first()
     est_bytes = (stats["rows"] or 0) * 40 + (stats["toks"] or 0) * 12
     broadcast_arrays = est_bytes <= 64 * 1024 * 1024
     if broadcast_arrays:

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 from . import edges as edges_mod
 from .update import last_wins
 
@@ -156,7 +158,7 @@ def augmented_diff(
     # joins / 112 Exchanges — plans/r11/q_augmented_diff_analog_
     # before.txt).  Like `chg`, it is diff-batch-sized by contract,
     # so materializing it is bounded at any corpus scale.
-    out = out.localCheckpoint(eager=True)
+    out = lineage.cut(out)
 
     # --- per-way old/new bboxes over member nodes (:309-342, the 5th
     # pass: every emitted way gets a <bounds> from its nd coordinates —

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 
 def phonetic_blocks(
     df: DataFrame, id_col: str, name_col: str
@@ -64,7 +66,7 @@ def linkage_pairs(
     # replicated per reference — the pre-fix q_record_linkage plan
     # held 96 parquet scans / 138 Exchanges (plans/r11).  The frame is
     # record-count-sized (id, name, block), the linkage proxy shape.
-    b = phonetic_blocks(df, id_col, name_col).localCheckpoint(eager=True)
+    b = lineage.cut(phonetic_blocks(df, id_col, name_col))
     hot = (
         b.groupBy("block")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -105,9 +107,7 @@ def linkage_against(
     nb = phonetic_blocks(new, id_col, name_col)
     # the reference side feeds the hot-block count and the join:
     # materialize it once (same rationale as linkage_pairs)
-    rb = phonetic_blocks(reference, id_col, name_col).localCheckpoint(
-        eager=True
-    )
+    rb = lineage.cut(phonetic_blocks(reference, id_col, name_col))
     hot = (
         rb.groupBy("block")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -205,6 +205,25 @@ def _build_decode_map(hlen, hcod):
     return out
 
 
+def _build_decode_lut(dec: dict, maxlen: int, width: int = 10):
+    """r12 §4.2: first-level LUT over the next min(maxlen, width) bits
+    — every codeword of length <= the LUT width decodes in ONE peek
+    instead of a per-bit dict walk.  Entries are (symbol, length);
+    None falls back to the exact walk (longer codewords, invalid
+    prefixes).  Built once per table at import time (the tables are
+    module-level singletons), so the build cost never lands on a
+    payload."""
+    lb = min(maxlen, width)
+    lut: list[tuple | None] = [None] * (1 << lb)
+    for (ln, code), sym in dec.items():
+        if ln <= lb:
+            base = code << (lb - ln)
+            entry = (sym, ln)
+            for i in range(1 << (lb - ln)):
+                lut[base + i] = entry
+    return lut, lb
+
+
 class HuffTable:
     """One big_values Huffman table: encode map (x,y)->(len,code),
     decode map (len,code)->(x,y), and the linbits escape width."""
@@ -216,6 +235,7 @@ class HuffTable:
         self.hcod = hcod
         self.dec = _build_decode_map(hlen, hcod)
         self.maxlen = max(max(r) for r in hlen)
+        self.lut, self.lut_bits = _build_decode_lut(self.dec, self.maxlen)
 
 
 # Verified big_values tables.  None = table exists in the standard but
@@ -243,6 +263,7 @@ BIG_VALUE_TABLES: dict[int, HuffTable | None] = {
 }
 
 _C1A_DEC = _build_decode_map(_HLEN_C1A, _HCOD_C1A)
+_C1A_LUT, _C1A_LUT_BITS = _build_decode_lut(_C1A_DEC, 6)
 
 # Scalefactor band partitions (MPEG-1), indexed by sample rate.
 SFB_LONG = {
@@ -300,6 +321,22 @@ class _BitReader:
     def bits_left(self) -> int:
         return len(self.data) * 8 - self.pos
 
+    def peek(self, n: int) -> int:
+        """Next n bits without advancing (caller guarantees n <=
+        bits_left); consuming via peek + pos += len is bit-identical
+        to the per-bit walk."""
+        v = 0
+        pos = self.pos
+        while n:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            shift = avail - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        return v
+
 
 class _BitWriter:
     def __init__(self):
@@ -329,9 +366,19 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _decode_symbol(br: _BitReader, dec: dict, maxlen: int):
+def _decode_symbol(br: _BitReader, dec: dict, maxlen: int,
+                   lut=None, lut_bits: int = 0):
     """Walk the bitstream one bit at a time until a codeword of the
-    prefix-free table matches (bounded by maxlen)."""
+    prefix-free table matches (bounded by maxlen).  With a LUT
+    (r12 §4.2), codewords of length <= lut_bits classify in one peek;
+    the walk remains both the long-code and the end-of-stream path
+    (peeking needs lut_bits buffered bits — near the end the per-bit
+    walk preserves the exact truncation error)."""
+    if lut is not None and br.bits_left() >= lut_bits:
+        hit = lut[br.peek(lut_bits)]
+        if hit is not None:
+            br.pos += hit[1]
+            return hit[0]
     code = 0
     for length in range(1, maxlen + 1):
         code = (code << 1) | br.read(1)
@@ -476,7 +523,8 @@ def _decode_huffman(br: _BitReader, g: GranuleInfo, sample_rate: int,
             xs[line + 1] = 0
             line += 2
             continue
-        x, y = _decode_symbol(br, table.dec, table.maxlen)
+        x, y = _decode_symbol(br, table.dec, table.maxlen,
+                              table.lut, table.lut_bits)
         if x == 15 and table.linbits:
             x += br.read(table.linbits)
         if x:
@@ -496,7 +544,8 @@ def _decode_huffman(br: _BitReader, g: GranuleInfo, sample_rate: int,
         if g.count1table_select:
             quad = br.read(4) ^ 0xF
         else:
-            quad = _decode_symbol(br, _C1A_DEC, 6)
+            quad = _decode_symbol(br, _C1A_DEC, 6,
+                                  _C1A_LUT, _C1A_LUT_BITS)
         vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1,
                 quad & 1]
         for v in vals:
@@ -896,6 +945,7 @@ def antialias(xr, g: GranuleInfo):
 
 
 _IMDCT_COS: dict = {}
+_IMDCT_COS_NP: dict = {}
 
 
 def _imdct(x, n):
@@ -922,17 +972,36 @@ def _imdct(x, n):
         _IMDCT_COS[n] = mat
     if not any(x):
         return [0.0] * n
-    return [
-        sum(x[k] * mat[i][k] for k in range(half))
-        for i in range(n)
-    ]
+    # r12 §4.2: same products, same left-to-right accumulation order —
+    # np.cumsum is a sequential scan, so row i's last prefix equals the
+    # python sum bit-for-bit (verified against the loop in tests); the
+    # matrix rows just run through C instead of a genexpr.
+    import numpy as np
+
+    npmat = _IMDCT_COS_NP.get(n)
+    if npmat is None:
+        npmat = np.array(mat, dtype=np.float64)
+        _IMDCT_COS_NP[n] = npmat
+    xv = np.asarray(x, dtype=np.float64)
+    prods = npmat * xv
+    if half == 1:
+        return prods[:, 0].tolist()
+    return prods.cumsum(axis=1)[:, -1].tolist()
+
+
+_WINDOW_LONG_CACHE: dict = {}
 
 
 def _window_long(block_type):
     """The 36-point sine windows for block types 0 (normal), 1
-    (start), 3 (stop) — all closed form."""
+    (start), 3 (stop) — all closed form (cached per type: the values
+    are deterministic and the trig re-evaluation showed up at ~13% of
+    decode_pcm in the r12 profile)."""
     import math
 
+    cached = _WINDOW_LONG_CACHE.get(block_type)
+    if cached is not None:
+        return cached
     w = []
     for i in range(36):
         if block_type == 0:
@@ -957,6 +1026,7 @@ def _window_long(block_type):
                 w.append(math.sin(math.pi / 36 * (i + 0.5)))
         else:
             raise ValueError("long window for block_type 2")
+    _WINDOW_LONG_CACHE[block_type] = w
     return w
 
 
@@ -1143,7 +1213,6 @@ class PolyphaseSynth:
         if len(window) != 512:
             raise ValueError("synthesis window must have 512 taps")
         self.window = list(window)
-        self.v = [0.0] * 1024
         if PolyphaseSynth._N_MATRIX is None:
             PolyphaseSynth._N_MATRIX = [
                 [math.cos((16 + i) * (2 * k + 1) * math.pi / 64.0)
@@ -1165,6 +1234,29 @@ class PolyphaseSynth:
                         128 * q + 96 + (r - 32)
                     )
                     self._taps[j].append((vidx, wv))
+        # r12 §4.2: when every output has the same number of nonzero
+        # taps (true for the gate window and for dense real windows),
+        # the gather runs as one (32, T) fancy-index + elementwise
+        # product + sequential row scan — identical products in
+        # identical order, no padding terms ever introduced.  Ragged
+        # windows keep the per-output python sum.
+        import numpy as np
+
+        counts = {len(t) for t in self._taps}
+        if len(counts) == 1 and counts != {0}:
+            self._tap_idx = np.array(
+                [[vi for vi, _ in row] for row in self._taps],
+                dtype=np.intp,
+            )
+            self._tap_w = np.array(
+                [[wv for _, wv in row] for row in self._taps],
+                dtype=np.float64,
+            )
+        else:
+            self._tap_idx = None
+        self._n_np = np.array(self._n, dtype=np.float64)
+        # the FIFO state; indexable like the old python list
+        self.v = np.zeros(1024, dtype=np.float64)
 
     def step(self, subband_samples):
         """One time step: 32 subband samples -> 32 PCM samples.
@@ -1174,23 +1266,31 @@ class PolyphaseSynth:
         granules."""
         if len(subband_samples) != 32:
             raise ValueError("expected 32 subband samples")
-        v = self.v
-        # shift the FIFO by 64 (newest block at the front)
-        v[64:] = v[:-64]
-        nz = [k for k, s in enumerate(subband_samples) if s != 0.0]
-        if not nz:
-            for i in range(64):
-                v[i] = 0.0
+        import numpy as np
+
+        # r12 §4.2 vectorized form of the definitional loops, product-
+        # for-product and in the same order (np.cumsum is a sequential
+        # scan; the nonzero-subband skip is the same index list the
+        # python path used, ascending), so the PCM floats are
+        # bit-identical — pinned by tests/test_mp3l3.py's step-
+        # equivalence test against the reference python loop.
+        v = np.empty(1024, dtype=np.float64)
+        v[64:] = self.v[:-64]  # shift the FIFO by 64
+        s = np.asarray(subband_samples, dtype=np.float64)
+        nz = np.nonzero(s != 0.0)[0]
+        if nz.size == 0:
+            v[:64] = 0.0
+        elif nz.size == 1:
+            v[:64] = self._n_np[:, nz[0]] * s[nz[0]]
         else:
-            for i in range(64):
-                row = self._n[i]
-                v[i] = sum(row[k] * subband_samples[k] for k in nz)
-        # The U-gather + windowing + 16-fold accumulation, fused:
-        # _taps precomputes, per output sample j, the (v-index,
-        # window-tap) pairs with NONZERO taps in i-ascending order —
-        # the same products in the same order as the definitional
-        # u/w loops (zero-tap terms contribute +-0.0 and drop
-        # bit-exactly), without materializing u and w.
+            v[:64] = (self._n_np[:, nz] * s[nz]).cumsum(axis=1)[:, -1]
+        self.v = v
+        if self._tap_idx is not None:
+            prods = v[self._tap_idx] * self._tap_w
+            if prods.shape[1] == 1:
+                return prods[:, 0].tolist()
+            return prods.cumsum(axis=1)[:, -1].tolist()
+        # ragged window: keep the exact per-output python fold
         taps = self._taps
         return [
             sum(v[vi] * wv for vi, wv in taps[j]) for j in range(32)

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 FEATURE_SCHEMA = (
     "item_id long, n_bytes long, modality string, "
     "feat array<double>, decode_ok boolean"
@@ -1022,6 +1024,25 @@ class _JpegBits:
                 )
         return v
 
+    # r12 §4.2: peek/skip split so the Huffman LUT can classify a whole
+    # code in one buffered read instead of 1-16 get(1) round-trips.
+    # peek pads with zeros past a terminating marker exactly like
+    # _fill's EOB-completion path, and skip applies the same real_bits
+    # truncation accounting as get — consuming via peek+skip is
+    # bit-for-bit the same stream state as the per-bit walk.
+    def peek(self, n: int) -> int:
+        self._fill()
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        if self.real_bits is not None:
+            self.real_bits -= n
+            if self.real_bits < -16:
+                raise ValueError(
+                    "JPEG entropy data ends before the last MCU"
+                )
+
     def restart(self, expected: int) -> None:
         """Byte-align and consume the next RSTn marker."""
         self.acc, self.nbits = 0, 0
@@ -1065,8 +1086,40 @@ class _JpegHuff:
             code <<= 1
         if k != len(symbols):
             raise ValueError("JPEG Huffman table count/symbol mismatch")
+        # r12 §4.2 decode constant: first-level LUT over the next
+        # lut_bits of the stream classifies every code of length <=
+        # lut_bits in ONE peek instead of a per-bit canonical walk
+        # (measured 1.6 ms/doc on the SOF3 seam, dominated by 5x
+        # get(1) + range-check per symbol).  Codes longer than
+        # lut_bits (rare: DC/lossless tables are short) fall back to
+        # the exact walk.  Bounded build cost: 2^lut_bits <= 256
+        # entries per table, built once per parsed table.
+        maxlen = 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                maxlen = ln
+        self.lut_bits = min(8, maxlen) if maxlen else 0
+        lut: list[tuple[int, int] | None] = [None] * (1 << self.lut_bits)
+        if self.lut_bits:
+            code, k = 0, 0
+            for ln in range(1, 17):
+                for _ in range(counts[ln - 1]):
+                    if ln <= self.lut_bits:
+                        base = code << (self.lut_bits - ln)
+                        entry = (symbols[k], ln)
+                        for i in range(1 << (self.lut_bits - ln)):
+                            lut[base + i] = entry
+                    code += 1
+                    k += 1
+                code <<= 1
+        self.lut = lut
 
     def decode(self, bits: _JpegBits) -> int:
+        if self.lut_bits:
+            hit = self.lut[bits.peek(self.lut_bits)]
+            if hit is not None:
+                bits.skip(hit[1])
+                return hit[0]
         code = 0
         for ln in range(1, 17):
             code = (code << 1) | bits.get(1)
@@ -1644,6 +1697,66 @@ def _jpeg_lossless_decode(
     bits = _JpegBits(d, pos)
     unit, rst_idx = 0, 0
     row_restart = [0] * ncomp  # row where the current interval began
+
+    if restart_interval == 0 and pred_sel in (1, 2, 4):
+        # r12 §4.2: with no restart intervals, predictors 1 (left),
+        # 2 (above) and 4 (Ra+Rb-Rc) are LINEAR recurrences over the
+        # decoded differences, so the per-pixel branch ladder and
+        # numpy scalar stores collapse into exact int64 prefix sums:
+        #   pred 1: row y = cumsum from p[y][0]; first column = cumsum
+        #           down from the default (the y==0 / x==0 branches);
+        #   pred 2: column-wise cumsum below a left-cumsum row 0;
+        #   pred 4: p[y][x] = p[y][x-1]+p[y-1][x]-p[y-1][x-1]+diff —
+        #           the 2D prefix sum of the diff array (row 0 and
+        #           column 0 reduce to the same 1D sums).
+        # Addition mod 2^16 is a ring homomorphism, so masking once at
+        # the end equals the old per-step `& 0xFFFF` (int64 cannot
+        # overflow: |diff| <= 65535 and h, w <= 65535).  Predictors
+        # 3/5-7 (shift nonlinearity) and restart intervals keep the
+        # exact per-pixel loop below; every predictor is pinned
+        # bit-exact by tests/test_jpeg_extended.py.
+        flat: list[int] = []
+        append = flat.append
+        get = bits.get
+        for _ in range(h * w):
+            for ci in range(ncomp):
+                t = tabs[ci].decode(bits)
+                if t > 16:
+                    raise ValueError("JPEG lossless SSSS > 16")
+                append(32768 if t == 16 else _jpeg_extend(get(t), t))
+        all_diffs = np.array(flat, dtype=np.int64).reshape(h, w, ncomp)
+        for ci in range(ncomp):
+            dd = all_diffs[:, :, ci]
+            p = np.empty((h, w), dtype=np.int64)
+            if pred_sel == 1:
+                col0 = default + np.cumsum(dd[:, 0])
+                p[:, 0] = col0
+                if w > 1:
+                    p[:, 1:] = dd[:, 1:]
+                    np.cumsum(p, axis=1, out=p)
+            elif pred_sel == 2:
+                row0 = default + np.cumsum(dd[0, :])
+                p[0, :] = row0
+                if h > 1:
+                    p[1:, :] = dd[1:, :]
+                    np.cumsum(p, axis=0, out=p)
+            else:  # pred_sel == 4: 2D prefix sum
+                p[:, :] = dd
+                p[0, 0] += default
+                np.cumsum(p, axis=1, out=p)
+                np.cumsum(p, axis=0, out=p)
+            planes[ci][:, :] = p & 0xFFFF
+        maxval = float((1 << prec) - 1)
+        full = [
+            np.clip(pl.astype(np.float64) * (1 << pt), 0.0, maxval)
+            for pl in planes
+        ]
+        if ncomp == 1:
+            m = float(full[0].mean() / maxval)
+            return [float(w), float(h), m, m, m]
+        return [float(w), float(h)] + [
+            float(pl.mean() / maxval) for pl in full
+        ]
 
     for y in range(h):
         for x in range(w):
@@ -3122,7 +3235,7 @@ def near_dup_by_bands(
     the transform(slice(feat...)) subtree; see plans/r11).  Measured on
     the r11 bench host: 26.8s -> 3.3s for q_image_near_dup at sf0.1,
     results bit-identical."""
-    bands_df = bands_df.localCheckpoint(eager=True)
+    bands_df = lineage.cut(bands_df)
     bands = [f"band_{b}" for b in range(n_bands)]
     melted = bands_df.select(
         F.col(id_col),
@@ -3186,7 +3299,7 @@ def _seam_fanout(ids_df: DataFrame) -> DataFrame:
     (and decoded) AFTER the exchange, so this never shuffles blobs."""
     spark = ids_df.sparkSession
     slots = spark.sparkContext.defaultParallelism
-    if ids_df.rdd.getNumPartitions() < slots:
+    if lineage.narrow_scan(ids_df, slots):
         return ids_df.repartition(slots)
     return ids_df
 
@@ -3408,7 +3521,7 @@ def near_dup_against_store(
     which Catalyst otherwise re-inlines into the melt projection and
     the post-join Hamming arithmetic.  The store side is parquet-backed
     (plain attribute references), so it joins as-is."""
-    new_bands = new_bands.localCheckpoint(eager=True)
+    new_bands = lineage.cut(new_bands)
     bands = [f"band_{b}" for b in range(n_bands)]
 
     def melt(df, alias):

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double fold of the element products."""
@@ -1675,9 +1677,16 @@ def kcenter_select(
         )
         # lazy cut: materializes inside the NEXT round's argmax job, so
         # each round stays ONE job reading the previous round's state
-        return folded.localCheckpoint(eager=False)
+        return lineage.cut(folded, eager=False)
 
     cur = _with_center(q, 0, centers[0][1], centers[0][2])
+    # r12 block hygiene (ADVICE r11): each round's collect materializes
+    # `cur` (generation r-1); the generation BEFORE it can then never
+    # be read again (its successor's blocks carry the folded state), so
+    # release it instead of retaining O(k * corpus) superseded block
+    # sets while the loop runs.  The two newest generations stay alive:
+    # the lazy generation r still reads r-1 when it materializes.
+    prev_gen: DataFrame | None = None
     for r in range(1, k):
         sel_ids = [cid for _, cid, _, _ in centers]
         row = (
@@ -1691,6 +1700,9 @@ def kcenter_select(
             .limit(1)
             .collect()
         )
+        if prev_gen is not None:
+            lineage.release(prev_gen)
+        prev_gen = cur
         if not row:
             break  # fewer than k rows: the selection IS the corpus
         centers.append((r, row[0][id_col], list(row[0]["qv"]), row[0]["d2"]))

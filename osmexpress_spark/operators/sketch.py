@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 KMV_BITS = 48  # 12 hex chars: exact in an IEEE double (<= 2^53)
 
 
@@ -786,7 +788,7 @@ def exact_frequent_items(
     # when the scan is narrower.  At scale the condition is false and
     # the two-pass scan shape is untouched.
     slots = df.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < slots:
+    if lineage.narrow_scan(sel, slots):
         sel = sel.repartition(slots)
     rows = cms_build(sel, F.col("item"), w, d).collect()
     counts = [[0] * w for _ in range(d)]

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .. import lineage
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 # marker words per language for the n-gram/keyword heuristic; the
@@ -636,7 +638,7 @@ def hashed_features_stats(
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
     src = df.select(F.col(id_col), F.col(text_col))
-    if src.rdd.getNumPartitions() < slots:
+    if lineage.narrow_scan(src, slots):
         src = src.repartition(slots)
     base = src.select(F.col(id_col), iv.alias("_v"))
     pv = F.col("_v")

@@ -37,6 +37,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from . import lineage
 from pyspark.sql import types as T
 
 from .operators.asof import asof_join
@@ -89,7 +91,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # corpus scale the file fan-out exceeds defaultParallelism
         # and this is a no-op, keeping the scan-shaped plans.
         slots = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < slots:
+        if lineage.narrow_scan(df, slots):
             df = df.repartition(slots)
     return df
 

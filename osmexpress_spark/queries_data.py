@@ -4449,6 +4449,18 @@ def q_stream_drift(spark, sf_dir):
     the census per epoch bit-for-bit. The PSI/alert form
     (drift_monitor_stream) is psi_drift over these same rows — e2e
     tested; the float never enters the gate."""
+    return _stream_drift_impl(spark, sf_dir, max_files_per_trigger=1)
+
+
+def _stream_drift_impl(spark, sf_dir, max_files_per_trigger):
+    """q_stream_drift's pipeline with the trigger cadence as a
+    parameter (r12): the declared gate pins maxFilesPerTrigger=1 (the
+    per-file epochs ARE its semantics); the bench's
+    q_stream_drift_prod line runs the SAME pipeline through the
+    production entry (watermark_ops.file_stream, whole backlog in one
+    availableNow batch), whose output is identical because the census
+    keys on the epoch LABEL in the data — pinned by
+    tests/test_watermark_ops.py::test_file_stream_prod_path_matches_per_file_gate."""
     import tempfile
 
     from .operators import sketch
@@ -4468,12 +4480,10 @@ def q_stream_drift(spark, sf_dir):
         feed.where(F.col("epoch") == e).coalesce(1).write.mode(
             "append"
         ).parquet(base + "/feed")
-    stream = (
-        spark.readStream.schema(
-            spark.read.parquet(base + "/feed").schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(base + "/feed")
+    stream = W.file_stream(
+        spark,
+        base + "/feed",
+        max_files_per_trigger=max_files_per_trigger,
     )
     W.drift_census_stream(
         stream,
@@ -6201,9 +6211,21 @@ def q_stream_rollup(spark, sf_dir):
     machinery q_rollup_store covers; the at-least-once replay
     idempotence (redelivered epoch overwrites itself) is pinned by
     the suite's fresh-checkpoint replay test."""
+    return _stream_rollup_impl(spark, sf_dir, max_files_per_trigger=1)
+
+
+def _stream_rollup_impl(spark, sf_dir, max_files_per_trigger):
+    """q_stream_rollup's pipeline with the trigger cadence as a
+    parameter (r12): the declared gate pins maxFilesPerTrigger=1; the
+    bench's q_stream_rollup_prod line drains the backlog in one
+    availableNow batch through watermark_ops.file_stream.  The series
+    read folds epoch partials through the associative merge, so the
+    output is identical whichever way the feed was chunked into
+    micro-batches."""
     import tempfile
 
     from .operators import rollup
+    from .streaming import watermark_ops as W
 
     ev = t(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="osmx_q_stream_rollup_")
@@ -6211,10 +6233,10 @@ def q_stream_rollup(spark, sf_dir):
         ev.where(F.col("event_id") % 2 == e).coalesce(1).write.mode(
             "append"
         ).parquet(base + "/feed")
-    stream = (
-        spark.readStream.schema(spark.read.parquet(base + "/feed").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(base + "/feed")
+    stream = W.file_stream(
+        spark,
+        base + "/feed",
+        max_files_per_trigger=max_files_per_trigger,
     )
     rollup.rollup_stream(
         stream, base + "/store", base + "/ckpt", key_cols=["event_type"]

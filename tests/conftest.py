@@ -14,3 +14,26 @@ from osmexpress_spark.session import get_spark  # noqa: E402
 def spark():
     s = get_spark(app_name="osmx-tests", cpus=8, shuffle_partitions=8)
     yield s
+
+
+def assert_no_key_exchange(
+    plan: str, ctx: str = "", allow_single_partition: bool = False
+) -> None:
+    """r12 tightening of the r11 plan-gate relaxation (ADVICE r11):
+    the r11 scale-adaptive fan-out made gates allow round-robin
+    repartitions, but asserting only "no Exchange hashpartitioning"
+    would also wave through range/SinglePartition exchanges.  Strip
+    the legitimate node kinds — round-robin fan-out, broadcast builds,
+    and (only where a site declares a scalar statistic aggregate
+    legitimate) SinglePartition — and require that NO other Exchange
+    remains.  Both explain("formatted") and executedPlan().toString()
+    casings are handled."""
+    stripped = plan.replace("BroadcastExchange", "")
+    for tok in (
+        "Exchange roundrobinpartitioning",
+        "Exchange RoundRobinPartitioning",
+    ):
+        stripped = stripped.replace(tok, "")
+    if allow_single_partition:
+        stripped = stripped.replace("Exchange SinglePartition", "")
+    assert "Exchange" not in stripped, ctx or stripped[:400]

@@ -12,6 +12,8 @@ from osmexpress_spark.operators import edges as edges_mod
 from osmexpress_spark.operators.closure import transitive_closure
 from osmexpress_spark.spatial import Region, cover
 
+from conftest import assert_no_key_exchange  # noqa: E402
+
 
 @pytest.fixture(scope="module")
 def fixture_rows():
@@ -229,7 +231,7 @@ def test_point_in_box_join_matches_bruteforce_and_plan(spark):
     # covering candidates never duplicate pairs -> no distinct, and the
     # big side never shuffles: broadcast exchanges only, no repartition
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan
 

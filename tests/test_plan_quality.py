@@ -11,6 +11,8 @@ import pytest
 from osmexpress_spark import queries as Q
 from osmexpress_spark import queries_data as QD
 
+from conftest import assert_no_key_exchange  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -126,7 +128,7 @@ def test_pq_encode_zero_shuffle(spark):
     # round-robin the small vector frame when the scan is narrower
     # than the session's slots
     plan = _final_plan(QD.SPARK_QUERIES["q_pq_encode"](spark, SF_DIR))
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

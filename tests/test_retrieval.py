@@ -7,6 +7,8 @@ from __future__ import annotations
 from osmexpress_spark.operators import retrieval
 
 
+from conftest import assert_no_key_exchange  # noqa: E402
+
 def test_bm25_ranks_matching_docs(spark):
     docs = spark.createDataFrame(
         [
@@ -37,7 +39,7 @@ def test_bm25_plan_has_no_shuffle_before_topk(spark):
     assert "TakeOrderedAndProject" in plan
     # allowed: Exchange SinglePartition (stats agg) + BroadcastExchange
     # (stats row); forbidden: any hash repartitioning of the corpus
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan, allow_single_partition=True)
     assert "PythonUDF" not in plan
 
 

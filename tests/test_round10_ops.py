@@ -34,6 +34,8 @@ from osmexpress_spark.sources import warc as W
 # ---------------------------------------------------------------- zstd
 
 
+from conftest import assert_no_key_exchange  # noqa: E402
+
 def test_zstd_handcrafted_raw_block_decodes_via_libzstd():
     # magic + FHD(single-segment, fcs_flag=0 -> 1-byte FCS) + fcs=5
     # + block header (last=1, type=raw, size=5) + "hello"
@@ -345,7 +347,7 @@ def test_round10_staged_plans_stay_jvm_side(spark):
             # key shuffle (the r11 scale-adaptive seam fan-out may
             # round-robin the tiny id column before the seam)
             assert "MapInPandas" in plan
-            assert "Exchange hashpartitioning" not in plan, name
+            assert_no_key_exchange(plan, name)
         else:
             # the WARC rollup aggregates record rows: exactly one
             # shuffle (map-side combined), after the Arrow seam
@@ -366,7 +368,7 @@ def test_mp3_decode_gate_plan(spark):
     assert "MapInPandas" in plan
     # no key/payload shuffle; the r11 scale-adaptive seam fan-out
     # may round-robin the tiny id column before the Arrow seam
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

@@ -27,6 +27,8 @@ from osmexpress_spark.operators import text as T
 # ------------------------------------------------------------------ PSL
 
 
+from conftest import assert_no_key_exchange  # noqa: E402
+
 def _psl_model(host: str, rules) -> tuple[str, str | None]:
     """Independent PSL model, straight from the published algorithm:
     collect ALL matching rules by explicit label-by-label comparison
@@ -406,7 +408,7 @@ def test_mp3_pcm_gate_plan(spark):
     assert "MapInPandas" in plan
     # no key/payload shuffle; the r11 scale-adaptive seam fan-out
     # may round-robin the tiny id column before the Arrow seam
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
@@ -498,7 +500,7 @@ def test_vorbis_gate_plan(spark):
     assert "MapInPandas" in plan
     # no key/payload shuffle; the r11 scale-adaptive seam fan-out
     # may round-robin the tiny id column before the Arrow seam
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
@@ -619,5 +621,5 @@ def test_adts_gate_plan(spark):
     assert "MapInPandas" in plan
     # no key/payload shuffle; the r11 scale-adaptive seam fan-out
     # may round-robin the tiny id column before the Arrow seam
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "BatchEvalPython" not in plan

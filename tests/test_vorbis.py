@@ -24,6 +24,8 @@ from osmexpress_spark.operators.multimodal import (
 # --------------------------------------------------------- codewords
 
 
+from conftest import assert_no_key_exchange  # noqa: E402
+
 def _brute_force_assign(lengths: dict[int, int]) -> dict:
     """Independent model: for each entry in order, scan codewords of
     its length in ascending numeric order and take the first that
@@ -654,7 +656,7 @@ def test_vorbis_pcm_gate_plan(spark):
     assert "MapInPandas" in plan
     # no key/payload shuffle; the r11 scale-adaptive seam fan-out
     # may round-robin the tiny id column before the Arrow seam
-    assert "Exchange hashpartitioning" not in plan
+    assert_no_key_exchange(plan)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

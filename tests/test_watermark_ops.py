@@ -451,3 +451,58 @@ def test_drift_census_stream_epoch_label_keying(spark, tmp_path):
             )
         )
         assert got == want and len(got) > 0, e
+
+
+def test_file_stream_prod_path_matches_per_file_gate(spark, tmp_path):
+    """r12 production entry (VERDICT r11 #7): file_stream with the
+    default trigger (whole backlog in one availableNow batch) produces
+    byte-identical census output to the per-file gate cadence
+    (maxFilesPerTrigger=1) — the operators key on the epoch LABEL, so
+    trigger chunking must not matter."""
+    from osmexpress_spark.operators import sketch
+    from osmexpress_spark.streaming import watermark_ops
+
+    rng = __import__("random").Random(13)
+    ref = spark.createDataFrame(
+        [(i, rng.randint(100, 900)) for i in range(300)],
+        "doc_id long, n_chars long",
+    )
+    ref_path = str(tmp_path / "ref_sketch")
+    sketch.quantile_sketch_build(ref, F.col("n_chars")).write.parquet(
+        ref_path
+    )
+    feed = spark.createDataFrame(
+        [
+            (i, 1 if i % 2 == 0 else 2, rng.randint(100, 2000))
+            for i in range(200)
+        ],
+        "doc_id long, epoch long, n_chars long",
+    )
+    feed_path = str(tmp_path / "feed")
+    for e in (1, 2):  # one file per epoch, like the gate fixture
+        feed.where(F.col("epoch") == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_path)
+
+    outs = {}
+    for name, mfpt in (("gate", 1), ("prod", None)):
+        out = str(tmp_path / f"census_{name}")
+        stream = watermark_ops.file_stream(
+            spark, feed_path, schema=feed.schema,
+            max_files_per_trigger=mfpt,
+        )
+        watermark_ops.drift_census_stream(
+            stream, ref_path, out, str(tmp_path / f"ckpt_{name}"),
+            value_col="n_chars", epoch_col="epoch",
+        ).awaitTermination(120)
+        outs[name] = {
+            e: sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(f"{out}/epoch={e}").collect(),
+                )
+            )
+            for e in (1, 2)
+        }
+    assert outs["prod"] == outs["gate"]
+    assert all(len(v) > 0 for v in outs["gate"].values())
