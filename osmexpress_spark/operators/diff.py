@@ -43,6 +43,16 @@ def augmented_diff(
     chg = last_wins(changes).localCheckpoint(eager=True)
 
     # --- classify against the snapshot (J4; augmented_diff.py:48-55) ------
+    # r12 join strategy (guide §3.1/§3.2): every non-snapshot frame in
+    # this operator is DIFF-BATCH-BOUNDED by contract, so the snapshot
+    # (planet-sized) tables must never shuffle against them.  The r11
+    # final plan ran 10 SortMergeJoins — node_way and locations were
+    # each shuffled several times to meet batch-sized id sets.  The
+    # pattern applied throughout: semi-filter the snapshot side with a
+    # BROADCAST of the batch ids (a map-side filter, no exchange),
+    # then broadcast the now-batch-bounded result into the outer join.
+    # Broadcast hints on batch-bounded frames are scale-safe — their
+    # size is bounded by the change feed, not the corpus.
     def classify(typ: str, old: DataFrame) -> DataFrame:
         c = chg.where(F.col("type") == typ).select(
             "id",
@@ -55,6 +65,10 @@ def augmented_diff(
             if "version" in old.columns
             else [F.col("metadata.version").alias("old_version")]
         ))
+        # snapshot rows surviving the id semi-filter are <= batch-sized
+        o = F.broadcast(
+            o.join(F.broadcast(c.select("id")), "id", "left_semi")
+        )
         j = c.join(o, "id", "left_outer")
         action = (
             F.when(~F.col("visible"),
@@ -94,21 +108,28 @@ def augmented_diff(
         way_rel = edges_mod.way_relation(tables["relations"])
 
     parent_ways = (
-        node_way.join(node_ids, node_way["node_id"] == node_ids["id"])
+        node_way.join(
+            F.broadcast(node_ids), node_way["node_id"] == node_ids["id"]
+        )
         .select(F.col("way_id").alias("id"))
         .distinct()
-        .join(way_ids_direct, "id", "left_anti")  # direct wins
+        .join(F.broadcast(way_ids_direct), "id", "left_anti")  # direct wins
     )
     touched_ways = way_ids_direct.unionByName(parent_ways.select("id")).distinct()
     parent_rels = (
-        node_rel.join(node_ids, node_rel["node_id"] == node_ids["id"])
+        node_rel.join(
+            F.broadcast(node_ids), node_rel["node_id"] == node_ids["id"]
+        )
         .select(F.col("relation_id").alias("id"))
         .unionByName(
-            way_rel.join(touched_ways, way_rel["way_id"] == touched_ways["id"])
+            way_rel.join(
+                F.broadcast(touched_ways),
+                way_rel["way_id"] == touched_ways["id"],
+            )
             .select(F.col("relation_id").alias("id"))
         )
         .distinct()
-        .join(rel_ids_direct, "id", "left_anti")
+        .join(F.broadcast(rel_ids_direct), "id", "left_anti")
     )
 
     indirect = (
@@ -135,10 +156,27 @@ def augmented_diff(
     )
 
     # --- bounds for directly-changed nodes (A4; :309-342) ------------------
-    old_pos = tables["locations"].select("id", F.col("lon").alias("old_lon"),
-                                         F.col("lat").alias("old_lat"))
-    new_pos = chg.where((F.col("type") == "node") & F.col("visible")).select(
-        "id", F.col("lon").alias("new_lon"), F.col("lat").alias("new_lat")
+    # old positions can only be consumed for type='node' rows (the
+    # select below masks every other type to null), and every direct
+    # node id is in the batch's node id set — so semi-filtering the
+    # planet-sized locations table by a broadcast of those ids, then
+    # broadcasting the batch-bounded survivors, is exact: rows the
+    # filter drops could only ever have produced masked-to-null
+    # columns (ways/relations whose numeric id collides with some
+    # node's).
+    old_pos = F.broadcast(
+        tables["locations"]
+        .select("id", F.col("lon").alias("old_lon"),
+                F.col("lat").alias("old_lat"))
+        .join(
+            F.broadcast(chg.where(F.col("type") == "node").select("id")),
+            "id", "left_semi",
+        )
+    )
+    new_pos = F.broadcast(
+        chg.where((F.col("type") == "node") & F.col("visible")).select(
+            "id", F.col("lon").alias("new_lon"), F.col("lat").alias("new_lat")
+        )
     )
     out = direct.unionByName(indirect)
     out = (
@@ -174,8 +212,18 @@ def augmented_diff(
     touched_way_ids = way_rows.select("id")
 
     def bbox(edges: DataFrame, pos: DataFrame, prefix: str) -> DataFrame:
-        e = edges.join(touched_way_ids, edges["way_id"] == touched_way_ids["id"],
-                       "left_semi")
+        # touched ways are batch-bounded -> broadcast semi keeps the
+        # (planet-sized) edge table un-shuffled; the surviving edges
+        # are batch x way-size bounded, so THEY broadcast against the
+        # planet-sized position table — the corpus side of both joins
+        # never crosses an exchange (guide §3.1).
+        e = F.broadcast(
+            edges.join(
+                F.broadcast(touched_way_ids),
+                edges["way_id"] == touched_way_ids["id"],
+                "left_semi",
+            )
+        )
         return (
             e.join(pos, e["node_id"] == pos["id"])
             .groupBy("way_id")
@@ -195,7 +243,7 @@ def augmented_diff(
     chg_nodes = chg.where(F.col("type") == "node")
     new_loc = (
         tables["locations"].select("id", "lon", "lat")
-        .join(chg_nodes.select("id"), "id", "left_anti")
+        .join(F.broadcast(chg_nodes.select("id")), "id", "left_anti")
         .unionByName(
             chg_nodes.where(F.col("visible")).select("id", "lon", "lat")
         )
@@ -211,7 +259,9 @@ def augmented_diff(
         )
         .unionByName(
             node_way.join(
-                ways_with_refs.select(F.col("id").alias("way_id")),
+                F.broadcast(
+                    ways_with_refs.select(F.col("id").alias("way_id"))
+                ),
                 "way_id", "left_anti",
             ).select("way_id", "node_id")
         )
@@ -219,9 +269,15 @@ def augmented_diff(
     new_bbox = bbox(new_edges, new_loc, "new")
 
     way_rows = (
-        way_rows.join(old_bbox, way_rows["id"] == old_bbox["way_id"], "left_outer")
+        way_rows.join(
+            F.broadcast(old_bbox),
+            way_rows["id"] == old_bbox["way_id"], "left_outer",
+        )
         .drop("way_id")
-        .join(new_bbox, way_rows["id"] == new_bbox["way_id"], "left_outer")
+        .join(
+            F.broadcast(new_bbox),
+            way_rows["id"] == new_bbox["way_id"], "left_outer",
+        )
         .drop("way_id")
     )
     # a deleted way has no new geometry (the reference's new element

@@ -305,7 +305,11 @@ def test_staged_round7_plans_stay_jvm_side(spark):
     """Round-7 staged queries: Python-free hot paths, no cartesian
     corpus products. (q_stream_drift is excluded — its work happens
     inside a foreachBatch sink, exercised by its gate + e2e test.)"""
-    for name in ("q_hard_negatives_ivf", "q_embedding_gram",
+    # q_embedding_gram moved OFF this list in r12: its gram partials
+    # now come from a deliberate mapInArrow+numpy seam (A/B-measured
+    # 10x at 32x rows, results bit-identical — OPTIMIZATION_r12.md);
+    # its own plan gate below pins the new shape.
+    for name in ("q_hard_negatives_ivf",
                  "q_softdedup_weights", "q_vocab_growth",
                  "q_ngram_novelty", "q_rank_blend"):
         plan = _final_plan(QD.SPARK_QUERIES[name](spark, SF_DIR))
@@ -317,7 +321,10 @@ def test_staged_round7_plans_stay_jvm_side(spark):
 def test_embedding_gram_single_mapside_exchange(spark):
     """The gram matrix is ONE map-side-combined aggregate: the corpus
     never shuffles, only <= dim*(dim+1)/2 partial rows per task do,
-    and there is no window or join anywhere in the plan."""
+    and there is no window or join anywhere in the plan.  r12: the
+    per-task partial is a mapInArrow integer matmul (one 2,080-row
+    batch partial instead of 2,080 exploded rows per doc); the
+    aggregate over the partials keeps the single key shuffle."""
     plan = _final_plan(
         QD.SPARK_QUERIES["q_embedding_gram"](spark, SF_DIR)
     )
@@ -325,7 +332,8 @@ def test_embedding_gram_single_mapside_exchange(spark):
     # r11 scale-adaptive embeddings fan-out may add a round-robin
     # exchange before the per-row dot products
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "partial_sum" in plan and "partial_count" in plan
+    assert "MapInArrow" in plan
+    assert "partial_sum" in plan
     assert "Join" not in plan and "Window" not in plan
 
 
