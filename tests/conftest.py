@@ -37,3 +37,29 @@ def assert_no_key_exchange(
     if allow_single_partition:
         stripped = stripped.replace("Exchange SinglePartition", "")
     assert "Exchange" not in stripped, ctx or stripped[:400]
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="include tests marked slow (the full tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """r12 fast tier (VERDICT r11 #9): the full suite outgrew the
+    driver's verification window (~44 min; VERIFY_r11 stopped at 53%
+    with zero failures).  Long sweeps carry @pytest.mark.slow and are
+    skipped by DEFAULT so `python -m pytest tests/ -x -q` — the
+    driver's exact command — finishes inside the window; the full
+    tier runs with --runslow or OSMX_RUN_SLOW=1 (CI/round-end
+    validation).  Oracle parity at sf0.001 and the plan-assertion
+    suites stay in the smoke tier by design."""
+    if config.getoption("--runslow") or os.environ.get("OSMX_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (pass --runslow or set OSMX_RUN_SLOW=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -4,6 +4,8 @@ test_oracle_parity (q_asof_join, q_asof_join_forward)."""
 
 from __future__ import annotations
 
+import pytest
+
 from osmexpress_spark.operators.asof import asof_join
 
 
@@ -19,6 +21,7 @@ def _frames(spark):
     return left, right
 
 
+@pytest.mark.slow
 def test_asof_backward_and_forward_semantics(spark):
     left, right = _frames(spark)
     back = {
@@ -37,6 +40,7 @@ def test_asof_backward_and_forward_semantics(spark):
     assert fwd == {1: 10, 2: 12, 3: 10, 4: None}
 
 
+@pytest.mark.slow
 def test_asof_is_single_shuffle(spark):
     left, right = _frames(spark)
     for direction in ("backward", "forward"):

@@ -4,6 +4,8 @@ actually split a pathological key."""
 
 from __future__ import annotations
 
+import pytest
+
 import uuid
 
 from pyspark.sql import functions as F
@@ -16,6 +18,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_exchange(spark):
     a_name = "t_orders_" + uuid.uuid4().hex[:8]
     b_name = "t_lines_" + uuid.uuid4().hex[:8]
@@ -52,6 +55,7 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")
 
 
+@pytest.mark.slow
 def test_aqe_splits_skewed_join(spark):
     """A 100:1 skewed key must trigger AQE's skew-join split (the
     runtime mitigation the session enables by default) — visible as

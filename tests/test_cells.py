@@ -4,6 +4,8 @@ ranges must nest correctly."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -47,6 +49,7 @@ def test_merge_ranges():
     assert cells.merge_ranges([]) == []
 
 
+@pytest.mark.slow
 def test_cell_col_matches_python(spark):
     """JVM bitwise expression == Python scalar, on a deterministic sweep
     plus extreme corners."""

@@ -5,6 +5,8 @@ the shared test session."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from osmexpress_spark.__main__ import main
@@ -19,6 +21,12 @@ OSC = """<osmChange version="0.6">
 <delete><node id="4"/></delete>
 <create><node id="999001" lat="1.0" lon="2.0" version="1"><tag k="amenity" v="new"/></node></create>
 </osmChange>"""
+
+
+pytestmark = pytest.mark.slow  # r12 fast tier: end-to-end
+# example/CLI sweeps (~8 min of the 35-min full run) run with
+# --runslow / OSMX_RUN_SLOW=1; the smoke tier keeps oracle
+# parity + plan gates (VERDICT r11 #9).
 
 
 def test_cli_expand_query_extract_update(spark, tmp_path, capsys):

@@ -3,12 +3,15 @@ canonical documents schema, deriving what the input lacks."""
 
 from __future__ import annotations
 
+import pytest
+
 import gzip
 import json
 
 from osmexpress_spark.sources.corpus import DOCUMENTS_SCHEMA, read_documents
 
 
+@pytest.mark.slow
 def test_jsonl_gz_normalizes_and_derives(spark, tmp_path):
     p = tmp_path / "drop.jsonl.gz"
     rows = [
@@ -27,6 +30,7 @@ def test_jsonl_gz_normalizes_and_derives(spark, tmp_path):
     assert "extra" not in df.columns              # dropped
 
 
+@pytest.mark.slow
 def test_csv_and_parquet_roundtrip(spark, tmp_path):
     csv = tmp_path / "corpus.csv"
     csv.write_text("doc_id,text,source\n7,seven words here,web\n")
@@ -48,6 +52,7 @@ def test_missing_required_column_raises(spark, tmp_path):
         read_documents(spark, str(p))
 
 
+@pytest.mark.slow
 def test_write_documents_jsonl_roundtrip(spark, tmp_path):
     from osmexpress_spark.sources import corpus
 

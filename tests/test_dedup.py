@@ -10,6 +10,7 @@ import pytest
 from osmexpress_spark.operators import closure, dedup
 
 
+@pytest.mark.slow
 def test_minhash_forms_agree_on_empty_docs(spark):
     """Column form gives NULL, df form omits the doc — the two
     advertised-equivalent forms agree that a doc with < k words has no
@@ -33,6 +34,7 @@ def test_minhash_forms_agree_on_empty_docs(spark):
         assert col_form[r["id"]] == [r[f"h{p}"] for p in range(4)]
 
 
+@pytest.mark.slow
 def test_jaccard_stop_shingle_cap_bounds_pairs(spark):
     """An adversarial ubiquitous shingle must not quadratically explode
     the bucket: with the cap, only pairs sharing RARE shingles
@@ -58,6 +60,7 @@ def test_jaccard_stop_shingle_cap_bounds_pairs(spark):
     assert got == {(2 * i, 2 * i + 1) for i in range(n // 2)}
 
 
+@pytest.mark.slow
 def test_simhash_candidates_finds_near_dups_only(spark):
     # simhash with k=1 hashes the DISTINCT token set: reordering and
     # duplicating words is the near-dup class it catches exactly
@@ -76,6 +79,7 @@ def test_simhash_candidates_finds_near_dups_only(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@pytest.mark.slow
 def test_closure_edge_probe_cached_per_dataset(spark, tmp_path):
     """Repeated closures over the same edge table run ONE probe job
     (round 1 re-pulled up to 1M edges per call)."""
@@ -127,6 +131,7 @@ def test_dedup_survivors_keeps_representatives_and_untouched(spark):
     assert got == {1, 4, 10, 99}
 
 
+@pytest.mark.slow
 def test_dup_clusters_distributed_loop_matches_driver_path(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
@@ -138,6 +143,7 @@ def test_dup_clusters_distributed_loop_matches_driver_path(spark):
     assert fast == loop == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+@pytest.mark.slow
 def test_dup_clusters_warns_on_non_convergence(spark):
     """A 5-chain has eccentricity 4, so one propagation round cannot
     settle it: the distributed loop must WARN rather than silently
@@ -161,6 +167,7 @@ def test_dup_clusters_warns_on_non_convergence(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
 
 
+@pytest.mark.slow
 def test_minhash_bucket_cap_bounds_hot_buckets(spark):
     """200 identical docs share every band bucket (the mass-boilerplate
     regime): uncapped yields ~200^2/2 pairs, the cap sheds them while
@@ -178,6 +185,7 @@ def test_minhash_bucket_cap_bounds_hot_buckets(spark):
     assert got == {(1000, 1001)}
 
 
+@pytest.mark.slow
 def test_dup_clusters_fast_path_matches_loop_on_random_graphs(spark):
     """Property: union-find fast path == distributed min-label loop ==
     brute-force reference, on randomized pair graphs."""
@@ -228,6 +236,7 @@ def test_span_hashes_positions_and_short_docs(spark):
     assert rows[1][0] != rows[1][1]
 
 
+@pytest.mark.slow
 def test_doc_dup_spans_counts(spark):
     from osmexpress_spark.operators.dedup import (
         doc_dup_spans, duplicated_span_stats,
@@ -248,6 +257,7 @@ def test_doc_dup_spans_counts(spark):
     assert per == {1: (2, 1), 2: (2, 1), 3: (4, 0)}  # doc 4 has no spans
 
 
+@pytest.mark.slow
 def test_bloom_contamination_matches_exact_path(spark):
     from osmexpress_spark.operators.dedup import (
         bloom_build, bloom_might_contain, contamination_pairs,
@@ -307,6 +317,7 @@ def test_remove_dup_spans_overlapping_windows_union(spark):
     assert out[6] == ("z", 7)             # indices 1..7 covered once
 
 
+@pytest.mark.slow
 def test_remove_dup_spans_matches_python_model_random(spark):
     """Randomized equivalence against an independent Python model of
     the canonical-occurrence semantics (tiny vocab forces heavy window
@@ -403,6 +414,7 @@ def test_source_overlap_plan_python_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_split_leakage_pairs_planted(spark):
     """Plant one near-dup pair crossing a synthetic split and one
     inside a split: only the crossing pair is reported, with its
@@ -429,6 +441,7 @@ def test_split_leakage_pairs_planted(spark):
     assert split_leakage_pairs(clean, "doc_id", "text", "split").count() == 0
 
 
+@pytest.mark.slow
 def test_soft_dedup_weights_model(spark):
     """Soft dedup: cluster members carry the exact rational
     1/|cluster|; singletons pass through at 1/1; the weights sum to
@@ -460,6 +473,7 @@ def test_soft_dedup_weights_model(spark):
     assert total == 7
 
 
+@pytest.mark.slow
 def test_ngram_novelty_model(spark):
     """Novelty counts vs a hand model: distinct bigrams per doc, novel
     = absent from the reference's distinct bigram set; short docs pass
@@ -489,6 +503,7 @@ def test_ngram_novelty_model(spark):
     }
 
 
+@pytest.mark.slow
 def test_ngram_novelty_store_matches_inline(spark, tmp_path):
     """The persisted-store form must reproduce the inline form exactly,
     including after an append of a new reference epoch (re-distinct at

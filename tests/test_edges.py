@@ -30,6 +30,7 @@ def test_node_way_mirrors_forward(dfs):
         (edges_mod.relation_relation, "relation", "child_id"),
     ],
 )
+@pytest.mark.slow
 def test_member_edges_mirror_forward(dfs, fn, typ, col):
     rows = dfs["relations"].collect()
     exp = {(m.ref, r.id) for r in rows for m in r.members if m.type == typ}

@@ -15,6 +15,12 @@ EX = os.path.join(REPO, "examples")
 SF = "/root/testdata/sf0.001"
 
 
+pytestmark = pytest.mark.slow  # r12 fast tier: end-to-end
+# example/CLI sweeps (~8 min of the 35-min full run) run with
+# --runslow / OSMX_RUN_SLOW=1; the smoke tier keeps oracle
+# parity + plan gates (VERDICT r11 #9).
+
+
 def _run(args, timeout=300):
     return subprocess.run(
         [sys.executable, *args],

@@ -31,6 +31,7 @@ def source_pbf(spark, tmp_path_factory):
     return src, out
 
 
+@pytest.mark.slow
 def test_expand_pbf_roundtrip(spark, tmp_path, source_pbf):
     src, pbf_path = source_pbf
     dest = str(tmp_path / "expanded")
@@ -65,6 +66,7 @@ def test_expand_pbf_roundtrip(spark, tmp_path, source_pbf):
     assert a == b
 
 
+@pytest.mark.slow
 def test_expand_untagged_nodes_split(spark, tmp_path, source_pbf):
     """P1: locations hold every node; the nodes table holds only tagged
     payloads (docs/MANUAL.md:118)."""
@@ -79,6 +81,7 @@ def test_expand_untagged_nodes_split(spark, tmp_path, source_pbf):
     assert got.nodes().where(F.size("tags") == 0).count() == 0
 
 
+@pytest.mark.slow
 def test_expand_xml_and_pbf_agree(spark, tmp_path, source_pbf):
     src, pbf_path = source_pbf
     res = src.extract(WORLD)

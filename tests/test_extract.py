@@ -81,6 +81,7 @@ REGIONS = [
 
 
 @pytest.mark.parametrize("region", REGIONS, ids=["nyc", "paris", "tokyo", "antimeridian"])
+@pytest.mark.slow
 def test_extract_matches_python_model(dataset, fixture_rows, region):
     res = dataset.extract(region)
     ranges, exp_nodes, exp_ways, exp_rels = python_model_extract(fixture_rows, region)
@@ -105,6 +106,7 @@ def test_extract_matches_python_model(dataset, fixture_rows, region):
     assert exact <= got_nodes
 
 
+@pytest.mark.slow
 def test_extract_excludes_dangling_way(dataset, fixture_rows):
     """The dangling multipolygon member must be filtered by the existence
     check (extract.cpp:253-255)."""
@@ -118,6 +120,7 @@ def test_extract_excludes_dangling_way(dataset, fixture_rows):
     assert got_nodes == {r[0] for r in fixture_rows["locations"]}
 
 
+@pytest.mark.slow
 def test_closure_depth_and_diamond(spark, dataset):
     """Nesting chain (depth 3) and diamond converge to the full ancestor
     set; seeds included; no duplicates."""
@@ -153,6 +156,7 @@ def test_closure_depth_and_diamond(spark, dataset):
     assert got_loop == exp
 
 
+@pytest.mark.slow
 def test_exact_refinement_subset(dataset, fixture_rows):
     """P5: exact=True returns exactly the contained nodes plus completion
     back-fill — regional ids shrink to true containment."""
@@ -194,6 +198,7 @@ def test_sql_surface_region_predicate(spark, dataset, fixture_rows):
     assert got == want
 
 
+@pytest.mark.slow
 def test_point_in_box_join_matches_bruteforce_and_plan(spark):
     import random
 
@@ -292,6 +297,7 @@ def test_nearest_neighbors_radius_bounded_knn(spark):
     assert 5 not in got  # isolated node absent, not k-padded
 
 
+@pytest.mark.slow
 def test_radius_pairs_hot_bucket_cap(spark):
     from osmexpress_spark.operators.spatial_join import radius_pairs
 
@@ -306,6 +312,7 @@ def test_radius_pairs_hot_bucket_cap(spark):
     assert sorted((r.id_a, r.id_b) for r in capped) == [(100, 101)]
 
 
+@pytest.mark.slow
 def test_radius_pairs_cap_drops_whole_bucket_symmetrically(spark):
     """A pair spanning a hot bucket and an ok bucket must vanish
     REGARDLESS of which side carries the lower id (the half-dropped

@@ -99,6 +99,7 @@ def test_way_bounds(dfs):
         assert got[wid] == (min(xs), min(ys), max(xs), max(ys))
 
 
+@pytest.mark.slow
 def test_relation_geojson_matches_python_model(spark):
     """relation_geojson vs an independent Python recursion replicating
     web_server.py:52-71 (DFS member order, level-synchronized cycle
@@ -168,6 +169,7 @@ def test_relation_geojson_matches_python_model(spark):
     assert checked_nested >= 3  # fixture guarantees nesting chains + diamond
 
 
+@pytest.mark.slow
 def test_relation_geojson_serializes_member_leaves(spark):
     """Bridges the driver oracle to the JSON output: the
     `osm_relation_geojson` CORRECTNESS row checks the descent core
@@ -242,6 +244,7 @@ def test_way_lengths_integer_micro_sums(spark):
     assert got[3] == (0, 0)
 
 
+@pytest.mark.slow
 def test_relation_member_leaves_asymmetric_depth_sharing(spark):
     """The visited-set contract on ASYMMETRIC-depth sharing: root A
     holds C directly (depth 1) and via B (depth 2). C is descended at
@@ -275,6 +278,7 @@ def test_relation_member_leaves_asymmetric_depth_sharing(spark):
     assert sorted(got[10]) == [([0, 0, 0], 200), ([1, 0, 0], 200)]
 
 
+@pytest.mark.slow
 def test_fixture_nesting_within_oracle_unroll_depth(spark):
     """The osm_relation_geojson oracle unrolls the visited-set BFS to 6
     levels; the fixture's descent must be complete within that bound

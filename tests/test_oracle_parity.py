@@ -103,11 +103,47 @@ def _assert_driver_gate(spark, con, name, query_fn, oracle):
     assert ss == oo, f"{name}: strict pandas canonicalization differs: {diff}"
 
 
+def test_all_queries_match_oracle_bulk(spark, con):
+    """r12 default-tier form of the parity gate (VERDICT r11 #9): the
+    SAME _assert_driver_gate over every declared + pending oracle, but
+    4 checks in flight (guide §2.6 — independent driver actions
+    overlap, so the per-query Spark job + DuckDB latency stops
+    serializing; ~660 s of sequential parametrized tests run in
+    ~3-4x less wall).  Each worker uses its own DuckDB cursor (the
+    shared connection is not thread-safe; cursors see the module
+    fixture's views).  The per-query parametrized forms below stay in
+    the FULL tier (--runslow) for granular failure reporting —
+    identical checks, identical canonicalization, shared helper."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = [
+        (name, ALL_QUERIES[name], ALL_ORACLES[name])
+        for name in sorted(ALL_ORACLES)
+    ] + [
+        (name, QD.PENDING_SPARK_QUERIES[name], QD.PENDING_ORACLE_SQL[name])
+        for name in sorted(QD.PENDING_ORACLE_SQL)
+    ]
+
+    def one(item):
+        name, fn, sql = item
+        try:
+            _assert_driver_gate(spark, con.cursor(), name, fn, sql)
+            return None
+        except Exception as ex:  # pragma: no cover - failure reporting
+            return f"{name}: {ex}"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        failures = [r for r in pool.map(one, items) if r]
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, con, name):
     _assert_driver_gate(spark, con, name, ALL_QUERIES[name], ALL_ORACLES[name])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(QD.PENDING_ORACLE_SQL))
 def test_pending_query_matches_oracle(spark, con, name):
     """Round-6 staged contract queries (queries_data.py

@@ -57,6 +57,7 @@ def _rows(df, cols):
     )
 
 
+@pytest.mark.slow
 def test_point_access_surface(fixture_tables, osmx_path):
     with X.OsmxFile(osmx_path) as f:
         md = f.metadata()
@@ -134,6 +135,7 @@ def test_s2_covering_scan_equals_exact_extract(
     assert refined == exact
 
 
+@pytest.mark.slow
 def test_write_osmx_morton_scheme_still_supported(
     spark, fixture_tables, tmp_path
 ):
@@ -151,6 +153,7 @@ def test_write_osmx_morton_scheme_still_supported(
         assert lrow["id"] in ids
 
 
+@pytest.mark.slow
 def test_expand_osmx_reproduces_tables(spark, fixture_tables, osmx_path,
                                        tmp_path):
     dest = str(tmp_path / "expanded")
@@ -184,6 +187,7 @@ def test_read_is_partitioned(spark, osmx_path):
     assert df.count() == 5000 + 1250 + 133  # nodes + ways + relations
 
 
+@pytest.mark.slow
 def test_cells_rederived_not_trusted(spark, fixture_tables, osmx_path,
                                      tmp_path):
     """Migration semantic (VERDICT r07 missing #2): the reference

@@ -5,6 +5,8 @@ round-trip design the reference relies on, SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 from osmexpress_spark import testing
 from osmexpress_spark.api import Dataset
 from osmexpress_spark.sources import pbf, pbf_codec, sink
@@ -107,6 +109,7 @@ def _write_fixture_pbf(spark, tmp_path):
     return res, out
 
 
+@pytest.mark.slow
 def test_pbf_sink_source_roundtrip(spark, tmp_path):
     res, out = _write_fixture_pbf(spark, tmp_path)
     pbf.register(spark)
@@ -135,6 +138,7 @@ def test_pbf_sink_source_roundtrip(spark, tmp_path):
     assert got_t == want_t
 
 
+@pytest.mark.slow
 def test_pbf_partition_plan_is_per_blob(spark, tmp_path):
     _, out = _write_fixture_pbf(spark, tmp_path)
     data_blobs = [
@@ -147,6 +151,7 @@ def test_pbf_partition_plan_is_per_blob(spark, tmp_path):
     assert nodes.rdd.getNumPartitions() == len(data_blobs)
 
 
+@pytest.mark.slow
 def test_pbf_header_bbox(spark, tmp_path):
     res, out = _write_fixture_pbf(spark, tmp_path)
     hdr = pbf.read_header(out)
@@ -229,6 +234,7 @@ def test_codec_node_property_roundtrip(raw):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_codec_way_property_roundtrip(raw):
     rows = [
         (wid, refs, m[0], tags, m[1], m[2], m[3], m[4])
@@ -265,6 +271,7 @@ def test_codec_relation_property_roundtrip(raw):
     assert _roundtrip("relation", rows) == rows
 
 
+@pytest.mark.slow
 def test_pbf_sink_user_data_false_drops_gdpr_fields(spark, tmp_path):
     """--noUserData parity (src/extract.cpp:73,111): changeset/uid/user
     are zeroed at the projection before encode; everything else

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from osmexpress_spark.operators import profile
 
 
@@ -51,6 +53,7 @@ def test_modality_alignment_census(spark):
     assert row2["n_dim_bad"] == 0
 
 
+@pytest.mark.slow
 def test_profile_diff_statuses_and_tolerance(spark):
     from osmexpress_spark.operators import profile as P
 

@@ -4,6 +4,8 @@ tests/test_oracle_parity.py::q_bm25_topk."""
 
 from __future__ import annotations
 
+import pytest
+
 from osmexpress_spark.operators import retrieval
 
 
@@ -55,6 +57,7 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_bm25_index_store_bit_identical_to_inline(spark):
     import tempfile
 
@@ -73,6 +76,7 @@ def test_bm25_index_store_bit_identical_to_inline(spark):
     assert stats.n_docs == 5
 
 
+@pytest.mark.slow
 def test_bm25_index_query_reads_only_its_terms(spark):
     """The postings read must carry the term filter down to the scan
     (parquet row-group pruning on the term-sorted layout) — the whole

@@ -316,6 +316,7 @@ def test_url_parts_and_depth(spark):
 # ---------------------------------------------------------------- plans
 
 
+@pytest.mark.slow
 def test_round10_staged_plans_stay_jvm_side(spark):
     """The four blob gates are single zero-shuffle Arrow seams up to
     their (bounded-output) aggregates; q_url_parse is pure whole-stage
@@ -425,6 +426,7 @@ def test_read_warc_files_end_to_end(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_warc_census_stream_two_epochs(spark, tmp_path):
     """The crawl-drop monitor: two epochs land as separate idempotent
     parquet censuses keyed by the data's epoch label."""
@@ -567,6 +569,7 @@ def test_parse_robots_groups_and_precedence():
     assert CR.parse_robots("User-agent: *\nDisallow:") == []
 
 
+@pytest.mark.slow
 def test_robots_admit_longest_match_allow_ties(spark):
     from pyspark.sql import functions as F
 
@@ -644,6 +647,7 @@ def test_warc_bodies_and_decode_text(spark):
     assert row.rec_idx == -1 and row.text is None
 
 
+@pytest.mark.slow
 def test_crawl_ingest_example_end_to_end(spark, tmp_path):
     """The composed pipeline (examples/crawl_ingest.py): WARC files ->
     charset -> html_strip -> URL canonicalize -> robots -> URL dedup

@@ -73,6 +73,7 @@ _HOST_LABEL = st.text(
     st.lists(_HOST_LABEL, min_size=1, max_size=5).map(".".join),
     min_size=1, max_size=12, unique=True,
 ))
+@pytest.mark.slow
 def test_psl_expression_path_matches_independent_model(spark, hosts):
     df = spark.createDataFrame(
         [(i, f"http://{h}/") for i, h in enumerate(hosts)],
@@ -96,6 +97,7 @@ def test_psl_expression_path_matches_independent_model(spark, hosts):
     st.lists(_HOST_LABEL, min_size=1, max_size=6).map(".".join),
     min_size=1, max_size=10, unique=True,
 ))
+@pytest.mark.slow
 def test_psl_join_path_matches_expression_path(spark, hosts):
     """The broadcast-join scale path and the literal-map expression
     path are independent implementations of the same algorithm; they
@@ -121,6 +123,7 @@ def test_psl_join_path_matches_expression_path(spark, hosts):
     assert join_out == expr_out
 
 
+@pytest.mark.slow
 def test_psl_canonical_cases(spark):
     cases = [
         ("www.example.com", "com", "example.com"),
@@ -193,6 +196,7 @@ def test_psl_join_path_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_psl_gate_plan(spark):
     from osmexpress_spark import queries_data as QD
 

@@ -130,6 +130,7 @@ def test_tfidf_scores_and_absent_term(spark):
 
 
 # --- bigram LM -------------------------------------------------------------
+@pytest.mark.slow
 def test_bigram_nll_counts_and_short_docs(spark):
     from osmexpress_spark.operators import importance
 
@@ -201,6 +202,7 @@ def test_way_areas_unit_square_and_orientation(spark):
 
 
 # --- way intersections -----------------------------------------------------
+@pytest.mark.slow
 def test_way_intersections_counts_and_degree_cap(spark):
     edges = spark.createDataFrame(
         [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12),
@@ -234,6 +236,7 @@ def test_ann_recall_counts_overlap(spark):
 
 
 # --- integrity audit -------------------------------------------------------
+@pytest.mark.slow
 def test_integrity_audit_counts_dangling_refs(spark):
     from osmexpress_spark.operators.audit import integrity_audit
 
@@ -262,6 +265,7 @@ def test_integrity_audit_counts_dangling_refs(spark):
 
 
 # --- funnel / cohort -------------------------------------------------------
+@pytest.mark.slow
 def test_funnel_requires_ordered_progression(spark):
     from osmexpress_spark.operators.events import funnel_stages
 
@@ -318,6 +322,7 @@ def test_cohort_retention_week_buckets(spark):
 
 
 # --- fuzzy token pairs -----------------------------------------------------
+@pytest.mark.slow
 def test_fuzzy_token_pairs_blocking_and_distance(spark):
     from osmexpress_spark.operators import dedup
 
@@ -353,6 +358,7 @@ def test_event_transitions_lag_per_user(spark):
 
 
 # --- graph analytics -------------------------------------------------------
+@pytest.mark.slow
 def test_pagerank_micro_integer_exact_star(spark):
     from osmexpress_spark.operators.graph import pagerank_micro
 
@@ -372,6 +378,7 @@ def test_pagerank_micro_integer_exact_star(spark):
     assert sum(got.values()) <= 4_000_000
 
 
+@pytest.mark.slow
 def test_triangle_count_closed_wedges_only(spark):
     from osmexpress_spark.operators.graph import triangle_count
 
@@ -407,6 +414,7 @@ def test_resample_counts_zero_fills_gaps(spark):
 
 
 # --- sketch mergeability ---------------------------------------------------
+@pytest.mark.slow
 def test_kmv_merge_equals_sketch_of_union(spark):
     from osmexpress_spark.operators import sketch
 
@@ -422,6 +430,7 @@ def test_kmv_merge_equals_sketch_of_union(spark):
            [r["h"] for r in direct.collect()]
 
 
+@pytest.mark.slow
 def test_cms_merge_equals_sketch_of_union(spark):
     from osmexpress_spark.operators import sketch
 
@@ -437,6 +446,7 @@ def test_cms_merge_equals_sketch_of_union(spark):
     assert got == {"x": 8, "y": 2, "z": 4}
 
 
+@pytest.mark.slow
 def test_integrity_audit_empty_categories_report_zero(spark):
     from osmexpress_spark.operators.audit import integrity_audit
 
@@ -455,6 +465,7 @@ def test_integrity_audit_empty_categories_report_zero(spark):
     }
 
 
+@pytest.mark.slow
 def test_store_time_travel_rebuilds_partial_store(spark, tmp_path, monkeypatch):
     """A crash between commits leaves the store at v0; the contract
     query must wipe and rebuild, not append (commit() always writes
@@ -502,6 +513,7 @@ def test_trend_slopes_hand_computed(spark):
 
 
 # --- observe-based health metrics ------------------------------------------
+@pytest.mark.slow
 def test_observe_curation_counts_ride_one_action(spark):
     from osmexpress_spark.operators import metrics, text
 
@@ -554,6 +566,7 @@ def test_containment_is_directional(spark):
     _ = big
 
 
+@pytest.mark.slow
 def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
     from osmexpress_spark.operators import dedup as dd
 
@@ -644,6 +657,7 @@ def test_visvalingam_model_and_invariants(spark):
     assert got[2] == ([0, 4], 2, 2)
 
 
+@pytest.mark.slow
 def test_store_time_travel_rebuilds_in_place_on_stale_fingerprint(spark):
     """Regeneration invalidation must rebuild the FIXED directory in
     place (the _fixture_index pattern) — no stranded store_tt_<fp>

@@ -4,6 +4,8 @@ inputs, exact expected values computed by straight-line Python)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import hashlib
 
@@ -31,6 +33,7 @@ _events = st.lists(
 
 @SET
 @given(left=_events, right=_events, band=st.integers(1, 7200))
+@pytest.mark.slow
 def test_band_join_matches_bruteforce(spark, left, right, band):
     from osmexpress_spark.operators.asof import band_join
 
@@ -64,6 +67,7 @@ _ring = st.lists(
 
 @SET
 @given(rings=st.lists(_ring, min_size=1, max_size=4))
+@pytest.mark.slow
 def test_way_areas_match_python_shoelace(spark, rings):
     from osmexpress_spark import functions as fn
 
@@ -97,6 +101,7 @@ _edges = st.lists(
 
 @SET
 @given(edges=_edges, iters=st.integers(1, 3))
+@pytest.mark.slow
 def test_pagerank_micro_matches_python(spark, edges, iters):
     from osmexpress_spark.operators.graph import pagerank_micro
 
@@ -121,6 +126,7 @@ def test_pagerank_micro_matches_python(spark, edges, iters):
 @SET
 @given(items=st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=60),
        k=st.integers(2, 16))
+@pytest.mark.slow
 def test_kmv_matches_hashlib_model(spark, items, k):
     from osmexpress_spark.operators import sketch
 
@@ -141,6 +147,7 @@ def test_kmv_matches_hashlib_model(spark, items, k):
 @SET
 @given(items=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=80),
        w=st.integers(4, 64))
+@pytest.mark.slow
 def test_cms_estimates_upper_bound_true_counts(spark, items, w):
     from osmexpress_spark.operators import sketch
 
@@ -170,6 +177,7 @@ def _lev(a: str, b: str) -> int:
 @SET
 @given(toks=st.lists(st.text(alphabet="abcd", min_size=4, max_size=7),
                      min_size=0, max_size=20))
+@pytest.mark.slow
 def test_fuzzy_pairs_match_blocked_model(spark, toks):
     from osmexpress_spark.operators import dedup
 
@@ -195,6 +203,7 @@ def test_fuzzy_pairs_match_blocked_model(spark, toks):
 @SET
 @given(left=_events, right=_events,
        direction=st.sampled_from(["backward", "forward"]))
+@pytest.mark.slow
 def test_asof_join_matches_bruteforce(spark, left, right, direction):
     from osmexpress_spark.operators.asof import asof_join
 
@@ -246,6 +255,7 @@ _docs = st.lists(
 
 @SET
 @given(docs=_docs, n_shards=st.integers(1, 6), n_parts=st.integers(1, 4))
+@pytest.mark.slow
 def test_manifest_merge_equals_union_property(spark, docs, n_shards, n_parts):
     """merge(per-part manifests) == manifest(union) for ANY disjoint
     split — the algebra compact_epochs' metadata proof rests on."""
@@ -292,6 +302,7 @@ _srcdocs = st.lists(
 
 @SET
 @given(docs=_srcdocs)
+@pytest.mark.slow
 def test_source_overlap_matches_set_model(spark, docs):
     from osmexpress_spark.operators.dedup import source_overlap
 

@@ -126,6 +126,7 @@ def test_band_join_rejects_prefix_collision(spark):
     assert out.count() == 1 and "rr_ts" in out.columns
 
 
+@pytest.mark.slow
 def test_incremental_dedup_caps_batch_side_hot_buckets(spark):
     """A mass-duplicate ingest (many identical new docs) drives a hot
     band bucket from the BATCH side; max_bucket_size must cap it just
@@ -156,6 +157,7 @@ def test_incremental_dedup_caps_batch_side_hot_buckets(spark):
 
 
 # --- persisted corpus signatures (VERDICT r04 next-round #7) ---------------
+@pytest.mark.slow
 def test_incremental_dedup_two_batch_e2e_never_rescans_corpus(
     spark, tmp_path
 ):
@@ -288,6 +290,7 @@ def test_quantile_bucket_model_contains_value(v):
         assert (hi - lo) * 16 <= lo or hi == lo
 
 
+@pytest.mark.slow
 def test_quantile_sketch_merge_equals_union(spark):
     from pyspark.sql import functions as F
 
@@ -393,6 +396,7 @@ _BPE_CORPUS = [
 ]
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_reference_model(spark):
     from pyspark.sql import functions as F
 
@@ -413,6 +417,7 @@ def test_bpe_train_matches_reference_model(spark):
     assert any(bpe.EOW in a or bpe.EOW in b for a, b in got)
 
 
+@pytest.mark.slow
 def test_bpe_train_random_corpora_match_model(spark):
     from pyspark.sql import functions as F
 
@@ -444,6 +449,7 @@ def test_bpe_min_count_stops_early(spark):
         bpe.bpe_train(df, n_merges=1, min_count=0)
 
 
+@pytest.mark.slow
 def test_bpe_encode_agrees_with_segment_replay(spark):
     """The rank-greedy Arrow encoder and the JVM fold replay are the
     same function on every vocabulary word (they are two evaluation
@@ -493,6 +499,7 @@ def test_bpe_training_loop_is_jvm_side(spark):
 
 # --- distributed Lloyd k-means training (similarity.py) --------------------
 
+@pytest.mark.slow
 def test_kmeans_train_distributed_matches_integer_model(spark):
     """kmeans_train_distributed == a numpy model with the identical
     integer semantics (floor-micro quantization, lowest-cid tie-break,
@@ -605,6 +612,7 @@ def test_quantile_sketch_by_group_brackets_true_quantiles(spark):
         sketch.quantile_sketch_query_by(sk, [])
 
 
+@pytest.mark.slow
 def test_exact_quantiles_match_sorted_model(spark):
     """exact_quantiles == the rank-th smallest element, on a domain
     wide enough (> 2^53) to force multiple histogram-refinement rounds
@@ -646,6 +654,7 @@ def test_exact_quantiles_validation(spark):
         sketch.exact_quantiles(empty, F.col("v"), [(1, 2)])
 
 
+@pytest.mark.slow
 def test_quantile_sketch_drops_null_measures(spark):
     """Nulls must be dropped at build time: a null bucket row sorts
     first in the cumsum window and would silently shift every rank."""
@@ -706,6 +715,7 @@ def test_bpe_encode_preserves_id_type(spark):
     assert got["doc-b"] == ["low", "e", "r", "▁"]
 
 
+@pytest.mark.slow
 def test_kmeans_train_returns_centroids_and_combines_map_side(spark):
     from pyspark.sql import functions as F
 
@@ -755,6 +765,7 @@ def test_kmeans_train_returns_centroids_and_combines_map_side(spark):
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
 
 
+@pytest.mark.slow
 def test_bpe_train_empty_and_single_char_vocab(spark):
     from pyspark.sql import functions as F
 
@@ -772,6 +783,7 @@ def test_bpe_train_empty_and_single_char_vocab(spark):
     assert bpe.word_counts(docs, F.col("text")).count() == 0
 
 
+@pytest.mark.slow
 def test_exact_quantiles_by_group_matches_sorted_model(spark):
     """Joint per-group selection == the per-group rank-th smallest,
     on groups with wildly different scales (one > 2^53 to force the
@@ -817,6 +829,7 @@ def test_exact_quantiles_by_group_validation(spark):
         sketch.exact_quantiles_by(df, F.col("k"), F.col("v"), [(0, 1)])
 
 
+@pytest.mark.slow
 def test_exact_frequent_items_matches_plain_groupby(spark):
     from pyspark.sql import functions as F
 
@@ -847,6 +860,7 @@ def test_exact_frequent_items_matches_plain_groupby(spark):
         sketch.exact_frequent_items(df, F.col("tok"), min_count=0)
 
 
+@pytest.mark.slow
 def test_exact_frequent_items_prunes_before_the_shuffle(spark):
     """The CMS filter must sit scan-side (before the exact count's
     Exchange) — that IS the operator's 100 TB value."""
@@ -864,6 +878,7 @@ def test_exact_frequent_items_prunes_before_the_shuffle(spark):
     assert sorted(map(tuple, out.collect())) == [("a", 50)]
 
 
+@pytest.mark.slow
 def test_exact_quantiles_by_drops_null_keys_and_caps_groups(spark):
     """Null keys drop cleanly (review finding: the broadcast bracket
     join can never match null — previously a silent vanish or a
@@ -894,6 +909,7 @@ def test_exact_quantiles_by_drops_null_keys_and_caps_groups(spark):
         sk_mod._XQ_MAX_GROUPS = old
 
 
+@pytest.mark.slow
 def test_exact_frequent_items_drops_null_items(spark):
     from pyspark.sql import functions as F
 
@@ -931,6 +947,7 @@ def test_pending_promotion_mechanics():
     assert not set(QD.PENDING_SPARK_QUERIES) & set(green)
 
 
+@pytest.mark.slow
 def test_exact_quantiles_degenerate_distributions(spark):
     from pyspark.sql import functions as F
 
@@ -959,6 +976,7 @@ def test_exact_quantiles_degenerate_distributions(spark):
     )
 
 
+@pytest.mark.slow
 def test_exact_quantiles_by_degenerate_groups(spark):
     from pyspark.sql import functions as F
 

@@ -37,6 +37,7 @@ def test_signature_store_roundtrips_through_hadoop_fs(spark, tmp_path):
         dedup.load_signature_store(spark, store, "doc_id", n_hashes=4, k=2)
 
 
+@pytest.mark.slow
 def test_kmeans_rejects_coordinates_outside_offset_range(spark):
     """ADVICE r05 #2: a coordinate < -2 yields negative offset micros,
     where Python floor-div and DuckDB truncate-div diverge — the
@@ -74,6 +75,7 @@ def test_bpe_encode_rejects_reserved_id_col(spark):
         bpe.bpe_encode(df2, "_t", F.col("text"), [("a", "b")])
 
 
+@pytest.mark.slow
 def test_bpe_merges_query_matches_train_loop(spark):
     """The staged q_bpe_merges contract query returns exactly
     bpe_train's merge table (rank-aligned) — the query is a thin
@@ -98,6 +100,7 @@ def test_bpe_merges_query_matches_train_loop(spark):
     assert any(len(a) > 1 or len(b) > 1 for _, a, b in got)
 
 
+@pytest.mark.slow
 def test_exact_quantiles_by_sharded_past_group_cap(spark):
     """VERDICT r05 ask #5: >4096 groups, exact results. The unsharded
     operator must refuse; the sharded escape hatch must agree with the
@@ -268,6 +271,7 @@ def test_jpeg_distributed_extract_features(spark):
         assert feat[0] == 24.0 and feat[1] == 16.0 + i
 
 
+@pytest.mark.slow
 def test_bpe_fertility_census_matches_recount(spark):
     """The fertility census must equal a plain-Python recount over
     bpe_encode's own output (which is separately model-pinned)."""

@@ -74,6 +74,7 @@ def test_psi_drift_matches_hand_computation(spark):
 # --- MAD outliers -------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_mad_outliers_small_known(spark):
     # values: median 10, abs devs {0,0,1,1,2,8,90} -> MAD = 1
     vals = [10, 10, 9, 11, 12, 2, 100]
@@ -86,6 +87,7 @@ def test_mad_outliers_small_known(spark):
         assert r["abs_dev"] > 3 * r["mad"]
 
 
+@pytest.mark.slow
 def test_mad_outliers_zero_mad_flags_everything_off_median(spark):
     vals = [7] * 10 + [8, 6]
     d = _docs(spark, list(enumerate(vals)))
@@ -101,6 +103,7 @@ def test_mad_outliers_scale_validation(spark):
         sketch.mad_outliers(d, F.col("v"), ["doc_id"], scale_den=0)
 
 
+@pytest.mark.slow
 def test_mad_outliers_rational_scale(spark):
     # scale 1/2: flag |v - med| * 2 > mad
     vals = [10, 10, 9, 11, 12, 2, 100]
@@ -114,6 +117,7 @@ def test_mad_outliers_rational_scale(spark):
 # --- winsorized stats ---------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_winsorized_stats_clips_exactly(spark):
     rows = [(i, "a" if i % 2 == 0 else "b", i + 1) for i in range(100)]
     d = spark.createDataFrame(rows, "doc_id long, lang string, v long")
@@ -338,6 +342,7 @@ def test_budget_select_sharded_parallel_and_bounded(spark):
 # --- per-group drift ------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_drift_census_by_and_psi(spark):
     from osmexpress_spark.operators import sketch
 
@@ -372,6 +377,7 @@ def test_psi_drift_by_group_cap(spark):
         sketch.psi_drift_by(cen, max_groups=10)
 
 
+@pytest.mark.slow
 def test_drift_census_by_drops_null_keys(spark):
     """Null keys would never equi-join in the full-outer and would
     surface as two phantom appeared/vanished groups — both sides drop
@@ -393,6 +399,7 @@ def test_drift_census_by_drops_null_keys(spark):
 # --- doc_dup_spans hot-hash skew guard ----------------------------------------
 
 
+@pytest.mark.slow
 def test_doc_dup_spans_hot_hash_cap_screens_boilerplate(spark):
     from osmexpress_spark.operators import dedup
 
@@ -455,6 +462,7 @@ def _py_bucket(v: int, sub_bits: int = 4) -> int:
     return 1 + octv * (1 << sub_bits) + sub
 
 
+@pytest.mark.slow
 def test_property_drift_census_matches_bucket_model(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -491,6 +499,7 @@ def test_property_drift_census_matches_bucket_model(spark):
     run()
 
 
+@pytest.mark.slow
 def test_property_mad_outliers_matches_model(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -525,6 +534,7 @@ def test_property_mad_outliers_matches_model(spark):
     run()
 
 
+@pytest.mark.slow
 def test_property_budget_select_matches_model(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -557,6 +567,7 @@ def test_property_budget_select_matches_model(spark):
     run()
 
 
+@pytest.mark.slow
 def test_property_winsorized_matches_model(spark):
     from hypothesis import given, settings, strategies as st
 
@@ -667,6 +678,7 @@ def _qbucket_py(v: int) -> int:
     return 1 + octv * 16 + sub
 
 
+@pytest.mark.slow
 def test_nb_reliability_matches_scored_model(spark):
     """The reliability table must equal the readout computed in plain
     Python from _nb_scored's (trusted, separately pinned) output."""
@@ -734,6 +746,7 @@ def test_nb_reliability_separable_all_correct(spark):
     assert all(r.bucket > 0 for r in rows)  # separable: positive margins
 
 
+@pytest.mark.slow
 def test_budget_select_sharded_leftover_pass_zipf(spark):
     """VERDICT r06 #6: under a Zipf weight distribution the even
     per-shard split under-fills the total budget (a heavy shard
@@ -785,6 +798,7 @@ def test_budget_select_sharded_leftover_pass_zipf(spark):
     assert sorted(ids) == sorted(r["doc_id"] for r in rerun.collect())
 
 
+@pytest.mark.slow
 def test_quantile_ranks_and_blend_model(spark):
     """Sketch-granular quantile ranks vs a hand model: rank = count of
     rows in strictly lower buckets; blend = integer sum; rows with a

@@ -4,6 +4,8 @@ expected values from straight-line Python)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -35,6 +37,7 @@ _budgets = st.fixed_dictionaries(
 
 @SET
 @given(_rows, _budgets)
+@pytest.mark.slow
 def test_budget_select_by_matches_model(spark, rows, budgets):
     from osmexpress_spark.operators import sample
 
@@ -76,6 +79,7 @@ _docs = st.lists(
 
 @SET
 @given(_docs, st.integers(1, 5))
+@pytest.mark.slow
 def test_vocab_growth_matches_model(spark, docs, n_buckets):
     from osmexpress_spark.operators import text
 
@@ -117,6 +121,7 @@ _corpus = st.lists(
 
 @SET
 @given(_corpus, _corpus)
+@pytest.mark.slow
 def test_ngram_novelty_matches_model(spark, corpus, reference):
     from osmexpress_spark.operators import dedup
 

@@ -218,6 +218,7 @@ def test_sign_delta_bands_matches_model_and_drops_short(spark):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_near_dup_by_bands_matches_brute_force(spark, hashes):
     df = spark.createDataFrame(
         [(i, *h) for i, h in enumerate(hashes)],
@@ -338,6 +339,7 @@ def test_distinctive_terms_matches_model(spark):
 # --- mix plan ------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_mix_plan_math_and_missing_weights(spark):
     df = spark.createDataFrame(
         [(0, "a", 100), (1, "a", 100), (2, "b", 50), (3, "c", 999)],
@@ -455,6 +457,7 @@ def test_near_dup_against_store_matches_model(spark):
     assert got == {(100, 200): 1, (100, 100): 0}
 
 
+@pytest.mark.slow
 def test_ingest_dedup_never_redecodes_reference(spark, tmp_path):
     """The composition the staged query pins: reference decoded once
     into the store; scoring a second batch touches only that batch."""
@@ -545,6 +548,7 @@ def test_format_census_is_jvm_side_and_counts(spark):
     assert "MapInPandas" not in plan  # sniffing never leaves the JVM
 
 
+@pytest.mark.slow
 def test_format_census_stream_per_epoch(spark, tmp_path):
     """The streaming triage monitor: two epochs of blob drops arrive as
     files; each epoch's census lands under its DATA label with exact
@@ -611,6 +615,7 @@ def test_quota_fill_report_math(spark):
     assert c["underfilled"] and c["fill_ppm"] == 0
 
 
+@pytest.mark.slow
 def test_near_dup_stream_vs_band_store_grows_with_admissions(spark, tmp_path):
     """Two days of image drops through a real readStream: day 1 rejects
     a store near-dup and admits a novel image; day 2 rejects a
@@ -685,6 +690,7 @@ def test_near_dup_stream_vs_band_store_grows_with_admissions(spark, tmp_path):
         min_size=1, max_size=5,
     ),
 )
+@pytest.mark.slow
 def test_near_dup_against_store_brute_force_parity(spark, new_h, ref_h):
     """Asymmetric pigeonhole property: every (new, ref) pair within
     hamming <= 3 is found (small band values force heavy collisions)."""
@@ -753,6 +759,7 @@ def test_dhash_bands_matches_model_and_brightness_invariance(spark):
 
 
 # --- per-group KMV (round-7 fourth session) ----------------------------------
+@pytest.mark.slow
 def test_kmv_by_group_matches_exact_small_and_estimates_large(spark):
     from pyspark.sql import functions as F
 
@@ -808,6 +815,7 @@ def test_dedup_span_masks_merge_semantics(spark):
         assert 0 <= s < e
 
 
+@pytest.mark.slow
 def test_bitext_mine_planted_pairs_and_mutuality(spark):
     """Planted translations: each src's near-identical tgt twin must
     mine as a mutual pair with margin > 1 — src 2 has TWO twins (12 at

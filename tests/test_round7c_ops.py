@@ -124,6 +124,7 @@ def test_rollup_merge_algebra(spark, tmp_path):
     assert merged == whole
 
 
+@pytest.mark.slow
 def test_rollup_append_epoch_equals_oneshot(spark, tmp_path):
     store1 = str(tmp_path / "s1")
     store2 = str(tmp_path / "s2")
@@ -182,6 +183,7 @@ def test_rollup_meta_guard_and_grains(spark, tmp_path):
     assert {r["bucket"].hour for r in series} == {3, 21}
 
 
+@pytest.mark.slow
 def test_rollup_stream_two_epochs(spark, tmp_path):
     """Continuous ingest: each micro-batch appends its own partials;
     the reader's fold makes the store equal to the one-shot rollup of
@@ -316,6 +318,7 @@ def test_hashed_features_is_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_hashed_features_feed_kmeans(spark):
     """The bridge into the embedding stack: two token-disjoint doc
     families vectorize into linearly separable hashed vectors, and
@@ -372,6 +375,7 @@ def test_hashed_features_feed_semantic_dedup(spark):
     assert all(out[i]["keep"] for i in (3, 4, 5, 6))
 
 
+@pytest.mark.slow
 def test_rollup_regrain_cascade(spark, tmp_path):
     """hour -> day regrain from the partials alone is bit-identical to
     a day store built from the raw events; coarsen-only is enforced."""
@@ -403,6 +407,7 @@ def test_rollup_regrain_cascade(spark, tmp_path):
         R.rollup_regrain(spark, day_direct, str(tmp_path / "x"), "day")
 
 
+@pytest.mark.slow
 def test_rollup_quantiles_bracket_truth(spark, tmp_path):
     """The sketch sidecar answers range quantiles with [lo, hi] cents
     bounds that bracket the TRUE quantile of the raw values in the
@@ -461,6 +466,7 @@ def test_rollup_quantiles_bracket_truth(spark, tmp_path):
         R.rollup_quantiles(spark, bare, "2024-01-01", "2024-01-02", [(1, 2)])
 
 
+@pytest.mark.slow
 def test_rollup_quantiles_follow_appends_and_streams(spark, tmp_path):
     """The sketch sidecar stays in lockstep across every write path:
     batch appends extend it, and a streamed store with sketch_bits
@@ -513,6 +519,7 @@ def test_rollup_quantiles_follow_appends_and_streams(spark, tmp_path):
     assert qs == qb
 
 
+@pytest.mark.slow
 def test_rollup_distinct_sidecar(spark, tmp_path):
     """KMV distinct sidecar: exact below k (the common dashboard
     case), deduplicated across cells (a user active on many days

@@ -43,6 +43,7 @@ def _sorted_rows(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_regrain_cascades_sidecars(spark, tmp_path):
     """hour -> day regrain of a sidecar-carrying store answers the
     SAME quantile and distinct queries as a day store built directly
@@ -92,6 +93,7 @@ def test_regrain_without_sidecars_unchanged(spark, tmp_path):
         R.rollup_quantiles(spark, dst, "2024-01-01", "2024-01-04", [(1, 2)])
 
 
+@pytest.mark.slow
 def test_date_only_end_selects_whole_day(spark, tmp_path):
     """On an hour-grain store, end='2024-01-01' means THROUGH the end
     of Jan 1 — every hour bucket of the day, not just midnight

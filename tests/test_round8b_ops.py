@@ -117,6 +117,7 @@ def test_canonical_entities(spark):
         assert ent[i] == i
 
 
+@pytest.mark.slow
 def test_cms_join_size_estimates(spark):
     import hashlib
 
@@ -143,6 +144,7 @@ def test_cms_join_size_disjoint_is_zero(spark):
     assert est == 0  # no shared buckets in any row (w >> items)
 
 
+@pytest.mark.slow
 def test_cms_join_size_respects_merge(spark):
     # sketch-of-union == merged per-part sketches -> same estimate
     rows = [(f"k{i % 10}",) for i in range(100)]
@@ -161,6 +163,7 @@ def test_cms_join_size_respects_merge(spark):
     assert e1 == e2 == whole.join(probe, "k").count()
 
 
+@pytest.mark.slow
 def test_lmdbkv_generic_source(spark, tmp_path):
     from osmexpress_spark.sources import lmdb_kv as K
     from osmexpress_spark.sources.osmx import LmdbKvDataSource
@@ -209,6 +212,7 @@ def test_kmv_set_estimates_sampling_regime(spark):
     assert abs(r["est_intersection"] - 1000) / 1000 < 0.35, r
 
 
+@pytest.mark.slow
 def test_join_plan_advice_strategies(spark):
     small = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
     big = spark.createDataFrame([(f"k{i % 50}",) for i in range(5000)],

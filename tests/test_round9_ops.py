@@ -3,6 +3,8 @@ BPE token census, join-order advice."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import random
 from fractions import Fraction
@@ -15,6 +17,7 @@ def _shingle_set(text: str) -> set[str]:
     return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
 
 
+@pytest.mark.slow
 def test_prefix_filter_pairs_matches_bruteforce(spark):
     """prefix_filter_pairs is EXACT: for random corpora (small vocab ->
     heavy ties in the df order, mixed lengths -> length-filter edges)
@@ -51,6 +54,7 @@ def test_prefix_filter_pairs_matches_bruteforce(spark):
         assert got == sorted(exp), f"threshold {thr}"
 
 
+@pytest.mark.slow
 def test_prefix_filter_pairs_asymmetric_index_prefix_exact(spark):
     """The PPJoin+ index-prefix reduction (smaller side indexes only
     li = n - ceil(2t/(1+t)*n) + 1 tokens) misses nothing: brute-force
@@ -105,6 +109,7 @@ def test_prefix_filter_pairs_no_pairs_without_overlap(spark):
     )
 
 
+@pytest.mark.slow
 def test_chain_join_order_bounds_and_ordering(spark):
     """chain_join_order: each CMS estimate upper-bounds the exact join
     size, and the plan string lists join names by ascending estimate
@@ -137,6 +142,7 @@ def test_chain_join_order_bounds_and_ordering(spark):
     assert names == [nm for _, nm in ests]
 
 
+@pytest.mark.slow
 def test_bpe_segment_words_agrees_with_encode(spark):
     """The JVM merge-replay fold (bpe_segment_words) and the rank-dict
     greedy Arrow encode (bpe_encode) produce identical segmentations —
@@ -166,6 +172,7 @@ def test_bpe_segment_words_agrees_with_encode(spark):
         assert list(r["tokens"]) == seg[r["id"]], r["id"]
 
 
+@pytest.mark.slow
 def test_plan_join_example_branches_fire(spark, tmp_path):
     """examples/plan_join.py (VERDICT r08 ask #6): every strategy
     branch of the advisor actually fires on a fixture shaped for it,

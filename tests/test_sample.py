@@ -5,6 +5,8 @@ predicate for rate sampling, broadcast contamination join)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osmexpress_spark.operators import dedup, sample
@@ -290,6 +292,7 @@ def test_boilerplate_ngrams_counts_distinct_docs(spark):
     assert "totally original content" not in got
 
 
+@pytest.mark.slow
 def test_temperature_mixture_rates_and_determinism(spark):
     from osmexpress_spark.operators.sample import (
         KNUTH, temperature_mixture,
@@ -318,6 +321,7 @@ def test_temperature_mixture_rates_and_determinism(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, kept))
 
 
+@pytest.mark.slow
 def test_write_training_shards_layout_and_order(spark, tmp_path):
     from osmexpress_spark.operators.sample import global_shuffle_sharded
     from osmexpress_spark.sources.sink import write_training_shards
@@ -386,6 +390,7 @@ def test_global_shuffle_rejects_null_ids(spark):
     assert "NULL id" in str(ei.value)
 
 
+@pytest.mark.slow
 def test_pack_balanced_loads_within_one_max_doc(spark):
     from osmexpress_spark.operators.sample import pack_balanced
 

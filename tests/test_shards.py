@@ -68,6 +68,7 @@ def test_null_text_and_null_id(spark):
         SH.shard_manifest(bad, "doc_id", "text", "w", 4).collect()
 
 
+@pytest.mark.slow
 def test_write_verify_roundtrip_and_tamper(spark, tmp_path):
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     path = str(tmp_path / "sink")
@@ -164,6 +165,7 @@ def test_manifest_diff_localizes_changes(spark):
     assert rows[0].old_tokens == rows[0].new_tokens
 
 
+@pytest.mark.slow
 def test_manifest_diff_added_removed_identical(spark):
     a = spark.createDataFrame(
         [(0, "x", 1), (1, "y", 1)], "doc_id long, text string, w long"
@@ -222,6 +224,7 @@ def _write_epochs(spark, tmp_path, n_epochs=2, shards=4):
     return sink, n
 
 
+@pytest.mark.slow
 def test_compact_epochs_same_and_rehashed_shard_count(spark, tmp_path):
     sink, n = _write_epochs(spark, tmp_path, n_epochs=2, shards=4)
     # same shard count: per-shard algebra holds, result verifies clean
@@ -251,6 +254,7 @@ def test_compact_epochs_same_and_rehashed_shard_count(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_epochs_catches_manifest_data_disagreement(spark, tmp_path):
     """A corrupted epoch manifest (data says one thing, metadata says
     another) must fail the compaction's algebra check loudly."""
@@ -276,6 +280,7 @@ def test_compact_epochs_catches_manifest_data_disagreement(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_manifest_describes_disk_under_nondeterministic_input(
     spark, tmp_path
 ):

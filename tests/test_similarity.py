@@ -57,6 +57,7 @@ def test_bruteforce_matches_python_model(spark, vectors):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ivf_invariants_and_recall(spark, vectors):
     queries = vectors.where(F.col("vec_id") < 20)
     res = similarity.topk_ivf(
@@ -94,6 +95,7 @@ def test_ivf_training_deterministic_shape(spark, vectors):
         assert dmin < 2.0, dmin
 
 
+@pytest.mark.slow
 def test_ivf_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
     """The on-disk inverted-file layout: same results as the inline
     topk_ivf (identical centroids + probe logic), and the probe scan
@@ -244,6 +246,7 @@ def test_pq_reconstruction_beats_random(spark, vectors):
     assert tot / n < dsub * 1.0, tot / n
 
 
+@pytest.mark.slow
 def test_pq_topk_matches_python_adc_model(spark, vectors):
     """topk_pq is DETERMINISTIC given the trained books: replicate
     encode (argmin-L2 on 6-decimal-rounded distances, ties -> lowest
@@ -296,6 +299,7 @@ def test_pq_topk_matches_python_adc_model(spark, vectors):
         assert all(n % 3 == qid % 3 for n in nbrs)  # same blob
 
 
+@pytest.mark.slow
 def test_ivfpq_full_probe_equals_pq_and_partial_stays_in_blob(spark, vectors):
     """With nprobe = n_centroids every inverted list is probed, so the
     composed index must reproduce plain ADC ranking exactly; with a
@@ -318,6 +322,7 @@ def test_ivfpq_full_probe_equals_pq_and_partial_stays_in_blob(spark, vectors):
         assert r.neighbor_id % 3 == r.query_id % 3
 
 
+@pytest.mark.slow
 def test_ivfpq_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
     """The on-disk composed layout: identical rows to the inline
     topk_ivfpq, lists store only code bytes, and the probe scan
@@ -344,6 +349,7 @@ def test_ivfpq_indexed_matches_inline_and_prunes(spark, vectors, tmp_path):
     assert "PartitionFilters" in plan and "cid" in plan
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_recovers_bruteforce_recall(spark, vectors):
     """With a generous shortlist, exact re-ranking must recover the
     brute-force cosine top-3 despite the coarse PQ codes collapsing
@@ -366,6 +372,7 @@ def test_ivfpq_rerank_recovers_bruteforce_recall(spark, vectors):
     assert hits >= 0.95 * 3 * 20, hits / 60
 
 
+@pytest.mark.slow
 def test_ivfpq_append_extends_lists_without_retraining(spark, vectors,
                                                        tmp_path):
     """Appending rides the SAVED model: building on the first half and
@@ -405,6 +412,7 @@ def test_ivfpq_append_extends_lists_without_retraining(spark, vectors,
     assert any(r.neighbor_id >= 100 for r in res)
 
 
+@pytest.mark.slow
 def test_pq_codes_match_python_model_random_vectors(spark):
     """Randomized encode equivalence on adversarial inputs the blob
     fixture never produces: near-tie distances (rounding then lowest-
@@ -442,6 +450,7 @@ def test_pq_codes_match_python_model_random_vectors(spark):
         assert got[61] == got[0]  # identical vectors -> identical codes
 
 
+@pytest.mark.slow
 def test_multiprobe_lsh_improves_recall_and_contains_single_probe(spark):
     """probes>1 must (a) return a superset-quality result: recall vs
     brute force never decreases, (b) reduce to the exact single-bucket
@@ -495,6 +504,7 @@ def _kc_model(vecs, k):
     return trace, {i: (c, d) for i, (d, r, c) in assign.items()}
 
 
+@pytest.mark.slow
 def test_kcenter_matches_python_model_random(spark):
     rng = random.Random(7)
     vecs = [
@@ -551,6 +561,7 @@ def test_kcenter_empty_and_bad_k(spark):
         similarity.kcenter_select(empty, k=0)
 
 
+@pytest.mark.slow
 def test_embedding_drift_census_identical_and_shifted(spark):
     rng = random.Random(11)
     base = [
@@ -584,6 +595,7 @@ def test_embedding_drift_census_needs_k_seeds(spark):
         similarity.embedding_drift_census(small, small, k=4)
 
 
+@pytest.mark.slow
 def test_embedding_drift_census_plan_python_free(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     old = e.where(F.col("vec_id") % 2 == 0)
@@ -648,6 +660,7 @@ def test_kcenter_rejects_null_ids(spark):
         similarity.kcenter_select(df, k=2)
 
 
+@pytest.mark.slow
 def test_hard_negatives_ivf_fullprobe_matches_bruteforce(spark, vectors):
     """nprobe == n_centroids makes IVF pruning a no-op, so the banded
     searcher must be bit-identical to brute-force hard_negatives —
@@ -668,6 +681,7 @@ def test_hard_negatives_ivf_fullprobe_matches_bruteforce(spark, vectors):
     assert all(lo < r.sim <= hi for r in pruned)
 
 
+@pytest.mark.slow
 def test_hard_negatives_ivf_recall_monotone_in_nprobe(spark, vectors):
     """Probed lists are nested as nprobe grows (top-nprobe centroids)
     and top-k recall is monotone under candidate-set inclusion, so
@@ -710,6 +724,7 @@ def test_hard_negatives_ivf_plan_no_cross_join(spark, vectors):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_banded_topk_ivf_and_bucketed_stay_in_band(spark, vectors):
     """sim_lo/sim_hi on the searchers: every returned pair's true
     cosine lies in the band, and the banded result is a subset of the
@@ -744,6 +759,7 @@ def test_banded_topk_ivf_and_bucketed_stay_in_band(spark, vectors):
             fn(queries, vectors, dim=DIM, k=4, sim_lo=0.5, sim_hi=0.5, **kw)
 
 
+@pytest.mark.slow
 def test_banded_rerank_band_applies_to_exact_sims(spark, vectors):
     """topk_ivfpq_rerank's band cuts on EXACT rerank cosines: every
     returned pair lies in the band even though the stage-1 shortlist
@@ -800,6 +816,7 @@ def test_embedding_gram_matches_python_model(spark):
     assert len(got) == dim * (dim + 1) // 2
 
 
+@pytest.mark.slow
 def test_pca_project_variance_identity_and_determinism(spark):
     """The projected per-component variance must equal the covariance
     eigenvalues (micros^2 scaled), the basis must be orthonormal with
@@ -848,6 +865,7 @@ def test_pca_project_variance_identity_and_determinism(spark):
         similarity.pca_project(df, dim, 0)
 
 
+@pytest.mark.slow
 def test_banded_indexed_matches_banded_inline(spark, vectors, tmp_path):
     """The band on the PHYSICAL index layout: banded topk_ivf_indexed
     must equal banded inline topk_ivf given the same build parameters,

@@ -39,6 +39,7 @@ def xml_file(tmp_path):
     return str(p)
 
 
+@pytest.mark.slow
 def test_osmxml_datasource_reads_all_types(spark, xml_file):
     osm_xml.register(spark)
     nodes = spark.read.format("osmxml").option("element", "node").load(xml_file)
@@ -123,6 +124,7 @@ def test_pbf_blob_index(tmp_path):
         pbf.decode_blob(blobs[1])
 
 
+@pytest.mark.slow
 def test_xml_sink_roundtrip(spark, tmp_path):
     """extract -> ordered XML -> osmxml source -> same id sets (the
     round-trip design the reference relies on, SURVEY.md §5)."""
@@ -156,6 +158,7 @@ def test_way_tags_preserved_in_xml(spark, tmp_path, xml_file):
     assert ways.collect()[0].tags == {"highway": "residential"}
 
 
+@pytest.mark.slow
 def test_xml_source_reads_gz_and_bz2(spark, tmp_path):
     """libosmium extension parity: .osm.gz / .osm.bz2 decompress
     transparently through the XML source and the expand dispatcher."""
@@ -185,6 +188,7 @@ def test_xml_source_reads_gz_and_bz2(spark, tmp_path):
         assert got == base and len(got) == 3
 
 
+@pytest.mark.slow
 def test_replication_header_metadata_flows_through_expand(spark, tmp_path):
     """Reference parity src/expand.cpp:283-287: the PBF header's osmosis
     replication timestamp/seqnum land in the dataset metadata, in the

@@ -3,6 +3,8 @@ event-time watermark passes their gap; state is bounded per key."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import os
 import uuid
@@ -22,6 +24,7 @@ def _ts(minute, second=0):
     return datetime.datetime(2026, 1, 1, 10, minute, second)
 
 
+@pytest.mark.slow
 def test_sessionize_stream_closes_on_watermark(spark, tmp_path):
     feed = str(tmp_path / "feed")
     os.makedirs(feed, exist_ok=True)
@@ -82,6 +85,7 @@ def test_sessionize_stream_closes_on_watermark(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_topk_stream_merges_state_across_batches(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1): the second emission
     per key must be the MERGED top-k (state carries batch 1's best),
@@ -135,6 +139,7 @@ def test_topk_stream_merges_state_across_batches(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_observe_stream_reports_per_batch_metrics(spark, tmp_path):
     """Streaming observe: per-micro-batch counters appear in
     StreamingQueryProgress.observedMetrics without any extra pass."""

@@ -38,6 +38,7 @@ def _base_files(store, name):
     return rel, sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
 
 
+@pytest.mark.slow
 def test_merge_layers_match_model_and_reuse_base(spark, fresh):
     rows, batches, store = fresh
     state = state_from_rows(rows)
@@ -94,6 +95,7 @@ def test_merge_layers_match_model_and_reuse_base(spark, fresh):
             assert entry["layers"], name
 
 
+@pytest.mark.slow
 def test_compaction_bounds_layers(spark, fresh):
     rows, batches, store = fresh
     state = state_from_rows(rows)
@@ -125,6 +127,7 @@ def test_compaction_bounds_layers(spark, fresh):
     assert isinstance(entry, dict) and entry["layers"] == []
 
 
+@pytest.mark.slow
 def test_optimize_folds_layers_and_preserves_state(spark, fresh):
     rows, batches, store = fresh
     chg = spark.createDataFrame(batches[0], schemas.CHANGES_SCHEMA)
@@ -138,6 +141,7 @@ def test_optimize_folds_layers_and_preserves_state(spark, fresh):
         assert isinstance(entry, str) or entry["layers"] == []
 
 
+@pytest.mark.slow
 def test_time_travel_spans_merge_commits(spark, fresh):
     rows, batches, store = fresh
     v0 = store.latest_version()
@@ -151,6 +155,7 @@ def test_time_travel_spans_merge_commits(spark, fresh):
     assert store.read_table("locations", version=v0).count() == n0
 
 
+@pytest.mark.slow
 def test_double_publish_same_version_fails_loudly(fresh):
     # two writers racing to the same version number must not silently
     # clobber each other's manifest: the second publish raises

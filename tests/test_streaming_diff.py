@@ -26,6 +26,7 @@ def fresh_store(spark, tmp_path):
     return rows, batches, store
 
 
+@pytest.mark.slow
 def test_catch_up_applies_in_order_and_idempotently(spark, fresh_store):
     rows, batches, store = fresh_store
     all_changes = spark.createDataFrame(
@@ -39,6 +40,7 @@ def test_catch_up_applies_in_order_and_idempotently(spark, fresh_store):
     assert replication.committed_seqnum(store) == 3
 
 
+@pytest.mark.slow
 def test_catch_up_dry_run(spark, fresh_store):
     rows, batches, store = fresh_store
     changes = spark.createDataFrame(batches[0], schemas.CHANGES_SCHEMA)
@@ -48,6 +50,7 @@ def test_catch_up_dry_run(spark, fresh_store):
     assert store.latest_version() == before
 
 
+@pytest.mark.slow
 def test_streaming_feed(spark, fresh_store, tmp_path):
     rows, batches, store = fresh_store
     feed = tmp_path / "feed"
@@ -67,6 +70,7 @@ def test_streaming_feed(spark, fresh_store, tmp_path):
     assert fresh.read_table("locations").count() > 0
 
 
+@pytest.mark.slow
 def test_augmented_diff_classification_and_propagation(spark, fresh_store):
     rows, batches, store = fresh_store
     tables = store.read_all()
@@ -176,6 +180,7 @@ def test_timestamp_to_seqnum_binary_search(tmp_path):
     assert feedstate.timestamp_to_seqnum(src, base) == 10
 
 
+@pytest.mark.slow
 def test_catch_up_bootstraps_from_timestamp(spark, tmp_path, fresh_store):
     """A store with only a post-expand timestamp resumes mid-feed: the
     bootstrap resolves its seqnum from the state files, so earlier
@@ -208,6 +213,7 @@ def test_catch_up_bootstraps_from_timestamp(spark, tmp_path, fresh_store):
 
 
 # --- remote HTTP replication transport (utils/osmx-update:15-48) ----------
+@pytest.mark.slow
 def test_http_catch_up_from_local_server(spark, tmp_path):
     """End-to-end remote catch-up: a static HTTP server fronts a feed
     directory (state files + per-seq .osc.gz); a store that only knows
@@ -284,6 +290,7 @@ def _serve(feed: str):
     return srv, f"http://127.0.0.1:{srv.server_port}"
 
 
+@pytest.mark.slow
 def test_http_feed_404_at_head(spark, tmp_path):
     """Edge case (utils/server.py:27-107): the server has no state.txt
     at all (404 at the feed head). latest() must read as None — not
@@ -381,6 +388,7 @@ def test_http_timestamp_older_than_first_state(tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_apply_batch_metadata_merges_and_never_rewinds(spark, tmp_path):
     """A diff whose elements carry NO timestamps must not erase the
     snapshot's replication timestamp, and an older-element diff must

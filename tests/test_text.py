@@ -4,6 +4,8 @@ docs, boundary word counts)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osmexpress_spark.operators import text
@@ -24,6 +26,7 @@ def test_gopher_flags_all_pass(spark):
     }
 
 
+@pytest.mark.slow
 def test_gopher_flags_each_rule_fires_independently(spark):
     # too short
     assert not _flags(spark, "the and tiny doc")["ok_word_count"]

@@ -74,6 +74,7 @@ def state_from_rows(rows):
     }
 
 
+@pytest.mark.slow
 def test_apply_batches_match_python_model(spark, setup):
     rows, batches, store = setup
     state = state_from_rows(rows)
@@ -117,6 +118,7 @@ def test_apply_batches_match_python_model(spark, setup):
             ), name
 
 
+@pytest.mark.slow
 def test_dry_run_commits_nothing(spark, setup):
     rows, batches, store = setup
     before = store.latest_version()
@@ -133,6 +135,7 @@ def test_snapshot_isolation_time_travel(spark, setup):
     assert got == len(rows["locations"])
 
 
+@pytest.mark.slow
 def test_tag_removal_demotes_node(spark, setup):
     """src/update.cpp:60-62: a modify with empty tags keeps the location
     but drops the payload row."""

@@ -5,6 +5,8 @@ queries q_stream_dedup / q_stream_interval_join in oracle parity."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -138,6 +140,7 @@ def test_curate_docs_stream_end_to_end(spark, tmp_path):
     assert got_b == [1, 4]
 
 
+@pytest.mark.slow
 def test_windowed_quantile_sketch_stream_and_batch(spark, tmp_path):
     """Real readStream: the per-window sketches arriving at the memory
     sink must equal the batch groupBy on the same rows, and feeding
@@ -217,6 +220,7 @@ def test_windowed_quantile_sketch_stream_and_batch(spark, tmp_path):
         assert r50["lo"] <= true <= r50["hi"]
 
 
+@pytest.mark.slow
 def test_dedup_docs_stream_vs_corpus_e2e(spark, tmp_path):
     """Continuous-ingest dedup against the persisted signature store:
     batch-1 drop admits the novel doc and rejects the corpus near-dup;
@@ -276,6 +280,7 @@ def test_dedup_docs_stream_vs_corpus_e2e(spark, tmp_path):
     assert admitted == {2, 4}, admitted
 
 
+@pytest.mark.slow
 def test_shard_sink_stream_epochs_and_verify(spark, tmp_path):
     """Continuous shard sink: each drop lands as its own verifiable
     epoch; verify_shard_epochs is clean over both, localizes a
@@ -349,6 +354,7 @@ def test_shard_sink_stream_epochs_and_verify(spark, tmp_path):
         watermark_ops.verify_shard_epochs(spark, str(tmp_path / "nowhere"))
 
 
+@pytest.mark.slow
 def test_drift_monitor_stream_alerts_on_shift(spark, tmp_path):
     """Drift monitor: an in-distribution drop stays quiet, a shifted
     drop (x100 lengths) raises the alert; the reference corpus is read
@@ -401,6 +407,7 @@ def test_drift_monitor_stream_alerts_on_shift(spark, tmp_path):
     assert quiet.n_rows == 300 and shifted.n_rows == 300
 
 
+@pytest.mark.slow
 def test_drift_census_stream_epoch_label_keying(spark, tmp_path):
     """drift_census_stream keys output by the epoch LABEL in the data,
     not the trigger id: two epochs arriving in ONE micro-batch still
@@ -453,6 +460,7 @@ def test_drift_census_stream_epoch_label_keying(spark, tmp_path):
         assert got == want and len(got) > 0, e
 
 
+@pytest.mark.slow
 def test_file_stream_prod_path_matches_per_file_gate(spark, tmp_path):
     """r12 production entry (VERDICT r11 #7): file_stream with the
     default trigger (whole backlog in one availableNow batch) produces

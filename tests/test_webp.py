@@ -204,6 +204,7 @@ def test_libwebp_accepts_synth_encoder_output():
 # --- Spark path --------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_webp_through_extract_features(spark):
     from pyspark.sql import functions as F
 
@@ -268,6 +269,7 @@ def test_roundtrip_property(subtests=None):
 
 
 @needs_libwebp
+@pytest.mark.slow
 def test_image_decoder_ctypes_matches_pure(spark):
     """The ctypes fast path (VERDICT r08 ask #5) is bit-identical to
     the pure decoder on the q_image_webp_stats pipeline — same
